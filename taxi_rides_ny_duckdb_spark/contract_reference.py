@@ -1,0 +1,460 @@
+"""Reference-parity contract queries (SURVEY.md §2 inventory).
+
+Each query exercises one operator row from SURVEY §2 on the driver's
+TPC-H-ish tables, with a DuckDB oracle. Citations point at the
+reference file that motivates the operator; the implementation is
+Spark-first (SURVEY's "Spark mapping" column), not a translation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .contract import query
+from .functions.macros import payment_type_description, surrogate_key, ts_key
+from .functions.parity import davg, dsum
+from .sources.registry import load
+
+# ---------------------------------------------------------------------------
+# A1-A4 flagship: multi-aggregate hash groupBy (the dm_monthly_zone_revenue
+# shape, reference dm_monthly_zone_revenue.sql:6-31, on lineitem — TPC-H Q1).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a1_pricing_summary",
+    oracle="""
+    SELECT
+      l_returnflag, l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+      CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def a1_pricing_summary(spark, sf_dir):
+    """12-aggregate hash groupBy over the fact table (A1-A4; reference
+    dm_monthly_zone_revenue.sql:6-31). Single shuffle on low-cardinality
+    keys; partial aggregation collapses the map side; sums/avgs are
+    decimal-routed for order-independence (parity.py)."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "2000-12-01")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum(F.col("l_quantity"), 18, 2).alias("sum_qty"),
+        dsum(F.col("l_extendedprice"), 18, 2).alias("sum_base_price"),
+        dsum(disc_price, 18, 4).alias("sum_disc_price"),
+        dsum(charge, 18, 6).alias("sum_charge"),
+        davg(F.col("l_quantity"), 18, 2).alias("avg_qty"),
+        davg(F.col("l_extendedprice"), 18, 2).alias("avg_price"),
+        davg(F.col("l_discount"), 18, 2).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S1 + P + F: scan with filter/projection pushdown.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "s1_scan_filter_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem WHERE l_quantity > 45
+    """,
+)
+def s1_scan_filter_project(spark, sf_dir):
+    """Parquet scan + pushed filter + pruned columns (S1/P1/F-family;
+    reference stg_green_tripdata.sql:7-8). `.explain` shows
+    PushedFilters: [GreaterThan(l_quantity,45.0)] and a 3-column
+    ReadSchema — the scan never materializes the other 8 columns."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 45)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+
+
+@query(
+    "p2_typed_projection",
+    oracle="""
+    SELECT
+      CAST(l_orderkey AS VARCHAR) AS orderkey_str,
+      CAST(l_quantity AS INTEGER) AS quantity_int,
+      CAST(l_extendedprice AS DECIMAL(18,2)) AS price_dec,
+      CAST(l_shipdate AS DATE) AS ship_date
+    FROM lineitem
+    """,
+)
+def p2_typed_projection(spark, sf_dir):
+    """Cast-on-read typed projection (P2/X1; reference
+    stg_green_tripdata.sql:10-39 — 17 casts per staging model)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_orderkey").cast("string").alias("orderkey_str"),
+        F.col("l_quantity").cast("int").alias("quantity_int"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price_dec"),
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X2-X5 scalar functions.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x2_case_decode",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+      CASE WHEN l_linenumber = 1 THEN 'Credit card'
+           WHEN l_linenumber = 2 THEN 'Cash'
+           WHEN l_linenumber = 3 THEN 'No charge'
+           WHEN l_linenumber = 4 THEN 'Dispute'
+           WHEN l_linenumber = 5 THEN 'Unknown'
+           WHEN l_linenumber = 6 THEN 'Voided trip'
+      END AS code_description
+    FROM lineitem
+    """,
+)
+def x2_case_decode(spark, sf_dir):
+    """No-ELSE CASE decode macro (X2; reference
+    macros/get_payment_type_description.sql:5-16) — codes outside 1-6
+    (l_linenumber=7 here) fall through to NULL."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        payment_type_description(F.col("l_linenumber")).alias("code_description"),
+    )
+
+
+@query(
+    "x3_surrogate_key",
+    oracle="""
+    SELECT o_orderkey,
+      md5(
+        coalesce(CAST(o_custkey AS VARCHAR), '_dbt_utils_surrogate_key_null_')
+        || '-' ||
+        coalesce(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'), '_dbt_utils_surrogate_key_null_')
+      ) AS order_sk
+    FROM orders
+    """,
+)
+def x3_surrogate_key(spark, sf_dir):
+    """dbt_utils-compatible md5 surrogate key (X3; reference
+    stg_green_tripdata.sql:12) with the pinned timestamp→string
+    normalization from SURVEY §1.4."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        surrogate_key(F.col("o_custkey"), ts_key(F.col("o_orderdate"))).alias("order_sk"),
+    )
+
+
+@query(
+    "x4_string_replace",
+    oracle="""
+    SELECT p_partkey, replace(p_brand, 'Brand', 'Make') AS make_brand
+    FROM part
+    """,
+)
+def x4_string_replace(spark, sf_dir):
+    """Literal string replace (X4; reference dim_zones.sql:8
+    replace(service_zone,'Boro','Green'))."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_replace(F.col("p_brand"), "Brand", "Make").alias("make_brand"),
+    )
+
+
+@query(
+    "x5_date_trunc_month",
+    oracle="""
+    SELECT o_orderkey, date_trunc('month', o_orderdate) AS order_month
+    FROM orders
+    """,
+)
+def x5_date_trunc_month(spark, sf_dir):
+    """Month truncation (X5; reference dm_monthly_zone_revenue.sql:9).
+    Spark returns TIMESTAMP, DuckDB DATE — cast pins the contract."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("order_month"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W1 + F2: window dedup.
+# ---------------------------------------------------------------------------
+
+_W1_COLS = ["l_linenumber", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"]
+
+
+@query(
+    "w1_dedup_row_number",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice
+    FROM (
+      SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice,
+             row_number() OVER (
+               PARTITION BY l_orderkey
+               ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice
+             ) AS rn
+      FROM lineitem
+    ) WHERE rn = 1
+    """,
+)
+def w1_dedup_row_number(spark, sf_dir):
+    """row_number() dedup keeping one row per key (W1+F2; reference
+    stg_green_tripdata.sql:5-9,41). The reference's window has no ORDER
+    BY (arbitrary survivor); for cross-engine hashing we pin a total
+    order over the projected columns so the survivor is deterministic —
+    the production staging path uses dropDuplicates instead (see
+    plans/staging.py scale rationale)."""
+    li = load(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(*[F.col(c) for c in _W1_COLS])
+    return (
+        li.select("l_orderkey", *_W1_COLS)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@query(
+    "w1_dedup_distinct",
+    oracle="SELECT DISTINCT l_suppkey, l_returnflag FROM lineitem",
+)
+def w1_dedup_distinct(spark, sf_dir):
+    """Hash-dedup on a projection (the scale-friendly W1 idiom:
+    dropDuplicates ≡ DISTINCT on the projected key set — map-side
+    partial dedup, then one shuffle of survivors)."""
+    return load(spark, sf_dir, "lineitem").select("l_suppkey", "l_returnflag").distinct()
+
+
+# ---------------------------------------------------------------------------
+# J1/J2/J3 joins.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j1_broadcast_dim_join",
+    oracle="""
+    SELECT r_name,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def j1_broadcast_dim_join(spark, sf_dir):
+    """Fact × small-dim inner equi-joins (J1; reference
+    fact_trips.sql:54-55): both dims broadcast → zero-shuffle joins, the
+    only exchange is the final groupBy."""
+    c = load(spark, sf_dir, "customer")
+    n = F.broadcast(load(spark, sf_dir, "nation"))
+    r = F.broadcast(load(spark, sf_dir, "region"))
+    return (
+        c.join(n, c["c_nationkey"] == n["n_nationkey"])
+        .join(r, n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum(F.col("c_acctbal"), 18, 2).alias("total_acctbal"),
+        )
+    )
+
+
+@query(
+    "j2_dim_joined_twice",
+    oracle="""
+    SELECT o_orderkey,
+           cn.n_name AS customer_nation,
+           sn.n_name AS supplier_nation
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE l_linenumber = 1 AND l_partkey < 100
+    """,
+)
+def j2_dim_joined_twice(spark, sf_dir):
+    """Same dimension aliased and joined twice (J2; reference
+    fact_trips.sql:21-24,56-57 joins dim_zones for pickup AND dropoff).
+    nation joins are broadcast; the lineitem↔orders join shuffles on
+    orderkey — at 100 TB both sides would be bucketed on orderkey to
+    co-locate it."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_linenumber") == 1) & (F.col("l_partkey") < 100)
+    )
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    cn = F.broadcast(n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("customer_nation")))
+    sn = F.broadcast(n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supplier_nation")))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(cn, F.col("c_nationkey") == F.col("cn_key"))
+        .join(sn, F.col("s_nationkey") == F.col("sn_key"))
+        .select("o_orderkey", "customer_nation", "supplier_nation")
+    )
+
+
+@query(
+    "j3_left_anti",
+    oracle="""
+    SELECT o_orderkey FROM orders
+    WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem WHERE l_orderkey IS NOT NULL)
+    """,
+)
+def j3_left_anti(spark, sf_dir):
+    """Left-anti join — the relationships data-quality test shape (J3;
+    reference models/staging/schema.yml:55-65): orders with no
+    lineitems. Same plan as plans/dq.relationships_violations."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return o.join(
+        li.select("l_orderkey"), o["o_orderkey"] == li["l_orderkey"], "left_anti"
+    ).select("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# U1 union + literal tagging (the fact_trips union shape).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "u1_union_all_tagged",
+    oracle="""
+    SELECT o_orderkey, 'URGENT' AS priority_class, o_totalprice FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+    UNION ALL
+    SELECT o_orderkey, 'LOW' AS priority_class, o_totalprice FROM orders
+    WHERE o_orderpriority = '5-LOW'
+    """,
+)
+def u1_union_all_tagged(spark, sf_dir):
+    """UNION ALL of two schema-aligned branches with literal service
+    tags (U1+X6; reference fact_trips.sql:3-19 Green/Yellow union).
+    unionByName + shared projection = the positional union's safe
+    idiom (SURVEY §2.7)."""
+    o = load(spark, sf_dir, "orders")
+
+    def side(priority: str, tag: str):
+        return o.filter(F.col("o_orderpriority") == priority).select(
+            "o_orderkey", F.lit(tag).alias("priority_class"), "o_totalprice"
+        )
+
+    return side("1-URGENT", "URGENT").unionByName(side("5-LOW", "LOW"))
+
+
+# ---------------------------------------------------------------------------
+# A6/A7/A8 data-quality aggregations as scalar-count queries.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a6_unique_violations",
+    oracle="""
+    SELECT COUNT(*) AS n_duplicate_keys FROM (
+      SELECT l_orderkey, l_linenumber
+      FROM lineitem GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1
+    )
+    """,
+)
+def a6_unique_violations(spark, sf_dir):
+    """dbt `unique` test as an aggregation (A6; reference
+    models/staging/schema.yml:35-37)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.count(F.lit(1)).alias("n_duplicate_keys"))
+    )
+
+
+@query(
+    "a7_null_count",
+    oracle="SELECT COUNT(*) AS n_nulls FROM events WHERE user_id IS NULL",
+)
+def a7_null_count(spark, sf_dir):
+    """dbt `not_null` test as an aggregation (A7; reference
+    models/staging/schema.yml:38-39)."""
+    e = load(spark, sf_dir, "events")
+    return e.filter(F.col("user_id").isNull()).agg(F.count(F.lit(1)).alias("n_nulls"))
+
+
+@query(
+    "a8_accepted_values",
+    oracle="""
+    SELECT COUNT(*) AS n_violations FROM events
+    WHERE event_type IS NOT NULL
+      AND event_type NOT IN ('view', 'click', 'purchase', 'signup')
+    """,
+)
+def a8_accepted_values(spark, sf_dir):
+    """dbt `accepted_values` test as an aggregation (A8; reference
+    models/staging/schema.yml:86-93; value list from dbt var,
+    dbt_project.yml:42-43). 'error' is deliberately outside the list so
+    the violation count is nonzero."""
+    e = load(spark, sf_dir, "events")
+    ok = ["view", "click", "purchase", "signup"]
+    return e.filter(
+        F.col("event_type").isNotNull() & ~F.col("event_type").isin(ok)
+    ).agg(F.count(F.lit(1)).alias("n_violations"))
+
+
+# ---------------------------------------------------------------------------
+# A5 metric compiler on testdata (average with filters over month grain).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a5_metric_avg_month",
+    oracle="""
+    SELECT date_trunc('month', l_shipdate) AS period_month,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_quantity) AS avg_returned_qty
+    FROM lineitem
+    WHERE l_returnflag = 'R' AND l_linestatus = 'F'
+    GROUP BY 1
+    """,
+)
+def a5_metric_avg_month(spark, sf_dir):
+    """dbt-metric: calculation_method=average, grain=month, two equality
+    filters (A5+F4; reference README.md:228-242,286-308) — compiled by
+    plans/metrics.py, the same code path as the taxi metric."""
+    from .plans.metrics import Metric, MetricFilter, compile_metric
+
+    li = load(spark, sf_dir, "lineitem")
+    m = Metric(
+        name="avg_returned_qty",
+        calculation_method="average",
+        expression="l_quantity",
+        timestamp="l_shipdate",
+        time_grains=("month",),
+        filters=(
+            MetricFilter("l_returnflag", "=", "R"),
+            MetricFilter("l_linestatus", "=", "F"),
+        ),
+    )
+    return compile_metric(li, m, "month")

@@ -1,0 +1,41 @@
+"""Deterministic numeric aggregation helpers.
+
+Floating-point SUM/AVG are order-dependent; Spark sums partitions in a
+nondeterministic order while a single-node engine (the DuckDB oracle)
+sums sequentially, so ``sum(double)`` can differ in the last ulp between
+engines AND between runs. That breaks value-hash comparison and, at
+100 TB, reproducibility of pipeline outputs.
+
+The engine's pattern: route every money/measure sum through an exact
+DECIMAL, then present as double. ``cast(double AS decimal(p,s))`` is
+deterministic (round-to-nearest of the same IEEE value in both engines),
+decimal addition is exact and associative → order-independent, and the
+final ``cast(decimal AS double)`` is again deterministic. The same trick
+makes AVG deterministic: exact decimal sum / count.
+
+DuckDB-equivalent SQL for ``dsum(c, 18, 4)``:
+``CAST(SUM(CAST(c AS DECIMAL(18,4))) AS DOUBLE)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dsum(col: Column, precision: int = 18, scale: int = 4) -> Column:
+    """Order-independent SUM of a double expression, presented as double.
+
+    ``scale`` must cover the true decimal scale of the expression (e.g.
+    price(2dp) * (1 - discount(2dp)) is exact at 4dp) so the decimal
+    round-trip is lossless.
+    """
+    return F.sum(col.cast(f"decimal({precision},{scale})")).cast("double")
+
+
+def davg(col: Column, precision: int = 18, scale: int = 4) -> Column:
+    """Order-independent AVG: exact decimal sum / non-null count."""
+    return (
+        F.sum(col.cast(f"decimal({precision},{scale})")).cast("double")
+        / F.count(col)
+    )

@@ -1,0 +1,116 @@
+"""Pipeline runner — the engine's dbt-core replacement.
+
+Reference analog: ``dbt build`` (reference ``README.md:59-63``) —
+Jinja-compile models, topo-sort the ref()/source() DAG, materialize each
+node as a view or table, run tests (SURVEY §3.1-3.2). Here a model is a
+Python function returning a DataFrame; ``ref()`` is a registry lookup;
+the DAG is explicit dependency lists; materialization is:
+
+- ``view``  → ``createOrReplaceTempView`` — lazy, recomputed per query,
+  inlined by Catalyst into consumers: the exact semantic of dbt's view
+  materialization (``dbt_project.yml:38-39``).
+- ``table`` → parquet write + re-register — forces computation once,
+  like CTAS (``dbt_project.yml:40-41``). Supports ``partition_by`` for
+  scale (month-partitioned fact ⇒ dynamic partition pruning downstream).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .dq import DQTest, DQResult, run_tests
+
+
+@dataclass
+class Model:
+    name: str
+    deps: tuple[str, ...]
+    build: Callable[..., DataFrame]  # called with resolved dep DataFrames, in order
+    materialization: str = "view"  # 'view' | 'table' | 'ephemeral'
+    partition_by: tuple[str, ...] = ()
+
+
+@dataclass
+class PipelineRunner:
+    """Tiny topo-sort executor over ``{model: (deps, fn, materialization)}``."""
+
+    spark: SparkSession
+    warehouse_dir: str
+    models: dict[str, Model] = field(default_factory=dict)
+    sources: dict[str, DataFrame] = field(default_factory=dict)
+    built: dict[str, DataFrame] = field(default_factory=dict)
+
+    def add_source(self, name: str, df: DataFrame) -> None:
+        self.sources[name] = df
+
+    def add_model(self, model: Model) -> None:
+        self.models[model.name] = model
+
+    def ref(self, name: str) -> DataFrame:
+        """dbt ``ref()``/``source()`` — resolve a built model or source."""
+        if name in self.built:
+            return self.built[name]
+        if name in self.sources:
+            return self.sources[name]
+        raise KeyError(f"unresolved ref {name!r} (not built yet or unknown)")
+
+    def _topo_order(self) -> list[str]:
+        order: list[str] = []
+        seen: set[str] = set()
+        visiting: set[str] = set()
+
+        def visit(name: str) -> None:
+            if name in seen or name in self.sources:
+                return
+            if name in visiting:
+                raise ValueError(f"cycle at {name}")
+            visiting.add(name)
+            for d in self.models[name].deps:
+                visit(d)
+            visiting.discard(name)
+            seen.add(name)
+            order.append(name)
+
+        for name in self.models:
+            visit(name)
+        return order
+
+    def _materialize(self, model: Model, df: DataFrame) -> DataFrame:
+        if model.materialization == "view":
+            df.createOrReplaceTempView(model.name)
+            return df
+        if model.materialization == "ephemeral":
+            return df  # inlined only; not addressable by SQL (dbt ephemeral)
+        if model.materialization == "table":
+            path = os.path.join(self.warehouse_dir, model.name)
+            writer = df.write.mode("overwrite").format("parquet")
+            if model.partition_by:
+                writer = writer.partitionBy(*model.partition_by)
+            writer.save(path)
+            out = self.spark.read.parquet(path)
+            out.createOrReplaceTempView(model.name)
+            return out
+        raise ValueError(f"unknown materialization {model.materialization!r}")
+
+    def run(self) -> dict[str, DataFrame]:
+        """``dbt run``: build every model in dependency order."""
+        for name in self._topo_order():
+            m = self.models[name]
+            df = m.build(*[self.ref(d) for d in m.deps])
+            self.built[name] = self._materialize(m, df)
+        return dict(self.built)
+
+    def test(self, tests: Sequence[DQTest], raise_on_error: bool = True) -> list[DQResult]:
+        """``dbt test``: run data-quality tests against built models."""
+        universe = {**self.sources, **self.built}
+        return run_tests(universe, tests, raise_on_error=raise_on_error)
+
+    def build(self, tests: Sequence[DQTest] = (), raise_on_error: bool = True):
+        """``dbt build`` = run + test (README.md:59-63)."""
+        built = self.run()
+        results = self.test(tests, raise_on_error=raise_on_error) if tests else []
+        return built, results

@@ -1,0 +1,72 @@
+"""SparkSession factory.
+
+The reference runs embedded DuckDB in-process (reference
+``profiles.yml:5-7``); our equivalent of "engine configuration" is a
+SparkSession pinned for deterministic cross-engine comparison and for
+scale:
+
+- AQE on (runtime partition coalescing + skew-join splitting) — the
+  Spark analog of DuckDB's morsel-driven adaptive parallelism.
+- ``spark.sql.session.timeZone=UTC`` — DuckDB timestamps are UTC-naive;
+  without this, timestamp values diverge between engines.
+- Arrow enabled — vectorized Python interop for Pandas UDFs.
+- Shuffle partitions sized to the local core count; at cluster scale
+  this is overridden per-job (AQE coalesces the rest).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    """Core count the driver asked us to use (local mode)."""
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "taxi_rides_ny_duckdb_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    Safe to call repeatedly — Spark returns the active session. When the
+    driver supplies its own session (``__spark_entry__.entry``), we use
+    theirs and only rely on per-query configs set here being defaults.
+    """
+    cores = default_parallelism()
+    master = master or os.environ.get("SPARK_MASTER", f"local[{cores}]")
+    shuffle = shuffle_partitions if shuffle_partitions is not None else cores
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def tune_for_comparison(spark: SparkSession) -> SparkSession:
+    """Pin runtime confs needed for DuckDB-oracle value parity on a
+    session we did not create (the driver's). Idempotent."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    except Exception:
+        pass  # non-runtime conf on some builds; defaults are fine
+    return spark

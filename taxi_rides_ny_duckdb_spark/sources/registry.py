@@ -1,0 +1,70 @@
+"""Source registry — logical table name → path + reader.
+
+Reference analog: dbt ``source()`` declarations
+(reference ``models/staging/schema.yml:4-20``) resolve logical names to
+physical tables inside a DuckDB file. Here a registry resolves a logical
+name to a parquet path under a scale-factor directory and registers it
+as a temp view, so both the DataFrame API (``load``) and Spark SQL
+(``spark.sql`` after ``register_all``) can address it.
+
+Scans are plain ``spark.read.parquet`` — Catalyst pushes filters and
+prunes columns into the parquet reader (verify with
+``df.explain('formatted')``: ``PushedFilters`` / ``ReadSchema``). At
+100 TB the same call reads a partitioned directory tree; nothing in the
+API changes, only the path layout (see plans/core.py for the
+partitioned-write side).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+# Driver-generated tables (TESTDATA.md): TPC-H-ish star schema + events
+# stream + LLM-pipeline extension tables.
+TESTDATA_TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one logical table (reference S1 analog).
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects outright. We read it as raw nanos
+    (``spark.sql.legacy.parquet.nanosAsLong``) and floor-divide to
+    microseconds with integer ``div`` — double division would round the
+    ~1.7e18 nano values and shift some rows by a microsecond. DuckDB
+    truncates nanos→micros the same way, so values agree exactly.
+    """
+    if name not in TESTDATA_TABLES:
+        raise KeyError(f"unknown source table {name!r}; known: {TESTDATA_TABLES}")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        return spark.read.parquet(table_path(sf_dir, name)).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def register_all(spark: SparkSession, sf_dir: str) -> None:
+    """Register every known table as a temp view for the SQL API."""
+    for name in TESTDATA_TABLES:
+        if os.path.exists(table_path(sf_dir, name)):
+            load(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,34 @@
+"""Every contract query with an oracle must match DuckDB exactly at
+sf0.01 — the local replica of the driver's correctness gate."""
+
+from __future__ import annotations
+
+import pytest
+
+from taxi_rides_ny_duckdb_spark import contract
+from tests.oracle import compare, duckdb_connection
+
+contract.load_all()
+
+_WITH_ORACLE = sorted(contract.ORACLES)
+_ROWS_ONLY = sorted(set(contract.QUERIES) - set(contract.ORACLES))
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    c = duckdb_connection(sf_dir)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("name", _WITH_ORACLE)
+def test_oracle_parity(name, spark, sf_dir, con):
+    df = contract.QUERIES[name](spark, sf_dir)
+    compare(df, con, contract.ORACLES[name])
+
+
+@pytest.mark.parametrize("name", _ROWS_ONLY)
+def test_rows_only_runs(name, spark, sf_dir):
+    df = contract.QUERIES[name](spark, sf_dir)
+    assert df.count() >= 0
+    assert len(df.schema) > 0
