@@ -80,7 +80,10 @@ def _stage(
     )
     out = deduped.select(
         # identifiers (stg_green_tripdata.sql:11-16)
-        surrogate_key(F.col("vendorid"), ts_key(F.col(pickup_col))).alias("tripid"),
+        # Key inputs are the CANONICAL types (int vendorid, normalized
+        # timestamp string), not the raw ones — raw vendorid may arrive
+        # as float64 (NaN-able parquet) and would stringify as '1.0'.
+        surrogate_key(F.col("vendorid").cast("int"), ts_key(F.col(pickup_col))).alias("tripid"),
         F.col("vendorid").cast("int").alias("vendorid"),
         F.col("ratecodeid").cast("int").alias("ratecodeid"),
         F.col("pulocationid").cast("int").alias("pickup_locationid"),
