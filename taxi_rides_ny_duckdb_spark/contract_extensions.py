@@ -5,6 +5,11 @@ designed per BASELINE.json north_star for 100 TB training-data
 pipelines: dedup, similarity search, text analysis, multimodal
 plumbing, event windows. Implementations live in ``operators/`` and
 ``functions/``; these wrappers bind them to the driver's tables.
+
+Oracle notes: hash-scheme-dependent outputs (MinHash/SimHash/LSH
+internals) are registered rows-only; everything whose output is
+hash-scheme-independent (verified pairs, exact top-k, text features)
+gets a DuckDB oracle with the same arithmetic.
 """
 
 from __future__ import annotations
@@ -12,6 +17,13 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .contract import query
+from .functions.text import (
+    bpe_ish_token_count,
+    fingerprint,
+    lang_id,
+    quality_score,
+    tokenize,
+)
 from .sources.registry import load
 
 
@@ -29,15 +41,9 @@ def ext_dedup_exact(spark, sf_dir):
     """Exact dedup via content-hash groupBy: one shuffle of (hash, id)
     pairs, never of full documents — at 100 TB project-then-shuffle is
     the difference between moving 32-byte keys and moving bodies."""
-    d = load(spark, sf_dir, "documents")
-    return (
-        d.select(F.md5("text").alias("content_hash"), "doc_id")
-        .groupBy("content_hash")
-        .agg(
-            F.min("doc_id").alias("canonical_doc_id"),
-            F.count(F.lit(1)).alias("n_copies"),
-        )
-    )
+    from .operators.dedup import exact_dedup
+
+    return exact_dedup(load(spark, sf_dir, "documents"), "text", "doc_id")
 
 
 @query(
@@ -56,4 +62,371 @@ def ext_text_token_count(spark, sf_dir):
         "doc_id",
         F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
         "n_chars",
+    )
+
+
+@query(
+    "ext_text_bpe_ish_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT)
+             AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def ext_text_bpe_ish_count(spark, sf_dir):
+    """BPE-ish token estimator (word pieces + punctuation singles)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"))
+
+
+@query(
+    "ext_text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS doc_fingerprint
+    FROM documents
+    """,
+)
+def ext_text_fingerprint(spark, sf_dir):
+    """Canonical content fingerprint (md5 of normalized text) — a
+    portable dedup/lineage key."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint(F.col("text")).alias("doc_fingerprint"))
+
+
+_QS_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         text,
+         len(list_filter(string_split_regex(lower(text), '\\s+'), w -> w != '')) AS n_tok,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+         len(list_filter(list_filter(string_split_regex(lower(text), '\\s+'), w -> w != ''),
+             w -> list_contains(['the','a','of','and','to','in','is','that','it','for'], w)))
+           AS n_sw
+  FROM documents
+)
+SELECT doc_id,
+  (CASE WHEN n_chars >= 100 AND n_chars <= 20000 THEN 0.25 ELSE 0.0 END)
+  + (CASE WHEN n_tok > 0 AND (CAST(n_chars AS DOUBLE) / n_tok) >= 3.0
+             AND (CAST(n_chars AS DOUBLE) / n_tok) <= 12.0 THEN 0.25 ELSE 0.0 END)
+  + 0.25 * (1.0 - (CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END))
+  + 0.25 * least((CASE WHEN n_tok > 0 THEN CAST(n_sw AS DOUBLE) / n_tok ELSE 0.0 END) * 5.0, 1.0)
+  AS quality
+FROM t
+"""
+
+
+@query("ext_text_quality_score", oracle=_QS_ORACLE)
+def ext_text_quality_score(spark, sf_dir):
+    """Heuristic quality score: length band + word shape + punctuation
+    density + stopword presence (functions/text.py)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+_LANG_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split_regex(lower(text), '\\s+'), w -> w != '')) AS w
+  FROM documents
+), hits AS (
+  SELECT doc_id,
+    len(list_intersect(w, ['der','die','und','das','von','zu','mit','den','ein','nicht'])) AS h_de,
+    len(list_intersect(w, ['the','a','of','and','to','in','is','that','it','for'])) AS h_en,
+    len(list_intersect(w, ['el','la','de','que','y','en','un','por','con','los'])) AS h_es,
+    len(list_intersect(w, ['le','la','de','et','les','des','un','une','que','pour'])) AS h_fr,
+    len(list_intersect(w, ['的','了','是','我','不','在','他','有','这','就'])) AS h_zh
+  FROM toks
+)
+SELECT doc_id,
+  CASE WHEN greatest(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'und'
+       WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr AND h_de >= h_zh THEN 'de'
+       WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_zh THEN 'en'
+       WHEN h_es >= h_fr AND h_es >= h_zh THEN 'es'
+       WHEN h_fr >= h_zh THEN 'fr'
+       ELSE 'zh'
+  END AS predicted_lang
+FROM hits
+"""
+
+
+@query("ext_text_lang_id", oracle=_LANG_ORACLE)
+def ext_text_lang_id(spark, sf_dir):
+    """Stopword-overlap language ID (argmax with deterministic
+    tie-break on language code)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", lang_id(tokenize(F.col("text"))).alias("predicted_lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup dedup family.
+# ---------------------------------------------------------------------------
+
+_JACCARD_ORACLE = """
+WITH sh AS (
+  SELECT doc_id, lang,
+    list_distinct(
+      list_transform(
+        generate_series(1, greatest(len(w) - 2, 0)),
+        i -> array_to_string(w[i:i+2], ' ')
+      )
+    ) AS shingles
+  FROM (
+    SELECT doc_id, lang,
+           list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS w
+    FROM documents WHERE doc_id < 200
+  )
+  WHERE len(w) >= 3
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+         / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard_sim
+FROM sh a JOIN sh b
+  ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.2
+"""
+
+
+@query("ext_dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
+def ext_dedup_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard near-dup pairs, blocked by lang (brute
+    force within blocks — the exact baseline the LSH path prunes).
+    Restricted to doc_id < 200 to keep the quadratic oracle honest."""
+    from .operators.dedup import ngram_jaccard_pairs
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return ngram_jaccard_pairs(
+        d, "text", "doc_id", threshold=0.2, block_cols=("lang",), shingle_n=3
+    )
+
+
+@query("ext_dedup_minhash_lsh")  # rows-only: LSH recall is probabilistic
+def ext_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(32 perms) + LSH(8 bands) near-dup pairs, verified by
+    exact Jaccard ≥ 0.5. Linear-time signatures (pure JVM seeded
+    xxhash64), band-bucket join for candidates — the 100 TB dedup path."""
+    from .operators.dedup import minhash_lsh_dedup_pairs
+
+    d = load(spark, sf_dir, "documents")
+    return minhash_lsh_dedup_pairs(d, "text", "doc_id", threshold=0.5)
+
+
+@query("ext_dedup_simhash")  # rows-only: fingerprint is hash-scheme-defined
+def ext_dedup_simhash(spark, sf_dir):
+    """SimHash-64 fingerprints + hamming≤3 candidate pairs (pigeonhole
+    banding on 16-bit chunks); majority vote is the only Python step
+    (Arrow-vectorized pandas UDF)."""
+    from .operators.dedup import simhash, simhash_candidate_pairs
+
+    d = load(spark, sf_dir, "documents")
+    return simhash_candidate_pairs(simhash(d, "text", "doc_id"), "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search.
+# ---------------------------------------------------------------------------
+
+_TOPK_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 8
+), c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+), scored AS (
+  SELECT q.query_id, c.vec_id,
+    CASE WHEN sqrt(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i]))) > 0
+          AND sqrt(list_sum(list_transform(generate_series(1, len(cv)), i -> cv[i] * cv[i]))) > 0
+    THEN list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * cv[i]))
+         / (sqrt(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i])))
+            * sqrt(list_sum(list_transform(generate_series(1, len(cv)), i -> cv[i] * cv[i]))))
+    ELSE 0.0 END AS cosine_sim
+  FROM c CROSS JOIN q
+)
+SELECT query_id, rank, vec_id, round(cosine_sim, 9) AS cosine_sim_r
+FROM (
+  SELECT query_id, vec_id, cosine_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id ASC) AS rank
+  FROM scored
+)
+WHERE rank <= 5
+"""
+
+
+@query("ext_similarity_topk_bruteforce", oracle=_TOPK_ORACLE)
+def ext_similarity_topk_bruteforce(spark, sf_dir):
+    """Exact cosine top-5 for 8 query vectors against the whole corpus:
+    broadcast queries, JVM-side zip_with/aggregate cosine, window rank
+    with id tie-break. Scores rounded to 9dp for the cross-engine hash
+    (both engines do identical double folds; rounding guards the
+    final-ulp edge)."""
+    from .operators.similarity import brute_force_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = brute_force_topk(emb, queries, k=5)
+    return out.select(
+        "query_id", "rank", "vec_id", F.round("cosine_sim", 9).alias("cosine_sim_r")
+    )
+
+
+@query("ext_similarity_lsh_topk")  # rows-only: bucket recall is scheme-defined
+def ext_similarity_lsh_topk(spark, sf_dir):
+    """ANN top-5 via random-hyperplane LSH buckets (8 bits ⇒ ~256×
+    less scoring than brute force at recall < 1)."""
+    from .operators.similarity import lsh_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return lsh_topk(emb, queries, k=5, dim=64, bits=6)
+
+
+@query("ext_embedding_near_dup")  # rows-only (LSH recall)
+def ext_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs within RH-LSH buckets."""
+    from .operators.similarity import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(
+        load(spark, sf_dir, "embeddings"), threshold=0.9, dim=64, bits=6
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-stream operators (batch semantics; streaming variants in
+# streaming/jobs.py).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ext_events_sessionize",
+    oracle="""
+    SELECT event_id, user_id,
+      SUM(CASE WHEN gap_us IS NULL OR gap_us > 30 * 60 * 1000000 THEN 1 ELSE 0 END)
+        OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+    FROM (
+      SELECT event_id, user_id, ts,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS gap_us
+      FROM events
+    )
+    """,
+)
+def ext_events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min gap): lag + running sum over a
+    total per-user order; µs-exact gap arithmetic on both engines."""
+    from pyspark.sql.window import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap_us = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    is_new = F.when(gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1).otherwise(0)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum(is_new)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_seq"),
+    )
+
+
+@query(
+    "ext_events_tumbling_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def ext_events_tumbling_window(spark, sf_dir):
+    """10-minute tumbling windows per event_type (batch F.window ≡
+    DuckDB time_bucket on window_start); value sum decimal-routed."""
+    from .functions.parity import dsum
+
+    e = load(spark, sf_dir, "events")
+    win = F.window(F.col("ts"), "10 minutes")
+    return (
+        e.groupBy(win.alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), 18, 6).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "ext_events_json_extract",
+    oracle="""
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k
+    FROM events
+    """,
+)
+def ext_events_json_extract(spark, sf_dir):
+    """JSON property extraction from the props string column."""
+    e = load(spark, sf_dir, "events")
+    return e.select(
+        "event_id", F.get_json_object(F.col("props"), "$.k").cast("int").alias("prop_k")
+    )
+
+
+@query(
+    "ext_pivot_event_counts",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'view') AS view,
+           COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+           COUNT(*) FILTER (WHERE event_type = 'error') AS error
+    FROM events GROUP BY user_id
+    """,
+)
+def ext_pivot_event_counts(spark, sf_dir):
+    """Pivot: per-user event-type counts (explicit value list so the
+    plan is a single pass, no distinct-values pre-query)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", ["view", "click", "purchase", "signup", "error"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["view", "click", "purchase", "signup", "error"])
+    )
+
+
+@query(
+    "ext_rollup_revenue",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def ext_rollup_revenue(spark, sf_dir):
+    """ROLLUP hierarchy totals (status, priority) — grouping-set
+    aggregation in one pass."""
+    from .functions.parity import dsum
+
+    o = load(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice"), 18, 2).alias("total_price"),
     )

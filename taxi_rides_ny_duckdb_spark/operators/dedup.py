@@ -1,0 +1,239 @@
+"""Deduplication operators (EXTENSION — no reference analog).
+
+The dedup ladder for a 100 TB corpus, cheapest first:
+
+1. **Exact** (``exact_dedup``): md5 content hash → groupBy. One shuffle
+   of 32-byte keys. Always run first; typically removes the bulk.
+2. **MinHash + LSH** (``minhash_signatures`` → ``lsh_candidate_pairs``
+   → verify): near-dup detection in O(n·K) + band-bucket joins, never
+   O(n²). Signatures are pure JVM expressions (xxhash64 per seed over
+   the shingle array — no Python, no ML-lib vector overhead).
+3. **SimHash** (``simhash``): 64-bit fingerprint via one Arrow-batched
+   pandas UDF; hamming-banded candidate pairs.
+4. **n-gram Jaccard verify** (``ngram_jaccard_pairs``): the exact
+   similarity, used brute-force within small blocks or as the verify
+   step after LSH pruning.
+
+Design rule: candidates are found by hashing (linear), verified by
+exact Jaccard (quadratic only within tiny buckets). The verified output
+is hash-scheme-independent, which is what the DuckDB oracle checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import jaccard, tokenize, word_shingles
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup groups: content hash → (canonical id = min id,
+    copies). Shuffles only (hash, id) pairs, never document bodies."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("canonical_" + id_col),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, num_perm: int = 32, shingle_n: int = 3
+) -> DataFrame:
+    """Per-doc MinHash signature as ``num_perm`` int64 columns folded
+    into one array.
+
+    h_i(doc) = min over shingles s of xxhash64(s, seed=i) — the
+    "permutation" family is the seeded xxhash64 already in the JVM, so
+    the whole signature is array_min(transform(...)) per seed: no UDF,
+    no explode, no shuffle. Docs with no shingles are dropped (they
+    can't near-dup by shingle overlap)."""
+    toks = tokenize(F.col(text_col))
+    sh = word_shingles(toks, shingle_n)
+    base = df.select(F.col(id_col), sh.alias("shingles")).filter(
+        F.size("shingles") > 0
+    )
+
+    def seeded_min(seed: int):
+        # single-param lambda on purpose: a 2-param lambda would be
+        # interpreted by Spark as (element, index) and shadow the seed
+        return F.array_min(
+            F.transform(F.col("shingles"), lambda s: F.xxhash64(s, F.lit(seed)))
+        )
+
+    return base.withColumn(
+        "minhash", F.array(*[seeded_min(i) for i in range(num_perm)])
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str, num_bands: int = 8, num_perm: int = 32
+) -> DataFrame:
+    """Band the signatures (rows_per_band = num_perm/num_bands), bucket
+    by (band_idx, band_hash), and emit candidate id pairs (a < b).
+
+    The quadratic blow-up is confined to one bucket: docs sharing a
+    band. Shuffle volume is num_bands small rows per doc. Skewed buckets
+    (boilerplate-heavy corpora) are the known hazard — AQE skew-join
+    handles moderate skew; pathological buckets should be capped
+    upstream by salting on a secondary shingle."""
+    r = num_perm // num_bands
+    bands = F.posexplode(
+        F.array(
+            *[
+                F.xxhash64(F.concat_ws(",", *[F.col("minhash")[b * r + j].cast("string") for j in range(r)]))
+                for b in range(num_bands)
+            ]
+        )
+    )
+    banded = sigs.select(F.col(id_col), bands.alias("band_idx", "band_hash"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    num_perm: int = 32,
+    num_bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Full near-dup pipeline: signatures → LSH candidates → exact
+    Jaccard verify ≥ threshold. Output (id_a, id_b, jaccard_sim) is
+    independent of the hash scheme (modulo LSH recall)."""
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_n)
+    cands = lsh_candidate_pairs(sigs, id_col, num_bands, num_perm)
+    sh = sigs.select(F.col(id_col), F.col("shingles"))
+    return (
+        cands.join(sh.withColumnsRenamed({id_col: "id_a", "shingles": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({id_col: "id_b", "shingles": "sh_b"}), "id_b")
+        .withColumn("jaccard_sim", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard_sim") >= threshold)
+        .select("id_a", "id_b", "jaccard_sim")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    block_cols: tuple[str, ...] = (),
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Brute-force pairwise n-gram Jaccard ≥ threshold, optionally
+    blocked on equality columns (e.g. lang) so the self-join is
+    per-block instead of global. This is the exact baseline the
+    LSH path approximates; at scale use it only within blocks."""
+    sh = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in block_cols],
+        word_shingles(tokenize(F.col(text_col)), shingle_n).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+    a = sh.alias("a")
+    b = sh.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    return (
+        a.join(b, cond)
+        .withColumn("jaccard_sim", jaccard(F.col("a.shingles"), F.col("b.shingles")))
+        .filter(F.col("jaccard_sim") >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            "jaccard_sim",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash — 64-bit fingerprints via one vectorized pandas UDF.
+# ---------------------------------------------------------------------------
+
+
+def _simhash_from_hashes(hashes):  # pragma: no cover - exercised via Spark
+    import numpy as np
+    import pandas as pd
+
+    out = np.zeros(len(hashes), dtype=np.int64)
+    for row_i, hs in enumerate(hashes):
+        if hs is None or len(hs) == 0:
+            continue
+        arr = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+        bits = ((arr[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
+        counts = bits.sum(axis=0)  # ones per bit position
+        maj = (counts * 2 >= len(arr)).astype(np.uint64)  # majority vote
+        out[row_i] = np.int64((maj << np.arange(64, dtype=np.uint64)).sum().astype(np.uint64))
+    return pd.Series(out)
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash per document.
+
+    Token hashing stays JVM-side (xxhash64 per token); only the 64-bit
+    majority vote runs in Python — one Arrow-batched pandas UDF over an
+    int64 array column, vectorized with numpy bit tricks. Linear scan,
+    no shuffle."""
+    from pyspark.sql.functions import pandas_udf
+
+    fn = pandas_udf(_simhash_from_hashes, "long")
+    token_hashes = F.transform(
+        F.array_distinct(tokenize(F.col(text_col))), lambda t: F.xxhash64(t)
+    )
+    return df.select(F.col(id_col), fn(token_hashes).alias("simhash64"))
+
+
+def simhash_candidate_pairs(
+    hashed: DataFrame, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup candidates by SimHash: band the 64-bit hash into 4
+    16-bit chunks (pigeonhole: hamming ≤ 3 ⇒ at least one identical
+    chunk), bucket-join on (chunk_idx, chunk), verify exact hamming
+    distance via bit_count(xor). Same candidates-then-verify economics
+    as MinHash-LSH."""
+    chunks = F.posexplode(
+        F.array(
+            *[
+                F.shiftrightunsigned(F.col("simhash64"), 16 * i).bitwiseAND(F.lit(0xFFFF))
+                for i in range(4)
+            ]
+        )
+    )
+    banded = hashed.select(F.col(id_col), F.col("simhash64"), chunks.alias("chunk_idx", "chunk"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(F.col("a.simhash64").bitwiseXOR(F.col("b.simhash64"))).alias(
+                "hamming"
+            ),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

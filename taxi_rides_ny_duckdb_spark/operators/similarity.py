@@ -1,0 +1,189 @@
+"""Similarity search over embedding columns (EXTENSION).
+
+Embeddings are ``array<float>`` columns. Two paths:
+
+- **Brute-force top-k** (the exact baseline): broadcast the query set,
+  compute cosine per (query, vector) with pure JVM expressions
+  (zip_with product + sequential aggregate — deterministic summation
+  order, so scores are bit-identical to a single-node oracle using the
+  same fold), rank per query with a window. Cost O(|Q|·n): fine for
+  small query batches at any corpus size because the corpus is never
+  shuffled — the window partitions by query id.
+- **LSH-bucketed ANN** (the scale path): random-hyperplane signatures
+  (sign bits of dot products with seeded deterministic hyperplanes)
+  bucket the corpus; queries probe only their bucket (optionally
+  multi-probe). Turns O(|Q|·n) into O(|Q|·n/2^bits) at a recall cost.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (deterministic order).
+
+    Oracle: ``list_sum(list_transform(generate_series(1, len(a)),
+    i -> a[i] * b[i]))`` — same left-to-right accumulation."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity; 0.0 for zero-norm inputs (not NULL/NaN) so
+    downstream ranking is total."""
+    na, nb = l2_norm(a), l2_norm(b)
+    return F.when((na > 0) & (nb > 0), dot(a, b) / (na * nb)).otherwise(F.lit(0.0))
+
+
+def _as_double_array(c: Column) -> Column:
+    # float32 → float64 up-front: both engines then do identical
+    # double arithmetic on identical widened values.
+    return c.cast("array<double>")
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Exact cosine top-k per query: broadcast-nested-loop join against
+    the (small) query set, window rank per query. Ties broken by corpus
+    id for a deterministic, oracle-matchable ranking.
+
+    Output: (query_id, rank, vec_id, cosine_sim)."""
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id), _as_double_array(F.col(query_vec)).alias("__qv")
+        )
+    )
+    c = corpus.select(F.col(corpus_id), _as_double_array(F.col(corpus_vec)).alias("__cv"))
+    scored = c.crossJoin(q).select(
+        F.col(query_id),
+        F.col(corpus_id),
+        cosine(F.col("__qv"), F.col("__cv")).alias("cosine_sim"),
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cosine_sim").desc(), F.col(corpus_id).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, "rank", corpus_id, "cosine_sim")
+    )
+
+
+def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (pure python LCG so the
+    plan is reproducible across sessions without numpy state)."""
+    state = seed & 0x7FFFFFFF
+    planes: list[list[float]] = []
+    for _ in range(bits):
+        row = []
+        for _ in range(dim):
+            # Park–Miller LCG → uniform(-1, 1)
+            state = (state * 48271) % 0x7FFFFFFF
+            row.append(state / 0x7FFFFFFF * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def rh_signature(vec: Column, dim: int, bits: int = 8, seed: int = 42) -> Column:
+    """Random-hyperplane LSH signature: bit i = sign(vec · plane_i).
+    Pure expression over literal plane arrays — no UDF, no state."""
+    v = _as_double_array(vec)
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(_hyperplanes(dim, bits, seed)):
+        p = F.array(*[F.lit(x) for x in plane])
+        bit = F.when(dot(v, p) >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = sig + F.shiftleft(bit, i)
+    return sig
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    dim: int,
+    bits: int = 8,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """ANN top-k: bucket corpus and queries by random-hyperplane
+    signature, score only within the shared bucket. ~2^bits× less work
+    than brute force; recall < 1 (vectors near a hyperplane may land in
+    a different bucket than their neighbors — use fewer bits or
+    multi-probe for higher recall)."""
+    c = corpus.withColumn("__sig", rh_signature(F.col(corpus_vec), dim, bits))
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id),
+            _as_double_array(F.col(query_vec)).alias("__qv"),
+            rh_signature(F.col(query_vec), dim, bits).alias("__sig"),
+        )
+    )
+    scored = (
+        c.join(q, "__sig")
+        .select(
+            F.col(query_id),
+            F.col(corpus_id),
+            cosine(F.col("__qv"), _as_double_array(F.col(corpus_vec))).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cosine_sim").desc(), F.col(corpus_id).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, "rank", corpus_id, "cosine_sim")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float,
+    dim: int,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup: bucket by RH signature, pair within
+    buckets (a < b), keep cosine ≥ threshold. The embedding analog of
+    MinHash-LSH dedup."""
+    sig = df.select(
+        F.col(id_col),
+        _as_double_array(F.col(vec_col)).alias("__v"),
+        rh_signature(F.col(vec_col), dim, bits).alias("__sig"),
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.__sig") == F.col("b.__sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cosine(F.col("a.__v"), F.col("b.__v")).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )

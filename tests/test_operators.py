@@ -1,0 +1,140 @@
+"""Behavioral tests for extension operators on corpora engineered to
+contain near-duplicates (the driver's documents table has none)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def near_dup_docs(spark):
+    """60 base docs + 20 near-dup variants (one word changed) + 5 exact
+    copies. Deterministic (seed 7)."""
+    rng = random.Random(7)
+    vocab = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    rows = []
+    for i in range(60):
+        words = [rng.choice(vocab) for _ in range(40)]
+        rows.append((i, " ".join(words)))
+    # near-dups of docs 0..19: change one word in the middle
+    for i in range(20):
+        words = rows[i][1].split()
+        words[20] = "CHANGED"
+        rows.append((100 + i, " ".join(words)))
+    # exact copies of docs 30..34
+    for i in range(5):
+        rows.append((200 + i, rows[30 + i][1]))
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_groups(near_dup_docs):
+    from taxi_rides_ny_duckdb_spark.operators.dedup import exact_dedup
+
+    out = exact_dedup(near_dup_docs, "text", "doc_id")
+    dup_groups = out.filter("n_copies > 1").collect()
+    assert {r["canonical_doc_id"] for r in dup_groups} == {30, 31, 32, 33, 34}
+    assert all(r["n_copies"] == 2 for r in dup_groups)
+
+
+def test_minhash_lsh_finds_near_dups(near_dup_docs):
+    from taxi_rides_ny_duckdb_spark.operators.dedup import (
+        minhash_lsh_dedup_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    lsh = minhash_lsh_dedup_pairs(
+        near_dup_docs, "text", "doc_id", threshold=0.5, num_perm=32, num_bands=16
+    )
+    got = {(r["id_a"], r["id_b"]) for r in lsh.collect()}
+    # ground truth: brute-force pairs at the same threshold
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(near_dup_docs, "text", "doc_id", 0.5).collect()
+    }
+    # every planted (i, 100+i) near-dup pair is in the truth set
+    assert all((i, 100 + i) in truth for i in range(20))
+    # LSH must be a subset of truth (verify step guarantees precision)...
+    assert got <= truth
+    # ...and with 16 bands × 2 rows recall should be total here
+    assert got == truth
+
+
+def test_simhash_hamming_near_dups(near_dup_docs):
+    from taxi_rides_ny_duckdb_spark.operators.dedup import (
+        simhash,
+        simhash_candidate_pairs,
+    )
+
+    hashed = simhash(near_dup_docs, "text", "doc_id")
+    assert hashed.count() == 85
+    pairs = simhash_candidate_pairs(hashed, "doc_id", max_hamming=8)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # exact copies have hamming 0 → always found
+    assert all((30 + i, 200 + i) in got for i in range(5))
+
+
+def test_lsh_topk_subset_of_bruteforce(spark, sf_dir):
+    from taxi_rides_ny_duckdb_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_topk,
+    )
+    from taxi_rides_ny_duckdb_spark.sources.registry import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    bf = brute_force_topk(emb, queries, k=3)
+    ann = lsh_topk(emb, queries, k=3, dim=64, bits=4)
+    # self-match: every query's rank-1 neighbor is itself (cos=1)
+    for r in bf.filter("rank = 1").collect():
+        assert r["vec_id"] == r["query_id"]
+    for r in ann.filter("rank = 1").collect():
+        assert r["vec_id"] == r["query_id"]  # self always shares its own bucket
+    # ANN scores are genuine cosines: each (query, vec) pair in ANN must
+    # appear in brute force's full ranking with the same score
+    bf_all = brute_force_topk(emb, queries, k=10**6)
+    bf_scores = {
+        (r["query_id"], r["vec_id"]): r["cosine_sim"] for r in bf_all.collect()
+    }
+    for r in ann.collect():
+        assert abs(bf_scores[(r["query_id"], r["vec_id"])] - r["cosine_sim"]) < 1e-12
+
+
+def test_sessionize_gap_boundaries(spark):
+    import datetime as dt
+
+    from taxi_rides_ny_duckdb_spark.operators.windows import sessionize
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 100, t0),
+        (2, 100, t0 + dt.timedelta(minutes=10)),   # same session
+        (3, 100, t0 + dt.timedelta(minutes=41)),   # 31min gap → new session
+        (4, 100, t0 + dt.timedelta(minutes=71)),   # exactly 30min gap → SAME session
+        (5, 200, t0),                              # other user
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts"])
+    out = {r["event_id"]: r["session_seq"] for r in sessionize(df).collect()}
+    assert out == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1}
+
+
+def test_top_k_per_group(spark, sf_dir):
+    from taxi_rides_ny_duckdb_spark.operators.windows import top_k_per_group
+    from taxi_rides_ny_duckdb_spark.sources.registry import load
+
+    o = load(spark, sf_dir, "orders")
+    out = top_k_per_group(
+        o, ["o_orderpriority"], "o_totalprice", 3, tiebreak_cols=["o_orderkey"]
+    )
+    counts = out.groupBy("o_orderpriority").count().collect()
+    assert all(r["count"] == 3 for r in counts)
+    # rank-1 really is the max
+    for r in out.filter("rank = 1").collect():
+        mx = o.filter(F.col("o_orderpriority") == r["o_orderpriority"]).agg(
+            F.max("o_totalprice")
+        ).first()[0]
+        assert r["o_totalprice"] == mx
