@@ -387,6 +387,48 @@ def ext_events_json_extract(spark, sf_dir):
 
 
 @query(
+    "ext_multimodal_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           'image' AS modality,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS payload_hash,
+           CAST(octet_length(encode(text)) % 1920 + 1 AS INTEGER) AS width,
+           CAST(octet_length(encode(text)) % 1080 + 1 AS INTEGER) AS height,
+           CAST(1 AS INTEGER) AS n_frames
+    FROM documents
+    """,
+)
+def ext_multimodal_features(spark, sf_dir):
+    """Multimodal decode/feature-extract plumbing over mapInPandas
+    (Arrow batches, zero shuffle). The decode step is a deterministic
+    stub (operators/multimodal.py) — byte length, content hash, faked
+    dimensions — so the full Spark path is oracle-checkable; a real
+    decoder replaces only the stub block."""
+    from .operators.multimodal import documents_as_media, extract_media_features
+
+    media = documents_as_media(load(spark, sf_dir, "documents"))
+    return extract_media_features(media, decode_stub=True)
+
+
+@query(
+    "ext_streaming_tumbling")  # rows-only: streaming micro-batch path
+def ext_streaming_tumbling(spark, sf_dir):
+    """Structured Streaming tumbling-window counts driven to completion
+    with availableNow over a parquet drop of the events table; the
+    batch/stream symmetry check lives in tests/test_streaming.py."""
+    import tempfile
+
+    from .streaming import jobs
+
+    tmp = tempfile.mkdtemp(prefix="events_stream_")
+    load(spark, sf_dir, "events").write.mode("overwrite").parquet(tmp)
+    stream = jobs.tumbling_counts(jobs.read_events_stream(spark, tmp))
+    jobs.run_to_memory_sink(stream, "contract_stream_tumbling", output_mode="complete")
+    return spark.table("contract_stream_tumbling")
+
+
+@query(
     "ext_pivot_event_counts",
     oracle="""
     SELECT user_id,

@@ -1,0 +1,112 @@
+"""Multimodal column plumbing (EXTENSION).
+
+Images/audio/video are opaque ``binary`` columns beside typed metadata
+(modality, mime, width/height/duration). The Spark-side contract —
+schema, partition-sized Arrow batches, UDF signatures — is real and
+tested; the actual media decode is STUBBED (`decode_stub=True`, the
+default in this container: no image/audio libraries) behind the same
+``mapInPandas`` seam a real decoder (PIL/ffmpeg) would plug into.
+
+Scale design:
+- media bytes ride in the row (parquet binary) only below
+  ``INLINE_LIMIT``; bigger payloads should be external-object
+  references (path + offset) so shuffles never move gigabyte blobs.
+- decode/feature-extract is ``mapInPandas`` — per-partition Arrow
+  batches, so a 1000-executor cluster decodes embarrassingly parallel
+  with zero shuffle; only extracted features (small, typed) flow on.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+INLINE_LIMIT = 16 * 1024 * 1024  # bytes; larger media must be by-reference
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("modality", T.StringType()),  # image | audio | video
+        T.StructField("mime", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("modality", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("payload_hash", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+    ]
+)
+
+
+def _decode_batch(batch: pd.DataFrame, decode_stub: bool) -> pd.DataFrame:
+    import hashlib
+
+    n_bytes = batch["payload"].map(lambda b: 0 if b is None else len(b))
+    payload_hash = batch["payload"].map(
+        lambda b: hashlib.md5(b or b"").hexdigest()
+    )
+    if decode_stub:
+        # Deterministic fake decode: dimensions derived from content
+        # size. A real decoder (PIL.Image.open etc.) replaces exactly
+        # this block; everything around it — batch shape, schema,
+        # partitioning — is the production path.
+        width = (n_bytes % 1920 + 1).astype("int32")
+        height = (n_bytes % 1080 + 1).astype("int32")
+        n_frames = batch["modality"].map(
+            {"image": 1, "audio": 0, "video": 30}
+        ).fillna(0).astype("int32")
+    else:  # pragma: no cover
+        raise NotImplementedError(
+            "real media decoding requires PIL/ffmpeg, absent in this environment"
+        )
+    return pd.DataFrame(
+        {
+            "media_id": batch["media_id"],
+            "modality": batch["modality"],
+            "n_bytes": n_bytes.astype("int64"),
+            "payload_hash": payload_hash,
+            "width": width,
+            "height": height,
+            "n_frames": n_frames,
+        }
+    )
+
+
+def extract_media_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
+    """Decode + feature-extract media rows via mapInPandas (Arrow
+    batches per partition, no shuffle)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            yield _decode_batch(batch, decode_stub)
+
+    oversize = media.filter(F.length("payload") > INLINE_LIMIT).limit(1)
+    if oversize.count() > 0:  # fail fast: blobs this big must be by-reference
+        raise ValueError(
+            f"payload exceeds INLINE_LIMIT ({INLINE_LIMIT}B); store by reference"
+        )
+    return media.mapInPandas(fn, FEATURE_SCHEMA)
+
+
+def documents_as_media(docs: DataFrame) -> DataFrame:
+    """Adapter for the driver's documents table: treat the utf-8 text
+    bytes as an opaque payload (deterministic, lets the multimodal path
+    be exercised/oracled without binary fixtures)."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("modality"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
