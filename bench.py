@@ -33,8 +33,31 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warm the JVM + parquet footer caches with one tiny action so the
-    # first measured query doesn't pay one-time session costs.
+    # first measured query doesn't pay one-time session costs, and run a
+    # small higher-order-function expression so the interpreted HOF
+    # paths (transform/filter/aggregate — not whole-stage-codegen'd)
+    # JIT once here instead of inside the first heavy dedup query
+    # (measured ~4s of first-use classload/JIT at sf0.1).
+    from pyspark.sql import functions as F
+
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    warm = spark.range(0, 10_000, 1, 8).select(
+        F.array_min(
+            F.transform(
+                F.array_distinct(
+                    F.filter(
+                        F.split(F.concat_ws(" ", F.lit("a b c d"), F.col("id").cast("string")), " "),
+                        lambda t: t != "",
+                    )
+                ),
+                lambda s: F.xxhash64(s, F.lit(1)),
+            )
+        ).alias("h"),
+        F.aggregate(
+            F.array(F.lit(1.0), F.lit(2.0)), F.lit(0.0), lambda a, x: a + x
+        ).alias("s"),
+    )
+    warm.agg(F.count("h"), F.count("s")).collect()
 
     timings: dict[str, float] = {}
     for name in sorted(contract.QUERIES):

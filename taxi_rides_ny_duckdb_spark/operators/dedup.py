@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import jaccard, tokenize, word_shingles
+from ..session import ensure_min_partitions
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -51,22 +52,34 @@ def minhash_signatures(
     the whole signature is array_min(transform(...)) per seed: no UDF,
     no explode, no shuffle. Docs with no shingles are dropped (they
     can't near-dup by shingle overlap)."""
-    toks = tokenize(F.col(text_col))
-    sh = word_shingles(toks, shingle_n)
-    base = df.select(F.col(id_col), sh.alias("shingles")).filter(
-        F.size("shingles") > 0
+    # Two-step projection on purpose: tokens land in a column BEFORE the
+    # shingle lambda runs. Inlining tokenize() into the lambda makes
+    # Spark re-tokenize the document once per shingle position (HOF
+    # lambdas don't share subexpressions with their argument) — ~6×
+    # slower measured at sf0.1.
+    toks = ensure_min_partitions(df).select(
+        F.col(id_col), tokenize(F.col(text_col)).alias("__toks")
+    )
+    base = toks.select(
+        F.col(id_col), word_shingles(F.col("__toks"), shingle_n).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    # Hash each (variable-length) shingle string exactly ONCE; the
+    # num_perm "permutations" then rehash the fixed-width int64 —
+    # 32 string hashes per shingle would otherwise dominate runtime.
+    base = base.withColumn(
+        "__sh_hashes", F.transform(F.col("shingles"), lambda s: F.xxhash64(s))
     )
 
     def seeded_min(seed: int):
         # single-param lambda on purpose: a 2-param lambda would be
         # interpreted by Spark as (element, index) and shadow the seed
         return F.array_min(
-            F.transform(F.col("shingles"), lambda s: F.xxhash64(s, F.lit(seed)))
+            F.transform(F.col("__sh_hashes"), lambda h: F.xxhash64(h, F.lit(seed)))
         )
 
     return base.withColumn(
         "minhash", F.array(*[seeded_min(i) for i in range(num_perm)])
-    )
+    ).drop("__sh_hashes")
 
 
 def lsh_candidate_pairs(
@@ -118,7 +131,10 @@ def minhash_lsh_dedup_pairs(
     """Full near-dup pipeline: signatures → LSH candidates → exact
     Jaccard verify ≥ threshold. Output (id_a, id_b, jaccard_sim) is
     independent of the hash scheme (modulo LSH recall)."""
-    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_n)
+    # Persist: signatures feed the band join AND both sides of the
+    # verify join — without a materialization boundary Catalyst inlines
+    # the (expensive) signature expressions into every consumer.
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_n).persist()
     cands = lsh_candidate_pairs(sigs, id_col, num_bands, num_perm)
     sh = sigs.select(F.col(id_col), F.col("shingles"))
     return (
@@ -142,11 +158,21 @@ def ngram_jaccard_pairs(
     blocked on equality columns (e.g. lang) so the self-join is
     per-block instead of global. This is the exact baseline the
     LSH path approximates; at scale use it only within blocks."""
-    sh = df.select(
-        F.col(id_col),
-        *[F.col(c) for c in block_cols],
-        word_shingles(tokenize(F.col(text_col)), shingle_n).alias("shingles"),
-    ).filter(F.size("shingles") > 0)
+    # Two-step tokens→shingles projection (see minhash_signatures note).
+    sh = (
+        ensure_min_partitions(df)
+        .select(
+            F.col(id_col),
+            *[F.col(c) for c in block_cols],
+            tokenize(F.col(text_col)).alias("__toks"),
+        )
+        .select(
+            F.col(id_col),
+            *[F.col(c) for c in block_cols],
+            word_shingles(F.col("__toks"), shingle_n).alias("shingles"),
+        )
+        .filter(F.size("shingles") > 0)
+    )
     a = sh.alias("a")
     b = sh.alias("b")
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
@@ -198,7 +224,7 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     token_hashes = F.transform(
         F.array_distinct(tokenize(F.col(text_col))), lambda t: F.xxhash64(t)
     )
-    return df.select(F.col(id_col), fn(token_hashes).alias("simhash64"))
+    return ensure_min_partitions(df).select(F.col(id_col), fn(token_hashes).alias("simhash64"))
 
 
 def simhash_candidate_pairs(

@@ -23,6 +23,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..session import ensure_min_partitions
+
 
 def dot(a: Column, b: Column) -> Column:
     """Sequential-fold dot product (deterministic order).
@@ -72,7 +74,9 @@ def brute_force_topk(
             F.col(query_id), _as_double_array(F.col(query_vec)).alias("__qv")
         )
     )
-    c = corpus.select(F.col(corpus_id), _as_double_array(F.col(corpus_vec)).alias("__cv"))
+    c = ensure_min_partitions(corpus).select(
+        F.col(corpus_id), _as_double_array(F.col(corpus_vec)).alias("__cv")
+    )
     scored = c.crossJoin(q).select(
         F.col(query_id),
         F.col(corpus_id),
@@ -131,7 +135,9 @@ def lsh_topk(
     than brute force; recall < 1 (vectors near a hyperplane may land in
     a different bucket than their neighbors — use fewer bits or
     multi-probe for higher recall)."""
-    c = corpus.withColumn("__sig", rh_signature(F.col(corpus_vec), dim, bits))
+    c = ensure_min_partitions(corpus).withColumn(
+        "__sig", rh_signature(F.col(corpus_vec), dim, bits)
+    )
     q = F.broadcast(
         queries.select(
             F.col(query_id),
@@ -168,7 +174,7 @@ def embedding_near_dup_pairs(
     """Embedding-cosine near-dup: bucket by RH signature, pair within
     buckets (a < b), keep cosine ≥ threshold. The embedding analog of
     MinHash-LSH dedup."""
-    sig = df.select(
+    sig = ensure_min_partitions(df).select(
         F.col(id_col),
         _as_double_array(F.col(vec_col)).alias("__v"),
         rh_signature(F.col(vec_col), dim, bits).alias("__sig"),

@@ -61,6 +61,22 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def ensure_min_partitions(df, n: int | None = None):
+    """Repartition a DataFrame up to the session's parallelism if it
+    has fewer partitions.
+
+    Small-file inputs (one parquet file ⇒ one partition) serialize
+    CPU-heavy operators (shingling, hashing, vector math) onto a single
+    core. A round-robin repartition costs one shuffle of the (small)
+    input and buys full-width execution. At 100 TB inputs already have
+    thousands of partitions, so this is a no-op — the guard makes the
+    operator safe at both extremes."""
+    target = n or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def tune_for_comparison(spark: SparkSession) -> SparkSession:
     """Pin runtime confs needed for DuckDB-oracle value parity on a
     session we did not create (the driver's). Idempotent."""
