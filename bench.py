@@ -58,6 +58,22 @@ def main() -> None:
         ).alias("s"),
     )
     warm.agg(F.count("h"), F.count("s")).collect()
+    # WindowExec + Arrow/pandas-UDF worker startup are the other two
+    # one-time costs that would otherwise land in the first window /
+    # simhash query (~2s each measured).
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(F.col("id") % 10).orderBy("id")
+    spark.range(0, 1000).withColumn("rn", F.row_number().over(w)).filter(
+        "rn = 1"
+    ).count()
+
+    @pandas_udf("long")
+    def _warm_udf(s):
+        return s
+
+    spark.range(0, 1000, 1, 2).select(_warm_udf(F.col("id"))).count()
 
     timings: dict[str, float] = {}
     for name in sorted(contract.QUERIES):

@@ -425,6 +425,116 @@ def a8_accepted_values(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Sorts / limits (SURVEY §2.8) and the SQL entry point (S5).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "o1_topn_orders",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderdate
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def o1_topn_orders(spark, sf_dir):
+    """ORDER BY + LIMIT top-n (SURVEY §2.8). The order is total
+    (price desc, key asc) so the selected SET is deterministic — the
+    driver's hash is order-insensitive but the rows must be the same.
+    Spark plans this as TakeOrderedAndProject: per-partition top-10,
+    then a 10-row merge on the driver — no global sort at any scale."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice", "o_orderdate")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+@query(
+    "s5_sql_entrypoint",
+    oracle="""
+    SELECT n_name,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderstatus = 'O'
+    GROUP BY n_name
+    """,
+)
+def s5_sql_entrypoint(spark, sf_dir):
+    """The SQL API surface (S5; reference executes compiled SQL text
+    against its catalog, profiles.yml:5-7): register sources as views,
+    run one SQL statement. Catalyst treats it identically to the
+    DataFrame plans — same pushdown, same broadcast."""
+    from .sources.registry import register_all
+
+    register_all(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n_name,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE o_orderstatus = 'O'
+        GROUP BY n_name
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Profiler (PipeRider analog, SURVEY §3.3).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "prof_lineitem_numeric",
+    oracle="""
+    WITH u AS (
+      SELECT 'l_quantity' AS column_name, CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+      UNION ALL
+      SELECT 'l_extendedprice', CAST(l_extendedprice AS DOUBLE) FROM lineitem
+      UNION ALL
+      SELECT 'l_discount', CAST(l_discount AS DOUBLE) FROM lineitem
+      UNION ALL
+      SELECT 'l_tax', CAST(l_tax AS DOUBLE) FROM lineitem
+    )
+    SELECT column_name,
+           COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(value) AS n_null,
+           COUNT(DISTINCT value) AS n_distinct,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(value) AS mean_value
+    FROM u GROUP BY column_name
+    """,
+)
+def prof_lineitem_numeric(spark, sf_dir):
+    """Single-pass numeric profile of 4 lineitem columns (PipeRider
+    profiling analog, reference README.md:79-92): unpivot + one groupBy
+    instead of one scan per column."""
+    from .plans.profile import profile_numeric
+
+    li = load(spark, sf_dir, "lineitem")
+    return profile_numeric(li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
+
+
+@query("prof_lineitem_approx")  # rows-only: sketches differ across engines
+def prof_lineitem_approx(spark, sf_dir):
+    """Sketch-based profile (HLL++ distinct, approx percentiles) — the
+    100 TB profiling path; no unpivot, one aggregate row."""
+    from .plans.profile import profile_approx
+
+    li = load(spark, sf_dir, "lineitem")
+    return profile_approx(li, ["l_quantity", "l_extendedprice"])
+
+
+# ---------------------------------------------------------------------------
 # A5 metric compiler on testdata (average with filters over month grain).
 # ---------------------------------------------------------------------------
 
@@ -458,3 +568,57 @@ def a5_metric_avg_month(spark, sf_dir):
         ),
     )
     return compile_metric(li, m, "month")
+
+
+@query(
+    "a5_metric_count_distinct_quarter",
+    oracle="""
+    SELECT date_trunc('quarter', o_orderdate) AS period_quarter,
+           o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS active_customers
+    FROM orders
+    WHERE o_totalprice > 1000
+    GROUP BY 1, 2
+    """,
+)
+def a5_metric_count_distinct_quarter(spark, sf_dir):
+    """dbt-metric surface beyond the reference's `average`:
+    count_distinct at quarter grain with a dimension and a range filter
+    (A5 full method matrix, reference README.md:228-242)."""
+    from .plans.metrics import Metric, MetricFilter, compile_metric
+
+    o = load(spark, sf_dir, "orders")
+    m = Metric(
+        name="active_customers",
+        calculation_method="count_distinct",
+        expression="o_custkey",
+        timestamp="o_orderdate",
+        time_grains=("quarter",),
+        dimensions=("o_orderstatus",),
+        filters=(MetricFilter("o_totalprice", ">", 1000),),
+    )
+    return compile_metric(o, m, "quarter")
+
+
+@query(
+    "a5_metric_max_year",
+    oracle="""
+    SELECT date_trunc('year', l_shipdate) AS period_year,
+           MAX(l_extendedprice) AS max_price
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def a5_metric_max_year(spark, sf_dir):
+    """dbt-metric: max at year grain (A5 method matrix)."""
+    from .plans.metrics import Metric, compile_metric
+
+    li = load(spark, sf_dir, "lineitem")
+    m = Metric(
+        name="max_price",
+        calculation_method="max",
+        expression="l_extendedprice",
+        timestamp="l_shipdate",
+        time_grains=("year",),
+    )
+    return compile_metric(li, m, "year")

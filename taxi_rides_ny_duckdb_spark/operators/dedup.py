@@ -260,6 +260,8 @@ def simhash_candidate_pairs(
                 "hamming"
             ),
         )
-        .distinct()
+        # filter BEFORE distinct: the hamming test is per-row cheap and
+        # prunes the candidate explosion before it hits the dedup shuffle
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )

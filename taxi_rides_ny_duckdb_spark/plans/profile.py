@@ -1,0 +1,71 @@
+"""Table profiler — the engine's PipeRider analog (SURVEY §3.3, §5.2).
+
+The reference workflow profiles every model table per run and diffs
+profiles across runs (reference ``README.md:77-152``). Here:
+
+- ``profile_numeric``: exact per-column stats in ONE pass — unpivot
+  (``stack``) then a single groupBy, so profiling C columns costs one
+  shuffle of (column, value) pairs instead of C table scans. Means are
+  decimal-routed (order-independent, oracle-matchable).
+- ``profile_approx``: the 100 TB variant — approx_count_distinct +
+  approx percentiles in a single aggregate over the raw table, no
+  unpivot blow-up, sketch-based memory. Not oracle-matchable by design
+  (sketches differ across engines).
+- ``compare_profiles``: the regression diff (PipeRider
+  ``compare-reports`` analog): joins two profiles and emits per-stat
+  deltas.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_numeric(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Exact stats per numeric column: n, n_null, n_distinct, min, max,
+    mean. Output grain: one row per column."""
+    pairs = ", ".join(f"'{c}', cast(`{c}` as double)" for c in cols)
+    unpiv = df.selectExpr(f"stack({len(cols)}, {pairs}) as (column_name, value)")
+    return unpiv.groupBy("column_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("value")).alias("n_null"),
+        F.count_distinct(F.col("value")).alias("n_distinct"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        (
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
+            / F.count("value")
+        ).alias("mean_value"),
+    )
+
+
+def profile_approx(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Sketch-based profile for very wide/huge tables: one aggregate
+    row, no unpivot. approx_count_distinct (HLL++) and approx median
+    (KLL-ish percentile_approx) keep memory O(sketch) per column."""
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"{c}__n"),
+            F.approx_count_distinct(c).alias(f"{c}__approx_distinct"),
+            F.percentile_approx(c, 0.5).alias(f"{c}__approx_median"),
+            F.min(c).alias(f"{c}__min"),
+            F.max(c).alias(f"{c}__max"),
+        ]
+    return df.agg(*aggs)
+
+
+def compare_profiles(base: DataFrame, other: DataFrame) -> DataFrame:
+    """Diff two ``profile_numeric`` outputs (PipeRider compare-reports
+    analog): per column, deltas of every stat."""
+    b = base.alias("b")
+    o = other.alias("o")
+    stats = ["n_rows", "n_null", "n_distinct", "min_value", "max_value", "mean_value"]
+    return b.join(o, "column_name", "full_outer").select(
+        "column_name",
+        *[
+            (F.col(f"o.{s}") - F.col(f"b.{s}")).alias(f"delta_{s}")
+            for s in stats
+        ],
+    )

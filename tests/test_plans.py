@@ -1,0 +1,129 @@
+"""Physical-plan assertions — the 100 TB design contract, pinned as
+tests. A plan regression (lost pushdown, surprise sort-merge join, an
+extra shuffle) is as much a bug as wrong rows."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from taxi_rides_ny_duckdb_spark import contract
+from taxi_rides_ny_duckdb_spark.sources.registry import load
+
+contract.load_all()
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_scan_pushdown(spark, sf_dir):
+    """Filter + projection must reach the parquet reader (S1; SURVEY §4)."""
+    df = contract.QUERIES["s1_scan_filter_project"](spark, sf_dir)
+    plan = formatted(df)
+    assert "PushedFilters" in plan
+    assert "GreaterThan(l_quantity" in plan
+    # column pruning: ReadSchema carries only the 3 projected columns
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_returnflag" not in read_schema and "l_extendedprice" not in read_schema
+
+
+def test_dim_joins_are_broadcast(spark, sf_dir):
+    """Small-dim joins must be broadcast-hash, never sort-merge (J1/J2)."""
+    df = contract.QUERIES["j1_broadcast_dim_join"](spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_fact_trips_is_shuffle_free(spark, tmp_path):
+    """The fact build (union + 2 dim joins + projection) must contain
+    NO shuffle: both zone joins broadcast (fact_trips.sql:54-57 analog),
+    the union is partition-local. At 100 TB this plan streams the fact
+    once."""
+    from taxi_rides_ny_duckdb_spark.plans.project import build_taxi_pipeline
+    from tests.taxi_fixtures import write_taxi_fixtures
+
+    paths = write_taxi_fixtures(str(tmp_path / "raw"))
+    runner = build_taxi_pipeline(
+        spark,
+        green_path=paths["green_tripdata"],
+        yellow_path=paths["yellow_tripdata"],
+        zone_csv_path=paths["taxi_zone_lookup"],
+        warehouse_dir=str(tmp_path / "wh"),
+    )
+    from taxi_rides_ny_duckdb_spark.plans.core import fact_trips
+    from taxi_rides_ny_duckdb_spark.plans.staging import (
+        stg_green_tripdata,
+        stg_yellow_tripdata,
+    )
+
+    fact = fact_trips(
+        stg_green_tripdata(runner.sources["green_tripdata"]),
+        stg_yellow_tripdata(runner.sources["yellow_tripdata"]),
+        runner.sources["taxi_zone_lookup"],
+    )
+    plan = plan_of(fact)
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+    # staging dedup is a hash aggregate (dropDuplicates), not a window sort
+    assert "Window" not in plan
+    # the only exchanges allowed are broadcast exchanges (dims) and the
+    # dedup hash aggregation exchange; no sort-merge-join exchanges
+    import re
+
+    non_broadcast_exchanges = [
+        l for l in plan.splitlines()
+        if "Exchange" in l and "BroadcastExchange" not in l and "Reused" not in l
+    ]
+    assert len(non_broadcast_exchanges) <= 2, non_broadcast_exchanges
+
+
+def test_a1_single_shuffle_partial_agg(spark, sf_dir):
+    """The flagship 12-agg groupBy: exactly one exchange, with map-side
+    partial aggregation before it (SURVEY §4 parallelism row)."""
+    df = contract.QUERIES["a1_pricing_summary"](spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("Exchange") - plan.count("ReusedExchange") == 1
+    # partial then final HashAggregate
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_topn_avoids_global_sort(spark, sf_dir):
+    """ORDER BY + LIMIT must plan as TakeOrderedAndProject (per-
+    partition top-n + driver merge), not a global Sort+Exchange."""
+    df = contract.QUERIES["o1_topn_orders"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_anti_join_broadcasts_key_side(spark, sf_dir):
+    """The relationships test (J3) must broadcast the parent key set,
+    keeping the big child shuffle-free."""
+    from taxi_rides_ny_duckdb_spark.plans.dq import relationships_violations
+
+    li = load(spark, sf_dir, "lineitem")
+    nat = load(spark, sf_dir, "nation")
+    df = relationships_violations(li, "l_suppkey", nat, "n_nationkey")
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_whole_stage_codegen_on_hot_path(spark, sf_dir):
+    """Scalar-function queries stay inside WholeStageCodegen spans."""
+    df = contract.QUERIES["x3_surrogate_key"](spark, sf_dir)
+    # the '*' marker prefixes every node inside a WholeStageCodegen span
+    assert "* Project" in formatted(df)
