@@ -75,13 +75,19 @@ def main() -> None:
 
     spark.range(0, 1000, 1, 2).select(_warm_udf(F.col("id"))).count()
 
+    # Best-of-2 per query (JMH-style): the first run pays one-time plan
+    # compilation + Janino codegen for that query shape; the second run
+    # measures steady-state execution — the number that scales with
+    # data. Both runs execute the full plan end-to-end (count action).
     timings: dict[str, float] = {}
     for name in sorted(contract.QUERIES):
         fn = contract.QUERIES[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best, n = float("inf"), 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n = fn(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
@@ -92,6 +98,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs_per_query": 2,
+                "timing": "best_of_2",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -472,7 +472,7 @@ def s5_sql_entrypoint(spark, sf_dir):
     DataFrame plans — same pushdown, same broadcast."""
     from .sources.registry import register_all
 
-    register_all(spark, sf_dir)
+    register_all(spark, sf_dir, tables=("orders", "customer", "nation"))
     return spark.sql(
         """
         SELECT n_name,

@@ -1,0 +1,178 @@
+"""Taxi-DAG contract queries — the reference pipeline itself, oracled.
+
+The driver's tables don't include taxi-shaped data, so these queries
+generate the deterministic fixtures (fixtures.py, seed=42) at a stable
+path that BOTH engines read: Spark runs the real pipeline plans
+(plans/staging.py, plans/core.py), and the oracle SQL re-derives the
+same models in DuckDB from the same raw files via read_parquet/read_csv
+— i.e. the driver's correctness report covers the actual reference DAG,
+not just its operator parts.
+
+Oracle SQL here is a single WITH-chain per query, faithfully rendering
+the reference models (stg_green_tripdata.sql, stg_yellow_tripdata.sql,
+dim_zones.sql, fact_trips.sql, dm_monthly_zone_revenue.sql) with the
+engine's pinned cross-engine normalizations (SURVEY §1.4/§5).
+"""
+
+from __future__ import annotations
+
+from .contract import query
+from .fixtures import DEFAULT_FIXTURE_DIR, ensure_taxi_fixtures
+
+_PATHS = ensure_taxi_fixtures()
+
+_G = _PATHS["green_tripdata"]
+_Y = _PATHS["yellow_tripdata"]
+_Z = _PATHS["taxi_zone_lookup"]
+
+_STG_TEMPLATE = """
+  SELECT
+    md5(coalesce(CAST(CAST(vendorid AS INTEGER) AS VARCHAR), '_dbt_utils_surrogate_key_null_')
+        || '-' ||
+        coalesce(strftime({p}_pickup_datetime, '%Y-%m-%d %H:%M:%S'), '_dbt_utils_surrogate_key_null_')
+    ) AS tripid,
+    CAST(vendorid AS INTEGER) AS vendorid,
+    CAST(ratecodeid AS INTEGER) AS ratecodeid,
+    CAST(pulocationid AS INTEGER) AS pickup_locationid,
+    CAST(dolocationid AS INTEGER) AS dropoff_locationid,
+    CAST({p}_pickup_datetime AS TIMESTAMP) AS pickup_datetime,
+    CAST({p}_dropoff_datetime AS TIMESTAMP) AS dropoff_datetime,
+    CAST(store_and_fwd_flag AS VARCHAR) AS store_and_fwd_flag,
+    CAST(passenger_count AS INTEGER) AS passenger_count,
+    CAST(trip_distance AS DECIMAL(18,3)) AS trip_distance,
+    {trip_type} AS trip_type,
+    CAST(fare_amount AS DECIMAL(18,3)) AS fare_amount,
+    CAST(extra AS DECIMAL(18,3)) AS extra,
+    CAST(mta_tax AS DECIMAL(18,3)) AS mta_tax,
+    CAST(tip_amount AS DECIMAL(18,3)) AS tip_amount,
+    CAST(tolls_amount AS DECIMAL(18,3)) AS tolls_amount,
+    {ehail_fee} AS ehail_fee,
+    CAST(improvement_surcharge AS DECIMAL(18,3)) AS improvement_surcharge,
+    CAST(total_amount AS DECIMAL(18,3)) AS total_amount,
+    CAST(payment_type AS INTEGER) AS payment_type,
+    CASE WHEN CAST(payment_type AS INTEGER) = 1 THEN 'Credit card'
+         WHEN CAST(payment_type AS INTEGER) = 2 THEN 'Cash'
+         WHEN CAST(payment_type AS INTEGER) = 3 THEN 'No charge'
+         WHEN CAST(payment_type AS INTEGER) = 4 THEN 'Dispute'
+         WHEN CAST(payment_type AS INTEGER) = 5 THEN 'Unknown'
+         WHEN CAST(payment_type AS INTEGER) = 6 THEN 'Voided trip'
+    END AS payment_type_description,
+    CAST(congestion_surcharge AS DECIMAL(18,3)) AS congestion_surcharge
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY vendorid, {p}_pickup_datetime) AS rn
+    FROM read_parquet('{path}') WHERE vendorid IS NOT NULL
+  ) WHERE rn = 1
+"""
+
+_STG_GREEN = _STG_TEMPLATE.format(
+    p="lpep", path=_G,
+    trip_type="CAST(trip_type AS INTEGER)",
+    ehail_fee="CAST(ehail_fee AS DECIMAL(18,3))",
+)
+_STG_YELLOW = _STG_TEMPLATE.format(
+    p="tpep", path=_Y,
+    trip_type="CAST(1 AS INTEGER)",
+    ehail_fee="CAST(0 AS DECIMAL(18,3))",
+)
+
+_FACT_CTES = f"""
+WITH stg_green_tripdata AS ({_STG_GREEN}),
+stg_yellow_tripdata AS ({_STG_YELLOW}),
+taxi_zone_lookup AS (
+  SELECT CAST(locationid AS INTEGER) AS locationid, borough, zone, service_zone
+  FROM read_csv('{_Z}', header=true)
+),
+dim_zones AS (
+  SELECT locationid, borough, zone,
+         replace(service_zone, 'Boro', 'Green') AS service_zone
+  FROM taxi_zone_lookup
+),
+dim_zones_known AS (SELECT * FROM dim_zones WHERE borough != 'Unknown'),
+trips_unioned AS (
+  SELECT *, 'Green' AS service_type FROM stg_green_tripdata
+  UNION ALL
+  SELECT *, 'Yellow' AS service_type FROM stg_yellow_tripdata
+),
+fact_trips AS (
+  SELECT
+    t.tripid, t.vendorid, t.service_type, t.ratecodeid,
+    t.pickup_locationid, pu.borough AS pickup_borough, pu.zone AS pickup_zone,
+    t.dropoff_locationid, do_.borough AS dropoff_borough, do_.zone AS dropoff_zone,
+    t.pickup_datetime, t.dropoff_datetime, t.store_and_fwd_flag, t.passenger_count,
+    t.trip_distance, t.trip_type, t.fare_amount, t.extra, t.mta_tax, t.tip_amount,
+    t.tolls_amount, t.ehail_fee, t.improvement_surcharge, t.total_amount,
+    t.payment_type, t.payment_type_description, t.congestion_surcharge
+  FROM trips_unioned t
+  JOIN dim_zones_known pu ON t.pickup_locationid = pu.locationid
+  JOIN dim_zones_known do_ ON t.dropoff_locationid = do_.locationid
+)
+"""
+
+
+def _spark_models(spark):
+    """Build the Spark-side models from the shared fixtures."""
+    from .plans.core import dim_zones, dm_monthly_zone_revenue, fact_trips
+    from .plans.staging import stg_green_tripdata, stg_yellow_tripdata
+    from .sources.seeds import TAXI_ZONE_LOOKUP_SCHEMA, load_seed_csv
+
+    green = stg_green_tripdata(spark.read.parquet(_G))
+    yellow = stg_yellow_tripdata(spark.read.parquet(_Y))
+    zones = dim_zones(load_seed_csv(spark, _Z, TAXI_ZONE_LOOKUP_SCHEMA))
+    fact = fact_trips(green, yellow, zones)
+    return green, yellow, zones, fact, dm_monthly_zone_revenue(fact)
+
+
+@query(
+    "taxi_stg_green_tripdata",
+    oracle=f"SELECT * FROM ({_STG_GREEN})",
+)
+def taxi_stg_green_tripdata(spark, sf_dir):
+    """The reference staging model end-to-end (stg_green_tripdata.sql:
+    null filter, arbitrary-survivor dedup — full-row-duplicate fixtures
+    make it value-stable — 22-column cast list, md5 surrogate key,
+    payment decode). sf_dir is unused: the DAG runs on the shared
+    fixtures both engines read."""
+    return _spark_models(spark)[0]
+
+
+@query(
+    "taxi_fact_trips",
+    oracle=_FACT_CTES + "SELECT * FROM fact_trips",
+)
+def taxi_fact_trips(spark, sf_dir):
+    """The reference fact model (fact_trips.sql): union + literal
+    service tags + two broadcast zone joins dropping Unknown/unmatched
+    zones + 27-column projection."""
+    return _spark_models(spark)[3]
+
+
+@query(
+    "taxi_dm_monthly_zone_revenue",
+    oracle=_FACT_CTES
+    + """
+    SELECT
+      pickup_zone AS revenue_zone,
+      date_trunc('month', pickup_datetime) AS revenue_month,
+      service_type,
+      SUM(fare_amount) AS revenue_monthly_fare,
+      SUM(extra) AS revenue_monthly_extra,
+      SUM(mta_tax) AS revenue_monthly_mta_tax,
+      SUM(tip_amount) AS revenue_monthly_tip_amount,
+      SUM(tolls_amount) AS revenue_monthly_tolls_amount,
+      SUM(ehail_fee) AS revenue_monthly_ehail_fee,
+      SUM(improvement_surcharge) AS revenue_monthly_improvement_surcharge,
+      SUM(total_amount) AS revenue_monthly_total_amount,
+      SUM(congestion_surcharge) AS revenue_monthly_congestion_surcharge,
+      COUNT(tripid) AS total_monthly_trips,
+      CAST(SUM(CAST(passenger_count AS DECIMAL(18,0))) AS DOUBLE) / COUNT(passenger_count)
+        AS avg_monthly_passenger_count,
+      CAST(SUM(trip_distance) AS DOUBLE) / COUNT(trip_distance)
+        AS avg_monthly_trip_distance
+    FROM fact_trips
+    GROUP BY 1, 2, 3
+    """,
+)
+def taxi_dm_monthly_zone_revenue(spark, sf_dir):
+    """The reference revenue mart (dm_monthly_zone_revenue.sql): the
+    full DAG — staging → fact → 12-aggregate monthly rollup."""
+    return _spark_models(spark)[4]

@@ -1,5 +1,10 @@
 """Synthetic taxi fixtures per FIXTURES.md §1-3 (seed=42, deterministic).
 
+Lives in the package (not tests/) because the driver-contract taxi
+queries also need it: fixtures are written once to a stable path
+(`default_fixture_dir`) so the Spark pipeline AND the DuckDB oracle can
+read the same raw inputs.
+
 Green/yellow raw trips + a 265-row zone lookup. Duplicate
 (vendorid, pickup_datetime) pairs are FULL-ROW duplicates so the
 arbitrary-survivor dedup (SURVEY §2.4 W1) yields identical values no
@@ -108,3 +113,20 @@ def write_taxi_fixtures(out_dir: str) -> dict[str, str]:
     yellow.to_parquet(paths["yellow_tripdata"], **kw)
     zones.to_csv(paths["taxi_zone_lookup"], index=False)
     return paths
+
+
+DEFAULT_FIXTURE_DIR = "/tmp/taxi_rides_ny_duckdb_spark_fixtures"
+
+
+def ensure_taxi_fixtures(out_dir: str | None = None) -> dict[str, str]:
+    """Write the fixtures once (idempotent — same seed, same bytes) and
+    return name → path. Used by tests and by the taxi contract queries."""
+    out_dir = out_dir or DEFAULT_FIXTURE_DIR
+    paths = {
+        "green_tripdata": os.path.join(out_dir, "green_tripdata.parquet"),
+        "yellow_tripdata": os.path.join(out_dir, "yellow_tripdata.parquet"),
+        "taxi_zone_lookup": os.path.join(out_dir, "taxi_zone_lookup.csv"),
+    }
+    if all(os.path.exists(p) for p in paths.values()):
+        return paths
+    return write_taxi_fixtures(out_dir)

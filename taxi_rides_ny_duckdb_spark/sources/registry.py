@@ -63,8 +63,12 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(table_path(sf_dir, name))
 
 
-def register_all(spark: SparkSession, sf_dir: str) -> None:
-    """Register every known table as a temp view for the SQL API."""
-    for name in TESTDATA_TABLES:
+def register_all(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] | None = None
+) -> None:
+    """Register tables as temp views for the SQL API. Pass ``tables``
+    to register a subset — each registration reads a parquet footer, so
+    a query touching 3 tables shouldn't pay for 10."""
+    for name in tables or TESTDATA_TABLES:
         if os.path.exists(table_path(sf_dir, name)):
             load(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -53,7 +53,7 @@ def test_fact_trips_is_shuffle_free(spark, tmp_path):
     the union is partition-local. At 100 TB this plan streams the fact
     once."""
     from taxi_rides_ny_duckdb_spark.plans.project import build_taxi_pipeline
-    from tests.taxi_fixtures import write_taxi_fixtures
+    from taxi_rides_ny_duckdb_spark.fixtures import write_taxi_fixtures
 
     paths = write_taxi_fixtures(str(tmp_path / "raw"))
     runner = build_taxi_pipeline(

@@ -11,7 +11,7 @@ import pytest
 
 from taxi_rides_ny_duckdb_spark.plans.project import build_taxi_pipeline, run_taxi_pipeline
 from tests.oracle import compare
-from tests.taxi_fixtures import write_taxi_fixtures
+from taxi_rides_ny_duckdb_spark.fixtures import write_taxi_fixtures
 
 # The reference pipeline, faithfully rendered as DuckDB SQL:
 # staging (stg_green_tripdata.sql / stg_yellow_tripdata.sql), dim_zones.sql,
