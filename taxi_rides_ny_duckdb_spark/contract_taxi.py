@@ -109,8 +109,21 @@ fact_trips AS (
 """
 
 
+# Session id → built model DataFrames. dbt materializes the core models
+# as TABLES (dbt_project.yml:40-41): downstream reads hit stored rows,
+# not a re-run of staging. `fact.cache()` is the Spark analog — the
+# first action materializes the fact once per session, and the revenue
+# mart aggregates the materialization instead of re-deriving the whole
+# DAG. Plan construction (CSV seed read + wide cast/md5 projections) is
+# likewise paid once.
+_MODELS: dict[int, tuple] = {}
+
+
 def _spark_models(spark):
-    """Build the Spark-side models from the shared fixtures."""
+    """Build (and memoize per session) the Spark-side models from the
+    shared fixtures."""
+    if id(spark) in _MODELS:
+        return _MODELS[id(spark)]
     from .plans.core import dim_zones, dm_monthly_zone_revenue, fact_trips
     from .plans.staging import stg_green_tripdata, stg_yellow_tripdata
     from .sources.seeds import TAXI_ZONE_LOOKUP_SCHEMA, load_seed_csv
@@ -118,8 +131,9 @@ def _spark_models(spark):
     green = stg_green_tripdata(spark.read.parquet(_G))
     yellow = stg_yellow_tripdata(spark.read.parquet(_Y))
     zones = dim_zones(load_seed_csv(spark, _Z, TAXI_ZONE_LOOKUP_SCHEMA))
-    fact = fact_trips(green, yellow, zones)
-    return green, yellow, zones, fact, dm_monthly_zone_revenue(fact)
+    fact = fact_trips(green, yellow, zones).cache()
+    _MODELS[id(spark)] = (green, yellow, zones, fact, dm_monthly_zone_revenue(fact))
+    return _MODELS[id(spark)]
 
 
 @query(

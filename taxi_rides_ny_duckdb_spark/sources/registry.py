@@ -63,12 +63,24 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(table_path(sf_dir, name))
 
 
+# (session id, view name) → registered path. Registering a view costs a
+# parquet-footer read + py4j round trips (~0.1 s/table); a session that
+# runs many SQL queries over the same sf_dir should pay it once.
+_REGISTERED: dict[tuple[int, str], str] = {}
+
+
 def register_all(
     spark: SparkSession, sf_dir: str, tables: tuple[str, ...] | None = None
 ) -> None:
     """Register tables as temp views for the SQL API. Pass ``tables``
     to register a subset — each registration reads a parquet footer, so
-    a query touching 3 tables shouldn't pay for 10."""
+    a query touching 3 tables shouldn't pay for 10. Idempotent per
+    (session, sf_dir): re-registers only when sf_dir changes."""
+    sid = id(spark)
     for name in tables or TESTDATA_TABLES:
-        if os.path.exists(table_path(sf_dir, name)):
+        path = table_path(sf_dir, name)
+        if _REGISTERED.get((sid, name)) == path:
+            continue
+        if os.path.exists(path):
             load(spark, sf_dir, name).createOrReplaceTempView(name)
+            _REGISTERED[(sid, name)] = path
