@@ -190,3 +190,70 @@ def taxi_dm_monthly_zone_revenue(spark, sf_dir):
     """The reference revenue mart (dm_monthly_zone_revenue.sql): the
     full DAG — staging → fact → 12-aggregate monthly rollup."""
     return _spark_models(spark)[4]
+
+
+def _average_distance_metric(filters=()):
+    """The reference's dbt metric, field-for-field (README.md:228-242):
+    average trip_distance on fact_trips over pickup_datetime grains."""
+    from .plans.metrics import Metric
+
+    return Metric(
+        name="average_distance",
+        calculation_method="average",
+        expression="trip_distance",
+        timestamp="pickup_datetime",
+        time_grains=("month", "quarter", "year"),
+        filters=filters,
+    )
+
+
+# davg(trip_distance, 18, 6) ≡ CAST(SUM(CAST(x AS DECIMAL(18,6))) AS
+# DOUBLE) / COUNT(x) — see functions/parity.py docstring.
+_AVG_DISTANCE_AGG = (
+    "CAST(SUM(CAST(trip_distance AS DECIMAL(18,6))) AS DOUBLE)"
+    " / COUNT(trip_distance) AS average_distance"
+)
+
+
+@query(
+    "taxi_metric_average_distance_month",
+    oracle=_FACT_CTES
+    + f"""
+    SELECT CAST(date_trunc('month', pickup_datetime) AS DATE) AS period_month,
+           {_AVG_DISTANCE_AGG}
+    FROM fact_trips GROUP BY 1
+    """,
+)
+def taxi_metric_average_distance_month(spark, sf_dir):
+    """The reference's ``average_distance`` dbt metric at month grain
+    (A5; README.md:228-242) compiled by plans/metrics.py over the real
+    fact table — PipeRider's per-(metric, grain) query, same engine."""
+    from .plans.metrics import compile_metric
+
+    return compile_metric(_spark_models(spark)[3], _average_distance_metric(), "month")
+
+
+@query(
+    "taxi_metric_avg_distance_manhattan_quarter",
+    oracle=_FACT_CTES
+    + f"""
+    SELECT CAST(date_trunc('quarter', pickup_datetime) AS DATE) AS period_quarter,
+           {_AVG_DISTANCE_AGG}
+    FROM fact_trips
+    WHERE pickup_borough = 'Manhattan' AND dropoff_borough = 'Manhattan'
+    GROUP BY 1
+    """,
+)
+def taxi_metric_avg_distance_manhattan_quarter(spark, sf_dir):
+    """The filtered-metric acceptance case (A5+F4; README.md:286-308):
+    average_distance restricted to Manhattan→Manhattan trips, quarter
+    grain."""
+    from .plans.metrics import MetricFilter, compile_metric
+
+    filters = (
+        MetricFilter("pickup_borough", "=", "Manhattan"),
+        MetricFilter("dropoff_borough", "=", "Manhattan"),
+    )
+    return compile_metric(
+        _spark_models(spark)[3], _average_distance_metric(filters), "quarter"
+    )

@@ -138,3 +138,40 @@ def test_top_k_per_group(spark, sf_dir):
             F.max("o_totalprice")
         ).first()[0]
         assert r["o_totalprice"] == mx
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark, sf_dir):
+    from taxi_rides_ny_duckdb_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+    from taxi_rides_ny_duckdb_spark.sources.registry import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cents = train_ivf_centroids(emb, nlist=8, seed=42)
+    assert len(cents) == 8 and len(cents[0]) == 64
+    ann = ivf_topk(emb, queries, k=5, nlist=8, nprobe=2, centroids=cents)
+    bf = brute_force_topk(emb, queries, k=5)
+
+    # a query's own vector lands in its own probe list → rank-1 self-match
+    for r in ann.filter("rank = 1").collect():
+        assert r["vec_id"] == r["query_id"]
+
+    # IVF scores are genuine cosines (subset of the exact full ranking)
+    bf_all = brute_force_topk(emb, queries, k=10**6)
+    bf_scores = {
+        (r["query_id"], r["vec_id"]): r["cosine_sim"] for r in bf_all.collect()
+    }
+    for r in ann.collect():
+        assert abs(bf_scores[(r["query_id"], r["vec_id"])] - r["cosine_sim"]) < 1e-12
+
+    # recall@5 with 2/8 lists probed: data-adaptive partitions should
+    # recover well over half the true neighbors on clustered embeddings
+    truth = {(r["query_id"], r["vec_id"]) for r in bf.collect()}
+    got = {(r["query_id"], r["vec_id"]) for r in ann.collect()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.5, f"IVF recall@5 too low: {recall}"
