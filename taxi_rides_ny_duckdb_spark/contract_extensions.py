@@ -445,6 +445,23 @@ def ext_streaming_tumbling(spark, sf_dir):
     return spark.table("contract_stream_tumbling")
 
 
+@query("ext_streaming_stateful_totals")  # rows-only: custom stateful op
+def ext_streaming_stateful_totals(spark, sf_dir):
+    """applyInPandasWithState running per-user totals driven to
+    completion with availableNow — an arbitrary per-key state machine
+    (state crosses micro-batches; streaming/stateful.py). Stream/batch
+    agreement is pinned in tests/test_streaming.py."""
+    import tempfile
+
+    from .streaming import jobs, stateful
+
+    tmp = tempfile.mkdtemp(prefix="events_stateful_")
+    load(spark, sf_dir, "events").write.mode("overwrite").parquet(tmp)
+    stream = stateful.running_user_totals(jobs.read_events_stream(spark, tmp))
+    jobs.run_to_memory_sink(stream, "contract_stream_stateful", output_mode="update")
+    return spark.table("contract_stream_stateful")
+
+
 @query(
     "ext_pivot_event_counts",
     oracle="""

@@ -75,3 +75,95 @@ def test_sliding_counts_stream(spark, events_dir):
     # each event lands in width/slide = 2 windows
     total_events = spark.read.parquet(events_dir).count()
     assert got.agg(F.sum("n_events")).first()[0] == 2 * total_events
+
+
+@pytest.fixture(scope="module")
+def chunked_events_dir(spark, sf_dir, tmp_path_factory):
+    """Events split into 4 time-ordered parquet files so a
+    maxFilesPerTrigger=1 stream sees them as 4 in-order micro-batches
+    (no late data ⇒ stateful results comparable to batch analogs)."""
+    out = tmp_path_factory.mktemp("events_chunks")
+    pdf = load(spark, sf_dir, "events").toPandas().sort_values("ts").reset_index(drop=True)
+    k = len(pdf) // 4
+    for i in range(4):
+        chunk = pdf.iloc[i * k : (i + 1) * k if i < 3 else len(pdf)]
+        chunk.to_parquet(
+            str(out / f"{i:02d}.parquet"),
+            index=False,
+            coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+    return str(out)
+
+
+def _read_chunked(spark, path):
+    from taxi_rides_ny_duckdb_spark.streaming import jobs
+
+    return (
+        spark.readStream.schema(jobs.EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+
+
+def test_running_user_totals_stateful(spark, sf_dir, chunked_events_dir):
+    """applyInPandasWithState running totals: the LAST update row per
+    user equals the batch groupBy — state accumulated across 4
+    micro-batches."""
+    from taxi_rides_ny_duckdb_spark.streaming import jobs, stateful
+
+    stream = stateful.running_user_totals(_read_chunked(spark, chunked_events_dir))
+    jobs.run_to_memory_sink(stream, "t_running", output_mode="update")
+    got = spark.table("t_running").collect()
+    # update mode: several rows per user; the final one is the total
+    final: dict = {}
+    for r in got:
+        final[r["user_id"]] = (r["n_events"], r["total_value"])
+    batch = (
+        spark.read.parquet(chunked_events_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.coalesce(F.col("value"), F.lit(0.0))).alias("tot"),
+        )
+        .collect()
+    )
+    assert len(final) == len(batch)
+    multi_update = len(got) > len(final)  # state really crossed batches
+    assert multi_update
+    for r in batch:
+        n, tot = final[r["user_id"]]
+        assert n == r["n"]
+        assert abs(tot - r["tot"]) < 1e-6
+
+
+def test_inactivity_sessions_stateful(spark, sf_dir, chunked_events_dir):
+    """Custom event-time-timeout sessionization: every emitted (closed)
+    session matches the batch sessionize result exactly."""
+    from taxi_rides_ny_duckdb_spark.operators.windows import sessionize
+    from taxi_rides_ny_duckdb_spark.streaming import jobs, stateful
+
+    stream = stateful.inactivity_sessions(
+        _read_chunked(spark, chunked_events_dir), gap_minutes=30, watermark="1 minute"
+    )
+    jobs.run_to_memory_sink(stream, "t_inact", output_mode="append")
+    got = spark.table("t_inact").collect()
+    assert len(got) > 0  # the watermark closed at least the early sessions
+
+    batch = (
+        sessionize(spark.read.parquet(chunked_events_dir), gap_minutes=30)
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .collect()
+    )
+    batch_by_key = {
+        (r["user_id"], r["session_start"]): r for r in batch
+    }
+    for r in got:
+        b = batch_by_key[(r["user_id"], r["session_start"])]
+        assert r["session_end"] == b["session_end"]
+        assert r["n_events"] == b["n_events"]
