@@ -445,6 +445,31 @@ def ext_streaming_tumbling(spark, sf_dir):
     return spark.table("contract_stream_tumbling")
 
 
+@query(
+    "ext_salted_join",
+    oracle="""
+    SELECT l_orderkey, l_quantity, s_name
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    WHERE l_linenumber = 1
+    """,
+)
+def ext_salted_join(spark, sf_dir):
+    """Skew-resistant salted equi-join (operators/scale.py): the hot key
+    spreads over 4 salt partitions; the result multiset is identical to
+    the plain join — which is exactly what the oracle asserts."""
+    from .operators.scale import salted_join
+
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_linenumber") == 1)
+        .select(F.col("l_suppkey").alias("s_suppkey"), "l_orderkey", "l_quantity")
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return salted_join(li, s, "s_suppkey", n_salts=4).select(
+        "l_orderkey", "l_quantity", "s_name"
+    )
+
+
 @query("ext_streaming_stateful_totals")  # rows-only: custom stateful op
 def ext_streaming_stateful_totals(spark, sf_dir):
     """applyInPandasWithState running per-user totals driven to

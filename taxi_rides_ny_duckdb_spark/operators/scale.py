@@ -1,0 +1,97 @@
+"""Shuffle-discipline toolkit for 100 TB operation (EXTENSION).
+
+The reference delegates physical strategy to embedded DuckDB on one
+node; at cluster scale the dominant cost is the shuffle, and these are
+the three standard levers Spark gives a pipeline to avoid or survive it:
+
+- **Bucketed tables** (``write_bucketed`` / ``read_bucketed``): persist
+  a table hash-partitioned AND sorted by its join key. Two tables
+  bucketed on the same key with the same bucket count join with ZERO
+  exchange — the sort-merge join reads co-located buckets directly.
+  This is how a 100 TB fact repeatedly joined on ``orderkey`` avoids
+  re-shuffling per query: pay the shuffle once at write time.
+- **Salted joins** (``salted_join``): when one join key carries a
+  disproportionate share of rows (zone 132 in taxi data, a viral doc id
+  in web data), hash partitioning sends the whole key to one reducer.
+  Salting splits the hot key across ``n_salts`` partitions by widening
+  the key on the big side with a deterministic salt and replicating the
+  small side across all salts. AQE's skew-join split handles *moderate*
+  skew automatically (session.py turns it on); salting is the explicit
+  lever for extreme single-key skew or non-AQE paths.
+- **Partitioned layout** (``plans/runner.py`` ``partition_by`` +
+  ``plans/core.partition_fact_by_month``): directory-partition facts by
+  a coarse time key so time-ranged queries prune whole partitions at
+  file-listing time (dynamic partition pruning covers the join case).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: tuple[str, ...],
+    num_buckets: int,
+    sort_cols: tuple[str, ...] | None = None,
+) -> None:
+    """Persist ``df`` as a bucketed (+ bucket-sorted) managed table.
+
+    Bucket count is a contract between tables that intend to join: pick
+    it once per key domain (e.g. 4096 for a 100 TB fact — ~25 GB of
+    pre-shuffle input per bucket) and reuse it on every table sharing
+    the key. Sorting within buckets lets the sort-merge join skip its
+    sort phase too."""
+    writer = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(num_buckets, *bucket_cols)
+    )
+    writer = writer.sortBy(*(sort_cols or bucket_cols))
+    writer.saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Read a bucketed table with its bucket metadata intact (only the
+    catalog path preserves bucketing — ``spark.read.parquet`` on the
+    files would forget it)."""
+    return spark.table(table)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    salt_source: str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: ``left`` (big, possibly skewed) gets a
+    deterministic salt in [0, n_salts); ``right`` (smaller) is
+    replicated once per salt value; the join runs on (key, salt) so a
+    hot key spreads over ``n_salts`` reducers.
+
+    Result equality: (key, salt) partitions a plain equi-join's row
+    pairs — every matched pair appears under exactly one salt — so the
+    output multiset is identical to ``left.join(right, key)``.
+
+    ``salt_source``: column whose hash drives the salt. Default uses all
+    of ``left``'s columns — deterministic per row content (reruns and
+    retries produce the same salt, unlike ``F.rand()``), and spreads
+    duplicate keys as long as payloads differ. Pass a unique id column
+    when full-row hashing is needlessly wide."""
+    salt_col = (
+        F.pmod(F.hash(F.col(salt_source)), F.lit(n_salts))
+        if salt_source
+        else F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(n_salts))
+    )
+    l = left.withColumn("__salt", salt_col)
+    r = right.crossJoin(
+        F.broadcast(
+            left.sparkSession.range(n_salts).select(F.col("id").cast("int").alias("__salt"))
+        )
+    )
+    out = l.join(r, [key, "__salt"], how)
+    return out.drop("__salt")

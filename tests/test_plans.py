@@ -127,3 +127,88 @@ def test_whole_stage_codegen_on_hot_path(spark, sf_dir):
     df = contract.QUERIES["x3_surrogate_key"](spark, sf_dir)
     # the '*' marker prefixes every node inside a WholeStageCodegen span
     assert "* Project" in formatted(df)
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """Two tables bucketed on the join key with equal bucket counts must
+    sort-merge join with ZERO exchanges — the pay-the-shuffle-once
+    contract a 100 TB fact depends on (operators/scale.py)."""
+    from taxi_rides_ny_duckdb_spark.operators.scale import (
+        read_bucketed,
+        write_bucketed,
+    )
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed(o, "t_orders_b", ("o_orderkey",), 8)
+    write_bucketed(li, "t_lineitem_b", ("l_orderkey",), 8)
+    try:
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = read_bucketed(spark, "t_lineitem_b").join(
+                read_bucketed(spark, "t_orders_b"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            plan = plan_of(joined)
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan, plan
+            # cross-check the join actually produces rows
+            assert joined.count() > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    """Salting must spread a hot key across n_salts partitions without
+    changing the result multiset (operators/scale.py)."""
+    from taxi_rides_ny_duckdb_spark.operators.scale import salted_join
+
+    # skew: every lineitem of the largest order pattern + dims
+    li = load(spark, sf_dir, "lineitem").select("l_suppkey", "l_orderkey", "l_quantity")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    plain = li.join(s, li["l_suppkey"] == s["s_suppkey"]).select(
+        "l_orderkey", "l_quantity", "s_name"
+    )
+    salted = salted_join(
+        li.withColumnRenamed("l_suppkey", "s_suppkey"), s, "s_suppkey", n_salts=4
+    ).select("l_orderkey", "l_quantity", "s_name")
+    assert salted.count() == plain.count()
+    diff = salted.exceptAll(plain).count() + plain.exceptAll(salted).count()
+    assert diff == 0
+
+
+def test_incremental_materialization_overwrites_only_new_partitions(spark, tmp_path):
+    """insert_overwrite incremental: a second run carrying only month 2
+    must replace month 2 and leave month 1 untouched (plans/runner.py)."""
+    import datetime as dt
+
+    from taxi_rides_ny_duckdb_spark.plans.runner import Model, PipelineRunner
+
+    rows_m1 = [(1, "2024-01", 10.0), (2, "2024-01", 20.0)]
+    rows_m2_v1 = [(3, "2024-02", 30.0)]
+    rows_m2_v2 = [(4, "2024-02", 99.0), (5, "2024-02", 1.0)]
+
+    def run_with(rows):
+        runner = PipelineRunner(spark, str(tmp_path / "wh"))
+        runner.add_source(
+            "batch", spark.createDataFrame(rows, ["id", "month", "amount"])
+        )
+        runner.add_model(
+            Model("inc_table", ("batch",), lambda b: b,
+                  materialization="incremental", partition_by=("month",))
+        )
+        return runner.run()["inc_table"]
+
+    run_with(rows_m1 + rows_m2_v1)
+    out = run_with(rows_m2_v2)  # second run: only month 2 in the slice
+    got = {(r["id"], r["month"], r["amount"]) for r in out.collect()}
+    assert got == {
+        (1, "2024-01", 10.0),
+        (2, "2024-01", 20.0),
+        (4, "2024-02", 99.0),
+        (5, "2024-02", 1.0),
+    }
