@@ -446,6 +446,83 @@ def ext_streaming_tumbling(spark, sf_dir):
 
 
 @query(
+    "ext_asof_join",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+    ),
+    views AS (
+      SELECT user_id, ts, MAX(value) AS view_value
+      FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+    )
+    SELECT c.user_id, c.ts, c.event_id, v.view_value
+    FROM clicks c ASOF LEFT JOIN views v
+      ON c.user_id = v.user_id AND c.ts >= v.ts
+    """,
+)
+def ext_asof_join(spark, sf_dir):
+    """As-of join (operators/temporal.py): each click attaches the most
+    recent prior view's value per user — the sort-based union+window
+    plan (one shuffle, no row explosion), oracled against DuckDB's
+    native ASOF LEFT JOIN. Right side pre-aggregated per (user, ts) so
+    the tie-winner is well-defined in both engines."""
+    from .operators.temporal import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+    )
+    return asof_join(clicks, views, on="user_id", left_ts="ts", right_ts="ts")
+
+
+@query(
+    "ext_range_join",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts AS click_ts, event_id AS click_id
+      FROM events WHERE event_type = 'click'
+    ),
+    purchase_windows AS (
+      SELECT user_id, ts AS win_start, ts + INTERVAL 30 MINUTE AS win_end,
+             event_id AS purchase_id
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.user_id, c.click_ts, c.click_id, p.purchase_id
+    FROM clicks c JOIN purchase_windows p
+      ON c.user_id = p.user_id
+     AND c.click_ts >= p.win_start AND c.click_ts <= p.win_end
+    """,
+)
+def ext_range_join(spark, sf_dir):
+    """Range (interval) join (operators/temporal.py): clicks landing
+    within 30 minutes after a purchase by the same user. Bucketed
+    equi-join + exact filter — the shape that avoids
+    BroadcastNestedLoop at 100 TB; DuckDB runs the plain inequality
+    join as the oracle."""
+    from .operators.temporal import range_join
+
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id")
+    )
+    wins = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("win_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("win_end"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    return range_join(
+        clicks, wins, "click_ts", "win_start", "win_end", on="user_id",
+        bucket_seconds=1800,
+    ).select("user_id", "click_ts", "click_id", "purchase_id")
+
+
+@query(
     "ext_salted_join",
     oracle="""
     SELECT l_orderkey, l_quantity, s_name

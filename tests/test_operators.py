@@ -175,3 +175,71 @@ def test_ivf_topk_recall_vs_bruteforce(spark, sf_dir):
     got = {(r["query_id"], r["vec_id"]) for r in ann.collect()}
     recall = len(truth & got) / len(truth)
     assert recall >= 0.5, f"IVF recall@5 too low: {recall}"
+
+
+def test_asof_join_directions_and_ties(spark):
+    import datetime as dt
+
+    from taxi_rides_ny_duckdb_spark.operators.temporal import asof_join
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    left = spark.createDataFrame(
+        [(1, t(10), "a"), (1, t(20), "b"), (2, t(5), "c")],
+        ["k", "ts", "lbl"],
+    )
+    right = spark.createDataFrame(
+        [(1, t(10), 100.0), (1, t(15), 150.0), (2, t(30), 300.0)],
+        ["k", "ts", "px"],
+    )
+    back = {r["lbl"]: r["px"] for r in asof_join(left, right, "k").collect()}
+    # tie at t10 matches (<=); t20 takes the latest prior (t15); k=2 has
+    # no prior quote -> NULL
+    assert back == {"a": 100.0, "b": 150.0, "c": None}
+
+    fwd = {
+        r["lbl"]: r["px"]
+        for r in asof_join(left, right, "k", direction="forward").collect()
+    }
+    assert fwd == {"a": 100.0, "b": None, "c": 300.0}
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    """The sort-based as-of plan must shuffle ONCE (on the key) — no
+    join operator, no nested loop (operators/temporal.py)."""
+    from taxi_rides_ny_duckdb_spark.operators.temporal import asof_join
+    from taxi_rides_ny_duckdb_spark.sources.registry import load
+
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    plan = asof_join(clicks, views, "user_id")._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    n_exchanges = sum(
+        1
+        for l in plan.splitlines()
+        if "Exchange" in l and "Reused" not in l
+    )
+    assert n_exchanges == 1, plan
+
+
+def test_range_join_rejects_ambiguous_columns(spark):
+    import datetime as dt
+
+    from taxi_rides_ny_duckdb_spark.operators.temporal import range_join
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2))], ["k", "ts", "end"]
+    )
+    with pytest.raises(ValueError, match="rename overlapping"):
+        range_join(df, df, "ts", "ts", "end", on="k")
+
+
+def test_range_join_no_nested_loop(spark, sf_dir):
+    """The bucketed range join must be a hash/sort-merge equi-join on
+    (bucket, key) — never BroadcastNestedLoopJoin."""
+    from taxi_rides_ny_duckdb_spark import contract
+
+    contract.load_all()
+    df = contract.QUERIES["ext_range_join"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
