@@ -319,6 +319,45 @@ def ext_similarity_ivf_topk(spark, sf_dir):
     )
 
 
+_NEARDUP_EXACT_ORACLE = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
+  FROM embeddings WHERE vec_id < 100
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    CASE WHEN sqrt(list_sum(list_transform(generate_series(1, len(a.ev)), i -> a.ev[i] * a.ev[i]))) > 0
+          AND sqrt(list_sum(list_transform(generate_series(1, len(b.ev)), i -> b.ev[i] * b.ev[i]))) > 0
+    THEN list_sum(list_transform(generate_series(1, len(a.ev)), i -> a.ev[i] * b.ev[i]))
+         / (sqrt(list_sum(list_transform(generate_series(1, len(a.ev)), i -> a.ev[i] * a.ev[i])))
+            * sqrt(list_sum(list_transform(generate_series(1, len(b.ev)), i -> b.ev[i] * b.ev[i]))))
+    ELSE 0.0 END AS cosine_sim
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(cosine_sim, 9) AS cosine_sim_r
+FROM pairs WHERE round(cosine_sim, 9) >= 0.3
+"""
+
+
+@query("ext_embedding_near_dup_exact", oracle=_NEARDUP_EXACT_ORACLE)
+def ext_embedding_near_dup_exact(spark, sf_dir):
+    """Exact embedding-cosine near-dup pairs on a bounded subset — the
+    ground truth the LSH-bucketed variant approximates (and the oracle
+    DuckDB can express). Both engines fold the dot product
+    left-to-right; 9dp rounding guards the final ulp."""
+    from .operators.similarity import cosine
+
+    v = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 100)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("ev"))
+    )
+    a = v.select(F.col("vec_id").alias("id_a"), F.col("ev").alias("av"))
+    b = v.select(F.col("vec_id").alias("id_b"), F.col("ev").alias("bv"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    sim = F.round(cosine(F.col("av"), F.col("bv")), 9).alias("cosine_sim_r")
+    return pairs.select("id_a", "id_b", sim).filter(F.col("cosine_sim_r") >= 0.3)
+
+
 @query("ext_embedding_near_dup")  # rows-only (LSH recall)
 def ext_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup pairs within RH-LSH buckets."""
@@ -439,6 +478,20 @@ def ext_multimodal_features(spark, sf_dir):
 
     media = documents_as_media(load(spark, sf_dir, "documents"))
     return extract_media_features(media, decode_stub=True)
+
+
+@query("ext_multimodal_frame_sample")  # rows-only: stubbed decode
+def ext_multimodal_frame_sample(spark, sf_dir):
+    """Video frame sampling through the real mapInPandas plumbing
+    (row-exploding, partition-local): documents-as-media tagged video,
+    every 10th frame. Decode is the deterministic stub — the schema,
+    batch shape, and shuffle-free plan are the production path."""
+    from .operators.multimodal import documents_as_media, sample_frames
+
+    media = documents_as_media(
+        load(spark, sf_dir, "documents").limit(100)
+    ).withColumn("modality", F.lit("video"))
+    return sample_frames(media, every_n=10)
 
 
 @query(

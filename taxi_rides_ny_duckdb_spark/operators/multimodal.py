@@ -100,6 +100,103 @@ def extract_media_features(media: DataFrame, decode_stub: bool = True) -> DataFr
     return media.mapInPandas(fn, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame, width: int, height: int, decode_stub: bool = True
+) -> DataFrame:
+    """Resize image payloads to (width, height) via mapInPandas.
+
+    Stub path: the output payload is a deterministic function of the
+    input bytes and target size (md5-seeded repetition truncated to
+    width*height//256 bytes) so tests can assert exact bytes; a real
+    implementation swaps the inner lambda for PIL
+    ``Image.open(...).resize(...)`` — batch shape, schema, and the
+    no-shuffle partition-parallel plan are unchanged."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        target = max(width * height // 256, 1)
+        for batch in batches:
+            batch = batch[batch["modality"] == "image"]
+            if decode_stub:
+                payload = batch["payload"].map(
+                    lambda b: (
+                        hashlib.md5(b or b"").digest()
+                        * (target // 16 + 1)
+                    )[:target]
+                )
+            else:  # pragma: no cover
+                raise NotImplementedError("real resize requires PIL")
+            yield pd.DataFrame(
+                {
+                    "media_id": batch["media_id"].astype("int64"),
+                    "width": pd.Series([width] * len(batch), dtype="int32", index=batch.index),
+                    "height": pd.Series([height] * len(batch), dtype="int32", index=batch.index),
+                    "payload": payload,
+                }
+            )
+
+    return media.mapInPandas(fn, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_payload", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame, every_n: int = 10, decode_stub: bool = True
+) -> DataFrame:
+    """Sample every ``every_n``-th frame of each video payload — a
+    row-exploding mapInPandas (one input video → many frame rows).
+
+    Stub path: frame count is derived from the payload size (same rule
+    as ``extract_media_features``) and each frame payload is a
+    deterministic hash of (video bytes, frame index); a real
+    implementation replaces the inner block with ffmpeg/pyav frame
+    extraction. The explode happens executor-side: frames of one video
+    never cross partitions, so downstream per-frame feature extraction
+    stays shuffle-free."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for batch in batches:
+            batch = batch[batch["modality"] == "video"]
+            ids, idxs, payloads = [], [], []
+            for mid, b in zip(batch["media_id"], batch["payload"]):
+                if not decode_stub:  # pragma: no cover
+                    raise NotImplementedError("real frame sampling requires ffmpeg")
+                n_frames = 30  # stub: fixed fps window per video payload
+                for i in range(0, n_frames, every_n):
+                    ids.append(mid)
+                    idxs.append(i)
+                    payloads.append(hashlib.md5((b or b"") + bytes([i])).digest())
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_payload": pd.Series(payloads, dtype=object),
+                }
+            )
+
+    return media.mapInPandas(fn, FRAME_SCHEMA)
+
+
 def documents_as_media(docs: DataFrame) -> DataFrame:
     """Adapter for the driver's documents table: treat the utf-8 text
     bytes as an opaque payload (deterministic, lets the multimodal path

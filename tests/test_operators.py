@@ -243,3 +243,34 @@ def test_range_join_no_nested_loop(spark, sf_dir):
     df = contract.QUERIES["ext_range_join"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_multimodal_resize_and_frames(spark):
+    from taxi_rides_ny_duckdb_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        resize_images,
+        sample_frames,
+    )
+
+    rows = [
+        (1, "image", "image/png", b"imgbytes-1"),
+        (2, "video", "video/mp4", b"vidbytes-2"),
+        (3, "image", "image/png", b"imgbytes-3"),
+        (4, "audio", "audio/wav", b"audbytes-4"),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    resized = resize_images(media, 64, 64).collect()
+    assert {r["media_id"] for r in resized} == {1, 3}  # images only
+    assert all(r["width"] == 64 and r["height"] == 64 for r in resized)
+    assert all(len(r["payload"]) == 64 * 64 // 256 for r in resized)
+    # deterministic: same input bytes -> same resized payload
+    again = resize_images(media, 64, 64).collect()
+    assert {r["media_id"]: bytes(r["payload"]) for r in resized} == {
+        r["media_id"]: bytes(r["payload"]) for r in again
+    }
+
+    frames = sample_frames(media, every_n=10).collect()
+    assert {r["media_id"] for r in frames} == {2}  # videos only
+    assert sorted(r["frame_idx"] for r in frames) == [0, 10, 20]
+    assert len({bytes(r["frame_payload"]) for r in frames}) == 3  # per-frame distinct
