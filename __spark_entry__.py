@@ -36,9 +36,22 @@ def entry(spark: SparkSession) -> DataFrame:
     return contract.QUERIES["a1_pricing_summary"](spark, _SMOKE_SF_DIR)
 
 
+def _pinned(fn: Callable[[SparkSession, str], DataFrame]):
+    """Pin parity-critical session confs (UTC timezone, AQE) before the
+    query builds its plan — the driver's session is not ours, and a
+    non-UTC session timezone would shift every timestamp value."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        tune_for_comparison(spark)
+        return fn(spark, sf_dir)
+
+    run.__doc__ = fn.__doc__
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (+ EXTENSION)."""
-    return dict(contract.QUERIES)
+    return {name: _pinned(fn) for name, fn in contract.QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -32,6 +32,24 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Size shuffle partitions to the data (SURVEY §2 spill-aware rule):
+    # target ~16 MB of input per shuffle partition, floored at 8 so the
+    # sort/agg stages still parallelize, capped at the core count (AQE
+    # coalesces further at runtime). At sf0.1 (~60 MB of parquet) this
+    # picks 8 — scheduling 32 near-empty shuffle tasks per stage costs
+    # more than the work itself; at 100 TB the same rule saturates the
+    # cluster and the cap comes from cores, not data.
+    total_bytes = sum(
+        os.path.getsize(os.path.join(sf_dir, f))
+        for f in os.listdir(sf_dir)
+        if f.endswith(".parquet")
+    )
+    cores = spark.sparkContext.defaultParallelism
+    n_shuffle = max(8, min(cores, total_bytes // (16 * 1024 * 1024)))
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_shuffle))
+    print(f"# shuffle partitions: {n_shuffle} ({total_bytes >> 20} MB input)",
+          file=sys.stderr)
+
     # Warm the JVM + parquet footer caches with one tiny action so the
     # first measured query doesn't pay one-time session costs, and run a
     # small higher-order-function expression so the interpreted HOF

@@ -54,6 +54,13 @@ def _decode_batch(batch: pd.DataFrame, decode_stub: bool) -> pd.DataFrame:
     import hashlib
 
     n_bytes = batch["payload"].map(lambda b: 0 if b is None else len(b))
+    if len(batch) and int(n_bytes.max()) > INLINE_LIMIT:
+        # blobs this big must be by-reference (path + offset), never
+        # inline rows — raised executor-side so the check is free (no
+        # extra pre-scan job)
+        raise ValueError(
+            f"payload exceeds INLINE_LIMIT ({INLINE_LIMIT}B); store by reference"
+        )
     payload_hash = batch["payload"].map(
         lambda b: hashlib.md5(b or b"").hexdigest()
     )
@@ -92,11 +99,6 @@ def extract_media_features(media: DataFrame, decode_stub: bool = True) -> DataFr
         for batch in batches:
             yield _decode_batch(batch, decode_stub)
 
-    oversize = media.filter(F.length("payload") > INLINE_LIMIT).limit(1)
-    if oversize.count() > 0:  # fail fast: blobs this big must be by-reference
-        raise ValueError(
-            f"payload exceeds INLINE_LIMIT ({INLINE_LIMIT}B); store by reference"
-        )
     return media.mapInPandas(fn, FEATURE_SCHEMA)
 
 

@@ -41,6 +41,14 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# (session id, path) → scan DataFrame. A DataFrame is an immutable
+# logical plan, safe to reuse across queries; building one costs a
+# parquet-footer read + schema inference (~50-100 ms of py4j + IO) that
+# a session running dozens of contract queries should pay once per
+# table, not once per query.
+_SCANS: dict[tuple[int, str], DataFrame] = {}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one logical table (reference S1 analog).
 
@@ -53,14 +61,20 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown source table {name!r}; known: {TESTDATA_TABLES}")
+    key = (id(spark), table_path(sf_dir, name))
+    if key in _SCANS:
+        return _SCANS[key]
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
 
-        return spark.read.parquet(table_path(sf_dir, name)).withColumn(
+        df = spark.read.parquet(table_path(sf_dir, name)).withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
-    return spark.read.parquet(table_path(sf_dir, name))
+    else:
+        df = spark.read.parquet(table_path(sf_dir, name))
+    _SCANS[key] = df
+    return df
 
 
 # (session id, view name) → registered path. Registering a view costs a

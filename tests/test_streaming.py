@@ -167,3 +167,71 @@ def test_inactivity_sessions_stateful(spark, sf_dir, chunked_events_dir):
         b = batch_by_key[(r["user_id"], r["session_start"])]
         assert r["session_end"] == b["session_end"]
         assert r["n_events"] == b["n_events"]
+
+
+def test_stateful_state_survives_restart(spark, chunked_events_dir, tmp_path_factory):
+    """Checkpoint recovery: stop the stateful query after half the
+    input, restart with the same checkpoint over the full input — the
+    restarted run must resume from persisted state, so final totals
+    equal the batch aggregate over ALL data."""
+    import shutil
+    from pathlib import Path
+
+    from taxi_rides_ny_duckdb_spark.streaming import jobs, stateful
+
+    src = sorted(Path(chunked_events_dir).glob("*.parquet"))
+    live = tmp_path_factory.mktemp("events_live")
+    ckpt = str(tmp_path_factory.mktemp("ckpt"))
+    out = str(tmp_path_factory.mktemp("restart_out"))
+
+    def run_once():
+        stream = stateful.running_user_totals(
+            spark.readStream.schema(jobs.EVENTS_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(live))
+        )
+
+        # memory sink can't recover from a checkpoint; foreachBatch can
+        def sink(df, epoch_id):
+            df.withColumn("__epoch", F.lit(epoch_id)).write.mode("append").parquet(out)
+
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    for f in src[:2]:
+        shutil.copy(f, live / f.name)
+    run_once()
+
+    for f in src[2:]:
+        shutil.copy(f, live / f.name)
+    run_once()
+
+    # epoch ids keep increasing across the restart; a user's row at
+    # their max epoch carries the running total including recovered
+    # first-run state
+    updates = spark.read.parquet(out).collect()
+    assert max(r["__epoch"] for r in updates) >= 2, "no post-restart batches"
+    final_b: dict = {}
+    for r in sorted(updates, key=lambda r: r["__epoch"]):
+        final_b[r["user_id"]] = (r["n_events"], r["total_value"])
+    assert final_b, "nothing emitted"
+
+    full = {
+        r["user_id"]: (r["n"], r["tot"])
+        for r in spark.read.parquet(str(live))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.coalesce(F.col("value"), F.lit(0.0))).alias("tot"),
+        )
+        .collect()
+    }
+    for uid, (n, tot) in final_b.items():
+        assert n == full[uid][0], (uid, n, full[uid])
+        assert abs(tot - full[uid][1]) < 1e-6
