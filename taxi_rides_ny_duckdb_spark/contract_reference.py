@@ -622,3 +622,68 @@ def a5_metric_max_year(spark, sf_dir):
         time_grains=("year",),
     )
     return compile_metric(li, m, "year")
+
+
+@query(
+    "prof_lineitem_histogram",
+    oracle="""
+    -- all arithmetic forced to DOUBLE: a bare 5.0 is DECIMAL in DuckDB
+    -- and decimal division bins boundary values differently
+    SELECT bin_idx,
+           CAST(bin_idx AS DOUBLE) * CAST(5.0 AS DOUBLE) AS bin_lo,
+           (CAST(bin_idx AS DOUBLE) + CAST(1.0 AS DOUBLE)) * CAST(5.0 AS DOUBLE) AS bin_hi,
+           COUNT(*) AS n
+    FROM (
+      SELECT LEAST(9, GREATEST(0,
+               CAST(floor(CAST(l_quantity AS DOUBLE) / CAST(5.0 AS DOUBLE)) AS INTEGER)
+             )) AS bin_idx
+      FROM lineitem WHERE l_quantity IS NOT NULL
+    )
+    GROUP BY bin_idx
+    """,
+)
+def prof_lineitem_histogram(spark, sf_dir):
+    """PipeRider-style equi-width histogram (profiling §3.3): 10 bins of
+    l_quantity over [0, 50) — one narrow shuffle of bin ids."""
+    from .plans.profile import profile_histogram
+
+    return profile_histogram(
+        load(spark, sf_dir, "lineitem"), "l_quantity", n_bins=10, lo=0.0, hi=50.0
+    )
+
+
+@query(
+    "a5_metric_derived_revenue_per_order",
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS period_month,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(o_orderkey) AS revenue_per_order
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def a5_metric_derived_revenue_per_order(spark, sf_dir):
+    """dbt derived metric (calculation_method: derived): an expression
+    over two parent metrics (sum / count) joined at month grain — the
+    remaining piece of the public dbt-metrics surface (A5)."""
+    from .plans.metrics import DerivedMetric, Metric, compile_derived
+
+    o = load(spark, sf_dir, "orders")
+    total = Metric(
+        name="total_revenue",
+        calculation_method="sum",
+        expression="CAST(o_totalprice AS DECIMAL(18,2))",
+        timestamp="o_orderdate",
+    )
+    n = Metric(
+        name="n_orders",
+        calculation_method="count",
+        expression="o_orderkey",
+        timestamp="o_orderdate",
+    )
+    derived = DerivedMetric(
+        name="revenue_per_order",
+        expression="CAST(total_revenue AS DOUBLE) / n_orders",
+        metrics=(total, n),
+    )
+    return compile_derived(o, derived, "month")

@@ -96,3 +96,38 @@ def compile_metric(model: DataFrame, metric: Metric, grain: str) -> DataFrame:
 
 def compile_all_grains(model: DataFrame, metric: Metric) -> dict[str, DataFrame]:
     return {g: compile_metric(model, metric, g) for g in metric.time_grains}
+
+
+@dataclass
+class DerivedMetric:
+    """dbt derived metric (calculation_method: derived): an expression
+    over other metrics' values at the same (period, dimensions) grain —
+    e.g. revenue_per_order = total_revenue / n_orders."""
+
+    name: str
+    expression: str  # SQL over the parent metric names as columns
+    metrics: tuple[Metric, ...]
+    time_grains: tuple[str, ...] = ("month",)
+    dimensions: tuple[str, ...] = ()
+
+
+def compile_derived(model: DataFrame, metric: DerivedMetric, grain: str) -> DataFrame:
+    """Compile parents at the grain, join them on (period, dims), apply
+    the expression. Parents share one upstream model, so Catalyst plans
+    this as one scan feeding N aggregates joined on the (tiny)
+    period×dims key — the joins are broadcast at any model size."""
+    if not metric.metrics:
+        raise ValueError(f"derived metric {metric.name!r} needs parent metrics")
+    keys = [f"period_{grain}", *metric.dimensions]
+    joined: DataFrame | None = None
+    for parent in metric.metrics:
+        if tuple(parent.dimensions) != tuple(metric.dimensions):
+            raise ValueError(
+                f"parent {parent.name!r} dimensions {parent.dimensions} != "
+                f"derived metric dimensions {metric.dimensions}"
+            )
+        p = compile_metric(model, parent, grain)
+        joined = p if joined is None else joined.join(p, keys, "full_outer")
+    return joined.select(
+        *keys, F.expr(metric.expression).alias(metric.name)
+    )

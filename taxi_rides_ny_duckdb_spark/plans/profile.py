@@ -56,6 +56,34 @@ def profile_approx(df: DataFrame, cols: list[str]) -> DataFrame:
     return df.agg(*aggs)
 
 
+def profile_histogram(
+    df: DataFrame, col: str, n_bins: int, lo: float, hi: float
+) -> DataFrame:
+    """Equi-width histogram of a numeric column (PipeRider's per-column
+    distribution chart): ``n_bins`` buckets over [lo, hi); values
+    outside clamp to the edge buckets, NULLs dropped. One groupBy of
+    (bin) — a single narrow shuffle regardless of table width.
+
+    Output: (bin_idx, bin_lo, bin_hi, n) — one row per non-empty bin."""
+    width = (hi - lo) / n_bins
+    v = F.col(col).cast("double")
+    bin_idx = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(F.lit(0), F.floor((v - F.lit(lo)) / F.lit(width)).cast("int")),
+    )
+    return (
+        df.filter(v.isNotNull())
+        .groupBy(bin_idx.alias("bin_idx"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bin_idx",
+            (F.lit(lo) + F.col("bin_idx") * F.lit(width)).alias("bin_lo"),
+            (F.lit(lo) + (F.col("bin_idx") + 1) * F.lit(width)).alias("bin_hi"),
+            "n",
+        )
+    )
+
+
 def compare_profiles(base: DataFrame, other: DataFrame) -> DataFrame:
     """Diff two ``profile_numeric`` outputs (PipeRider compare-reports
     analog): per column, deltas of every stat."""

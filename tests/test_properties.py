@@ -1,0 +1,108 @@
+"""Property-based tests (hypothesis): the custom join operators must
+equal their naive reference semantics on arbitrary small inputs — the
+operator-level analog of the DuckDB oracle, probing edge shapes the
+fixed test data can't (empty sides, all-duplicate keys, single hot key,
+ties at boundaries)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_KEYS = st.integers(min_value=0, max_value=3)  # few keys → collisions likely
+_VALS = st.integers(min_value=-5, max_value=5)
+
+
+@settings(**_SETTINGS)
+@given(
+    left=st.lists(st.tuples(_KEYS, _VALS), max_size=12),
+    right=st.lists(st.tuples(_KEYS, _VALS), max_size=8),
+    n_salts=st.integers(min_value=1, max_value=5),
+)
+def test_salted_join_multiset_equality(spark, left, right, n_salts):
+    from taxi_rides_ny_duckdb_spark.operators.scale import salted_join
+
+    l = spark.createDataFrame(left or [(99, 0)], ["k", "lv"])
+    r = spark.createDataFrame(right or [(99, 0)], ["k", "rv"])
+    if not left:
+        l = l.filter("k < 0")
+    if not right:
+        r = r.filter("k < 0")
+    got = sorted(
+        (row["k"], row["lv"], row["rv"])
+        for row in salted_join(l, r, "k", n_salts=n_salts).collect()
+    )
+    want = sorted(
+        (lk, lv, rv) for (lk, lv) in left for (rk, rv) in right if lk == rk
+    )
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    left=st.lists(st.tuples(_KEYS, st.integers(0, 50)), min_size=1, max_size=10),
+    right=st.lists(st.tuples(_KEYS, st.integers(0, 50)), min_size=1, max_size=10),
+)
+def test_asof_join_matches_naive_reference(spark, left, right):
+    from taxi_rides_ny_duckdb_spark.operators.temporal import asof_join
+
+    base = dt.datetime(2024, 1, 1)
+    t = lambda m: base + dt.timedelta(minutes=m)
+    # right must be unique per (key, ts): documented asof precondition
+    right_u = {(k, m): float(k * 100 + m) for k, m in right}
+    l = spark.createDataFrame(
+        [(k, t(m), i) for i, (k, m) in enumerate(left)], ["k", "ts", "lid"]
+    )
+    r = spark.createDataFrame(
+        [(k, t(m), px) for (k, m), px in right_u.items()], ["k", "ts", "px"]
+    )
+    got = {r_["lid"]: r_["px"] for r_ in asof_join(l, r, "k").collect()}
+    for i, (k, m) in enumerate(left):
+        cand = [(m2, px) for (k2, m2), px in right_u.items() if k2 == k and m2 <= m]
+        want = max(cand)[1] if cand else None
+        assert got[i] == want, (i, k, m, cand)
+
+
+@settings(**_SETTINGS)
+@given(
+    points=st.lists(st.tuples(_KEYS, st.integers(0, 300)), min_size=1, max_size=10),
+    intervals=st.lists(
+        st.tuples(_KEYS, st.integers(0, 300), st.integers(0, 120)),
+        min_size=1,
+        max_size=8,
+    ),
+)
+def test_range_join_matches_naive_reference(spark, points, intervals):
+    from taxi_rides_ny_duckdb_spark.operators.temporal import range_join
+
+    base = dt.datetime(2024, 1, 1)
+    t = lambda m: base + dt.timedelta(minutes=m)
+    l = spark.createDataFrame(
+        [(k, t(m), i) for i, (k, m) in enumerate(points)], ["k", "pt", "pid"]
+    )
+    r = spark.createDataFrame(
+        [(k, t(s), t(s + w), j) for j, (k, s, w) in enumerate(intervals)],
+        ["k", "lo", "hi", "iid"],
+    )
+    got = sorted(
+        (row["pid"], row["iid"])
+        for row in range_join(
+            l, r, "pt", "lo", "hi", on="k", bucket_seconds=1800
+        ).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, (pk, pm) in enumerate(points)
+        for j, (ik, s, w) in enumerate(intervals)
+        if pk == ik and s <= pm <= s + w
+    )
+    assert got == want
