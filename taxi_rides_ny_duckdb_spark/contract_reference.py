@@ -687,3 +687,94 @@ def a5_metric_derived_revenue_per_order(spark, sf_dir):
         metrics=(total, n),
     )
     return compile_derived(o, derived, "month")
+
+
+@query(
+    "ext_snapshot_scd2_timestamp",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_custkey, o_totalprice, o_orderdate,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn_a,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) AS rn_d
+      FROM orders
+    ),
+    v1 AS (SELECT o_custkey, o_totalprice, o_orderdate FROM ranked WHERE rn_a = 1),
+    v2 AS (SELECT o_custkey, o_totalprice, o_orderdate FROM ranked WHERE rn_d = 1),
+    j AS (
+      SELECT v1.o_custkey AS k,
+             v1.o_totalprice AS p1, v1.o_orderdate AS d1,
+             v2.o_totalprice AS p2, v2.o_orderdate AS d2
+      FROM v1 JOIN v2 ON v1.o_custkey = v2.o_custkey
+    )
+    -- version 1: closed by v2 when strictly newer, else still current
+    SELECT k AS o_custkey, p1 AS o_totalprice, d1 AS o_orderdate,
+           md5(coalesce(CAST(k AS VARCHAR), '_null_') || '|' ||
+               strftime(d1, '%Y-%m-%d %H:%M:%S')) AS dbt_scd_id,
+           d1 AS dbt_updated_at, d1 AS dbt_valid_from,
+           CASE WHEN d2 > d1 THEN d2 END AS dbt_valid_to
+    FROM j
+    UNION ALL
+    -- version 2: inserted open-ended only when strictly newer
+    SELECT k, p2, d2,
+           md5(coalesce(CAST(k AS VARCHAR), '_null_') || '|' ||
+               strftime(d2, '%Y-%m-%d %H:%M:%S')),
+           d2, d2, NULL
+    FROM j WHERE d2 > d1
+    """,
+)
+def ext_snapshot_scd2_timestamp(spark, sf_dir):
+    """dbt snapshot, timestamp strategy (plans/snapshots.py; reference
+    ships the empty dbt ``snapshots/`` skeleton). Two deterministic
+    source states derived from orders — per customer, the min- and
+    max-orderkey rows — snapshotted in sequence; the oracle re-derives
+    the SCD2 rows the strategy must produce (closed v1 + open v2 when
+    newer, single open v1 otherwise)."""
+    from .plans.snapshots import snapshot_timestamp
+
+    o = load(spark, sf_dir, "orders")
+    w_asc = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    w_desc = Window.partitionBy("o_custkey").orderBy(F.col("o_orderkey").desc())
+    ranked = o.select(
+        "o_custkey",
+        "o_totalprice",
+        "o_orderdate",
+        F.row_number().over(w_asc).alias("rn_a"),
+        F.row_number().over(w_desc).alias("rn_d"),
+    )
+    v1 = ranked.filter("rn_a = 1").drop("rn_a", "rn_d")
+    v2 = ranked.filter("rn_d = 1").drop("rn_a", "rn_d")
+    snap = snapshot_timestamp(None, v1, "o_custkey", "o_orderdate")
+    return snapshot_timestamp(snap, v2, "o_custkey", "o_orderdate")
+
+
+@query(
+    "a5_metric_rolling_avg_7d",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS period_day,
+             SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS s,
+             COUNT(o_totalprice) AS c
+      FROM orders GROUP BY 1
+    )
+    SELECT period_day,
+           CAST(SUM(s) OVER win AS DOUBLE) / SUM(c) OVER win AS avg_price_7d
+    FROM (SELECT *, date_diff('day', DATE '1970-01-01', period_day) AS idx FROM daily)
+    WINDOW win AS (ORDER BY idx RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def a5_metric_rolling_avg_7d(spark, sf_dir):
+    """dbt metric ``window:`` surface (A5): average o_totalprice over a
+    trailing 7-day window at day grain — grouped partials (the only
+    full shuffle) + a RANGE-framed window over one-row-per-day
+    partials, exact across calendar gaps."""
+    from .plans.metrics import Metric, compile_rolling
+
+    o = load(spark, sf_dir, "orders")
+    m = Metric(
+        name="avg_price_7d",
+        calculation_method="average",
+        expression="o_totalprice",
+        timestamp="o_orderdate",
+        time_grains=("day",),
+    )
+    return compile_rolling(o, m, "day", 7)

@@ -257,3 +257,29 @@ def taxi_metric_avg_distance_manhattan_quarter(spark, sf_dir):
     return compile_metric(
         _spark_models(spark)[3], _average_distance_metric(filters), "quarter"
     )
+
+
+@query(
+    "taxi_dm_monthly_zone_statistics",
+    oracle=_FACT_CTES
+    + """
+    SELECT
+      pickup_zone,
+      CAST(date_trunc('month', pickup_datetime) AS DATE) AS trip_month,
+      service_type,
+      COUNT(tripid) AS total_monthly_trips,
+      CAST(SUM(CAST(passenger_count AS DECIMAL(18,0))) AS DOUBLE) / COUNT(passenger_count)
+        AS avg_monthly_passenger_count,
+      CAST(SUM(trip_distance) AS DOUBLE) / COUNT(trip_distance)
+        AS avg_monthly_trip_distance
+    FROM fact_trips
+    GROUP BY 1, 2, 3
+    """,
+)
+def taxi_dm_monthly_zone_statistics(spark, sf_dir):
+    """The README's optional statistics mart (reference README.md:96-119,
+    ``dm_monthly_zone_statistics``): trips count + deterministic averages
+    per (pickup zone, month, service type) over the real fact table."""
+    from .plans.core import dm_monthly_zone_statistics
+
+    return dm_monthly_zone_statistics(_spark_models(spark)[3])

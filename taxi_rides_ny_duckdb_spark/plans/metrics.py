@@ -98,6 +98,84 @@ def compile_all_grains(model: DataFrame, metric: Metric) -> dict[str, DataFrame]
     return {g: compile_metric(model, metric, g) for g in metric.time_grains}
 
 
+# Map a truncated period (DATE) to a contiguous integer index so a
+# RANGE frame of N periods is exact even when periods are missing from
+# the data (a ROWS frame would silently span gaps). 1969-12-29 is the
+# Monday that date_trunc('week') epochs align to.
+_PERIOD_IDX = {
+    "day": lambda p: F.datediff(p, F.lit("1970-01-01")),
+    "week": lambda p: F.floor(F.datediff(p, F.lit("1969-12-29")) / 7).cast("int"),
+    "month": lambda p: F.year(p) * 12 + F.month(p),
+    "quarter": lambda p: F.year(p) * 4 + F.quarter(p),
+    "year": lambda p: F.year(p),
+}
+
+
+def compile_rolling(
+    model: DataFrame, metric: Metric, grain: str, window_count: int
+) -> DataFrame:
+    """dbt metric ``window:`` support — the metric over a trailing
+    window of ``window_count`` grain-periods (e.g. trailing 7 days at
+    day grain), one output row per period.
+
+    Two-level plan: (1) a grouped partial aggregate per (period, dims)
+    — the only full-data shuffle, map-side combined by Catalyst; (2) a
+    RANGE-framed window over the partials. The window input is one row
+    per period×dims (tiny at any source scale), so the unpartitioned
+    window for dimensionless metrics is not a bottleneck — the heavy
+    reduction already happened in (1). count_distinct is not
+    decomposable over partials and is rejected.
+    """
+    if grain not in GRAINS:
+        raise ValueError(f"unsupported grain {grain!r}")
+    method = metric.calculation_method
+    if method == "count_distinct":
+        raise ValueError("count_distinct is not decomposable over a rolling window")
+    if method not in _METHODS:
+        raise ValueError(f"unsupported calculation_method {method!r}")
+
+    from pyspark.sql.window import Window
+
+    df = model
+    for f_ in metric.filters:
+        df = df.filter(f_.to_column())
+
+    expr = F.expr(metric.expression)
+    period = (
+        F.date_trunc(grain, F.col(metric.timestamp)).cast("date").alias(f"period_{grain}")
+    )
+    keys = [period] + [F.col(d) for d in metric.dimensions]
+
+    if method == "average":
+        partials = df.groupBy(*keys).agg(
+            F.sum(expr.cast("decimal(18,6)")).alias("__s"),
+            F.count(expr).alias("__c"),
+        )
+    elif method in ("sum", "count"):
+        col = F.sum(expr.cast("decimal(18,6)")) if method == "sum" else F.count(expr)
+        partials = df.groupBy(*keys).agg(col.alias("__s"))
+    else:  # min / max distribute over partials directly
+        partials = df.groupBy(*keys).agg(_METHODS[method](expr).alias("__s"))
+
+    idx = _PERIOD_IDX[grain](F.col(f"period_{grain}"))
+    w = (
+        Window.partitionBy(*[F.col(d) for d in metric.dimensions])
+        .orderBy(idx)
+        .rangeBetween(-(window_count - 1), Window.currentRow)
+    )
+    if method == "average":
+        value = (F.sum("__s").over(w).cast("double") / F.sum("__c").over(w)).alias(
+            metric.name
+        )
+    elif method == "sum":
+        value = F.sum("__s").over(w).cast("double").alias(metric.name)
+    elif method == "count":
+        value = F.sum("__s").over(w).alias(metric.name)
+    else:
+        value = _METHODS[method](F.col("__s")).over(w).alias(metric.name)
+    return partials.select(f"period_{grain}", *metric.dimensions, value)
+
+
 @dataclass
 class DerivedMetric:
     """dbt derived metric (calculation_method: derived): an expression
