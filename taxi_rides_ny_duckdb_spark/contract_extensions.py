@@ -494,8 +494,7 @@ def ext_multimodal_frame_sample(spark, sf_dir):
     return sample_frames(media, every_n=10)
 
 
-@query(
-    "ext_streaming_tumbling")  # rows-only: streaming micro-batch path
+@query("ext_streaming_tumbling", memoize=False)  # rows-only; eager stream run
 def ext_streaming_tumbling(spark, sf_dir):
     """Structured Streaming tumbling-window counts driven to completion
     with availableNow over a parquet drop of the events table; the
@@ -613,7 +612,7 @@ def ext_salted_join(spark, sf_dir):
     )
 
 
-@query("ext_streaming_stateful_totals")  # rows-only: custom stateful op
+@query("ext_streaming_stateful_totals", memoize=False)  # rows-only; eager stream run
 def ext_streaming_stateful_totals(spark, sf_dir):
     """applyInPandasWithState running per-user totals driven to
     completion with availableNow — an arbitrary per-key state machine

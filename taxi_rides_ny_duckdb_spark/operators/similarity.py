@@ -113,7 +113,10 @@ def rh_signature(vec: Column, dim: int, bits: int = 8, seed: int = 42) -> Column
     v = _as_double_array(vec)
     sig = F.lit(0).cast("long")
     for i, plane in enumerate(_hyperplanes(dim, bits, seed)):
-        p = F.array(*[F.lit(x) for x in plane])
+        # one py4j call per plane (array literal), not one per element —
+        # element-wise F.lit() costs dim×bits driver round trips and
+        # dominated wall time on small inputs
+        p = F.lit(plane)
         bit = F.when(dot(v, p) >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         sig = sig + F.shiftleft(bit, i)
     return sig
@@ -193,11 +196,8 @@ def _centroid_ranking(vec: Column, centroids: list[list[float]]) -> Column:
     dists = F.array(
         *[
             F.aggregate(
-                F.zip_with(
-                    vec,
-                    F.array(*[F.lit(x) for x in c]),
-                    lambda a, b: (a - b) * (a - b),
-                ),
+                # F.lit(list): one driver round trip per centroid array
+                F.zip_with(vec, F.lit(c), lambda a, b: (a - b) * (a - b)),
                 F.lit(0.0),
                 lambda acc, x: acc + x,
             ).alias("d")

@@ -1,6 +1,9 @@
 """Physical-plan assertions — the 100 TB design contract, pinned as
-tests. A plan regression (lost pushdown, surprise sort-merge join, an
-extra shuffle) is as much a bug as wrong rows."""
+tests. Plan tests use contract.BUILDERS (unmemoized): a DataFrame the
+parity tests already executed carries a finalized adaptive plan whose
+string includes initial AND final plans, breaking operator counts.
+A plan regression (lost pushdown, surprise sort-merge join, an extra
+shuffle) is as much a bug as wrong rows."""
 
 from __future__ import annotations
 
@@ -29,7 +32,7 @@ def formatted(df) -> str:
 
 def test_scan_pushdown(spark, sf_dir):
     """Filter + projection must reach the parquet reader (S1; SURVEY §4)."""
-    df = contract.QUERIES["s1_scan_filter_project"](spark, sf_dir)
+    df = contract.BUILDERS["s1_scan_filter_project"](spark, sf_dir)
     plan = formatted(df)
     assert "PushedFilters" in plan
     assert "GreaterThan(l_quantity" in plan
@@ -41,7 +44,7 @@ def test_scan_pushdown(spark, sf_dir):
 
 def test_dim_joins_are_broadcast(spark, sf_dir):
     """Small-dim joins must be broadcast-hash, never sort-merge (J1/J2)."""
-    df = contract.QUERIES["j1_broadcast_dim_join"](spark, sf_dir)
+    df = contract.BUILDERS["j1_broadcast_dim_join"](spark, sf_dir)
     plan = plan_of(df)
     assert plan.count("BroadcastHashJoin") == 2
     assert "SortMergeJoin" not in plan
@@ -93,7 +96,7 @@ def test_fact_trips_is_shuffle_free(spark, tmp_path):
 def test_a1_single_shuffle_partial_agg(spark, sf_dir):
     """The flagship 12-agg groupBy: exactly one exchange, with map-side
     partial aggregation before it (SURVEY §4 parallelism row)."""
-    df = contract.QUERIES["a1_pricing_summary"](spark, sf_dir)
+    df = contract.BUILDERS["a1_pricing_summary"](spark, sf_dir)
     plan = plan_of(df)
     assert plan.count("Exchange") - plan.count("ReusedExchange") == 1
     # partial then final HashAggregate
@@ -103,7 +106,7 @@ def test_a1_single_shuffle_partial_agg(spark, sf_dir):
 def test_topn_avoids_global_sort(spark, sf_dir):
     """ORDER BY + LIMIT must plan as TakeOrderedAndProject (per-
     partition top-n + driver merge), not a global Sort+Exchange."""
-    df = contract.QUERIES["o1_topn_orders"](spark, sf_dir)
+    df = contract.BUILDERS["o1_topn_orders"](spark, sf_dir)
     plan = plan_of(df)
     assert "TakeOrderedAndProject" in plan
     assert "rangepartitioning" not in plan.lower()
@@ -124,7 +127,7 @@ def test_anti_join_broadcasts_key_side(spark, sf_dir):
 
 def test_whole_stage_codegen_on_hot_path(spark, sf_dir):
     """Scalar-function queries stay inside WholeStageCodegen spans."""
-    df = contract.QUERIES["x3_surrogate_key"](spark, sf_dir)
+    df = contract.BUILDERS["x3_surrogate_key"](spark, sf_dir)
     # the '*' marker prefixes every node inside a WholeStageCodegen span
     assert "* Project" in formatted(df)
 
