@@ -833,3 +833,34 @@ def ext_grouping_sets(spark, sf_dir):
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
     )
+
+
+@query(
+    "ext_streaming_stream_join",
+    oracle="""
+    SELECT v.user_id, v.event_id AS view_id, v.ts AS view_ts,
+           c.event_id AS click_id, c.ts AS click_ts
+    FROM events v
+    JOIN events c
+      ON v.user_id = c.user_id
+     AND c.ts >= v.ts
+     AND c.ts <= v.ts + INTERVAL 10 MINUTE
+    WHERE v.event_type = 'view' AND c.event_type = 'click'
+    """,
+    memoize=False,  # eager stream run
+)
+def ext_streaming_stream_join(spark, sf_dir):
+    """Watermarked stream-stream inner join (view→click attribution
+    within 10 minutes; streaming/jobs.view_click_join). Inner joins
+    emit every match before termination under availableNow, so the
+    batch SQL join IS the oracle — the driver hash-checks a genuine
+    two-stream stateful join against DuckDB."""
+    from .streaming import jobs
+
+    tmp = _events_stream_dir(spark, sf_dir)
+    src = jobs.read_events_stream(spark, tmp)
+    stream = jobs.view_click_join(
+        src.filter("event_type = 'view'"), src.filter("event_type = 'click'")
+    )
+    jobs.run_to_memory_sink(stream, "contract_stream_join", output_mode="append")
+    return spark.table("contract_stream_join")

@@ -785,3 +785,24 @@ def a5_metric_rolling_avg_7d(spark, sf_dir):
         time_grains=("day",),
     )
     return compile_rolling(o, m, "day", 7)
+
+
+@query(
+    "prof_orders_topk_values",
+    oracle="""
+    SELECT value, n, CAST(row_number() OVER (ORDER BY n DESC, value ASC) AS INTEGER) AS rank
+    FROM (
+      SELECT o_orderpriority AS value, COUNT(*) AS n
+      FROM orders WHERE o_orderpriority IS NOT NULL
+      GROUP BY o_orderpriority
+    )
+    QUALIFY rank <= 3
+    """,
+)
+def prof_orders_topk_values(spark, sf_dir):
+    """PipeRider-style frequent-values stat (profiling §3.3): top-3
+    o_orderpriority values with counts — count aggregate +
+    TakeOrderedAndProject, never a global sort."""
+    from .plans.profile import profile_topk
+
+    return profile_topk(load(spark, sf_dir, "orders"), "o_orderpriority", 3)

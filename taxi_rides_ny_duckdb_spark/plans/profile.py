@@ -84,6 +84,29 @@ def profile_histogram(
     )
 
 
+def profile_topk(df: DataFrame, col: str, k: int) -> DataFrame:
+    """PipeRider's per-column frequent-values stat: the ``k`` most
+    common values with counts; ties broken by value for a deterministic,
+    oracle-matchable ranking. Plan: one count aggregate (map-side
+    combined), then ORDER BY + LIMIT — which Catalyst plans as
+    TakeOrderedAndProject (per-partition top-k, driver merge), so a
+    high-cardinality column never pays a global sort — then a trivial
+    window over the k survivors to emit ranks.
+
+    Output: (value, n, rank) — NULLs excluded (profiled separately as
+    n_null)."""
+    from pyspark.sql.window import Window
+
+    counts = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(F.col(col).alias("value"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = counts.orderBy(F.col("n").desc(), F.col("value").asc()).limit(k)
+    w = Window.orderBy(F.col("n").desc(), F.col("value").asc())
+    return top.withColumn("rank", F.row_number().over(w))
+
+
 def compare_profiles(base: DataFrame, other: DataFrame) -> DataFrame:
     """Diff two ``profile_numeric`` outputs (PipeRider compare-reports
     analog): per column, deltas of every stat."""

@@ -30,8 +30,10 @@ class Model:
     name: str
     deps: tuple[str, ...]
     build: Callable[..., DataFrame]  # called with resolved dep DataFrames, in order
-    materialization: str = "view"  # 'view' | 'table' | 'ephemeral' | 'incremental'
+    # 'view' | 'table' | 'ephemeral' | 'incremental' | 'incremental_merge'
+    materialization: str = "view"
     partition_by: tuple[str, ...] = ()
+    unique_key: tuple[str, ...] = ()  # incremental_merge upsert key
 
 
 @dataclass
@@ -113,6 +115,36 @@ class PipelineRunner:
                 .partitionBy(*model.partition_by)
                 .save(path)
             )
+            out = self.spark.read.parquet(path)
+            out.createOrReplaceTempView(model.name)
+            return out
+        if model.materialization == "incremental_merge":
+            # dbt's merge incremental strategy: the build fn returns the
+            # new/changed slice; rows whose unique_key matches are
+            # replaced, everything else is kept. On raw parquet this is
+            # anti-join + union + atomic directory swap; on a
+            # transactional table format (Delta/Iceberg) the same plan
+            # is a native MERGE INTO — the join shape (broadcast the
+            # small new-key set against the big table) is identical.
+            if not model.unique_key:
+                raise ValueError(
+                    f"incremental_merge model {model.name!r} requires unique_key"
+                )
+            path = os.path.join(self.warehouse_dir, model.name)
+            keys = list(model.unique_key)
+            if os.path.exists(path):
+                import shutil
+
+                existing = self.spark.read.parquet(path)
+                merged = existing.join(
+                    df.select(*keys).distinct(), keys, "left_anti"
+                ).unionByName(df)
+                tmp = path + "__merge_tmp"
+                merged.write.mode("overwrite").format("parquet").save(tmp)
+                shutil.rmtree(path)
+                os.rename(tmp, path)
+            else:
+                df.write.mode("overwrite").format("parquet").save(path)
             out = self.spark.read.parquet(path)
             out.createOrReplaceTempView(model.name)
             return out

@@ -96,6 +96,39 @@ def dedup_within_watermark(events: DataFrame, keys: list[str] | None = None,
     )
 
 
+def view_click_join(views: DataFrame, clicks: DataFrame,
+                    max_delay: str = "10 minutes",
+                    watermark: str = "30 minutes") -> DataFrame:
+    """Stream-stream inner join: each click matched to same-user views
+    it followed within ``max_delay`` (attribution join). Both sides are
+    watermarked and the join condition bounds event-time distance, so
+    Spark can size the join state buffer and evict rows once the
+    watermark passes — the required shape for an unbounded×unbounded
+    join (an unconstrained stream-stream join would buffer forever).
+
+    Batch symmetry: on static frames the same condition is the bucketed
+    ``operators/temporal.range_join`` with views as intervals
+    [view_ts, view_ts + max_delay]."""
+    v = views.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    return v.join(
+        c,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (F.col("click_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {max_delay}")),
+    ).select(
+        F.col("v_user").alias("user_id"), "view_id", "view_ts", "click_id", "click_ts"
+    )
+
+
 def run_to_memory_sink(stream_df: DataFrame, query_name: str,
                        output_mode: str = "append"):
     """Drive a streaming query over all currently-available input and

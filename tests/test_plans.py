@@ -215,3 +215,35 @@ def test_incremental_materialization_overwrites_only_new_partitions(spark, tmp_p
         (4, "2024-02", 99.0),
         (5, "2024-02", 1.0),
     }
+
+
+def test_incremental_merge_upserts_by_key(spark, tmp_path):
+    """dbt merge strategy: matching unique_key rows replaced, others
+    kept, new keys appended (plans/runner.py incremental_merge)."""
+    from taxi_rides_ny_duckdb_spark.plans.runner import Model, PipelineRunner
+
+    runner = PipelineRunner(spark, str(tmp_path / "wh"))
+    state = {"df": spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1), (3, "c", 1)], ["id", "val", "batch"])}
+    runner.add_model(Model(
+        "m", (), lambda: state["df"],
+        materialization="incremental_merge", unique_key=("id",),
+    ))
+    runner.run()
+    # second run: update id=2, insert id=4
+    state["df"] = spark.createDataFrame(
+        [(2, "b2", 2), (4, "d", 2)], ["id", "val", "batch"])
+    runner.built.clear()
+    out = runner.run()["m"]
+    got = {r["id"]: (r["val"], r["batch"]) for r in out.collect()}
+    assert got == {1: ("a", 1), 2: ("b2", 2), 3: ("c", 1), 4: ("d", 2)}
+
+
+def test_topn_profile_avoids_global_sort(spark, sf_dir):
+    """profile_topk must plan TakeOrderedAndProject over the count
+    aggregate, not a rangepartitioning sort."""
+    from taxi_rides_ny_duckdb_spark.plans.profile import profile_topk
+
+    df = profile_topk(load(spark, sf_dir, "orders"), "o_orderpriority", 3)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
