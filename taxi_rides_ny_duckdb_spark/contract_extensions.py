@@ -506,7 +506,7 @@ def _events_stream_dir(spark, sf_dir: str) -> str:
         import tempfile
 
         tmp = tempfile.mkdtemp(prefix="events_stream_")
-        load(spark, sf_dir, "events").write.mode("overwrite").parquet(tmp)
+        load(spark, sf_dir, "events").coalesce(1).write.mode("overwrite").parquet(tmp)
         _STREAM_SRC[key] = tmp
     return _STREAM_SRC[key]
 
@@ -520,7 +520,13 @@ def ext_streaming_tumbling(spark, sf_dir):
 
     tmp = _events_stream_dir(spark, sf_dir)
     stream = jobs.tumbling_counts(jobs.read_events_stream(spark, tmp))
-    jobs.run_to_memory_sink(stream, "contract_stream_tumbling", output_mode="complete")
+    jobs.run_to_memory_sink(
+        stream,
+        "contract_stream_tumbling",
+        output_mode="complete",
+        state_partitions=jobs.sized_state_partitions(tmp, floor=4),
+        no_data_batch=False,  # complete mode re-emits every batch
+    )
     return spark.table("contract_stream_tumbling")
 
 
@@ -636,7 +642,17 @@ def ext_streaming_stateful_totals(spark, sf_dir):
 
     tmp = _events_stream_dir(spark, sf_dir)
     stream = stateful.running_user_totals(jobs.read_events_stream(spark, tmp))
-    jobs.run_to_memory_sink(stream, "contract_stream_stateful", output_mode="update")
+    jobs.run_to_memory_sink(
+        stream,
+        "contract_stream_stateful",
+        output_mode="update",
+        # Python state machine: wall clock is Arrow-worker-bound, not
+        # state-store-bound — floor at real worker parallelism.
+        state_partitions=jobs.sized_state_partitions(
+            tmp, floor=min(16, spark.sparkContext.defaultParallelism)
+        ),
+        no_data_batch=False,  # NoTimeout state machine emits every batch
+    )
     return spark.table("contract_stream_stateful")
 
 
@@ -862,5 +878,11 @@ def ext_streaming_stream_join(spark, sf_dir):
     stream = jobs.view_click_join(
         src.filter("event_type = 'view'"), src.filter("event_type = 'click'")
     )
-    jobs.run_to_memory_sink(stream, "contract_stream_join", output_mode="append")
+    jobs.run_to_memory_sink(
+        stream,
+        "contract_stream_join",
+        output_mode="append",
+        state_partitions=jobs.sized_state_partitions(tmp, floor=2),
+        no_data_batch=False,  # inner join emits on match, not on watermark
+    )
     return spark.table("contract_stream_join")

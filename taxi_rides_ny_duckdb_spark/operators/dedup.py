@@ -235,6 +235,13 @@ def simhash_candidate_pairs(
     chunk), bucket-join on (chunk_idx, chunk), verify exact hamming
     distance via bit_count(xor). Same candidates-then-verify economics
     as MinHash-LSH."""
+    # Persist the fingerprints (16 bytes/doc) before the self-join:
+    # without the materialization boundary, (a) both join sides re-run
+    # the pandas-UDF lineage, and (b) the inferred isnotnull(join key)
+    # constraint gets pushed below the repartition and evaluates the
+    # UDF a second time per side — 4 Python passes for 1 (measured).
+    # Same persist-the-small-derivative pattern as minhash_lsh above.
+    hashed = hashed.persist()
     chunks = F.posexplode(
         F.array(
             *[

@@ -129,17 +129,74 @@ def view_click_join(views: DataFrame, clicks: DataFrame,
     )
 
 
+def sized_state_partitions(path: str, target_bytes: int = 16 << 20,
+                           floor: int = 1) -> int:
+    """Shuffle-partition count for a stateful query over a file-drop
+    source, sized to the drop (~16 MB of input per partition).
+    Each shuffle partition owns one state-store instance per stateful
+    operator — every one pays per-batch open/commit/snapshot I/O — so
+    running a small backfill with a big-cluster partition count spends
+    more time on empty state stores than on rows. The count is baked
+    into the checkpoint at first start; a production job sizes this to
+    the live key space / cluster, a backfill to its input.
+
+    ``floor`` sets the minimum parallelism: JVM stateful operators
+    (window aggs, stream-stream joins) are fine near 1 on small drops,
+    but ``applyInPandasWithState`` forks one Arrow-batched Python
+    worker per partition — its wall clock is Python-throughput-bound,
+    so floor it at the worker parallelism you want (measured 4× faster
+    at floor 8-16 than 1 on a 100 k-row drop)."""
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        total += sum(
+            os.path.getsize(os.path.join(root, f))
+            for f in files
+            if f.endswith(".parquet")
+        )
+    return max(floor, total // target_bytes)
+
+
 def run_to_memory_sink(stream_df: DataFrame, query_name: str,
-                       output_mode: str = "append"):
+                       output_mode: str = "append",
+                       state_partitions: int | None = None,
+                       no_data_batch: bool = True):
     """Drive a streaming query over all currently-available input and
     block until done (availableNow) — the deterministic harness used by
-    tests and backfills. Returns the StreamingQuery (stopped)."""
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    tests and backfills. Returns the StreamingQuery (stopped).
+
+    ``state_partitions`` temporarily overrides shuffle partitions for
+    this query (see ``sized_state_partitions``). ``no_data_batch=False``
+    skips the trailing empty micro-batch that only advances the
+    watermark — sound ONLY when the output doesn't wait on watermark
+    finalization (stream-stream inner joins emit on match; complete /
+    update-mode aggs emit every batch). Jobs that emit on event-time
+    timeout or append-mode windows (``inactivity_sessions``,
+    ``tumbling_counts`` in append) MUST keep it on or their final rows
+    never flush."""
+    spark = stream_df.sparkSession
+    overrides: dict[str, str] = {}
+    if state_partitions is not None:
+        overrides["spark.sql.shuffle.partitions"] = str(state_partitions)
+    if not no_data_batch:
+        overrides["spark.sql.streaming.noDataMicroBatches.enabled"] = "false"
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    for k, v in overrides.items():
+        spark.conf.set(k, v)
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
     return q
