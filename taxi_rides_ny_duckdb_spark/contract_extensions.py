@@ -886,3 +886,113 @@ def ext_streaming_stream_join(spark, sf_dir):
         no_data_batch=False,  # inner join emits on match, not on watermark
     )
     return spark.table("contract_stream_join")
+
+
+@query(
+    "ext_semi_join",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O'
+    )
+    """,
+)
+def ext_semi_join(spark, sf_dir):
+    """Left-semi join (EXISTS): customers with at least one open order.
+    Semi joins never multiply rows — the probe side streams through a
+    build-side hash of DISTINCT keys, so output ≤ left input regardless
+    of order multiplicity; the natural plan for existence filters at
+    any scale."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return c.join(o, "c_custkey", "left_semi")
+
+
+@query(
+    "ext_set_intersect",
+    oracle="""
+    SELECT user_id, CAST(ts AS DATE) AS day FROM events WHERE event_type = 'view'
+    INTERSECT
+    SELECT user_id, CAST(ts AS DATE) AS day FROM events WHERE event_type = 'purchase'
+    """,
+)
+def ext_set_intersect(spark, sf_dir):
+    """INTERSECT (distinct semantics): (user, day) pairs with both a
+    view and a purchase. Catalyst lowers this to a left-semi join over
+    pre-aggregated sides — dedup happens before the join shuffle."""
+    e = load(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    )
+    buys = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    )
+    return views.intersect(buys)
+
+
+@query(
+    "ext_set_except",
+    oracle="""
+    SELECT user_id, CAST(ts AS DATE) AS day FROM events WHERE event_type = 'view'
+    EXCEPT
+    SELECT user_id, CAST(ts AS DATE) AS day FROM events WHERE event_type = 'purchase'
+    """,
+)
+def ext_set_except(spark, sf_dir):
+    """EXCEPT (distinct semantics): (user, day) pairs that viewed but
+    did not purchase that day — the anti-join twin of
+    ext_set_intersect (``subtract`` = EXCEPT DISTINCT)."""
+    e = load(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    )
+    buys = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    )
+    return views.subtract(buys)
+
+
+@query(
+    "ext_train_val_split",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN (CAST(concat('0x', substring(md5(concat('split', ':', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) / 4294967296.0) < 0.8 THEN 'train'
+                WHEN (CAST(concat('0x', substring(md5(concat('split', ':', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) / 4294967296.0) < 0.9 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def ext_train_val_split(spark, sf_dir):
+    """Deterministic content-addressed train/val/test split
+    (operators/sampling.hash_split): md5-bucketed 80/10/10 on doc_id.
+    Pure projection — no shuffle, reproducible across runs, engines,
+    and cluster layouts (the oracle recomputes the identical
+    assignment in DuckDB from the same md5 arithmetic)."""
+    from .operators.sampling import hash_split
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    return hash_split(d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+
+
+@query(
+    "ext_hash_sample",
+    oracle="""
+    SELECT doc_id, lang FROM documents
+    WHERE (CAST(concat('0x', substring(md5(concat('', ':', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) / 4294967296.0) < 0.1
+    """,
+)
+def ext_hash_sample(spark, sf_dir):
+    """Deterministic 10% Bernoulli-style sample
+    (operators/sampling.hash_sample): content-addressed, so retries and
+    re-runs keep the identical row set — unlike rand()-based
+    df.sample()."""
+    from .operators.sampling import hash_sample
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return hash_sample(d, "doc_id", 0.1)

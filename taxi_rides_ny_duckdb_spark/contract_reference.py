@@ -806,3 +806,34 @@ def prof_orders_topk_values(spark, sf_dir):
     from .plans.profile import profile_topk
 
     return profile_topk(load(spark, sf_dir, "orders"), "o_orderpriority", 3)
+
+
+@query(
+    "prof_lineitem_percentiles",
+    oracle="""
+    WITH q AS (
+      SELECT quantile_cont(CAST(l_quantity AS DOUBLE), [0.05,0.25,0.5,0.75,0.95]) AS q_qty,
+             quantile_cont(CAST(l_extendedprice AS DOUBLE), [0.05,0.25,0.5,0.75,0.95]) AS q_price,
+             quantile_cont(CAST(l_discount AS DOUBLE), [0.05,0.25,0.5,0.75,0.95]) AS q_disc
+      FROM lineitem
+    )
+    SELECT 'l_quantity' AS column_name, q_qty[1] AS p05, q_qty[2] AS p25,
+           q_qty[3] AS p50, q_qty[4] AS p75, q_qty[5] AS p95 FROM q
+    UNION ALL
+    SELECT 'l_extendedprice', q_price[1], q_price[2], q_price[3], q_price[4], q_price[5] FROM q
+    UNION ALL
+    SELECT 'l_discount', q_disc[1], q_disc[2], q_disc[3], q_disc[4], q_disc[5] FROM q
+    """,
+)
+def prof_lineitem_percentiles(spark, sf_dir):
+    """PipeRider-style exact percentile profile (§3.3): p5/p25/p50/p75/
+    p95 for three lineitem measures in ONE aggregate pass
+    (plans/profile.profile_percentiles) — Spark's exact ``percentile``
+    matches DuckDB's ``quantile_cont`` linear interpolation
+    bit-for-bit on doubles."""
+    from .plans.profile import profile_percentiles
+
+    return profile_percentiles(
+        load(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount"],
+    )

@@ -1,0 +1,74 @@
+"""Deterministic sampling & dataset splitting (EXTENSION — no
+reference analog; a training-data pipeline primitive).
+
+Train/val/test splits and downsampling for a 100 TB corpus must be
+**content-addressed**, not random: ``rand()`` changes under retries,
+task re-execution, and partition re-planning, silently leaking rows
+across splits between runs. Hashing a stable id instead gives a split
+that is (a) reproducible across runs/engines/cluster sizes, (b) a pure
+per-row projection — no shuffle, no state, trivially parallel, and
+(c) stable under incremental appends: a doc keeps its split forever,
+so yesterday's val set never bleeds into today's train set.
+
+The bucket function is md5-based so an external system (here: the
+DuckDB oracle; in production: any SQL engine doing QA on the split)
+reproduces the exact assignment from the same expression.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# First 8 hex chars of md5 → 32-bit integer → uniform fraction. 2^32
+# buckets is plenty: split boundaries are exact to ~2.3e-10.
+_BUCKETS = float(1 << 32)
+
+
+def hash_fraction(id_col: Column, salt: str = "") -> Column:
+    """Uniform-[0,1) fraction from a stable id: the first 32 bits of
+    md5(salt || ':' || id). Change ``salt`` to draw an independent
+    split (e.g. per experiment) from the same ids."""
+    key = F.concat_ws(":", F.lit(salt), id_col.cast("string"))
+    return (F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("double") / F.lit(_BUCKETS))
+
+
+def hash_sample(df: DataFrame, id_col: str, fraction: float, salt: str = "") -> DataFrame:
+    """Deterministic Bernoulli-style sample: keep rows whose hash
+    fraction < ``fraction``. Unlike ``df.sample()`` the result is a
+    function of content only — re-runs, retries, and different
+    cluster layouts return the identical row set."""
+    return df.filter(hash_fraction(F.col(id_col), salt) < fraction)
+
+
+def hash_split(df: DataFrame, id_col: str, splits: dict[str, float],
+               salt: str = "split") -> DataFrame:
+    """Label every row with a split name by cumulative hash-fraction
+    thresholds, e.g. ``{"train": 0.8, "val": 0.1, "test": 0.1}``.
+    Weights must sum to 1 (±1e-9). Pure projection: the plan is a
+    scan + one chained CASE — no shuffle at any scale."""
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    u = hash_fraction(F.col(id_col), salt)
+    expr: Column | None = None
+    cum = 0.0
+    names = list(splits)
+    for name in names[:-1]:
+        cum += splits[name]
+        branch = F.when(u < F.lit(cum), F.lit(name))
+        expr = branch if expr is None else expr.when(u < F.lit(cum), F.lit(name))
+    # last split takes the remainder so the thresholds always cover [0,1)
+    label = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    return df.withColumn("split", label)
+
+
+def hash_fraction_sql(id_expr: str, salt: str = "") -> str:
+    """The DuckDB-side rendering of ``hash_fraction`` — documented here
+    so the two expressions stay in lockstep (contract oracles and any
+    external QA query must use exactly this form)."""
+    key = f"concat('{salt}', ':', CAST({id_expr} AS VARCHAR))"
+    return (
+        f"(CAST(concat('0x', substring(md5({key}), 1, 8)) AS BIGINT)"
+        f" / 4294967296.0)"
+    )

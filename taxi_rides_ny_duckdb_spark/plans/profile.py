@@ -56,6 +56,37 @@ def profile_approx(df: DataFrame, cols: list[str]) -> DataFrame:
     return df.agg(*aggs)
 
 
+def profile_percentiles(
+    df: DataFrame, cols: list[str], probs: tuple[float, ...] = (0.05, 0.25, 0.5, 0.75, 0.95)
+) -> DataFrame:
+    """Exact per-column percentiles (PipeRider's p5/p25/p50/p75/p95
+    row), one row per column. Single aggregate over the raw table —
+    ``percentile(col, array(...))`` computes the whole probe list from
+    one sort buffer per column, so C columns × P probes is still ONE
+    pass and one reduce, not C·P scans. Linear interpolation matches
+    DuckDB's ``quantile_cont`` bit-for-bit on doubles (verified in the
+    contract oracle). For tables where an exact per-partition sort
+    buffer is too big, use ``profile_approx`` (KLL sketches) instead."""
+    parr = F.array(*[F.lit(float(p)) for p in probs])
+    agg = df.agg(
+        *[F.percentile(F.col(c).cast("double"), parr).alias(c) for c in cols]
+    )
+    stacked = agg.select(
+        F.expr(
+            "stack({}, {}) as (column_name, pcts)".format(
+                len(cols), ", ".join(f"'{c}', `{c}`" for c in cols)
+            )
+        )
+    )
+    return stacked.select(
+        "column_name",
+        *[
+            F.col("pcts")[i].alias(f"p{int(round(p * 100)):02d}")
+            for i, p in enumerate(probs)
+        ],
+    )
+
+
 def profile_histogram(
     df: DataFrame, col: str, n_bins: int, lo: float, hi: float
 ) -> DataFrame:

@@ -274,3 +274,45 @@ def test_multimodal_resize_and_frames(spark):
     assert {r["media_id"] for r in frames} == {2}  # videos only
     assert sorted(r["frame_idx"] for r in frames) == [0, 10, 20]
     assert len({bytes(r["frame_payload"]) for r in frames}) == 3  # per-frame distinct
+
+
+def test_hash_split_deterministic_partition_of_ids(spark):
+    """hash_split labels are a deterministic function of id only:
+    stable across re-runs and repartitioning, weights ~respected."""
+    from taxi_rides_ny_duckdb_spark.operators.sampling import hash_split
+
+    df = spark.range(0, 10_000).withColumnRenamed("id", "doc_id")
+    s1 = {r["doc_id"]: r["split"] for r in
+          hash_split(df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+    s2 = {r["doc_id"]: r["split"] for r in
+          hash_split(df.repartition(13), "doc_id",
+                     {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+    assert s1 == s2
+    n = len(s1)
+    from collections import Counter
+    c = Counter(s1.values())
+    assert abs(c["train"] / n - 0.8) < 0.02
+    assert abs(c["val"] / n - 0.1) < 0.01
+    assert abs(c["test"] / n - 0.1) < 0.01
+
+
+def test_hash_sample_is_subset_and_stable(spark):
+    from taxi_rides_ny_duckdb_spark.operators.sampling import hash_sample
+
+    df = spark.range(0, 5_000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"] for r in hash_sample(df, "doc_id", 0.2).collect()}
+    b = {r["doc_id"] for r in hash_sample(df, "doc_id", 0.5).collect()}
+    assert a <= b  # nested samples: smaller fraction is a subset
+    assert abs(len(a) / 5_000 - 0.2) < 0.03
+    again = {r["doc_id"] for r in hash_sample(df, "doc_id", 0.2).collect()}
+    assert a == again
+
+
+def test_hash_split_rejects_bad_weights(spark):
+    import pytest
+
+    from taxi_rides_ny_duckdb_spark.operators.sampling import hash_split
+
+    df = spark.range(3).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(df, "doc_id", {"a": 0.5, "b": 0.6})

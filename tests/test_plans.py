@@ -247,3 +247,27 @@ def test_topn_profile_avoids_global_sort(spark, sf_dir):
     df = profile_topk(load(spark, sf_dir, "orders"), "o_orderpriority", 3)
     plan = plan_of(df)
     assert "TakeOrderedAndProject" in plan
+
+
+def test_hash_split_is_pure_projection(spark, sf_dir):
+    """The split must add zero exchanges: scan -> project only
+    (operators/sampling.py design rule)."""
+    from taxi_rides_ny_duckdb_spark.operators.sampling import hash_split
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    df = hash_split(d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    plan = plan_of(df)
+    assert "Exchange" not in plan
+
+
+def test_percentile_profile_single_pass(spark, sf_dir):
+    """profile_percentiles must be ONE aggregate over one scan — no
+    per-column re-scan, no sort."""
+    from taxi_rides_ny_duckdb_spark.plans.profile import profile_percentiles
+
+    df = profile_percentiles(
+        load(spark, sf_dir, "lineitem"), ["l_quantity", "l_extendedprice"]
+    )
+    plan = plan_of(df)
+    assert plan.count("Scan parquet") == 1
+    assert "Sort" not in plan.split("Exchange")[0]  # no global sort on top
