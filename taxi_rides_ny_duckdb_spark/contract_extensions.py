@@ -996,3 +996,53 @@ def ext_hash_sample(spark, sf_dir):
 
     d = load(spark, sf_dir, "documents").select("doc_id", "lang")
     return hash_sample(d, "doc_id", 0.1)
+
+
+# End-to-end curation pipeline: the composition a real training-data
+# job runs — quality gate, language gate, exact dedup (min-id
+# survivor), content-addressed split. The oracle composes the
+# already-oracled pieces as CTEs, so a mismatch pinpoints the stage
+# that drifted.
+_CURATION_ORACLE = (
+    "WITH qual AS (" + _QS_ORACLE + "), lang_pred AS (" + _LANG_ORACLE + """),
+    kept AS (
+      SELECT d.doc_id, d.text
+      FROM documents d
+      JOIN qual q ON q.doc_id = d.doc_id
+      JOIN lang_pred l ON l.doc_id = d.doc_id
+      WHERE q.quality >= 0.5 AND l.predicted_lang = 'en'
+    ),
+    canon AS (
+      SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY md5(text)
+    )
+    SELECT doc_id,
+           CASE WHEN (CAST(concat('0x', substring(md5(concat('split', ':', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) / 4294967296.0) < 0.8 THEN 'train'
+                WHEN (CAST(concat('0x', substring(md5(concat('split', ':', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) / 4294967296.0) < 0.9 THEN 'val'
+                ELSE 'test' END AS split
+    FROM canon
+    """
+)
+
+
+@query("ext_corpus_curation", oracle=_CURATION_ORACLE)
+def ext_corpus_curation(spark, sf_dir):
+    """The full curation pipeline in one plan: quality ≥ 0.5 AND
+    predicted lang = 'en' → exact dedup (min-id survivor per content
+    hash) → deterministic train/val/test split. One scan, one narrow
+    shuffle (32-byte content hashes), then a pure projection — the
+    shape that holds at 100 TB because document bodies never shuffle
+    and every gate is a JVM expression."""
+    from .operators.sampling import hash_split
+
+    d = load(spark, sf_dir, "documents")
+    kept = d.select(
+        "doc_id",
+        "text",
+        quality_score(F.col("text")).alias("q"),
+        lang_id(tokenize(F.col("text"))).alias("lp"),
+    ).filter((F.col("q") >= 0.5) & (F.col("lp") == "en"))
+    canon = kept.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    return hash_split(canon.select("doc_id"), "doc_id",
+                      {"train": 0.8, "val": 0.1, "test": 0.1})

@@ -77,6 +77,34 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def read_source(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema=None,
+    options: dict[str, str] | None = None,
+) -> DataFrame:
+    """Format-generic scan for non-registry paths: parquet, ORC,
+    JSON lines, CSV. Text formats (json/csv) REQUIRE an explicit
+    schema — schema inference is a full extra pass over the data,
+    which at 100 TB means reading everything twice and, for JSON,
+    silently widening types from whichever files the sample touched.
+    Parquet/ORC carry their schema in footers, so it stays optional."""
+    if fmt in ("json", "csv") and schema is None:
+        raise ValueError(
+            f"{fmt} source requires an explicit schema "
+            "(inference = full extra scan at scale)"
+        )
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    if fmt == "csv":
+        reader = reader.option("header", options.get("header", "true") if options else "true")
+    return reader.load(path)
+
+
 # (session id, view name) → registered path. Registering a view costs a
 # parquet-footer read + py4j round trips (~0.1 s/table); a session that
 # runs many SQL queries over the same sf_dir should pay it once.

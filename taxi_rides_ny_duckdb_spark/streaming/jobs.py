@@ -129,6 +129,44 @@ def view_click_join(views: DataFrame, clicks: DataFrame,
     )
 
 
+def stream_to_partitioned_parquet(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    partition_by: tuple[str, ...] = (),
+):
+    """Incremental streaming materialization: drive the stream with
+    availableNow into a partitioned parquet directory via foreachBatch
+    — the streaming analog of the runner's ``incremental``
+    materialization.
+
+    Exactly-once story: the checkpoint records committed batch ids, and
+    foreachBatch re-delivers a batch only after a crash *before* its
+    commit — the append is then repeated, so downstream readers must
+    either tolerate duplicates or the batch write must be idempotent
+    (e.g. dynamic partition overwrite keyed on batch-aligned
+    partitions, or MERGE on a key in a transactional format). Plain
+    append is used here because the parquet sink's own metadata log
+    can't partition-prune at read time; at scale, partition_by gives
+    readers pruning and the checkpoint gives the writer restartability.
+    Blocks until all available input is processed; returns the query."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        w = batch_df.write.mode("append").format("parquet")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.save(path)
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def sized_state_partitions(path: str, target_bytes: int = 16 << 20,
                            floor: int = 1) -> int:
     """Shuffle-partition count for a stateful query over a file-drop

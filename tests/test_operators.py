@@ -316,3 +316,26 @@ def test_hash_split_rejects_bad_weights(spark):
     df = spark.range(3).withColumnRenamed("id", "doc_id")
     with pytest.raises(ValueError, match="sum to 1"):
         hash_split(df, "doc_id", {"a": 0.5, "b": 0.6})
+
+
+def test_read_source_json_and_csv_roundtrip(spark, sf_dir, tmp_path):
+    """Format-generic source layer (sources/registry.read_source):
+    JSON-lines and CSV reads with explicit schema reproduce the
+    parquet table; schema-less text reads are rejected."""
+    import pytest
+
+    from taxi_rides_ny_duckdb_spark.sources.registry import load, read_source
+
+    nation = load(spark, sf_dir, "nation")
+    jdir, cdir = str(tmp_path / "j"), str(tmp_path / "c")
+    nation.coalesce(1).write.json(jdir)
+    nation.coalesce(1).write.option("header", True).csv(cdir)
+
+    back_j = read_source(spark, jdir, "json", schema=nation.schema)
+    back_c = read_source(spark, cdir, "csv", schema=nation.schema)
+    expect = sorted(map(tuple, nation.collect()))
+    assert sorted(map(tuple, back_j.collect())) == expect
+    assert sorted(map(tuple, back_c.collect())) == expect
+
+    with pytest.raises(ValueError, match="explicit schema"):
+        read_source(spark, jdir, "json")

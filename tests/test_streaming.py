@@ -235,3 +235,30 @@ def test_stateful_state_survives_restart(spark, chunked_events_dir, tmp_path_fac
     for uid, (n, tot) in final_b.items():
         assert n == full[uid][0], (uid, n, full[uid])
         assert abs(tot - full[uid][1]) < 1e-6
+
+
+def test_stream_to_partitioned_parquet_incremental(spark, sf_dir, tmp_path):
+    """foreachBatch sink: all available input lands once, partition
+    layout is readable with pruning, and a restart with the same
+    checkpoint is a no-op (no duplicate batches)."""
+    from taxi_rides_ny_duckdb_spark.sources.registry import load
+    from taxi_rides_ny_duckdb_spark.streaming import jobs
+
+    src_dir = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    ev = load(spark, sf_dir, "events")
+    ev.coalesce(1).write.parquet(src_dir)
+
+    stream = jobs.read_events_stream(spark, src_dir)
+    jobs.stream_to_partitioned_parquet(stream, out, ckpt, partition_by=("event_type",))
+    got = spark.read.parquet(out)
+    assert got.count() == ev.count()
+    # partition pruning works: one event_type reads a subset
+    one = got.filter(F.col("event_type") == "view").count()
+    assert 0 < one < ev.count()
+
+    # restart with same checkpoint: no new input -> nothing appended
+    stream2 = jobs.read_events_stream(spark, src_dir)
+    jobs.stream_to_partitioned_parquet(stream2, out, ckpt, partition_by=("event_type",))
+    assert spark.read.parquet(out).count() == ev.count()
