@@ -827,13 +827,17 @@ def prof_orders_topk_values(spark, sf_dir):
 )
 def prof_lineitem_percentiles(spark, sf_dir):
     """PipeRider-style exact percentile profile (§3.3): p5/p25/p50/p75/
-    p95 for three lineitem measures in ONE aggregate pass
-    (plans/profile.profile_percentiles) — Spark's exact ``percentile``
-    matches DuckDB's ``quantile_cont`` linear interpolation
-    bit-for-bit on doubles."""
-    from .plans.profile import profile_percentiles
+    p95 for three lineitem measures via distributed selection
+    (plans/profile.profile_percentiles_selection) — bucket-histogram
+    pass, then an exact re-read of only the rank-owning buckets; the
+    interpolation matches DuckDB's ``quantile_cont`` bit-for-bit on
+    doubles. Chosen over the one-agg exact ``percentile`` because a
+    near-unique measure column (l_extendedprice: 583k distinct at
+    sf0.1) makes the single-reducer value map the bottleneck — 10×
+    here, unrunnable at 100 TB."""
+    from .plans.profile import profile_percentiles_selection
 
-    return profile_percentiles(
+    return profile_percentiles_selection(
         load(spark, sf_dir, "lineitem"),
         ["l_quantity", "l_extendedprice", "l_discount"],
     )

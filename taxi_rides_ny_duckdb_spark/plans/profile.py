@@ -87,6 +87,166 @@ def profile_percentiles(
     )
 
 
+def profile_percentiles_selection(
+    df: DataFrame,
+    cols: list[str],
+    probs: tuple[float, ...] = (0.05, 0.25, 0.5, 0.75, 0.95),
+    n_buckets: int = 2048,
+) -> DataFrame:
+    """Exact percentiles via distributed selection — the scale path.
+
+    ``profile_percentiles`` (Spark's exact ``percentile``) buffers a
+    value→count map per column and sorts it at one reducer: fine for
+    low-cardinality columns, quadratic pain for a near-unique measure
+    (583k distinct values ⇒ ~2 s at sf0.1, unrunnable at 100 TB where
+    the map would hold billions of entries). Selection instead does two
+    fully-parallel scans with O(buckets) driver state:
+
+      1. one agg: non-null count + min/max per column;
+      2. bucket-histogram: unpivot to (column, value), count per
+         (column, equi-width bucket) — ≤ C·B tiny rows collected;
+      3. locate, per target rank floor(p·(n-1)) and its +1 neighbor,
+         the bucket containing it (cumulative counts, driver-side);
+      4. re-scan filtered to ONLY those buckets, groupBy exact value —
+         collects ~distinct-per-bucket · |needed| (value, count) pairs;
+      5. interpolate ``(1-f)·lo + f·hi`` on the driver — DuckDB
+         ``quantile_cont``'s exact rounding (bit-exact parity verified
+         in the contract oracle at sf0.01 and sf0.1).
+
+    Nothing large ever sits on one node: the histogram is B counts per
+    column and step 4 touches ~n/B of the data, grouped before collect.
+    Assumes bucket-local distinct counts stay collectable (true unless
+    a single bucket holds millions of *distinct* doubles — recurse with
+    a finer B if that ever bites)."""
+    dcols = {c: F.col(c).cast("double") for c in cols}
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(dcols[c]).alias(f"{c}__n"),
+            F.min(dcols[c]).alias(f"{c}__lo"),
+            F.max(dcols[c]).alias(f"{c}__hi"),
+        ]
+    stats = df.agg(*aggs).collect()[0].asDict()
+
+    pairs = ", ".join(f"'{c}', cast(`{c}` as double)" for c in cols)
+    stacked = df.selectExpr(
+        f"stack({len(cols)}, {pairs}) as (column_name, v)"
+    ).filter(F.col("v").isNotNull())
+
+    def bucket_expr():
+        e = F.lit(0)
+        for c in cols:
+            lo, hi = stats[f"{c}__lo"], stats[f"{c}__hi"]
+            if lo is None:
+                continue
+            width = (hi - lo) or 1.0
+            b = F.least(
+                F.lit(n_buckets - 1),
+                F.floor((F.col("v") - F.lit(lo)) / F.lit(width) * n_buckets),
+            ).cast("int")
+            e = F.when(F.col("column_name") == c, b).otherwise(e)
+        return e
+
+    hist = (
+        stacked.groupBy("column_name", bucket_expr().alias("b"))
+        .count()
+        .collect()
+    )
+    by_col: dict[str, list] = {c: [] for c in cols}
+    for r in hist:
+        by_col[r["column_name"]].append((r["b"], r["count"]))
+
+    # per column: target ranks (0-based order statistics) -> owning bucket
+    needed: dict[str, set[int]] = {c: set() for c in cols}
+    ranks: dict[str, list[tuple[float, int, int, float]]] = {}
+    for c in cols:
+        n = stats[f"{c}__n"]
+        rk = []
+        for p in probs:
+            pos = p * (n - 1)
+            lo_i = int(pos)
+            hi_i = min(lo_i + 1, n - 1)
+            rk.append((p, lo_i, hi_i, pos - lo_i))
+        ranks[c] = rk
+        cum = 0
+        want = sorted({i for _, lo_i, hi_i, _ in rk for i in (lo_i, hi_i)})
+        wi = 0
+        for b, cnt in sorted(by_col[c]):
+            while wi < len(want) and want[wi] < cum + cnt:
+                needed[c].add(b)
+                wi += 1
+            cum += cnt
+
+    cond = None
+    for c in cols:
+        if not needed[c]:
+            continue
+        e = (F.col("column_name") == c) & bucket_expr().isin(*needed[c])
+        cond = e if cond is None else (cond | e)
+    vals = (
+        stacked.filter(cond)
+        .groupBy("column_name", "v")
+        .count()
+        .collect()
+    )
+    vc: dict[str, list] = {c: [] for c in cols}
+    for r in vals:
+        vc[r["column_name"]].append((r["v"], r["count"]))
+
+    out_rows = []
+    for c in cols:
+        n = stats[f"{c}__n"]
+        row = {"column_name": c}
+        if n == 0:
+            for p in probs:
+                row[f"p{int(round(p * 100)):02d}"] = None
+            out_rows.append(row)
+            continue
+        # cumulative count strictly below each bucket, and each needed
+        # bucket's values sorted — a rank is resolved INSIDE its owning
+        # bucket against that bucket's own offset (needed buckets are
+        # not necessarily contiguous).
+        cum_below, cum = {}, 0
+        bucket_count = {}
+        for b, cnt in sorted(by_col[c]):
+            cum_below[b] = cum
+            bucket_count[b] = cnt
+            cum += cnt
+        lo_s, hi_s = stats[f"{c}__lo"], stats[f"{c}__hi"]
+        width = (hi_s - lo_s) or 1.0
+        per_bucket: dict[int, list] = {}
+        for v, cnt in vc[c]:
+            # same double arithmetic as the Spark-side bucket expression
+            b = min(n_buckets - 1, int((v - lo_s) / width * n_buckets))
+            per_bucket.setdefault(b, []).append((v, cnt))
+
+        def order_stat(k):
+            for b in sorted(per_bucket):
+                if cum_below[b] <= k < cum_below[b] + bucket_count[b]:
+                    cum = cum_below[b]
+                    for v, cnt in sorted(per_bucket[b]):
+                        if k < cum + cnt:
+                            return v
+                        cum += cnt
+            raise AssertionError(f"rank {k} not located for {c}")
+
+        for p, lo_i, hi_i, frac in ranks[c]:
+            lo_v, hi_v = order_stat(lo_i), order_stat(hi_i)
+            # DuckDB quantile_cont rounds as (1-f)*lo + f*hi, which can
+            # differ from lo + f*(hi-lo) by 1 ulp — match it exactly
+            row[f"p{int(round(p * 100)):02d}"] = (
+                (1.0 - frac) * lo_v + frac * hi_v
+            )
+        out_rows.append(row)
+
+    spark = df.sparkSession
+    fields = ", ".join(
+        ["column_name string"]
+        + [f"p{int(round(p * 100)):02d} double" for p in probs]
+    )
+    return spark.createDataFrame(out_rows, schema=fields)
+
+
 def profile_histogram(
     df: DataFrame, col: str, n_bins: int, lo: float, hi: float
 ) -> DataFrame:

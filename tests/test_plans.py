@@ -271,3 +271,34 @@ def test_percentile_profile_single_pass(spark, sf_dir):
     plan = plan_of(df)
     assert plan.count("Scan parquet") == 1
     assert "Sort" not in plan.split("Exchange")[0]  # no global sort on top
+
+def test_percentile_selection_matches_one_agg(spark, sf_dir):
+    """Distributed-selection percentiles (the scale path) agree with
+    the one-agg exact `percentile` on the same columns, and handle
+    nulls, a constant column, and an all-null column."""
+    from pyspark.sql import Row
+    from taxi_rides_ny_duckdb_spark.plans.profile import (
+        profile_percentiles,
+        profile_percentiles_selection,
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    a = {r["column_name"]: r for r in profile_percentiles(li, cols).collect()}
+    b = {r["column_name"]: r for r in
+         profile_percentiles_selection(li, cols).collect()}
+    for c in cols:
+        for p in ("p05", "p25", "p50", "p75", "p95"):
+            assert abs(a[c][p] - b[c][p]) <= 1e-9 * max(1.0, abs(a[c][p])), (c, p)
+
+    edge = spark.createDataFrame(
+        [Row(x=1.0, y=7.0, z=None), Row(x=2.0, y=7.0, z=None),
+         Row(x=None, y=7.0, z=None), Row(x=4.0, y=7.0, z=None)],
+        schema="x double, y double, z double",
+    )
+    got = {r["column_name"]: r for r in
+           profile_percentiles_selection(edge, ["x", "y", "z"],
+                                         probs=(0.5,), n_buckets=4).collect()}
+    assert got["x"]["p50"] == 2.0     # nulls excluded: median of 1,2,4
+    assert got["y"]["p50"] == 7.0     # constant column (zero width)
+    assert got["z"]["p50"] is None    # all-null column
