@@ -22,6 +22,8 @@ from .functions.parity import dsum
 from .functions.text import (
     bpe_ish_token_count,
     fingerprint,
+    lang_best,
+    lang_from_best,
     lang_id,
     quality_score,
     tokenize,
@@ -1031,16 +1033,30 @@ def ext_corpus_curation(spark, sf_dir):
     hash) → deterministic train/val/test split. One scan, one narrow
     shuffle (32-byte content hashes), then a pure projection — the
     shape that holds at 100 TB because document bodies never shuffle
-    and every gate is a JVM expression."""
-    from .operators.sampling import hash_split
+    and every gate is a JVM expression.
 
-    d = load(spark, sf_dir, "documents")
-    kept = d.select(
+    Evaluation shape matters as much as plan shape here: tokens and
+    the lang argmax land in columns first, and a nondeterministic
+    barrier column keeps predicate pushdown from re-inlining them into
+    the filter — HOF lambdas are exempt from subexpression elimination,
+    so the collapsed form re-ran tokenize ~15× per row (measured 4×
+    slower end-to-end). The barrier costs nothing: the predicate is on
+    computed columns, so there is nothing a parquet scan could use."""
+    from .operators.sampling import hash_split
+    from .session import ensure_min_partitions
+
+    d = ensure_min_partitions(load(spark, sf_dir, "documents"), eager=True)
+    toks = d.select("doc_id", "text", tokenize(F.col("text")).alias("toks"))
+    scored = toks.select(
         "doc_id",
         "text",
-        quality_score(F.col("text")).alias("q"),
-        lang_id(tokenize(F.col("text"))).alias("lp"),
-    ).filter((F.col("q") >= 0.5) & (F.col("lp") == "en"))
+        quality_score(F.col("text"), tokens=F.col("toks")).alias("q"),
+        lang_best(F.col("toks")).alias("best"),
+        F.monotonically_increasing_id().alias("_barrier"),
+    )
+    kept = scored.filter(
+        (F.col("q") >= 0.5) & (lang_from_best(F.col("best")) == "en")
+    )
     canon = kept.groupBy(F.md5("text").alias("h")).agg(
         F.min("doc_id").alias("doc_id")
     )

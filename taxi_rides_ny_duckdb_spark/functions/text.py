@@ -84,12 +84,12 @@ def stopword_hits(tokens: Column, lang: str) -> Column:
     return F.size(F.array_intersect(F.array_distinct(tokens), sw))
 
 
-def lang_id(tokens: Column) -> Column:
-    """Stopword-overlap language ID: argmax over per-language hit
-    counts; ties broken by language code order; no hits at all → 'und'.
-
-    Implemented as sort of (hits, lang) structs — deterministic, pure
-    expression. Oracle: a greatest/CASE chain over the same counts."""
+def lang_best(tokens: Column) -> Column:
+    """The argmax (neg_hits, lang) struct behind ``lang_id`` — exposed
+    so multi-use plans can land it in a column ONCE. Higher-order
+    lambdas are exempt from codegen subexpression elimination, so every
+    textual repetition of this expression re-runs the 5 array_intersects
+    per row; referencing a struct column is free."""
     scored = F.array(
         *[
             F.struct(
@@ -100,24 +100,45 @@ def lang_id(tokens: Column) -> Column:
     )
     # sort ascending by (hits, lang), take the last-hits/first-lang winner:
     # reverse-sort on hits desc with lang asc via negative hits.
-    best = F.array_sort(
+    return F.array_sort(
         F.transform(
             scored,
             lambda s: F.struct((-s["hits"]).alias("neg_hits"), s["lang"].alias("lang")),
         )
     )[0]
+
+
+def lang_from_best(best: Column) -> Column:
+    """Decode a ``lang_best`` struct: winner if it had any hits, else
+    'und'. Pass a *column reference* to avoid re-evaluating the sort."""
     return F.when(-best["neg_hits"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
-def quality_score(text: Column) -> Column:
+def lang_id(tokens: Column) -> Column:
+    """Stopword-overlap language ID: argmax over per-language hit
+    counts; ties broken by language code order; no hits at all → 'und'.
+
+    Implemented as sort of (hits, lang) structs — deterministic, pure
+    expression. Oracle: a greatest/CASE chain over the same counts.
+    NOTE: inlines ``lang_best`` twice (condition + value); fine as a
+    query's single projection, but multi-use plans should stage
+    ``lang_best`` in a column and apply ``lang_from_best``."""
+    return lang_from_best(lang_best(tokens))
+
+
+def quality_score(text: Column, tokens: Column | None = None) -> Column:
     """Heuristic document-quality score in [0, 1]:
 
     0.25·len_ok + 0.25·mean_word_len_ok + 0.25·(1 - punct_ratio) +
     0.25·min(stopword_ratio·5, 1) — the usual cheap pre-training
     filters (length band, word-shape, punctuation density, stopword
     presence). Deterministic per-row double arithmetic.
+
+    Pass ``tokens`` (a staged column of ``tokenize(text)``) when the
+    plan evaluates other token expressions too — inlining tokenize here
+    repeats the split per textual use (HOFs skip subexpr elimination).
     """
-    toks = tokenize(text)
+    toks = tokens if tokens is not None else tokenize(text)
     n_tok = F.size(toks)
     n_chars = F.length(text)
     len_ok = (n_chars >= 100) & (n_chars <= 20000)

@@ -61,7 +61,7 @@ def get_spark(
     return builder.getOrCreate()
 
 
-def ensure_min_partitions(df, n: int | None = None):
+def ensure_min_partitions(df, n: int | None = None, eager: bool = False):
     """Repartition a DataFrame up to the session's parallelism if it
     has fewer partitions.
 
@@ -70,10 +70,21 @@ def ensure_min_partitions(df, n: int | None = None):
     core. A round-robin repartition costs one shuffle of the (small)
     input and buys full-width execution. At 100 TB inputs already have
     thousands of partitions, so this is a no-op — the guard makes the
-    operator safe at both extremes."""
+    operator safe at both extremes.
+
+    ``eager=True`` additionally ``localCheckpoint``s the repartitioned
+    input (only in the below-target case, i.e. only when it is small).
+    Measured: interpreted-mode expression trees (higher-order lambdas
+    don't codegen) evaluated directly over a live shuffle read ran ~3×
+    slower wall than the identical stage over materialized blocks —
+    regardless of AQE, partitioning scheme, or sortBeforeRepartition.
+    Eager staging decouples the stages and restores full-width compute;
+    at scale the branch never triggers, so nothing big is ever
+    checkpointed."""
     target = n or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
+        df = df.repartition(target)
+        return df.localCheckpoint() if eager else df
     return df
 
 
