@@ -443,6 +443,95 @@ def ext_events_tumbling_window(spark, sf_dir):
 
 
 @query(
+    "ext_events_sliding_window",
+    oracle="""
+    WITH doubled AS (
+      SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+             event_type, value
+      FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes',
+             event_type, value
+      FROM events
+    )
+    SELECT window_start, event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM doubled
+    GROUP BY 1, 2
+    """,
+)
+def ext_events_sliding_window(spark, sf_dir):
+    """10-minute windows hopping every 5 minutes per event_type
+    (operators/windows.sliding_window_agg): Spark's F.window(width,
+    slide) assigns each event to width/slide = 2 windows JVM-side —
+    the oracle reproduces that by unioning the two 5-minute bucket
+    starts per event. One shuffle on (window, type); the window
+    expansion is a projection, so the shape scales like the tumbling
+    case with a 2× row multiplier."""
+    from .functions.parity import dsum
+    from .operators.windows import sliding_window_agg
+
+    e = load(spark, sf_dir, "events")
+    return sliding_window_agg(
+        e,
+        "ts",
+        "10 minutes",
+        "5 minutes",
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), 18, 6).alias("total_value"),
+        ],
+        extra_keys=["event_type"],
+    ).drop("window_end")
+
+
+@query(
+    "ext_events_session_window",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '30 minutes'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    seq AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM ordered
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           COUNT(*) AS n_events
+    FROM seq
+    GROUP BY user_id, session_seq
+    """,
+)
+def ext_events_session_window(spark, sf_dir):
+    """Per-user session windows with a 30-minute inactivity gap via
+    Spark's native ``F.session_window`` (the same operator Structured
+    Streaming uses for stateful sessions, here in batch mode).
+    Boundary semantics: an event merges into the session when its gap
+    from the previous event is ≤ the gap duration; a new session needs
+    a STRICTLY greater gap. The oracle reproduces that with the
+    lag + running-sum idiom (`is_new` on gap > 30 min), so a parity
+    mismatch would reveal a boundary drift.
+    Scale shape: one shuffle on user_id; session merging is per-key
+    local."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window(F.col("ts"), "30 minutes"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+@query(
     "ext_events_json_extract",
     oracle="""
     SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k
