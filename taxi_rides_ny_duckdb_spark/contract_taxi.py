@@ -150,6 +150,33 @@ def taxi_stg_green_tripdata(spark, sf_dir):
 
 
 @query(
+    "taxi_stg_yellow_tripdata",
+    oracle=f"SELECT * FROM ({_STG_YELLOW})",
+)
+def taxi_stg_yellow_tripdata(spark, sf_dir):
+    """The yellow staging model (stg_yellow_tripdata.sql): same
+    21-column canonical schema as green, with the synthesized
+    ``trip_type = 1`` and ``ehail_fee = 0`` literals that make the
+    positional union in fact_trips legal."""
+    return _spark_models(spark)[1]
+
+
+@query(
+    "taxi_dim_zones",
+    oracle=f"""
+    SELECT CAST(locationid AS INTEGER) AS locationid, borough, zone,
+           replace(service_zone, 'Boro', 'Green') AS service_zone
+    FROM read_csv('{_Z}', header=true)
+    """,
+)
+def taxi_dim_zones(spark, sf_dir):
+    """The zone dimension (dim_zones.sql): CSV seed with the
+    locationid type override (dbt_project.yml:45-49, cast to INT per
+    SURVEY §1.4) and the Boro→Green service_zone rewrite."""
+    return _spark_models(spark)[2]
+
+
+@query(
     "taxi_fact_trips",
     oracle=_FACT_CTES + "SELECT * FROM fact_trips",
 )
