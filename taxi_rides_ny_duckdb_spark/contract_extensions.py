@@ -360,6 +360,53 @@ def ext_embedding_near_dup_exact(spark, sf_dir):
     return pairs.select("id_a", "id_b", sim).filter(F.col("cosine_sim_r") >= 0.3)
 
 
+_CENTROID_ASSIGN_ORACLE = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+),
+c AS (
+  SELECT CAST(vec_id AS INTEGER) AS cid, ev AS cv FROM v WHERE vec_id < 8
+),
+d AS (
+  SELECT v.vec_id, c.cid,
+         round(list_sum(list_transform(generate_series(1, len(v.ev)),
+               i -> (v.ev[i] - c.cv[i]) * (v.ev[i] - c.cv[i]))), 9) AS d2
+  FROM v CROSS JOIN c
+),
+ranked AS (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+  FROM d
+)
+SELECT vec_id, cid AS centroid_id FROM ranked WHERE rn = 1
+"""
+
+
+@query("ext_embedding_centroid_assign", oracle=_CENTROID_ASSIGN_ORACLE)
+def ext_embedding_centroid_assign(spark, sf_dir):
+    """K-means assignment step (operators/similarity.
+    assign_nearest_centroid): every vector → nearest of 8 fixed
+    centroids (the vec_id<8 embeddings — deterministic, no training
+    randomness) by squared L2, ties to the lower id. Centroids are
+    literals in a pure projection — no join/shuffle/UDF — while the
+    oracle cross-joins and ranks; 9dp distance rounding makes the
+    argmin engine-stable. This is the scan-scale half of IVF/k-means
+    at 100 TB."""
+    from .operators.similarity import assign_nearest_centroid
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 8)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    ]
+    return assign_nearest_centroid(
+        emb.select("vec_id", "embedding"), cents, round_dp=9
+    ).select("vec_id", "centroid_id")
+
+
 @query("ext_embedding_near_dup")  # rows-only (LSH recall)
 def ext_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup pairs within RH-LSH buckets."""
@@ -1025,6 +1072,29 @@ def ext_set_intersect(spark, sf_dir):
         "user_id", F.col("ts").cast("date").alias("day")
     )
     return views.intersect(buys)
+
+
+@query(
+    "ext_set_union_distinct",
+    oracle="""
+    SELECT user_id, CAST(ts AS DATE) AS day FROM events WHERE event_type = 'view'
+    UNION
+    SELECT user_id, CAST(ts AS DATE) AS day FROM events WHERE event_type = 'purchase'
+    """,
+)
+def ext_set_union_distinct(spark, sf_dir):
+    """UNION with distinct semantics (vs the reference's positional
+    UNION ALL, U1): (user, day) pairs with a view or a purchase, each
+    once. Lowered to union + hash-dedup on the pair — one shuffle, and
+    AQE sizes the post-dedup partitions."""
+    e = load(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    )
+    buys = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    )
+    return views.union(buys).distinct()
 
 
 @query(

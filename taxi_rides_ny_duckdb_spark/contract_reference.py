@@ -608,6 +608,91 @@ def a5_metric_count_distinct_quarter(spark, sf_dir):
 
 
 @query(
+    "a5_metric_sum_week",
+    oracle="""
+    SELECT date_trunc('week', o_orderdate) AS period_week,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS weekly_revenue
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY 1
+    """,
+)
+def a5_metric_sum_week(spark, sf_dir):
+    """dbt-metric method matrix: sum at week grain (ISO Monday
+    truncation agrees across engines). The expression routes through
+    DECIMAL(18,6) so the sum is order-independent — a double sum would
+    hash-differ between engines by accumulation order."""
+    from .plans.metrics import Metric, MetricFilter, compile_metric
+
+    o = load(spark, sf_dir, "orders")
+    m = Metric(
+        name="weekly_revenue",
+        calculation_method="sum",
+        expression="CAST(o_totalprice AS DECIMAL(18,6))",
+        timestamp="o_orderdate",
+        time_grains=("week",),
+        filters=(MetricFilter("o_orderstatus", "=", "F"),),
+    )
+    out = compile_metric(o, m, "week")
+    return out.withColumn("weekly_revenue", F.col("weekly_revenue").cast("double"))
+
+
+@query(
+    "a5_metric_count_day",
+    oracle="""
+    SELECT date_trunc('day', ts) AS period_day,
+           COUNT(event_id) AS n_views
+    FROM events
+    WHERE event_type = 'view'
+    GROUP BY 1
+    """,
+)
+def a5_metric_count_day(spark, sf_dir):
+    """dbt-metric method matrix: plain count at day grain over the
+    event stream (day truncation is insensitive to the ns-vs-µs
+    timestamp normalization the events scan applies)."""
+    from .plans.metrics import Metric, MetricFilter, compile_metric
+
+    e = load(spark, sf_dir, "events")
+    m = Metric(
+        name="n_views",
+        calculation_method="count",
+        expression="event_id",
+        timestamp="ts",
+        time_grains=("day",),
+        filters=(MetricFilter("event_type", "=", "view"),),
+    )
+    return compile_metric(e, m, "day")
+
+
+@query(
+    "a5_metric_min_year",
+    oracle="""
+    SELECT date_trunc('year', l_shipdate) AS period_year,
+           MIN(l_extendedprice) AS min_price
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def a5_metric_min_year(spark, sf_dir):
+    """dbt-metric method matrix: min at year grain — order-independent
+    on doubles, so no decimal routing needed. Completes the six
+    calculation methods (count, count_distinct, sum, average, min,
+    max) across the five grains."""
+    from .plans.metrics import Metric, compile_metric
+
+    li = load(spark, sf_dir, "lineitem")
+    m = Metric(
+        name="min_price",
+        calculation_method="min",
+        expression="l_extendedprice",
+        timestamp="l_shipdate",
+        time_grains=("year",),
+    )
+    return compile_metric(li, m, "year")
+
+
+@query(
     "a5_metric_max_year",
     oracle="""
     SELECT date_trunc('year', l_shipdate) AS period_year,

@@ -208,6 +208,37 @@ def _centroid_ranking(vec: Column, centroids: list[list[float]]) -> Column:
     return F.array_sort(F.arrays_zip(dists.alias("d"), ids.alias("i")))
 
 
+def assign_nearest_centroid(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "centroid_id",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """K-means assignment step as a pure projection: nearest centroid
+    by squared L2, ties to the lower centroid id. The scan-scale half
+    of clustering — centroids ride along as literals (no join, no
+    shuffle, no UDF), so at 100 TB this is a single map over the
+    corpus at whatever parallelism the scan has.
+
+    ``round_dp`` rounds each distance before the argmin — pass it when
+    an external engine must reproduce the assignment exactly (float
+    sums can differ in the last ulp; rounding makes the comparison,
+    and hence the argmin, engine-stable)."""
+    vec = _as_double_array(F.col(vec_col))
+    structs = []
+    for i, c in enumerate(centroids):
+        d = F.aggregate(
+            F.zip_with(vec, F.lit([float(x) for x in c]), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        if round_dp is not None:
+            d = F.round(d, round_dp)
+        structs.append(F.struct(d.alias("d"), F.lit(i).alias("i")))
+    return df.withColumn(out_col, F.array_min(F.array(*structs))["i"])
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -339,3 +339,25 @@ def test_read_source_json_and_csv_roundtrip(spark, sf_dir, tmp_path):
 
     with pytest.raises(ValueError, match="explicit schema"):
         read_source(spark, jdir, "json")
+
+
+def test_assign_nearest_centroid_ties_to_lower_id(spark):
+    """K-means assignment (operators/similarity.assign_nearest_centroid):
+    equidistant centroids resolve to the lower centroid id."""
+    from pyspark.sql import Row
+
+    from taxi_rides_ny_duckdb_spark.operators.similarity import (
+        assign_nearest_centroid,
+    )
+
+    df = spark.createDataFrame(
+        [Row(vec_id=0, embedding=[0.0, 0.0]), Row(vec_id=1, embedding=[10.0, 0.0])],
+        schema="vec_id int, embedding array<double>",
+    )
+    cents = [[1.0, 0.0], [-1.0, 0.0], [9.0, 0.0]]
+    got = {
+        r["vec_id"]: r["centroid_id"]
+        for r in assign_nearest_centroid(df, cents).collect()
+    }
+    assert got[0] == 0  # tie between centroids 0 and 1 -> lower id
+    assert got[1] == 2
