@@ -106,3 +106,50 @@ def test_range_join_matches_naive_reference(spark, points, intervals):
         if pk == ik and s <= pm <= s + w
     )
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    ids=st.lists(st.integers(min_value=0, max_value=10_000), max_size=20),
+    weights=st.sampled_from(
+        [{"train": 0.8, "val": 0.1, "test": 0.1},
+         {"a": 0.5, "b": 0.5},
+         {"x": 1.0}]
+    ),
+)
+def test_hash_split_is_stable_partition(spark, ids, weights):
+    """hash_split must be a FUNCTION of the id alone: every id gets
+    exactly one split label, duplicate ids always agree, and the
+    assignment is invariant under repartitioning (content-addressed,
+    not position-addressed)."""
+    from taxi_rides_ny_duckdb_spark.operators.sampling import hash_split
+
+    df = spark.createDataFrame(
+        [(i,) for i in ids] or [(0,)], schema="doc_id long"
+    )
+    one = {r["doc_id"]: r["split"] for r in hash_split(df, "doc_id", weights).collect()}
+    assert set(one.values()) <= set(weights)
+    two = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(df.repartition(7), "doc_id", weights).collect()
+    }
+    assert one == two
+
+
+@settings(**_SETTINGS)
+@given(texts=st.lists(st.text(max_size=12), max_size=16))
+def test_exact_dedup_keeps_one_per_content(spark, texts):
+    """Exact dedup: one group per distinct text, survivor id is the
+    minimum doc_id of its content group (deterministic), and copy
+    counts sum back to the input row count (nothing lost)."""
+    from taxi_rides_ny_duckdb_spark.operators.dedup import exact_dedup
+
+    rows = [(i, t) for i, t in enumerate(texts)] or [(0, "x")]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    out = exact_dedup(df, "text", id_col="doc_id").collect()
+    survivors = {r["canonical_doc_id"] for r in out}
+    expect = {min(i for i, t2 in rows if t2 == t) for _, t in rows}
+    assert survivors == expect
+    by_content = {r["content_hash"]: r["n_copies"] for r in out}
+    assert sum(by_content.values()) == len(rows)
+    assert len(by_content) == len({t for _, t in rows})
