@@ -531,6 +531,38 @@ def prof_lineitem_numeric(spark, sf_dir):
     return profile_numeric(li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
 
 
+@query(
+    "prof_documents_text",
+    oracle="""
+    WITH u AS (
+      SELECT 'text' AS column_name, CAST(text AS VARCHAR) AS value FROM documents
+      UNION ALL
+      SELECT 'lang', CAST(lang AS VARCHAR) FROM documents
+      UNION ALL
+      SELECT 'source', CAST(source AS VARCHAR) FROM documents
+    )
+    SELECT column_name,
+           COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(value) AS n_null,
+           COUNT(DISTINCT value) AS n_distinct,
+           MIN(length(value)) AS min_len,
+           MAX(length(value)) AS max_len,
+           CAST(SUM(length(value)) AS DOUBLE) / COUNT(value) AS mean_len,
+           SUM(CASE WHEN trim(value) = '' THEN 1 ELSE 0 END) AS n_blank
+    FROM u GROUP BY column_name
+    """,
+)
+def prof_documents_text(spark, sf_dir):
+    """String-column profile of the documents table (PipeRider varchar
+    stats; plans/profile.profile_text): lengths aggregate instead of
+    values, so the agg buffer never holds document bodies — the mean is
+    an exact integer-sum ratio, engine-stable."""
+    from .plans.profile import profile_text
+
+    d = load(spark, sf_dir, "documents")
+    return profile_text(d, ["text", "lang", "source"])
+
+
 @query("prof_lineitem_approx")  # rows-only: sketches differ across engines
 def prof_lineitem_approx(spark, sf_dir):
     """Sketch-based profile (HLL++ distinct, approx percentiles) — the

@@ -298,6 +298,26 @@ def profile_topk(df: DataFrame, col: str, k: int) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(w))
 
 
+def profile_text(df: DataFrame, cols: list[str]) -> DataFrame:
+    """String-column profile (PipeRider's varchar stats): n, nulls,
+    distinct, length min/max/mean, blank count. Same single-pass
+    unpivot+groupBy shape as ``profile_numeric`` — C columns cost one
+    shuffle of (column, value) pairs, and only lengths aggregate, so
+    wide text never sits in an agg buffer."""
+    pairs = ", ".join(f"'{c}', cast(`{c}` as string)" for c in cols)
+    unpiv = df.selectExpr(f"stack({len(cols)}, {pairs}) as (column_name, value)")
+    ln = F.length("value")
+    return unpiv.groupBy("column_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("value")).alias("n_null"),
+        F.count_distinct(F.col("value")).alias("n_distinct"),
+        F.min(ln).alias("min_len"),
+        F.max(ln).alias("max_len"),
+        (F.sum(ln) / F.count("value")).cast("double").alias("mean_len"),
+        F.sum(F.when(F.trim("value") == "", 1).otherwise(0)).alias("n_blank"),
+    )
+
+
 def compare_profiles(base: DataFrame, other: DataFrame) -> DataFrame:
     """Diff two ``profile_numeric`` outputs (PipeRider compare-reports
     analog): per column, deltas of every stat."""
