@@ -1213,8 +1213,15 @@ def ext_corpus_curation(spark, sf_dir):
         lang_best(F.col("toks")).alias("best"),
         F.monotonically_increasing_id().alias("_barrier"),
     )
+    # The filter must REFERENCE the barrier (always-true predicate:
+    # monotonically_increasing_id is nonnegative) — otherwise
+    # ColumnPruning drops the unused column, every projection field is
+    # deterministic again, and pushdown re-inlines q/best into the
+    # filter, re-running tokenize ~15x per row.
     kept = scored.filter(
-        (F.col("q") >= 0.5) & (lang_from_best(F.col("best")) == "en")
+        (F.col("q") >= 0.5)
+        & (lang_from_best(F.col("best")) == "en")
+        & (F.col("_barrier") >= 0)
     )
     canon = kept.groupBy(F.md5("text").alias("h")).agg(
         F.min("doc_id").alias("doc_id")

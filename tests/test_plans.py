@@ -302,3 +302,17 @@ def test_percentile_selection_matches_one_agg(spark, sf_dir):
     assert got["x"]["p50"] == 2.0     # nulls excluded: median of 1,2,4
     assert got["y"]["p50"] == 7.0     # constant column (zero width)
     assert got["z"]["p50"] is None    # all-null column
+
+
+def test_corpus_curation_single_tokenize(spark, sf_dir):
+    """The curation pipeline must evaluate tokenize/lang-argmax ONCE
+    per row: higher-order lambdas skip subexpression elimination, so if
+    predicate pushdown ever re-inlines the staged columns into the
+    filter, `split(lower(` reappears many times (it did: ~15x, 4x
+    slower). The barrier column keeps the filter above the projection."""
+    from taxi_rides_ny_duckdb_spark.contract import QUERIES
+
+    df = QUERIES["ext_corpus_curation"](spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("split(lower(") == 1, plan.count("split(lower(")
+    assert plan.count("array_sort(transform(") == 1
