@@ -125,9 +125,16 @@ FROM t
 @query("ext_text_quality_score", oracle=_QS_ORACLE)
 def ext_text_quality_score(spark, sf_dir):
     """Heuristic quality score: length band + word shape + punctuation
-    density + stopword presence (functions/text.py)."""
+    density + stopword presence (functions/text.py). Tokens staged as a
+    column first — the score mentions them 5×, and HOF lambdas skip
+    subexpression elimination, so inlining re-tokenizes per mention
+    (plan pinned to ONE tokenize in tests/test_plans)."""
     d = load(spark, sf_dir, "documents")
-    return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
+    toks = d.select("doc_id", "text", tokenize(F.col("text")).alias("__toks"))
+    return toks.select(
+        "doc_id",
+        quality_score(F.col("text"), tokens=F.col("__toks")).alias("quality"),
+    )
 
 
 _LANG_ORACLE = """
@@ -159,10 +166,15 @@ FROM hits
 @query("ext_text_lang_id", oracle=_LANG_ORACLE)
 def ext_text_lang_id(spark, sf_dir):
     """Stopword-overlap language ID (argmax with deterministic
-    tie-break on language code)."""
+    tie-break on language code). Tokens and the argmax struct are
+    staged as columns — the decode references the struct twice and the
+    argmax references tokens 5×; inlined, each mention re-evaluates
+    (plan pinned to ONE tokenize + ONE argmax in tests/test_plans)."""
     d = load(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id", lang_id(tokenize(F.col("text"))).alias("predicted_lang")
+    toks = d.select("doc_id", tokenize(F.col("text")).alias("__toks"))
+    staged = toks.select("doc_id", lang_best(F.col("__toks")).alias("__best"))
+    return staged.select(
+        "doc_id", lang_from_best(F.col("__best")).alias("predicted_lang")
     )
 
 

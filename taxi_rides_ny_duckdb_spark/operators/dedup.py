@@ -25,7 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import jaccard, tokenize, word_shingles
-from ..session import ensure_min_partitions
+from ..session import barrier_filter, ensure_min_partitions
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -60,9 +60,14 @@ def minhash_signatures(
     toks = ensure_min_partitions(df).select(
         F.col(id_col), tokenize(F.col(text_col)).alias("__toks")
     )
-    base = toks.select(
-        F.col(id_col), word_shingles(F.col("__toks"), shingle_n).alias("shingles")
-    ).filter(F.size("shingles") > 0)
+    # barrier_filter: a plain filter here gets pushed below the staged
+    # projections, re-inlining tokenize+shingles into the condition
+    base = barrier_filter(
+        toks.select(
+            F.col(id_col), word_shingles(F.col("__toks"), shingle_n).alias("shingles")
+        ),
+        F.size("shingles") > 0,
+    )
     # Hash each (variable-length) shingle string exactly ONCE; the
     # num_perm "permutations" then rehash the fixed-width int64 —
     # 32 string hashes per shingle would otherwise dominate runtime.
@@ -158,8 +163,11 @@ def ngram_jaccard_pairs(
     blocked on equality columns (e.g. lang) so the self-join is
     per-block instead of global. This is the exact baseline the
     LSH path approximates; at scale use it only within blocks."""
-    # Two-step tokens→shingles projection (see minhash_signatures note).
-    sh = (
+    # Two-step tokens→shingles projection (see minhash_signatures note);
+    # barrier_filter keeps the size() gate from re-inlining it, and
+    # persist keeps the a/b sides of the self-join from re-shingling
+    # the corpus twice (same pattern as the simhash fingerprint persist).
+    sh = barrier_filter(
         ensure_min_partitions(df)
         .select(
             F.col(id_col),
@@ -170,9 +178,9 @@ def ngram_jaccard_pairs(
             F.col(id_col),
             *[F.col(c) for c in block_cols],
             word_shingles(F.col("__toks"), shingle_n).alias("shingles"),
-        )
-        .filter(F.size("shingles") > 0)
-    )
+        ),
+        F.size("shingles") > 0,
+    ).persist()
     a = sh.alias("a")
     b = sh.alias("b")
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")

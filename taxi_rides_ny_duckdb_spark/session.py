@@ -19,6 +19,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 
 def default_parallelism() -> int:
@@ -86,6 +87,29 @@ def ensure_min_partitions(df, n: int | None = None, eager: bool = False):
         df = df.repartition(target)
         return df.localCheckpoint() if eager else df
     return df
+
+
+def barrier_filter(df, cond):
+    """``df.filter(cond)`` that is guaranteed to evaluate ABOVE the
+    DataFrame's current projection.
+
+    Catalyst pushes filters through deterministic projections by
+    substituting aliases into the condition — correct, but when the
+    projection stages an expensive higher-order-function expression
+    (HOFs are exempt from subexpression elimination), the substitution
+    re-evaluates it per textual mention (measured 4-15× per row on the
+    text pipeline). The barrier: a nondeterministic column that the
+    condition references via an always-true predicate
+    (``monotonically_increasing_id() >= 0``). Pushdown requires every
+    projected field to be deterministic, and pruning can't drop a
+    referenced column, so the filter stays put. Costs one long per row
+    in one stage; changes no results."""
+    b = "__pushdown_barrier"
+    return (
+        df.withColumn(b, F.monotonically_increasing_id())
+        .filter(cond & (F.col(b) >= 0))
+        .drop(b)
+    )
 
 
 def tune_for_comparison(spark: SparkSession) -> SparkSession:

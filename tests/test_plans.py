@@ -309,10 +309,26 @@ def test_corpus_curation_single_tokenize(spark, sf_dir):
     per row: higher-order lambdas skip subexpression elimination, so if
     predicate pushdown ever re-inlines the staged columns into the
     filter, `split(lower(` reappears many times (it did: ~15x, 4x
-    slower). The barrier column keeps the filter above the projection."""
-    from taxi_rides_ny_duckdb_spark.contract import QUERIES
+    slower). The barrier column keeps the filter above the projection.
 
-    df = QUERIES["ext_corpus_curation"](spark, sf_dir)
+    Uses BUILDERS, not QUERIES: the memoized DataFrame may already have
+    been executed by the parity suite, and an executed AQE plan string
+    contains Final + Initial sections — double-counting operators."""
+    from taxi_rides_ny_duckdb_spark.contract import BUILDERS
+
+    df = BUILDERS["ext_corpus_curation"](spark, sf_dir)
     plan = plan_of(df)
     assert plan.count("split(lower(") == 1, plan.count("split(lower(")
     assert plan.count("array_sort(transform(") == 1
+
+
+def test_text_queries_single_tokenize(spark, sf_dir):
+    """Same staging law for the standalone text queries: one tokenize
+    in the whole plan (lang_id additionally one argmax)."""
+    from taxi_rides_ny_duckdb_spark.contract import BUILDERS
+
+    q = plan_of(BUILDERS["ext_text_quality_score"](spark, sf_dir))
+    assert q.count("split(lower(") == 1, q.count("split(lower(")
+    l = plan_of(BUILDERS["ext_text_lang_id"](spark, sf_dir))
+    assert l.count("split(lower(") == 1, l.count("split(lower(")
+    assert l.count("array_sort(transform(") == 1
