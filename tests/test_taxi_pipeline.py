@@ -206,3 +206,51 @@ def test_dq_results(taxi):
     assert (
         results["not_null__dm_monthly_zone_revenue__revenue_monthly_total_amount"].violations == 0
     )
+
+
+def test_month_partitioned_fact_prunes(spark, tmp_path_factory):
+    """The 100 TB layout switch (SURVEY §4 conclusion): fact_trips
+    partitioned by pickup_month must (a) static-prune — a month filter
+    reaches the scan as a PartitionFilter, so only that month's files
+    are read — and (b) dynamic-prune — joining a selectively-filtered
+    dim on the partition column inserts a dynamicpruning subquery, so
+    at scale the zone joins only touch surviving months."""
+    from pyspark.sql import functions as F
+
+    root = tmp_path_factory.mktemp("taxi_part")
+    paths = write_taxi_fixtures(str(root / "raw"))
+    runner = build_taxi_pipeline(
+        spark,
+        green_path=paths["green_tripdata"],
+        yellow_path=paths["yellow_tripdata"],
+        zone_csv_path=paths["taxi_zone_lookup"],
+        warehouse_dir=str(root / "warehouse"),
+        partition_fact_by_month=True,
+    )
+    built = runner.run()
+    fact = built["fact_trips"]
+    n_months = fact.select("pickup_month").distinct().count()
+    assert n_months > 12  # fixtures span 2019-2020
+
+    # (a) static pruning: the month predicate must land in the scan's
+    # PartitionFilters (not a post-scan Filter over all partitions).
+    one = fact.filter(F.col("pickup_month") == F.to_date(F.lit("2019-03-01")))
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    head, _, tail = plan.partition("PartitionFilters: [")
+    assert tail, plan
+    assert "pickup_month" in tail.split("]")[0], plan
+
+    # (b) dynamic pruning: months dim (a separate parquet relation)
+    # filtered on a non-partition attribute, joined on pickup_month.
+    months = fact.select("pickup_month").distinct().withColumn(
+        "q", F.quarter("pickup_month")
+    )
+    dim_path = str(root / "months_dim")
+    months.write.mode("overwrite").parquet(dim_path)
+    dim = spark.read.parquet(dim_path).filter(F.col("q") == 1)
+    joined = fact.join(F.broadcast(dim), "pickup_month")
+    jplan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in jplan.lower(), jplan
+    # and the pruned join still computes the right rows
+    expected = fact.filter(F.quarter("pickup_month") == 1).count()
+    assert joined.count() == expected
