@@ -372,6 +372,62 @@ def ext_embedding_near_dup_exact(spark, sf_dir):
     return pairs.select("id_a", "id_b", sim).filter(F.col("cosine_sim_r") >= 0.3)
 
 
+_CLUSTER_COMPONENTS_ORACLE = """
+WITH RECURSIVE v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
+  FROM embeddings WHERE vec_id < 100
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    CASE WHEN sqrt(list_sum(list_transform(generate_series(1, len(a.ev)), i -> a.ev[i] * a.ev[i]))) > 0
+          AND sqrt(list_sum(list_transform(generate_series(1, len(b.ev)), i -> b.ev[i] * b.ev[i]))) > 0
+    THEN list_sum(list_transform(generate_series(1, len(a.ev)), i -> a.ev[i] * b.ev[i]))
+         / (sqrt(list_sum(list_transform(generate_series(1, len(a.ev)), i -> a.ev[i] * a.ev[i])))
+            * sqrt(list_sum(list_transform(generate_series(1, len(b.ev)), i -> b.ev[i] * b.ev[i]))))
+    ELSE 0.0 END AS cosine_sim
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs WHERE round(cosine_sim, 9) >= 0.3
+  UNION ALL
+  SELECT id_b, id_a FROM pairs WHERE round(cosine_sim, 9) >= 0.3
+), reach(id, r) AS (
+  SELECT vec_id, vec_id FROM v
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+)
+SELECT id AS vec_id, min(r) AS component FROM reach GROUP BY id
+"""
+
+
+@query("ext_dedup_cluster_components", oracle=_CLUSTER_COMPONENTS_ORACLE, memoize=False)
+def ext_dedup_cluster_components(spark, sf_dir):
+    """Transitive closure of the exact near-dup pair list (a≈b, b≈c ⇒
+    one cluster): distributed min-label propagation vs the oracle's
+    recursive CTE. Completes the dedup ladder — pair-finders emit
+    edges, corpus collapse needs clusters (operators/dedup.py).
+    memoize=False: the builder iterates eagerly (localCheckpoint per
+    round), so a memoized re-run would skip the work being timed."""
+    from .operators.dedup import connected_components
+    from .operators.similarity import cosine
+
+    v = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 100)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("ev"))
+    )
+    a = v.select(F.col("vec_id").alias("id_a"), F.col("ev").alias("av"))
+    b = v.select(F.col("vec_id").alias("id_b"), F.col("ev").alias("bv"))
+    pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.round(cosine(F.col("av"), F.col("bv")), 9).alias("sim"),
+        )
+        .filter(F.col("sim") >= 0.3)
+    )
+    comp = connected_components(pairs, "id_a", "id_b", nodes=v.select("vec_id"))
+    return comp.select(F.col("id").alias("vec_id"), "component")
+
+
 _CENTROID_ASSIGN_ORACLE = """
 WITH v AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings

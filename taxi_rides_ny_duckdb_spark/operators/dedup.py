@@ -280,3 +280,81 @@ def simhash_candidate_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    nodes: DataFrame | None = None,
+    max_iter: int = 50,
+) -> DataFrame:
+    """Transitive closure over a near-dup pair list: (id, component)
+    where component = min node id reachable through the pairs.
+
+    Every pair-finder above emits EDGES; collapsing a corpus needs
+    CLUSTERS (a≈b, b≈c ⇒ {a,b,c} is one group even if a≉c). Iterative
+    min-label propagation: each round, every node's label becomes the
+    min of its own and its neighbors' labels — converges in O(graph
+    diameter) rounds, and near-dup graphs are shallow (dup clusters are
+    dense, diameters of 2-4), so 3-5 rounds in practice.
+
+    Scale notes: per round, one shuffle of (id, label) pairs — never
+    document payloads; ``localCheckpoint`` truncates lineage each round
+    (an iterative plan otherwise grows a join per round until analysis
+    itself dominates) and makes the convergence-check count reuse the
+    same materialized blocks the next round joins against. For
+    web-scale skewed graphs swap in large-star/small-star (Kiveris et
+    al., "Connected Components in MapReduce and Beyond") — same
+    contract, fewer rounds on high-degree nodes.
+
+    ``nodes``: optional single-column DataFrame of ALL ids; members
+    absent from ``edges`` come back as singleton components (a corpus
+    dedup must keep non-duplicated documents).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    ids = sym.select(F.col("src").alias("id")).distinct()
+    if nodes is not None:
+        first = nodes.columns[0]
+        ids = ids.union(nodes.select(F.col(first).alias("id"))).distinct()
+    labels = ids.withColumn("component", F.col("id")).localCheckpoint(eager=True)
+    sym = sym.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        cand = sym.join(
+            labels.withColumnRenamed("id", "src"), "src"
+        ).select(F.col("dst").alias("id"), "component")
+        new = (
+            labels.select("id", "component")
+            .union(cand)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("component", "old"), "id")
+            .filter(F.col("component") != F.col("old"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
+def cluster_dedup(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Collapse near-dup clusters to one survivor each: connected
+    components over ``pairs``, keep the min-id member per component
+    (deterministic — safe to rerun, safe to oracle). Rows of ``df``
+    not mentioned in ``pairs`` are singletons and always survive."""
+    comp = connected_components(pairs, src, dst, nodes=df.select(id_col))
+    survivors = comp.filter(F.col("id") == F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(survivors, id_col, "inner")

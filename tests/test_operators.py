@@ -361,3 +361,34 @@ def test_assign_nearest_centroid_ties_to_lower_id(spark):
     }
     assert got[0] == 0  # tie between centroids 0 and 1 -> lower id
     assert got[1] == 2
+
+
+def test_connected_components_and_cluster_dedup(spark):
+    """Min-label propagation (operators/dedup.connected_components):
+    chain a-b-c collapses transitively even though a,c never pair;
+    triangle+tail is one component; isolated nodes are singletons;
+    cluster_dedup keeps exactly one (min-id) survivor per component."""
+    from pyspark.sql import Row
+
+    from taxi_rides_ny_duckdb_spark.operators.dedup import (
+        cluster_dedup,
+        connected_components,
+    )
+
+    # components: {1,2,3} (chain), {10,11,12,13} (triangle 10-11-12 + tail 13), {20} singleton
+    edges = spark.createDataFrame(
+        [Row(id_a=1, id_b=2), Row(id_a=2, id_b=3),
+         Row(id_a=10, id_b=11), Row(id_a=11, id_b=12), Row(id_a=10, id_b=12),
+         Row(id_a=12, id_b=13)],
+        schema="id_a bigint, id_b bigint",
+    )
+    docs = spark.createDataFrame(
+        [Row(doc_id=i) for i in (1, 2, 3, 10, 11, 12, 13, 20)],
+        schema="doc_id bigint",
+    )
+    comp = {r["id"]: r["component"]
+            for r in connected_components(edges, nodes=docs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 13: 10, 20: 20}
+
+    survivors = sorted(r["doc_id"] for r in cluster_dedup(docs, edges, "doc_id").collect())
+    assert survivors == [1, 10, 20]  # one min-id survivor per component
