@@ -81,6 +81,7 @@ class DQTest:
 class DQResult:
     test: DQTest
     violations: int
+    failures_path: str | None = None  # set when store_failures wrote rows
 
     @property
     def passed(self) -> bool:
@@ -92,14 +93,33 @@ class DQError(AssertionError):
 
 
 def run_tests(
-    models: dict[str, DataFrame], tests: Sequence[DQTest], raise_on_error: bool = True
+    models: dict[str, DataFrame],
+    tests: Sequence[DQTest],
+    raise_on_error: bool = True,
+    store_failures_dir: str | None = None,
 ) -> list[DQResult]:
-    """Execute tests, enforcing severities like ``dbt build`` (§3.2)."""
+    """Execute tests, enforcing severities like ``dbt build`` (§3.2).
+
+    ``store_failures_dir``: dbt's ``--store-failures`` — each test's
+    violating ROWS (not just the count) are written to
+    ``{dir}/{test.name}`` so failures can be inspected/joined later.
+    The violations plan runs once: write, then count the written
+    parquet (dbt likewise counts from the audit table)."""
+    import os
+
     results: list[DQResult] = []
     errors: list[str] = []
     for t in tests:
-        n = t.build(models[t.model]).count()
-        results.append(DQResult(t, n))
+        viol = t.build(models[t.model])
+        if store_failures_dir is not None:
+            path = os.path.join(store_failures_dir, t.name)
+            viol.write.mode("overwrite").parquet(path)
+            stored = viol.sparkSession.read.parquet(path)
+            n = stored.count()
+            results.append(DQResult(t, n, failures_path=path))
+        else:
+            n = viol.count()
+            results.append(DQResult(t, n))
         if n > 0:
             msg = f"dq test {t.name} on {t.model}: {n} violating rows (severity={t.severity})"
             if t.severity == "error":

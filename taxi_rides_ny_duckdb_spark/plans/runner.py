@@ -158,13 +158,36 @@ class PipelineRunner:
             self.built[name] = self._materialize(m, df)
         return dict(self.built)
 
-    def test(self, tests: Sequence[DQTest], raise_on_error: bool = True) -> list[DQResult]:
-        """``dbt test``: run data-quality tests against built models."""
+    def test(
+        self,
+        tests: Sequence[DQTest],
+        raise_on_error: bool = True,
+        store_failures: bool = False,
+    ) -> list[DQResult]:
+        """``dbt test``: run data-quality tests against built models.
+        ``store_failures`` writes each test's violating rows under
+        ``{warehouse_dir}/dq_failures/{test.name}`` (dbt
+        ``--store-failures``)."""
         universe = {**self.sources, **self.built}
-        return run_tests(universe, tests, raise_on_error=raise_on_error)
+        store_dir = (
+            os.path.join(self.warehouse_dir, "dq_failures") if store_failures else None
+        )
+        return run_tests(
+            universe, tests, raise_on_error=raise_on_error,
+            store_failures_dir=store_dir,
+        )
 
-    def build(self, tests: Sequence[DQTest] = (), raise_on_error: bool = True):
+    def build(
+        self,
+        tests: Sequence[DQTest] = (),
+        raise_on_error: bool = True,
+        store_failures: bool = False,
+    ):
         """``dbt build`` = run + test (README.md:59-63)."""
         built = self.run()
-        results = self.test(tests, raise_on_error=raise_on_error) if tests else []
+        results = (
+            self.test(tests, raise_on_error=raise_on_error, store_failures=store_failures)
+            if tests
+            else []
+        )
         return built, results

@@ -254,3 +254,30 @@ def test_month_partitioned_fact_prunes(spark, tmp_path_factory):
     # and the pruned join still computes the right rows
     expected = fact.filter(F.quarter("pickup_month") == 1).count()
     assert joined.count() == expected
+
+
+def test_store_failures_writes_violating_rows(taxi):
+    """dbt --store-failures analog: each failing test's violating ROWS
+    land under warehouse/dq_failures/{test.name} and the stored count
+    equals the reported count."""
+    import os
+
+    from taxi_rides_ny_duckdb_spark.plans.dq import (
+        bind_relationship_tests,
+        reference_test_suite,
+    )
+
+    runner = taxi["runner"]
+    tests = bind_relationship_tests(
+        reference_test_suite(), runner.sources["taxi_zone_lookup"]
+    )
+    results = runner.test(tests, raise_on_error=False, store_failures=True)
+    spark = runner.spark
+    assert results and all(r.failures_path for r in results)
+    for r in results:
+        assert os.path.isdir(r.failures_path), r.failures_path
+        stored = spark.read.parquet(r.failures_path)
+        assert stored.count() == r.violations, r.test.name
+    # the relationships audits carry the actual out-of-seed rows
+    rel = next(r for r in results if r.test.name.startswith("relationships__"))
+    assert rel.violations > 0
