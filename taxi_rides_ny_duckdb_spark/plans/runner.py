@@ -158,6 +158,41 @@ class PipelineRunner:
             self.built[name] = self._materialize(m, df)
         return dict(self.built)
 
+    def manifest(self) -> dict:
+        """The dbt ``manifest.json`` analog: the compiled DAG as plain
+        data — nodes (materialization, deps, partitioning, and the
+        resolved output schema once built), sources, and edges. This is
+        the artifact downstream tooling consumes (PipeRider reads dbt's
+        manifest to find models and metrics, SURVEY §3.3); ours is
+        engine-native and JSON-serializable.
+        """
+        def schema_of(name: str):
+            df = self.built.get(name) or self.sources.get(name)
+            if df is None:
+                return None
+            return [{"name": f.name, "type": f.dataType.simpleString()}
+                    for f in df.schema.fields]
+
+        return {
+            "sources": {n: {"schema": schema_of(n)} for n in self.sources},
+            "nodes": {
+                m.name: {
+                    "depends_on": list(m.deps),
+                    "materialization": m.materialization,
+                    "partition_by": list(m.partition_by),
+                    "unique_key": list(m.unique_key),
+                    "built": m.name in self.built,
+                    "schema": schema_of(m.name),
+                }
+                for m in self.models.values()
+            },
+            "edges": [
+                {"from": d, "to": m.name}
+                for m in self.models.values()
+                for d in m.deps
+            ],
+        }
+
     def test(
         self,
         tests: Sequence[DQTest],

@@ -281,3 +281,24 @@ def test_store_failures_writes_violating_rows(taxi):
     # the relationships audits carry the actual out-of-seed rows
     rel = next(r for r in results if r.test.name.startswith("relationships__"))
     assert rel.violations > 0
+
+
+def test_manifest_export(taxi):
+    """dbt manifest.json analog: the compiled DAG as JSON-serializable
+    data — node deps/materializations match the project wiring and
+    built nodes carry their resolved output schema."""
+    import json
+
+    m = taxi["runner"].manifest()
+    json.dumps(m)  # must be serializable
+    nodes = m["nodes"]
+    assert nodes["fact_trips"]["depends_on"] == [
+        "stg_green_tripdata", "stg_yellow_tripdata", "dim_zones"
+    ]
+    assert nodes["stg_green_tripdata"]["materialization"] == "view"
+    assert nodes["fact_trips"]["materialization"] == "table"
+    assert all(n["built"] for n in nodes.values())
+    fact_cols = [c["name"] for c in nodes["fact_trips"]["schema"]]
+    assert "pickup_borough" in fact_cols and "tripid" in fact_cols
+    assert {"from": "fact_trips", "to": "dm_monthly_zone_revenue"} in m["edges"]
+    assert set(m["sources"]) == {"green_tripdata", "yellow_tripdata", "taxi_zone_lookup"}
