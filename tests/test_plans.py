@@ -332,3 +332,51 @@ def test_text_queries_single_tokenize(spark, sf_dir):
     l = plan_of(BUILDERS["ext_text_lang_id"](spark, sf_dir))
     assert l.count("split(lower(") == 1, l.count("split(lower(")
     assert l.count("array_sort(transform(") == 1
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE skew-join handling (session.py turns it on): a sort-merge
+    join whose left side is dominated by one hot key must show
+    skew=true in the final adaptive plan — the hot partition was split
+    at runtime without manual salting. This is the config-only
+    complement to operators/scale.salted_join (which exists for the
+    cases AQE can't rewrite, e.g. pre-shuffle aggregation skew)."""
+    from pyspark.sql import functions as F
+
+    prev = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.shuffle.partitions",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+        # scale the skew detector down to test-sized data
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "65536"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16384")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        # left: 200k rows, ~90% on key 0; right: 5k distinct keys
+        left = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0))
+            .otherwise(F.col("id") % 5000)
+            .alias("k"),
+            F.col("id").alias("payload"),
+        )
+        right = spark.range(0, 5000).select(
+            F.col("id").alias("k"), F.md5(F.col("id").cast("string")).alias("attr")
+        )
+        joined = left.join(right, "k")
+        # collect() drives joined's OWN QueryExecution (count() would
+        # spawn a fresh one and leave this plan un-finalized)
+        assert len(joined.collect()) > 0
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
