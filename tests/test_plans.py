@@ -380,3 +380,18 @@ def test_aqe_splits_skewed_join_partitions(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_star_join_broadcasts_all_dims(spark, sf_dir):
+    """The Q5-shaped star chain must broadcast every dimension — the
+    only data-sized shuffles allowed are the fact-side key join and the
+    final groupBy (at sf0.01 orders broadcasts too: 1 exchange total)."""
+    df = contract.BUILDERS["j5_star_join_revenue"](spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+    non_broadcast = [
+        l for l in plan.splitlines()
+        if "Exchange" in l and "Broadcast" not in l and "Reused" not in l
+    ]
+    assert len(non_broadcast) <= 2, non_broadcast
