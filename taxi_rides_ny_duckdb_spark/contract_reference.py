@@ -1012,3 +1012,43 @@ def j5_star_join_revenue(spark, sf_dir):
         dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
         F.count(F.lit(1)).alias("n_lineitems"),
     )
+
+
+@query(
+    "a9_conditional_agg_promo",
+    oracle="""
+    SELECT
+      CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
+      CAST(SUM(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+                    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo_revenue,
+      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+        AS total_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY 1
+    """,
+)
+def a9_conditional_agg_promo(spark, sf_dir):
+    """TPC-H Q14-shaped conditional aggregation: SUM(CASE WHEN ...) —
+    the filtered-aggregate idiom (promo vs total revenue per ship
+    month) over a broadcast lineitem⋈part join. Complements X2's bare
+    CASE decode with CASE as an aggregate input; both sums ride the
+    deterministic decimal route."""
+    li = load(spark, sf_dir, "lineitem")
+    p = F.broadcast(load(spark, sf_dir, "part").select("p_partkey", "p_type"))
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    return (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .groupBy(
+            F.date_trunc("month", F.col("l_shipdate")).cast("date").alias("ship_month")
+        )
+        .agg(
+            F.sum(promo).cast("double").alias("promo_revenue"),
+            F.sum(rev).cast("double").alias("total_revenue"),
+        )
+    )
