@@ -1052,3 +1052,34 @@ def a9_conditional_agg_promo(spark, sf_dir):
             F.sum(rev).cast("double").alias("total_revenue"),
         )
     )
+
+
+_Q17_SQL = """
+SELECT
+  p_brand,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+FROM lineitem li
+JOIN part p ON li.l_partkey = p.p_partkey
+WHERE li.l_quantity < (
+  SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                / COUNT(l2.l_quantity))
+  FROM lineitem l2
+  WHERE l2.l_partkey = li.l_partkey
+)
+GROUP BY p_brand
+"""
+
+
+@query("s6_correlated_subquery", oracle=_Q17_SQL)
+def s6_correlated_subquery(spark, sf_dir):
+    """TPC-H Q17-shaped correlated scalar subquery: per-part average
+    quantity threshold referenced from the outer predicate. Exercises
+    Catalyst's decorrelation — the subquery is rewritten to an
+    aggregate-then-join, so at scale it is one extra shuffle, not a
+    per-row re-scan. Identical SQL text runs on both engines; the
+    inner average uses the exact decimal-sum/count route so the 0.2×
+    threshold is bit-identical and no boundary row can flip."""
+    from .sources.registry import register_all
+
+    register_all(spark, sf_dir, tables=("lineitem", "part"))
+    return spark.sql(_Q17_SQL)
