@@ -1296,3 +1296,37 @@ def ext_corpus_curation(spark, sf_dir):
     )
     return hash_split(canon.select("doc_id"), "doc_id",
                       {"train": 0.8, "val": 0.1, "test": 0.1})
+
+
+_EXPLODE_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'), w -> w != ''))
+           AS token
+  FROM documents
+)
+SELECT token, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+FROM toks
+GROUP BY token
+HAVING COUNT(*) >= 50
+"""
+
+
+@query("ext_text_explode_tokens", oracle=_EXPLODE_ORACLE)
+def ext_text_explode_tokens(spark, sf_dir):
+    """Generator surface: explode the token array to one row per
+    (doc, token), then corpus-level term frequencies — Spark's
+    explode ≡ DuckDB's unnest. The generate node stays inside the
+    scan's codegen stage and the count-distinct is the only shuffle;
+    at 100 TB this is the vocabulary-building pass of a text
+    pipeline."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokenize(F.col("text"))).alias("token"))
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n") >= 50)
+    )
