@@ -386,9 +386,15 @@ def test_connected_components_and_cluster_dedup(spark):
         [Row(doc_id=i) for i in (1, 2, 3, 10, 11, 12, 13, 20)],
         schema="doc_id bigint",
     )
-    comp = {r["id"]: r["component"]
-            for r in connected_components(edges, nodes=docs).collect()}
-    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 13: 10, 20: 20}
+    # both physical strategies must agree: driver union-find (default
+    # for tiny edge lists) and distributed label propagation (forced by
+    # a zero threshold)
+    for thresh in (1_000_000, 0):
+        comp = {r["id"]: r["component"]
+                for r in connected_components(
+                    edges, nodes=docs, driver_threshold_edges=thresh
+                ).collect()}
+        assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 13: 10, 20: 20}, thresh
 
     survivors = sorted(r["doc_id"] for r in cluster_dedup(docs, edges, "doc_id").collect())
     assert survivors == [1, 10, 20]  # one min-id survivor per component
