@@ -395,3 +395,36 @@ def test_star_join_broadcasts_all_dims(spark, sf_dir):
         if "Exchange" in l and "Broadcast" not in l and "Reused" not in l
     ]
     assert len(non_broadcast) <= 2, non_broadcast
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
+    """Runtime row-level filtering: a selective dim-side predicate on a
+    shuffle join must inject a bloom_filter_agg on the dim side and a
+    might_contain probe on the fact side — at 100 TB this prunes fact
+    rows BEFORE the shuffle instead of after the join. Thresholds are
+    scaled down to test-sized data (production defaults gate on a
+    10 GB application side)."""
+    keys = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+    }
+    prev = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        for k, v in keys.items():
+            spark.conf.set(k, v)
+        li = load(spark, sf_dir, "lineitem")
+        o = load(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        plan = plan_of(j)
+        assert "bloom_filter_agg" in plan, plan[:1500]
+        assert "might_contain" in plan
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
