@@ -1330,3 +1330,50 @@ def ext_text_explode_tokens(spark, sf_dir):
         )
         .filter(F.col("n") >= 50)
     )
+
+
+@query(
+    "ext_unpivot_measures",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderpriority,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          / COUNT(o_totalprice) AS avg_price,
+        CAST(COUNT(*) AS DOUBLE) AS n_orders
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, 'sum_price' AS measure, sum_price AS value FROM a
+    UNION ALL
+    SELECT o_orderpriority, 'avg_price' AS measure, avg_price AS value FROM a
+    UNION ALL
+    SELECT o_orderpriority, 'n_orders' AS measure, n_orders AS value FROM a
+    """,
+)
+def ext_unpivot_measures(spark, sf_dir):
+    """UNPIVOT / melt: wide per-priority measures → long (key, measure,
+    value) triples — the reshape every metrics store and feature
+    pipeline needs before a union or a per-measure groupBy. Spark-first:
+    ``DataFrame.unpivot`` lowers to a single Expand node (each input row
+    emitted once per measure, no join, no shuffle beyond the upstream
+    aggregate); the oracle spells the same reshape as the portable
+    3-way UNION ALL. All measures presented as double so the long
+    ``value`` column has one type, and the sums/avg ride the
+    deterministic decimal route."""
+    from .functions.parity import davg
+
+    wide = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            dsum(F.col("o_totalprice"), 18, 2).alias("sum_price"),
+            davg(F.col("o_totalprice"), 18, 2).alias("avg_price"),
+            F.count(F.lit(1)).cast("double").alias("n_orders"),
+        )
+    )
+    return wide.unpivot(
+        ["o_orderpriority"],
+        ["sum_price", "avg_price", "n_orders"],
+        "measure",
+        "value",
+    )

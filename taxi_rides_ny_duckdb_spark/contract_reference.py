@@ -1083,3 +1083,154 @@ def s6_correlated_subquery(spark, sf_dir):
 
     register_all(spark, sf_dir, tables=("lineitem", "part"))
     return spark.sql(_Q17_SQL)
+
+
+@query(
+    "j6_outer_join_count_dist",
+    oracle="""
+    WITH c_orders AS (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM c_orders GROUP BY c_count
+    """,
+)
+def j6_outer_join_count_dist(spark, sf_dir):
+    """TPC-H Q13-shaped LEFT OUTER join + two-level aggregation: count
+    orders per customer (keeping customers with zero orders), then the
+    distribution of those counts. Completes the join-type matrix the
+    reference's inner joins (fact_trips.sql:54-57) start: outer joins
+    cannot drop the probe side, so the null-extension semantics are the
+    operator under test. The ON-clause filter on the preserved side's
+    partner (``o_orderpriority <> '1-URGENT'``) is expressed as a
+    pre-join filter — semantically identical for LEFT OUTER, and it
+    pushes to the parquet scan instead of evaluating inside the join.
+    At scale both sides are large → shuffle join on the customer key;
+    the second aggregate's key (c_count) is tiny and AQE coalesces it."""
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "j7_semi_anti_multicond",
+    oracle="""
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name IN ('NATION_3', 'NATION_7')
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    """,
+)
+def j7_semi_anti_multicond(spark, sf_dir):
+    """TPC-H Q21-shaped compound EXISTS / NOT EXISTS: the only supplier
+    with a returned ('R') line on a multi-supplier order. Exercises
+    semi and anti joins with MULTI-CONDITION predicates (equi key +
+    non-equi ``l_suppkey <>``) — beyond ext_semi_join's single-key
+    EXISTS. Spark-first plan: both subqueries become one self-join pass
+    each (left_semi then left_anti on the same key), so the physical
+    plan is two hash joins on l_orderkey — the non-equi term rides
+    along as a join residual, not a nested-loop; the supplier/nation
+    dims broadcast."""
+    li = load(spark, sf_dir, "lineitem")
+    l1 = li.select("l_orderkey", "l_suppkey", "l_returnflag").filter(
+        F.col("l_returnflag") == "R"
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = l1.select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
+    )
+    waiting = l1.join(
+        l2,
+        (l1["l_orderkey"] == l2["k2"]) & (l1["l_suppkey"] != l2["s2"]),
+        "left_semi",
+    ).join(
+        l3,
+        (l1["l_orderkey"] == l3["k3"]) & (l1["l_suppkey"] != l3["s3"]),
+        "left_anti",
+    )
+    s = F.broadcast(load(spark, sf_dir, "supplier"))
+    n = F.broadcast(
+        load(spark, sf_dir, "nation").filter(
+            F.col("n_name").isin("NATION_3", "NATION_7")
+        )
+    )
+    return (
+        waiting.join(s, waiting["l_suppkey"] == s["s_suppkey"])
+        .join(n, s["s_nationkey"] == n["n_nationkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@query(
+    "j8_full_outer_join",
+    oracle="""
+    WITH o AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY 1
+    ), l AS (
+      SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS m,
+             COUNT(*) AS n_shipments
+      FROM lineitem GROUP BY 1
+    )
+    SELECT COALESCE(o.m, l.m) AS month,
+           COALESCE(n_orders, 0) AS n_orders,
+           COALESCE(n_shipments, 0) AS n_shipments
+    FROM o FULL OUTER JOIN l ON o.m = l.m
+    """,
+)
+def j8_full_outer_join(spark, sf_dir):
+    """FULL OUTER join of two independent monthly aggregates (orders
+    placed vs lineitems shipped) — ship months trail order months, so
+    BOTH sides contribute unmatched keys and the coalesced key is the
+    operator under test. At scale each input is a one-shuffle
+    aggregate; the outer join then runs on the already-tiny monthly
+    grain (FULL OUTER cannot broadcast — it must see both sides'
+    unmatched rows — so it stays a sort-merge, but over dozens of
+    rows, not the fact table)."""
+    o = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("om")
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    l = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.date_trunc("month", F.col("l_shipdate")).cast("date").alias("lm")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shipments"))
+    )
+    return o.join(l, o["om"] == l["lm"], "full_outer").select(
+        F.coalesce(o["om"], l["lm"]).alias("month"),
+        F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+        F.coalesce(F.col("n_shipments"), F.lit(0)).alias("n_shipments"),
+    )

@@ -428,3 +428,39 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_semi_anti_multicond_are_hash_joins(spark, sf_dir):
+    """Q21-shaped compound EXISTS/NOT EXISTS (j7): both subqueries must
+    lower to single-pass hash joins on the equi key with the non-equi
+    supplier term as a join residual — a BroadcastNestedLoopJoin or
+    CartesianProduct here would be O(n²) at scale."""
+    df = contract.BUILDERS["j7_semi_anti_multicond"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the non-equi term rides as a residual on the hash join
+    assert "NOT (l_suppkey" in plan
+
+
+def test_outer_join_filter_pushed(spark, sf_dir):
+    """Q13-shaped LEFT OUTER (j6): the ON-clause filter on the
+    null-producing side is expressed pre-join, so it reaches the
+    parquet scan instead of evaluating inside the join."""
+    df = contract.BUILDERS["j6_outer_join_count_dist"](spark, sf_dir)
+    plan = formatted(df)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("o_orderpriority" in l for l in pushed), pushed
+
+
+def test_unpivot_is_single_expand(spark, sf_dir):
+    """UNPIVOT must lower to ONE Expand over the aggregate — no join,
+    no union of re-scans, no shuffle after the aggregate's own
+    exchange (the UNION ALL oracle would scan the aggregate 3×)."""
+    df = contract.BUILDERS["ext_unpivot_measures"](spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("Expand") == 1
+    assert "Join" not in plan and "Union" not in plan
+    assert plan.count("Exchange") == 1
+    assert plan.count("FileScan") == 1
