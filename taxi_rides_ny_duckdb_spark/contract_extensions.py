@@ -1377,3 +1377,123 @@ def ext_unpivot_measures(spark, sf_dir):
         "measure",
         "value",
     )
+
+
+@query(
+    "ext_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang FROM documents
+    WHERE (CAST(concat('0x', substring(md5(concat('', ':', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) / 4294967296.0)
+          < CASE lang WHEN 'en' THEN 0.25 WHEN 'zh' THEN 0.5 ELSE 1.0 END
+    """,
+)
+def ext_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sample
+    (operators/sampling.stratified_hash_sample): rebalance the corpus
+    by language — downsample dominant 'en' to 25%, 'zh' to 50%, keep
+    the rare languages whole. Content-addressed like hash_sample, so
+    the rebalanced corpus is reproducible across runs and engines; the
+    plan is scan + CASE + filter — no shuffle, no per-stratum pass,
+    regardless of stratum count."""
+    from .operators.sampling import stratified_hash_sample
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_hash_sample(
+        d, "doc_id", "lang", {"en": 0.25, "zh": 0.5}
+    )
+
+
+@query(
+    "ext_array_hof",
+    oracle="""
+    SELECT vec_id,
+      CAST(len(embedding) AS BIGINT) AS dim,
+      CAST(list_sum(list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS BIGINT)
+        AS scaled_l1,
+      CAST(len(list_filter(embedding, x -> x >= 0)) AS BIGINT) AS n_nonneg
+    FROM embeddings
+    """,
+)
+def ext_array_hof(spark, sf_dir):
+    """Array higher-order-function surface over the embedding column:
+    transform (scale+floor each component — exact integer math, so the
+    fold is order-independent and cross-engine-safe), aggregate (fold
+    to a per-row sum), filter + size (count non-negative components).
+    All three run as JVM-side codegen'd lambdas inside one projection —
+    no explode/re-group round trip, no Python. Each HOF appears exactly
+    once in the projection (HOF lambdas are exempt from subexpression
+    elimination — the engine's staging law)."""
+    e = load(spark, sf_dir, "embeddings")
+    scaled = F.transform(
+        F.col("embedding"), lambda x: F.floor(x.cast("double") * 1000)
+    )
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("bigint").alias("dim"),
+        F.aggregate(
+            scaled, F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        ).alias("scaled_l1"),
+        F.size(F.filter(F.col("embedding"), lambda x: x >= 0))
+        .cast("bigint")
+        .alias("n_nonneg"),
+    )
+
+
+@query(
+    "ext_global_sort",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE o_totalprice > 100000
+    ORDER BY o_totalprice DESC, o_orderkey
+    """,
+)
+def ext_global_sort(spark, sf_dir):
+    """Global ORDER BY (no limit — o1's TakeOrderedAndProject doesn't
+    apply): Spark samples the sort key to build range boundaries, then
+    one range-partitioning exchange + per-partition sort produces a
+    totally ordered output across partitions — the scalable sort (no
+    single-node gather; contrast coalesce(1).sortWithinPartitions).
+    The filter still pushes to the scan below the sort."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_totalprice") > 100000)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    )
+
+
+@query(
+    "ext_dedup_edit_distance",
+    oracle="""
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.text, b.text) AS BIGINT) AS distance
+    FROM documents a
+    JOIN documents b
+      ON a.lang = b.lang
+     AND a.n_chars // 64 = b.n_chars // 64
+     AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.text, b.text) <= 20
+    """,
+)
+def ext_dedup_edit_distance(spark, sf_dir):
+    """Bounded-Levenshtein near-dup pairs with (lang, length-bucket)
+    blocking (operators/dedup.edit_distance_pairs) — the character-
+    level member of the dedup family (exact / MinHash / SimHash /
+    n-gram Jaccard / embedding-cosine cover token and vector space).
+    Blocking confines the O(n²) comparison to same-language,
+    similar-length documents; Spark's thresholded levenshtein
+    early-exits per pair. The oracle runs the identical blocking +
+    unthresholded distance — integer edit distance, so parity is
+    exact by construction."""
+    from .operators.dedup import edit_distance_pairs
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text", "lang", "n_chars")
+    return edit_distance_pairs(
+        d,
+        "text",
+        "doc_id",
+        20,
+        [F.col("lang"), F.floor(F.col("n_chars") / 64)],
+    )

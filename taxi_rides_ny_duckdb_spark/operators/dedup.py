@@ -412,3 +412,52 @@ def cluster_dedup(
         F.col("id").alias(id_col)
     )
     return df.join(survivors, id_col, "inner")
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_distance: int,
+    block_exprs: list,
+) -> DataFrame:
+    """Near-dup pairs by bounded Levenshtein distance within blocks.
+
+    All-pairs edit distance is O(n²·len²) — never viable at corpus
+    scale. The standard fix is blocking: only compare documents that
+    agree on cheap invariants near-dups must share (language, coarse
+    length bucket, a fingerprint prefix...). ``block_exprs`` ARE the
+    semantics: the operator finds pairs within ``max_distance`` that
+    agree on every block expression — a recall/cost dial the caller
+    owns (an edit of k changes length by ≤ k, so a length bucket of
+    width ≥ 2k+1 with neighbor overlap is lossless; a single bucketing
+    trades the boundary-straddling pairs for one fewer self-join).
+
+    Physically: one shuffle of (block key, id, text) on each side, a
+    hash equi-join on the block key, then Spark's threshold form of
+    ``levenshtein`` — which abandons a cell row once the running
+    minimum exceeds ``max_distance`` (O(k·len) per pair, not
+    O(len²)) — as the join residual. Emits (id_a < id_b, distance)."""
+    blocks = [e.alias(f"__b{i}") for i, e in enumerate(block_exprs)]
+    keys = [f"__b{i}" for i in range(len(block_exprs))]
+    base = df.select(
+        F.col(id_col), F.col(text_col), *blocks
+    )
+    a = base.select(
+        *keys,
+        F.col(id_col).alias("id_a"),
+        F.col(text_col).alias("text_a"),
+    )
+    b = base.select(
+        *keys,
+        F.col(id_col).alias("id_b"),
+        F.col(text_col).alias("text_b"),
+    )
+    dist = F.levenshtein(F.col("text_a"), F.col("text_b"), max_distance)
+    return (
+        a.join(b, on=keys)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", dist.alias("distance"))
+        .filter(F.col("distance") >= 0)  # threshold form returns -1 above k
+        .withColumn("distance", F.col("distance").cast("bigint"))
+    )

@@ -72,3 +72,26 @@ def hash_fraction_sql(id_expr: str, salt: str = "") -> str:
         f"(CAST(concat('0x', substring(md5({key}), 1, 8)) AS BIGINT)"
         f" / 4294967296.0)"
     )
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 1.0,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic stratified (per-class) sample: keep a different
+    hash fraction per stratum — the class-rebalancing primitive (e.g.
+    downsample the dominant language of a corpus without touching the
+    rare ones). Same guarantees as ``hash_sample``: content-addressed,
+    pure per-row projection (scan + CASE + filter — no shuffle, no
+    per-stratum pass), reproducible across runs/engines/cluster
+    layouts. Strata absent from ``fractions`` keep ``default_fraction``."""
+    threshold: Column = F.lit(default_fraction)
+    for value, frac in fractions.items():
+        threshold = (
+            F.when(F.col(stratum_col) == value, F.lit(frac)).otherwise(threshold)
+        )
+    return df.filter(hash_fraction(F.col(id_col), salt) < threshold)

@@ -398,3 +398,24 @@ def test_connected_components_and_cluster_dedup(spark):
 
     survivors = sorted(r["doc_id"] for r in cluster_dedup(docs, edges, "doc_id").collect())
     assert survivors == [1, 10, 20]  # one min-id survivor per component
+
+
+def test_edit_distance_pairs_blocking_and_threshold(spark):
+    """edit_distance_pairs: finds within-block pairs up to the bound,
+    never compares across blocks, and orders ids (id_a < id_b)."""
+    from taxi_rides_ny_duckdb_spark.operators.dedup import edit_distance_pairs
+
+    rows = [
+        (1, "kitten", "en"),
+        (2, "sitten", "en"),   # distance 1 from kitten
+        (3, "kitten", "de"),   # identical text, other block → excluded
+        (4, "aardvark", "en"), # distance > 2 from all
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string, lang string")
+    got = sorted(
+        (r["id_a"], r["id_b"], r["distance"])
+        for r in edit_distance_pairs(
+            df, "text", "doc_id", 2, [F.col("lang")]
+        ).collect()
+    )
+    assert got == [(1, 2, 1)]

@@ -464,3 +464,38 @@ def test_unpivot_is_single_expand(spark, sf_dir):
     assert "Join" not in plan and "Union" not in plan
     assert plan.count("Exchange") == 1
     assert plan.count("FileScan") == 1
+
+
+def test_stratified_sample_is_pure_projection(spark, sf_dir):
+    """Stratified sampling must stay a scan + CASE + filter — no
+    shuffle, no per-stratum pass, no Python — regardless of how many
+    strata get custom fractions."""
+    df = contract.BUILDERS["ext_stratified_sample"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("FileScan") == 1
+
+
+def test_array_hof_is_jvm_projection(spark, sf_dir):
+    """The array HOF surface (transform/aggregate/filter) must run as
+    JVM lambdas inside one projection: no Python eval, no explode +
+    re-aggregate round trip (which would shuffle)."""
+    df = contract.BUILDERS["ext_array_hof"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "Exchange" not in plan
+    assert "Generate" not in plan  # no explode fallback
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_global_sort_is_range_partitioned(spark, sf_dir):
+    """Global ORDER BY must be a range-partitioning exchange + sort
+    (scalable total order), with the filter still pushed to the scan —
+    not a single-partition gather."""
+    df = contract.BUILDERS["ext_global_sort"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "rangepartitioning" in plan
+    assert "SinglePartition" not in plan
+    fmt = formatted(df)
+    pushed = [l for l in fmt.splitlines() if "PushedFilters" in l]
+    assert any("o_totalprice" in l for l in pushed), pushed

@@ -153,3 +153,44 @@ def test_exact_dedup_keeps_one_per_content(spark, texts):
     by_content = {r["content_hash"]: r["n_copies"] for r in out}
     assert sum(by_content.values()) == len(rows)
     assert len(by_content) == len({t for _, t in rows})
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),
+            st.sampled_from(["en", "de", "zh"]),
+        ),
+        max_size=20,
+    ),
+    fractions=st.sampled_from(
+        [{"en": 0.25}, {"en": 0.0, "de": 0.5}, {}]
+    ),
+)
+def test_stratified_sample_equals_per_stratum_sample(spark, rows, fractions):
+    """stratified_hash_sample must equal running hash_sample per
+    stratum with that stratum's fraction (default 1.0 keeps unlisted
+    strata whole) — i.e. the CASE-threshold fusion changes the plan,
+    never the row set."""
+    from taxi_rides_ny_duckdb_spark.operators.sampling import (
+        hash_sample,
+        stratified_hash_sample,
+    )
+
+    df = spark.createDataFrame(
+        rows or [(0, "en")], schema="doc_id long, lang string"
+    )
+    got = sorted(
+        (r["doc_id"], r["lang"])
+        for r in stratified_hash_sample(df, "doc_id", "lang", fractions).collect()
+    )
+    want = []
+    for stratum in ["en", "de", "zh"]:
+        frac = fractions.get(stratum, 1.0)
+        part = df.filter(F.col("lang") == stratum)
+        want += [
+            (r["doc_id"], r["lang"])
+            for r in hash_sample(part, "doc_id", frac).collect()
+        ]
+    assert got == sorted(want)
