@@ -1496,4 +1496,5 @@ def ext_dedup_edit_distance(spark, sf_dir):
         "doc_id",
         20,
         [F.col("lang"), F.floor(F.col("n_chars") / 64)],
+        broadcast_build=True,  # test-SF corpora broadcast comfortably
     )
