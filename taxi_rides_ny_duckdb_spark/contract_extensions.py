@@ -1498,3 +1498,19 @@ def ext_dedup_edit_distance(spark, sf_dir):
         [F.col("lang"), F.floor(F.col("n_chars") / 64)],
         broadcast_build=True,  # test-SF corpora broadcast comfortably
     )
+
+
+@query("ext_embedding_group_medoid", memoize=True)
+def ext_embedding_group_medoid(spark, sf_dir):
+    """Per-label medoid over the embeddings table
+    (operators/similarity.group_medoid) — representative selection via
+    the batch grouped-map (applyInPandas) seam: per-group O(|g|²·d)
+    gram-matrix argmin in vectorized numpy, one Arrow batch per label.
+    Rows-only contract entry: the scores ride numpy float64 gram
+    sums, which no SQL engine reproduces bit-for-bit; determinism
+    within the engine is pinned by sorted-id reduction order (unit
+    tests cover tie-breaks and singleton groups)."""
+    from .operators.similarity import group_medoid
+
+    e = load(spark, sf_dir, "embeddings")
+    return group_medoid(e, "label", "embedding", "vec_id")

@@ -329,3 +329,67 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+def group_medoid(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Per-group medoid: the member minimizing total cosine distance to
+    its groupmates — representative/prototype selection (one canonical
+    example per class, per cluster, per near-dup bucket) for curation
+    and few-shot sampling.
+
+    This is the batch grouped-map (``applyInPandas``) seam of the
+    engine: the inner computation is a per-group O(|g|²·d) pairwise-
+    distance argmin — not expressible as built-in aggregates without a
+    self-join that shuffles the corpus against itself. Each group
+    arrives as ONE Arrow batch; numpy does the quadratic work
+    vectorized (normalize rows → gram matrix → row-sum argmin). Rows
+    are sorted by id inside the group first, so the float reduction
+    order — and therefore tie-breaks — is deterministic under Spark's
+    nondeterministic group-row ordering.
+
+    Scale contract: one shuffle on ``group_col``; a group must fit an
+    executor's memory (true for class/cluster grouping; NOT for
+    corpus-scale groups — pre-bucket those with LSH first). Skewed
+    group sizes are the applyInPandas hazard — AQE cannot split a
+    pandas group."""
+    import numpy as np
+    import pandas as pd
+
+    gtype = dict(df.dtypes)[group_col]
+    itype = dict(df.dtypes)[id_col]
+    out_schema = (
+        f"{group_col} {gtype}, medoid_id {itype}, "
+        f"group_size bigint, mean_dist double"
+    )
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        m = np.stack(pdf[vec_col].map(np.asarray, "ignore").to_numpy()).astype(
+            np.float64
+        )
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0.0] = 1.0
+        unit = m / norms[:, None]
+        # total cosine distance of row i = (n - 1) - sum_j cos(i, j) + 1
+        sims = unit @ unit.T
+        totals = sims.sum(axis=1)  # self-sim contributes a constant 1
+        best = int(np.argmax(totals))  # max total sim == min total dist
+        n = len(pdf)
+        # n - totals[best] is 0 up to float epsilon for singletons and
+        # pure-duplicate groups; clamp so "identical" reads as exactly 0
+        mean_dist = max(float((n - totals[best]) / max(n - 1, 1)), 0.0) if n > 1 else 0.0
+        return pd.DataFrame(
+            {
+                group_col: [pdf[group_col].iloc[0]],
+                "medoid_id": [pdf[id_col].iloc[best]],
+                "group_size": [n],
+                "mean_dist": [mean_dist],
+            }
+        )
+
+    return df.groupBy(group_col).applyInPandas(pick, schema=out_schema)

@@ -419,3 +419,27 @@ def test_edit_distance_pairs_blocking_and_threshold(spark):
         ).collect()
     )
     assert got == [(1, 2, 1)]
+
+
+def test_group_medoid_picks_central_member(spark):
+    """group_medoid: duplicated direction wins (it is closest to the
+    group overall), exact ties break to the lowest id (deterministic
+    sorted-order reduction), singleton groups are their own medoid
+    with zero mean distance."""
+    from taxi_rides_ny_duckdb_spark.operators.similarity import group_medoid
+
+    rows = [
+        ("a", 1, [1.0, 0.0]),
+        ("a", 2, [1.0, 0.0]),   # same direction as id 1 → tie, min id wins
+        ("a", 3, [0.0, 1.0]),   # orthogonal outlier
+        ("b", 7, [0.5, 0.5]),   # singleton
+    ]
+    df = spark.createDataFrame(
+        rows, schema="label string, vec_id long, embedding array<double>"
+    )
+    got = {
+        r["label"]: (r["medoid_id"], r["group_size"], r["mean_dist"])
+        for r in group_medoid(df, "label", "embedding", "vec_id").collect()
+    }
+    assert got["a"][0] == 1 and got["a"][1] == 3
+    assert got["b"] == (7, 1, 0.0)
