@@ -1514,3 +1514,36 @@ def ext_embedding_group_medoid(spark, sf_dir):
 
     e = load(spark, sf_dir, "embeddings")
     return group_medoid(e, "label", "embedding", "vec_id")
+
+
+@query(
+    "ext_events_map_explode",
+    oracle="""
+    SELECT key, COUNT(*) AS n_events,
+           SUM(CAST(json_extract_string(props, '$."' || key || '"') AS BIGINT))
+             AS total_value
+    FROM (
+      SELECT props, unnest(json_keys(props)) AS key
+      FROM events WHERE props IS NOT NULL
+    )
+    GROUP BY key
+    """,
+)
+def ext_events_map_explode(spark, sf_dir):
+    """Semi-structured MAP path: parse the JSON ``props`` column to
+    ``map<string,bigint>`` and EXPLODE its entries to (key, value)
+    rows — the generic schema-on-read pass for payloads whose key set
+    isn't known at pipeline-build time (the from_json-to-struct query
+    ext_events_json_extract covers the known-schema case). Integer
+    value sums keep the oracle exact. At scale the explode is a
+    narrow per-row expansion (no shuffle) feeding one aggregation."""
+    e = load(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    m = F.from_json(F.col("props"), "map<string,bigint>")
+    return (
+        e.select(F.explode(m).alias("key", "val"))
+        .groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("val").alias("total_value"),
+        )
+    )

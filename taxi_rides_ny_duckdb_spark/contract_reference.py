@@ -1234,3 +1234,84 @@ def j8_full_outer_join(spark, sf_dir):
         F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
         F.coalesce(F.col("n_shipments"), F.lit(0)).alias("n_shipments"),
     )
+
+
+@query(
+    "a10_groupwise_median",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS median_qty,
+           quantile_cont(l_extendedprice, 0.9) AS p90_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a10_groupwise_median(spark, sf_dir):
+    """Exact per-group percentiles via the one-agg ``percentile``
+    function — linear-interpolated like DuckDB's quantile_cont, and
+    empirically bit-identical on doubles. Scale note: this form builds
+    a per-group value map, which is right when groups are many and
+    individually bounded (here: 3 return flags would NOT qualify at
+    100 TB — a handful of giant maps). For low-cardinality groups at
+    scale, use the distributed-selection path
+    (plans/profile.profile_percentiles_selection) per group instead;
+    this query pins the semantics and the cross-engine interpolation
+    parity."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.5)).alias("median_qty"),
+        F.percentile("l_extendedprice", F.lit(0.9)).alias("p90_price"),
+    )
+
+
+@query(
+    "j9_cross_join_grid",
+    oracle="""
+    SELECT r_name, n_name, concat(r_name, '/', n_name) AS pair
+    FROM region CROSS JOIN nation
+    """,
+)
+def j9_cross_join_grid(spark, sf_dir):
+    """Explicit CROSS JOIN — the dimension grid (every region ×
+    every nation, e.g. for dense reporting scaffolds that outer-join
+    facts onto the full key space). Safe only when at least one side
+    is tiny; Spark requires the explicit crossJoin() call so an
+    accidental missing join key fails analysis instead of exploding."""
+    r = load(spark, sf_dir, "region").select("r_name")
+    n = load(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(n).select(
+        "r_name",
+        "n_name",
+        F.concat_ws("/", F.col("r_name"), F.col("n_name")).alias("pair"),
+    )
+
+
+@query(
+    "j10_null_safe_join",
+    oracle="""
+    WITH a AS (
+      SELECT NULLIF(l_returnflag, 'N') AS flag,
+             COUNT(*) AS n_lines
+      FROM lineitem GROUP BY 1
+    ), b AS (
+      SELECT NULLIF(l_returnflag, 'N') AS flag,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      FROM lineitem GROUP BY 1
+    )
+    SELECT a.flag, n_lines, total_qty
+    FROM a JOIN b ON a.flag IS NOT DISTINCT FROM b.flag
+    """,
+)
+def j10_null_safe_join(spark, sf_dir):
+    """Null-safe equi-join (``<=>`` / IS NOT DISTINCT FROM): NULL keys
+    match NULL keys — required when a nullable column IS the business
+    key (here a NULLIF-derived flag where NULL means 'open line').
+    A plain equi-join silently drops every NULL-keyed row; the
+    null-safe form keeps them AND still plans as a hash join (the
+    null bucket hashes like any other key — no nested loop)."""
+    li = load(spark, sf_dir, "lineitem")
+    flag = F.nullif(F.col("l_returnflag"), F.lit("N")).alias("flag")
+    a = li.groupBy(flag).agg(F.count(F.lit(1)).alias("n_lines"))
+    b = li.groupBy(flag).agg(dsum(F.col("l_quantity"), 18, 2).alias("total_qty"))
+    return a.join(b, a["flag"].eqNullSafe(b["flag"])).select(
+        a["flag"], "n_lines", "total_qty"
+    )

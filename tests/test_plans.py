@@ -512,3 +512,24 @@ def test_edit_distance_parallelizes_with_probe_side(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "RoundRobinPartitioning" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_null_safe_join_is_hash_join(spark, sf_dir):
+    """Null-safe equi-join (j10): <=> must plan as a hash join (the
+    null bucket hashes like any key) — not BroadcastNestedLoopJoin,
+    which is what a naive (a.flag == b.flag) | (both-null) predicate
+    degenerates to."""
+    df = contract.BUILDERS["j10_null_safe_join"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan
+
+
+def test_map_explode_is_narrow_expansion(spark, sf_dir):
+    """MAP explode (ext_events_map_explode): one Generate (per-row
+    expansion, no shuffle) feeding one aggregation exchange."""
+    df = contract.BUILDERS["ext_events_map_explode"](spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("Generate") == 1
+    assert plan.count("Exchange") == 1
