@@ -1547,3 +1547,55 @@ def ext_events_map_explode(spark, sf_dir):
             F.sum("val").alias("total_value"),
         )
     )
+
+
+@query(
+    "ext_date_spine_densify",
+    oracle="""
+    WITH b AS (
+      SELECT
+        (SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) FROM orders) AS lo,
+        (SELECT CAST(date_trunc('month', MAX(l_shipdate)) AS DATE) FROM lineitem) AS hi
+    ), spine AS (
+      SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS DATE) AS month
+      FROM b
+    ), m AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT spine.month, COALESCE(m.n_orders, 0) AS n_orders
+    FROM spine LEFT JOIN m USING (month)
+    """,
+)
+def ext_date_spine_densify(spark, sf_dir):
+    """Date-spine densify (the dbt_utils.date_spine staple): generate
+    every month between the corpus bounds with ``sequence`` + explode,
+    then LEFT JOIN the sparse monthly aggregate and zero-fill — so a
+    month with no orders still reports a row (here: ship months trail
+    order months, so the spine's tail is all zero-filled). Spark-first:
+    the spine derives from two single-row aggregates crossed (no
+    driver round trip, no collect), the sequence explodes JVM-side,
+    and the join is a broadcast of the tiny spine."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    lo = o.agg(
+        F.date_trunc("month", F.min("o_orderdate")).cast("date").alias("lo")
+    )
+    hi = li.agg(
+        F.date_trunc("month", F.max("l_shipdate")).cast("date").alias("hi")
+    )
+    spine = (
+        lo.crossJoin(hi)
+        .select(
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.expr("interval 1 month"))
+            ).alias("month")
+        )
+    )
+    monthly = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month")
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    return spine.join(monthly, "month", "left_outer").select(
+        "month", F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders")
+    )

@@ -150,9 +150,50 @@ class PipelineRunner:
             return out
         raise ValueError(f"unknown materialization {model.materialization!r}")
 
-    def run(self) -> dict[str, DataFrame]:
-        """``dbt run``: build every model in dependency order."""
-        for name in self._topo_order():
+    def _select(self, selectors: Sequence[str]) -> set[str]:
+        """dbt node-selection: ``m`` (just m), ``+m`` (m and ancestors),
+        ``m+`` (m and descendants), ``+m+`` (both). Union over selectors."""
+        children: dict[str, set[str]] = {}
+        for m in self.models.values():
+            for d in m.deps:
+                children.setdefault(d, set()).add(m.name)
+        chosen: set[str] = set()
+
+        def walk(start: str, edges) -> None:
+            stack = [start]
+            while stack:
+                n = stack.pop()
+                for nxt in edges(n):
+                    if nxt in self.models and nxt not in chosen:
+                        chosen.add(nxt)
+                        stack.append(nxt)
+
+        for sel in selectors:
+            up, down = sel.startswith("+"), sel.endswith("+")
+            name = sel.strip("+")
+            if name not in self.models:
+                raise KeyError(f"unknown model in selector {sel!r}")
+            chosen.add(name)
+            if up:
+                walk(name, lambda n: self.models[n].deps)
+            if down:
+                walk(name, lambda n: children.get(n, ()))
+        return chosen
+
+    def run(self, select: str | Sequence[str] | None = None) -> dict[str, DataFrame]:
+        """``dbt run [-s selector ...]``: build models in dependency
+        order. ``select`` takes dbt graph-selector syntax (``+m``, ``m+``,
+        a bare name, or a list — unioned). A selected model whose
+        upstream is neither selected nor already built fails with the
+        unresolved-ref error, matching dbt's relation-not-found when an
+        excluded parent was never materialized — select ``+m`` to pull
+        ancestors in."""
+        names = self._topo_order()
+        if select is not None:
+            selectors = [select] if isinstance(select, str) else list(select)
+            chosen = self._select(selectors)
+            names = [n for n in names if n in chosen]
+        for name in names:
             m = self.models[name]
             df = m.build(*[self.ref(d) for d in m.deps])
             self.built[name] = self._materialize(m, df)

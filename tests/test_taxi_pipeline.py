@@ -302,3 +302,37 @@ def test_manifest_export(taxi):
     assert "pickup_borough" in fact_cols and "tripid" in fact_cols
     assert {"from": "fact_trips", "to": "dm_monthly_zone_revenue"} in m["edges"]
     assert set(m["sources"]) == {"green_tripdata", "yellow_tripdata", "taxi_zone_lookup"}
+
+
+def test_graph_selection(spark, tmp_path):
+    """dbt -s selector semantics: '+fact_trips' builds ancestors +
+    target but NOT the downstream mart; 'dim_zones+' builds target +
+    descendants; selecting a mid-graph node without its upstream fails
+    with the unresolved-ref error (dbt's relation-not-found)."""
+    paths = write_taxi_fixtures(str(tmp_path / "raw"))
+
+    def fresh():
+        return build_taxi_pipeline(
+            spark,
+            green_path=paths["green_tripdata"],
+            yellow_path=paths["yellow_tripdata"],
+            zone_csv_path=paths["taxi_zone_lookup"],
+            warehouse_dir=str(tmp_path / "wh"),
+        )
+
+    r = fresh()
+    built = r.run(select="+fact_trips")
+    assert "fact_trips" in built and "dim_zones" in built
+    assert "stg_green_tripdata" in built
+    assert "dm_monthly_zone_revenue" not in built
+
+    # descendants re-run: upstream already built in this runner, so
+    # 'dim_zones+' rebuilds the dimension and everything below it
+    built2 = r.run(select="dim_zones+")
+    assert {"dim_zones", "fact_trips", "dm_monthly_zone_revenue"} <= set(built2)
+
+    # mid-graph node on a FRESH runner: upstream never materialized →
+    # unresolved ref, like dbt's relation-not-found on an empty warehouse
+    r3 = fresh()
+    with pytest.raises(KeyError):
+        r3.run(select="dm_monthly_zone_revenue")
