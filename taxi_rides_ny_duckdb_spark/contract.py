@@ -79,5 +79,6 @@ def query(
 def load_all() -> None:
     """Import every module that registers contract queries."""
     from . import contract_reference  # noqa: F401
+    from . import contract_tpch  # noqa: F401
     from . import contract_extensions  # noqa: F401
     from . import contract_taxi  # noqa: F401

@@ -1,0 +1,607 @@
+"""Classic analytic query shapes (TPC-H-derived) over the driver tables.
+
+Round-1 covered the reference's own operator inventory (SURVEY §2) plus
+Q1/Q5/Q13/Q14/Q17/Q21 shapes. This module completes the canonical
+analytic-shape matrix — multi-way join chains with two dimension roles,
+scalar-subquery thresholds (HAVING against a global aggregate),
+join-back after aggregation, NOT-EXISTS against a scalar filter, and
+top-N with join enrichment. Each is the standard decision-support shape
+(public TPC-H spec) re-expressed Spark-first, with a DuckDB oracle.
+
+Scale notes apply to every query here: nation/region/supplier are
+broadcast-size dims (25/5/100·sf rows); orders⨝lineitem is the one real
+shuffle pair and AQE handles its post-shuffle coalescing; every filter
+is placed before its join so Catalyst pushes it into the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .contract import query
+from .functions.parity import davg, dsum
+from .sources.registry import load
+
+
+@query(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           CAST(o_orderdate AS DATE) AS orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-07-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    """Q3 shape: segment-filtered customer ⨝ orders ⨝ lineitem, revenue
+    per order, top 10. The two date filters and the segment filter are
+    applied pre-join (pushed to the scans); customer-after-filter is
+    ~1/5 of the table, so at 100 TB this stays a shuffle join on
+    o_custkey while lineitem⨝orders shuffles on the order key — two
+    shuffles total, then a tiny top-K (TakeOrderedAndProject, no global
+    sort). Tiebreak on l_orderkey pins the limit across engines."""
+    cutoff = "1998-07-01"
+    cust = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
+        .join(li, F.col("o_orderkey") == li["l_orderkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(revenue, 18, 4).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1999-07-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark, sf_dir):
+    """Q4 shape: EXISTS-correlated semi-join (orders with at least one
+    line shipped >60 days after ordering), counted per priority class.
+    LEFT SEMI keeps orders-side columns only and short-circuits on
+    first match — no fan-out, no dedup needed. The non-equi residual
+    (l_shipdate > o_orderdate + 60d) rides on the equi-key hash join.
+    The reference's relationships test (J3) is the anti twin of this."""
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1999-01-01") & (F.col("o_orderdate") < "1999-07-01")
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (
+        orders.join(
+            li,
+            (orders["o_orderkey"] == li["l_orderkey"])
+            & (li["l_shipdate"] > F.date_add(orders["o_orderdate"], 60)),
+            "left_semi",
+        )
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q7_volume_shipping",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(CAST(volume AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation,
+             n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS INTEGER) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+         OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3')
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark, sf_dir):
+    """Q7 shape: the same dimension (nation) in two roles — supplier
+    nation and customer nation — with a symmetric pair predicate, plus
+    year extraction. Both nation joins and the supplier join broadcast;
+    the pair predicate is applied after the broadcasts but before the
+    orders⨝lineitem shuffle pair, so only matching rows shuffle. The
+    nation-pair filter cannot be pushed below the joins (it spans two
+    dims), which is exactly what makes this shape worth pinning."""
+    n1, n2 = "NATION_3", "NATION_8"
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = load(spark, sf_dir, "nation")
+    sn = nat.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    ).filter(F.col("supp_nation").isin(n1, n2))
+    cn = nat.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    ).filter(F.col("cust_nation").isin(n1, n2))
+    joined = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(
+            ((F.col("supp_nation") == n1) & (F.col("cust_nation") == n2))
+            | ((F.col("supp_nation") == n2) & (F.col("cust_nation") == n1))
+        )
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        joined.select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+            volume.alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(dsum(F.col("volume"), 18, 4).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "q8_market_share",
+    oracle="""
+    SELECT o_year,
+           CAST(
+             CAST(SUM(CASE WHEN supp_nation = 'NATION_3'
+                           THEN CAST(volume AS DECIMAL(18,4)) ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(CAST(volume AS DECIMAL(18,4))) AS DOUBLE)
+           AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS supp_nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def q8_market_share(spark, sf_dir):
+    """Q8 shape: national market share — a ratio of a conditional sum
+    to a total sum over an 8-table join (part, supplier, nation ×2,
+    region all broadcast; the orders⨝lineitem pair is the only
+    shuffle). The p_type filter prunes the probe side via the part
+    broadcast; region restricts the *customer* nation while the CASE
+    tests the *supplier* nation — two independent dimension roles."""
+    part = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cn = (
+        nat.join(
+            F.broadcast(region),
+            nat["n_regionkey"] == region["r_regionkey"],
+        )
+        .select(F.col("n_nationkey").alias("cn_key"))
+    )
+    sn = nat.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    all_nations = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"), "left_semi")
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            volume.alias("volume"),
+            "supp_nation",
+        )
+    )
+    dec = F.col("volume").cast("decimal(18,4)")
+    nation_sum = F.sum(
+        F.when(F.col("supp_nation") == "NATION_3", dec).otherwise(F.lit(0))
+    ).cast("double")
+    total_sum = F.sum(dec).cast("double")
+    return (
+        all_nations.groupBy("o_year")
+        .agg((nation_sum / total_sum).cast("double").alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "q10_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           CAST(c_acctbal AS DOUBLE) AS c_acctbal,
+           n_name
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '2000-07-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark, sf_dir):
+    """Q10 shape: top-20 customers by lost revenue (returned items in
+    one half-year), enriched with nation via broadcast. Aggregation
+    keys include the customer attributes, so the groupBy shuffle
+    carries them instead of a second join-back — correct when the
+    group key is already the customer grain. Pinned tiebreak on
+    c_custkey makes the LIMIT deterministic cross-engine."""
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= "2000-01-01")
+            & (F.col("o_orderdate") < "2000-07-01")
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    nat = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(revenue, 18, 4).alias("revenue"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+            "n_name",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q11_important_parts",
+    oracle="""
+    WITH part_value AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS value_dec
+      FROM lineitem GROUP BY l_partkey
+    ), total AS (
+      SELECT SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS t,
+             COUNT(DISTINCT l_partkey) AS n_parts
+      FROM lineitem
+    )
+    SELECT l_partkey, CAST(value_dec AS DOUBLE) AS total_value
+    FROM part_value, total
+    WHERE value_dec * n_parts * 10 > t * 12
+    ORDER BY total_value DESC, l_partkey
+    """,
+)
+def q11_important_parts(spark, sf_dir):
+    """Q11 shape: per-key aggregate filtered against a *global* scalar
+    aggregate (parts whose traded value exceeds 1.2× the per-part
+    average). The scalar side is a 1-row DataFrame cross-joined in —
+    Catalyst broadcasts it, so the HAVING predicate evaluates map-side
+    with zero extra shuffle. The threshold is scale-invariant (relative
+    to the average, not an absolute share, so selectivity holds from
+    sf0.001 to 100 TB) and cross-multiplied (value × n × 10 > 12 ×
+    total) so the comparison stays in exact decimal/integer arithmetic
+    on both engines — a fractional multiplier would route through
+    double and make the > boundary nondeterministic."""
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
+    dec = F.col("l_extendedprice").cast("decimal(18,2)")
+    per_part = li.groupBy("l_partkey").agg(F.sum(dec).alias("value_dec"))
+    total = li.agg(
+        F.sum(dec).alias("t"), F.count_distinct(F.col("l_partkey")).alias("n_parts")
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("value_dec") * F.col("n_parts") * 10 > F.col("t") * 12)
+        .select(
+            "l_partkey", F.col("value_dec").cast("double").alias("total_value")
+        )
+        .orderBy(F.col("total_value").desc(), F.col("l_partkey"))
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS total_dec
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '2000-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(total_dec AS DOUBLE) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_dec = (SELECT MAX(total_dec) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def q15_top_supplier(spark, sf_dir):
+    """Q15 shape: argmax against an aggregate-of-an-aggregate — the
+    supplier(s) whose quarterly revenue equals the max over all
+    suppliers. The revenue CTE is computed once and reused for both
+    the max and the join (same DataFrame object → same logical
+    subtree; with exact decimals the equality survives recomputation
+    even if Catalyst doesn't dedup the subtree). The max is a 1-row
+    broadcast; supplier join broadcasts too."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "2000-01-01")
+            & (F.col("l_shipdate") < "2000-04-01")
+        )
+        .select("l_suppkey", "l_extendedprice", "l_discount")
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,4)"
+            )
+        ).alias("total_dec")
+    )
+    best = revenue.agg(F.max("total_dec").alias("max_dec"))
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.join(F.broadcast(best))
+        .filter(F.col("total_dec") == F.col("max_dec"))
+        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_dec").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q16_supplier_diversity",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#7'
+      AND p_size IN (1, 9, 17, 25, 33, 41, 49)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_diversity(spark, sf_dir):
+    """Q16 shape: COUNT(DISTINCT) per attribute triple with an
+    exclusion subquery. The NOT IN is a LEFT ANTI join against the
+    (tiny, broadcast) negative-balance supplier set — NOT IN's
+    null-trap doesn't bite because s_suppkey is non-null, and anti
+    join is the scale-safe form regardless. The distinct-agg plans as
+    two-phase (partial distinct per partition, then final), Catalyst's
+    standard expansion; part attributes come in via broadcast."""
+    part = (
+        load(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#7")
+            & F.col("p_size").isin(1, 9, 17, 25, 33, 41, 49)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad_supp = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(bad_supp), li["l_suppkey"] == bad_supp["s_suppkey"], "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == part["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+@query(
+    "q18_large_volume_customers",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 180
+    )
+    SELECT c_name, c_custkey, o_orderkey,
+           CAST(o_orderdate AS DATE) AS orderdate,
+           CAST(o_totalprice AS DOUBLE) AS totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q18_large_volume_customers(spark, sf_dir):
+    """Q18 shape: HAVING on an aggregate, then join back to the fact —
+    orders whose total quantity clears a threshold, re-joined to
+    lineitem/orders/customer for enrichment and re-aggregated. The
+    `big` keys are a semi-join filter on BOTH orders and lineitem
+    before the enrichment joins, so the expensive shuffles see only
+    qualifying orders. Exact-decimal HAVING keeps the >180 boundary
+    deterministic."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    qdec = F.col("l_quantity").cast("decimal(18,2)")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qdec).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 180)
+        .select("l_orderkey")
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    orders_big = orders.join(
+        big, orders["o_orderkey"] == big["l_orderkey"], "left_semi"
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        orders_big.join(li, orders_big["o_orderkey"] == li["l_orderkey"])
+        .join(cust, orders_big["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(qdec).cast("double").alias("total_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            F.col("o_totalprice").cast("double").alias("totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.col("totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+@query(
+    "q22_dormant_customers",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_pos,
+             COUNT(*) AS n_pos
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT CAST(c_custkey % 10 AS INTEGER) AS bucket,
+           COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer, avg_bal
+    WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n_pos > sum_pos
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+      )
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q22_dormant_customers(spark, sf_dir):
+    """Q22 shape: above-average-balance customers with NO orders —
+    scalar-subquery threshold (broadcast 1-row) + anti join against
+    the fact, bucketed report. The anti join shuffles customer against
+    orders' custkeys; at scale pre-project orders to the join key only
+    (done here) so the anti side shuffles just the key column. The
+    above-average test is cross-multiplied (bal × n > sum) so it stays
+    in exact decimal arithmetic on both engines — decimal AVG division
+    rounds differently across engines at the boundary."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    bal_dec = F.col("c_acctbal").cast("decimal(18,2)")
+    threshold = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(bal_dec).alias("sum_pos"), F.count(F.lit(1)).alias("n_pos")
+    )
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2001-01-01")
+        .select("o_custkey")
+    )
+    return (
+        cust.join(F.broadcast(threshold))
+        .filter(bal_dec * F.col("n_pos") > F.col("sum_pos"))
+        .join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti")
+        .groupBy((F.col("c_custkey") % 10).cast("int").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(bal_dec).cast("double").alias("totacctbal"),
+        )
+        .orderBy("bucket")
+    )
