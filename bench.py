@@ -97,14 +97,23 @@ def main() -> None:
     # compilation + Janino codegen for that query shape; the second run
     # measures steady-state execution — the number that scales with
     # data. Both runs execute the full plan end-to-end (count action).
+    # Per-query isolation: one broken query must not zero the whole
+    # artifact (rounds 1-2 lost ALL bench data to a single loader bug).
+    # Failures are reported in an "errors" map and excluded from totals.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in sorted(contract.QUERIES):
         fn = contract.QUERIES[name]
         best, n = float("inf"), 0
-        for _ in range(2):
-            t0 = time.perf_counter()
-            n = fn(spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
+        try:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                n = fn(spark, sf_dir).count()
+                best = min(best, time.perf_counter() - t0)
+        except Exception as exc:  # noqa: BLE001 — isolate, report, continue
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+            continue
         timings[name] = round(best, 4)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
@@ -116,6 +125,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "errors": errors,
                 "runs_per_query": 2,
                 "timing": "best_of_2",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -495,9 +495,9 @@ def ext_embedding_near_dup(spark, sf_dir):
     "ext_events_sessionize",
     oracle="""
     SELECT event_id, user_id,
-      SUM(CASE WHEN gap_us IS NULL OR gap_us > 30 * 60 * 1000000 THEN 1 ELSE 0 END)
+      CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 30 * 60 * 1000000 THEN 1 ELSE 0 END)
         OVER (PARTITION BY user_id ORDER BY ts, event_id
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
     FROM (
       SELECT event_id, user_id, ts,
              epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -1520,8 +1520,8 @@ def ext_embedding_group_medoid(spark, sf_dir):
     "ext_events_map_explode",
     oracle="""
     SELECT key, COUNT(*) AS n_events,
-           SUM(CAST(json_extract_string(props, '$."' || key || '"') AS BIGINT))
-             AS total_value
+           CAST(SUM(CAST(json_extract_string(props, '$."' || key || '"') AS BIGINT))
+             AS BIGINT) AS total_value
     FROM (
       SELECT props, unnest(json_keys(props)) AS key
       FROM events WHERE props IS NOT NULL

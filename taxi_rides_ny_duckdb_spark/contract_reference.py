@@ -90,7 +90,7 @@ def s1_scan_filter_project(spark, sf_dir):
     SELECT
       CAST(l_orderkey AS VARCHAR) AS orderkey_str,
       CAST(l_quantity AS INTEGER) AS quantity_int,
-      CAST(l_extendedprice AS DECIMAL(18,2)) AS price_dec,
+      CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price_dec,
       CAST(l_shipdate AS DATE) AS ship_date
     FROM lineitem
     """,
@@ -102,7 +102,11 @@ def p2_typed_projection(spark, sf_dir):
     return li.select(
         F.col("l_orderkey").cast("string").alias("orderkey_str"),
         F.col("l_quantity").cast("int").alias("quantity_int"),
-        F.col("l_extendedprice").cast("decimal(18,2)").alias("price_dec"),
+        # decimal(18,2) semantics, presented as double: the driver's
+        # hash compares pandas string forms, and Decimal('96262.50') vs
+        # DuckDB's float64 96262.5 mismatch despite identical values
+        # (parity-kit convention, see a1_pricing_summary).
+        F.col("l_extendedprice").cast("decimal(18,2)").cast("double").alias("price_dec"),
         F.col("l_shipdate").cast("date").alias("ship_date"),
     )
 
@@ -545,10 +549,10 @@ def prof_lineitem_numeric(spark, sf_dir):
            COUNT(*) AS n_rows,
            COUNT(*) - COUNT(value) AS n_null,
            COUNT(DISTINCT value) AS n_distinct,
-           MIN(length(value)) AS min_len,
-           MAX(length(value)) AS max_len,
+           CAST(MIN(length(value)) AS INTEGER) AS min_len,
+           CAST(MAX(length(value)) AS INTEGER) AS max_len,
            CAST(SUM(length(value)) AS DOUBLE) / COUNT(value) AS mean_len,
-           SUM(CASE WHEN trim(value) = '' THEN 1 ELSE 0 END) AS n_blank
+           CAST(SUM(CASE WHEN trim(value) = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_blank
     FROM u GROUP BY column_name
     """,
 )

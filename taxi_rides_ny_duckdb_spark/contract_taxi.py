@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from .contract import query
 from .fixtures import DEFAULT_FIXTURE_DIR, ensure_taxi_fixtures
+from .functions.parity import present_doubles
 
 _PATHS = ensure_taxi_fixtures()
 
@@ -75,6 +76,43 @@ _STG_YELLOW = _STG_TEMPLATE.format(
     ehail_fee="CAST(0 AS DECIMAL(18,3))",
 )
 
+# Contract-boundary presentation: money/measure columns stay DECIMAL
+# inside the DAG (exact order-independent sums), but are presented as
+# DOUBLE to the driver's hash — a Spark decimal reaches pandas as
+# Decimal('12.500') while DuckDB's pandas path yields float64 12.5,
+# hash-different despite identical values (the p2/a1 parity-kit
+# convention; functions/parity.present_doubles is the Spark twin).
+_MONEY_COLS = (
+    "trip_distance fare_amount extra mta_tax tip_amount tolls_amount "
+    "ehail_fee improvement_surcharge total_amount congestion_surcharge"
+).split()
+
+
+def _present_sql(inner: str, cols: list[str]) -> str:
+    sel = ",\n    ".join(
+        f"CAST({c} AS DOUBLE) AS {c}" if c in _MONEY_COLS else c for c in cols
+    )
+    return f"SELECT\n    {sel}\n  FROM ({inner})"
+
+
+_STG_COLS = [
+    "tripid", "vendorid", "ratecodeid", "pickup_locationid",
+    "dropoff_locationid", "pickup_datetime", "dropoff_datetime",
+    "store_and_fwd_flag", "passenger_count", "trip_distance", "trip_type",
+    "fare_amount", "extra", "mta_tax", "tip_amount", "tolls_amount",
+    "ehail_fee", "improvement_surcharge", "total_amount", "payment_type",
+    "payment_type_description", "congestion_surcharge",
+]
+_FACT_COLS = [
+    "tripid", "vendorid", "service_type", "ratecodeid", "pickup_locationid",
+    "pickup_borough", "pickup_zone", "dropoff_locationid", "dropoff_borough",
+    "dropoff_zone", "pickup_datetime", "dropoff_datetime",
+    "store_and_fwd_flag", "passenger_count", "trip_distance", "trip_type",
+    "fare_amount", "extra", "mta_tax", "tip_amount", "tolls_amount",
+    "ehail_fee", "improvement_surcharge", "total_amount", "payment_type",
+    "payment_type_description", "congestion_surcharge",
+]
+
 _FACT_CTES = f"""
 WITH stg_green_tripdata AS ({_STG_GREEN}),
 stg_yellow_tripdata AS ({_STG_YELLOW}),
@@ -111,11 +149,14 @@ fact_trips AS (
 
 # Session id → built model DataFrames. dbt materializes the core models
 # as TABLES (dbt_project.yml:40-41): downstream reads hit stored rows,
-# not a re-run of staging. `fact.cache()` is the Spark analog — the
-# first action materializes the fact once per session, and the revenue
-# mart aggregates the materialization instead of re-deriving the whole
-# DAG. Plan construction (CSV seed read + wide cast/md5 projections) is
-# likewise paid once.
+# not a re-run of staging. The Spark analog is a write-through parquet
+# materialization — the fact is WRITTEN once per session and every
+# downstream consumer (revenue mart, metrics) scans the stored table.
+# At 100 TB this is the only correct shape: a .cache() pins the fact in
+# executor memory/disk and evaporates with the session, while the
+# parquet table survives, feeds other jobs, and gives downstream scans
+# column pruning + filter pushdown into the store. Plan construction
+# (CSV seed read + wide cast/md5 projections) is likewise paid once.
 _MODELS: dict[int, tuple] = {}
 
 
@@ -124,6 +165,8 @@ def _spark_models(spark):
     shared fixtures."""
     if id(spark) in _MODELS:
         return _MODELS[id(spark)]
+    import os
+
     from .plans.core import dim_zones, dm_monthly_zone_revenue, fact_trips
     from .plans.staging import stg_green_tripdata, stg_yellow_tripdata
     from .sources.seeds import TAXI_ZONE_LOOKUP_SCHEMA, load_seed_csv
@@ -131,14 +174,16 @@ def _spark_models(spark):
     green = stg_green_tripdata(spark.read.parquet(_G))
     yellow = stg_yellow_tripdata(spark.read.parquet(_Y))
     zones = dim_zones(load_seed_csv(spark, _Z, TAXI_ZONE_LOOKUP_SCHEMA))
-    fact = fact_trips(green, yellow, zones).cache()
+    fact_path = os.path.join(DEFAULT_FIXTURE_DIR, "warehouse", "fact_trips")
+    fact_trips(green, yellow, zones).write.mode("overwrite").parquet(fact_path)
+    fact = spark.read.parquet(fact_path)
     _MODELS[id(spark)] = (green, yellow, zones, fact, dm_monthly_zone_revenue(fact))
     return _MODELS[id(spark)]
 
 
 @query(
     "taxi_stg_green_tripdata",
-    oracle=f"SELECT * FROM ({_STG_GREEN})",
+    oracle=_present_sql(_STG_GREEN, _STG_COLS),
 )
 def taxi_stg_green_tripdata(spark, sf_dir):
     """The reference staging model end-to-end (stg_green_tripdata.sql:
@@ -146,19 +191,19 @@ def taxi_stg_green_tripdata(spark, sf_dir):
     make it value-stable — 22-column cast list, md5 surrogate key,
     payment decode). sf_dir is unused: the DAG runs on the shared
     fixtures both engines read."""
-    return _spark_models(spark)[0]
+    return present_doubles(_spark_models(spark)[0])
 
 
 @query(
     "taxi_stg_yellow_tripdata",
-    oracle=f"SELECT * FROM ({_STG_YELLOW})",
+    oracle=_present_sql(_STG_YELLOW, _STG_COLS),
 )
 def taxi_stg_yellow_tripdata(spark, sf_dir):
     """The yellow staging model (stg_yellow_tripdata.sql): same
     21-column canonical schema as green, with the synthesized
     ``trip_type = 1`` and ``ehail_fee = 0`` literals that make the
     positional union in fact_trips legal."""
-    return _spark_models(spark)[1]
+    return present_doubles(_spark_models(spark)[1])
 
 
 @query(
@@ -178,13 +223,13 @@ def taxi_dim_zones(spark, sf_dir):
 
 @query(
     "taxi_fact_trips",
-    oracle=_FACT_CTES + "SELECT * FROM fact_trips",
+    oracle=_FACT_CTES + _present_sql("SELECT * FROM fact_trips", _FACT_COLS),
 )
 def taxi_fact_trips(spark, sf_dir):
     """The reference fact model (fact_trips.sql): union + literal
     service tags + two broadcast zone joins dropping Unknown/unmatched
     zones + 27-column projection."""
-    return _spark_models(spark)[3]
+    return present_doubles(_spark_models(spark)[3])
 
 
 @query(
@@ -195,15 +240,15 @@ def taxi_fact_trips(spark, sf_dir):
       pickup_zone AS revenue_zone,
       date_trunc('month', pickup_datetime) AS revenue_month,
       service_type,
-      SUM(fare_amount) AS revenue_monthly_fare,
-      SUM(extra) AS revenue_monthly_extra,
-      SUM(mta_tax) AS revenue_monthly_mta_tax,
-      SUM(tip_amount) AS revenue_monthly_tip_amount,
-      SUM(tolls_amount) AS revenue_monthly_tolls_amount,
-      SUM(ehail_fee) AS revenue_monthly_ehail_fee,
-      SUM(improvement_surcharge) AS revenue_monthly_improvement_surcharge,
-      SUM(total_amount) AS revenue_monthly_total_amount,
-      SUM(congestion_surcharge) AS revenue_monthly_congestion_surcharge,
+      CAST(SUM(fare_amount) AS DOUBLE) AS revenue_monthly_fare,
+      CAST(SUM(extra) AS DOUBLE) AS revenue_monthly_extra,
+      CAST(SUM(mta_tax) AS DOUBLE) AS revenue_monthly_mta_tax,
+      CAST(SUM(tip_amount) AS DOUBLE) AS revenue_monthly_tip_amount,
+      CAST(SUM(tolls_amount) AS DOUBLE) AS revenue_monthly_tolls_amount,
+      CAST(SUM(ehail_fee) AS DOUBLE) AS revenue_monthly_ehail_fee,
+      CAST(SUM(improvement_surcharge) AS DOUBLE) AS revenue_monthly_improvement_surcharge,
+      CAST(SUM(total_amount) AS DOUBLE) AS revenue_monthly_total_amount,
+      CAST(SUM(congestion_surcharge) AS DOUBLE) AS revenue_monthly_congestion_surcharge,
       COUNT(tripid) AS total_monthly_trips,
       CAST(SUM(CAST(passenger_count AS DECIMAL(18,0))) AS DOUBLE) / COUNT(passenger_count)
         AS avg_monthly_passenger_count,
@@ -216,7 +261,7 @@ def taxi_fact_trips(spark, sf_dir):
 def taxi_dm_monthly_zone_revenue(spark, sf_dir):
     """The reference revenue mart (dm_monthly_zone_revenue.sql): the
     full DAG — staging → fact → 12-aggregate monthly rollup."""
-    return _spark_models(spark)[4]
+    return present_doubles(_spark_models(spark)[4])
 
 
 def _average_distance_metric(filters=()):

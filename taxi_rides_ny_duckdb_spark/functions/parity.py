@@ -33,6 +33,29 @@ def dsum(col: Column, precision: int = 18, scale: int = 4) -> Column:
     return F.sum(col.cast(f"decimal({precision},{scale})")).cast("double")
 
 
+def present_doubles(df):
+    """Present every DECIMAL column as DOUBLE at a contract boundary.
+
+    Internal plans keep decimals (exact, order-independent sums); the
+    driver's hash compares pandas string forms, where a Spark decimal
+    arrives as ``Decimal('96262.50')`` but DuckDB's pandas path yields
+    float64 ``96262.5`` — value-identical, string-different. Casting to
+    double on BOTH sides (oracle: ``CAST(... AS DOUBLE)``) pins one
+    representation. ``cast(decimal AS double)`` is deterministic, so
+    this never reorders or perturbs the compared values.
+    """
+    from pyspark.sql.types import DecimalType
+
+    return df.select(
+        *[
+            F.col(f.name).cast("double").alias(f.name)
+            if isinstance(f.dataType, DecimalType)
+            else F.col(f.name)
+            for f in df.schema.fields
+        ]
+    )
+
+
 def davg(col: Column, precision: int = 18, scale: int = 4) -> Column:
     """Order-independent AVG: exact decimal sum / non-null count."""
     return (

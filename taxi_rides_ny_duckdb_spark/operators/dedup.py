@@ -88,16 +88,31 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, id_col: str, num_bands: int = 8, num_perm: int = 32
+    sigs: DataFrame,
+    id_col: str,
+    num_bands: int = 8,
+    num_perm: int = 32,
+    max_bucket_size: int = 2048,
 ) -> DataFrame:
     """Band the signatures (rows_per_band = num_perm/num_bands), bucket
     by (band_idx, band_hash), and emit candidate id pairs (a < b).
 
     The quadratic blow-up is confined to one bucket: docs sharing a
     band. Shuffle volume is num_bands small rows per doc. Skewed buckets
-    (boilerplate-heavy corpora) are the known hazard — AQE skew-join
-    handles moderate skew; pathological buckets should be capped
-    upstream by salting on a secondary shingle."""
+    (boilerplate-heavy corpora: a bucket with B docs emits B² pairs —
+    one million identical-boilerplate docs would emit 5·10¹¹ pairs from
+    a single bucket) are the 100×-scale hazard, so buckets larger than
+    ``max_bucket_size`` are SALTED: split deterministically into
+    ``ceil(B / max_bucket_size)`` sub-buckets by ``xxhash64(id)``, and
+    pairs form only within a sub-bucket. That bounds a bucket's output
+    at B·max_bucket_size pairs (linear in B). Recall cost is confined to
+    the oversized buckets — docs that near-dup share ~num_bands bands,
+    giving num_bands independent chances to co-land in some sub-bucket,
+    and byte-identical docs are already removed by ``exact_dedup``
+    (step 1 of the ladder) before LSH runs. Moderate same-size skew
+    below the cap is left to AQE's skew-join split."""
+    from pyspark.sql.window import Window
+
     r = num_perm // num_bands
     bands = F.posexplode(
         F.array(
@@ -107,7 +122,24 @@ def lsh_candidate_pairs(
             ]
         )
     )
-    banded = sigs.select(F.col(id_col), bands.alias("band_idx", "band_hash"))
+    # Bucket size via window count: one shuffle on the same
+    # (band_idx, band_hash) key the pair-join needs anyway — no extra
+    # agg+join round trip, and AQE sees the true key distribution.
+    bucket = Window.partitionBy("band_idx", "band_hash")
+    banded = (
+        sigs.select(F.col(id_col), bands.alias("band_idx", "band_hash"))
+        .withColumn("__bsz", F.count(F.lit(1)).over(bucket))
+        .withColumn(
+            "__salt",
+            F.when(F.col("__bsz") <= max_bucket_size, F.lit(0)).otherwise(
+                F.pmod(
+                    F.xxhash64(F.col(id_col)),
+                    F.ceil(F.col("__bsz") / max_bucket_size).cast("long"),
+                )
+            ),
+        )
+        .drop("__bsz")
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -115,6 +147,7 @@ def lsh_candidate_pairs(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.__salt") == F.col("b.__salt"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(

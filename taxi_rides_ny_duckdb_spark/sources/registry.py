@@ -52,12 +52,16 @@ _SCANS: dict[tuple[int, str], DataFrame] = {}
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one logical table (reference S1 analog).
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects outright. We read it as raw nanos
-    (``spark.sql.legacy.parquet.nanosAsLong``) and floor-divide to
-    microseconds with integer ``div`` — double division would round the
-    ~1.7e18 nano values and shift some rows by a microsecond. DuckDB
-    truncates nanos→micros the same way, so values agree exactly.
+    ``events.ts`` has shipped in two physical encodings across data
+    generations: parquet TIMESTAMP(NANOS) (which Spark's vectorized
+    reader surfaces as raw int64 nanos under
+    ``spark.sql.legacy.parquet.nanosAsLong``) and plain TIMESTAMP /
+    TIMESTAMP_NTZ micros. Branch on the schema Spark actually reads:
+    only a LongType ``ts`` gets the nanos→micros integer ``div 1000``
+    (floor division — double division would round ~1.7e18 nano values
+    and shift rows by a microsecond; DuckDB truncates the same way).
+    Timestamp-typed columns are already what every downstream operator
+    expects and must pass through untouched.
     """
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown source table {name!r}; known: {TESTDATA_TABLES}")
@@ -67,10 +71,16 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType, TimestampNTZType
 
-        df = spark.read.parquet(table_path(sf_dir, name)).withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        df = spark.read.parquet(table_path(sf_dir, name))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, TimestampNTZType):
+            # Normalize NTZ → session-tz timestamp so window/streaming
+            # operators see one type regardless of data generation.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     else:
         df = spark.read.parquet(table_path(sf_dir, name))
     _SCANS[key] = df

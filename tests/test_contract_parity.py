@@ -27,6 +27,20 @@ def test_oracle_parity(name, spark, sf_dir, con):
     compare(df, con, contract.ORACLES[name])
 
 
+@pytest.mark.parametrize("name", _WITH_ORACLE)
+def test_pandas_hash_parity(name, spark, sf_dir, con):
+    """Driver-faithful check: BOTH sides through pandas, stringified.
+
+    Catches representation divergences the collect()-based compare
+    normalizes away (Spark DECIMAL vs DuckDB float64, int vs HUGEINT→
+    float64) — the exact classes that hash-failed p2_typed_projection
+    and prof_documents_text on the real driver in rounds 1-2."""
+    from tests.pandas_hash import compare_pandas_hash
+
+    df = contract.QUERIES[name](spark, sf_dir)
+    compare_pandas_hash(df, con, contract.ORACLES[name], name)
+
+
 @pytest.mark.parametrize("name", _ROWS_ONLY)
 def test_rows_only_runs(name, spark, sf_dir):
     df = contract.QUERIES[name](spark, sf_dir)

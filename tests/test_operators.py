@@ -62,6 +62,35 @@ def test_minhash_lsh_finds_near_dups(near_dup_docs):
     assert got == truth
 
 
+def test_lsh_degenerate_bucket_bounded(spark):
+    """Boilerplate hazard: 200 byte-identical docs put ALL ids in one
+    (band_idx, band_hash) bucket per band. Uncapped that's 200·199/2 =
+    19900 pairs per band; with max_bucket_size=20 the bucket salts into
+    ceil(200/20)=10 sub-buckets, bounding output at ~size·cap pairs —
+    linear, not quadratic, which is what survives a 100 TB corpus."""
+    from taxi_rides_ny_duckdb_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "the same boilerplate text repeated everywhere") for i in range(200)],
+        ["doc_id", "text"],
+    )
+    sigs = minhash_signatures(docs, "text", "doc_id", num_perm=16, shingle_n=3)
+    capped = lsh_candidate_pairs(
+        sigs, "doc_id", num_bands=4, num_perm=16, max_bucket_size=20
+    )
+    n_capped = capped.count()
+    # ~10 sub-buckets × C(20,2)=190 pairs ≈ 1900 (hash split is uneven,
+    # so allow slack); far below the quadratic 19900.
+    assert 0 < n_capped < 6000
+    uncapped = lsh_candidate_pairs(
+        sigs, "doc_id", num_bands=4, num_perm=16, max_bucket_size=1_000_000
+    )
+    assert uncapped.count() == 199 * 200 // 2
+
+
 def test_simhash_hamming_near_dups(near_dup_docs):
     from taxi_rides_ny_duckdb_spark.operators.dedup import (
         simhash,
