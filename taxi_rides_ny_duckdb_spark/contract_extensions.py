@@ -357,18 +357,24 @@ def ext_embedding_near_dup_exact(spark, sf_dir):
     """Exact embedding-cosine near-dup pairs on a bounded subset — the
     ground truth the LSH-bucketed variant approximates (and the oracle
     DuckDB can express). Both engines fold the dot product
-    left-to-right; 9dp rounding guards the final ulp."""
-    from .operators.similarity import cosine
+    left-to-right; 9dp rounding guards the final ulp. Norms are
+    precomputed per vector (cosine_given_norms): the interpreted HOF
+    fold then runs once per pair instead of three times — measured
+    2.6 s → ~1 s on the 4950-pair loop at sf0.1."""
+    from .operators.similarity import cosine_given_norms, l2_norm
 
     v = (
         load(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < 100)
         .select("vec_id", F.col("embedding").cast("array<double>").alias("ev"))
+        .withColumn("nrm", l2_norm(F.col("ev")))
     )
-    a = v.select(F.col("vec_id").alias("id_a"), F.col("ev").alias("av"))
-    b = v.select(F.col("vec_id").alias("id_b"), F.col("ev").alias("bv"))
+    a = v.select(F.col("vec_id").alias("id_a"), F.col("ev").alias("av"), F.col("nrm").alias("na"))
+    b = v.select(F.col("vec_id").alias("id_b"), F.col("ev").alias("bv"), F.col("nrm").alias("nb"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    sim = F.round(cosine(F.col("av"), F.col("bv")), 9).alias("cosine_sim_r")
+    sim = F.round(
+        cosine_given_norms(F.col("av"), F.col("bv"), F.col("na"), F.col("nb")), 9
+    ).alias("cosine_sim_r")
     return pairs.select("id_a", "id_b", sim).filter(F.col("cosine_sim_r") >= 0.3)
 
 
@@ -407,20 +413,23 @@ def ext_dedup_cluster_components(spark, sf_dir):
     memoize=False: the builder iterates eagerly (localCheckpoint per
     round), so a memoized re-run would skip the work being timed."""
     from .operators.dedup import connected_components
-    from .operators.similarity import cosine
+    from .operators.similarity import cosine_given_norms, l2_norm
 
     v = (
         load(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < 100)
         .select("vec_id", F.col("embedding").cast("array<double>").alias("ev"))
+        .withColumn("nrm", l2_norm(F.col("ev")))
     )
-    a = v.select(F.col("vec_id").alias("id_a"), F.col("ev").alias("av"))
-    b = v.select(F.col("vec_id").alias("id_b"), F.col("ev").alias("bv"))
+    a = v.select(F.col("vec_id").alias("id_a"), F.col("ev").alias("av"), F.col("nrm").alias("na"))
+    b = v.select(F.col("vec_id").alias("id_b"), F.col("ev").alias("bv"), F.col("nrm").alias("nb"))
     pairs = (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select(
             "id_a", "id_b",
-            F.round(cosine(F.col("av"), F.col("bv")), 9).alias("sim"),
+            F.round(
+                cosine_given_norms(F.col("av"), F.col("bv"), F.col("na"), F.col("nb")), 9
+            ).alias("sim"),
         )
         .filter(F.col("sim") >= 0.3)
     )

@@ -373,8 +373,14 @@ def q11_important_parts(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
     dec = F.col("l_extendedprice").cast("decimal(18,2)")
     per_part = li.groupBy("l_partkey").agg(F.sum(dec).alias("value_dec"))
-    total = li.agg(
-        F.sum(dec).alias("t"), F.count_distinct(F.col("l_partkey")).alias("n_parts")
+    # Global side re-aggregates the per-part result instead of
+    # re-scanning lineitem: decimal sums are exact, so sum-of-groups ≡
+    # sum-of-rows and count(groups) ≡ count_distinct(key). AQE then
+    # plans ONE lineitem scan + one grouped exchange and feeds the
+    # global agg from a ReusedExchange — at 100 TB this halves the
+    # dominant cost (the fact scan).
+    total = per_part.agg(
+        F.sum("value_dec").alias("t"), F.count("l_partkey").alias("n_parts")
     )
     return (
         per_part.join(F.broadcast(total))
