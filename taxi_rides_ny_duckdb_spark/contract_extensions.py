@@ -232,15 +232,54 @@ def ext_dedup_minhash_lsh(spark, sf_dir):
     return minhash_lsh_dedup_pairs(d, "text", "doc_id", threshold=0.5)
 
 
-@query("ext_dedup_simhash")  # rows-only: fingerprint is hash-scheme-defined
+_SIMHASH_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> x != '')) AS tl
+  FROM documents
+), th AS (
+  SELECT doc_id, CAST(concat('0x', substr(md5(tok), 18, 15)) AS BIGINT) AS h
+  FROM (SELECT doc_id, unnest(tl) AS tok FROM toks)
+), bc AS (
+  SELECT doc_id, bs.b AS bitpos,
+         CASE WHEN 2 * SUM((h >> bs.b) & 1) >= COUNT(*) THEN 1 ELSE 0 END AS bit
+  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b) bs
+  GROUP BY doc_id, bs.b
+), fp0 AS (
+  SELECT doc_id, CAST(SUM(CAST(bit AS BIGINT) << bitpos) AS BIGINT) AS fp
+  FROM bc GROUP BY doc_id
+), fp AS (
+  SELECT d.doc_id, COALESCE(fp0.fp, 0) AS fp
+  FROM documents d LEFT JOIN fp0 ON d.doc_id = fp0.doc_id
+), banded AS (
+  SELECT doc_id, fp, ci.i AS chunk_idx, (fp >> (15 * ci.i)) & 32767 AS chunk
+  FROM fp CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) ci
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+FROM banded a JOIN banded b
+  ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fp, b.fp)) <= 3
+"""
+
+
+@query("ext_dedup_simhash", oracle=_SIMHASH_ORACLE)
 def ext_dedup_simhash(spark, sf_dir):
-    """SimHash-64 fingerprints + hamming≤3 candidate pairs (pigeonhole
-    banding on 16-bit chunks); majority vote is the only Python step
-    (Arrow-vectorized pandas UDF)."""
-    from .operators.dedup import simhash, simhash_candidate_pairs
+    """SimHash fingerprints + hamming≤3 candidate pairs (pigeonhole
+    banding into max_hamming+1 chunks); majority vote is the only
+    Python step (Arrow-vectorized pandas UDF). The contract query runs
+    the pipeline on the portable 60-bit md5-derived token hash
+    (operators/dedup.portable_hash60) so the fingerprints — and
+    therefore the exact pair set + hamming values — are replayed by the
+    DuckDB oracle; production defaults keep the faster JVM xxhash64
+    (same banding/majority/verify code path, only the token hash
+    differs)."""
+    from .operators.dedup import portable_hash60, simhash, simhash_candidate_pairs
 
     d = load(spark, sf_dir, "documents")
-    return simhash_candidate_pairs(simhash(d, "text", "doc_id"), "doc_id")
+    fp = simhash(d, "text", "doc_id", token_hash=portable_hash60, num_bits=60)
+    return simhash_candidate_pairs(fp, "doc_id", num_bits=60)
 
 
 # ---------------------------------------------------------------------------
@@ -1509,20 +1548,53 @@ def ext_dedup_edit_distance(spark, sf_dir):
     )
 
 
-@query("ext_embedding_group_medoid", memoize=True)
+_GROUP_MEDOID_ORACLE = """
+WITH v AS (
+  SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+), u AS (
+  SELECT label, vec_id,
+         CASE WHEN nrm > 0 THEN list_transform(ev, x -> x / nrm) ELSE ev END AS uv
+  FROM (SELECT label, vec_id, ev,
+               sqrt(list_sum(list_transform(ev, x -> x * x))) AS nrm
+        FROM v)
+), s AS (
+  SELECT a.label, a.vec_id,
+         round(SUM(list_sum(list_transform(generate_series(1, len(a.uv)),
+                                           i -> a.uv[i] * b.uv[i]))), 9) AS total_r,
+         COUNT(*) AS gs
+  FROM u a JOIN u b ON a.label = b.label
+  GROUP BY a.label, a.vec_id
+), r AS (
+  SELECT label, vec_id, total_r, gs,
+         row_number() OVER (PARTITION BY label
+                            ORDER BY total_r DESC, vec_id ASC) AS rn
+  FROM s
+)
+SELECT label, vec_id AS medoid_id, gs AS group_size,
+       round(greatest((gs - total_r) / greatest(gs - 1, 1), 0.0), 9) AS mean_dist_r
+FROM r WHERE rn = 1
+"""
+
+
+@query("ext_embedding_group_medoid", oracle=_GROUP_MEDOID_ORACLE, memoize=True)
 def ext_embedding_group_medoid(spark, sf_dir):
     """Per-label medoid over the embeddings table
     (operators/similarity.group_medoid) — representative selection via
     the batch grouped-map (applyInPandas) seam: per-group O(|g|²·d)
     gram-matrix argmin in vectorized numpy, one Arrow batch per label.
-    Rows-only contract entry: the scores ride numpy float64 gram
-    sums, which no SQL engine reproduces bit-for-bit; determinism
-    within the engine is pinned by sorted-id reduction order (unit
-    tests cover tie-breaks and singleton groups)."""
+    Oracled via the centroid-assign 9dp trick: per-member total cosine
+    similarity is rounded to 9dp before the argmax (cross-engine float
+    drift ~1e-13 ≪ 1e-9), so the winner, its lowest-id tie-break, and
+    the mean distance derived from the rounded total are all replayable
+    as a DuckDB rank query."""
     from .operators.similarity import group_medoid
 
     e = load(spark, sf_dir, "embeddings")
-    return group_medoid(e, "label", "embedding", "vec_id")
+    out = group_medoid(e, "label", "embedding", "vec_id", round_dp=9)
+    return out.select(
+        "label", "medoid_id", "group_size",
+        F.round("mean_dist", 9).alias("mean_dist_r"),
+    )
 
 
 @query(

@@ -131,9 +131,14 @@ def lsh_candidate_pairs(
         .withColumn("__bsz", F.count(F.lit(1)).over(bucket))
         .withColumn(
             "__salt",
+            # Salt on (id, band_idx) — NOT id alone — so a pair's
+            # sub-bucket split is independent per band; otherwise every
+            # oversized bucket with the same sub-bucket count splits the
+            # pair identically and the "num_bands independent chances"
+            # guarantee below is void.
             F.when(F.col("__bsz") <= max_bucket_size, F.lit(0)).otherwise(
                 F.pmod(
-                    F.xxhash64(F.col(id_col)),
+                    F.xxhash64(F.col(id_col), F.col("band_idx")),
                     F.ceil(F.col("__bsz") / max_bucket_size).cast("long"),
                 )
             ),
@@ -252,30 +257,51 @@ def _simhash_from_hashes(hashes):  # pragma: no cover - exercised via Spark
     return pd.Series(out)
 
 
-def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """64-bit SimHash per document.
+def portable_hash60(t):
+    """60-bit token hash reproducible in any SQL engine with md5:
+    the last 15 hex chars of md5 parsed base-16 (DuckDB:
+    ``CAST(concat('0x', substr(md5(t), 18, 15)) AS BIGINT)``). Slower
+    than xxhash64 (md5 + string slice per token) — use only where the
+    fingerprints themselves must be oracle-verifiable."""
+    return F.conv(F.substring(F.md5(t), 18, 15), 16, 10).cast("long")
 
-    Token hashing stays JVM-side (xxhash64 per token); only the 64-bit
-    majority vote runs in Python — one Arrow-batched pandas UDF over an
-    int64 array column, vectorized with numpy bit tricks. Linear scan,
-    no shuffle."""
+
+def simhash(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    token_hash=None,
+    num_bits: int = 64,
+) -> DataFrame:
+    """``num_bits``-wide SimHash per document (default 64).
+
+    Token hashing stays JVM-side (``token_hash``, default seeded
+    xxhash64); only the bit-majority vote runs in Python — one
+    Arrow-batched pandas UDF over an int64 array column, vectorized
+    with numpy bit tricks. Linear scan, no shuffle. Pass
+    ``token_hash=portable_hash60, num_bits=60`` for a fingerprint an
+    external SQL oracle can recompute exactly (the majority vote is
+    width-agnostic: bit positions above the hash width never reach
+    majority, so the same UDF serves both schemes)."""
     from pyspark.sql.functions import pandas_udf
 
+    if token_hash is None:
+        token_hash = F.xxhash64
     fn = pandas_udf(_simhash_from_hashes, "long")
     token_hashes = F.transform(
-        F.array_distinct(tokenize(F.col(text_col))), lambda t: F.xxhash64(t)
+        F.array_distinct(tokenize(F.col(text_col))), lambda t: token_hash(t)
     )
     return ensure_min_partitions(df).select(F.col(id_col), fn(token_hashes).alias("simhash64"))
 
 
 def simhash_candidate_pairs(
-    hashed: DataFrame, id_col: str, max_hamming: int = 3
+    hashed: DataFrame, id_col: str, max_hamming: int = 3, num_bits: int = 64
 ) -> DataFrame:
-    """Near-dup candidates by SimHash: band the 64-bit hash into 4
-    16-bit chunks (pigeonhole: hamming ≤ 3 ⇒ at least one identical
-    chunk), bucket-join on (chunk_idx, chunk), verify exact hamming
-    distance via bit_count(xor). Same candidates-then-verify economics
-    as MinHash-LSH."""
+    """Near-dup candidates by SimHash: band the ``num_bits``-wide hash
+    into ``max_hamming + 1`` chunks (pigeonhole: hamming ≤ h ⇒ at least
+    one of h+1 chunks identical), bucket-join on (chunk_idx, chunk),
+    verify exact hamming distance via bit_count(xor). Same
+    candidates-then-verify economics as MinHash-LSH."""
     # Persist the fingerprints (16 bytes/doc) before the self-join:
     # without the materialization boundary, (a) both join sides re-run
     # the pandas-UDF lineage, and (b) the inferred isnotnull(join key)
@@ -283,11 +309,16 @@ def simhash_candidate_pairs(
     # UDF a second time per side — 4 Python passes for 1 (measured).
     # Same persist-the-small-derivative pattern as minhash_lsh above.
     hashed = hashed.persist()
+    n_chunks = max_hamming + 1
+    chunk_bits = num_bits // n_chunks
+    mask = (1 << chunk_bits) - 1
     chunks = F.posexplode(
         F.array(
             *[
-                F.shiftrightunsigned(F.col("simhash64"), 16 * i).bitwiseAND(F.lit(0xFFFF))
-                for i in range(4)
+                F.shiftrightunsigned(F.col("simhash64"), chunk_bits * i).bitwiseAND(
+                    F.lit(mask)
+                )
+                for i in range(n_chunks)
             ]
         )
     )

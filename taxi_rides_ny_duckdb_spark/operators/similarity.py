@@ -351,6 +351,7 @@ def group_medoid(
     group_col: str,
     vec_col: str,
     id_col: str,
+    round_dp: int | None = None,
 ) -> DataFrame:
     """Per-group medoid: the member minimizing total cosine distance to
     its groupmates — representative/prototype selection (one canonical
@@ -393,6 +394,12 @@ def group_medoid(
         # total cosine distance of row i = (n - 1) - sum_j cos(i, j) + 1
         sims = unit @ unit.T
         totals = sims.sum(axis=1)  # self-sim contributes a constant 1
+        if round_dp is not None:
+            # Engine-stable argmax (same trick as assign_nearest_centroid):
+            # float sums agree across engines to ~1e-13; rounding makes
+            # the winner — and first-occurrence (= lowest id) tie-breaks —
+            # reproducible by a SQL oracle ranking round(total, dp) DESC.
+            totals = np.round(totals, round_dp)
         best = int(np.argmax(totals))  # max total sim == min total dist
         n = len(pdf)
         # n - totals[best] is 0 up to float epsilon for singletons and

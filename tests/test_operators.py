@@ -82,9 +82,13 @@ def test_lsh_degenerate_bucket_bounded(spark):
         sigs, "doc_id", num_bands=4, num_perm=16, max_bucket_size=20
     )
     n_capped = capped.count()
-    # ~10 sub-buckets × C(20,2)=190 pairs ≈ 1900 (hash split is uneven,
-    # so allow slack); far below the quadratic 19900.
-    assert 0 < n_capped < 6000
+    # Per band: ~10 sub-buckets × C(20,2)=190 ≈ 1900 pairs (linear in
+    # bucket size — the scale guarantee). The 4 bands salt
+    # *independently* (salt hashes (id, band_idx)), so the union is
+    # ≈ 19900·(1-0.9⁴) ≈ 6800 — each band is a fresh chance for a pair
+    # to co-land, by design. Still bounded at bands × size × cap,
+    # far below quadratic as size grows past the cap.
+    assert 0 < n_capped < 10000
     uncapped = lsh_candidate_pairs(
         sigs, "doc_id", num_bands=4, num_perm=16, max_bucket_size=1_000_000
     )
