@@ -118,20 +118,27 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "contract_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "errors": errors,
-                "runs_per_query": 2,
-                "timing": "best_of_2",
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "contract_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "errors": errors,
+        "runs_per_query": 2,
+        "timing": "best_of_2",
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    line = json.dumps(payload, separators=(",", ":"))
+    # The stdout line is the driver's primary capture, but a 114-query
+    # map exceeds what survives a truncated tail (BENCH_r03 recorded
+    # "parsed": null with only 61 timings visible). Persist the full
+    # artifact to a known file so the per-query numbers are always
+    # machine-readable regardless of stdout clipping.
+    out_path = os.path.join(REPO_DIR, "BENCH.json")
+    with open(out_path, "w") as fh:
+        fh.write(line + "\n")
+    print(f"# full artifact written to {out_path}", file=sys.stderr)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -77,14 +77,23 @@ def query(
 
 
 # The driver verifies only the FIRST 50 registered queries against the
-# DuckDB oracle (CORRECTNESS_r{N}.json). This list pins that window to
-# the highest-signal surface: the reference taxi DAG (the parity claim
-# the whole repo makes), the §2 operator proofs, one grain per metric-
-# compiler method, and the LLM-pipeline flagship operators. Everything
-# not listed registers afterward in module order and is verified by the
-# local replica of the gate (tests/test_contract_parity.py) instead.
+# DuckDB oracle (CORRECTNESS_r{N}.json); the window rotates per round so
+# that over rounds every query accumulates a driver-green row. Round 3
+# verified the taxi DAG + §2 operator proofs + LLM-pipeline flagships
+# (all green, CORRECTNESS_r03.json). The ROUND-4 window keeps the taxi
+# DAG as the permanent prefix (the parity claim the whole repo makes)
+# and fills the other 42 slots with queries that have never had driver
+# evidence — prof_documents_text first (round 2's one surviving hash
+# failure, fixed in round 3 but never driver-confirmed), then the TPC-H
+# q-series (incl. the new q2/q20), the join matrix j5-j10, the
+# profiler, the remaining metric grains, and the two newly-oracled
+# queries (simhash, group medoid). Rows-only queries are NOT windowed
+# (their slot would carry no value verification — ADVICE r3); they and
+# the ~18 remaining oracled queries take the round-5 window. Everything
+# outside the window is verified by the local replica of the gate
+# (tests/test_contract_parity.py, both collect- and pandas-hash paths).
 DRIVER_WINDOW: tuple[str, ...] = (
-    # Reference taxi DAG — re-derivation of models/staging + core + marts.
+    # Reference taxi DAG — permanent prefix.
     "taxi_stg_green_tripdata",
     "taxi_stg_yellow_tripdata",
     "taxi_dim_zones",
@@ -93,56 +102,56 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "taxi_dm_monthly_zone_statistics",
     "taxi_metric_average_distance_month",
     "taxi_metric_avg_distance_manhattan_quarter",
-    # SURVEY §2 operator proofs (one per checklist row).
-    "a1_pricing_summary",
-    "s1_scan_filter_project",
-    "p2_typed_projection",
-    "x2_case_decode",
-    "x3_surrogate_key",
-    "x4_string_replace",
-    "x5_date_trunc_month",
-    "w1_dedup_row_number",
-    "w1_dedup_distinct",
-    "j1_broadcast_dim_join",
-    "j2_dim_joined_twice",
-    "j3_left_anti",
-    "u1_union_all_tagged",
-    "a6_unique_violations",
-    "a7_null_count",
-    "a8_accepted_values",
-    "o1_topn_orders",
-    "s5_sql_entrypoint",
-    # Metric compiler — one proof per distinct mechanism (simple agg,
-    # events+day grain, window-framed rolling); remaining grains are
-    # the same code path and stay under the local gate.
-    "a5_metric_avg_month",
-    "a5_metric_count_day",
-    "a5_metric_rolling_avg_7d",
-    # LLM-pipeline flagships: dedup family.
-    "ext_dedup_exact",
-    "ext_dedup_minhash_lsh",
+    # Round 2's only hash failure — fixed in r3, needs driver proof.
+    "prof_documents_text",
+    # TPC-H-shape suite (q2/q20 new this round).
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q15_top_supplier",
+    "q16_supplier_diversity",
+    "q18_large_volume_customers",
+    "q20_part_promo_suppliers",
+    "q22_dormant_customers",
+    # Join matrix.
+    "j5_star_join_revenue",
+    "j6_outer_join_count_dist",
+    "j7_semi_anti_multicond",
+    "j8_full_outer_join",
+    "j9_cross_join_grid",
+    "j10_null_safe_join",
+    # Profiler (PipeRider analog).
+    "prof_lineitem_numeric",
+    "prof_lineitem_histogram",
+    "prof_orders_topk_values",
+    "prof_lineitem_percentiles",
+    # Remaining metric-compiler grains/methods.
+    "a5_metric_count_distinct_quarter",
+    "a5_metric_sum_week",
+    "a5_metric_min_year",
+    "a5_metric_max_year",
+    "a5_metric_derived_revenue_per_order",
+    # Newly-oracled this round (previously rows-only).
     "ext_dedup_simhash",
-    "ext_dedup_ngram_jaccard",
-    "ext_dedup_edit_distance",
-    "ext_dedup_cluster_components",
-    # Similarity / embedding family.
-    "ext_similarity_topk_bruteforce",
-    "ext_similarity_lsh_topk",
-    "ext_similarity_ivf_topk",
-    "ext_embedding_near_dup_exact",
-    "ext_embedding_centroid_assign",
-    # Corpus curation end-to-end + text analysis.
-    "ext_corpus_curation",
-    "ext_text_lang_id",
-    "ext_text_quality_score",
-    "ext_text_token_count",
-    # Event-time operators.
-    "ext_events_sessionize",
-    "ext_events_tumbling_window",
-    "ext_events_session_window",
-    "ext_events_json_extract",
-    "ext_asof_join",
-    "ext_range_join",
+    "ext_embedding_group_medoid",
+    # Subquery / aggregate / snapshot shapes.
+    "s6_correlated_subquery",
+    "a9_conditional_agg_promo",
+    "a10_groupwise_median",
+    "ext_snapshot_scd2_timestamp",
+    # Extension operators without driver evidence yet.
+    "ext_salted_join",
+    "ext_text_bpe_ish_count",
+    "ext_text_fingerprint",
+    "ext_events_sliding_window",
+    "ext_multimodal_features",
+    "ext_pivot_event_counts",
+    "ext_rollup_revenue",
+    "ext_window_lag_lead",
 )
 
 

@@ -611,3 +611,167 @@ def q22_dormant_customers(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH eur_supp AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ), costs AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS cost_dec
+      FROM lineitem JOIN eur_supp ON l_suppkey = s_suppkey
+      GROUP BY l_partkey, l_suppkey
+    ), best AS (
+      SELECT l_partkey AS b_partkey, MIN(cost_dec) AS min_cost
+      FROM costs GROUP BY l_partkey
+    )
+    SELECT CAST(s_acctbal AS DOUBLE) AS acctbal, s_name, n_name,
+           p_partkey, p_type, CAST(cost_dec AS DOUBLE) AS supply_cost
+    FROM part
+    JOIN costs ON p_partkey = costs.l_partkey
+    JOIN best ON b_partkey = costs.l_partkey AND cost_dec = min_cost
+    JOIN eur_supp ON costs.l_suppkey = s_suppkey
+    WHERE p_size <= 15 AND p_type = 'STANDARD'
+    ORDER BY acctbal DESC, p_partkey, s_name
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """Q2 shape: multi-level correlated MIN — for each part, the
+    region's cheapest supplier(s), enriched with supplier/nation
+    attributes, top-100. (The classic form reads partsupp; the driver
+    tables have no partsupp, so lineitem serves as the part↔supplier
+    link with MIN(l_extendedprice) as the supply cost — same
+    correlated-min-then-match shape.) Expressed Spark-first the way
+    Catalyst would decorrelate it: aggregate costs once, re-aggregate
+    per part for the min, join back on exact-decimal equality (a
+    double-valued min would make `cost = min` nondeterministic). The
+    per-(part,supplier) agg reuses one lineitem exchange for both
+    levels; region-filtered suppliers and filtered parts broadcast."""
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nat = load(spark, sf_dir, "nation")
+    eur_supp = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    costs = (
+        li.join(
+            F.broadcast(eur_supp.select("s_suppkey")),
+            li["l_suppkey"] == F.col("s_suppkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice").cast("decimal(18,2)")).alias("cost_dec"))
+    )
+    best = costs.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
+        F.min("cost_dec").alias("min_cost")
+    )
+    part = (
+        load(spark, sf_dir, "part")
+        .filter((F.col("p_size") <= 15) & (F.col("p_type") == "STANDARD"))
+        .select("p_partkey", "p_type")
+    )
+    return (
+        costs.join(
+            best,
+            (costs["l_partkey"] == best["b_partkey"])
+            & (costs["cost_dec"] == best["min_cost"]),
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(eur_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_acctbal").cast("double").alias("acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_type",
+            F.col("cost_dec").cast("double").alias("supply_cost"),
+        )
+        .orderBy(F.col("acctbal").desc(), "p_partkey", "s_name")
+        .limit(100)
+    )
+
+
+@query(
+    "q20_part_promo_suppliers",
+    oracle="""
+    WITH shipped AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty_total,
+             SUM(CASE WHEN l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+                       AND l_shipdate < TIMESTAMP '2001-01-01 00:00:00'
+                      THEN CAST(l_quantity AS DECIMAL(18,2))
+                      ELSE CAST(0 AS DECIMAL(18,2)) END) AS qty_2000
+      FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+      GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s_suppkey, s_name, n_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'AFRICA'
+      AND s_suppkey IN (
+        SELECT l_suppkey FROM shipped WHERE 2 * qty_2000 > qty_total
+      )
+    ORDER BY s_suppkey
+    """,
+)
+def q20_part_promo_suppliers(spark, sf_dir):
+    """Q20 shape: a nested semi-join chain — suppliers (in one region)
+    having at least one PROMO part whose year-2000 shipments exceed
+    half that (part, supplier)'s all-time shipments. (Classic Q20
+    correlates partsupp availability against shipped quantity; without
+    a partsupp table the same chain runs part-filter → per-(part,
+    supplier) aggregate with a correlated threshold → supplier
+    semi-join.) Each IN becomes LEFT SEMI: lineitem is pre-pruned by
+    the broadcast part filter, the threshold is cross-multiplied
+    (2·qty_2000 > qty_total) to stay in exact decimal, and the final
+    semi-join feeds the (broadcast) nation/region enrichment — the
+    fact table is touched once."""
+    promo = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_shipdate", "l_quantity"
+    )
+    qdec = F.col("l_quantity").cast("decimal(18,2)")
+    in_2000 = (F.col("l_shipdate") >= "2000-01-01") & (
+        F.col("l_shipdate") < "2001-01-01"
+    )
+    shipped = (
+        li.join(F.broadcast(promo), li["l_partkey"] == promo["p_partkey"], "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(qdec).alias("qty_total"),
+            F.sum(F.when(in_2000, qdec).otherwise(F.lit(0).cast("decimal(18,2)"))).alias(
+                "qty_2000"
+            ),
+        )
+    )
+    qualifying = (
+        shipped.filter(2 * F.col("qty_2000") > F.col("qty_total"))
+        .select("l_suppkey")
+    )
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "AFRICA")
+    nat = load(spark, sf_dir, "nation")
+    return (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(qualifying, F.col("s_suppkey") == qualifying["l_suppkey"], "left_semi")
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    )

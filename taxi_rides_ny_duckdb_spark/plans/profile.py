@@ -92,6 +92,8 @@ def profile_percentiles_selection(
     cols: list[str],
     probs: tuple[float, ...] = (0.05, 0.25, 0.5, 0.75, 0.95),
     n_buckets: int = 2048,
+    max_bucket_rows: int = 1_000_000,
+    _max_levels: int = 64,
 ) -> DataFrame:
     """Exact percentiles via distributed selection — the scale path.
 
@@ -99,25 +101,32 @@ def profile_percentiles_selection(
     value→count map per column and sorts it at one reducer: fine for
     low-cardinality columns, quadratic pain for a near-unique measure
     (583k distinct values ⇒ ~2 s at sf0.1, unrunnable at 100 TB where
-    the map would hold billions of entries). Selection instead does two
+    the map would hold billions of entries). Selection instead runs
     fully-parallel scans with O(buckets) driver state:
 
       1. one agg: non-null count + min/max per column;
-      2. bucket-histogram: unpivot to (column, value), count per
-         (column, equi-width bucket) — ≤ C·B tiny rows collected;
+      2. bucket-histogram: unpivot to (column, value), then per
+         (segment, equi-width bucket) count + min + max — ≤ C·B tiny
+         rows collected;
       3. locate, per target rank floor(p·(n-1)) and its +1 neighbor,
-         the bucket containing it (cumulative counts, driver-side);
-      4. re-scan filtered to ONLY those buckets, groupBy exact value —
-         collects ~distinct-per-bucket · |needed| (value, count) pairs;
+         the bucket owning it (cumulative counts, driver-side). Then
+         per owning bucket: (a) ``min == max`` ⇒ the rank's value IS
+         that value — a heavy-hitter bucket of any size resolves with
+         zero further I/O; (b) ≤ ``max_bucket_rows`` rows ⇒ queue for
+         the exact-value collect; (c) otherwise RECURSE — the bucket's
+         [min, max] becomes a segment re-split into ``n_buckets`` at
+         the next level (one extra scan per level, range shrinks ×B
+         per level, so levels are ~log_B(range/ulp) worst-case and 1
+         in practice). This bounds the driver payload: nothing bigger
+         than C·B histogram rows or ``max_bucket_rows`` distinct
+         values per bucket ever reaches the driver — the 100 TB
+         heavy-hitter hazard (one value dominating a bucket) hits
+         branch (a), not an unbounded collect;
+      4. one re-scan filtered to ONLY the queued buckets' [min, max]
+         ranges, groupBy exact value;
       5. interpolate ``(1-f)·lo + f·hi`` on the driver — DuckDB
          ``quantile_cont``'s exact rounding (bit-exact parity verified
-         in the contract oracle at sf0.01 and sf0.1).
-
-    Nothing large ever sits on one node: the histogram is B counts per
-    column and step 4 touches ~n/B of the data, grouped before collect.
-    Assumes bucket-local distinct counts stay collectable (true unless
-    a single bucket holds millions of *distinct* doubles — recurse with
-    a finer B if that ever bites)."""
+         in the contract oracle at sf0.01 and sf0.1)."""
     dcols = {c: F.col(c).cast("double") for c in cols}
     aggs = []
     for c in cols:
@@ -133,31 +142,7 @@ def profile_percentiles_selection(
         f"stack({len(cols)}, {pairs}) as (column_name, v)"
     ).filter(F.col("v").isNotNull())
 
-    def bucket_expr():
-        e = F.lit(0)
-        for c in cols:
-            lo, hi = stats[f"{c}__lo"], stats[f"{c}__hi"]
-            if lo is None:
-                continue
-            width = (hi - lo) or 1.0
-            b = F.least(
-                F.lit(n_buckets - 1),
-                F.floor((F.col("v") - F.lit(lo)) / F.lit(width) * n_buckets),
-            ).cast("int")
-            e = F.when(F.col("column_name") == c, b).otherwise(e)
-        return e
-
-    hist = (
-        stacked.groupBy("column_name", bucket_expr().alias("b"))
-        .count()
-        .collect()
-    )
-    by_col: dict[str, list] = {c: [] for c in cols}
-    for r in hist:
-        by_col[r["column_name"]].append((r["b"], r["count"]))
-
-    # per column: target ranks (0-based order statistics) -> owning bucket
-    needed: dict[str, set[int]] = {c: set() for c in cols}
+    # Target order statistics (0-based) per column.
     ranks: dict[str, list[tuple[float, int, int, float]]] = {}
     for c in cols:
         n = stats[f"{c}__n"]
@@ -168,70 +153,109 @@ def profile_percentiles_selection(
             hi_i = min(lo_i + 1, n - 1)
             rk.append((p, lo_i, hi_i, pos - lo_i))
         ranks[c] = rk
-        cum = 0
-        want = sorted({i for _, lo_i, hi_i, _ in rk for i in (lo_i, hi_i)})
-        wi = 0
-        for b, cnt in sorted(by_col[c]):
-            while wi < len(want) and want[wi] < cum + cnt:
-                needed[c].add(b)
-                wi += 1
-            cum += cnt
 
-    cond = None
+    # pending: (col, global_rank k, rank offset within segment, seg lo,
+    # seg hi) — segment [lo, hi] is a closed value range known to hold
+    # the rank. Level 0 segments are the full column ranges.
+    pending: list[tuple[str, int, int, float, float]] = []
     for c in cols:
-        if not needed[c]:
+        if stats[f"{c}__n"] == 0:
             continue
-        e = (F.col("column_name") == c) & bucket_expr().isin(*needed[c])
-        cond = e if cond is None else (cond | e)
-    vals = (
-        stacked.filter(cond)
-        .groupBy("column_name", "v")
-        .count()
-        .collect()
-    )
-    vc: dict[str, list] = {c: [] for c in cols}
-    for r in vals:
-        vc[r["column_name"]].append((r["v"], r["count"]))
+        for k in sorted({i for _, lo_i, hi_i, _ in ranks[c] for i in (lo_i, hi_i)}):
+            pending.append((c, k, k, stats[f"{c}__lo"], stats[f"{c}__hi"]))
+
+    resolved: dict[tuple[str, int], float] = {}
+    to_collect: list[tuple[str, int, int, float, float]] = []
+
+    level = 0
+    while pending:
+        level += 1
+        force = level >= _max_levels  # pathological-range backstop
+        segments = sorted({(c, lo, hi) for c, _, _, lo, hi in pending})
+        seg_ids = {s: i for i, s in enumerate(segments)}
+
+        seg_expr = F.lit(-1)
+        bucket_e = F.lit(0)
+        for (c, lo, hi), i in seg_ids.items():
+            in_seg = (
+                (F.col("column_name") == c)
+                & (F.col("v") >= F.lit(lo))
+                & (F.col("v") <= F.lit(hi))
+            )
+            width = (hi - lo) or 1.0
+            b = F.least(
+                F.lit(n_buckets - 1),
+                F.floor((F.col("v") - F.lit(lo)) / F.lit(width) * n_buckets),
+            ).cast("int")
+            seg_expr = F.when(in_seg, F.lit(i)).otherwise(seg_expr)
+            bucket_e = F.when(in_seg, b).otherwise(bucket_e)
+
+        hist = (
+            stacked.filter(seg_expr >= 0)
+            .groupBy(seg_expr.alias("seg"), bucket_e.alias("b"))
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.min("v").alias("bmin"),
+                F.max("v").alias("bmax"),
+            )
+            .collect()
+        )
+        by_seg: dict[int, list] = {}
+        for r in hist:
+            by_seg.setdefault(r["seg"], []).append(
+                (r["b"], r["cnt"], r["bmin"], r["bmax"])
+            )
+
+        nxt: list[tuple[str, int, int, float, float]] = []
+        for c, k, k_off, lo, hi in pending:
+            cum = 0
+            for _, cnt, bmin, bmax in sorted(by_seg.get(seg_ids[(c, lo, hi)], [])):
+                if k_off < cum + cnt:
+                    if bmin == bmax:
+                        resolved[(c, k)] = bmin  # heavy hitter / singleton
+                    elif cnt <= max_bucket_rows or force:
+                        to_collect.append((c, k, k_off - cum, bmin, bmax))
+                    else:
+                        nxt.append((c, k, k_off - cum, bmin, bmax))
+                    break
+                cum += cnt
+            else:
+                raise AssertionError(f"rank {k} not located for {c}")
+        pending = nxt
+
+    if to_collect:
+        cond = None
+        for c, lo, hi in sorted({(c, lo, hi) for c, _, _, lo, hi in to_collect}):
+            e = (
+                (F.col("column_name") == c)
+                & (F.col("v") >= F.lit(lo))
+                & (F.col("v") <= F.lit(hi))
+            )
+            cond = e if cond is None else (cond | e)
+        vals = stacked.filter(cond).groupBy("column_name", "v").count().collect()
+        vc: dict[str, list] = {}
+        for r in vals:
+            vc.setdefault(r["column_name"], []).append((r["v"], r["count"]))
+        for c, k, k_off, lo, hi in to_collect:
+            cum = 0
+            for v, cnt in sorted(x for x in vc.get(c, []) if lo <= x[0] <= hi):
+                if k_off < cum + cnt:
+                    resolved[(c, k)] = v
+                    break
+                cum += cnt
+            else:
+                raise AssertionError(f"rank {k} not located for {c} in collect")
 
     out_rows = []
     for c in cols:
-        n = stats[f"{c}__n"]
         row = {"column_name": c}
-        if n == 0:
+        if stats[f"{c}__n"] == 0:
             for p in probs:
                 row[f"p{int(round(p * 100)):02d}"] = None
             out_rows.append(row)
             continue
-        # cumulative count strictly below each bucket, and each needed
-        # bucket's values sorted — a rank is resolved INSIDE its owning
-        # bucket against that bucket's own offset (needed buckets are
-        # not necessarily contiguous).
-        cum_below, cum = {}, 0
-        bucket_count = {}
-        for b, cnt in sorted(by_col[c]):
-            cum_below[b] = cum
-            bucket_count[b] = cnt
-            cum += cnt
-        lo_s, hi_s = stats[f"{c}__lo"], stats[f"{c}__hi"]
-        width = (hi_s - lo_s) or 1.0
-        per_bucket: dict[int, list] = {}
-        for v, cnt in vc[c]:
-            # same double arithmetic as the Spark-side bucket expression
-            b = min(n_buckets - 1, int((v - lo_s) / width * n_buckets))
-            per_bucket.setdefault(b, []).append((v, cnt))
-
-        def order_stat(k):
-            for b in sorted(per_bucket):
-                if cum_below[b] <= k < cum_below[b] + bucket_count[b]:
-                    cum = cum_below[b]
-                    for v, cnt in sorted(per_bucket[b]):
-                        if k < cum + cnt:
-                            return v
-                        cum += cnt
-            raise AssertionError(f"rank {k} not located for {c}")
-
         for p, lo_i, hi_i, frac in ranks[c]:
-            lo_v, hi_v = order_stat(lo_i), order_stat(hi_i)
+            lo_v, hi_v = resolved[(c, lo_i)], resolved[(c, hi_i)]
             # DuckDB quantile_cont rounds as (1-f)*lo + f*hi, which can
             # differ from lo + f*(hi-lo) by 1 ulp — match it exactly
             row[f"p{int(round(p * 100)):02d}"] = (

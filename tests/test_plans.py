@@ -304,6 +304,34 @@ def test_percentile_selection_matches_one_agg(spark, sf_dir):
     assert got["z"]["p50"] is None    # all-null column
 
 
+def test_percentile_selection_heavy_hitter_bounded(spark):
+    """A single value dominating its bucket must NOT reach the driver
+    as a giant distinct-value collect: with max_bucket_rows tiny, the
+    owning bucket is oversized every level, but its min==max short-
+    circuit resolves the rank with zero value collection (the 100 TB
+    heavy-hitter path). Mixed-bucket ranks recurse into sub-segments
+    and still match the one-agg exact percentile."""
+    from pyspark.sql import functions as F
+    from taxi_rides_ny_duckdb_spark.plans.profile import (
+        profile_percentiles,
+        profile_percentiles_selection,
+    )
+
+    # 10_000 copies of 5.0 (heavy hitter) + 100 distinct spread values.
+    hh = spark.range(10_000).select(F.lit(5.0).alias("m"))
+    spread = spark.range(100).select((F.col("id") * 1.0 + 100.0).alias("m"))
+    df = hh.unionAll(spread)
+    a = profile_percentiles(df, ["m"]).collect()[0]
+    b = profile_percentiles_selection(
+        df, ["m"], n_buckets=8, max_bucket_rows=50
+    ).collect()[0]
+    for p in ("p05", "p25", "p50", "p75", "p95"):
+        assert a[p] == b[p], (p, a[p], b[p])
+    # p95 rank (9594.05 of 10100) still lands inside the heavy-hitter
+    # bucket → resolved via min==max, value exactly 5.0
+    assert b["p95"] == 5.0
+
+
 def test_corpus_curation_single_tokenize(spark, sf_dir):
     """The curation pipeline must evaluate tokenize/lang-argmax ONCE
     per row: higher-order lambdas skip subexpression elimination, so if
