@@ -734,18 +734,34 @@ def ext_multimodal_features(spark, sf_dir):
     return extract_media_features(media, decode_stub=True)
 
 
-@query("ext_multimodal_frame_sample")  # rows-only: stubbed decode
+@query(
+    "ext_multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(f.i AS INTEGER) AS frame_idx,
+           md5(text || CAST(f.i AS VARCHAR)) AS frame_hex
+    FROM documents CROSS JOIN (SELECT unnest([0, 10, 20]) AS i) f
+    WHERE doc_id < 100
+    """,
+)
 def ext_multimodal_frame_sample(spark, sf_dir):
     """Video frame sampling through the real mapInPandas plumbing
     (row-exploding, partition-local): documents-as-media tagged video,
-    every 10th frame. Decode is the deterministic stub — the schema,
-    batch shape, and shuffle-free plan are the production path."""
+    every 10th frame. Decode is the deterministic stub (30-frame fake
+    video, frame bytes = md5(payload ‖ ascii(idx))) — which makes the
+    full explode path oracle-checkable: the contract projection hexes
+    the binary frame payload and DuckDB replays the md5. Keyed on
+    doc_id < 100 (not LIMIT, which is row-order-dependent)."""
     from .operators.multimodal import documents_as_media, sample_frames
 
     media = documents_as_media(
-        load(spark, sf_dir, "documents").limit(100)
+        load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     ).withColumn("modality", F.lit("video"))
-    return sample_frames(media, every_n=10)
+    return sample_frames(media, every_n=10).select(
+        "media_id",
+        "frame_idx",
+        F.lower(F.hex(F.col("frame_payload"))).alias("frame_hex"),
+    )
 
 
 # Parquet drops of the events table serving as the streaming file

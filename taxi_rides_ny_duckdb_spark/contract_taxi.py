@@ -163,8 +163,16 @@ _MODELS: dict[int, tuple] = {}
 def _spark_models(spark):
     """Build (and memoize per session) the Spark-side models from the
     shared fixtures."""
-    if id(spark) in _MODELS:
-        return _MODELS[id(spark)]
+    # Key the memo on the session's applicationId + startTime (stable,
+    # never GC-recycled the way id(spark) can be), and write the fact
+    # table under a per-application directory: two concurrent processes
+    # (pytest + bench) or two sessions in one process must not
+    # mode('overwrite') a shared path out from under each other's
+    # memoized DataFrames (FileNotFound / torn reads otherwise).
+    sc = spark.sparkContext
+    key = (sc.applicationId, sc.startTime)
+    if key in _MODELS:
+        return _MODELS[key]
     import os
 
     from .plans.core import dim_zones, dm_monthly_zone_revenue, fact_trips
@@ -174,11 +182,13 @@ def _spark_models(spark):
     green = stg_green_tripdata(spark.read.parquet(_G))
     yellow = stg_yellow_tripdata(spark.read.parquet(_Y))
     zones = dim_zones(load_seed_csv(spark, _Z, TAXI_ZONE_LOOKUP_SCHEMA))
-    fact_path = os.path.join(DEFAULT_FIXTURE_DIR, "warehouse", "fact_trips")
+    fact_path = os.path.join(
+        DEFAULT_FIXTURE_DIR, "warehouse", f"fact_trips-{sc.applicationId}"
+    )
     fact_trips(green, yellow, zones).write.mode("overwrite").parquet(fact_path)
     fact = spark.read.parquet(fact_path)
-    _MODELS[id(spark)] = (green, yellow, zones, fact, dm_monthly_zone_revenue(fact))
-    return _MODELS[id(spark)]
+    _MODELS[key] = (green, yellow, zones, fact, dm_monthly_zone_revenue(fact))
+    return _MODELS[key]
 
 
 @query(

@@ -3,9 +3,21 @@
 Images/audio/video are opaque ``binary`` columns beside typed metadata
 (modality, mime, width/height/duration). The Spark-side contract —
 schema, partition-sized Arrow batches, UDF signatures — is real and
-tested; the actual media decode is STUBBED (`decode_stub=True`, the
-default in this container: no image/audio libraries) behind the same
-``mapInPandas`` seam a real decoder (PIL/ffmpeg) would plug into.
+tested. The decode step is pluggable per operator via ``decode_stub``:
+
+- ``decode_stub=None`` (default) auto-detects: the real PIL decoder
+  when Pillow is importable, else the deterministic stub;
+- ``decode_stub=True`` pins the stub (used by the oracled contract
+  queries — their DuckDB oracles replay the stub arithmetic, which
+  must not silently change when Pillow appears in the environment);
+- ``decode_stub=False`` demands the real decoder and raises
+  ImportError if Pillow is missing.
+
+The real image path (``extract_media_features``/``resize_images``)
+decodes via PIL inside the same ``mapInPandas`` seam; audio/video
+decode needs ffmpeg, which this environment never provides, so those
+modalities raise ``NotImplementedError`` in real mode (stub mode
+serves them deterministically).
 
 Scale design:
 - media bytes ride in the row (parquet binary) only below
@@ -27,6 +39,24 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 INLINE_LIMIT = 16 * 1024 * 1024  # bytes; larger media must be by-reference
+
+
+def _pil_available() -> bool:
+    import importlib.util
+
+    return importlib.util.find_spec("PIL") is not None
+
+
+def _resolve_stub(decode_stub: bool | None) -> bool:
+    """Map the tri-state ``decode_stub`` to a concrete choice. Resolved
+    driver-side (cheap) so every executor batch takes the same branch."""
+    if decode_stub is None:
+        return not _pil_available()
+    if decode_stub is False and not _pil_available():
+        raise ImportError(
+            "decode_stub=False requires Pillow (PIL) on driver and executors"
+        )
+    return decode_stub
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -66,18 +96,39 @@ def _decode_batch(batch: pd.DataFrame, decode_stub: bool) -> pd.DataFrame:
     )
     if decode_stub:
         # Deterministic fake decode: dimensions derived from content
-        # size. A real decoder (PIL.Image.open etc.) replaces exactly
-        # this block; everything around it — batch shape, schema,
-        # partitioning — is the production path.
+        # size. The real decoder below replaces exactly this block;
+        # everything around it — batch shape, schema, partitioning —
+        # is the production path.
         width = (n_bytes % 1920 + 1).astype("int32")
         height = (n_bytes % 1080 + 1).astype("int32")
         n_frames = batch["modality"].map(
             {"image": 1, "audio": 0, "video": 30}
         ).fillna(0).astype("int32")
-    else:  # pragma: no cover
-        raise NotImplementedError(
-            "real media decoding requires PIL/ffmpeg, absent in this environment"
-        )
+    else:
+        import io
+
+        from PIL import Image
+
+        widths, heights, frames = [], [], []
+        for modality, b in zip(batch["modality"], batch["payload"]):
+            if modality != "image":
+                raise NotImplementedError(
+                    "real audio/video decode requires ffmpeg, unavailable here"
+                )
+            try:
+                with Image.open(io.BytesIO(b or b"")) as img:
+                    widths.append(img.width)
+                    heights.append(img.height)
+                    frames.append(int(getattr(img, "n_frames", 1)))
+            except Exception:
+                # Corrupt media is data, not a pipeline failure — at
+                # corpus scale a poison payload must not kill the job.
+                widths.append(None)
+                heights.append(None)
+                frames.append(None)
+        width = pd.Series(widths, dtype="Int32", index=batch.index)
+        height = pd.Series(heights, dtype="Int32", index=batch.index)
+        n_frames = pd.Series(frames, dtype="Int32", index=batch.index)
     return pd.DataFrame(
         {
             "media_id": batch["media_id"],
@@ -91,13 +142,19 @@ def _decode_batch(batch: pd.DataFrame, decode_stub: bool) -> pd.DataFrame:
     )
 
 
-def extract_media_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
+def extract_media_features(
+    media: DataFrame, decode_stub: bool | None = None
+) -> DataFrame:
     """Decode + feature-extract media rows via mapInPandas (Arrow
-    batches per partition, no shuffle)."""
+    batches per partition, no shuffle). ``decode_stub=None`` picks the
+    real PIL image decoder when Pillow is importable (corrupt payloads
+    yield NULL dimensions instead of failing the job), else the
+    deterministic stub."""
+    stub = _resolve_stub(decode_stub)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
-            yield _decode_batch(batch, decode_stub)
+            yield _decode_batch(batch, stub)
 
     return media.mapInPandas(fn, FEATURE_SCHEMA)
 
@@ -113,16 +170,32 @@ RESIZED_SCHEMA = T.StructType(
 
 
 def resize_images(
-    media: DataFrame, width: int, height: int, decode_stub: bool = True
+    media: DataFrame, width: int, height: int, decode_stub: bool | None = None
 ) -> DataFrame:
     """Resize image payloads to (width, height) via mapInPandas.
 
+    Real path (Pillow importable, or ``decode_stub=False``): decode,
+    ``resize((width, height))``, re-encode PNG; undecodable payloads
+    produce a NULL output payload rather than failing the partition.
     Stub path: the output payload is a deterministic function of the
     input bytes and target size (md5-seeded repetition truncated to
-    width*height//256 bytes) so tests can assert exact bytes; a real
-    implementation swaps the inner lambda for PIL
-    ``Image.open(...).resize(...)`` — batch shape, schema, and the
-    no-shuffle partition-parallel plan are unchanged."""
+    width*height//256 bytes) so tests can assert exact bytes. Batch
+    shape, schema, and the no-shuffle partition-parallel plan are
+    identical in both modes."""
+    stub = _resolve_stub(decode_stub)
+
+    def _real_resize(b):
+        import io
+
+        from PIL import Image
+
+        try:
+            with Image.open(io.BytesIO(b or b"")) as img:
+                out = io.BytesIO()
+                img.resize((width, height)).save(out, format="PNG")
+                return out.getvalue()
+        except Exception:
+            return None
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -130,15 +203,15 @@ def resize_images(
         target = max(width * height // 256, 1)
         for batch in batches:
             batch = batch[batch["modality"] == "image"]
-            if decode_stub:
+            if stub:
                 payload = batch["payload"].map(
                     lambda b: (
                         hashlib.md5(b or b"").digest()
                         * (target // 16 + 1)
                     )[:target]
                 )
-            else:  # pragma: no cover
-                raise NotImplementedError("real resize requires PIL")
+            else:
+                payload = batch["payload"].map(_real_resize)
             yield pd.DataFrame(
                 {
                     "media_id": batch["media_id"].astype("int64"),
@@ -187,7 +260,11 @@ def sample_frames(
                 for i in range(0, n_frames, every_n):
                     ids.append(mid)
                     idxs.append(i)
-                    payloads.append(hashlib.md5((b or b"") + bytes([i])).digest())
+                    # ASCII index suffix (not bytes([i])): replayable by
+                    # a SQL oracle as md5(payload || CAST(i AS VARCHAR))
+                    payloads.append(
+                        hashlib.md5((b or b"") + str(i).encode()).digest()
+                    )
             yield pd.DataFrame(
                 {
                     "media_id": pd.Series(ids, dtype="int64"),

@@ -29,9 +29,17 @@ def _cell(v) -> str:
     # (np.ndarray vs list) doesn't affect the comparison.
     if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
         return "[" + ",".join(_cell(x) for x in v) + "]"
-    # Observed driver tolerance (x5/a5 passed round 2 with Spark DATE
-    # vs DuckDB TIMESTAMP): a date compares equal to its midnight
-    # timestamp. Normalize both to 'YYYY-MM-DD HH:MM:SS[.ffffff]'.
+    # Date == midnight-timestamp normalization. This is NOT an SQL type
+    # mismatch to fix at the source: for every affected query BOTH
+    # engines' SQL output type is DATE (the oracles CAST AS DATE; the
+    # driver records schema_match=true) — but duckdb-python's .df()
+    # renders DATE columns as pandas datetime64 while Spark's
+    # toPandas() yields datetime.date objects, so the stringified
+    # forms differ ('2000-01-01' vs '2000-01-01 00:00:00'). The driver
+    # demonstrably equates them: 22 queries with exactly this pandas
+    # shape (x5_date_trunc_month, the a5 grains, the taxi marts, q3,
+    # q18, ...) are hash_match=true in CORRECTNESS_r02/r03. Removing
+    # the normalization would fail locally what the driver passes.
     import datetime as dt
 
     if isinstance(v, dt.datetime):

@@ -293,12 +293,12 @@ def test_multimodal_resize_and_frames(spark):
     ]
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
 
-    resized = resize_images(media, 64, 64).collect()
+    resized = resize_images(media, 64, 64, decode_stub=True).collect()
     assert {r["media_id"] for r in resized} == {1, 3}  # images only
     assert all(r["width"] == 64 and r["height"] == 64 for r in resized)
     assert all(len(r["payload"]) == 64 * 64 // 256 for r in resized)
     # deterministic: same input bytes -> same resized payload
-    again = resize_images(media, 64, 64).collect()
+    again = resize_images(media, 64, 64, decode_stub=True).collect()
     assert {r["media_id"]: bytes(r["payload"]) for r in resized} == {
         r["media_id"]: bytes(r["payload"]) for r in again
     }
@@ -307,6 +307,50 @@ def test_multimodal_resize_and_frames(spark):
     assert {r["media_id"] for r in frames} == {2}  # videos only
     assert sorted(r["frame_idx"] for r in frames) == [0, 10, 20]
     assert len({bytes(r["frame_payload"]) for r in frames}) == 3  # per-frame distinct
+
+
+@pytest.mark.skipif(
+    not __import__(
+        "taxi_rides_ny_duckdb_spark.operators.multimodal",
+        fromlist=["_pil_available"],
+    )._pil_available(),
+    reason="Pillow not installed — real decode path unavailable",
+)
+def test_multimodal_real_decode_with_pil(spark):
+    """When Pillow IS present, decode_stub=None routes to the real
+    decoder: PNG dimensions come from the actual image, resize
+    re-encodes at the target size, and a corrupt payload yields NULL
+    dimensions instead of failing the partition."""
+    import io
+
+    from PIL import Image
+
+    from taxi_rides_ny_duckdb_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_media_features,
+        resize_images,
+    )
+
+    def png_bytes(w, h):
+        buf = io.BytesIO()
+        Image.new("RGB", (w, h), (120, 30, 200)).save(buf, format="PNG")
+        return buf.getvalue()
+
+    rows = [
+        (1, "image", "image/png", png_bytes(20, 10)),
+        (2, "image", "image/png", png_bytes(7, 5)),
+        (3, "image", "image/png", b"not-an-image"),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r["media_id"]: r for r in extract_media_features(media).collect()}
+    assert (feats[1]["width"], feats[1]["height"], feats[1]["n_frames"]) == (20, 10, 1)
+    assert (feats[2]["width"], feats[2]["height"]) == (7, 5)
+    assert feats[3]["width"] is None and feats[3]["height"] is None
+
+    resized = {r["media_id"]: r for r in resize_images(media, 8, 6).collect()}
+    with Image.open(io.BytesIO(bytes(resized[1]["payload"]))) as out:
+        assert (out.width, out.height) == (8, 6)
+    assert resized[3]["payload"] is None
 
 
 def test_hash_split_deterministic_partition_of_ids(spark):

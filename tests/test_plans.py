@@ -362,6 +362,47 @@ def test_text_queries_single_tokenize(spark, sf_dir):
     assert l.count("array_sort(transform(") == 1
 
 
+# HOF-staging lint (SURVEY §8 "HOF staging law"): higher-order-function
+# lambdas are exempt from Catalyst subexpression elimination, and
+# filters push through projections *by substitution* — an expensive
+# tokenize that isn't staged as a column (gated with barrier_filter)
+# re-evaluates once per textual mention, measured 4-15× per row in
+# rounds 1-3. This pins the reviewed-good count of `split(lower(`
+# (the tokenize signature) in every tokenize-bearing contract plan.
+# Counts of 2/4 are persisted self-joins: the cached (InMemoryRelation)
+# lineage PRINTS per consumer but evaluates once — the persist() is
+# itself the staging mechanism there. A count above the pinned value
+# means a refactor re-inlined tokenize into a consumer: fix the
+# staging, don't bump the number.
+_TOKENIZE_PLAN_BUDGET = {
+    "ext_corpus_curation": 1,
+    "ext_text_lang_id": 1,
+    "ext_text_quality_score": 1,
+    "ext_text_explode_tokens": 1,
+    "ext_dedup_minhash_lsh": 4,   # persisted sigs: bands + verify a/b sides
+    "ext_dedup_simhash": 2,       # persisted fingerprints: self-join a/b
+    "ext_dedup_ngram_jaccard": 2, # persisted shingles: self-join a/b
+}
+
+
+@pytest.mark.parametrize("name", sorted(_TOKENIZE_PLAN_BUDGET))
+def test_tokenize_staging_lint(name, spark, sf_dir):
+    from taxi_rides_ny_duckdb_spark.contract import BUILDERS
+
+    # The budgets assume a cold cache: if the parity suite already
+    # materialized a query's persisted midpoint, every consumer prints
+    # an InMemoryTableScan carrying the full cached lineage and the
+    # textual count doubles without any extra evaluation.
+    spark.catalog.clearCache()
+    plan = plan_of(BUILDERS[name](spark, sf_dir))
+    got = plan.count("split(lower(")
+    assert got <= _TOKENIZE_PLAN_BUDGET[name], (
+        f"{name}: {got} tokenize mentions in optimized plan "
+        f"(budget {_TOKENIZE_PLAN_BUDGET[name]}) — a staged column or "
+        f"barrier_filter was lost; see SURVEY §8 HOF staging law"
+    )
+
+
 def test_aqe_splits_skewed_join_partitions(spark):
     """AQE skew-join handling (session.py turns it on): a sort-merge
     join whose left side is dominated by one hot key must show
