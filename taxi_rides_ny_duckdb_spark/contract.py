@@ -88,10 +88,15 @@ def query(
 # q-series (incl. the new q2/q20), the join matrix j5-j10, the
 # profiler, the remaining metric grains, and the two newly-oracled
 # queries (simhash, group medoid). Rows-only queries are NOT windowed
-# (their slot would carry no value verification — ADVICE r3); they and
-# the ~18 remaining oracled queries take the round-5 window. Everything
-# outside the window is verified by the local replica of the gate
-# (tests/test_contract_parity.py, both collect- and pandas-hash paths).
+# (their slot would carry no value verification — ADVICE r3). Late in
+# round 4, six more rows-only queries gained oracles (minhash-LSH via
+# the portable hash family, both RH-LSH similarity queries via
+# deterministic-LCG hyperplane replay, both streaming jobs, frame
+# sampling) — only ext_similarity_ivf_topk (iterative k-means) and
+# prof_lineitem_approx (sketches) remain rows-only; the newly-oracled
+# six plus the ~18 remaining oracled queries take the round-5 window.
+# Everything outside the window is verified by the local replica of the
+# gate (tests/test_contract_parity.py, collect- and pandas-hash paths).
 DRIVER_WINDOW: tuple[str, ...] = (
     # Reference taxi DAG — permanent prefix.
     "taxi_stg_green_tripdata",

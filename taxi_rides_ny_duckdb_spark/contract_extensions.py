@@ -221,15 +221,64 @@ def ext_dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
-@query("ext_dedup_minhash_lsh")  # rows-only: LSH recall is probabilistic
+_MINHASH_LSH_ORACLE = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS w
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(
+           list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+                          i -> array_to_string(w[i:i+2], ' '))
+         ) AS shingles
+  FROM w WHERE len(w) >= 3
+), h AS (
+  SELECT doc_id, CAST(concat('0x', substr(md5(s), 18, 15)) AS BIGINT) AS h
+  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
+), sig AS (
+  SELECT doc_id, p.p AS perm,
+         MIN(CAST(concat('0x', substr(md5(concat(CAST(h AS VARCHAR), '-',
+                                              CAST(p.p AS VARCHAR))), 18, 15))
+                  AS BIGINT)) AS m
+  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS p) p
+  GROUP BY doc_id, p.p
+), bands AS (
+  SELECT doc_id, perm // 4 AS band_idx,
+         string_agg(CAST(m AS VARCHAR), ',' ORDER BY perm) AS band_key
+  FROM sig GROUP BY doc_id, perm // 4
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+         / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard_sim
+FROM cand c
+JOIN sh sa ON sa.doc_id = c.id_a
+JOIN sh sb ON sb.doc_id = c.id_b
+WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+        / len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= 0.5
+"""
+
+
+@query("ext_dedup_minhash_lsh", oracle=_MINHASH_LSH_ORACLE)
 def ext_dedup_minhash_lsh(spark, sf_dir):
     """MinHash(32 perms) + LSH(8 bands) near-dup pairs, verified by
-    exact Jaccard ≥ 0.5. Linear-time signatures (pure JVM seeded
-    xxhash64), band-bucket join for candidates — the 100 TB dedup path."""
+    exact Jaccard ≥ 0.5 — the 100 TB dedup path (linear-time
+    signatures, band-bucket join for candidates; no all-pairs). The
+    contract query runs ``portable=True``: both hash levels are the
+    md5-derived 60-bit family and band buckets key on the joined
+    signature string, so DuckDB replays signatures, candidate set, AND
+    verified pairs exactly — LSH recall stops being 'probabilistic'
+    once the scheme is fixed. Production defaults keep the faster
+    all-JVM xxhash64 family (identical pipeline code path)."""
     from .operators.dedup import minhash_lsh_dedup_pairs
 
     d = load(spark, sf_dir, "documents")
-    return minhash_lsh_dedup_pairs(d, "text", "doc_id", threshold=0.5)
+    return minhash_lsh_dedup_pairs(d, "text", "doc_id", threshold=0.5, portable=True)
 
 
 _SIMHASH_ORACLE = """
@@ -331,17 +380,72 @@ def ext_similarity_topk_bruteforce(spark, sf_dir):
     )
 
 
-@query("ext_similarity_lsh_topk")  # rows-only: bucket recall is scheme-defined
+def _rh_sig_sql(dim: int, bits: int, vec: str = "ev", seed: int = 42) -> str:
+    """DuckDB expression reproducing operators/similarity.rh_signature
+    bit-for-bit: the hyperplanes are a deterministic Park–Miller LCG,
+    embedded here as double literals (repr() round-trips exactly), and
+    the dot product is the same sequential fold both engines run — so
+    the sign bits, and therefore the bucket assignment, are identical
+    by construction, not approximately."""
+    from .operators.similarity import _hyperplanes
+
+    terms = []
+    for b, plane in enumerate(_hyperplanes(dim, bits, seed)):
+        arr = "[" + ", ".join(repr(x) for x in plane) + "]::DOUBLE[]"
+        terms.append(
+            f"(CASE WHEN list_sum(list_transform(generate_series(1, {dim}), "
+            f"i -> {vec}[i] * ({arr})[i])) >= 0 THEN {1 << b} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+_LSH_TOPK_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+), sig AS (
+  SELECT vec_id, ev, {_rh_sig_sql(64, 6)} AS s FROM v
+), q AS (
+  SELECT vec_id AS query_id, ev AS qv, s FROM sig WHERE vec_id < 8
+), scored AS (
+  SELECT q.query_id, c.vec_id,
+    CASE WHEN sqrt(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i]))) > 0
+          AND sqrt(list_sum(list_transform(generate_series(1, len(c.ev)), i -> c.ev[i] * c.ev[i]))) > 0
+    THEN list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * c.ev[i]))
+         / (sqrt(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i])))
+            * sqrt(list_sum(list_transform(generate_series(1, len(c.ev)), i -> c.ev[i] * c.ev[i]))))
+    ELSE 0.0 END AS cosine_sim
+  FROM sig c JOIN q ON c.s = q.s
+)
+SELECT query_id, rank, vec_id, round(cosine_sim, 9) AS cosine_sim_r
+FROM (
+  SELECT query_id, vec_id, cosine_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine_sim DESC, vec_id ASC) AS rank
+  FROM scored
+)
+WHERE rank <= 5
+"""
+
+
+@query("ext_similarity_lsh_topk", oracle=_LSH_TOPK_ORACLE)
 def ext_similarity_lsh_topk(spark, sf_dir):
-    """ANN top-5 via random-hyperplane LSH buckets (8 bits ⇒ ~256×
-    less scoring than brute force at recall < 1)."""
+    """ANN top-5 via random-hyperplane LSH buckets (6 bits ⇒ ~64×
+    less scoring than brute force at recall < 1). Oracled (was
+    rows-only): the hyperplane family is a deterministic seeded LCG
+    and the dot-product fold order matches DuckDB's list_sum, so the
+    bucket assignment — hence the exact candidate set, ranks, and
+    scores — is engine-replayable; 'recall' is a property of the fixed
+    scheme, not randomness."""
     from .operators.similarity import lsh_topk
 
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return lsh_topk(emb, queries, k=5, dim=64, bits=6)
+    out = lsh_topk(emb, queries, k=5, dim=64, bits=6)
+    return out.select(
+        "query_id", "rank", "vec_id", F.round("cosine_sim", 9).alias("cosine_sim_r")
+    )
 
 
 # (session, sf_dir) → trained coarse quantizer. An IVF index is built
@@ -523,13 +627,47 @@ def ext_embedding_centroid_assign(spark, sf_dir):
     ).select("vec_id", "centroid_id")
 
 
-@query("ext_embedding_near_dup")  # rows-only (LSH recall)
+_EMB_NEAR_DUP_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+), sig AS (
+  SELECT vec_id, ev,
+         sqrt(list_sum(list_transform(generate_series(1, len(ev)), i -> ev[i] * ev[i]))) AS nrm,
+         {_rh_sig_sql(64, 6)} AS s
+  FROM v
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(CASE WHEN a.nrm > 0 AND b.nrm > 0
+             THEN list_sum(list_transform(generate_series(1, len(a.ev)), i -> a.ev[i] * b.ev[i]))
+                  / (a.nrm * b.nrm)
+             ELSE 0.0 END, 9) AS cosine_sim_r
+FROM sig a JOIN sig b ON a.s = b.s AND a.vec_id < b.vec_id
+WHERE (CASE WHEN a.nrm > 0 AND b.nrm > 0
+       THEN list_sum(list_transform(generate_series(1, len(a.ev)), i -> a.ev[i] * b.ev[i]))
+            / (a.nrm * b.nrm)
+       ELSE 0.0 END) >= 0.3
+"""
+
+
+@query("ext_embedding_near_dup", oracle=_EMB_NEAR_DUP_ORACLE)
 def ext_embedding_near_dup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs within RH-LSH buckets."""
+    """Embedding-cosine near-dup pairs within RH-LSH buckets. Oracled
+    (was rows-only) on the same grounds as ext_similarity_lsh_topk:
+    deterministic LCG hyperplanes + matching fold order make bucket
+    membership and pair cosines engine-identical. Threshold 0.3
+    matches ext_embedding_near_dup_exact's domain — the synthetic
+    embeddings top out below cosine 0.9, so the old 0.9 threshold
+    made this query trivially empty (zero verification signal); at
+    0.3/6 bits the buckets still prune (62 of 240 exact pairs
+    co-bucket at sf0.01) while every surviving pair's cosine is
+    value-checked."""
     from .operators.similarity import embedding_near_dup_pairs
 
-    return embedding_near_dup_pairs(
-        load(spark, sf_dir, "embeddings"), threshold=0.9, dim=64, bits=6
+    out = embedding_near_dup_pairs(
+        load(spark, sf_dir, "embeddings"), threshold=0.3, dim=64, bits=6
+    )
+    return out.select(
+        "id_a", "id_b", F.round("cosine_sim", 9).alias("cosine_sim_r")
     )
 
 
@@ -781,11 +919,30 @@ def _events_stream_dir(spark, sf_dir: str) -> str:
     return _STREAM_SRC[key]
 
 
-@query("ext_streaming_tumbling", memoize=False)  # rows-only; eager stream run
+@query(
+    "ext_streaming_tumbling",
+    oracle="""
+    SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+           time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes'
+             AS window_end,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    memoize=False,  # eager stream run
+)
 def ext_streaming_tumbling(spark, sf_dir):
     """Structured Streaming tumbling-window counts driven to completion
     with availableNow over a parquet drop of the events table; the
-    batch/stream symmetry check lives in tests/test_streaming.py."""
+    batch/stream symmetry check lives in tests/test_streaming.py.
+
+    Oracled (was rows-only): in complete output mode over a finite
+    availableNow source nothing is watermark-dropped, and the decimal-
+    routed sum makes the accumulated state order-independent across
+    micro-batches — so the final memory-sink table must equal the
+    plain batch window aggregation DuckDB runs."""
     from .streaming import jobs
 
     tmp = _events_stream_dir(spark, sf_dir)
@@ -902,12 +1059,28 @@ def ext_salted_join(spark, sf_dir):
     )
 
 
-@query("ext_streaming_stateful_totals", memoize=False)  # rows-only; eager stream run
+@query(
+    "ext_streaming_stateful_totals",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           round(SUM(COALESCE(value, 0)), 6) AS total_value_r
+    FROM events GROUP BY user_id
+    """,
+    memoize=False,  # eager stream run
+)
 def ext_streaming_stateful_totals(spark, sf_dir):
     """applyInPandasWithState running per-user totals driven to
     completion with availableNow — an arbitrary per-key state machine
     (state crosses micro-batches; streaming/stateful.py). Stream/batch
-    agreement is pinned in tests/test_streaming.py."""
+    agreement is pinned in tests/test_streaming.py.
+
+    Oracled (was rows-only): the contract source is a single coalesced
+    parquet drop, so availableNow runs ONE micro-batch and update-mode
+    output is exactly one final-totals row per user — the batch
+    groupBy DuckDB runs. The float accumulation differs from DuckDB's
+    only in summation order (~1e-13 relative on ~20-row groups); 6dp
+    rounding absorbs it. Multi-batch emission semantics (a touched
+    key re-emits per batch) stay covered by tests/test_streaming.py."""
     from .streaming import jobs, stateful
 
     tmp = _events_stream_dir(spark, sf_dir)
@@ -923,7 +1096,11 @@ def ext_streaming_stateful_totals(spark, sf_dir):
         ),
         no_data_batch=False,  # NoTimeout state machine emits every batch
     )
-    return spark.table("contract_stream_stateful")
+    return spark.table("contract_stream_stateful").select(
+        "user_id",
+        "n_events",
+        F.round("total_value", 6).alias("total_value_r"),
+    )
 
 
 @query(

@@ -648,11 +648,16 @@ def q2_min_cost_supplier(spark, sf_dir):
     tables have no partsupp, so lineitem serves as the part↔supplier
     link with MIN(l_extendedprice) as the supply cost — same
     correlated-min-then-match shape.) Expressed Spark-first the way
-    Catalyst would decorrelate it: aggregate costs once, re-aggregate
-    per part for the min, join back on exact-decimal equality (a
-    double-valued min would make `cost = min` nondeterministic). The
-    per-(part,supplier) agg reuses one lineitem exchange for both
-    levels; region-filtered suppliers and filtered parts broadcast."""
+    Catalyst would decorrelate it: aggregate per (part, supplier) once,
+    take the per-part min as a WINDOW over that aggregate — NOT a
+    second aggregate joined back, which re-derives `costs` twice and
+    with it the lineitem scan (plan audit: 12 scans, 0 ReusedExchange
+    on that form vs 1 fact scan here) — and filter on exact-decimal
+    equality (a double-valued min would make `cost = min`
+    nondeterministic). One fact scan, one (part, supplier) shuffle,
+    one window exchange; region suppliers and filtered parts
+    broadcast."""
+    from pyspark.sql.window import Window
     region = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     nat = load(spark, sf_dir, "nation")
     eur_supp = (
@@ -673,20 +678,15 @@ def q2_min_cost_supplier(spark, sf_dir):
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.min(F.col("l_extendedprice").cast("decimal(18,2)")).alias("cost_dec"))
     )
-    best = costs.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
-        F.min("cost_dec").alias("min_cost")
-    )
     part = (
         load(spark, sf_dir, "part")
         .filter((F.col("p_size") <= 15) & (F.col("p_type") == "STANDARD"))
         .select("p_partkey", "p_type")
     )
+    w = Window.partitionBy("l_partkey")
     return (
-        costs.join(
-            best,
-            (costs["l_partkey"] == best["b_partkey"])
-            & (costs["cost_dec"] == best["min_cost"]),
-        )
+        costs.withColumn("min_cost", F.min("cost_dec").over(w))
+        .filter(F.col("cost_dec") == F.col("min_cost"))
         .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .join(F.broadcast(eur_supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .select(

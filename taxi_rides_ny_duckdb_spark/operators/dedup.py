@@ -41,8 +41,27 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def _portable_seeded(h: Column, seed: int) -> Column:
+    """Seeded 60-bit rehash of an int64, engine-portable: md5 of
+    '<h>-<seed>' decimal text, last 15 hex chars parsed base-16
+    (DuckDB: ``CAST(concat('0x', substr(md5(concat(CAST(h AS VARCHAR),
+    '-', '<seed>')), 18, 15)) AS BIGINT)``)."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat_ws("-", h.cast("string"), F.lit(str(seed)))), 18, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
 def minhash_signatures(
-    df: DataFrame, text_col: str, id_col: str, num_perm: int = 32, shingle_n: int = 3
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 32,
+    shingle_n: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """Per-doc MinHash signature as ``num_perm`` int64 columns folded
     into one array.
@@ -51,7 +70,11 @@ def minhash_signatures(
     "permutation" family is the seeded xxhash64 already in the JVM, so
     the whole signature is array_min(transform(...)) per seed: no UDF,
     no explode, no shuffle. Docs with no shingles are dropped (they
-    can't near-dup by shingle overlap)."""
+    can't near-dup by shingle overlap). ``portable=True`` swaps both
+    hash levels for the md5-derived 60-bit family
+    (``portable_hash60`` / ``_portable_seeded``) that a SQL oracle can
+    replay exactly — same pipeline, slower hashes; production keeps
+    the default."""
     # Two-step projection on purpose: tokens land in a column BEFORE the
     # shingle lambda runs. Inlining tokenize() into the lambda makes
     # Spark re-tokenize the document once per shingle position (HOF
@@ -71,13 +94,20 @@ def minhash_signatures(
     # Hash each (variable-length) shingle string exactly ONCE; the
     # num_perm "permutations" then rehash the fixed-width int64 —
     # 32 string hashes per shingle would otherwise dominate runtime.
+    base_hash = portable_hash60 if portable else F.xxhash64
     base = base.withColumn(
-        "__sh_hashes", F.transform(F.col("shingles"), lambda s: F.xxhash64(s))
+        "__sh_hashes", F.transform(F.col("shingles"), lambda s: base_hash(s))
     )
 
     def seeded_min(seed: int):
         # single-param lambda on purpose: a 2-param lambda would be
         # interpreted by Spark as (element, index) and shadow the seed
+        if portable:
+            return F.array_min(
+                F.transform(
+                    F.col("__sh_hashes"), lambda h: _portable_seeded(h, seed)
+                )
+            )
         return F.array_min(
             F.transform(F.col("__sh_hashes"), lambda h: F.xxhash64(h, F.lit(seed)))
         )
@@ -93,6 +123,7 @@ def lsh_candidate_pairs(
     num_bands: int = 8,
     num_perm: int = 32,
     max_bucket_size: int = 2048,
+    portable: bool = False,
 ) -> DataFrame:
     """Band the signatures (rows_per_band = num_perm/num_bands), bucket
     by (band_idx, band_hash), and emit candidate id pairs (a < b).
@@ -114,14 +145,18 @@ def lsh_candidate_pairs(
     from pyspark.sql.window import Window
 
     r = num_perm // num_bands
-    bands = F.posexplode(
-        F.array(
-            *[
-                F.xxhash64(F.concat_ws(",", *[F.col("minhash")[b * r + j].cast("string") for j in range(r)]))
-                for b in range(num_bands)
-            ]
+    # Band bucket key: default is xxhash64 of the joined signature
+    # slice (fixed 8-byte shuffle key). portable=True keeps the joined
+    # STRING itself so a SQL oracle groups on the identical key — same
+    # bucket partition of docs (the hash is injective-in-practice; the
+    # string is injective by construction), wider shuffle rows.
+    def band_key(b: int) -> Column:
+        joined = F.concat_ws(
+            ",", *[F.col("minhash")[b * r + j].cast("string") for j in range(r)]
         )
-    )
+        return joined if portable else F.xxhash64(joined)
+
+    bands = F.posexplode(F.array(*[band_key(b) for b in range(num_bands)]))
     # Bucket size via window count: one shuffle on the same
     # (band_idx, band_hash) key the pair-join needs anyway — no extra
     # agg+join round trip, and AQE sees the true key distribution.
@@ -170,15 +205,20 @@ def minhash_lsh_dedup_pairs(
     num_perm: int = 32,
     num_bands: int = 8,
     shingle_n: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """Full near-dup pipeline: signatures → LSH candidates → exact
     Jaccard verify ≥ threshold. Output (id_a, id_b, jaccard_sim) is
-    independent of the hash scheme (modulo LSH recall)."""
+    independent of the hash scheme (modulo LSH recall); with
+    ``portable=True`` the scheme itself is engine-replayable, so even
+    the candidate SET is oracle-checkable."""
     # Persist: signatures feed the band join AND both sides of the
     # verify join — without a materialization boundary Catalyst inlines
     # the (expensive) signature expressions into every consumer.
-    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_n).persist()
-    cands = lsh_candidate_pairs(sigs, id_col, num_bands, num_perm)
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_perm, shingle_n, portable=portable
+    ).persist()
+    cands = lsh_candidate_pairs(sigs, id_col, num_bands, num_perm, portable=portable)
     sh = sigs.select(F.col(id_col), F.col("shingles"))
     return (
         cands.join(sh.withColumnsRenamed({id_col: "id_a", "shingles": "sh_a"}), "id_a")

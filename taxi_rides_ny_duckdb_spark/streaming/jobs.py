@@ -43,11 +43,22 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
 
 def tumbling_counts(events: DataFrame, width: str = "10 minutes",
                     watermark: str = "30 minutes") -> DataFrame:
-    """Windowed count+sum per event_type with late-data tolerance."""
+    """Windowed count+sum per event_type with late-data tolerance.
+
+    The value sum is decimal-routed (functions/parity.dsum): streaming
+    state accumulates in exact DECIMAL across micro-batches, so the
+    final emission is bit-identical to a batch aggregation regardless
+    of how the source splits into triggers — which is what lets the
+    contract query carry a plain-SQL oracle."""
+    from ..functions.parity import dsum
+
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", width).alias("w"), F.col("event_type"))
-        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), 18, 6).alias("total_value"),
+        )
         .select(
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),

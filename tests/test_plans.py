@@ -332,6 +332,21 @@ def test_percentile_selection_heavy_hitter_bounded(spark):
     assert b["p95"] == 5.0
 
 
+def test_q2_single_fact_scan(spark, sf_dir):
+    """Q2's correlated min is a window over ONE (part, supplier)
+    aggregate: the aggregate-and-join-back form re-derives the costs
+    subtree and scans the fact twice (observed: 12 scans, zero
+    ReusedExchange). At 100 TB the fact scan is the dominant cost —
+    pin it to exactly one."""
+    import re
+
+    from taxi_rides_ny_duckdb_spark.contract import BUILDERS
+
+    plan = plan_of(BUILDERS["q2_min_cost_supplier"](spark, sf_dir))
+    assert len(re.findall(r"Scan parquet.*lineitem", plan)) == 1, plan
+    assert "SortMergeJoin" not in plan  # dims broadcast
+
+
 def test_corpus_curation_single_tokenize(spark, sf_dir):
     """The curation pipeline must evaluate tokenize/lang-argmax ONCE
     per row: higher-order lambdas skip subexpression elimination, so if
