@@ -1873,3 +1873,45 @@ def ext_date_spine_densify(spark, sf_dir):
     return spine.join(monthly, "month", "left_outer").select(
         "month", F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders")
     )
+
+
+@query(
+    "ext_pack_sequences",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  x -> x != '')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT lang, doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS tok_before
+      FROM t
+    )
+    SELECT lang, doc_id, n_tokens,
+           CAST(tok_before // 2048 AS BIGINT) AS pack_id,
+           CAST(tok_before % 2048 AS BIGINT) AS pack_offset,
+           CAST(greatest(1, (tok_before % 2048 + n_tokens - 1) // 2048 + 1)
+                AS BIGINT) AS n_splits
+    FROM c
+    """,
+)
+def ext_pack_sequences(spark, sf_dir):
+    """LLM-pretraining sequence packing (operators/packing.py,
+    split mode): documents laid end-to-end per language bucket and cut
+    at 2048-token boundaries — concatenate-then-chunk, the standard
+    pretraining layout. Pure window arithmetic (running token sum →
+    exact integer division), one narrow shuffle on the bucket key, no
+    global sort; the greedy atomic-document variant is the
+    applyInPandas sibling covered by unit tests."""
+    from .functions.text import token_count
+    from .operators.packing import pack_sequences_split
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_sequences_split(
+        d, "n_tokens", "doc_id", max_tokens=2048, bucket_col="lang"
+    )

@@ -520,3 +520,44 @@ def test_group_medoid_picks_central_member(spark):
     }
     assert got["a"][0] == 1 and got["a"][1] == 3
     assert got["b"] == (7, 1, 0.0)
+
+
+def test_pack_sequences_split_layout(spark):
+    """Split-mode packing = concatenate-then-chunk: offsets are the
+    running sum mod max, pack ids the running sum div max, and an
+    oversized doc spans ceil packs from its landing offset."""
+    from taxi_rides_ny_duckdb_spark.operators.packing import pack_sequences_split
+
+    rows = [(1, 100), (2, 950), (3, 2100), (4, 1), (5, 0)]
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    got = {r["doc_id"]: r for r in
+           pack_sequences_split(df, "n", "doc_id", 1024).collect()}
+    assert (got[1]["pack_id"], got[1]["pack_offset"], got[1]["n_splits"]) == (0, 0, 1)
+    assert (got[2]["pack_id"], got[2]["pack_offset"], got[2]["n_splits"]) == (0, 100, 2)
+    # doc 3 starts at absolute 1050 → pack 1 offset 26, 2100 tokens → 3 packs
+    assert (got[3]["pack_id"], got[3]["pack_offset"], got[3]["n_splits"]) == (1, 26, 3)
+    assert (got[4]["pack_id"], got[4]["pack_offset"], got[4]["n_splits"]) == (3, 78, 1)
+    assert got[5]["n_splits"] == 1  # zero-token doc still lands somewhere
+
+
+def test_pack_sequences_greedy_atomic(spark):
+    """Greedy mode never splits a document: every (pack_offset +
+    n_tokens) fits max_tokens unless the doc alone exceeds it (then it
+    owns the pack), packs are dense in id order, and buckets pack
+    independently."""
+    from taxi_rides_ny_duckdb_spark.operators.packing import pack_sequences_greedy
+
+    rows = [("a", 1, 600), ("a", 2, 500), ("a", 3, 500), ("a", 4, 2000),
+            ("a", 5, 10), ("b", 6, 1024), ("b", 7, 1)]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, n long")
+    got = {r["doc_id"]: r for r in
+           pack_sequences_greedy(df, "n", "doc_id", 1024, bucket_col="lang").collect()}
+    # bucket a: 600 | 500+500 | 2000 (oversized, own pack) | 10
+    assert [got[i]["pack_id"] for i in (1, 2, 3, 4, 5)] == [0, 1, 1, 2, 3]
+    assert got[3]["pack_offset"] == 500
+    assert got[4]["pack_offset"] == 0
+    # bucket b restarts numbering: exactly-full pack closes, next opens
+    assert (got[6]["pack_id"], got[7]["pack_id"]) == (0, 1)
+    # atomicity: in-bounds docs never straddle the boundary
+    for i in (1, 2, 3, 5, 7):
+        assert got[i]["pack_offset"] + got[i]["n_tokens"] <= 1024
