@@ -1915,3 +1915,39 @@ def ext_pack_sequences(spark, sf_dir):
     return pack_sequences_split(
         d, "n_tokens", "doc_id", max_tokens=2048, bucket_col="lang"
     )
+
+
+@query(
+    "ext_decontaminate_ngram",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS w
+      FROM documents
+    ), s AS (
+      SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, greatest(len(w) - 3, 0)),
+                                     i -> array_to_string(w[i:i+3], ' '))) AS sh
+        FROM w)
+    ), b AS (
+      SELECT DISTINCT sh FROM s WHERE doc_id < 20
+    )
+    SELECT s.doc_id, COUNT(*) AS n_overlap
+    FROM s JOIN b USING (sh)
+    WHERE s.doc_id >= 20
+    GROUP BY s.doc_id
+    """,
+)
+def ext_decontaminate_ngram(spark, sf_dir):
+    """Benchmark decontamination (operators/dedup.ngram_contamination):
+    corpus docs sharing any word 4-gram with the pseudo-benchmark
+    (doc_id < 20), with distinct-overlap counts. The benchmark shingle
+    set broadcasts — the corpus is never shuffled, the standard
+    pre-training hygiene sweep at 100 TB."""
+    from .operators.dedup import ngram_contamination
+
+    d = load(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") < 20)
+    corpus = d.filter(F.col("doc_id") >= 20)
+    return ngram_contamination(corpus, bench, "text", "doc_id", shingle_n=4)

@@ -580,3 +580,43 @@ def edit_distance_pairs(
         .filter(F.col("distance") >= 0)  # threshold form returns -1 above k
         .withColumn("distance", F.col("distance").cast("bigint"))
     )
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing at
+    least one word ``shingle_n``-gram with a benchmark/eval set, with
+    the count of distinct overlapping shingles (the standard
+    train-set hygiene step before pretraining — contaminated docs are
+    dropped or audited).
+
+    Scale shape: the benchmark is tiny relative to the corpus, so its
+    distinct shingle set BROADCASTS; the corpus side is one explode +
+    broadcast-hash semi-join + per-doc count — no shuffle of corpus
+    text, no pairwise anything. The corpus shingle explode is the same
+    staged tokens→shingles projection as the MinHash path (HOF staging
+    law)."""
+
+    def shingles_of(df: DataFrame) -> DataFrame:
+        toks = ensure_min_partitions(df).select(
+            F.col(id_col), tokenize(F.col(text_col)).alias("__toks")
+        )
+        return toks.select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(word_shingles(F.col("__toks"), shingle_n))
+            ).alias("sh"),
+        )
+
+    bench_sh = F.broadcast(shingles_of(benchmark).select("sh").distinct())
+    return (
+        shingles_of(corpus)
+        .join(bench_sh, "sh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )

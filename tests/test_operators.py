@@ -561,3 +561,29 @@ def test_pack_sequences_greedy_atomic(spark):
     # atomicity: in-bounds docs never straddle the boundary
     for i in (1, 2, 3, 5, 7):
         assert got[i]["pack_offset"] + got[i]["n_tokens"] <= 1024
+
+
+def test_ngram_contamination_flags_planted_overlap(spark):
+    """A doc embedding a benchmark phrase is flagged with the exact
+    distinct-shingle overlap count; clean docs are absent."""
+    from taxi_rides_ny_duckdb_spark.operators.dedup import ngram_contamination
+
+    bench = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            (10, "intro text then the quick brown fox jumps away"),  # 2 shared 4-grams
+            (11, "completely unrelated words here nothing shared at all"),
+            (12, "the quick brown fox jumps over the lazy dog verbatim copy"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["n_overlap"] for r in
+           ngram_contamination(corpus, bench, "text", "doc_id", shingle_n=4).collect()}
+    assert 11 not in got
+    # doc 10 shares 'the quick brown fox' and 'quick brown fox jumps'
+    assert got[10] == 2
+    # doc 12 contains all 6 benchmark 4-grams
+    assert got[12] == 6
