@@ -1951,3 +1951,47 @@ def ext_decontaminate_ngram(spark, sf_dir):
     bench = d.filter(F.col("doc_id") < 20)
     corpus = d.filter(F.col("doc_id") >= 20)
     return ngram_contamination(corpus, bench, "text", "doc_id", shingle_n=4)
+
+
+@query(
+    "ext_text_repetition_ratio",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS w
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 3
+                  THEN list_transform(generate_series(1, len(w) - 2),
+                                      i -> array_to_string(w[i:i+2], ' '))
+                  ELSE [] END AS sh
+      FROM w
+    )
+    SELECT doc_id,
+           round(CASE WHEN len(sh) > 0
+                 THEN 1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh)
+                 ELSE 0.0 END, 9) AS rep_ratio_r
+    FROM s
+    """,
+)
+def ext_text_repetition_ratio(spark, sf_dir):
+    """Intra-document repetition ratio (Gopher-style quality rule):
+    1 − distinct/total over the doc's word 3-grams — boilerplate and
+    degenerate loops score high and get filtered before training.
+    Tokens and the raw shingle list are STAGED columns (HOF staging
+    law: the ratio references the shingle array twice; inlined, the
+    transform would run twice per row). Pure JVM expressions, linear
+    scan, no shuffle."""
+    from .functions.text import tokenize, word_shingles_all
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokenize(F.col("text")).alias("__toks"))
+    sh = toks.select(
+        "doc_id", word_shingles_all(F.col("__toks"), 3).alias("__sh")
+    )
+    ratio = F.when(
+        F.size("__sh") > 0,
+        1.0 - F.size(F.array_distinct(F.col("__sh"))).cast("double") / F.size("__sh"),
+    ).otherwise(F.lit(0.0))
+    return sh.select("doc_id", F.round(ratio, 9).alias("rep_ratio_r"))

@@ -165,3 +165,18 @@ def fingerprint(text: Column) -> Column:
 
     Oracle: ``md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))``."""
     return F.md5(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")))
+
+
+def word_shingles_all(tokens: Column, n: int = 3) -> Column:
+    """ALL n-word shingles (duplicates kept), unlike ``word_shingles``
+    which dedups — the denominator for intra-document repetition
+    measurement. Same empty-guard as word_shingles.
+
+    Oracle: ``CASE WHEN len(w) >= n THEN list_transform(
+    generate_series(1, len(w)-n+1), i -> array_to_string(w[i:i+n-1],
+    ' ')) ELSE [] END``."""
+    idx = F.sequence(F.lit(1), F.size(tokens) - F.lit(n - 1))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i, n)))
+    return F.when(F.size(tokens) >= n, sh).otherwise(
+        F.array().cast("array<string>")
+    )
