@@ -775,3 +775,101 @@ def q20_part_promo_suppliers(spark, sf_dir):
         .select("s_suppkey", "s_name", "n_name")
         .orderBy("s_suppkey")
     )
+
+
+@query(
+    "q12_priority_classes",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '2001-01-01 00:00:00'
+      AND l_returnflag IN ('A', 'R')
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q12_priority_classes(spark, sf_dir):
+    """Q12 shape: two-branch priority classification counted per line
+    attribute after the orders⨝lineitem join. (Classic Q12 groups by
+    l_shipmode with commit/receipt-date residuals; this schema has
+    neither, so l_returnflag carries the group and the ship-year
+    filter the selectivity — same join + CASE-classification + count
+    shape.) Both CASE sums ride the single shuffle; the shipdate and
+    returnflag filters push to the lineitem scan, so only matching
+    lines join."""
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "2000-01-01")
+            & (F.col("l_shipdate") < "2001-01-01")
+            & F.col("l_returnflag").isin("A", "R")
+        )
+        .select("l_orderkey", "l_returnflag")
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~is_high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q19_bracketed_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+                AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_bracketed_revenue(spark, sf_dir):
+    """Q19 shape: a disjunction of conjunctive brackets spanning BOTH
+    join sides — the OR cannot be pushed wholesale, but Catalyst
+    extracts the per-side implications: the part scan keeps only the
+    three brands (p_brand IN …) and lineitem only the quantity-range
+    union, so each side prunes before the broadcast join and the full
+    bracket predicate evaluates only on survivors. Single-row
+    decimal-routed revenue output."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    bracket = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(bracket)
+        .agg(dsum(revenue, 18, 4).alias("revenue"))
+    )
