@@ -873,3 +873,34 @@ def q19_bracketed_revenue(spark, sf_dir):
         .filter(bracket)
         .agg(dsum(revenue, 18, 4).alias("revenue"))
     )
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '2001-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """Q6 shape: the canonical scan-dominated filter+aggregate — three
+    conjunctive range predicates and one sum, no join, no groupBy. The
+    whole query is a single whole-stage-codegen'd scan: every
+    predicate reaches the parquet reader (PushedFilters + row-group
+    min/max pruning), the partial sums combine map-side, and exactly
+    one row crosses the wire — the pattern whose throughput IS the
+    scan throughput at 100 TB."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "2000-01-01")
+        & (F.col("l_shipdate") < "2001-01-01")
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount"), 18, 4).alias("revenue")
+    )
