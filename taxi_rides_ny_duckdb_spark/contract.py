@@ -78,25 +78,24 @@ def query(
 
 # The driver verifies only the FIRST 50 registered queries against the
 # DuckDB oracle (CORRECTNESS_r{N}.json); the window rotates per round so
-# that over rounds every query accumulates a driver-green row. Round 3
-# verified the taxi DAG + §2 operator proofs + LLM-pipeline flagships
-# (all green, CORRECTNESS_r03.json). The ROUND-4 window keeps the taxi
-# DAG as the permanent prefix (the parity claim the whole repo makes)
-# and fills the other 42 slots with queries that have never had driver
-# evidence — prof_documents_text first (round 2's one surviving hash
-# failure, fixed in round 3 but never driver-confirmed), then the TPC-H
-# q-series (incl. the new q2/q20), the join matrix j5-j10, the
-# profiler, the remaining metric grains, and the two newly-oracled
-# queries (simhash, group medoid). Rows-only queries are NOT windowed
-# (their slot would carry no value verification — ADVICE r3). Late in
-# round 4, six more rows-only queries gained oracles (minhash-LSH via
-# the portable hash family, both RH-LSH similarity queries via
-# deterministic-LCG hyperplane replay, both streaming jobs, frame
-# sampling) — only ext_similarity_ivf_topk (iterative k-means) and
-# prof_lineitem_approx (sketches) remain rows-only; the newly-oracled
-# six plus the ~18 remaining oracled queries take the round-5 window.
-# Everything outside the window is verified by the local replica of the
-# gate (tests/test_contract_parity.py, collect- and pandas-hash paths).
+# that over rounds every query accumulates a driver-green row. Rounds
+# 3+4 are fully green (CORRECTNESS_r03/r04.json); after r4 exactly 30
+# oracled queries had never sat in a verified window. The ROUND-5
+# window keeps the taxi DAG as the permanent prefix (the parity claim
+# the whole repo makes) and takes ALL 30 never-driver-verified oracled
+# queries — closing the evidence loop: r3∪r4∪r5 then covers every
+# oracled query — plus the two queries oracled THIS round
+# (ext_similarity_ivf_topk via frozen-centroid replay,
+# prof_lineitem_approx_guarded via deterministic in-bound guards).
+# The 10 remaining slots re-verify round-3 greens whose neighborhood
+# changed this round (the ANN/dedup family now rounds before
+# rank/threshold) plus the flagship pricing summary. Rows-only queries
+# are never windowed (their slot would carry no value verification —
+# ADVICE r3); only prof_lineitem_approx (raw sketch outputs) remains
+# rows-only, and its sketch values are bound-checked by the oracled
+# _guarded sibling. Everything outside the window is verified by the
+# local replica of the gate (tests/test_contract_parity.py, collect-
+# and pandas-hash paths).
 DRIVER_WINDOW: tuple[str, ...] = (
     # Reference taxi DAG — permanent prefix.
     "taxi_stg_green_tripdata",
@@ -107,56 +106,59 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "taxi_dm_monthly_zone_statistics",
     "taxi_metric_average_distance_month",
     "taxi_metric_avg_distance_manhattan_quarter",
-    # Round 2's only hash failure — fixed in r3, needs driver proof.
-    "prof_documents_text",
-    # TPC-H-shape suite (q2/q20 new this round).
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q15_top_supplier",
-    "q16_supplier_diversity",
-    "q18_large_volume_customers",
-    "q20_part_promo_suppliers",
-    "q22_dormant_customers",
-    # Join matrix.
-    "j5_star_join_revenue",
-    "j6_outer_join_count_dist",
-    "j7_semi_anti_multicond",
-    "j8_full_outer_join",
-    "j9_cross_join_grid",
-    "j10_null_safe_join",
-    # Profiler (PipeRider analog).
-    "prof_lineitem_numeric",
-    "prof_lineitem_histogram",
-    "prof_orders_topk_values",
-    "prof_lineitem_percentiles",
-    # Remaining metric-compiler grains/methods.
-    "a5_metric_count_distinct_quarter",
-    "a5_metric_sum_week",
-    "a5_metric_min_year",
-    "a5_metric_max_year",
-    "a5_metric_derived_revenue_per_order",
-    # Newly-oracled this round (previously rows-only).
-    "ext_dedup_simhash",
+    # TPC-H shapes never driver-verified (added late in r4).
+    "q6_forecast_revenue",
+    "q12_priority_classes",
+    "q19_bracketed_revenue",
+    # Newly-oracled in late r4 — LSH / streaming / multimodal family.
+    "ext_dedup_minhash_lsh",
+    "ext_similarity_lsh_topk",
+    "ext_embedding_near_dup",
+    "ext_multimodal_frame_sample",
+    "ext_streaming_tumbling",
+    "ext_streaming_stateful_totals",
+    "ext_streaming_stream_join",
+    # Window-function family.
+    "ext_window_running_sum",
+    "ext_window_rank_family",
+    # Multi-dimensional aggregates.
+    "ext_cube_revenue",
+    "ext_grouping_sets",
+    # Set operations.
+    "ext_semi_join",
+    "ext_set_intersect",
+    "ext_set_union_distinct",
+    "ext_set_except",
+    # Samplers.
+    "ext_train_val_split",
+    "ext_hash_sample",
+    "ext_stratified_sample",
+    # Text / array / reshape operators.
+    "ext_text_explode_tokens",
+    "ext_unpivot_measures",
+    "ext_array_hof",
+    "ext_global_sort",
+    "ext_events_map_explode",
+    "ext_date_spine_densify",
+    # Round-4 late additions (training-pipeline trio).
+    "ext_pack_sequences",
+    "ext_decontaminate_ngram",
+    "ext_text_repetition_ratio",
+    # Oracled THIS round (round 5) — previously rows-only.
+    "ext_similarity_ivf_topk",
+    "prof_lineitem_approx_guarded",
+    # Re-verification: flagship + the ANN/dedup neighborhood that
+    # switched to round-before-rank/threshold this round.
+    "a1_pricing_summary",
+    "ext_similarity_topk_bruteforce",
+    "ext_embedding_near_dup_exact",
+    "ext_embedding_centroid_assign",
     "ext_embedding_group_medoid",
-    # Subquery / aggregate / snapshot shapes.
-    "s6_correlated_subquery",
-    "a9_conditional_agg_promo",
-    "a10_groupwise_median",
-    "ext_snapshot_scd2_timestamp",
-    # Extension operators without driver evidence yet.
-    "ext_salted_join",
-    "ext_text_bpe_ish_count",
-    "ext_text_fingerprint",
-    "ext_events_sliding_window",
-    "ext_multimodal_features",
-    "ext_pivot_event_counts",
-    "ext_rollup_revenue",
-    "ext_window_lag_lead",
+    "ext_dedup_exact",
+    "ext_dedup_ngram_jaccard",
+    "ext_dedup_simhash",
+    "ext_dedup_edit_distance",
+    "ext_dedup_cluster_components",
 )
 
 

@@ -416,11 +416,11 @@ WITH v AS (
     ELSE 0.0 END AS cosine_sim
   FROM sig c JOIN q ON c.s = q.s
 )
-SELECT query_id, rank, vec_id, round(cosine_sim, 9) AS cosine_sim_r
+SELECT query_id, rank, vec_id, cosine_sim_r
 FROM (
-  SELECT query_id, vec_id, cosine_sim,
+  SELECT query_id, vec_id, round(cosine_sim, 9) AS cosine_sim_r,
          row_number() OVER (PARTITION BY query_id
-                            ORDER BY cosine_sim DESC, vec_id ASC) AS rank
+                            ORDER BY round(cosine_sim, 9) DESC, vec_id ASC) AS rank
   FROM scored
 )
 WHERE rank <= 5
@@ -435,44 +435,106 @@ def ext_similarity_lsh_topk(spark, sf_dir):
     and the dot-product fold order matches DuckDB's list_sum, so the
     bucket assignment — hence the exact candidate set, ranks, and
     scores — is engine-replayable; 'recall' is a property of the fixed
-    scheme, not randomness."""
+    scheme, not randomness. The cosine is 9dp-rounded BEFORE the rank
+    window (round-before-rank, ADVICE r4): near-tie ranks survive any
+    future reassociation of either engine's dot fold."""
     from .operators.similarity import lsh_topk
 
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    out = lsh_topk(emb, queries, k=5, dim=64, bits=6)
+    out = lsh_topk(emb, queries, k=5, dim=64, bits=6, score_round_dp=9)
     return out.select(
-        "query_id", "rank", "vec_id", F.round("cosine_sim", 9).alias("cosine_sim_r")
+        "query_id", "rank", "vec_id", F.col("cosine_sim").alias("cosine_sim_r")
     )
 
 
-# (session, sf_dir) → trained coarse quantizer. An IVF index is built
-# once offline and serves many query batches; re-training k-means per
-# query would misrepresent both the operator and its steady-state cost.
-_IVF_CENTROIDS: dict = {}
+def _ivf_oracle() -> str:
+    """DuckDB replay of ivf_topk against the FROZEN coarse quantizer
+    (contract_ivf_centroids — trained once, embedded as double
+    literals exactly like the RH-LSH hyperplanes): per-vector squared
+    L2 to each centroid with the same sequential fold, 9dp-rounded
+    before both the corpus argmin and the query probe top-2 (ties to
+    the lower centroid id — matching _centroid_ranking's struct sort),
+    then cosine within probed lists, 9dp-rounded BEFORE the rank."""
+    from .contract_ivf_centroids import IVF_CENTROIDS, IVF_DIM
+
+    rows = ", ".join(
+        f"({cid}, [" + ", ".join(repr(x) for x in cv) + "]::DOUBLE[])"
+        for cid, cv in enumerate(IVF_CENTROIDS)
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+), d AS (
+  SELECT v.vec_id, v.ev, c.cid,
+         round(list_sum(list_transform(generate_series(1, {IVF_DIM}),
+               i -> (v.ev[i] - c.cv[i]) * (v.ev[i] - c.cv[i]))), 9) AS d2
+  FROM v CROSS JOIN (VALUES {rows}) AS c(cid, cv)
+), assigned AS (
+  SELECT vec_id, ev, cid AS list FROM (
+    SELECT vec_id, ev, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM d
+  ) WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS query_id, ev AS qv, cid AS list FROM (
+    SELECT vec_id, ev, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM d WHERE vec_id < 8
+  ) WHERE rn <= 2
+), scored AS (
+  SELECT p.query_id, a.vec_id,
+    round(CASE WHEN sqrt(list_sum(list_transform(generate_series(1, len(p.qv)), i -> p.qv[i] * p.qv[i]))) > 0
+            AND sqrt(list_sum(list_transform(generate_series(1, len(a.ev)), i -> a.ev[i] * a.ev[i]))) > 0
+    THEN list_sum(list_transform(generate_series(1, len(p.qv)), i -> p.qv[i] * a.ev[i]))
+         / (sqrt(list_sum(list_transform(generate_series(1, len(p.qv)), i -> p.qv[i] * p.qv[i])))
+            * sqrt(list_sum(list_transform(generate_series(1, len(a.ev)), i -> a.ev[i] * a.ev[i]))))
+    ELSE 0.0 END, 9) AS cosine_sim_r
+  FROM assigned a JOIN probes p ON a.list = p.list
+)
+SELECT query_id, rank, vec_id, cosine_sim_r FROM (
+  SELECT query_id, vec_id, cosine_sim_r,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine_sim_r DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
 
 
-@query("ext_similarity_ivf_topk")  # rows-only: k-means training is iterative
+@query("ext_similarity_ivf_topk", oracle=_ivf_oracle())
 def ext_similarity_ivf_topk(spark, sf_dir):
     """ANN top-5 via IVF (k-means coarse quantizer, FAISS IndexIVFFlat
     scheme): probe the 2 nearest of 8 inverted lists ⇒ ~4× less scoring
     than brute force, with data-adaptive partitions (higher recall than
-    LSH at equal speedup). Iterative training has no single-statement
-    SQL equivalent — recall vs the exact oracle is pinned in
-    tests/test_operators.py instead."""
-    from .operators.similarity import ivf_topk, train_ivf_centroids
+    LSH at equal speedup). Oracled (was rows-only): an IVF index is
+    built once offline and serves many query batches, so the contract
+    query runs against the FROZEN quantizer of contract_ivf_centroids
+    (trained by the seeded pyspark.ml KMeans, replayed into the oracle
+    as literals) — assignment, probe choice, and ranks are then
+    engine-identical via 9dp rounding at each decision point. The
+    iterative training path itself is pinned by the recall test in
+    tests/test_operators.py."""
+    from .contract_ivf_centroids import IVF_CENTROIDS
+    from .operators.similarity import ivf_topk
 
     emb = load(spark, sf_dir, "embeddings")
-    key = (id(spark), sf_dir)
-    if key not in _IVF_CENTROIDS:
-        _IVF_CENTROIDS[key] = train_ivf_centroids(emb, nlist=8)
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return ivf_topk(
-        emb, queries, k=5, nlist=8, nprobe=2, centroids=_IVF_CENTROIDS[key]
+    out = ivf_topk(
+        emb,
+        queries,
+        k=5,
+        nlist=8,
+        nprobe=2,
+        centroids=IVF_CENTROIDS,
+        round_dp=9,
+        score_round_dp=9,
+    )
+    return out.select(
+        "query_id", "rank", "vec_id", F.col("cosine_sim").alias("cosine_sim_r")
     )
 
 
@@ -642,10 +704,10 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                   / (a.nrm * b.nrm)
              ELSE 0.0 END, 9) AS cosine_sim_r
 FROM sig a JOIN sig b ON a.s = b.s AND a.vec_id < b.vec_id
-WHERE (CASE WHEN a.nrm > 0 AND b.nrm > 0
+WHERE round(CASE WHEN a.nrm > 0 AND b.nrm > 0
        THEN list_sum(list_transform(generate_series(1, len(a.ev)), i -> a.ev[i] * b.ev[i]))
             / (a.nrm * b.nrm)
-       ELSE 0.0 END) >= 0.3
+       ELSE 0.0 END, 9) >= 0.3
 """
 
 
@@ -660,14 +722,20 @@ def ext_embedding_near_dup(spark, sf_dir):
     made this query trivially empty (zero verification signal); at
     0.3/6 bits the buckets still prune (62 of 240 exact pairs
     co-bucket at sf0.01) while every surviving pair's cosine is
-    value-checked."""
+    value-checked. The cosine is 9dp-rounded BEFORE the threshold
+    (round-before-threshold, ADVICE r4): boundary pairs are then
+    engine-reproducible by construction."""
     from .operators.similarity import embedding_near_dup_pairs
 
     out = embedding_near_dup_pairs(
-        load(spark, sf_dir, "embeddings"), threshold=0.3, dim=64, bits=6
+        load(spark, sf_dir, "embeddings"),
+        threshold=0.3,
+        dim=64,
+        bits=6,
+        score_round_dp=9,
     )
     return out.select(
-        "id_a", "id_b", F.round("cosine_sim", 9).alias("cosine_sim_r")
+        "id_a", "id_b", F.col("cosine_sim").alias("cosine_sim_r")
     )
 
 

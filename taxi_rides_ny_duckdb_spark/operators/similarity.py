@@ -144,12 +144,17 @@ def lsh_topk(
     corpus_vec: str = "embedding",
     query_id: str = "query_id",
     query_vec: str = "query_vec",
+    score_round_dp: int | None = None,
 ) -> DataFrame:
     """ANN top-k: bucket corpus and queries by random-hyperplane
     signature, score only within the shared bucket. ~2^bits× less work
     than brute force; recall < 1 (vectors near a hyperplane may land in
     a different bucket than their neighbors — use fewer bits or
-    multi-probe for higher recall)."""
+    multi-probe for higher recall).
+
+    ``score_round_dp`` rounds the cosine BEFORE the rank window
+    (round-before-rank): near-tie ranks then survive any future
+    reassociation of the dot fold on either engine."""
     c = ensure_min_partitions(corpus).withColumn(
         "__sig", rh_signature(F.col(corpus_vec), dim, bits)
     )
@@ -160,12 +165,15 @@ def lsh_topk(
             rh_signature(F.col(query_vec), dim, bits).alias("__sig"),
         )
     )
+    score = cosine(F.col("__qv"), _as_double_array(F.col(corpus_vec)))
+    if score_round_dp is not None:
+        score = F.round(score, score_round_dp)
     scored = (
         c.join(q, "__sig")
         .select(
             F.col(query_id),
             F.col(corpus_id),
-            cosine(F.col("__qv"), _as_double_array(F.col(corpus_vec))).alias("cosine_sim"),
+            score.alias("cosine_sim"),
         )
     )
     w = Window.partitionBy(query_id).orderBy(
@@ -200,22 +208,28 @@ def train_ivf_centroids(
     return [[float(x) for x in c] for c in model.clusterCenters()]
 
 
-def _centroid_ranking(vec: Column, centroids: list[list[float]]) -> Column:
+def _centroid_ranking(
+    vec: Column, centroids: list[list[float]], round_dp: int | None = None
+) -> Column:
     """array<struct<d,i>> of (squared L2 distance, centroid id), sorted
     ascending — [0].i is the nearest list, slice(..., nprobe) the probe
     set. Pure codegen expression: nlist × dim multiply-adds per row,
-    no UDF, no shuffle."""
-    dists = F.array(
-        *[
-            F.aggregate(
-                # F.lit(list): one driver round trip per centroid array
-                F.zip_with(vec, F.lit(c), lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias("d")
-            for c in centroids
-        ]
-    )
+    no UDF, no shuffle.
+
+    ``round_dp`` rounds each distance before the sort — same
+    engine-stability trick as assign_nearest_centroid: a SQL oracle
+    ranking round(d2, dp) then reproduces the probe-list choice even if
+    the last ulp of the fold ever differed."""
+    def d2(c: list[float]) -> Column:
+        d = F.aggregate(
+            # F.lit(list): one driver round trip per centroid array
+            F.zip_with(vec, F.lit(c), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.round(d, round_dp) if round_dp is not None else d
+
+    dists = F.array(*[d2(c).alias("d") for c in centroids])
     ids = F.sequence(F.lit(0), F.lit(len(centroids) - 1))
     return F.array_sort(F.arrays_zip(dists.alias("d"), ids.alias("i")))
 
@@ -262,6 +276,8 @@ def ivf_topk(
     corpus_vec: str = "embedding",
     query_id: str = "query_id",
     query_vec: str = "query_vec",
+    round_dp: int | None = None,
+    score_round_dp: int | None = None,
 ) -> DataFrame:
     """IVF ANN top-k (the FAISS IndexIVFFlat scheme, Spark-native):
     k-means coarse quantizer partitions the corpus into ``nlist``
@@ -275,6 +291,12 @@ def ivf_topk(
     windows on query_id. Pre-assigning + partitioning the corpus by
     ``__list`` turns repeated query batches into partition-pruned scans.
 
+    ``round_dp`` stabilizes both halves of the quantizer (corpus
+    assignment + query probe ranking) against last-ulp fold drift;
+    ``score_round_dp`` rounds the cosine BEFORE the rank window, so
+    near-tie ranks are engine-reproducible too (the round-before-rank
+    convention of the oracled ANN queries).
+
     Output: (query_id, rank, vec_id, cosine_sim)."""
     if centroids is None:
         centroids = train_ivf_centroids(corpus, nlist, corpus_vec)
@@ -282,24 +304,31 @@ def ivf_topk(
         F.col(corpus_id),
         _as_double_array(F.col(corpus_vec)).alias("__cv"),
     )
-    c = c.withColumn("__list", _centroid_ranking(F.col("__cv"), centroids)[0]["i"])
+    c = c.withColumn(
+        "__list", _centroid_ranking(F.col("__cv"), centroids, round_dp)[0]["i"]
+    )
     q = F.broadcast(
         queries.select(
             F.col(query_id),
             _as_double_array(F.col(query_vec)).alias("__qv"),
             F.explode(
                 F.slice(
-                    _centroid_ranking(_as_double_array(F.col(query_vec)), centroids),
+                    _centroid_ranking(
+                        _as_double_array(F.col(query_vec)), centroids, round_dp
+                    ),
                     1,
                     nprobe,
                 )["i"]
             ).alias("__list"),
         )
     )
+    score = cosine(F.col("__qv"), F.col("__cv"))
+    if score_round_dp is not None:
+        score = F.round(score, score_round_dp)
     scored = c.join(q, "__list").select(
         F.col(query_id),
         F.col(corpus_id),
-        cosine(F.col("__qv"), F.col("__cv")).alias("cosine_sim"),
+        score.alias("cosine_sim"),
     )
     w = Window.partitionBy(query_id).orderBy(
         F.col("cosine_sim").desc(), F.col(corpus_id).asc()
@@ -318,10 +347,15 @@ def embedding_near_dup_pairs(
     bits: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    score_round_dp: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup: bucket by RH signature, pair within
     buckets (a < b), keep cosine ≥ threshold. The embedding analog of
-    MinHash-LSH dedup."""
+    MinHash-LSH dedup.
+
+    ``score_round_dp`` rounds the cosine BEFORE the threshold
+    comparison, so threshold-boundary pairs are engine-reproducible
+    (round-before-threshold, same rationale as lsh_topk)."""
     sig = ensure_min_partitions(df).select(
         F.col(id_col),
         _as_double_array(F.col(vec_col)).alias("__v"),
@@ -329,6 +363,11 @@ def embedding_near_dup_pairs(
     )
     sig = sig.withColumn("__n", l2_norm(F.col("__v")))
     a, b = sig.alias("a"), sig.alias("b")
+    score = cosine_given_norms(
+        F.col("a.__v"), F.col("b.__v"), F.col("a.__n"), F.col("b.__n")
+    )
+    if score_round_dp is not None:
+        score = F.round(score, score_round_dp)
     return (
         a.join(
             b,
@@ -338,9 +377,7 @@ def embedding_near_dup_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            cosine_given_norms(
-                F.col("a.__v"), F.col("b.__v"), F.col("a.__n"), F.col("b.__n")
-            ).alias("cosine_sim"),
+            score.alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )

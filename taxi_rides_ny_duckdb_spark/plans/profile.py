@@ -56,6 +56,62 @@ def profile_approx(df: DataFrame, cols: list[str]) -> DataFrame:
     return df.agg(*aggs)
 
 
+def profile_approx_guarded(
+    df: DataFrame,
+    cols: list[str],
+    distinct_rel_bound: float = 0.15,
+    median_band: tuple[float, float] = (0.4, 0.6),
+) -> DataFrame:
+    """``profile_approx`` with its sketches VERIFIED: per column, the
+    exact sub-stats (n, min, max) plus two deterministic guard
+    booleans — approx_count_distinct within ``distinct_rel_bound`` of
+    the exact distinct count (HLL++ default rsd is 0.05; 3σ = 0.15),
+    and the approx median inside the exact [p40, p60] band (rank
+    error ≤ n/accuracy = n/10000, far inside the band).
+
+    This makes the sketch path oracle-checkable by an engine that
+    cannot reproduce the sketch: the oracle computes the exact stats
+    and declares the guards literal TRUE — if Spark's sketch ever
+    left its guarantee the boolean would flip and the value-hash
+    would mismatch. The guards need exact distinct/percentile, so
+    this is the VERIFICATION query; the pure-sketch scan
+    (``profile_approx``) remains the 100 TB production path.
+
+    Output grain: one row per column."""
+    aggs = []
+    for c in cols:
+        cd = F.col(c).cast("double")
+        aggs += [
+            F.count(c).alias(f"{c}__n"),
+            F.min(cd).alias(f"{c}__min"),
+            F.max(cd).alias(f"{c}__max"),
+            F.approx_count_distinct(c).alias(f"{c}__ad"),
+            F.count_distinct(F.col(c)).alias(f"{c}__ed"),
+            F.percentile_approx(cd, 0.5).alias(f"{c}__am"),
+            F.percentile(cd, F.lit(float(median_band[0]))).alias(f"{c}__lo"),
+            F.percentile(cd, F.lit(float(median_band[1]))).alias(f"{c}__hi"),
+        ]
+    agg = df.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(c).alias("column_name"),
+            F.col(f"{c}__n").alias("n_rows"),
+            F.col(f"{c}__min").alias("min_v"),
+            F.col(f"{c}__max").alias("max_v"),
+            (
+                F.abs(F.col(f"{c}__ad") - F.col(f"{c}__ed"))
+                <= F.lit(distinct_rel_bound) * F.col(f"{c}__ed")
+            ).alias("distinct_in_bound"),
+            (
+                (F.col(f"{c}__am") >= F.col(f"{c}__lo"))
+                & (F.col(f"{c}__am") <= F.col(f"{c}__hi"))
+            ).alias("median_in_bound"),
+        )
+        for c in cols
+    ]
+    return agg.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
+
+
 def profile_percentiles(
     df: DataFrame, cols: list[str], probs: tuple[float, ...] = (0.05, 0.25, 0.5, 0.75, 0.95)
 ) -> DataFrame:
