@@ -13,7 +13,13 @@ Parity rules every query follows (SURVEY §5 gotchas):
   forms from ``functions.parity``;
 - timestamps keyed as strings go through one pinned format
   (``functions.macros.ts_key``);
-- ``date_trunc`` results cast to DATE (DuckDB's return type);
+- calendar buckets stay TIMESTAMP on BOTH sides (Spark: ``date_trunc``
+  with no DATE cast, day-grain = ``date_trunc('day', ...)``; oracle:
+  ``CAST(date_trunc(...) AS TIMESTAMP)`` since DuckDB's date_trunc
+  returns DATE at day-or-coarser grains): Spark's toPandas() renders
+  DATE as datetime.date but DuckDB's .df() renders it datetime64, so
+  a DATE output forced a stringification tolerance in the hash
+  replica — identical TIMESTAMP types need none (r5);
 - survivors of dedup made deterministic via a total order.
 """
 

@@ -1432,9 +1432,9 @@ def ext_semi_join(spark, sf_dir):
 @query(
     "ext_set_intersect",
     oracle="""
-    SELECT user_id, CAST(ts AS DATE) AS day FROM events WHERE event_type = 'view'
+    SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day FROM events WHERE event_type = 'view'
     INTERSECT
-    SELECT user_id, CAST(ts AS DATE) AS day FROM events WHERE event_type = 'purchase'
+    SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day FROM events WHERE event_type = 'purchase'
     """,
 )
 def ext_set_intersect(spark, sf_dir):
@@ -1443,10 +1443,10 @@ def ext_set_intersect(spark, sf_dir):
     pre-aggregated sides — dedup happens before the join shuffle."""
     e = load(spark, sf_dir, "events")
     views = e.filter(F.col("event_type") == "view").select(
-        "user_id", F.col("ts").cast("date").alias("day")
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
     )
     buys = e.filter(F.col("event_type") == "purchase").select(
-        "user_id", F.col("ts").cast("date").alias("day")
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
     )
     return views.intersect(buys)
 
@@ -1454,9 +1454,9 @@ def ext_set_intersect(spark, sf_dir):
 @query(
     "ext_set_union_distinct",
     oracle="""
-    SELECT user_id, CAST(ts AS DATE) AS day FROM events WHERE event_type = 'view'
+    SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day FROM events WHERE event_type = 'view'
     UNION
-    SELECT user_id, CAST(ts AS DATE) AS day FROM events WHERE event_type = 'purchase'
+    SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day FROM events WHERE event_type = 'purchase'
     """,
 )
 def ext_set_union_distinct(spark, sf_dir):
@@ -1466,10 +1466,10 @@ def ext_set_union_distinct(spark, sf_dir):
     AQE sizes the post-dedup partitions."""
     e = load(spark, sf_dir, "events")
     views = e.filter(F.col("event_type") == "view").select(
-        "user_id", F.col("ts").cast("date").alias("day")
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
     )
     buys = e.filter(F.col("event_type") == "purchase").select(
-        "user_id", F.col("ts").cast("date").alias("day")
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
     )
     return views.union(buys).distinct()
 
@@ -1477,9 +1477,9 @@ def ext_set_union_distinct(spark, sf_dir):
 @query(
     "ext_set_except",
     oracle="""
-    SELECT user_id, CAST(ts AS DATE) AS day FROM events WHERE event_type = 'view'
+    SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day FROM events WHERE event_type = 'view'
     EXCEPT
-    SELECT user_id, CAST(ts AS DATE) AS day FROM events WHERE event_type = 'purchase'
+    SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day FROM events WHERE event_type = 'purchase'
     """,
 )
 def ext_set_except(spark, sf_dir):
@@ -1488,10 +1488,10 @@ def ext_set_except(spark, sf_dir):
     ext_set_intersect (``subtract`` = EXCEPT DISTINCT)."""
     e = load(spark, sf_dir, "events")
     views = e.filter(F.col("event_type") == "view").select(
-        "user_id", F.col("ts").cast("date").alias("day")
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
     )
     buys = e.filter(F.col("event_type") == "purchase").select(
-        "user_id", F.col("ts").cast("date").alias("day")
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
     )
     return views.subtract(buys)
 
@@ -1896,13 +1896,13 @@ def ext_events_map_explode(spark, sf_dir):
     oracle="""
     WITH b AS (
       SELECT
-        (SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) FROM orders) AS lo,
-        (SELECT CAST(date_trunc('month', MAX(l_shipdate)) AS DATE) FROM lineitem) AS hi
+        (SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS TIMESTAMP) FROM orders) AS lo,
+        (SELECT CAST(date_trunc('month', MAX(l_shipdate)) AS TIMESTAMP) FROM lineitem) AS hi
     ), spine AS (
-      SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS DATE) AS month
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS month
       FROM b
     ), m AS (
-      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+      SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
              COUNT(*) AS n_orders
       FROM orders GROUP BY 1
     )
@@ -1922,10 +1922,10 @@ def ext_date_spine_densify(spark, sf_dir):
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
     lo = o.agg(
-        F.date_trunc("month", F.min("o_orderdate")).cast("date").alias("lo")
+        F.date_trunc("month", F.min("o_orderdate")).alias("lo")
     )
     hi = li.agg(
-        F.date_trunc("month", F.max("l_shipdate")).cast("date").alias("hi")
+        F.date_trunc("month", F.max("l_shipdate")).alias("hi")
     )
     spine = (
         lo.crossJoin(hi)
@@ -1936,7 +1936,7 @@ def ext_date_spine_densify(spark, sf_dir):
         )
     )
     monthly = o.groupBy(
-        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month")
+        F.date_trunc("month", F.col("o_orderdate")).alias("month")
     ).agg(F.count(F.lit(1)).alias("n_orders"))
     return spine.join(monthly, "month", "left_outer").select(
         "month", F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders")

@@ -91,7 +91,7 @@ def s1_scan_filter_project(spark, sf_dir):
       CAST(l_orderkey AS VARCHAR) AS orderkey_str,
       CAST(l_quantity AS INTEGER) AS quantity_int,
       CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price_dec,
-      CAST(l_shipdate AS DATE) AS ship_date
+      CAST(date_trunc('day', l_shipdate) AS TIMESTAMP) AS ship_date
     FROM lineitem
     """,
 )
@@ -107,7 +107,7 @@ def p2_typed_projection(spark, sf_dir):
         # DuckDB's float64 96262.5 mismatch despite identical values
         # (parity-kit convention, see a1_pricing_summary).
         F.col("l_extendedprice").cast("decimal(18,2)").cast("double").alias("price_dec"),
-        F.col("l_shipdate").cast("date").alias("ship_date"),
+        F.date_trunc("day", F.col("l_shipdate")).alias("ship_date"),
     )
 
 
@@ -185,17 +185,22 @@ def x4_string_replace(spark, sf_dir):
 @query(
     "x5_date_trunc_month",
     oracle="""
-    SELECT o_orderkey, date_trunc('month', o_orderdate) AS order_month
+    SELECT o_orderkey, CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month
     FROM orders
     """,
 )
 def x5_date_trunc_month(spark, sf_dir):
     """Month truncation (X5; reference dm_monthly_zone_revenue.sql:9).
-    Spark returns TIMESTAMP, DuckDB DATE — cast pins the contract."""
+    Calendar buckets are TIMESTAMP on both sides: Spark's date_trunc
+    already returns TIMESTAMP; DuckDB's returns DATE at day-or-coarser
+    grains, so the oracle casts it up. The shared type keeps the
+    pandas comparison representation-identical (r5: the old DATE
+    outputs were the source of the pandas date-vs-datetime64
+    tolerance, now removed)."""
     o = load(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
-        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("order_month"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("order_month"),
     )
 
 
@@ -623,7 +628,7 @@ def prof_lineitem_approx_guarded(spark, sf_dir):
 @query(
     "a5_metric_avg_month",
     oracle="""
-    SELECT date_trunc('month', l_shipdate) AS period_month,
+    SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS period_month,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_quantity) AS avg_returned_qty
     FROM lineitem
     WHERE l_returnflag = 'R' AND l_linestatus = 'F'
@@ -654,7 +659,7 @@ def a5_metric_avg_month(spark, sf_dir):
 @query(
     "a5_metric_count_distinct_quarter",
     oracle="""
-    SELECT date_trunc('quarter', o_orderdate) AS period_quarter,
+    SELECT CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP) AS period_quarter,
            o_orderstatus,
            COUNT(DISTINCT o_custkey) AS active_customers
     FROM orders
@@ -684,7 +689,7 @@ def a5_metric_count_distinct_quarter(spark, sf_dir):
 @query(
     "a5_metric_sum_week",
     oracle="""
-    SELECT date_trunc('week', o_orderdate) AS period_week,
+    SELECT CAST(date_trunc('week', o_orderdate) AS TIMESTAMP) AS period_week,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS weekly_revenue
     FROM orders
     WHERE o_orderstatus = 'F'
@@ -714,7 +719,7 @@ def a5_metric_sum_week(spark, sf_dir):
 @query(
     "a5_metric_count_day",
     oracle="""
-    SELECT date_trunc('day', ts) AS period_day,
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS period_day,
            COUNT(event_id) AS n_views
     FROM events
     WHERE event_type = 'view'
@@ -742,7 +747,7 @@ def a5_metric_count_day(spark, sf_dir):
 @query(
     "a5_metric_min_year",
     oracle="""
-    SELECT date_trunc('year', l_shipdate) AS period_year,
+    SELECT CAST(date_trunc('year', l_shipdate) AS TIMESTAMP) AS period_year,
            MIN(l_extendedprice) AS min_price
     FROM lineitem
     GROUP BY 1
@@ -769,7 +774,7 @@ def a5_metric_min_year(spark, sf_dir):
 @query(
     "a5_metric_max_year",
     oracle="""
-    SELECT date_trunc('year', l_shipdate) AS period_year,
+    SELECT CAST(date_trunc('year', l_shipdate) AS TIMESTAMP) AS period_year,
            MAX(l_extendedprice) AS max_price
     FROM lineitem
     GROUP BY 1
@@ -821,7 +826,7 @@ def prof_lineitem_histogram(spark, sf_dir):
 @query(
     "a5_metric_derived_revenue_per_order",
     oracle="""
-    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS period_month,
+    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS period_month,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
              / COUNT(o_orderkey) AS revenue_per_order
     FROM orders
@@ -917,7 +922,7 @@ def ext_snapshot_scd2_timestamp(spark, sf_dir):
     "a5_metric_rolling_avg_7d",
     oracle="""
     WITH daily AS (
-      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS period_day,
+      SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS period_day,
              SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS s,
              COUNT(o_totalprice) AS c
       FROM orders GROUP BY 1
@@ -1060,7 +1065,7 @@ def j5_star_join_revenue(spark, sf_dir):
     "a9_conditional_agg_promo",
     oracle="""
     SELECT
-      CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
+      CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month,
       CAST(SUM(CASE WHEN p_type = 'PROMO'
                     THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo_revenue,
@@ -1087,7 +1092,7 @@ def a9_conditional_agg_promo(spark, sf_dir):
     return (
         li.join(p, li["l_partkey"] == p["p_partkey"])
         .groupBy(
-            F.date_trunc("month", F.col("l_shipdate")).cast("date").alias("ship_month")
+            F.date_trunc("month", F.col("l_shipdate")).alias("ship_month")
         )
         .agg(
             F.sum(promo).cast("double").alias("promo_revenue"),
@@ -1234,11 +1239,11 @@ def j7_semi_anti_multicond(spark, sf_dir):
     "j8_full_outer_join",
     oracle="""
     WITH o AS (
-      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+      SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS m,
              COUNT(*) AS n_orders
       FROM orders GROUP BY 1
     ), l AS (
-      SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS m,
+      SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS m,
              COUNT(*) AS n_shipments
       FROM lineitem GROUP BY 1
     )
@@ -1260,14 +1265,14 @@ def j8_full_outer_join(spark, sf_dir):
     o = (
         load(spark, sf_dir, "orders")
         .groupBy(
-            F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("om")
+            F.date_trunc("month", F.col("o_orderdate")).alias("om")
         )
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
     l = (
         load(spark, sf_dir, "lineitem")
         .groupBy(
-            F.date_trunc("month", F.col("l_shipdate")).cast("date").alias("lm")
+            F.date_trunc("month", F.col("l_shipdate")).alias("lm")
         )
         .agg(F.count(F.lit(1)).alias("n_shipments"))
     )

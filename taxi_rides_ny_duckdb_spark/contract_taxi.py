@@ -248,7 +248,7 @@ def taxi_fact_trips(spark, sf_dir):
     + """
     SELECT
       pickup_zone AS revenue_zone,
-      date_trunc('month', pickup_datetime) AS revenue_month,
+      CAST(date_trunc('month', pickup_datetime) AS TIMESTAMP) AS revenue_month,
       service_type,
       CAST(SUM(fare_amount) AS DOUBLE) AS revenue_monthly_fare,
       CAST(SUM(extra) AS DOUBLE) AS revenue_monthly_extra,
@@ -301,7 +301,7 @@ _AVG_DISTANCE_AGG = (
     "taxi_metric_average_distance_month",
     oracle=_FACT_CTES
     + f"""
-    SELECT CAST(date_trunc('month', pickup_datetime) AS DATE) AS period_month,
+    SELECT CAST(date_trunc('month', pickup_datetime) AS TIMESTAMP) AS period_month,
            {_AVG_DISTANCE_AGG}
     FROM fact_trips GROUP BY 1
     """,
@@ -319,7 +319,7 @@ def taxi_metric_average_distance_month(spark, sf_dir):
     "taxi_metric_avg_distance_manhattan_quarter",
     oracle=_FACT_CTES
     + f"""
-    SELECT CAST(date_trunc('quarter', pickup_datetime) AS DATE) AS period_quarter,
+    SELECT CAST(date_trunc('quarter', pickup_datetime) AS TIMESTAMP) AS period_quarter,
            {_AVG_DISTANCE_AGG}
     FROM fact_trips
     WHERE pickup_borough = 'Manhattan' AND dropoff_borough = 'Manhattan'
@@ -347,7 +347,7 @@ def taxi_metric_avg_distance_manhattan_quarter(spark, sf_dir):
     + """
     SELECT
       pickup_zone,
-      CAST(date_trunc('month', pickup_datetime) AS DATE) AS trip_month,
+      CAST(date_trunc('month', pickup_datetime) AS TIMESTAMP) AS trip_month,
       service_type,
       COUNT(tripid) AS total_monthly_trips,
       CAST(SUM(CAST(passenger_count AS DECIMAL(18,0))) AS DOUBLE) / COUNT(passenger_count)

@@ -28,7 +28,7 @@ from .sources.registry import load
     oracle="""
     SELECT l_orderkey,
            CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
-           CAST(o_orderdate AS DATE) AS orderdate,
+           CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS orderdate,
            o_orderpriority
     FROM customer
     JOIN orders ON c_custkey = o_custkey
@@ -74,7 +74,7 @@ def q3_shipping_priority(spark, sf_dir):
         .select(
             "l_orderkey",
             "revenue",
-            F.col("o_orderdate").cast("date").alias("orderdate"),
+            F.date_trunc("day", F.col("o_orderdate")).alias("orderdate"),
             "o_orderpriority",
         )
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
@@ -506,7 +506,7 @@ def q16_supplier_diversity(spark, sf_dir):
       HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 180
     )
     SELECT c_name, c_custkey, o_orderkey,
-           CAST(o_orderdate AS DATE) AS orderdate,
+           CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS orderdate,
            CAST(o_totalprice AS DOUBLE) AS totalprice,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
     FROM customer
@@ -550,7 +550,7 @@ def q18_large_volume_customers(spark, sf_dir):
             "c_name",
             "c_custkey",
             "o_orderkey",
-            F.col("o_orderdate").cast("date").alias("orderdate"),
+            F.date_trunc("day", F.col("o_orderdate")).alias("orderdate"),
             F.col("o_totalprice").cast("double").alias("totalprice"),
             "total_qty",
         )

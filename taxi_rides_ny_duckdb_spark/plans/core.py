@@ -129,7 +129,7 @@ def dm_monthly_zone_revenue(fact: DataFrame) -> DataFrame:
     ]
     return fact.groupBy(
         F.col("pickup_zone").alias("revenue_zone"),
-        F.date_trunc("month", F.col("pickup_datetime")).cast("date").alias("revenue_month"),
+        F.date_trunc("month", F.col("pickup_datetime")).alias("revenue_month"),
         F.col("service_type"),
     ).agg(*aggs)
 
@@ -139,7 +139,7 @@ def dm_monthly_zone_statistics(fact: DataFrame) -> DataFrame:
     trips count + avg distance per (pickup zone, month, service)."""
     return fact.groupBy(
         F.col("pickup_zone"),
-        F.date_trunc("month", F.col("pickup_datetime")).cast("date").alias("trip_month"),
+        F.date_trunc("month", F.col("pickup_datetime")).alias("trip_month"),
         F.col("service_type"),
     ).agg(
         F.count("tripid").alias("total_monthly_trips"),

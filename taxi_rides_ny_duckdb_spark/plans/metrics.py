@@ -88,7 +88,7 @@ def compile_metric(model: DataFrame, metric: Metric, grain: str) -> DataFrame:
         agg = _METHODS[metric.calculation_method](expr).alias(metric.name)
 
     period = (
-        F.date_trunc(grain, F.col(metric.timestamp)).cast("date").alias(f"period_{grain}")
+        F.date_trunc(grain, F.col(metric.timestamp)).alias(f"period_{grain}")
     )
     keys = [period] + [F.col(d) for d in metric.dimensions]
     return df.groupBy(*keys).agg(agg)
@@ -142,7 +142,7 @@ def compile_rolling(
 
     expr = F.expr(metric.expression)
     period = (
-        F.date_trunc(grain, F.col(metric.timestamp)).cast("date").alias(f"period_{grain}")
+        F.date_trunc(grain, F.col(metric.timestamp)).alias(f"period_{grain}")
     )
     keys = [period] + [F.col(d) for d in metric.dimensions]
 

@@ -29,23 +29,20 @@ def _cell(v) -> str:
     # (np.ndarray vs list) doesn't affect the comparison.
     if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
         return "[" + ",".join(_cell(x) for x in v) + "]"
-    # Date == midnight-timestamp normalization. This is NOT an SQL type
-    # mismatch to fix at the source: for every affected query BOTH
-    # engines' SQL output type is DATE (the oracles CAST AS DATE; the
-    # driver records schema_match=true) — but duckdb-python's .df()
-    # renders DATE columns as pandas datetime64 while Spark's
-    # toPandas() yields datetime.date objects, so the stringified
-    # forms differ ('2000-01-01' vs '2000-01-01 00:00:00'). The driver
-    # demonstrably equates them: 22 queries with exactly this pandas
-    # shape (x5_date_trunc_month, the a5 grains, the taxi marts, q3,
-    # q18, ...) are hash_match=true in CORRECTNESS_r02/r03. Removing
-    # the normalization would fail locally what the driver passes.
+    # STRICT temporal stringification — no date==midnight tolerance.
+    # Round 5 eliminated it at source (ADVICE r3 #4 / VERDICT r4 #6):
+    # every calendar-bucket output is now TIMESTAMP on BOTH sides, so
+    # Spark and DuckDB reach pandas with the same datetime64 shape and
+    # identical isoformat strings. A datetime.date here means a query
+    # reintroduced a DATE output that DuckDB's .df() would render as
+    # datetime64 — surface it as a plain-isoformat mismatch instead of
+    # papering over it.
     import datetime as dt
 
     if isinstance(v, dt.datetime):
         return v.isoformat(sep=" ")
     if isinstance(v, dt.date):
-        return f"{v.isoformat()} 00:00:00"
+        return v.isoformat()
     if isinstance(v, pd.Timestamp):
         return v.isoformat(sep=" ")
     return str(v)

@@ -128,4 +128,10 @@ def test_rolling_metric_spans_calendar_gaps(spark):
         str(r["period_day"]): r["s"]
         for r in compile_rolling(df, m, "day", 2).collect()
     }
-    assert got == {"2024-01-01": 10.0, "2024-01-02": 30.0, "2024-01-10": 40.0}
+    # period_day is TIMESTAMP (midnight) since r5 — the shared calendar
+    # type on both engines (contract.py parity rules).
+    assert got == {
+        "2024-01-01 00:00:00": 10.0,
+        "2024-01-02 00:00:00": 30.0,
+        "2024-01-10 00:00:00": 40.0,
+    }

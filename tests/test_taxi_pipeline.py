@@ -86,7 +86,7 @@ JOIN dim_zones_known do_ ON t.dropoff_locationid = do_.locationid;
 CREATE VIEW dm_monthly_zone_revenue AS
 SELECT
   pickup_zone AS revenue_zone,
-  date_trunc('month', pickup_datetime) AS revenue_month,
+  CAST(date_trunc('month', pickup_datetime) AS TIMESTAMP) AS revenue_month,
   service_type,
   SUM(fare_amount) AS revenue_monthly_fare,
   SUM(extra) AS revenue_monthly_extra,
