@@ -274,11 +274,21 @@ def ext_dedup_minhash_lsh(spark, sf_dir):
     signature string, so DuckDB replays signatures, candidate set, AND
     verified pairs exactly — LSH recall stops being 'probabilistic'
     once the scheme is fixed. Production defaults keep the faster
-    all-JVM xxhash64 family (identical pipeline code path)."""
+    all-JVM xxhash64 family (identical pipeline code path).
+
+    max_bucket_size is effectively infinite HERE (ADVICE r4): the
+    oracle keeps full band buckets, while the engine default (2048)
+    salt-splits oversized buckets — at sf0.01/sf0.1 no bucket comes
+    close, but pinning the cap makes the oracle scale-insensitive by
+    construction instead of by coincidence. The salting path itself is
+    exercised by ext_salted_join and the dedup unit tests."""
     from .operators.dedup import minhash_lsh_dedup_pairs
 
     d = load(spark, sf_dir, "documents")
-    return minhash_lsh_dedup_pairs(d, "text", "doc_id", threshold=0.5, portable=True)
+    return minhash_lsh_dedup_pairs(
+        d, "text", "doc_id", threshold=0.5, portable=True,
+        max_bucket_size=2**31,
+    )
 
 
 _SIMHASH_ORACLE = """

@@ -182,9 +182,29 @@ def _spark_models(spark):
     green = stg_green_tripdata(spark.read.parquet(_G))
     yellow = stg_yellow_tripdata(spark.read.parquet(_Y))
     zones = dim_zones(load_seed_csv(spark, _Z, TAXI_ZONE_LOOKUP_SCHEMA))
-    fact_path = os.path.join(
-        DEFAULT_FIXTURE_DIR, "warehouse", f"fact_trips-{sc.applicationId}"
-    )
+    warehouse = os.path.join(DEFAULT_FIXTURE_DIR, "warehouse")
+    fact_path = os.path.join(warehouse, f"fact_trips-{sc.applicationId}")
+    # The per-application path prevents concurrent sessions clobbering
+    # each other, but every session leaves a copy behind (ADVICE r4:
+    # unbounded disk growth across rounds). Clean up: our own copy goes
+    # at interpreter exit; stale siblings from dead sessions go now,
+    # age-gated at 2h so a genuinely concurrent session (minutes old)
+    # is never touched.
+    import atexit
+    import shutil
+    import time
+
+    atexit.register(shutil.rmtree, fact_path, ignore_errors=True)
+    if os.path.isdir(warehouse):
+        cutoff = time.time() - 2 * 3600
+        for d in os.listdir(warehouse):
+            p = os.path.join(warehouse, d)
+            if (
+                d.startswith("fact_trips-")
+                and d != f"fact_trips-{sc.applicationId}"
+                and os.path.getmtime(p) < cutoff
+            ):
+                shutil.rmtree(p, ignore_errors=True)
     fact_trips(green, yellow, zones).write.mode("overwrite").parquet(fact_path)
     fact = spark.read.parquet(fact_path)
     _MODELS[key] = (green, yellow, zones, fact, dm_monthly_zone_revenue(fact))

@@ -206,19 +206,28 @@ def minhash_lsh_dedup_pairs(
     num_bands: int = 8,
     shingle_n: int = 3,
     portable: bool = False,
+    max_bucket_size: int = 2048,
 ) -> DataFrame:
     """Full near-dup pipeline: signatures → LSH candidates → exact
     Jaccard verify ≥ threshold. Output (id_a, id_b, jaccard_sim) is
     independent of the hash scheme (modulo LSH recall); with
     ``portable=True`` the scheme itself is engine-replayable, so even
-    the candidate SET is oracle-checkable."""
+    the candidate SET is oracle-checkable.
+
+    ``max_bucket_size`` passes through to ``lsh_candidate_pairs``'s
+    oversized-bucket salting. An oracle that keeps full buckets must
+    disable it (pass an effectively-infinite cap) or its candidate set
+    silently diverges once any band bucket outgrows the cap."""
     # Persist: signatures feed the band join AND both sides of the
     # verify join — without a materialization boundary Catalyst inlines
     # the (expensive) signature expressions into every consumer.
     sigs = minhash_signatures(
         df, text_col, id_col, num_perm, shingle_n, portable=portable
     ).persist()
-    cands = lsh_candidate_pairs(sigs, id_col, num_bands, num_perm, portable=portable)
+    cands = lsh_candidate_pairs(
+        sigs, id_col, num_bands, num_perm,
+        max_bucket_size=max_bucket_size, portable=portable,
+    )
     sh = sigs.select(F.col(id_col), F.col("shingles"))
     return (
         cands.join(sh.withColumnsRenamed({id_col: "id_a", "shingles": "sh_a"}), "id_a")
@@ -322,7 +331,11 @@ def simhash(
     ``token_hash=portable_hash60, num_bits=60`` for a fingerprint an
     external SQL oracle can recompute exactly (the majority vote is
     width-agnostic: bit positions above the hash width never reach
-    majority, so the same UDF serves both schemes)."""
+    majority, so the same UDF serves both schemes).
+
+    Output columns: (``id_col``, ``simhash``) — the fingerprint column
+    name is a fixed contract with ``simhash_candidate_pairs`` (ADVICE
+    r4: previously 'simhash64', misleading for non-64-bit widths)."""
     from pyspark.sql.functions import pandas_udf
 
     if token_hash is None:
@@ -331,7 +344,7 @@ def simhash(
     token_hashes = F.transform(
         F.array_distinct(tokenize(F.col(text_col))), lambda t: token_hash(t)
     )
-    return ensure_min_partitions(df).select(F.col(id_col), fn(token_hashes).alias("simhash64"))
+    return ensure_min_partitions(df).select(F.col(id_col), fn(token_hashes).alias("simhash"))
 
 
 def simhash_candidate_pairs(
@@ -341,7 +354,10 @@ def simhash_candidate_pairs(
     into ``max_hamming + 1`` chunks (pigeonhole: hamming ≤ h ⇒ at least
     one of h+1 chunks identical), bucket-join on (chunk_idx, chunk),
     verify exact hamming distance via bit_count(xor). Same
-    candidates-then-verify economics as MinHash-LSH."""
+    candidates-then-verify economics as MinHash-LSH.
+
+    ``hashed`` must carry the fingerprint in a ``simhash`` column —
+    the fixed output contract of ``simhash()`` above."""
     # Persist the fingerprints (16 bytes/doc) before the self-join:
     # without the materialization boundary, (a) both join sides re-run
     # the pandas-UDF lineage, and (b) the inferred isnotnull(join key)
@@ -355,14 +371,14 @@ def simhash_candidate_pairs(
     chunks = F.posexplode(
         F.array(
             *[
-                F.shiftrightunsigned(F.col("simhash64"), chunk_bits * i).bitwiseAND(
+                F.shiftrightunsigned(F.col("simhash"), chunk_bits * i).bitwiseAND(
                     F.lit(mask)
                 )
                 for i in range(n_chunks)
             ]
         )
     )
-    banded = hashed.select(F.col(id_col), F.col("simhash64"), chunks.alias("chunk_idx", "chunk"))
+    banded = hashed.select(F.col(id_col), F.col("simhash"), chunks.alias("chunk_idx", "chunk"))
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -375,7 +391,7 @@ def simhash_candidate_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.bit_count(F.col("a.simhash64").bitwiseXOR(F.col("b.simhash64"))).alias(
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias(
                 "hamming"
             ),
         )
