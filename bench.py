@@ -100,9 +100,19 @@ def main() -> None:
     # Per-query isolation: one broken query must not zero the whole
     # artifact (rounds 1-2 lost ALL bench data to a single loader bug).
     # Failures are reported in an "errors" map and excluded from totals.
+    # Optional subset (comma-separated names) for ad-hoc scaling runs —
+    # e.g. the sf1 checkpoint in BASELINE.md times only the 15 heaviest
+    # queries against a replicated dataset. Unset = the full contract.
+    subset_env = os.environ.get("SPARK_GRAFT_QUERIES", "")
+    subset = {s.strip() for s in subset_env.split(",") if s.strip()}
+    names = [n for n in sorted(contract.QUERIES) if not subset or n in subset]
+    unknown = subset - set(contract.QUERIES)
+    if unknown:
+        print(f"# unknown SPARK_GRAFT_QUERIES: {sorted(unknown)}", file=sys.stderr)
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in sorted(contract.QUERIES):
+    for name in names:
         fn = contract.QUERIES[name]
         best, n = float("inf"), 0
         try:
@@ -139,7 +149,9 @@ def main() -> None:
     # keeps only the last ~2000 chars of stdout, and a 120-query map is
     # ~4 KB, so the full line's head ("metric", "value", ...) gets
     # clipped and the driver records "parsed": null (BENCH_r03/r04).
-    out_path = os.path.join(REPO_DIR, "BENCH.json")
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT", os.path.join(REPO_DIR, "BENCH.json")
+    )
     with open(out_path, "w") as fh:
         fh.write(json.dumps(payload, separators=(",", ":")) + "\n")
     print(f"# full artifact written to {out_path}", file=sys.stderr)

@@ -45,9 +45,14 @@ def main() -> None:
 
     ensure_taxi_fixtures()
 
+    # Same optional subset knob as bench.py (scaling checkpoints).
+    subset_env = os.environ.get("SPARK_GRAFT_QUERIES", "")
+    subset = {s.strip() for s in subset_env.split(",") if s.strip()}
+    names = [n for n in sorted(contract.ORACLES) if not subset or n in subset]
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in sorted(contract.ORACLES):
+    for name in names:
         sql = contract.ORACLES[name]
         best, n = float("inf"), 0
         try:
@@ -74,7 +79,10 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     line = json.dumps(payload, separators=(",", ":"))
-    with open(os.path.join(REPO_DIR, "BASELINE_DUCKDB.json"), "w") as fh:
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT", os.path.join(REPO_DIR, "BASELINE_DUCKDB.json")
+    )
+    with open(out_path, "w") as fh:
         fh.write(line + "\n")
     print(line)
 

@@ -2073,3 +2073,140 @@ def ext_text_repetition_ratio(spark, sf_dir):
         1.0 - F.size(F.array_distinct(F.col("__sh"))).cast("double") / F.size("__sh"),
     ).otherwise(F.lit(0.0))
     return sh.select("doc_id", F.round(ratio, 9).alias("rep_ratio_r"))
+
+
+# ---------------------------------------------------------------------------
+# Corpus cleaning: PII-style redaction, vocabulary coverage, curriculum bins
+# (operators/cleaning.py). The redaction/vocab passes sit between dedup and
+# packing in a training-data pipeline; quantile bins drive curriculum or
+# quality-stratified sampling.
+# ---------------------------------------------------------------------------
+
+_EMAIL_PAT = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_WORD_PAT = "\\bcustomer\\b"
+
+
+@query(
+    "ext_text_regex_redact",
+    oracle=f"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(text, '{_EMAIL_PAT}', '<PII>', 'g'),
+             '{_WORD_PAT}', '<PII>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(text, '{_EMAIL_PAT}'))
+              + len(regexp_extract_all(text, '{_WORD_PAT}')) AS BIGINT)
+             AS n_redactions
+    FROM documents
+    """,
+)
+def ext_text_regex_redact(spark, sf_dir):
+    """Regex redaction pass (operators/cleaning.redact): scrub every
+    match of a pattern set, count matches per row. The contract set is
+    the EMAIL preset (exercises the real PII pattern — zero hits on
+    this synthetic corpus, which the count column proves) plus a
+    corpus-relevant word pattern (nonzero hits, which the replacement
+    column proves). Both patterns sit in the Java∩RE2 regex subset so
+    the two engines match identically.
+
+    Scale: map-only — regexp_replace/regexp_count run inside the
+    scan's whole-stage codegen, zero shuffle at any corpus size."""
+    from .operators.cleaning import PII_PATTERNS, redact
+
+    d = load(spark, sf_dir, "documents")
+    red, n = redact(
+        F.col("text"),
+        {"email": PII_PATTERNS["email"], "word_customer": r"\bcustomer\b"},
+    )
+    return d.select(
+        "doc_id", red.alias("redacted"), n.alias("n_redactions")
+    )
+
+
+@query(
+    "ext_vocab_coverage",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                w -> w != '')) AS token
+      FROM documents
+    ), counts AS (
+      SELECT token, COUNT(*) AS n FROM toks GROUP BY token
+    ), vocab AS (
+      SELECT token FROM counts ORDER BY n DESC, token LIMIT 20
+    )
+    SELECT doc_id,
+           COUNT(*) AS total_tokens,
+           CAST(COUNT(*) FILTER (WHERE token IN (SELECT token FROM vocab))
+                AS BIGINT) AS vocab_hits,
+           CAST(COUNT(*) FILTER (WHERE token IN (SELECT token FROM vocab))
+                AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS coverage
+    FROM toks GROUP BY doc_id
+    """,
+)
+def ext_vocab_coverage(spark, sf_dir):
+    """Frequency-vocabulary build + per-document coverage
+    (operators/cleaning.vocab_coverage): top-K corpus tokens by count
+    (ties broken by token — deterministic across engines AND
+    partitionings), then the share of each document's token instances
+    inside that vocabulary — the OOV-rate complement used to triage
+    out-of-distribution documents before training. K=20 cuts inside
+    this corpus's 31-token vocabulary so the boundary is exercised.
+
+    Scale: two shuffles total (groupBy token, groupBy doc); the
+    vocabulary is K rows and joins broadcast-semi into the token
+    stream, so corpus bytes shuffle exactly once. The top-K lowers to
+    TakeOrderedAndProject (per-partition heaps), never a global
+    sort."""
+    from .operators.cleaning import vocab_coverage
+
+    d = load(spark, sf_dir, "documents")
+    return vocab_coverage(d, "text", "doc_id", 20)
+
+
+_QB_ORACLE = f"""
+WITH scored AS ({_QS_ORACLE}),
+binned AS (
+  SELECT doc_id, quality,
+         CAST(NTILE(10) OVER (ORDER BY quality, doc_id) AS INT) AS bin
+  FROM scored
+)
+SELECT bin, COUNT(*) AS n_docs,
+       MIN(quality) AS min_quality, MAX(quality) AS max_quality
+FROM binned GROUP BY bin ORDER BY bin
+"""
+
+
+@query("ext_quantile_binning", oracle=_QB_ORACLE)
+def ext_quantile_binning(spark, sf_dir):
+    """Quality-decile curriculum bins: NTILE(10) over the quality
+    score (ties pinned by doc_id so the decile boundaries are
+    deterministic), then per-bin count and score range — the bucketing
+    step of curriculum training or quality-stratified sampling.
+
+    Scale: exact NTILE needs a total order — fine here because only
+    (doc_id, quality) enters the window, not document bodies, and the
+    deciles of a 100 TB corpus are computed from a ~16-byte row per
+    doc. For corpora where even that single-partition sort is too
+    much, the scale path is approxQuantile boundaries + a broadcast
+    range join (same shape as ext_date_spine_densify's bucketing);
+    the exact form is kept here because it is oracle-checkable."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "text", tokenize(F.col("text")).alias("__toks"))
+    scored = toks.select(
+        "doc_id",
+        quality_score(F.col("text"), tokens=F.col("__toks")).alias("quality"),
+    )
+    w = Window.orderBy("quality", "doc_id")
+    return (
+        scored.select(
+            "doc_id", "quality", F.ntile(10).over(w).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("quality").alias("min_quality"),
+            F.max("quality").alias("max_quality"),
+        )
+        .orderBy("bin")
+    )

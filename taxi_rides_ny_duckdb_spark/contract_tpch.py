@@ -103,15 +103,31 @@ def q4_order_priority(spark, sf_dir):
     line shipped >60 days after ordering), counted per priority class.
     LEFT SEMI keeps orders-side columns only and short-circuits on
     first match — no fan-out, no dedup needed. The non-equi residual
-    (l_shipdate > o_orderdate + 60d) rides on the equi-key hash join.
-    The reference's relationships test (J3) is the anti twin of this."""
+    (l_shipdate > o_orderdate + 60d) rides on the equi-key join.
+    The reference's relationships test (J3) is the anti twin of this.
+
+    Two scale guards, both found by the sf1 checkpoint (BASELINE.md):
+    Catalyst can't derive a lineitem-side filter from a predicate that
+    references BOTH sides, so the implied constraint l_shipdate >
+    min(o_orderdate)+60d = 1999-03-02 is stated explicitly — it
+    reaches the parquet scan and prunes most of the fact table. And
+    without a hint the optimizer happily BROADCASTS the 2-column
+    lineitem projection (small on disk, huge as a hashed relation —
+    18× superlinear at sf1, fatal at 100 TB where lineitem is the big
+    side); the merge hint pins a sort-merge semi join that shuffles
+    both sides on the order key and scales symmetrically."""
     orders = load(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1999-01-01") & (F.col("o_orderdate") < "1999-07-01")
     )
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_shipdate")
+        # Implied by o_orderdate >= 1999-01-01 ∧ l_shipdate > o_orderdate+60d.
+        .filter(F.col("l_shipdate") > F.lit("1999-03-02"))
+    )
     late = (
         orders.join(
-            li,
+            li.hint("merge"),
             (orders["o_orderkey"] == li["l_orderkey"])
             & (li["l_shipdate"] > F.date_add(orders["o_orderdate"], 60)),
             "left_semi",
@@ -903,4 +919,80 @@ def q6_forecast_revenue(spark, sf_dir):
     )
     return li.agg(
         dsum(F.col("l_extendedprice") * F.col("l_discount"), 18, 4).alias("revenue")
+    )
+
+
+@query(
+    "q9_product_type_profit",
+    oracle="""
+    SELECT n_name AS nation,
+           CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+                AS DOUBLE)
+             - CAST(SUM(CAST(p_retailprice * l_quantity AS DECIMAL(18,4)))
+                AS DOUBLE) / 10 AS profit
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q9_product_type_profit(spark, sf_dir):
+    """Q9 shape (product-type profit): the widest join tree in the
+    classic matrix — lineitem joined to part, supplier, nation AND
+    orders, profit per supplier-nation per order-year. The driver
+    tables carry no partsupp, so supply cost is modeled as 10% of
+    p_retailprice × quantity — same join shape, same column roles
+    (the cost factor comes from the part side, the year from orders).
+
+    Completes the 22-shape TPC-H matrix (the other 21 live in this
+    module and contract_reference.py — Q5=j5, Q13=j6, Q14=a9, Q17=s6,
+    Q21=j7's compound-exists twin at contract_reference.py:1196).
+
+    Scale: part is pre-filtered by the LIKE (pushed as a scan filter;
+    string-contains can't prune row groups but does short-circuit rows
+    before the join) and broadcast with supplier and nation — three
+    broadcast hash joins riding on the lineitem scan, so the ONLY
+    shuffle pair is lineitem⨝orders on the order key, then the 2-key
+    groupBy re-shuffles the tiny (nation × year) aggregate. Parity:
+    both engines sum revenue and raw cost as exact decimal(18,4)
+    separately, cast to double, and apply the /10 and subtraction as
+    the same two IEEE ops — no double accumulation anywhere."""
+    part = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount",
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    raw_cost = F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(
+            dsum(revenue, 18, 4).alias("rev"),
+            dsum(raw_cost, 18, 4).alias("cost"),
+        )
+        .select(
+            "nation",
+            "o_year",
+            (F.col("rev") - F.col("cost") / 10).alias("profit"),
+        )
+        .orderBy("nation", F.col("o_year").desc())
     )

@@ -1,0 +1,117 @@
+"""Corpus-cleaning operators (EXTENSION — no reference analog).
+
+The redaction / vocabulary passes a training-data pipeline runs between
+dedup and packing: scrub PII-like spans, build a frequency vocabulary,
+measure per-document vocabulary coverage (the cheap "is this document
+in-distribution" signal). Everything is pure Column expressions +
+built-in aggregates — no Python in any hot path.
+
+Scale notes:
+- ``redact`` is a map-only pass (regexp_replace/regexp_count inside the
+  scan's codegen stage) — zero shuffle at any scale.
+- ``vocab_top_k`` is one groupBy(token) shuffle + a top-K
+  (TakeOrderedAndProject — partial top-K per partition, no global
+  sort); the result is vocabulary-sized (K rows) and broadcast back.
+- ``vocab_coverage`` re-uses the exploded token stream: one
+  groupBy(doc) shuffle; the vocab side joins broadcast, so corpus
+  bytes are shuffled once regardless of K.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokenize
+
+# Common PII surface patterns, in the regex subset Java (Spark) and
+# RE2 (DuckDB/Go) agree on: no backrefs, no lookaround.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+?\d[\d\-\s]{7,}\d",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+}
+
+
+def redact(
+    text: Column, patterns: dict[str, str], replacement: str = "<PII>"
+) -> tuple[Column, Column]:
+    """Redact every match of every pattern; return (redacted, n_matches).
+
+    Patterns are applied in sorted-label order so the composition is
+    deterministic. ``n_matches`` counts each pattern against the
+    ORIGINAL text and sums — overlapping spans (a phone-like digit run
+    inside an email) may count once per pattern even though the text
+    is replaced once. That keeps the count a pure map-side expression;
+    exact span accounting would need a sequential scan per row.
+
+    Oracle: chained ``regexp_replace(..., 'g')`` +
+    ``len(regexp_extract_all(text, pat))`` per pattern.
+    """
+    out = text
+    n = F.lit(0).cast("bigint")
+    for label in sorted(patterns):
+        pat = patterns[label]
+        out = F.regexp_replace(out, pat, replacement)
+        n = n + F.regexp_count(text, F.lit(pat)).cast("bigint")
+    return out, n
+
+
+def vocab_top_k(docs: DataFrame, text_col: str, k: int) -> DataFrame:
+    """Top-``k`` corpus tokens by frequency → (token, n).
+
+    Ties at the cut broken by token ascending, so the vocabulary is
+    deterministic across engines and partitionings. The orderBy+limit
+    lowers to TakeOrderedAndProject (per-partition heaps + one K-row
+    reduce), never a global sort.
+    """
+    return (
+        docs.select(F.explode(tokenize(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(k)
+    )
+
+
+def vocab_coverage(
+    docs: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """Per-document vocabulary coverage against the corpus top-``k``.
+
+    → (id, total_tokens, vocab_hits, coverage) — coverage is the share
+    of token INSTANCES (not types) inside the vocabulary, the standard
+    OOV-rate complement used to triage out-of-distribution documents.
+
+    Two shuffles total at any scale: groupBy(token) for the vocabulary
+    and groupBy(id) for the per-doc tallies; the vocabulary (K rows) is
+    broadcast into the instance stream, so document bytes never shuffle
+    on the join. Documents with zero tokens drop out (coverage of an
+    empty document is undefined).
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("token")
+    )
+    vocab = vocab_top_k(docs, text_col, k).select("token")
+    hits = (
+        toks.join(F.broadcast(vocab), "token", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("vocab_hits"))
+    )
+    totals = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("total_tokens"))
+    return (
+        totals.join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            "total_tokens",
+            F.coalesce(F.col("vocab_hits"), F.lit(0).cast("bigint")).alias(
+                "vocab_hits"
+            ),
+        )
+        .withColumn(
+            "coverage",
+            F.col("vocab_hits").cast("double")
+            / F.col("total_tokens").cast("double"),
+        )
+    )

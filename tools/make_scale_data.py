@@ -1,0 +1,152 @@
+#!/usr/bin/env python
+"""Build an sf≈1 dataset by replicating /root/testdata/sf0.1 K× with
+key offsets, written OUTSIDE the read-only testdata tree (default
+/tmp/sf1x). This exists solely for the scaling checkpoint recorded in
+BASELINE.md — correctness always runs against the driver's own parquet.
+
+Replication preserves the *shape* that matters for plan behavior at
+scale, not the exact value distribution:
+
+- Fact/dim keys are offset per copy by a power-of-ten pad larger than
+  the max source key, so join fan-out per key is IDENTICAL to sf0.1
+  (each replicated order still has the same lineitems, each customer
+  the same orders). A naive concat without offsets would multiply
+  join multiplicity by K and measure a different query.
+- nation/region stay fixed — they are constant-size dims in TPC-H at
+  every scale factor.
+- documents in copy i>0 get a copy-specific token interleaved every 7
+  words. Byte-identical (or suffix-only-different) copies would leave
+  cross-copy MinHash signatures ~identical, so LSH buckets grow K× and
+  candidate pairs K² — the dedup queries would measure dup blowup, not
+  scan/shuffle scaling. Interleaving rewrites nearly every shingle, so
+  copies are genuinely distinct documents while the *within-copy*
+  near-dup structure (the thing being measured) is preserved exactly.
+- embeddings in copy i>0 get seeded gaussian noise (σ=0.2, rng seed =
+  1000+i — deterministic) for the same reason: cross-copy cosine drops
+  below near-dup thresholds, keeping pair counts ~linear in K.
+- events keep their timestamps (window/session density per user is the
+  scaling knob we want constant) but offset user_id/event_id.
+
+Deterministic: no RNG anywhere, pure arithmetic on the source rows.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+
+def _pad(max_val: int) -> int:
+    p = 1
+    while p <= max_val:
+        p *= 10
+    return p
+
+
+def _offset(tbl: pa.Table, col: str, delta: int) -> pa.Table:
+    i = tbl.schema.get_field_index(col)
+    return tbl.set_column(i, col, pc.add(tbl.column(col), delta))
+
+
+def replicate(src_dir: str, out_dir: str, copies: int) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    tables = {
+        name: pq.read_table(os.path.join(src_dir, f"{name}.parquet"))
+        for name in (
+            "region nation customer supplier part orders lineitem "
+            "events documents embeddings".split()
+        )
+    }
+    pads = {
+        "order": _pad(pc.max(tables["orders"]["o_orderkey"]).as_py()),
+        "cust": _pad(pc.max(tables["customer"]["c_custkey"]).as_py()),
+        "supp": _pad(pc.max(tables["supplier"]["s_suppkey"]).as_py()),
+        "part": _pad(pc.max(tables["part"]["p_partkey"]).as_py()),
+        "doc": _pad(pc.max(tables["documents"]["doc_id"]).as_py()),
+        "vec": _pad(pc.max(tables["embeddings"]["vec_id"]).as_py()),
+        "event": _pad(pc.max(tables["events"]["event_id"]).as_py()),
+        "user": _pad(pc.max(tables["events"]["user_id"]).as_py()),
+    }
+
+    # Fixed-size dims: copied through once, unchanged.
+    for name in ("region", "nation"):
+        pq.write_table(tables[name], os.path.join(out_dir, f"{name}.parquet"))
+
+    def copy_of(name: str, i: int) -> pa.Table:
+        t = tables[name]
+        if name == "customer":
+            return _offset(t, "c_custkey", i * pads["cust"])
+        if name == "supplier":
+            return _offset(t, "s_suppkey", i * pads["supp"])
+        if name == "part":
+            return _offset(t, "p_partkey", i * pads["part"])
+        if name == "orders":
+            t = _offset(t, "o_orderkey", i * pads["order"])
+            return _offset(t, "o_custkey", i * pads["cust"])
+        if name == "lineitem":
+            t = _offset(t, "l_orderkey", i * pads["order"])
+            t = _offset(t, "l_partkey", i * pads["part"])
+            return _offset(t, "l_suppkey", i * pads["supp"])
+        if name == "events":
+            t = _offset(t, "event_id", i * pads["event"])
+            return _offset(t, "user_id", i * pads["user"])
+        if name == "documents":
+            t = _offset(t, "doc_id", i * pads["doc"])
+            if i:
+                j = t.schema.get_field_index("text")
+                tok = f"z{i}q"
+                out = []
+                for v in t.column("text").to_pylist():
+                    w = v.split(" ")
+                    out.append(
+                        " ".join(
+                            x
+                            for k in range(0, len(w), 7)
+                            for x in (w[k : k + 7] + [tok])
+                        )
+                    )
+                t = t.set_column(j, "text", pa.array(out, type=pa.string()))
+                # Keep the derived column consistent with the new text.
+                jn = t.schema.get_field_index("n_chars")
+                t = t.set_column(
+                    jn, "n_chars", pc.utf8_length(t.column("text")).cast(pa.int64())
+                )
+            return t
+        if name == "embeddings":
+            t = _offset(t, "vec_id", i * pads["vec"])
+            if i:
+                import numpy as np
+
+                j = t.schema.get_field_index("embedding")
+                emb = t.column("embedding").combine_chunks()
+                flat = emb.values.to_numpy(zero_copy_only=False).copy()
+                rng = np.random.default_rng(1000 + i)
+                flat += rng.normal(0.0, 0.2, size=flat.shape).astype("float32")
+                new = pa.ListArray.from_arrays(
+                    emb.offsets, pa.array(flat, type=pa.float32())
+                )
+                t = t.set_column(j, "embedding", new)
+            return t
+        raise ValueError(name)
+
+    for name in (
+        "customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        out = pa.concat_tables([copy_of(name, i) for i in range(copies)])
+        pq.write_table(
+            out,
+            os.path.join(out_dir, f"{name}.parquet"),
+            row_group_size=1 << 20,
+        )
+        print(f"{name}: {out.num_rows} rows", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1x"
+    k = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    replicate(src, out, k)
