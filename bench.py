@@ -45,7 +45,7 @@ def main() -> None:
         if f.endswith(".parquet")
     )
     cores = spark.sparkContext.defaultParallelism
-    n_shuffle = max(8, min(cores, total_bytes // (16 * 1024 * 1024)))
+    n_shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "0")) or max(8, min(cores, total_bytes // (16 * 1024 * 1024)))
     spark.conf.set("spark.sql.shuffle.partitions", str(n_shuffle))
     print(f"# shuffle partitions: {n_shuffle} ({total_bytes >> 20} MB input)",
           file=sys.stderr)

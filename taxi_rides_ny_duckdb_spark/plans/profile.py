@@ -73,25 +73,51 @@ def profile_approx_guarded(
     cannot reproduce the sketch: the oracle computes the exact stats
     and declares the guards literal TRUE — if Spark's sketch ever
     left its guarantee the boolean would flip and the value-hash
-    would mismatch. The guards need exact distinct/percentile, so
-    this is the VERIFICATION query; the pure-sketch scan
-    (``profile_approx``) remains the 100 TB production path.
+    would mismatch. This is the VERIFICATION query; the pure-sketch
+    scan (``profile_approx``) remains the 100 TB production path.
+
+    Plan shape (re-derived at the sf1 checkpoint, BASELINE.md): the
+    original single ``agg`` mixed DISTINCT aggregates with heavy
+    sketch buffers, so Catalyst planned an Expand — every row
+    tripled THROUGH the percentile/HLL buffers — and the exact
+    ``F.percentile`` built a per-partition value→count map that is
+    near-cardinality-sized on a continuous column (a memory bomb at
+    any real scale). 4-7× slower at sf1 than this form:
+
+    - ONE Expand-free sketch pass (count/min/max/HLL/approx median +
+      an approx [p40,p60] guard band at accuracy 10000 — rank error
+      1e-4 each side vs a 10-point margin, so the band is
+      deterministically conservative; no exact sort or value map);
+    - per-column exact distinct as two-phase groupBy (shuffles only
+      distinct VALUES, never rows — the one exact stat the guard
+      genuinely needs);
+    - the 1-row results cross-joined (broadcast, free).
 
     Output grain: one row per column."""
-    aggs = []
+    sketch_aggs = []
     for c in cols:
         cd = F.col(c).cast("double")
-        aggs += [
+        sketch_aggs += [
             F.count(c).alias(f"{c}__n"),
             F.min(cd).alias(f"{c}__min"),
             F.max(cd).alias(f"{c}__max"),
             F.approx_count_distinct(c).alias(f"{c}__ad"),
-            F.count_distinct(F.col(c)).alias(f"{c}__ed"),
             F.percentile_approx(cd, 0.5).alias(f"{c}__am"),
-            F.percentile(cd, F.lit(float(median_band[0]))).alias(f"{c}__lo"),
-            F.percentile(cd, F.lit(float(median_band[1]))).alias(f"{c}__hi"),
+            F.percentile_approx(
+                cd, F.lit(float(median_band[0])), F.lit(10000)
+            ).alias(f"{c}__lo"),
+            F.percentile_approx(
+                cd, F.lit(float(median_band[1])), F.lit(10000)
+            ).alias(f"{c}__hi"),
         ]
-    agg = df.agg(*aggs)
+    agg = df.agg(*sketch_aggs)
+    for c in cols:
+        exact_distinct = (
+            df.groupBy(F.col(c).alias("__v"))
+            .agg(F.lit(1).alias("__one"))
+            .agg(F.count(F.lit(1)).alias(f"{c}__ed"))
+        )
+        agg = agg.join(exact_distinct)
     rows = [
         F.struct(
             F.lit(c).alias("column_name"),

@@ -617,3 +617,63 @@ def test_map_explode_is_narrow_expansion(spark, sf_dir):
     plan = plan_of(df)
     assert plan.count("Generate") == 1
     assert plan.count("Exchange") == 1
+
+
+def test_q4_semi_join_never_broadcasts_fact(spark, sf_dir):
+    """Q4's left-semi must be a sort-merge join with the implied
+    l_shipdate constraint pushed to the lineitem scan. Found at the
+    sf1 checkpoint (BASELINE.md): without the hint Catalyst broadcast
+    the 2-column lineitem projection — 18× superlinear at sf1, fatal
+    at 100 TB where lineitem is the big side."""
+    df = contract.BUILDERS["q4_order_priority"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "SortMergeJoin" in plan and "LeftSemi" in plan
+    assert "BroadcastHashJoin" not in plan
+    fmt = formatted(df)
+    scan_filters = [l for l in fmt.splitlines() if "PushedFilters" in l]
+    assert any("GreaterThan(l_shipdate" in l for l in scan_filters)
+
+
+def test_q9_three_broadcasts_one_shuffle_join(spark, sf_dir):
+    """Q9's widest-in-matrix join tree: part/supplier/nation ride the
+    lineitem scan as broadcast hash joins; orders is the single
+    shuffled join partner."""
+    df = contract.BUILDERS["q9_product_type_profit"](spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("BroadcastHashJoin") == 3
+    # orders⨝lineitem may be SMJ or shuffled-hash depending on stats —
+    # either is scale-correct; broadcast of either fact side is not.
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_vocab_join_is_broadcast_semi(spark, sf_dir):
+    """The vocabulary (K rows) must broadcast into the token stream —
+    document bytes shuffle only for the two groupBys, never for the
+    join."""
+    df = contract.BUILDERS["ext_vocab_coverage"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan  # top-K vocab, no global sort
+
+
+def test_redaction_is_map_only(spark, sf_dir):
+    """Redaction must stay inside the scan's codegen stage: no
+    exchange of any kind in the plan."""
+    df = contract.BUILDERS["ext_text_regex_redact"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "Exchange" not in plan
+    assert "WholeStageCodegen" in plan
+
+
+def test_guarded_profile_has_no_expand_or_exact_percentile(spark, sf_dir):
+    """The sketch-verification profile must not plan an Expand (the
+    DISTINCT-aggregate rewrite that triples rows through the sketch
+    buffers) nor an exact Percentile buffer (per-partition value map,
+    cardinality-sized on continuous columns) — re-derived at the sf1
+    checkpoint, 4-7× at sf1 and the difference between a bounded-
+    memory and an unbounded-memory plan at 100 TB."""
+    df = contract.BUILDERS["prof_lineitem_approx_guarded"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "Expand" not in plan
+    assert "percentile(" not in plan  # approx_percentile only
+    assert "approx_percentile" in plan
