@@ -45,7 +45,15 @@ def main() -> None:
         if f.endswith(".parquet")
     )
     cores = spark.sparkContext.defaultParallelism
-    n_shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "0")) or max(8, min(cores, total_bytes // (16 * 1024 * 1024)))
+    try:
+        env_shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "0"))
+    except ValueError:
+        print("# SPARK_GRAFT_SHUFFLE is not an integer; ignoring", file=sys.stderr)
+        env_shuffle = 0
+    if env_shuffle < 0:
+        print("# SPARK_GRAFT_SHUFFLE < 1 is invalid; ignoring", file=sys.stderr)
+        env_shuffle = 0
+    n_shuffle = env_shuffle or max(8, min(cores, total_bytes // (16 * 1024 * 1024)))
     spark.conf.set("spark.sql.shuffle.partitions", str(n_shuffle))
     print(f"# shuffle partitions: {n_shuffle} ({total_bytes >> 20} MB input)",
           file=sys.stderr)

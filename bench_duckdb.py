@@ -48,6 +48,9 @@ def main() -> None:
     # Same optional subset knob as bench.py (scaling checkpoints).
     subset_env = os.environ.get("SPARK_GRAFT_QUERIES", "")
     subset = {s.strip() for s in subset_env.split(",") if s.strip()}
+    unknown = subset - set(contract.ORACLES)
+    if unknown:
+        print(f"# unknown SPARK_GRAFT_QUERIES: {sorted(unknown)}", file=sys.stderr)
     names = [n for n in sorted(contract.ORACLES) if not subset or n in subset]
 
     timings: dict[str, float] = {}

@@ -84,24 +84,22 @@ def query(
 
 # The driver verifies only the FIRST 50 registered queries against the
 # DuckDB oracle (CORRECTNESS_r{N}.json); the window rotates per round so
-# that over rounds every query accumulates a driver-green row. Rounds
-# 3+4 are fully green (CORRECTNESS_r03/r04.json); after r4 exactly 30
-# oracled queries had never sat in a verified window. The ROUND-5
-# window keeps the taxi DAG as the permanent prefix (the parity claim
-# the whole repo makes) and takes ALL 30 never-driver-verified oracled
-# queries — closing the evidence loop: r3∪r4∪r5 then covers every
-# oracled query — plus the two queries oracled THIS round
-# (ext_similarity_ivf_topk via frozen-centroid replay,
-# prof_lineitem_approx_guarded via deterministic in-bound guards).
-# The 10 remaining slots re-verify round-3 greens whose neighborhood
-# changed this round (the ANN/dedup family now rounds before
-# rank/threshold) plus the flagship pricing summary. Rows-only queries
-# are never windowed (their slot would carry no value verification —
-# ADVICE r3); only prof_lineitem_approx (raw sketch outputs) remains
-# rows-only, and its sketch values are bound-checked by the oracled
-# _guarded sibling. Everything outside the window is verified by the
-# local replica of the gate (tests/test_contract_parity.py, collect-
-# and pandas-hash paths).
+# that over rounds every query accumulates a driver-green row. After r5,
+# exactly 4 oracled queries (added in the final r5 commit, after the
+# window was set) had never sat in a verified window:
+# q9_product_type_profit, ext_text_regex_redact, ext_vocab_coverage,
+# ext_quantile_binning. The ROUND-6 window keeps the taxi DAG as the
+# permanent prefix (the parity claim the whole repo makes), takes those
+# 4 — closing the loop: r3∪r4∪r5∪r6 covers every oracled query — plus
+# every query whose code or guard semantics changed THIS round
+# (q9 merge-hint, prof_lineitem_approx_guarded's independent exact
+# band, the ngram-jaccard round-before-threshold), plus anything newly
+# oracled in round 6. The remaining slots re-verify the TPC-H join
+# family that this round's broadcast-hazard sweep audited. Rows-only
+# queries are never windowed (their slot would carry no value
+# verification — ADVICE r3). Everything outside the window is verified
+# by the local replica of the gate (tests/test_contract_parity.py,
+# collect-compare and driver-faithful pandas-hash paths).
 DRIVER_WINDOW: tuple[str, ...] = (
     # Reference taxi DAG — permanent prefix.
     "taxi_stg_green_tripdata",
@@ -112,59 +110,53 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "taxi_dm_monthly_zone_statistics",
     "taxi_metric_average_distance_month",
     "taxi_metric_avg_distance_manhattan_quarter",
-    # TPC-H shapes never driver-verified (added late in r4).
-    "q6_forecast_revenue",
-    "q12_priority_classes",
-    "q19_bracketed_revenue",
-    # Newly-oracled in late r4 — LSH / streaming / multimodal family.
-    "ext_dedup_minhash_lsh",
-    "ext_similarity_lsh_topk",
-    "ext_embedding_near_dup",
-    "ext_multimodal_frame_sample",
-    "ext_streaming_tumbling",
-    "ext_streaming_stateful_totals",
-    "ext_streaming_stream_join",
-    # Window-function family.
-    "ext_window_running_sum",
-    "ext_window_rank_family",
-    # Multi-dimensional aggregates.
-    "ext_cube_revenue",
-    "ext_grouping_sets",
-    # Set operations.
-    "ext_semi_join",
-    "ext_set_intersect",
-    "ext_set_union_distinct",
-    "ext_set_except",
-    # Samplers.
-    "ext_train_val_split",
-    "ext_hash_sample",
-    "ext_stratified_sample",
-    # Text / array / reshape operators.
-    "ext_text_explode_tokens",
-    "ext_unpivot_measures",
-    "ext_array_hof",
-    "ext_global_sort",
-    "ext_events_map_explode",
-    "ext_date_spine_densify",
-    # Round-4 late additions (training-pipeline trio).
-    "ext_pack_sequences",
-    "ext_decontaminate_ngram",
-    "ext_text_repetition_ratio",
-    # Oracled THIS round (round 5) — previously rows-only.
-    "ext_similarity_ivf_topk",
+    # The 4 never-driver-verified round-5 additions.
+    "q9_product_type_profit",
+    "ext_text_regex_redact",
+    "ext_vocab_coverage",
+    "ext_quantile_binning",
+    # Changed this round (guard semantics / plan pins / rounding).
     "prof_lineitem_approx_guarded",
-    # Re-verification: flagship + the ANN/dedup neighborhood that
-    # switched to round-before-rank/threshold this round.
-    "a1_pricing_summary",
-    "ext_similarity_topk_bruteforce",
-    "ext_embedding_near_dup_exact",
-    "ext_embedding_centroid_assign",
-    "ext_embedding_group_medoid",
-    "ext_dedup_exact",
     "ext_dedup_ngram_jaccard",
+    # TPC-H broadcast-hazard sweep family (plans audited this round).
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_items",
+    "q18_large_volume_customers",
+    "q11_important_parts",
+    "q22_dormant_customers",
+    # Re-verification: flagship + staples.
+    "a1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q15_top_supplier",
+    "q16_supplier_diversity",
+    "q20_part_promo_suppliers",
+    "j5_star_join_revenue",
+    "j6_outer_join_count_dist",
+    "j7_semi_anti_multicond",
+    "s6_correlated_subquery",
+    "a9_conditional_agg_promo",
+    "a10_groupwise_median",
+    # LLM-pipeline staples re-verified under the round-6 code.
+    "ext_dedup_exact",
+    "ext_dedup_minhash_lsh",
     "ext_dedup_simhash",
     "ext_dedup_edit_distance",
     "ext_dedup_cluster_components",
+    "ext_decontaminate_ngram",
+    "ext_similarity_lsh_topk",
+    "ext_similarity_ivf_topk",
+    "ext_embedding_near_dup",
+    "ext_pack_sequences",
+    "ext_train_val_split",
+    "ext_stratified_sample",
+    "ext_streaming_tumbling",
+    "ext_streaming_stateful_totals",
+    "ext_streaming_stream_join",
+    "ext_text_repetition_ratio",
+    "ext_multimodal_frame_sample",
 )
 
 

@@ -194,17 +194,18 @@ WITH sh AS (
   FROM (
     SELECT doc_id, lang,
            list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS w
-    FROM documents WHERE doc_id < 200
+    FROM documents WHERE doc_id < 500
   )
   WHERE len(w) >= 3
 )
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-         / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard_sim
-FROM sh a JOIN sh b
-  ON a.lang = b.lang AND a.doc_id < b.doc_id
-WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-        / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.2
+SELECT id_a, id_b, jaccard_sim FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+           / len(list_distinct(list_concat(a.shingles, b.shingles))), 9) AS jaccard_sim
+  FROM sh a JOIN sh b
+    ON a.lang = b.lang AND a.doc_id < b.doc_id
+)
+WHERE jaccard_sim >= 0.2
 """
 
 
@@ -212,12 +213,20 @@ WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
 def ext_dedup_ngram_jaccard(spark, sf_dir):
     """Exact 3-gram Jaccard near-dup pairs, blocked by lang (brute
     force within blocks — the exact baseline the LSH path prunes).
-    Restricted to doc_id < 200 to keep the quadratic oracle honest."""
+    Capped at doc_id < 500: that is the ENTIRE table at the driver's
+    sf0.01 (500 docs), so the driver row carries the full 6-pair
+    value evidence — the earlier doc_id < 200 cap landed in an id
+    range with no near-dups and made the parity trivially 0=0 — while
+    the quadratic oracle stays bounded at larger SFs (5000 docs at
+    sf0.1). Both engines round the similarity to 9dp BEFORE the
+    threshold filter (round-before-threshold, VERDICT r5 #7) so the
+    boundary compare can never flip on a sub-ulp difference."""
     from .operators.dedup import ngram_jaccard_pairs
 
-    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     return ngram_jaccard_pairs(
-        d, "text", "doc_id", threshold=0.2, block_cols=("lang",), shingle_n=3
+        d, "text", "doc_id", threshold=0.2, block_cols=("lang",),
+        shingle_n=3, round_dp=9,
     )
 
 

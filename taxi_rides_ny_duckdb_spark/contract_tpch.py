@@ -957,8 +957,13 @@ def q9_product_type_profit(spark, sf_dir):
     string-contains can't prune row groups but does short-circuit rows
     before the join) and broadcast with supplier and nation — three
     broadcast hash joins riding on the lineitem scan, so the ONLY
-    shuffle pair is lineitem⨝orders on the order key, then the 2-key
-    groupBy re-shuffles the tiny (nation × year) aggregate. Parity:
+    shuffle pair is lineitem⨝orders on the order key — merge-hinted,
+    exactly like q4's lineitem side (`q4_order_priority`): at small SF
+    Catalyst's size estimator sees the 2-column orders projection as
+    broadcastable, but a fact-sized hashed relation is superlinear in
+    memory at sf1 and fatal at 100 TB, so the hint pins sort-merge at
+    every scale. Then the 2-key groupBy re-shuffles the tiny
+    (nation × year) aggregate. Parity:
     both engines sum revenue and raw cost as exact decimal(18,4)
     separately, cast to double, and apply the /10 and subtraction as
     the same two IEEE ops — no double accumulation anywhere."""
@@ -980,7 +985,7 @@ def q9_product_type_profit(spark, sf_dir):
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(orders.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("int").alias("o_year"),

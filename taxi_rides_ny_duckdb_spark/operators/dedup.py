@@ -245,11 +245,20 @@ def ngram_jaccard_pairs(
     threshold: float,
     block_cols: tuple[str, ...] = (),
     shingle_n: int = 3,
+    round_dp: int | None = None,
 ) -> DataFrame:
     """Brute-force pairwise n-gram Jaccard ≥ threshold, optionally
     blocked on equality columns (e.g. lang) so the self-join is
     per-block instead of global. This is the exact baseline the
-    LSH path approximates; at scale use it only within blocks."""
+    LSH path approximates; at scale use it only within blocks.
+
+    ``round_dp`` applies round-before-threshold (same 9dp trick as the
+    ANN rank paths): the similarity is rounded BEFORE the ≥ filter so
+    a pair sitting exactly on the threshold boundary cannot flip
+    in/out of the result on a 1-ulp cross-engine difference. Jaccard
+    here is a single int/int IEEE division so both engines agree
+    bit-for-bit in practice, but the contract query pins 9dp so the
+    guarantee is by construction, not by luck."""
     # Two-step tokens→shingles projection (see minhash_signatures note);
     # barrier_filter keeps the size() gate from re-inlining it, and
     # persist keeps the a/b sides of the self-join from re-shingling
@@ -273,9 +282,12 @@ def ngram_jaccard_pairs(
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     for c in block_cols:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    sim = jaccard(F.col("a.shingles"), F.col("b.shingles"))
+    if round_dp is not None:
+        sim = F.round(sim, round_dp)
     return (
         a.join(b, cond)
-        .withColumn("jaccard_sim", jaccard(F.col("a.shingles"), F.col("b.shingles")))
+        .withColumn("jaccard_sim", sim)
         .filter(F.col("jaccard_sim") >= threshold)
         .select(
             F.col(f"a.{id_col}").alias("id_a"),

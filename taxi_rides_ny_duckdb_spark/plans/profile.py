@@ -76,6 +76,17 @@ def profile_approx_guarded(
     would mismatch. This is the VERIFICATION query; the pure-sketch
     scan (``profile_approx``) remains the 100 TB production path.
 
+    Both guard references are INDEPENDENT of the sketches they check
+    (ADVICE r5): the distinct bound compares against a two-phase
+    exact groupBy count, and the median band is the EXACT [p40, p60]
+    computed by distributed selection
+    (``profile_percentiles_selection`` — bounded driver state, no
+    per-partition value map), injected as literals. An earlier
+    version derived the band from two more percentile_approx
+    sketches, which made the median guard tautological (same
+    algorithm, same data ⇒ lo ≤ am ≤ hi by sketch monotonicity even
+    if the sketch broke its published guarantee).
+
     Plan shape (re-derived at the sf1 checkpoint, BASELINE.md): the
     original single ``agg`` mixed DISTINCT aggregates with heavy
     sketch buffers, so Catalyst planned an Expand — every row
@@ -84,16 +95,22 @@ def profile_approx_guarded(
     near-cardinality-sized on a continuous column (a memory bomb at
     any real scale). 4-7× slower at sf1 than this form:
 
-    - ONE Expand-free sketch pass (count/min/max/HLL/approx median +
-      an approx [p40,p60] guard band at accuracy 10000 — rank error
-      1e-4 each side vs a 10-point margin, so the band is
-      deterministically conservative; no exact sort or value map);
-    - per-column exact distinct as two-phase groupBy (shuffles only
-      distinct VALUES, never rows — the one exact stat the guard
-      genuinely needs);
+    - exact [p40, p60] per column via distributed selection (runs
+      eagerly at build; O(buckets) driver state at any scale);
+    - ONE Expand-free sketch pass (count/min/max/HLL/approx median —
+      no exact sort or value map);
+    - per-column exact distinct as two-phase groupBy over NON-NULL
+      values (shuffles only distinct VALUES, never rows — NULL
+      filtered to match approx_count_distinct's NULL semantics);
     - the 1-row results cross-joined (broadcast, free).
 
     Output grain: one row per column."""
+    band_rows = profile_percentiles_selection(
+        df, cols, probs=median_band
+    ).collect()
+    p_lo = f"p{int(round(median_band[0] * 100)):02d}"
+    p_hi = f"p{int(round(median_band[1] * 100)):02d}"
+    exact_band = {r["column_name"]: (r[p_lo], r[p_hi]) for r in band_rows}
     sketch_aggs = []
     for c in cols:
         cd = F.col(c).cast("double")
@@ -103,17 +120,17 @@ def profile_approx_guarded(
             F.max(cd).alias(f"{c}__max"),
             F.approx_count_distinct(c).alias(f"{c}__ad"),
             F.percentile_approx(cd, 0.5).alias(f"{c}__am"),
-            F.percentile_approx(
-                cd, F.lit(float(median_band[0])), F.lit(10000)
-            ).alias(f"{c}__lo"),
-            F.percentile_approx(
-                cd, F.lit(float(median_band[1])), F.lit(10000)
-            ).alias(f"{c}__hi"),
         ]
     agg = df.agg(*sketch_aggs)
     for c in cols:
+        # NULL is filtered BEFORE the groupBy so the exact count matches
+        # the NULL semantics of approx_count_distinct (which ignores
+        # NULLs) — otherwise a nullable low-cardinality column would
+        # count NULL as one extra distinct value and could flip the
+        # guard spuriously.
         exact_distinct = (
-            df.groupBy(F.col(c).alias("__v"))
+            df.where(F.col(c).isNotNull())
+            .groupBy(F.col(c).alias("__v"))
             .agg(F.lit(1).alias("__one"))
             .agg(F.count(F.lit(1)).alias(f"{c}__ed"))
         )
@@ -129,8 +146,12 @@ def profile_approx_guarded(
                 <= F.lit(distinct_rel_bound) * F.col(f"{c}__ed")
             ).alias("distinct_in_bound"),
             (
-                (F.col(f"{c}__am") >= F.col(f"{c}__lo"))
-                & (F.col(f"{c}__am") <= F.col(f"{c}__hi"))
+                F.col(f"{c}__am").isNull()
+                if exact_band[c][0] is None
+                else (
+                    (F.col(f"{c}__am") >= F.lit(float(exact_band[c][0])))
+                    & (F.col(f"{c}__am") <= F.lit(float(exact_band[c][1])))
+                )
             ).alias("median_in_bound"),
         )
         for c in cols

@@ -662,7 +662,9 @@ def test_redaction_is_map_only(spark, sf_dir):
     df = contract.BUILDERS["ext_text_regex_redact"](spark, sf_dir)
     plan = plan_of(df)
     assert "Exchange" not in plan
-    assert "WholeStageCodegen" in plan
+    # executedPlan().toString() renders a codegen stage as "*(n)",
+    # not the literal word — the formatted explain has the long form.
+    assert "*(" in plan or "WholeStageCodegen" in formatted(df)
 
 
 def test_guarded_profile_has_no_expand_or_exact_percentile(spark, sf_dir):
@@ -675,5 +677,32 @@ def test_guarded_profile_has_no_expand_or_exact_percentile(spark, sf_dir):
     df = contract.BUILDERS["prof_lineitem_approx_guarded"](spark, sf_dir)
     plan = plan_of(df)
     assert "Expand" not in plan
-    assert "percentile(" not in plan  # approx_percentile only
-    assert "approx_percentile" in plan
+    assert "percentile(" not in plan  # exact Percentile buffer banned
+    # Spark's physical plan spells the sketch "percentile_approx"
+    # (partial_percentile_approx in the map-side agg), not the SQL
+    # alias approx_percentile.
+    assert "percentile_approx" in plan
+
+
+_SWEEP_QUERIES = sorted(
+    n for n in contract.BUILDERS
+    if n[0] in "qj" and n[1].isdigit()
+)
+
+
+@pytest.mark.parametrize("name", _SWEEP_QUERIES)
+def test_no_raw_fact_broadcast(spark, sf_dir, name):
+    """The q4/q9 hazard class, swept across every TPC-H/join-family
+    query (VERDICT r5 #5): no broadcast join may build its hashed
+    relation from a RAW (un-aggregated) scan of a fact table. At small
+    SF Catalyst prices a 2-3-column fact projection under the
+    broadcast threshold; at sf1 the hashed relation is 18× superlinear
+    (BASELINE.md sf1 checkpoint, q4) and at 100 TB it is fatal.
+    Aggregation-bounded broadcasts (q11's 1-row global agg, q15's
+    per-supplier revenue) are exempt — their size is capped by the
+    grouping keys, not the data volume."""
+    from taxi_rides_ny_duckdb_spark.plans.audit import broadcast_fact_builds
+
+    df = contract.BUILDERS[name](spark, sf_dir)
+    hazards = broadcast_fact_builds(df, facts=("lineitem", "orders"))
+    assert hazards == [], f"{name}: raw fact broadcast(s) {hazards}"

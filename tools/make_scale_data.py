@@ -27,7 +27,9 @@ scale, not the exact value distribution:
 - events keep their timestamps (window/session density per user is the
   scaling knob we want constant) but offset user_id/event_id.
 
-Deterministic: no RNG anywhere, pure arithmetic on the source rows.
+Deterministic: all randomness is fixed-seed (the embeddings noise rng
+is seeded 1000+i per copy); everything else is pure arithmetic on the
+source rows.
 """
 
 from __future__ import annotations
