@@ -684,6 +684,34 @@ def test_guarded_profile_has_no_expand_or_exact_percentile(spark, sf_dir):
     assert "percentile_approx" in plan
 
 
+def test_profile_approx_sketches_within_published_bounds(spark, sf_dir):
+    """Direct bound check on ``profile_approx`` — the production sketch
+    scan (also executed verbatim inside the oracled guarded query):
+    HLL++ distinct within 3×rsd (15%) of exact; approx median inside
+    the exact [p40, p60] band (rank error n/10000 ≪ band width)."""
+    from taxi_rides_ny_duckdb_spark.plans.profile import (
+        profile_approx,
+        profile_percentiles_selection,
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice"]
+    prof = profile_approx(li, cols).collect()[0].asDict()
+    band = {
+        r["column_name"]: (r["p40"], r["p60"])
+        for r in profile_percentiles_selection(li, cols, probs=(0.4, 0.6)).collect()
+    }
+    for c in cols:
+        exact_d = (
+            li.where(F.col(c).isNotNull()).select(c).distinct().count()
+        )
+        ad = prof[f"{c}__approx_distinct"]
+        assert abs(ad - exact_d) <= 0.15 * exact_d, (c, ad, exact_d)
+        am = float(prof[f"{c}__approx_median"])
+        lo, hi = band[c]
+        assert lo <= am <= hi, (c, am, lo, hi)
+
+
 _SWEEP_QUERIES = sorted(
     n for n in contract.BUILDERS
     if n[0] in "qj" and n[1].isdigit()
