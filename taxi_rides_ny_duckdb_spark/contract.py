@@ -115,9 +115,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ext_text_regex_redact",
     "ext_vocab_coverage",
     "ext_quantile_binning",
-    # Changed this round (guard semantics / plan pins / rounding).
+    # Changed this round (guard semantics / plan pins / rounding /
+    # inverted-index rewrite) and the two NEW round-6 queries.
     "prof_lineitem_approx_guarded",
     "ext_dedup_ngram_jaccard",
+    "ext_text_chunk_windows",
+    "ext_ann_recall_eval",
     # TPC-H broadcast-hazard sweep family (plans audited this round).
     "q3_shipping_priority",
     "q4_order_priority",
@@ -150,8 +153,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ext_similarity_ivf_topk",
     "ext_embedding_near_dup",
     "ext_pack_sequences",
-    "ext_train_val_split",
-    "ext_stratified_sample",
     "ext_streaming_tumbling",
     "ext_streaming_stateful_totals",
     "ext_streaming_stream_join",

@@ -557,6 +557,43 @@ def ext_similarity_ivf_topk(spark, sf_dir):
     )
 
 
+_RECALL_ORACLE = f"""
+WITH exact AS ({_TOPK_ORACLE}), ann AS ({_LSH_TOPK_ORACLE}),
+hit AS (
+  SELECT e.query_id, COUNT(*) AS n_hit
+  FROM exact e JOIN ann a ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+  GROUP BY e.query_id
+), truth AS (
+  SELECT query_id, COUNT(*) AS n_true FROM exact GROUP BY query_id
+)
+SELECT t.query_id, t.n_true,
+       CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+       round(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / t.n_true, 9) AS recall_at_k
+FROM truth t LEFT JOIN hit h USING (query_id)
+"""
+
+
+@query("ext_ann_recall_eval", oracle=_RECALL_ORACLE)
+def ext_ann_recall_eval(spark, sf_dir):
+    """Recall@5 of the RH-LSH ANN path against the brute-force ground
+    truth (operators/similarity.ann_recall_at_k) — the evaluation
+    harness that justifies (or vetoes) swapping an approximate index
+    into a pipeline. Deterministic on both engines because both
+    inputs are: the LSH candidate set is fixed by the seeded
+    hyperplane family and the exact side by the 9dp-rounded rank
+    order. All joins here are over k-bounded per-query groups —
+    evaluation cost is independent of corpus size."""
+    from .operators.similarity import ann_recall_at_k, brute_force_topk, lsh_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = brute_force_topk(emb, queries, k=5)
+    ann = lsh_topk(emb, queries, k=5, dim=64, bits=6, score_round_dp=9)
+    return ann_recall_at_k(ann, exact, k=5)
+
+
 _NEARDUP_EXACT_ORACLE = """
 WITH v AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
@@ -2002,6 +2039,38 @@ def ext_pack_sequences(spark, sf_dir):
     return pack_sequences_split(
         d, "n_tokens", "doc_id", max_tokens=2048, bucket_col="lang"
     )
+
+
+_CHUNK_ORACLE = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS w
+  FROM documents
+), c AS (
+  SELECT doc_id, w,
+         1 + (greatest(len(w) - 64, 0) + 47) // 48 AS n_chunks
+  FROM w WHERE len(w) > 0
+)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_idx,
+       array_to_string(w[i*48+1 : i*48+64], ' ') AS chunk_text,
+       CAST(len(w[i*48+1 : i*48+64]) AS BIGINT) AS n_chunk_tokens
+FROM (SELECT doc_id, w, unnest(generate_series(0, n_chunks - 1)) AS i FROM c)
+"""
+
+
+@query("ext_text_chunk_windows", oracle=_CHUNK_ORACLE)
+def ext_text_chunk_windows(spark, sf_dir):
+    """Overlapping token-window chunking (operators/packing.
+    chunk_token_windows): 64-token windows, stride 48 (16-token
+    overlap), chunk text MATERIALIZED — the RAG / long-context
+    preprocessing step. Narrow posexplode expansion, no shuffle, no
+    UDF; every token covered, final chunk short-capped (HF
+    return_overflowing_tokens semantics)."""
+    from .operators.packing import chunk_token_windows
+
+    d = load(spark, sf_dir, "documents")
+    return chunk_token_windows(d, "text", "doc_id", window=64, stride=48)
 
 
 @query(

@@ -143,3 +143,65 @@ def pack_sequences_greedy(
         F.col(token_col).cast("bigint").alias("__n"),
     )
     return staged.groupBy(gname).applyInPandas(pack, schema)
+
+
+def chunk_token_windows(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int,
+    stride: int,
+) -> DataFrame:
+    """Overlapping token-window chunking — the RAG / long-context
+    preprocessing step that MATERIALIZES chunk text (unlike the pack_*
+    functions, which only assign metadata): chunk ``i`` of a document
+    covers tokens ``[i*stride+1, i*stride+window]``; chunks are emitted
+    until one reaches the document end (HuggingFace
+    ``return_overflowing_tokens`` semantics), so
+    ``n_chunks = 1 + ceil(max(n-window, 0)/stride)`` and the final
+    chunk may be short. Every token is covered; consecutive chunks
+    overlap by ``window - stride`` tokens.
+
+    Plan: tokenize once (staged), build the start list as a pure array
+    expression, ``posexplode`` — a narrow per-row expansion with
+    fan-out ~n/stride, no shuffle, no UDF. At 100 TB this is a map-only
+    stage whose output is ~window/stride × input bytes — the caller
+    controls the blow-up with the stride.
+
+    Output: (id, chunk_idx 0-based, chunk_text, n_chunk_tokens).
+
+    Oracle (DuckDB)::
+
+        n_chunks = 1 + (greatest(len(w) - window, 0) + stride - 1) // stride
+        starts   = generate_series(0, n_chunks - 1)
+        chunk    = array_to_string(w[i*stride+1 : i*stride+window], ' ')
+    """
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+    from ..functions.text import tokenize
+
+    toks = df.select(F.col(id_col), tokenize(F.col(text_col)).alias("__toks"))
+    n = F.size("__toks")
+    # ceil(max(n-window,0)/stride) via exact integer division —
+    # (x - x % s) / s never routes through double
+    over = F.greatest(n - F.lit(window), F.lit(0)) + F.lit(stride - 1)
+    n_chunks = F.lit(1) + ((over - over % stride) / stride).cast("long")
+    staged = toks.select(
+        F.col(id_col),
+        F.col("__toks"),
+        F.sequence(F.lit(0), (n_chunks - 1).cast("int")).alias("__idx"),
+    ).filter(F.size("__toks") > 0)
+    ex = staged.select(
+        F.col(id_col),
+        F.posexplode("__idx").alias("chunk_idx", "__i"),
+        F.col("__toks"),
+    )
+    chunk = F.slice(
+        F.col("__toks"), F.col("__i") * stride + 1, window
+    )
+    return ex.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+    )

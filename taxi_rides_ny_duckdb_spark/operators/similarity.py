@@ -452,3 +452,41 @@ def group_medoid(
         )
 
     return df.groupBy(group_col).applyInPandas(pick, schema=out_schema)
+
+
+def ann_recall_at_k(ann: DataFrame, exact: DataFrame, k: int) -> DataFrame:
+    """Recall@k of an ANN result against exact ground truth — the
+    evaluation harness every approximate index needs before it
+    replaces the brute-force path in a pipeline. Inputs are any two
+    top-k frames shaped (query_id, rank, vec_id); rows ranked > k are
+    ignored so a top-10 frame can be evaluated at k=5.
+
+    Per query: n_true = |exact top-k|, n_hit = |ANN top-k ∩ exact
+    top-k| (a left-semi join — the ANN side is never widened), recall
+    = n_hit / n_true, exact int/int division rounded to 9dp. Queries
+    the ANN missed entirely still appear with recall 0 (left join
+    from the exact side — ground truth defines the query set).
+
+    Scale: both inputs are top-k derivatives (≤ k rows per query), so
+    every join and groupBy here is keyed by query_id over k-bounded
+    groups — trivially shuffle-safe at any corpus size; the cost lives
+    in producing the inputs, not in scoring them."""
+    e = exact.filter(F.col("rank") <= k).select("query_id", "vec_id")
+    a = ann.filter(F.col("rank") <= k).select("query_id", "vec_id")
+    hits = (
+        e.join(a, ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    truth = e.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_true"))
+    return (
+        truth.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_true",
+            F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_hit"),
+            F.round(
+                F.coalesce("n_hit", F.lit(0)) / F.col("n_true"), 9
+            ).alias("recall_at_k"),
+        )
+    )

@@ -463,18 +463,69 @@ def test_connected_components_and_cluster_dedup(spark):
         [Row(doc_id=i) for i in (1, 2, 3, 10, 11, 12, 13, 20)],
         schema="doc_id bigint",
     )
-    # both physical strategies must agree: driver union-find (default
-    # for tiny edge lists) and distributed label propagation (forced by
-    # a zero threshold)
-    for thresh in (1_000_000, 0):
+    # all three physical strategies must agree: driver union-find
+    # (default for tiny edge lists), distributed min-label propagation,
+    # and distributed large-star/small-star
+    for kw in (
+        {"driver_threshold_edges": 1_000_000},
+        {"driver_threshold_edges": 0, "algorithm": "label"},
+        {"driver_threshold_edges": 0, "algorithm": "star"},
+    ):
         comp = {r["id"]: r["component"]
-                for r in connected_components(
-                    edges, nodes=docs, driver_threshold_edges=thresh
-                ).collect()}
-        assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 13: 10, 20: 20}, thresh
+                for r in connected_components(edges, nodes=docs, **kw).collect()}
+        assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 13: 10, 20: 20}, kw
 
     survivors = sorted(r["doc_id"] for r in cluster_dedup(docs, edges, "doc_id").collect())
     assert survivors == [1, 10, 20]  # one min-id survivor per component
+
+
+def test_connected_components_strategies_agree_on_hard_graphs(spark):
+    """Property check (VERDICT r5 #8): union-find, min-label
+    propagation, and large-star/small-star produce identical
+    (id → min-of-component) maps on (a) fixed-seed random graphs,
+    (b) a high-degree hub (the skew case star exists for), and (c) a
+    long chain (the diameter case pointer-jumping exists for)."""
+    import random
+
+    from pyspark.sql import Row
+
+    from taxi_rides_ny_duckdb_spark.operators.dedup import (
+        _union_find,
+        connected_components,
+    )
+
+    cases = []
+    for seed in (7, 42):
+        rng = random.Random(seed)
+        n = 60
+        edges = sorted(
+            {
+                tuple(sorted(rng.sample(range(n), 2)))
+                for _ in range(45)
+            }
+        )
+        cases.append((f"random{seed}", edges, list(range(n))))
+    hub = [(0, i) for i in range(1, 40)] + [(200, 201)]
+    cases.append(("hub", hub, list(range(40)) + [200, 201, 300]))
+    chain = [(i, i + 1) for i in range(30)]
+    cases.append(("chain", chain, list(range(31))))
+
+    for name, edges, node_ids in cases:
+        expected = _union_find(edges, node_ids)
+        e_df = spark.createDataFrame(
+            [Row(id_a=a, id_b=b) for a, b in edges], schema="id_a bigint, id_b bigint"
+        )
+        n_df = spark.createDataFrame(
+            [Row(id=i) for i in node_ids], schema="id bigint"
+        )
+        for algo in ("label", "star"):
+            got = {
+                r["id"]: r["component"]
+                for r in connected_components(
+                    e_df, nodes=n_df, driver_threshold_edges=0, algorithm=algo
+                ).collect()
+            }
+            assert got == expected, (name, algo)
 
 
 def test_edit_distance_pairs_blocking_and_threshold(spark):
@@ -561,6 +612,34 @@ def test_pack_sequences_greedy_atomic(spark):
     # atomicity: in-bounds docs never straddle the boundary
     for i in (1, 2, 3, 5, 7):
         assert got[i]["pack_offset"] + got[i]["n_tokens"] <= 1024
+
+
+def test_chunk_token_windows_coverage_and_edges(spark):
+    """Sliding-window chunking: n_chunks = 1 + ceil(max(n-W,0)/S),
+    consecutive chunks overlap by W-S, the last chunk reaches the
+    document end (possibly short), and a short doc yields one chunk."""
+    from taxi_rides_ny_duckdb_spark.operators.packing import chunk_token_windows
+
+    docs = spark.createDataFrame(
+        [
+            (1, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"),  # n=10 → 3 chunks
+            (2, "a b c d"),                          # n=W exactly → 1 chunk
+            (3, "a b c d e"),                        # n=5 → 2 (2nd short)
+            (4, "x"),                                # n<W → 1 short chunk
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["n_chunk_tokens"])
+        for r in chunk_token_windows(docs, "text", "doc_id", window=4, stride=3).collect()
+    }
+    assert got[(1, 0)] == ("t1 t2 t3 t4", 4)
+    assert got[(1, 1)] == ("t4 t5 t6 t7", 4)   # overlap of W-S=1 token
+    assert got[(1, 2)] == ("t7 t8 t9 t10", 4)  # reaches the end
+    assert len([k for k in got if k[0] == 1]) == 3
+    assert got[(2, 0)] == ("a b c d", 4) and len([k for k in got if k[0] == 2]) == 1
+    assert got[(3, 1)] == ("d e", 2)
+    assert got[(4, 0)] == ("x", 1)
 
 
 def test_ngram_contamination_flags_planted_overlap(spark):
