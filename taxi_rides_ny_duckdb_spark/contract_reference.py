@@ -1193,7 +1193,13 @@ def j7_semi_anti_multicond(spark, sf_dir):
     each (left_semi then left_anti on the same key), so the physical
     plan is two hash joins on l_orderkey — the non-equi term rides
     along as a join residual, not a nested-loop; the supplier/nation
-    dims broadcast."""
+    dims broadcast. This query deliberately KEEPS the semi/anti form
+    (it is the contract's multi-condition semi/anti coverage, plan-
+    pinned in tests); at 100 TB the equivalent-but-cheaper
+    decorrelation is per-order aggregates — EXISTS(other supplier) ⇔
+    countDistinct(suppkey) > 1, NOT EXISTS(other R supplier) ⇔
+    R-supplier distinct count = 1 — one (orderkey, suppkey) dedup
+    shuffle instead of two fact self-joins."""
     li = load(spark, sf_dir, "lineitem")
     l1 = li.select("l_orderkey", "l_suppkey", "l_returnflag").filter(
         F.col("l_returnflag") == "R"
