@@ -134,6 +134,13 @@ def main() -> None:
             continue
         timings[name] = round(best, 4)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        # Drop this query's persisted intermediates (shingle/fingerprint
+        # persists etc.) before the next query: operators persist for
+        # intra-query reuse but never unpersist, and the accumulated
+        # storage makes later cache-reliant queries bimodal (measured:
+        # minhash 1.0 s isolated vs 2-4.9 s late in the suite). Local
+        # checkpoints and the memoized logical plans are unaffected.
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
     # Streaming micro-batch harness cost itemized (judge r4 #8): these

@@ -156,7 +156,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ext_streaming_tumbling",
     "ext_streaming_stateful_totals",
     "ext_streaming_stream_join",
-    "ext_text_repetition_ratio",
+    "ext_text_tfidf_topk",
     "ext_multimodal_frame_sample",
 )
 

@@ -2242,6 +2242,45 @@ def ext_vocab_coverage(spark, sf_dir):
     return vocab_coverage(d, "text", "doc_id", 20)
 
 
+@query(
+    "ext_text_tfidf_topk",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                w -> w != '')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT doc_id, rank, term, tfidf_r FROM (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1.0), 9)
+               AS tfidf_r,
+             row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY round(tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0))
+                                       + 1.0), 9) DESC,
+                        tf.term ASC) AS rank
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ) WHERE rank <= 3
+    """,
+)
+def ext_text_tfidf_topk(spark, sf_dir):
+    """Per-document top-3 TF-IDF terms (operators/cleaning.
+    tfidf_topk_terms): smooth sklearn idf, 9dp round-before-rank,
+    term-ascending tie-break. Three data-sized shuffles ((doc,term) →
+    term → doc); the vocabulary-keyed join is a shuffle join by
+    design (a corpus-scale vocabulary is not broadcastable); only the
+    1-row corpus count broadcasts."""
+    from .operators.cleaning import tfidf_topk_terms
+
+    d = load(spark, sf_dir, "documents")
+    return tfidf_topk_terms(d, "text", "doc_id", 3)
+
+
 _QB_ORACLE = f"""
 WITH scored AS ({_QS_ORACLE}),
 binned AS (

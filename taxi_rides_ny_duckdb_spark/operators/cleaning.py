@@ -115,3 +115,53 @@ def vocab_coverage(
             / F.col("total_tokens").cast("double"),
         )
     )
+
+
+def tfidf_topk_terms(
+    docs: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """Per-document top-``k`` TF-IDF terms → (id, rank, term, tfidf_r)
+    — the classic relevance/keyword signal (smooth idf:
+    ``ln((N+1)/(df+1)) + 1``, sklearn's formulation, never divides by
+    zero and keeps corpus-wide terms positive).
+
+    Determinism across engines: the score is a pure double expression
+    (count × ln of a ratio of integers) evaluated identically by both
+    engines, rounded to 9dp BEFORE the rank window (round-before-rank)
+    with ties broken by term ascending.
+
+    Plan at scale: groupBy(id, term) → term counts (map-side combined
+    — the raw token stream collapses before shuffling), groupBy(term)
+    → document frequencies (vocabulary-sized result but computed by a
+    data-sized shuffle), an equi-join back on term (shuffle join —
+    the vocabulary is NOT bounded at corpus scale, so it is never
+    broadcast), the 1-row corpus count cross-joined as a broadcast,
+    and one window shuffle on id for the top-k. Every shuffle is
+    keyed by (id, term), term, or id — all data-sized; no step holds
+    more than a row group in memory."""
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("__n"))
+    idf = F.log((F.col("__n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col(id_col),
+            "term",
+            F.round(F.col("tf").cast("double") * idf, 9).alias("tfidf_r"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("tfidf_r"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col(id_col), F.col("rank").cast("long").alias("rank"), "term", "tfidf_r")
+    )

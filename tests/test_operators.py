@@ -614,6 +614,30 @@ def test_pack_sequences_greedy_atomic(spark):
         assert got[i]["pack_offset"] + got[i]["n_tokens"] <= 1024
 
 
+def test_tfidf_topk_scores_and_tiebreak(spark):
+    """tfidf_topk_terms: smooth idf ln((N+1)/(df+1))+1, rare terms
+    outrank common ones, equal scores tie-break by term ascending."""
+    import math
+
+    from taxi_rides_ny_duckdb_spark.operators.cleaning import tfidf_topk_terms
+
+    docs = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "banana cherry"), (3, "cherry cherry cherry")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["rank"]): (r["term"], r["tfidf_r"])
+        for r in tfidf_topk_terms(docs, "text", "doc_id", 2).collect()
+    }
+    idf_rare = math.log(4 / 2) + 1.0    # df=1 (apple)
+    idf_common = math.log(4 / 3) + 1.0  # df=2 (banana, cherry)
+    assert got[(1, 1)] == ("apple", round(2 * idf_rare, 9))
+    assert got[(1, 2)] == ("banana", round(1 * idf_common, 9))
+    # doc 2: banana and cherry score identically -> term-asc tie-break
+    assert got[(2, 1)][0] == "banana" and got[(2, 2)][0] == "cherry"
+    assert got[(3, 1)] == ("cherry", round(3 * idf_common, 9))
+
+
 def test_chunk_token_windows_coverage_and_edges(spark):
     """Sliding-window chunking: n_chunks = 1 + ceil(max(n-W,0)/S),
     consecutive chunks overlap by W-S, the last chunk reaches the
