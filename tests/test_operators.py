@@ -666,6 +666,77 @@ def test_chunk_token_windows_coverage_and_edges(spark):
     assert got[(4, 0)] == ("x", 1)
 
 
+@pytest.mark.parametrize("window,stride", [(4, 3), (5, 2), (8, 8), (3, 1)])
+def test_chunk_token_windows_reconstruction_property(spark, window, stride):
+    """Lossless-coverage property: for any document, chunk 0 plus each
+    later chunk with its first (window-stride) overlap tokens dropped
+    concatenates back to EXACTLY the original token sequence — no
+    token lost, none duplicated. Holds for every n because the last
+    chunk always contributes > window-stride... >= 1 new tokens (ceil
+    arithmetic, proven in the operator docstring)."""
+    from taxi_rides_ny_duckdb_spark.operators.packing import chunk_token_windows
+
+    docs = [(n, " ".join(f"w{i}" for i in range(1, n + 1))) for n in range(0, 33)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = chunk_token_windows(df, "text", "doc_id", window=window, stride=stride).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["chunk_idx"], r["chunk_text"]))
+    assert 0 not in by_doc  # empty doc yields no chunks
+    for n in range(1, 33):
+        chunks = [t for _, t in sorted(by_doc[n])]
+        rebuilt = chunks[0].split(" ")
+        for c in chunks[1:]:
+            rebuilt += c.split(" ")[window - stride:]
+        assert rebuilt == [f"w{i}" for i in range(1, n + 1)], (n, window, stride)
+
+
+def test_j7_aggregate_decorrelation_equivalent(spark, sf_dir):
+    """The scale rewrite documented in j7's docstring, pinned: the
+    EXISTS/NOT EXISTS pair is equivalent to per-order supplier
+    aggregates — EXISTS(other supplier) ⇔ distinct suppliers > 1,
+    NOT EXISTS(other R supplier) ⇔ distinct R-suppliers = 1 — so the
+    aggregate form must reproduce the semi/anti contract query
+    row-for-row."""
+    from taxi_rides_ny_duckdb_spark import contract
+    from taxi_rides_ny_duckdb_spark.sources.registry import load
+
+    contract.load_all()
+    semi_anti = {
+        (r["s_name"], r["numwait"])
+        for r in contract.BUILDERS["j7_semi_anti_multicond"](spark, sf_dir).collect()
+    }
+    li = load(spark, sf_dir, "lineitem")
+    per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("has_r")
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("has_r").alias("n_rsupp"),
+    )
+    l1 = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
+    waiting = l1.join(
+        per_order.filter((F.col("n_supp") > 1) & (F.col("n_rsupp") == 1)),
+        "l_orderkey",
+        "inner",
+    )
+    s = F.broadcast(load(spark, sf_dir, "supplier"))
+    n = F.broadcast(
+        load(spark, sf_dir, "nation").filter(
+            F.col("n_name").isin("NATION_3", "NATION_7")
+        )
+    )
+    agg_form = {
+        (r["s_name"], r["numwait"])
+        for r in waiting.join(s, waiting["l_suppkey"] == s["s_suppkey"])
+        .join(n, s["s_nationkey"] == n["n_nationkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .collect()
+    }
+    assert agg_form == semi_anti and semi_anti
+
+
 def test_ngram_contamination_flags_planted_overlap(spark):
     """A doc embedding a benchmark phrase is flagged with the exact
     distinct-shingle overlap count; clean docs are absent."""
