@@ -2272,9 +2272,10 @@ def ext_text_tfidf_topk(spark, sf_dir):
     """Per-document top-3 TF-IDF terms (operators/cleaning.
     tfidf_topk_terms): smooth sklearn idf, 9dp round-before-rank,
     term-ascending tie-break. Three data-sized shuffles ((doc,term) →
-    term → doc); the vocabulary-keyed join is a shuffle join by
-    design (a corpus-scale vocabulary is not broadcastable); only the
-    1-row corpus count broadcasts."""
+    term → doc); the document-frequency side of the term join is
+    aggregation-bounded, so AQE picks broadcast for modest
+    vocabularies and shuffle-join past the threshold — never a
+    raw-fact broadcast."""
     from .operators.cleaning import tfidf_topk_terms
 
     d = load(spark, sf_dir, "documents")

@@ -132,13 +132,15 @@ def tfidf_topk_terms(
 
     Plan at scale: groupBy(id, term) → term counts (map-side combined
     — the raw token stream collapses before shuffling), groupBy(term)
-    → document frequencies (vocabulary-sized result but computed by a
-    data-sized shuffle), an equi-join back on term (shuffle join —
-    the vocabulary is NOT bounded at corpus scale, so it is never
-    broadcast), the 1-row corpus count cross-joined as a broadcast,
-    and one window shuffle on id for the top-k. Every shuffle is
-    keyed by (id, term), term, or id — all data-sized; no step holds
-    more than a row group in memory."""
+    → document frequencies, an equi-join back on term, the 1-row
+    corpus count cross-joined as a broadcast, and one window shuffle
+    on id for the top-k. The df-side of the term join is
+    AGGREGATION-BOUNDED (one row per distinct token), so the
+    broadcast-vs-shuffle choice is correctly left to AQE: a modest
+    vocabulary broadcasts; a web-scale token space (100M+ distinct)
+    exceeds the threshold and falls back to a shuffle join on term —
+    never a raw-fact broadcast either way. All shuffles are keyed by
+    (id, term), term, or id — data-sized."""
     from pyspark.sql.window import Window
 
     toks = docs.select(
