@@ -116,11 +116,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ext_vocab_coverage",
     "ext_quantile_binning",
     # Changed this round (guard semantics / plan pins / rounding /
-    # inverted-index rewrite) and the two NEW round-6 queries.
+    # inverted-index rewrite) and the NEW round-6 queries.
     "prof_lineitem_approx_guarded",
     "ext_dedup_ngram_jaccard",
     "ext_text_chunk_windows",
     "ext_ann_recall_eval",
+    "ext_decontaminate_bloom",
+    "ext_partitioned_sink_prune",
+    "ext_bucketed_join_colocated",
     # TPC-H broadcast-hazard sweep family (plans audited this round).
     "q3_shipping_priority",
     "q4_order_priority",
@@ -151,13 +154,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ext_decontaminate_ngram",
     "ext_similarity_lsh_topk",
     "ext_similarity_ivf_topk",
-    "ext_embedding_near_dup",
     "ext_pack_sequences",
-    "ext_streaming_tumbling",
     "ext_streaming_stateful_totals",
     "ext_streaming_stream_join",
     "ext_text_tfidf_topk",
-    "ext_multimodal_frame_sample",
+    # Dropped to fit 50: ext_embedding_near_dup, ext_streaming_tumbling,
+    # ext_multimodal_frame_sample — all r5-green and UNCHANGED this
+    # round (union coverage keeps them verified).
 )
 
 

@@ -14,6 +14,8 @@ gets a DuckDB oracle with the same arithmetic.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -2110,6 +2112,49 @@ def ext_decontaminate_ngram(spark, sf_dir):
 
 
 @query(
+    "ext_decontaminate_bloom",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS w
+      FROM documents
+    ), s AS (
+      SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, greatest(len(w) - 4, 0)),
+                                     i -> array_to_string(w[i:i+4], ' '))) AS sh
+        FROM w)
+    ), b AS (
+      SELECT DISTINCT sh FROM s WHERE doc_id < 20
+    )
+    SELECT s.doc_id, COUNT(*) AS n_overlap
+    FROM s JOIN b USING (sh)
+    WHERE s.doc_id >= 20
+    GROUP BY s.doc_id
+    """,
+)
+def ext_decontaminate_bloom(spark, sf_dir):
+    """Bloom-prefiltered decontamination (operators/dedup.
+    bloom_prefilter_contamination): same exact per-doc overlap counts
+    as the broadcast-semi-join path — the oracle is the plain exact
+    join — but the benchmark set is summarized as a 2^17-bit Bloom
+    bitset tested map-side in codegen, and only surviving shingles
+    reach the verify semi-join. The scale path for eval suites too
+    large to broadcast as a hash relation: the bitset is m/8 bytes
+    regardless of benchmark size, and the driver build step collects
+    ≤ m distinct bit positions, never the shingles. 5-gram shingles to
+    keep the result set distinct from ext_decontaminate_ngram's."""
+    from .operators.dedup import bloom_prefilter_contamination
+
+    d = load(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") < 20)
+    corpus = d.filter(F.col("doc_id") >= 20)
+    return bloom_prefilter_contamination(
+        corpus, bench, "text", "doc_id", shingle_n=5
+    )
+
+
+@query(
     "ext_text_repetition_ratio",
     oracle="""
     WITH w AS (
@@ -2327,4 +2372,120 @@ def ext_quantile_binning(spark, sf_dir):
             F.max("quality").alias("max_quality"),
         )
         .orderBy("bin")
+    )
+
+
+@query(
+    "ext_partitioned_sink_prune",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_totalprice
+    FROM orders
+    WHERE year(o_orderdate) = 1997
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def ext_partitioned_sink_prune(spark, sf_dir):
+    """Partitioned-sink round trip (operators/scale.write_partitioned):
+    orders written hive-partitioned by ``o_year``, read back with a
+    partition-column filter, then aggregated. The filter is satisfied
+    by directory PRUNING — the 1997 read never opens any other year's
+    files, which at 100 TB is the difference between scanning the lake
+    and scanning one partition. The read-back scan's PartitionFilters
+    is pinned in tests/test_plans.py; the oracle recomputes from the
+    unpartitioned source, proving the layout round-trips losslessly."""
+    from .operators.scale import sink_scratch_dir, write_partitioned
+
+    orders = load(spark, sf_dir, "orders")
+    out = sink_scratch_dir(sf_dir, "orders_by_year")
+    write_partitioned(
+        orders.withColumn("o_year", F.year("o_orderdate").cast("int")),
+        out,
+        ("o_year",),
+    )
+    back = spark.read.parquet(out).filter(F.col("o_year") == 1997)
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), 18, 2).alias("sum_totalprice"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "ext_bucketed_join_colocated",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+                AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def ext_bucketed_join_colocated(spark, sf_dir):
+    """Shuffle-free fact⨝fact join via bucketed layout (operators/scale.
+    write_bucketed): lineitem and orders each saved bucketed 8 ways on
+    the order key, then joined — the join runs with NO Exchange (pinned
+    in tests/test_plans.py); the only shuffle in the whole query is the
+    tiny post-join priority aggregate. This is the pay-the-shuffle-once
+    pattern for joins that repeat (hourly fact refreshes): at 100 TB
+    the write-side bucketing cost amortizes over every later join,
+    and bucket counts are chosen so bucket ⨉ file-split ≈ task size."""
+    from .operators.scale import sink_scratch_dir, write_bucketed
+
+    base = (
+        os.path.basename(sf_dir.rstrip("/")).replace(".", "_").replace("-", "_")
+        or "default"
+    )
+    li_t, od_t = f"bkt_lineitem_{base}", f"bkt_orders_{base}"
+    # repartition on the bucket key before writing: task partitioning
+    # (murmur3) then matches bucket assignment, so each task writes
+    # exactly one bucket → one file per bucket instead of
+    # tasks × buckets small files. (Spark still inserts the per-task
+    # Sort on read — within-partition, no shuffle; only the Exchange
+    # elimination is the scale win being pinned here.)
+    write_bucketed(
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .repartition(8, "l_orderkey"),
+        li_t,
+        ["l_orderkey"],
+        8,
+        sort_cols=["l_orderkey"],
+        path=sink_scratch_dir(sf_dir, li_t),
+    )
+    write_bucketed(
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .repartition(8, "o_orderkey"),
+        od_t,
+        ["o_orderkey"],
+        8,
+        sort_cols=["o_orderkey"],
+        path=sink_scratch_dir(sf_dir, od_t),
+    )
+    # merge-hint: the orders side is a 2-column fact projection — the
+    # exact narrow-projection shape the q4/q9 audits showed Catalyst
+    # mis-estimates as broadcastable at small SF. Pinning sort-merge
+    # keeps the query on the zero-Exchange bucketed path at every SF.
+    j = spark.table(li_t).join(
+        spark.table(od_t).hint("merge"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+        )
+        .orderBy("o_orderpriority")
     )

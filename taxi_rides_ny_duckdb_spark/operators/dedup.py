@@ -807,3 +807,123 @@ def ngram_contamination(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_overlap"))
     )
+
+def bloom_bitset(
+    shingles: DataFrame, sh_col: str, m_bits: int, k: int
+) -> list[int]:
+    """Build a Bloom-filter bitset (packed int64 words) over a shingle
+    column, distributed-first: each shingle expands to its ``k`` bit
+    positions JVM-side (``xxhash64(sh, seed)`` pmod ``m_bits``), the
+    DISTINCT positions are aggregated, and only those reach the driver.
+
+    The driver transfer is bounded by ``m_bits`` (≤ m distinct
+    positions), NOT by the shingle count — a 100 M-shingle benchmark
+    suite and a 1 k-shingle one both ship ≤ m/8 bytes. That is the
+    whole point: the bitset is a constant-size summary of an
+    arbitrarily large set.
+    """
+    if m_bits % 64 != 0:
+        raise ValueError("m_bits must be a multiple of 64")
+    pos = shingles.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(
+                        F.xxhash64(F.col(sh_col), F.lit(i)), F.lit(m_bits)
+                    ).cast("long")
+                    for i in range(k)
+                ]
+            )
+        ).alias("p")
+    ).distinct()
+    words = [0] * (m_bits // 64)
+    for row in pos.collect():
+        p = int(row["p"])
+        words[p // 64] |= 1 << (p % 64)
+    # Python ints are unbounded; re-pack bit 63 into the int64 sign bit.
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def bloom_prefilter_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 8,
+    m_bits: int = 1 << 17,
+    k: int = 5,
+) -> DataFrame:
+    """``ngram_contamination`` with a Bloom prefilter — same EXACT
+    output (false positives are eliminated by a verify join), different
+    scale economics.
+
+    The broadcast-semi-join path in ``ngram_contamination`` assumes the
+    benchmark shingle set fits in executor memory as a *hash relation*
+    (~50 bytes/entry).  When the eval suite is large (every benchmark
+    ever published, ~10⁸ shingles ≈ 5 GB hashed), that stops being
+    broadcastable — but a Bloom bitset of the same set is m/8 bytes
+    (16 KiB at the default 2¹⁷ bits; 120 MB for a 10⁸-shingle set at
+    10 bits/key), and it ships inside the plan as a literal array of
+    int64 words evaluated in whole-stage codegen.
+
+    Pipeline (all JVM until the final tiny join):
+
+    1. ``bloom_bitset`` over the benchmark shingles (driver cost
+       bounded by m, not by benchmark size).
+    2. Corpus shingles test all ``k`` bits map-side — the expected
+       survivor rate is the contamination rate + the FP rate
+       (~(1-e^{-kn/m})^k); at the defaults with n ≤ 2¹⁴ shingles the
+       FP rate is < 1e-8, so virtually nothing non-contaminated
+       shuffles.
+    3. Survivors verify against the exact benchmark shingle set with a
+       plain (shuffle) semi-join — correct even when the benchmark is
+       NOT broadcastable, and cheap because only survivors shuffle.
+
+    The final per-doc distinct-overlap counts are bit-for-bit the same
+    as ``ngram_contamination`` — which is what the oracle checks.
+    """
+
+    def shingles_of(df: DataFrame) -> DataFrame:
+        toks = ensure_min_partitions(df).select(
+            F.col(id_col), tokenize(F.col(text_col)).alias("__toks")
+        )
+        return toks.select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(word_shingles(F.col("__toks"), shingle_n))
+            ).alias("sh"),
+        )
+
+    bench_sh = shingles_of(benchmark).select("sh").distinct()
+    words = bloom_bitset(bench_sh, "sh", m_bits, k)
+
+    # Stage the k bit positions as columns, then test each against the
+    # literal word array. shiftleft/element_at/& are all plain codegen
+    # expressions — the whole prefilter is one map-only stage.
+    cand = shingles_of(corpus).select(
+        "*",
+        F.lit(words).alias("__bloom_bits"),
+        *[
+            F.pmod(F.xxhash64(F.col("sh"), F.lit(i)), F.lit(m_bits))
+            .cast("long")
+            .alias(f"__p{i}")
+            for i in range(k)
+        ],
+    )
+    bit_tests = [
+        F.expr(
+            f"(element_at(__bloom_bits, CAST(__p{i} DIV 64 AS INT) + 1)"
+            f" & shiftleft(1L, CAST(__p{i} % 64 AS INT))) != 0"
+        )
+        for i in range(k)
+    ]
+    test = bit_tests[0]
+    for t in bit_tests[1:]:
+        test = test & t
+    cand = cand.filter(test).select(id_col, "sh")
+
+    return (
+        cand.join(bench_sh, "sh", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )

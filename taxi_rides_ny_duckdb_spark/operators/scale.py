@@ -36,21 +36,61 @@ def write_bucketed(
     bucket_cols: tuple[str, ...],
     num_buckets: int,
     sort_cols: tuple[str, ...] | None = None,
+    path: str | None = None,
 ) -> None:
-    """Persist ``df`` as a bucketed (+ bucket-sorted) managed table.
+    """Persist ``df`` as a bucketed (+ bucket-sorted) table.
 
     Bucket count is a contract between tables that intend to join: pick
     it once per key domain (e.g. 4096 for a 100 TB fact — ~25 GB of
     pre-shuffle input per bucket) and reuse it on every table sharing
-    the key. Sorting within buckets lets the sort-merge join skip its
-    sort phase too."""
+    the key. ``sort_cols`` orders rows within each bucket file; Spark
+    still inserts a within-partition Sort on read (no shuffle) — the
+    Exchange elimination is the contract.
+
+    ``path`` makes the table EXTERNAL at that location, clearing any
+    stale files first — the robust form when the catalog is
+    session-scoped but file layouts outlive sessions (exactly the
+    local-mode situation, and the common external-warehouse one: a
+    leftover managed-table directory from a dead session otherwise
+    fails the write with LOCATION_ALREADY_EXISTS)."""
+    df.sparkSession.sql(f"DROP TABLE IF EXISTS {table}")
     writer = (
         df.write.mode("overwrite")
         .format("parquet")
         .bucketBy(num_buckets, *bucket_cols)
     )
     writer = writer.sortBy(*(sort_cols or bucket_cols))
+    if path is not None:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        writer = writer.option("path", path)
     writer.saveAsTable(table)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: tuple[str, ...],
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as hive-partitioned parquet under ``path``. A filter
+    on a partition column then prunes whole directories at planning
+    time (``PartitionFilters`` in the scan) — reading one day, not the
+    lake. Per-partition refresh is the runner's ``incremental``
+    materialization (``plans/runner.py``, dynamic partition overwrite);
+    this is the full-refresh form."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def sink_scratch_dir(sf_dir: str, name: str) -> str:
+    """Per-SF scratch location for sink round-trips, keyed by the
+    dataset directory basename so sf0.01 driver runs and sf0.1 bench
+    runs never collide."""
+    import os
+
+    base = os.path.basename(sf_dir.rstrip("/")) or "default"
+    return os.path.join("/tmp", "spark_graft_sinks", base, name)
 
 
 def read_bucketed(spark: SparkSession, table: str) -> DataFrame:

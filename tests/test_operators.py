@@ -761,3 +761,92 @@ def test_ngram_contamination_flags_planted_overlap(spark):
     assert got[10] == 2
     # doc 12 contains all 6 benchmark 4-grams
     assert got[12] == 6
+
+
+def test_bloom_prefilter_matches_exact_contamination(spark):
+    """The Bloom-prefiltered path returns bit-for-bit the same per-doc
+    overlap counts as the exact broadcast path — false positives are
+    removed by the verify join, false negatives are impossible (a Bloom
+    filter never rejects a member). Checked across two (m, k) configs,
+    including a deliberately tiny m that forces heavy FP pressure."""
+    from taxi_rides_ny_duckdb_spark.operators.dedup import (
+        bloom_prefilter_contamination,
+        ngram_contamination,
+    )
+
+    bench = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "pack my box with five dozen liquor jugs today"),
+        ],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            (10, "intro text then the quick brown fox jumps away"),
+            (11, "completely unrelated words here nothing shared at all"),
+            (12, "the quick brown fox jumps over the lazy dog verbatim copy"),
+            (13, "she said pack my box with five dozen liquor jugs now"),
+        ],
+        ["doc_id", "text"],
+    )
+    exact = {
+        r["doc_id"]: r["n_overlap"]
+        for r in ngram_contamination(
+            corpus, bench, "text", "doc_id", shingle_n=4
+        ).collect()
+    }
+    for m_bits, k in ((1 << 12, 5), (64, 2)):  # 64 bits ~ all-FP regime
+        got = {
+            r["doc_id"]: r["n_overlap"]
+            for r in bloom_prefilter_contamination(
+                corpus, bench, "text", "doc_id",
+                shingle_n=4, m_bits=m_bits, k=k,
+            ).collect()
+        }
+        assert got == exact, (m_bits, k)
+
+
+def test_bloom_bitset_no_false_negatives_and_bounded(spark):
+    """Every inserted key tests positive against the bitset (the Bloom
+    guarantee the prefilter relies on), and the bitset is m/64 words
+    regardless of how many keys were inserted."""
+    from pyspark.sql import functions as SF
+
+    from taxi_rides_ny_duckdb_spark.operators.dedup import bloom_bitset
+
+    m_bits, k = 1 << 10, 3
+    keys = spark.createDataFrame(
+        [(f"key-{i}",) for i in range(200)], ["sh"]
+    )
+    words = bloom_bitset(keys, "sh", m_bits, k)
+    assert len(words) == m_bits // 64
+
+    # Re-test membership with the same expression the prefilter uses.
+    probe = keys.select(
+        "sh",
+        SF.lit(words).alias("__bloom_bits"),
+        *[
+            SF.pmod(SF.xxhash64(SF.col("sh"), SF.lit(i)), SF.lit(m_bits))
+            .cast("long")
+            .alias(f"__p{i}")
+            for i in range(k)
+        ],
+    )
+    miss = probe.filter(
+        ~(
+            SF.expr(
+                "(element_at(__bloom_bits, CAST(__p0 DIV 64 AS INT) + 1)"
+                " & shiftleft(1L, CAST(__p0 % 64 AS INT))) != 0"
+            )
+            & SF.expr(
+                "(element_at(__bloom_bits, CAST(__p1 DIV 64 AS INT) + 1)"
+                " & shiftleft(1L, CAST(__p1 % 64 AS INT))) != 0"
+            )
+            & SF.expr(
+                "(element_at(__bloom_bits, CAST(__p2 DIV 64 AS INT) + 1)"
+                " & shiftleft(1L, CAST(__p2 % 64 AS INT))) != 0"
+            )
+        )
+    ).count()
+    assert miss == 0

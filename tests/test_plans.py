@@ -734,3 +734,37 @@ def test_no_raw_fact_broadcast(spark, sf_dir, name):
     df = contract.BUILDERS[name](spark, sf_dir)
     hazards = broadcast_fact_builds(df, facts=("lineitem", "orders"))
     assert hazards == [], f"{name}: raw fact broadcast(s) {hazards}"
+
+
+def test_partitioned_sink_prune_reads_one_year(spark, sf_dir):
+    """The ext_partitioned_sink_prune read-back must satisfy the year
+    filter by directory pruning: the scan carries the o_year predicate
+    as a PartitionFilter (planning-time pruning — non-1997 directories
+    are never opened), not as a data filter."""
+    df = contract.BUILDERS["ext_partitioned_sink_prune"](spark, sf_dir)
+    plan = formatted(df)
+    part_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert part_lines and any("o_year" in l for l in part_lines), plan
+    # and the pruning really is partition-level, not a pushed data filter
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert not any("o_year" in l for l in pushed), plan
+
+
+def test_bucketed_contract_join_zero_exchange(spark, sf_dir):
+    """ext_bucketed_join_colocated's join stage must be Exchange-free:
+    both scans bucketed on the order key (Bucketed: true), sort-merge
+    join directly on co-located buckets. Only the post-join priority
+    aggregate (and its output sort) may shuffle — so the FULL query
+    plan is allowed Exchanges only above the join."""
+    df = contract.BUILDERS["ext_bucketed_join_colocated"](spark, sf_dir)
+    df.count()  # force the bucketed tables to be (re)written
+    plan = plan_of(df)
+    assert "SortMergeJoin" in plan, plan
+    assert plan.count("Bucketed: true") == 2, plan
+    # No Exchange below the join: walk the string — the join node
+    # appears before its children in toString(), so every Exchange
+    # line must occur BEFORE the SortMergeJoin line (i.e. above it).
+    lines = plan.splitlines()
+    join_at = next(i for i, l in enumerate(lines) if "SortMergeJoin" in l)
+    below = "\n".join(lines[join_at:])
+    assert "Exchange" not in below, below
