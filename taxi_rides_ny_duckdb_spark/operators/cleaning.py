@@ -143,7 +143,13 @@ def tfidf_topk_terms(
     (id, term), term, or id — data-sized."""
     from pyspark.sql.window import Window
 
-    toks = docs.select(
+    from ..session import ensure_min_partitions
+
+    # Small-file guard: one ~250 MB parquet file splits into only 2
+    # scan partitions at the default maxPartitionBytes, serializing the
+    # explode+aggregate (the dominant cost — measured 5-6 s of the
+    # ~5 s sf1 total) onto 2 of 32 cores. No-op at real scale.
+    toks = ensure_min_partitions(docs.select(id_col, text_col)).select(
         F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("term")
     )
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
