@@ -156,11 +156,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ext_similarity_ivf_topk",
     "ext_pack_sequences",
     "ext_streaming_stateful_totals",
-    "ext_streaming_stream_join",
+    "ext_streaming_dedup",
     "ext_text_tfidf_topk",
     # Dropped to fit 50: ext_embedding_near_dup, ext_streaming_tumbling,
-    # ext_multimodal_frame_sample — all r5-green and UNCHANGED this
-    # round (union coverage keeps them verified).
+    # ext_streaming_stream_join, ext_multimodal_frame_sample — all
+    # r5-green and UNCHANGED this round (union coverage keeps them
+    # verified); ext_streaming_dedup is NEW this round.
 )
 
 

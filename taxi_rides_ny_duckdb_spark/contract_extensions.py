@@ -1084,6 +1084,45 @@ def ext_streaming_tumbling(spark, sf_dir):
 
 
 @query(
+    "ext_streaming_dedup",
+    oracle="""
+    SELECT user_id, event_type FROM events
+    GROUP BY user_id, event_type
+    """,
+    memoize=False,  # eager stream run
+)
+def ext_streaming_dedup(spark, sf_dir):
+    """Streaming dedup-on-ingest (streaming/jobs.dedup_within_watermark
+    — dropDuplicatesWithinWatermark): exactly one survivor per
+    (user_id, event_type) key, state evicted as the watermark advances.
+    This is the ingest-time exact-dedup stage of a streaming corpus
+    pipeline — the batch ladder's ``exact_dedup`` with bounded state.
+
+    Determinism for the oracle: the output projects ONLY the dedup
+    keys (which survivor row wins is arrival-order dependent; its key
+    is not), and the contract watermark (365 days) covers the finite
+    drop's full event-time span, so nothing is evicted and the result
+    is the exact key-distinct — what DuckDB computes. Production sizes
+    the horizon to the real dup window (state ∝ keys per horizon);
+    eviction behavior is unit-tested in tests/test_streaming.py."""
+    from .streaming import jobs
+
+    tmp = _events_stream_dir(spark, sf_dir)
+    stream = jobs.dedup_within_watermark(
+        jobs.read_events_stream(spark, tmp),
+        keys=["user_id", "event_type"],
+        watermark="365 days",
+    )
+    jobs.run_to_memory_sink(
+        stream.select("user_id", "event_type"),
+        "contract_stream_dedup",
+        output_mode="append",
+        state_partitions=jobs.sized_state_partitions(tmp, floor=4),
+    )
+    return spark.table("contract_stream_dedup")
+
+
+@query(
     "ext_asof_join",
     oracle="""
     WITH clicks AS (

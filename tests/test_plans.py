@@ -768,3 +768,34 @@ def test_bucketed_contract_join_zero_exchange(spark, sf_dir):
     join_at = next(i for i, l in enumerate(lines) if "SortMergeJoin" in l)
     below = "\n".join(lines[join_at:])
     assert "Exchange" not in below, below
+
+
+def test_dynamic_partition_pruning_on_partitioned_sink(spark, sf_dir):
+    """The partitioned layout must also prune via a JOIN (dynamic
+    partition pruning), not only via literal filters: joining the
+    o_year-partitioned orders against a filtered dim on the partition
+    column plants a DPP subquery in the scan's PartitionFilters —
+    at 100 TB this is what keeps fact⨝calendar joins from scanning
+    every year."""
+    from taxi_rides_ny_duckdb_spark.operators.scale import (
+        sink_scratch_dir,
+        write_partitioned,
+    )
+
+    orders = load(spark, sf_dir, "orders")
+    out = sink_scratch_dir(sf_dir, "orders_by_year")
+    write_partitioned(
+        orders.withColumn("o_year", F.year("o_orderdate").cast("int")),
+        out,
+        ("o_year",),
+    )
+    fact = spark.read.parquet(out)
+    years = spark.createDataFrame(
+        [(1995, "a"), (1996, "b"), (1997, "c"), (1998, "d")],
+        ["y", "label"],
+    ).filter(F.col("label") == "c")
+    joined = fact.join(years, fact["o_year"] == years["y"]).groupBy(
+        "o_orderpriority"
+    ).count()
+    plan = formatted(joined)
+    assert "dynamicpruning" in plan.lower(), plan
