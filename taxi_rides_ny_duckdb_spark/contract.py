@@ -146,7 +146,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "a9_conditional_agg_promo",
     "a10_groupwise_median",
     # LLM-pipeline staples re-verified under the round-6 code.
-    "ext_dedup_exact",
+    "ext_mixture_sample",
     "ext_dedup_minhash_lsh",
     "ext_dedup_simhash",
     "ext_dedup_edit_distance",
@@ -159,9 +159,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ext_streaming_dedup",
     "ext_text_tfidf_topk",
     # Dropped to fit 50: ext_embedding_near_dup, ext_streaming_tumbling,
-    # ext_streaming_stream_join, ext_multimodal_frame_sample — all
-    # r5-green and UNCHANGED this round (union coverage keeps them
-    # verified); ext_streaming_dedup is NEW this round.
+    # ext_streaming_stream_join, ext_multimodal_frame_sample,
+    # ext_dedup_exact — all r5-green and UNCHANGED this round (union
+    # coverage keeps them verified); ext_streaming_dedup and
+    # ext_mixture_sample are NEW this round.
 )
 
 

@@ -2528,3 +2528,40 @@ def ext_bucketed_join_colocated(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "ext_mixture_sample",
+    oracle="""
+    WITH c AS (
+      SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+    ), t(lang, share) AS (
+      VALUES ('en', 0.5), ('zh', 0.25), ('de', 0.25)
+    ), j AS (
+      SELECT c.lang, c.n, t.share FROM c JOIN t USING (lang)
+    ), m AS (
+      SELECT MIN(n / share) AS n_out FROM j
+    ), f AS (
+      SELECT lang, LEAST(1.0, share * n_out / n) AS frac FROM j, m
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN f USING (lang)
+    WHERE (CAST(concat('0x', substring(md5(concat('mix', ':', CAST(d.doc_id AS VARCHAR))), 1, 8)) AS BIGINT) / 4294967296.0)
+          < f.frac
+    """,
+)
+def ext_mixture_sample(spark, sf_dir):
+    """Pretraining-mix rebalancing (operators/sampling.mixture_sample):
+    downsample so the corpus composition hits 50 % en / 25 % zh /
+    25 % de at the largest feasible size (the stratum that runs out
+    first caps the mixture; fr/es are dropped — share 0). One
+    aggregation-bounded counts pass (collected rows = #strata), then
+    the no-shuffle scan + CASE + filter projection; per-stratum
+    fractions are the same IEEE double ops the oracle spells, and row
+    selection is the engine-portable md5 hash fraction."""
+    from .operators.sampling import mixture_sample
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return mixture_sample(
+        d, "doc_id", "lang", {"en": 0.5, "zh": 0.25, "de": 0.25}
+    )

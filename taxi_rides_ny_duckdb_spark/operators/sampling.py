@@ -95,3 +95,56 @@ def stratified_hash_sample(
             F.when(F.col(stratum_col) == value, F.lit(frac)).otherwise(threshold)
         )
     return df.filter(hash_fraction(F.col(id_col), salt) < threshold)
+
+
+def mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    target_shares: dict[str, float],
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic pretraining-mix rebalancer: downsample strata so
+    the output composition matches ``target_shares`` (e.g. 40 % en,
+    30 % zh, 30 % de) at the largest feasible output size — the
+    "data mixing" step that turns raw source inventories into a
+    training mixture with pinned proportions.
+
+    Downsample-only semantics: the feasible output size is
+    ``N_out = min_s(n_s / share_s)`` (the stratum that runs out first
+    caps the mixture); each stratum then keeps
+    ``f_s = share_s * N_out / n_s ≤ 1`` of its rows by content hash.
+    Strata absent from ``target_shares`` are dropped (share 0).
+    Upsampling (epoch repetition of low-resource strata) is the
+    separate concern of sequence packing's input prep — mixing never
+    duplicates rows.
+
+    Scale shape: one aggregation-bounded counts pass (column-pruned
+    scan → groupBy stratum, rows = #strata, collected driver-side —
+    bounded by the stratum vocabulary, never data-sized), then the
+    same scan + CASE + filter projection as
+    ``stratified_hash_sample``. Two scans total; the first reads one
+    column. Determinism: per-stratum fractions are computed with the
+    identical IEEE double operations the oracle SQL spells
+    (``share * n_out / n``), and row selection is the engine-portable
+    ``hash_fraction`` — re-runs and engines agree bit-for-bit.
+    """
+    total = sum(target_shares.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"target shares must sum to 1, got {total}")
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(stratum_col).count().collect()
+        if r[0] in target_shares
+    }
+    missing = [s for s in target_shares if s not in counts]
+    if missing:
+        raise ValueError(f"strata absent from data: {missing}")
+    n_out = min(counts[s] / share for s, share in target_shares.items())
+    fractions = {
+        s: min(1.0, share * n_out / counts[s])
+        for s, share in target_shares.items()
+    }
+    return stratified_hash_sample(
+        df, id_col, stratum_col, fractions, default_fraction=0.0, salt=salt
+    )

@@ -850,3 +850,34 @@ def test_bloom_bitset_no_false_negatives_and_bounded(spark):
         )
     ).count()
     assert miss == 0
+
+
+def test_mixture_sample_hits_target_composition(spark):
+    """Output composition approximates the target shares (law of large
+    numbers over the hash draw), never upsamples, drops unlisted
+    strata, and is deterministic across invocations."""
+    import pytest
+
+    from taxi_rides_ny_duckdb_spark.operators.sampling import mixture_sample
+
+    rows = (
+        [(i, "en") for i in range(4000)]
+        + [(i + 10_000, "de") for i in range(1000)]
+        + [(i + 20_000, "fr") for i in range(500)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = mixture_sample(df, "doc_id", "lang", {"en": 0.5, "de": 0.5})
+    got = {r["lang"]: r["n"] for r in
+           out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert "fr" not in got
+    # de runs out first: n_out = 1000/0.5 = 2000 → ~1000 de (all) + ~1000 en
+    assert got["de"] == 1000  # f_de = 1.0 keeps every row
+    assert abs(got["en"] - 1000) < 150  # hash draw at f_en = 0.25
+    again = mixture_sample(df, "doc_id", "lang", {"en": 0.5, "de": 0.5})
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+    with pytest.raises(ValueError, match="sum to 1"):
+        mixture_sample(df, "doc_id", "lang", {"en": 0.5})
+    with pytest.raises(ValueError, match="absent"):
+        mixture_sample(df, "doc_id", "lang", {"en": 0.5, "xx": 0.5})
