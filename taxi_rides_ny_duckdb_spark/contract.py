@@ -147,8 +147,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "a10_groupwise_median",
     # LLM-pipeline staples re-verified under the round-6 code.
     "ext_mixture_sample",
+    "ext_epoch_upsample",
     "ext_dedup_minhash_lsh",
-    "ext_dedup_simhash",
     "ext_dedup_edit_distance",
     "ext_dedup_cluster_components",
     "ext_decontaminate_ngram",
@@ -160,9 +160,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ext_text_tfidf_topk",
     # Dropped to fit 50: ext_embedding_near_dup, ext_streaming_tumbling,
     # ext_streaming_stream_join, ext_multimodal_frame_sample,
-    # ext_dedup_exact — all r5-green and UNCHANGED this round (union
-    # coverage keeps them verified); ext_streaming_dedup and
-    # ext_mixture_sample are NEW this round.
+    # ext_dedup_exact, ext_dedup_simhash — all r5-green and UNCHANGED
+    # this round (union coverage keeps them verified); streaming_dedup,
+    # mixture_sample, and epoch_upsample are NEW this round.
 )
 
 

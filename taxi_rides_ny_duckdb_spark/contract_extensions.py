@@ -2565,3 +2565,29 @@ def ext_mixture_sample(spark, sf_dir):
     return mixture_sample(
         d, "doc_id", "lang", {"en": 0.5, "zh": 0.25, "de": 0.25}
     )
+
+
+@query(
+    "ext_epoch_upsample",
+    oracle="""
+    WITH e AS (
+      SELECT doc_id, lang,
+             2 + CASE WHEN (CAST(concat('0x', substring(md5(concat('epoch', ':', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) / 4294967296.0) < 0.3
+                 THEN 1 ELSE 0 END AS n
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(i AS BIGINT) AS epoch_idx
+    FROM (SELECT doc_id, lang, unnest(generate_series(0, n - 1)) AS i FROM e)
+    """,
+)
+def ext_epoch_upsample(spark, sf_dir):
+    """Fractional-epoch upsampling (operators/sampling.epoch_upsample):
+    2.3 epochs — every document twice, a content-hashed 30 % a third
+    time, each copy tagged epoch_idx for downstream interleaving. Pure
+    narrow explode(sequence) expansion: no shuffle at any scale; the
+    per-row epoch count uses the engine-portable md5 hash fraction so
+    DuckDB replays the exact row multiset."""
+    from .operators.sampling import epoch_upsample
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return epoch_upsample(d, "doc_id", 2.3)

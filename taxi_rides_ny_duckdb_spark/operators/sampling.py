@@ -116,7 +116,7 @@ def mixture_sample(
     ``f_s = share_s * N_out / n_s ≤ 1`` of its rows by content hash.
     Strata absent from ``target_shares`` are dropped (share 0).
     Upsampling (epoch repetition of low-resource strata) is the
-    separate concern of sequence packing's input prep — mixing never
+    separate ``epoch_upsample`` operator — mixing itself never
     duplicates rows.
 
     Scale shape: one aggregation-bounded counts pass (column-pruned
@@ -148,3 +148,33 @@ def mixture_sample(
     return stratified_hash_sample(
         df, id_col, stratum_col, fractions, default_fraction=0.0, salt=salt
     )
+
+
+def epoch_upsample(
+    df: DataFrame, id_col: str, epochs: float, salt: str = "epoch"
+) -> DataFrame:
+    """Deterministic fractional-epoch upsampling — the complement of
+    ``mixture_sample``'s downsampling for high-quality / low-resource
+    sources that should be seen more than once per training pass
+    (e.g. epochs=2.3: every row twice, a content-hashed 30 % of rows a
+    third time).
+
+    Each output row carries ``epoch_idx`` (0-based) so downstream
+    shuffling/packing can interleave epochs instead of replaying the
+    corpus back-to-back. Pure narrow expansion: per-row epoch count is
+    ``floor(epochs) + (hash < frac)``, materialized with
+    ``explode(sequence(...))`` — no shuffle, no join, no driver state;
+    the descending-``sequence`` hazard at count 0 (epochs < 1 rows
+    drawn out) is guarded exactly like ``word_shingles``."""
+    if epochs <= 0:
+        raise ValueError(f"epochs must be > 0, got {epochs}")
+    whole = int(epochs)
+    frac = epochs - whole
+    n = F.lit(whole) + F.when(
+        hash_fraction(F.col(id_col), salt) < F.lit(frac), F.lit(1)
+    ).otherwise(F.lit(0))
+    idx = F.when(
+        n >= 1,
+        F.sequence(F.lit(0).cast("long"), (n - F.lit(1)).cast("long")),
+    ).otherwise(F.array().cast("array<long>"))
+    return df.select("*", F.explode(idx).alias("epoch_idx"))

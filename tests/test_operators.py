@@ -881,3 +881,30 @@ def test_mixture_sample_hits_target_composition(spark):
         mixture_sample(df, "doc_id", "lang", {"en": 0.5})
     with pytest.raises(ValueError, match="absent"):
         mixture_sample(df, "doc_id", "lang", {"en": 0.5, "xx": 0.5})
+
+
+def test_epoch_upsample_multiset_and_fractional(spark):
+    """2.0 epochs duplicates exactly; 2.3 adds a ~30% hash-selected
+    third copy; 0.4 is a plain downsample-style draw (some rows 0
+    copies); epoch_idx is dense per row; epochs<=0 raises."""
+    import pytest
+
+    from taxi_rides_ny_duckdb_spark.operators.sampling import epoch_upsample
+
+    df = spark.createDataFrame([(i, "x") for i in range(2000)], ["doc_id", "lang"])
+    two = epoch_upsample(df, "doc_id", 2.0)
+    assert two.count() == 4000
+    assert two.groupBy("doc_id").count().filter("count != 2").count() == 0
+    assert {r["epoch_idx"] for r in two.filter("doc_id = 0").collect()} == {0, 1}
+
+    frac = epoch_upsample(df, "doc_id", 2.3)
+    n3 = frac.groupBy("doc_id").count().filter("count = 3").count()
+    assert abs(n3 - 600) < 120  # ~30% of 2000
+    assert frac.groupBy("doc_id").count().filter("count NOT IN (2,3)").count() == 0
+
+    part = epoch_upsample(df, "doc_id", 0.4)
+    n = part.count()
+    assert abs(n - 800) < 150 and part.select("epoch_idx").distinct().count() == 1
+
+    with pytest.raises(ValueError, match="epochs"):
+        epoch_upsample(df, "doc_id", 0.0)

@@ -799,3 +799,28 @@ def test_dynamic_partition_pruning_on_partitioned_sink(spark, sf_dir):
     ).count()
     plan = formatted(joined)
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_bloom_prefilter_is_map_side(spark, sf_dir):
+    """ext_decontaminate_bloom's bit-test filter must run in the same
+    stage as the corpus scan+explode — BEFORE any Exchange or join on
+    the corpus side. That map-side placement is the operator's whole
+    economics: non-matching shingles die where they are read, so
+    (contamination + FP) rate is all that ever shuffles."""
+    df = contract.BUILDERS["ext_decontaminate_bloom"](spark, sf_dir)
+    plan = plan_of(df)
+    lines = plan.splitlines()
+    flt = next(
+        (i for i, l in enumerate(lines) if "Filter" in l and "shiftleft" in l),
+        None,
+    )
+    assert flt is not None, plan
+    # walk down from the filter to its FileScan: the only Exchange
+    # allowed in between is the round-robin small-file staging guard
+    # (ensure_min_partitions repartitions raw DOCS — data-sized by
+    # documents); no shingle-keyed (hashpartitioning) shuffle may sit
+    # under the filter, i.e. non-matching shingles never shuffle.
+    below = lines[flt:]
+    scan = next(i for i, l in enumerate(below) if "FileScan" in l)
+    exchanges = [l for l in below[:scan] if "Exchange" in l]
+    assert all("roundrobin" in l.lower() for l in exchanges), "\n".join(exchanges)
