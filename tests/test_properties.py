@@ -194,3 +194,44 @@ def test_stratified_sample_equals_per_stratum_sample(spark, rows, fractions):
             for r in hash_sample(part, "doc_id", frac).collect()
         ]
     assert got == sorted(want)
+
+
+@settings(**_SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("aa bb cc dd ee".split()),
+                 min_size=0, max_size=8),
+        max_size=10,
+    ),
+    n_bench=st.integers(min_value=0, max_value=4),
+    m_bits=st.sampled_from([64, 512]),
+    k=st.integers(min_value=1, max_value=4),
+)
+def test_bloom_contamination_equals_exact(spark, docs, n_bench, m_bits, k):
+    """Across arbitrary tiny corpora (incl. empty docs, empty benchmark,
+    sub-shingle docs) and Bloom configs down to the 64-bit all-FP
+    regime, the prefiltered path equals the exact broadcast path —
+    the operator-level analog of the DuckDB oracle."""
+    from taxi_rides_ny_duckdb_spark.operators.dedup import (
+        bloom_prefilter_contamination,
+        ngram_contamination,
+    )
+
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    df = spark.createDataFrame(rows or [(0, "x")], ["doc_id", "text"])
+    bench = df.filter(F.col("doc_id") < n_bench)
+    corpus = df.filter(F.col("doc_id") >= n_bench)
+    exact = sorted(
+        (r["doc_id"], r["n_overlap"])
+        for r in ngram_contamination(
+            corpus, bench, "text", "doc_id", shingle_n=2
+        ).collect()
+    )
+    got = sorted(
+        (r["doc_id"], r["n_overlap"])
+        for r in bloom_prefilter_contamination(
+            corpus, bench, "text", "doc_id",
+            shingle_n=2, m_bits=m_bits, k=k,
+        ).collect()
+    )
+    assert got == exact
