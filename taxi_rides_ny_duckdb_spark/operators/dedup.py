@@ -872,9 +872,11 @@ def bloom_prefilter_contamination(
        bounded by m, not by benchmark size).
     2. Corpus shingles test all ``k`` bits map-side — the expected
        survivor rate is the contamination rate + the FP rate
-       (~(1-e^{-kn/m})^k); at the defaults with n ≤ 2¹⁴ shingles the
-       FP rate is < 1e-8, so virtually nothing non-contaminated
-       shuffles.
+       ~(1-e^{-kn/m})^k: at the defaults with n ≈ 3·10³ benchmark
+       shingles that is ~10⁻⁵; sizing m at ~10 bits per key holds ~1 %
+       at ANY n. Either way almost nothing non-contaminated shuffles,
+       and FPs only cost a little verify-join traffic, never
+       correctness.
     3. Survivors verify against the exact benchmark shingle set with a
        plain (shuffle) semi-join — correct even when the benchmark is
        NOT broadcastable, and cheap because only survivors shuffle.
