@@ -700,6 +700,84 @@ def ext_dedup_cluster_components(spark, sf_dir):
     return comp.select(F.col("id").alias("vec_id"), "component")
 
 
+_CLUSTER_KEEP_BEST_ORACLE = """
+WITH RECURSIVE v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
+  FROM embeddings WHERE vec_id < 100
+), sc AS (
+  SELECT vec_id,
+         round(sqrt(list_sum(list_transform(generate_series(1, len(ev)),
+                                            i -> ev[i] * ev[i]))), 9) AS score
+  FROM v
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    CASE WHEN sqrt(list_sum(list_transform(generate_series(1, len(a.ev)), i -> a.ev[i] * a.ev[i]))) > 0
+          AND sqrt(list_sum(list_transform(generate_series(1, len(b.ev)), i -> b.ev[i] * b.ev[i]))) > 0
+    THEN list_sum(list_transform(generate_series(1, len(a.ev)), i -> a.ev[i] * b.ev[i]))
+         / (sqrt(list_sum(list_transform(generate_series(1, len(a.ev)), i -> a.ev[i] * a.ev[i])))
+            * sqrt(list_sum(list_transform(generate_series(1, len(b.ev)), i -> b.ev[i] * b.ev[i]))))
+    ELSE 0.0 END AS cosine_sim
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs WHERE round(cosine_sim, 9) >= 0.3
+  UNION ALL
+  SELECT id_b, id_a FROM pairs WHERE round(cosine_sim, 9) >= 0.3
+), reach(id, r) AS (
+  SELECT vec_id, vec_id FROM v
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+), comp AS (
+  SELECT id, min(r) AS component FROM reach GROUP BY id
+)
+SELECT component, vec_id, score FROM (
+  SELECT c.component, c.id AS vec_id, sc.score,
+         row_number() OVER (PARTITION BY c.component
+                            ORDER BY sc.score DESC, c.id ASC) AS rn
+  FROM comp c JOIN sc ON c.id = sc.vec_id
+) WHERE rn = 1
+"""
+
+
+@query(
+    "ext_dedup_cluster_keep_best",
+    oracle=_CLUSTER_KEEP_BEST_ORACLE,
+    memoize=False,  # CC iterates eagerly
+)
+def ext_dedup_cluster_keep_best(spark, sf_dir):
+    """Quality-aware cluster collapse (operators/dedup.
+    cluster_representatives): one survivor per near-dup cluster, chosen
+    by HIGHEST score (here: 9dp-rounded L2 norm as a deterministic
+    stand-in for a quality signal; ties → min id) rather than min id —
+    keep the cleanest scrape of an article, not the first-crawled.
+    Same embedding clusters as ext_dedup_cluster_components; the extra
+    work over min-id collapse is one score join + one window rank over
+    (component, id, score) triples — document bodies never shuffle.
+    Round-before-rank makes the argmax engine-portable."""
+    from .operators.dedup import cluster_representatives
+    from .operators.similarity import cosine_given_norms, l2_norm
+
+    v = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 100)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("ev"))
+        .withColumn("nrm", l2_norm(F.col("ev")))
+    )
+    a = v.select(F.col("vec_id").alias("id_a"), F.col("ev").alias("av"), F.col("nrm").alias("na"))
+    b = v.select(F.col("vec_id").alias("id_b"), F.col("ev").alias("bv"), F.col("nrm").alias("nb"))
+    pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.round(
+                cosine_given_norms(F.col("av"), F.col("bv"), F.col("na"), F.col("nb")), 9
+            ).alias("sim"),
+        )
+        .filter(F.col("sim") >= 0.3)
+    )
+    scored = v.select("vec_id", F.round(F.col("nrm"), 9).alias("score"))
+    return cluster_representatives(scored, pairs, "vec_id", "score")
+
+
 _CENTROID_ASSIGN_ORACLE = """
 WITH v AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings

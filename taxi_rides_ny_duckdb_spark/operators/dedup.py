@@ -929,3 +929,40 @@ def bloom_prefilter_contamination(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_overlap"))
     )
+
+
+def cluster_representatives(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    score_col: str,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Quality-aware cluster collapse: like ``cluster_dedup`` but the
+    survivor per near-dup cluster is the HIGHEST-``score_col`` member
+    (ties → min id), not the min id — the policy a curation pipeline
+    actually wants: when five scrapes of the same article survive to
+    the cluster stage, keep the cleanest one, not the first-crawled.
+
+    Returns (component, ``id_col``, ``score_col``) — one row per
+    cluster (singletons included). Plan: connected components over the
+    pair list (size-gated / star variants, see
+    ``connected_components``), join scores back, one window rank per
+    component — the window shuffles (component, id, score) triples
+    only, never document bodies."""
+    from pyspark.sql.window import Window
+
+    comp = connected_components(pairs, src, dst, nodes=df.select(id_col))
+    scored = comp.join(
+        df.select(F.col(id_col), F.col(score_col)),
+        comp["id"] == F.col(id_col),
+    ).select("component", F.col(id_col), F.col(score_col))
+    w = Window.partitionBy("component").orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -908,3 +908,23 @@ def test_epoch_upsample_multiset_and_fractional(spark):
 
     with pytest.raises(ValueError, match="epochs"):
         epoch_upsample(df, "doc_id", 0.0)
+
+
+def test_cluster_representatives_keep_best(spark):
+    """Survivor per cluster is argmax(score) with min-id tiebreak;
+    singletons always survive; bodies of the cluster die."""
+    from taxi_rides_ny_duckdb_spark.operators.dedup import (
+        cluster_representatives,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.9), (4, 0.1), (5, 0.7)],
+        ["doc_id", "q"],
+    )
+    # cluster {1,2,3} (2 and 3 tie at 0.9 → keep 2); {4} and {5} singletons
+    edges = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+    got = {
+        (r["component"], r["doc_id"], r["q"])
+        for r in cluster_representatives(docs, edges, "doc_id", "q").collect()
+    }
+    assert got == {(1, 2, 0.9), (4, 4, 0.1), (5, 5, 0.7)}
