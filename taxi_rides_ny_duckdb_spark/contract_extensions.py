@@ -2669,3 +2669,55 @@ def ext_epoch_upsample(spark, sf_dir):
 
     d = load(spark, sf_dir, "documents").select("doc_id", "lang")
     return epoch_upsample(d, "doc_id", 2.3)
+
+
+_CORR_ORACLE = """
+WITH m AS (
+  SELECT
+    CAST(COUNT(*) AS DOUBLE) AS n,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(38,8))) AS DOUBLE) AS sq,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,8))) AS DOUBLE) AS sp,
+    CAST(SUM(CAST(l_discount AS DECIMAL(38,8))) AS DOUBLE) AS sd,
+    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,8))) AS DOUBLE) AS sqp,
+    CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(38,8))) AS DOUBLE) AS sqd,
+    CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,8))) AS DOUBLE) AS spd,
+    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,8))) AS DOUBLE) AS sqq,
+    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,8))) AS DOUBLE) AS spp,
+    CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(38,8))) AS DOUBLE) AS sdd
+  FROM lineitem
+)
+SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y,
+       round((n * sqp - sq * sp) / sqrt((n * sqq - sq * sq) * (n * spp - sp * sp)), 9) AS corr_r
+FROM m
+UNION ALL
+SELECT 'l_quantity', 'l_discount',
+       round((n * sqd - sq * sd) / sqrt((n * sqq - sq * sq) * (n * sdd - sd * sd)), 9)
+FROM m
+UNION ALL
+SELECT 'l_extendedprice', 'l_discount',
+       round((n * spd - sp * sd) / sqrt((n * spp - sp * sp) * (n * sdd - sd * sd)), 9)
+FROM m
+"""
+
+
+@query("ext_profile_correlation", oracle=_CORR_ORACLE)
+def ext_profile_correlation(spark, sf_dir):
+    """Pairwise Pearson correlation panel (plans/profile.
+    profile_correlation) over lineitem's numeric measures — the
+    column-dependency view a profiler adds on top of per-column stats.
+    All five moments per pair are exact decimal sums (order-independent
+    at any parallelism — built-in corr() drifts in the last ulp with
+    partition order), the textbook formula then runs the identical
+    IEEE double ops in both engines, 9dp-rounded. One aggregate row
+    total, map-side partials, no unpivot."""
+    from .plans.profile import profile_correlation
+
+    li = load(spark, sf_dir, "lineitem")
+    return profile_correlation(
+        li,
+        [
+            ("l_quantity", "l_extendedprice"),
+            ("l_quantity", "l_discount"),
+            ("l_extendedprice", "l_discount"),
+        ],
+    )

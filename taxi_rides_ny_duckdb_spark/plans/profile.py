@@ -460,3 +460,73 @@ def compare_profiles(base: DataFrame, other: DataFrame) -> DataFrame:
             for s in stats
         ],
     )
+
+
+def profile_correlation(
+    df: DataFrame, pairs: list[tuple[str, str]]
+) -> DataFrame:
+    """Pairwise Pearson correlation between numeric columns — the
+    multi-column dependency panel of a data profiler (is discount
+    coupled to quantity? is a metric redundant with another?).
+
+    Determinism: built-in ``corr()`` accumulates doubles in partition
+    order — last-ulp drift across runs/engines. Instead every moment
+    (Σx, Σy, Σxy, Σx², Σy²) is an exact DECIMAL sum, and the textbook
+    formula r = (nΣxy − ΣxΣy) / √((nΣx² − (Σx)²)(nΣy² − (Σy)²)) is
+    evaluated once driver-free on those exact sums — identical IEEE
+    ops both engines, so the result is bit-reproducible at any
+    parallelism (the same property functions/parity.py gives money
+    sums). One aggregate row total, no unpivot, map-side partial aggs;
+    NULL handling matches corr(): a pair contributes only when both
+    sides are non-null, enforced by nulling each operand when its
+    partner is null. decimal(38,8) holds Σ(x·y) for price-scale
+    columns well past 10⁹ rows.
+
+    Output grain: one row per pair (col_x, col_y, corr_r rounded 9dp).
+    """
+    from ..session import ensure_min_partitions
+
+    needed = sorted({c for p in pairs for c in p})
+    # Small-file guard (same trap as tfidf): a ~50 MB parquet file scans
+    # as ONE partition, serializing all the decimal-sum work onto one
+    # core — decimal aggregation is ~10× a double sum per row, so the
+    # exactness tax MUST run wide. Project to the needed columns first
+    # so the staging shuffle is narrow. No-op at real scale.
+    df = ensure_min_partitions(df.select(*needed))
+    aggs = []
+    for x, y in pairs:
+        both = F.col(x).isNotNull() & F.col(y).isNotNull()
+        xv = F.when(both, F.col(x).cast("double"))
+        yv = F.when(both, F.col(y).cast("double"))
+        tag = f"{x}__{y}"
+        aggs += [
+            F.count(xv).alias(f"{tag}__n"),
+            F.sum(xv.cast("decimal(38,8)")).alias(f"{tag}__sx"),
+            F.sum(yv.cast("decimal(38,8)")).alias(f"{tag}__sy"),
+            F.sum((xv * yv).cast("decimal(38,8)")).alias(f"{tag}__sxy"),
+            F.sum((xv * xv).cast("decimal(38,8)")).alias(f"{tag}__sxx"),
+            F.sum((yv * yv).cast("decimal(38,8)")).alias(f"{tag}__syy"),
+        ]
+    one = df.agg(*aggs)
+    rows = []
+    for x, y in pairs:
+        tag = f"{x}__{y}"
+        n = F.col(f"{tag}__n").cast("double")
+        sx = F.col(f"{tag}__sx").cast("double")
+        sy = F.col(f"{tag}__sy").cast("double")
+        sxy = F.col(f"{tag}__sxy").cast("double")
+        sxx = F.col(f"{tag}__sxx").cast("double")
+        syy = F.col(f"{tag}__syy").cast("double")
+        r = (n * sxy - sx * sy) / F.sqrt(
+            (n * sxx - sx * sx) * (n * syy - sy * sy)
+        )
+        rows.append(
+            F.struct(
+                F.lit(x).alias("col_x"),
+                F.lit(y).alias("col_y"),
+                F.round(r, 9).alias("corr_r"),
+            )
+        )
+    return one.select(
+        F.explode(F.array(*rows)).alias("p")
+    ).select("p.col_x", "p.col_y", "p.corr_r")

@@ -928,3 +928,36 @@ def test_cluster_representatives_keep_best(spark):
         for r in cluster_representatives(docs, edges, "doc_id", "q").collect()
     }
     assert got == {(1, 2, 0.9), (4, 4, 0.1), (5, 5, 0.7)}
+
+
+def test_profile_correlation_exact_and_null_pairwise(spark):
+    """corr=±1 on perfectly linear columns; matches numpy corrcoef on
+    noisy data to 1e-9; a pair contributes only rows where BOTH sides
+    are non-null (corr() semantics)."""
+    import numpy as np
+
+    from taxi_rides_ny_duckdb_spark.plans.profile import profile_correlation
+
+    xs = [float(i) for i in range(100)]
+    noisy = [x * 0.7 + ((x * 37) % 11) for x in xs]
+    rows = [(x, 2 * x, -x + 5, nz) for x, nz in zip(xs, noisy)]
+    df = spark.createDataFrame(rows, ["x", "y2", "yneg", "ynoise"])
+    got = {
+        (r["col_x"], r["col_y"]): r["corr_r"]
+        for r in profile_correlation(
+            df, [("x", "y2"), ("x", "yneg"), ("x", "ynoise")]
+        ).collect()
+    }
+    assert got[("x", "y2")] == 1.0
+    assert got[("x", "yneg")] == -1.0
+    want = float(np.corrcoef(xs, noisy)[0, 1])
+    assert abs(got[("x", "ynoise")] - want) < 1e-9
+
+    # null pair-wise semantics: nulling one side drops the row for
+    # that pair only — corr over the remaining rows
+    rows2 = [(1.0, 1.0), (2.0, 4.0), (3.0, None), (4.0, 16.0), (5.0, 20.0)]
+    df2 = spark.createDataFrame(rows2, ["a", "b"])
+    got2 = profile_correlation(df2, [("a", "b")]).collect()[0]["corr_r"]
+    kept = [(a, b) for a, b in rows2 if b is not None]
+    want2 = float(np.corrcoef([a for a, _ in kept], [b for _, b in kept])[0, 1])
+    assert abs(got2 - want2) < 1e-9
