@@ -149,7 +149,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ext_mixture_sample",
     "ext_epoch_upsample",
     "ext_dedup_minhash_lsh",
-    "ext_dedup_edit_distance",
+    "ext_mixture_sample_tokens",
     "ext_dedup_cluster_components",
     "ext_profile_correlation",
     "ext_dedup_cluster_keep_best",
@@ -161,7 +161,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # Dropped to fit 50: ext_embedding_near_dup, ext_streaming_tumbling,
     # ext_streaming_stream_join, ext_multimodal_frame_sample,
     # ext_dedup_exact, ext_dedup_simhash, ext_similarity_lsh_topk,
-    # ext_decontaminate_ngram — all r5-green and UNCHANGED
+    # ext_decontaminate_ngram, ext_dedup_edit_distance — all r5-green
+    # and UNCHANGED
     # this round (union coverage keeps them verified); streaming_dedup,
     # mixture_sample, epoch_upsample, and cluster_keep_best are NEW.
 )

@@ -2721,3 +2721,49 @@ def ext_profile_correlation(spark, sf_dir):
             ("l_extendedprice", "l_discount"),
         ],
     )
+
+
+@query(
+    "ext_mixture_sample_tokens",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x != '')) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT lang, CAST(SUM(CAST(n_tokens AS DECIMAL(38,6))) AS DOUBLE) AS n
+      FROM w GROUP BY lang
+    ), t(lang, share) AS (
+      VALUES ('en', 0.5), ('zh', 0.25), ('de', 0.25)
+    ), j AS (
+      SELECT c.lang, c.n, t.share FROM c JOIN t USING (lang)
+    ), m AS (
+      SELECT MIN(n / share) AS n_out FROM j
+    ), f AS (
+      SELECT lang, LEAST(1.0, share * n_out / n) AS frac FROM j, m
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN f USING (lang)
+    WHERE (CAST(concat('0x', substring(md5(concat('mix', ':', CAST(d.doc_id AS VARCHAR))), 1, 8)) AS BIGINT) / 4294967296.0)
+          < f.frac
+    """,
+)
+def ext_mixture_sample_tokens(spark, sf_dir):
+    """Token-budget mixture (operators/sampling.mixture_sample with
+    weight_col): shares are fractions of the TOKEN budget — what a
+    pretraining mix actually specifies — so the first-exhausted
+    stratum is the one that runs out of tokens, not documents. The
+    weighted counts pass sums token counts through the exact decimal
+    route (order-independent rates); selection stays per-doc by hash,
+    hitting the token target in expectation."""
+    from .functions.text import token_count
+    from .operators.sampling import mixture_sample
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", token_count(F.col("text")).alias("n_tokens")
+    )
+    return mixture_sample(
+        d, "doc_id", "lang", {"en": 0.5, "zh": 0.25, "de": 0.25},
+        weight_col="n_tokens",
+    ).select("doc_id", "lang")

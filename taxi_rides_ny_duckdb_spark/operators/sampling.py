@@ -103,6 +103,7 @@ def mixture_sample(
     stratum_col: str,
     target_shares: dict[str, float],
     salt: str = "mix",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Deterministic pretraining-mix rebalancer: downsample strata so
     the output composition matches ``target_shares`` (e.g. 40 % en,
@@ -128,14 +129,29 @@ def mixture_sample(
     identical IEEE double operations the oracle SQL spells
     (``share * n_out / n``), and row selection is the engine-portable
     ``hash_fraction`` — re-runs and engines agree bit-for-bit.
+
+    ``weight_col`` switches the budget unit: shares become fractions
+    of Σweight (e.g. token counts — what a pretraining mix actually
+    specifies) instead of row counts; selection stays per-row by hash,
+    so each stratum's EXPECTED token share hits its target.
     """
     total = sum(target_shares.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"target shares must sum to 1, got {total}")
+    if weight_col is None:
+        agg = df.groupBy(stratum_col).count()
+    else:
+        # Token-weighted mixing: shares are fractions of the TOKEN
+        # budget, not the document count — what a pretraining mix
+        # actually specifies. Weights sum through the exact decimal
+        # route so the derived rates are order-independent.
+        agg = df.groupBy(stratum_col).agg(
+            F.sum(F.col(weight_col).cast("decimal(38,6)"))
+            .cast("double")
+            .alias("count")
+        )
     counts = {
-        r[0]: r[1]
-        for r in df.groupBy(stratum_col).count().collect()
-        if r[0] in target_shares
+        r[0]: r[1] for r in agg.collect() if r[0] in target_shares
     }
     missing = [s for s in target_shares if s not in counts]
     if missing:

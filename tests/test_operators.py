@@ -961,3 +961,40 @@ def test_profile_correlation_exact_and_null_pairwise(spark):
     kept = [(a, b) for a, b in rows2 if b is not None]
     want2 = float(np.corrcoef([a for a, _ in kept], [b for _, b in kept])[0, 1])
     assert abs(got2 - want2) < 1e-9
+
+
+def test_mixture_sample_token_weighted_budget(spark):
+    """With weight_col, the binding stratum is the one short on TOKENS:
+    few huge docs beat many small ones. Composition of the sampled
+    token mass approximates the target shares."""
+    from pyspark.sql import functions as SF
+
+    from taxi_rides_ny_duckdb_spark.operators.sampling import mixture_sample
+
+    rows = (
+        [(i, "en", 10) for i in range(3000)]          # 30k tokens
+        + [(10_000 + i, "de", 1000) for i in range(30)]  # 30k tokens, 30 docs
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "n_tokens"])
+    # Doc-count mixing at 50/50 would cap on de's 30 DOCS (n_out=60);
+    # token mixing sees equal budgets → everything kept (f=1 both).
+    out = mixture_sample(
+        df, "doc_id", "lang", {"en": 0.5, "de": 0.5}, weight_col="n_tokens"
+    )
+    assert out.count() == 3030
+    # Unequal budgets: en 30k vs de 3k tokens at 50/50 → de binds,
+    # W_out = 6k, en keeps ~3k of 30k tokens (f=0.1), de keeps all.
+    rows2 = (
+        [(i, "en", 10) for i in range(3000)]
+        + [(10_000 + i, "de", 100) for i in range(30)]
+    )
+    df2 = spark.createDataFrame(rows2, ["doc_id", "lang", "n_tokens"])
+    out2 = mixture_sample(
+        df2, "doc_id", "lang", {"en": 0.5, "de": 0.5}, weight_col="n_tokens"
+    )
+    toks = {
+        r["lang"]: r["t"]
+        for r in out2.groupBy("lang").agg(SF.sum("n_tokens").alias("t")).collect()
+    }
+    assert toks["de"] == 3000
+    assert abs(toks["en"] - 3000) < 600  # hash draw at f=0.1 over 3000 docs

@@ -824,3 +824,16 @@ def test_bloom_prefilter_is_map_side(spark, sf_dir):
     scan = next(i for i, l in enumerate(below) if "FileScan" in l)
     exchanges = [l for l in below[:scan] if "Exchange" in l]
     assert all("roundrobin" in l.lower() for l in exchanges), "\n".join(exchanges)
+
+
+def test_mixture_and_epoch_are_pure_projections(spark, sf_dir):
+    """The returned mixture plan is scan + CASE-threshold filter and
+    the epoch plan is scan + Generate — no Exchange in either (the
+    mixture counts pass is a separate, aggregation-bounded job; the
+    selection itself must stay narrow at 100 TB)."""
+    for name in ("ext_mixture_sample", "ext_epoch_upsample"):
+        df = contract.BUILDERS[name](spark, sf_dir)
+        plan = plan_of(df)
+        assert "Exchange" not in plan, (name, plan)
+    gen = plan_of(contract.BUILDERS["ext_epoch_upsample"](spark, sf_dir))
+    assert "Generate explode" in gen, gen
