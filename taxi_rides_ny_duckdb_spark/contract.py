@@ -144,7 +144,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "j7_semi_anti_multicond",
     "s6_correlated_subquery",
     "a9_conditional_agg_promo",
-    "a10_groupwise_median",
     # LLM-pipeline staples re-verified under the round-6 code.
     "ext_mixture_sample",
     "ext_epoch_upsample",
@@ -158,11 +157,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ext_streaming_stateful_totals",
     "ext_streaming_dedup",
     "ext_text_tfidf_topk",
+    "ext_quality_robust_normalize",
     # Dropped to fit 50: ext_embedding_near_dup, ext_streaming_tumbling,
     # ext_streaming_stream_join, ext_multimodal_frame_sample,
     # ext_dedup_exact, ext_dedup_simhash, ext_similarity_lsh_topk,
-    # ext_decontaminate_ngram, ext_dedup_edit_distance — all r5-green
-    # and UNCHANGED
+    # ext_decontaminate_ngram, ext_dedup_edit_distance,
+    # a10_groupwise_median — all r5/r6-green and UNCHANGED
     # this round (union coverage keeps them verified); streaming_dedup,
     # mixture_sample, epoch_upsample, and cluster_keep_best are NEW.
 )

@@ -2767,3 +2767,45 @@ def ext_mixture_sample_tokens(spark, sf_dir):
         d, "doc_id", "lang", {"en": 0.5, "zh": 0.25, "de": 0.25},
         weight_col="n_tokens",
     ).select("doc_id", "lang")
+
+
+_ROBUST_ORACLE = (
+    "WITH qs AS (" + _QS_ORACLE + """
+), q AS (
+  SELECT qs.doc_id, d.lang, qs.quality
+  FROM qs JOIN documents d USING (doc_id)
+), s AS (
+  SELECT lang,
+         quantile_cont(quality, 0.5) AS med,
+         quantile_cont(quality, 0.75) - quantile_cont(quality, 0.25) AS iqr
+  FROM q GROUP BY lang
+)
+SELECT q.doc_id, q.lang,
+       round(CASE WHEN s.iqr > 0 THEN (q.quality - s.med) / s.iqr
+             ELSE 0.0 END, 9) AS qz
+FROM q JOIN s USING (lang)
+"""
+)
+
+
+@query("ext_quality_robust_normalize", oracle=_ROBUST_ORACLE)
+def ext_quality_robust_normalize(spark, sf_dir):
+    """Per-language robust quality calibration (operators/cleaning.
+    robust_normalize): (quality − lang-median) / lang-IQR, so one
+    global cutoff means the same thing in every language — raw
+    heuristic scores are not cross-lingually comparable (stopword
+    lists and punctuation norms differ). Aggregation-bounded stats
+    pass broadcast back + pure projection; exact percentile
+    bit-matches quantile_cont (a10 precedent), with the
+    percentile_approx swap documented as the 100 TB path."""
+    from .operators.cleaning import robust_normalize
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "lang", "text", tokenize(F.col("text")).alias("__toks"))
+    scored = toks.select(
+        "doc_id", "lang",
+        quality_score(F.col("text"), tokens=F.col("__toks")).alias("quality"),
+    )
+    return robust_normalize(scored, "quality", "lang", out_col="qz").select(
+        "doc_id", "lang", "qz"
+    )

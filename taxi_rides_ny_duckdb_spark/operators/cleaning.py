@@ -173,3 +173,41 @@ def tfidf_topk_terms(
         .filter(F.col("rank") <= k)
         .select(F.col(id_col), F.col("rank").cast("long").alias("rank"), "term", "tfidf_r")
     )
+
+
+def robust_normalize(
+    df: DataFrame,
+    value_col: str,
+    stratum_col: str,
+    out_col: str = "z",
+) -> DataFrame:
+    """Per-stratum robust z-score: ``(v - median) / IQR`` — the score
+    calibration step before any GLOBAL quality threshold. Raw quality
+    heuristics aren't comparable across languages/sources (stopword
+    lists, punctuation norms differ); normalizing within the stratum
+    makes one cutoff mean the same thing everywhere, and median/IQR
+    shrug off the outliers that wreck mean/stddev.
+
+    Plan: one aggregation-bounded stats pass (one row per stratum —
+    broadcast back), then a pure projection. Exact ``percentile`` is
+    kept because it bit-matches the oracle's ``quantile_cont`` (same
+    linear interpolation — the a10 precedent); it holds one stratum's
+    values on a reducer, so at 100 TB swap ``percentile_approx`` in
+    (same plan shape, sketch memory) and drop the exactness claim.
+    Zero-IQR strata (constant scores) normalize to 0. 9dp
+    round-before-compare for engine portability."""
+    stats = df.groupBy(stratum_col).agg(
+        F.percentile(value_col, F.lit(0.5)).alias("__med"),
+        (
+            F.percentile(value_col, F.lit(0.75))
+            - F.percentile(value_col, F.lit(0.25))
+        ).alias("__iqr"),
+    )
+    joined = df.join(F.broadcast(stats), stratum_col)
+    z = F.when(
+        F.col("__iqr") > 0,
+        (F.col(value_col) - F.col("__med")) / F.col("__iqr"),
+    ).otherwise(F.lit(0.0))
+    return joined.select(
+        *df.columns, F.round(z, 9).alias(out_col)
+    )

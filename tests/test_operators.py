@@ -998,3 +998,19 @@ def test_mixture_sample_token_weighted_budget(spark):
     }
     assert toks["de"] == 3000
     assert abs(toks["en"] - 3000) < 600  # hash draw at f=0.1 over 3000 docs
+
+
+def test_robust_normalize_per_stratum(spark):
+    """z = (v - median)/IQR within each stratum; constant strata → 0."""
+    from taxi_rides_ny_duckdb_spark.operators.cleaning import robust_normalize
+
+    rows = (
+        [(i, "a", float(v)) for i, v in enumerate([1, 2, 3, 4, 5])]
+        + [(10 + i, "b", 7.0) for i in range(4)]  # zero IQR
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "q"])
+    got = {r["doc_id"]: r["z"] for r in
+           robust_normalize(df, "q", "lang").collect()}
+    # stratum a: median 3, IQR = 4 - 2 = 2 → z = (v-3)/2
+    assert got[0] == -1.0 and got[2] == 0.0 and got[4] == 1.0
+    assert all(got[10 + i] == 0.0 for i in range(4))
