@@ -153,7 +153,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ext_profile_correlation",
     "ext_dedup_cluster_keep_best",
     "ext_similarity_ivf_topk",
-    "ext_pack_sequences",
+    "ext_leakage_safe_split",
     "ext_streaming_stateful_totals",
     "ext_streaming_dedup",
     "ext_text_tfidf_topk",
@@ -162,7 +162,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # ext_streaming_stream_join, ext_multimodal_frame_sample,
     # ext_dedup_exact, ext_dedup_simhash, ext_similarity_lsh_topk,
     # ext_decontaminate_ngram, ext_dedup_edit_distance,
-    # a10_groupwise_median — all r5/r6-green and UNCHANGED
+    # a10_groupwise_median, ext_pack_sequences — all r5/r6-green and
+    # UNCHANGED
     # this round (union coverage keeps them verified); streaming_dedup,
     # mixture_sample, epoch_upsample, and cluster_keep_best are NEW.
 )

@@ -2809,3 +2809,74 @@ def ext_quality_robust_normalize(spark, sf_dir):
     return robust_normalize(scored, "quality", "lang", out_col="qz").select(
         "doc_id", "lang", "qz"
     )
+
+
+_LEAK_SPLIT_ORACLE = """
+WITH RECURSIVE v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
+  FROM embeddings WHERE vec_id < 100
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    CASE WHEN sqrt(list_sum(list_transform(generate_series(1, len(a.ev)), i -> a.ev[i] * a.ev[i]))) > 0
+          AND sqrt(list_sum(list_transform(generate_series(1, len(b.ev)), i -> b.ev[i] * b.ev[i]))) > 0
+    THEN list_sum(list_transform(generate_series(1, len(a.ev)), i -> a.ev[i] * b.ev[i]))
+         / (sqrt(list_sum(list_transform(generate_series(1, len(a.ev)), i -> a.ev[i] * a.ev[i])))
+            * sqrt(list_sum(list_transform(generate_series(1, len(b.ev)), i -> b.ev[i] * b.ev[i]))))
+    ELSE 0.0 END AS cosine_sim
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs WHERE round(cosine_sim, 9) >= 0.3
+  UNION ALL
+  SELECT id_b, id_a FROM pairs WHERE round(cosine_sim, 9) >= 0.3
+), reach(id, r) AS (
+  SELECT vec_id, vec_id FROM v
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+), comp AS (
+  SELECT id, min(r) AS component FROM reach GROUP BY id
+)
+SELECT id AS vec_id, component,
+       CASE WHEN (CAST(concat('0x', substring(md5(concat('leak', ':', CAST(component AS VARCHAR))), 1, 8)) AS BIGINT) / 4294967296.0) < 0.8
+            THEN 'train' ELSE 'val' END AS split
+FROM comp
+"""
+
+
+@query(
+    "ext_leakage_safe_split",
+    oracle=_LEAK_SPLIT_ORACLE,
+    memoize=False,  # CC iterates eagerly
+)
+def ext_leakage_safe_split(spark, sf_dir):
+    """Leakage-safe train/val split (operators/sampling.
+    leakage_safe_split): the split unit is the near-dup CLUSTER, not
+    the document — a doc in train with its near-copy in val inflates
+    eval, so every component member inherits one deterministic
+    component-hash draw. Same embedding near-dup graph as
+    ext_dedup_cluster_components; singletons split independently so
+    expected proportions hold. Content-addressed like every split
+    here: reproducible across runs, engines, and cluster layouts."""
+    from .operators.sampling import leakage_safe_split
+    from .operators.similarity import cosine_given_norms, l2_norm
+
+    v = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 100)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("ev"))
+        .withColumn("nrm", l2_norm(F.col("ev")))
+    )
+    a = v.select(F.col("vec_id").alias("id_a"), F.col("ev").alias("av"), F.col("nrm").alias("na"))
+    b = v.select(F.col("vec_id").alias("id_b"), F.col("ev").alias("bv"), F.col("nrm").alias("nb"))
+    pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.round(
+                cosine_given_norms(F.col("av"), F.col("bv"), F.col("na"), F.col("nb")), 9
+            ).alias("sim"),
+        )
+        .filter(F.col("sim") >= 0.3)
+    )
+    return leakage_safe_split(
+        v.select("vec_id"), pairs, "vec_id", {"train": 0.8, "val": 0.2}
+    )

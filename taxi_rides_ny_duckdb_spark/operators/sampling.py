@@ -194,3 +194,48 @@ def epoch_upsample(
         F.sequence(F.lit(0).cast("long"), (n - F.lit(1)).cast("long")),
     ).otherwise(F.array().cast("array<long>"))
     return df.select("*", F.explode(idx).alias("epoch_idx"))
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    splits: dict[str, float],
+    src: str = "id_a",
+    dst: str = "id_b",
+    salt: str = "leak",
+) -> DataFrame:
+    """Train/val split with GROUP integrity: every member of a near-dup
+    cluster lands in the same split. Plain per-row splitting leaks —
+    a document in train and its near-copy in val inflates eval — so
+    the split unit must be the connected component of the near-dup
+    graph, not the document.
+
+    Connected components over ``pairs`` (size-gated / star variants,
+    see ``connected_components``), then the COMPONENT label (not the
+    row id) drives the ``hash_split`` draw — one deterministic draw
+    per cluster, every member inherits it. Rows absent from ``pairs``
+    are singleton components and split independently, so the expected
+    proportions still hold. Output: df columns + component + split."""
+    from ..operators.dedup import connected_components
+
+    comp = connected_components(pairs, src, dst, nodes=df.select(id_col))
+    labeled = df.join(
+        comp.select(F.col("id").alias(id_col), "component"), id_col
+    )
+    u = hash_fraction(F.col("component"), salt)
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    expr = None
+    cum = 0.0
+    names = list(splits)
+    for name in names[:-1]:
+        cum += splits[name]
+        expr = (
+            F.when(u < F.lit(cum), F.lit(name))
+            if expr is None
+            else expr.when(u < F.lit(cum), F.lit(name))
+        )
+    label = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    return labeled.withColumn("split", label)

@@ -1014,3 +1014,33 @@ def test_robust_normalize_per_stratum(spark):
     # stratum a: median 3, IQR = 4 - 2 = 2 → z = (v-3)/2
     assert got[0] == -1.0 and got[2] == 0.0 and got[4] == 1.0
     assert all(got[10 + i] == 0.0 for i in range(4))
+
+
+def test_leakage_safe_split_group_integrity(spark):
+    """Every member of a connected near-dup cluster gets the SAME split
+    label; singletons split independently; proportions are plausible."""
+    from taxi_rides_ny_duckdb_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(500)], ["doc_id"]
+    )
+    # chain clusters {0..4}, {10,11}, rest singletons
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"]
+    )
+    out = leakage_safe_split(
+        docs, edges, "doc_id", {"train": 0.8, "val": 0.2}
+    ).collect()
+    by_id = {r["doc_id"]: (r["component"], r["split"]) for r in out}
+    assert len(by_id) == 500
+    # cluster members share component AND split
+    assert len({by_id[i] for i in range(5)}) == 1
+    assert by_id[10] == by_id[11]
+    n_train = sum(1 for v in by_id.values() if v[1] == "train")
+    assert 330 < n_train < 470  # ~80% of ~495 split units
+    # determinism
+    again = {r["doc_id"]: r["split"] for r in leakage_safe_split(
+        docs, edges, "doc_id", {"train": 0.8, "val": 0.2}).collect()}
+    assert all(again[i] == by_id[i][1] for i in by_id)
