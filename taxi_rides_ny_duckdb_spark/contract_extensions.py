@@ -2880,3 +2880,29 @@ def ext_leakage_safe_split(spark, sf_dir):
     return leakage_safe_split(
         v.select("vec_id"), pairs, "vec_id", {"train": 0.8, "val": 0.2}
     )
+
+
+@query(
+    "ext_cap_per_group",
+    oracle="""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY (CAST(concat('0x', substring(md5(concat('cap', ':', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) / 4294967296.0) ASC,
+                        doc_id ASC) AS rn
+      FROM documents
+    ) WHERE rn <= 60
+    """,
+)
+def ext_cap_per_group(spark, sf_dir):
+    """Per-source frequency cap (operators/sampling.cap_per_group):
+    at most 60 documents per language — the anti-dominance rule a
+    fraction cannot express (a 10⁶-doc boilerplate domain downsampled
+    10 % still swamps a 100-doc one). Survivors are the cap
+    lowest-hash members (content-addressed, append-stable); one
+    group-key shuffle, window row_number ≤ cap."""
+    from .operators.sampling import cap_per_group
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return cap_per_group(d, "doc_id", "lang", 60)

@@ -239,3 +239,36 @@ def leakage_safe_split(
         )
     label = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
     return labeled.withColumn("split", label)
+
+
+def cap_per_group(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    cap: int,
+    salt: str = "cap",
+) -> DataFrame:
+    """Frequency cap: keep at most ``cap`` rows per group — the
+    anti-dominance curation rule ("no single domain/source contributes
+    more than N documents"), which a plain fraction can't express
+    (a 10⁶-doc boilerplate domain downsampled 10 % still swamps a
+    100-doc one).
+
+    Survivors are the ``cap`` LOWEST-HASH members, so the choice is
+    content-addressed like every sampler here — reproducible across
+    runs/engines, and stable under appends up to hash displacement
+    (a new doc can displace at most one old survivor). One shuffle on
+    the group key; WindowExec sorts within partitions. For groups far
+    beyond executor memory, pre-prune with a per-partition cap first
+    (same key, partial top-K) — the standard two-level top-K."""
+    from pyspark.sql.window import Window
+
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    u = hash_fraction(F.col(id_col), salt)
+    w = Window.partitionBy(group_col).orderBy(u.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )

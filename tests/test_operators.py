@@ -1044,3 +1044,27 @@ def test_leakage_safe_split_group_integrity(spark):
     again = {r["doc_id"]: r["split"] for r in leakage_safe_split(
         docs, edges, "doc_id", {"train": 0.8, "val": 0.2}).collect()}
     assert all(again[i] == by_id[i][1] for i in by_id)
+
+
+def test_cap_per_group_limits_and_stability(spark):
+    """Groups above the cap shrink to exactly cap rows; below-cap
+    groups pass through whole; survivors are deterministic and stable
+    under append (a new doc displaces at most one old survivor)."""
+    import pytest
+
+    from taxi_rides_ny_duckdb_spark.operators.sampling import cap_per_group
+
+    rows = [(i, "big") for i in range(500)] + [(1000 + i, "small") for i in range(5)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = cap_per_group(df, "doc_id", "lang", 50)
+    sizes = {r["lang"]: r["n"] for r in
+             out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sizes == {"big": 50, "small": 5}
+    before = {r["doc_id"] for r in out.filter("lang = 'big'").collect()}
+    # append one new doc: survivor set changes by at most one swap
+    df2 = df.union(spark.createDataFrame([(9999, "big")], ["doc_id", "lang"]))
+    after = {r["doc_id"] for r in
+             cap_per_group(df2, "doc_id", "lang", 50).filter("lang = 'big'").collect()}
+    assert len(before - after) <= 1 and len(after) == 50
+    with pytest.raises(ValueError, match="cap"):
+        cap_per_group(df, "doc_id", "lang", 0)
