@@ -235,3 +235,68 @@ def test_bloom_contamination_equals_exact(spark, docs, n_bench, m_bits, k):
         ).collect()
     )
     assert got == exact
+
+
+@settings(**_SETTINGS)
+@given(
+    counts=st.lists(st.integers(min_value=1, max_value=40), min_size=2, max_size=4),
+    shares=st.lists(st.integers(min_value=1, max_value=5), min_size=2, max_size=4),
+)
+def test_mixture_sample_invariants(spark, counts, shares):
+    """For arbitrary stratum sizes and (normalized) target shares:
+    no stratum is upsampled, unlisted strata are dropped, the binding
+    stratum (min n/share) is kept whole, and re-runs are identical."""
+    from taxi_rides_ny_duckdb_spark.operators.sampling import mixture_sample
+
+    k = min(len(counts), len(shares))
+    counts, shares = counts[:k], shares[:k]
+    tot = sum(shares)
+    targets = {f"s{i}": shares[i] / tot for i in range(k)}
+    # pin exact sum to 1 against float drift
+    targets[f"s{k-1}"] = 1.0 - sum(targets[f"s{i}"] for i in range(k - 1))
+    rows = [
+        (i * 1000 + j, f"s{i}") for i in range(k) for j in range(counts[i])
+    ] + [(999_999, "unlisted")]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = mixture_sample(df, "doc_id", "lang", targets)
+    got = {r["lang"]: r["n"] for r in
+           out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert "unlisted" not in got
+    for i in range(k):
+        assert got.get(f"s{i}", 0) <= counts[i]  # never upsampled
+    binding = min(range(k), key=lambda i: counts[i] / targets[f"s{i}"])
+    assert got.get(f"s{binding}", 0) == counts[binding]  # kept whole
+    again = {r["lang"]: r["n"] for r in
+             mixture_sample(df, "doc_id", "lang", targets)
+             .groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert again == got
+
+
+@settings(**_SETTINGS)
+@given(
+    n=st.integers(min_value=1, max_value=60),
+    epochs_x10=st.integers(min_value=1, max_value=35),
+)
+def test_epoch_upsample_multiset_invariants(spark, n, epochs_x10):
+    """For arbitrary corpus sizes and epochs in (0, 3.5]: every row
+    appears floor(e) or ceil(e) times, epoch_idx is dense 0..c-1 per
+    row, and the total lands between n·floor(e) and n·ceil(e)."""
+    import math
+
+    from taxi_rides_ny_duckdb_spark.operators.sampling import epoch_upsample
+
+    e = epochs_x10 / 10.0
+    df = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+    out = epoch_upsample(df, "doc_id", e).collect()
+    lo, hi = math.floor(e), math.ceil(e)
+    per = {}
+    for r in out:
+        per.setdefault(r["doc_id"], []).append(r["epoch_idx"])
+    for doc, idxs in per.items():
+        c = len(idxs)
+        assert c in (lo, hi) and c >= 1, (doc, c, e)
+        assert sorted(idxs) == list(range(c))
+    total = len(out)
+    assert n * lo <= total <= n * hi
+    if e >= 1:
+        assert len(per) == n  # every row survives when epochs >= 1
