@@ -138,7 +138,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q2_min_cost_supplier",
     "q15_top_supplier",
     "q20_part_promo_suppliers",
-    "j5_star_join_revenue",
     "j6_outer_join_count_dist",
     "j7_semi_anti_multicond",
     "s6_correlated_subquery",
@@ -158,12 +157,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ext_text_tfidf_topk",
     "ext_quality_robust_normalize",
     "ext_cap_per_group",
+    "ext_hard_negative_topk",
     # Dropped to fit 50: ext_embedding_near_dup, ext_streaming_tumbling,
     # ext_streaming_stream_join, ext_multimodal_frame_sample,
     # ext_dedup_exact, ext_dedup_simhash, ext_similarity_lsh_topk,
     # ext_decontaminate_ngram, ext_dedup_edit_distance,
-    # a10_groupwise_median, ext_pack_sequences, q16_supplier_diversity
-    # — all r5/r6-green and UNCHANGED
+    # a10_groupwise_median, ext_pack_sequences, q16_supplier_diversity,
+    # j5_star_join_revenue — all r5/r6-green and UNCHANGED
     # this round (union coverage keeps them verified); streaming_dedup,
     # mixture_sample, epoch_upsample, and cluster_keep_best are NEW.
 )

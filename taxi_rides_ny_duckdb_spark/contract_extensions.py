@@ -2906,3 +2906,95 @@ def ext_cap_per_group(spark, sf_dir):
 
     d = load(spark, sf_dir, "documents").select("doc_id", "lang")
     return cap_per_group(d, "doc_id", "lang", 60)
+
+
+_HARD_NEG_ORACLE = """
+WITH RECURSIVE v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
+  FROM embeddings WHERE vec_id < 100
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    CASE WHEN sqrt(list_sum(list_transform(generate_series(1, len(a.ev)), i -> a.ev[i] * a.ev[i]))) > 0
+          AND sqrt(list_sum(list_transform(generate_series(1, len(b.ev)), i -> b.ev[i] * b.ev[i]))) > 0
+    THEN list_sum(list_transform(generate_series(1, len(a.ev)), i -> a.ev[i] * b.ev[i]))
+         / (sqrt(list_sum(list_transform(generate_series(1, len(a.ev)), i -> a.ev[i] * a.ev[i])))
+            * sqrt(list_sum(list_transform(generate_series(1, len(b.ev)), i -> b.ev[i] * b.ev[i]))))
+    ELSE 0.0 END AS cosine_sim
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs WHERE round(cosine_sim, 9) >= 0.3
+  UNION ALL
+  SELECT id_b, id_a FROM pairs WHERE round(cosine_sim, 9) >= 0.3
+), reach(id, r) AS (
+  SELECT vec_id, vec_id FROM v
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+), comp AS (
+  SELECT id, min(r) AS component FROM reach GROUP BY id
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id,
+         round(CASE WHEN sqrt(list_sum(list_transform(generate_series(1, len(q.ev)), i -> q.ev[i] * q.ev[i]))) > 0
+                     AND sqrt(list_sum(list_transform(generate_series(1, len(c.ev)), i -> c.ev[i] * c.ev[i]))) > 0
+               THEN list_sum(list_transform(generate_series(1, len(q.ev)), i -> q.ev[i] * c.ev[i]))
+                    / (sqrt(list_sum(list_transform(generate_series(1, len(q.ev)), i -> q.ev[i] * q.ev[i])))
+                       * sqrt(list_sum(list_transform(generate_series(1, len(c.ev)), i -> c.ev[i] * c.ev[i]))))
+               ELSE 0.0 END, 9) AS cosine_sim_r
+  FROM v q JOIN v c ON TRUE
+  JOIN comp cq ON cq.id = q.vec_id
+  JOIN comp cc ON cc.id = c.vec_id
+  WHERE q.vec_id < 5 AND cq.component != cc.component
+)
+SELECT query_id, rank, vec_id, cosine_sim_r FROM (
+  SELECT query_id, vec_id, cosine_sim_r,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine_sim_r DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+@query(
+    "ext_hard_negative_topk",
+    oracle=_HARD_NEG_ORACLE,
+    memoize=False,  # CC iterates eagerly
+)
+def ext_hard_negative_topk(spark, sf_dir):
+    """Hard-negative mining (operators/similarity.hard_negative_topk):
+    per query, the 5 most-similar vectors OUTSIDE the query's near-dup
+    component — informative negatives that are provably not
+    false negatives, the standard retrieval-training sampler between
+    too-easy random negatives and same-cluster positives. Reuses the
+    embedding near-dup components (same graph as the dedup / leakage
+    stages); queries broadcast over the corpus scan, component
+    exclusion is a map-side filter, 9dp round-before-rank."""
+    from .operators.dedup import connected_components
+    from .operators.similarity import (
+        cosine_given_norms,
+        hard_negative_topk,
+        l2_norm,
+    )
+
+    v = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 100)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("ev"))
+        .withColumn("nrm", l2_norm(F.col("ev")))
+    )
+    a = v.select(F.col("vec_id").alias("id_a"), F.col("ev").alias("av"), F.col("nrm").alias("na"))
+    b = v.select(F.col("vec_id").alias("id_b"), F.col("ev").alias("bv"), F.col("nrm").alias("nb"))
+    pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.round(
+                cosine_given_norms(F.col("av"), F.col("bv"), F.col("na"), F.col("nb")), 9
+            ).alias("sim"),
+        )
+        .filter(F.col("sim") >= 0.3)
+    )
+    comp = connected_components(pairs, "id_a", "id_b", nodes=v.select("vec_id"))
+    queries = v.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("ev").alias("query_vec")
+    )
+    corpus = v.select("vec_id", F.col("ev").alias("embedding"))
+    return hard_negative_topk(corpus, queries, comp, k=5)

@@ -490,3 +490,69 @@ def ann_recall_at_k(ann: DataFrame, exact: DataFrame, k: int) -> DataFrame:
             ).alias("recall_at_k"),
         )
     )
+
+
+def hard_negative_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    components: DataFrame,
+    k: int,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Hard-negative mining for embedding-model training: per query,
+    the ``k`` MOST similar corpus vectors that are NOT near-duplicates
+    of it — similar enough to be informative negatives, outside the
+    query's near-dup component so they are not false negatives.
+    (Random negatives are too easy; same-cluster "negatives" are
+    actually positives — this is the standard retrieval-training
+    sampler in between.)
+
+    ``components`` is (id, component) from ``connected_components``
+    over the near-dup pair graph — the same clusters the dedup /
+    leakage-safe-split stages already computed, reused here.
+
+    Plan: scoring broadcasts the (small) query set over the corpus
+    scan; component labels join corpus-side on id (aggregation-bounded
+    per id — AQE picks broadcast vs shuffle by size) and query-side by
+    broadcast; exclusion is a map-side filter; 9dp round-before-rank
+    top-k per query. Output: (query_id, rank, vec_id, cosine_sim_r)."""
+    comp_q = F.broadcast(
+        components.select(
+            F.col("id").alias(query_id), F.col("component").alias("__qc")
+        )
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id), _as_double_array(F.col(query_vec)).alias("__qv")
+        ).join(comp_q, query_id)
+    )
+    c = ensure_min_partitions(corpus).select(
+        F.col(corpus_id), _as_double_array(F.col(corpus_vec)).alias("__cv")
+    ).join(
+        components.select(
+            F.col("id").alias(corpus_id), F.col("component").alias("__cc")
+        ),
+        corpus_id,
+    )
+    scored = (
+        c.crossJoin(q)
+        .filter(F.col("__cc") != F.col("__qc"))
+        .select(
+            F.col(query_id),
+            F.col(corpus_id),
+            F.round(cosine(F.col("__qv"), F.col("__cv")), 9).alias(
+                "cosine_sim_r"
+            ),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cosine_sim_r").desc(), F.col(corpus_id).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, F.col("rank").cast("long").alias("rank"), corpus_id, "cosine_sim_r")
+    )

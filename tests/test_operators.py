@@ -1068,3 +1068,34 @@ def test_cap_per_group_limits_and_stability(spark):
     assert len(before - after) <= 1 and len(after) == 50
     with pytest.raises(ValueError, match="cap"):
         cap_per_group(df, "doc_id", "lang", 0)
+
+
+def test_hard_negative_topk_excludes_own_cluster(spark):
+    """The query's near-dups (same component, incl. itself) never
+    appear; the top hard negative is the most similar OUT-of-cluster
+    vector."""
+    from taxi_rides_ny_duckdb_spark.operators.similarity import (
+        hard_negative_topk,
+    )
+
+    # 4-dim toy: q=e1; dup ~e1 (same cluster); hard ~0.9-sim e1-ish
+    # (different cluster); easy = orthogonal e2.
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0]),   # query
+        (1, [0.99, 0.14, 0.0, 0.0]), # near-dup of 0 → same cluster
+        (2, [0.9, 0.43, 0.0, 0.0]),  # hard negative (own cluster)
+        (3, [0.0, 1.0, 0.0, 0.0]),   # easy negative
+    ]
+    corpus = spark.createDataFrame(
+        [(i, v) for i, v in vecs], ["vec_id", "embedding"]
+    )
+    comp = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 2), (3, 3)], ["id", "component"]
+    )
+    queries = spark.createDataFrame(
+        [(0, vecs[0][1])], ["query_id", "query_vec"]
+    )
+    got = hard_negative_topk(corpus, queries, comp, k=2).collect()
+    ids = [r["vec_id"] for r in sorted(got, key=lambda r: r["rank"])]
+    assert ids == [2, 3]            # dup (1) and self (0) excluded
+    assert got[0]["cosine_sim_r"] < 1.0
