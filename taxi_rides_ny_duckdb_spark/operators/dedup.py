@@ -568,13 +568,20 @@ def _star_components(sym: DataFrame, ids: DataFrame, max_iter: int) -> DataFrame
         if new_sig == sig:
             break
         sig = new_sig
+    # Final per-id canonicalization (ADVICE r6): if max_iter exhausts
+    # before the edge multiset stabilizes (or a 2^-64 signature
+    # collision masks a change), a node can still hold edges to two
+    # targets; without this groupBy that would emit duplicate
+    # (id, component) rows silently. At the fixpoint it's a no-op, and
+    # it runs at id-pair size — never document-sized.
     return (
         ids.join(
             e.select(F.col("src").alias("id"), F.col("dst").alias("component")),
             "id",
             "left",
         )
-        .select("id", F.coalesce("component", "id").alias("component"))
+        .groupBy("id")
+        .agg(F.min(F.coalesce("component", "id")).alias("component"))
     )
 
 
@@ -623,6 +630,11 @@ def connected_components(
     absent from ``edges`` come back as singleton components (a corpus
     dedup must keep non-duplicated documents).
     """
+    if algorithm not in ("auto", "star", "label", "driver"):
+        raise ValueError(
+            f"algorithm must be one of 'auto', 'star', 'label', 'driver'; "
+            f"got {algorithm!r}"
+        )
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     ids = sym.select(F.col("src").alias("id")).distinct()
@@ -954,10 +966,17 @@ def cluster_representatives(
     from pyspark.sql.window import Window
 
     comp = connected_components(pairs, src, dst, nodes=df.select(id_col))
-    scored = comp.join(
-        df.select(F.col(id_col), F.col(score_col)),
-        comp["id"] == F.col(id_col),
-    ).select("component", F.col(id_col), F.col(score_col))
+    # Alias the score frame's columns before joining: when id_col is
+    # 'id' (or 'component') an unqualified F.col(id_col) would be
+    # ambiguous between the two join sides (ADVICE r6).
+    scores = df.select(
+        F.col(id_col).alias("__rid"), F.col(score_col).alias("__rscore")
+    )
+    scored = comp.join(scores, comp["id"] == F.col("__rid")).select(
+        "component",
+        F.col("__rid").alias(id_col),
+        F.col("__rscore").alias(score_col),
+    )
     w = Window.partitionBy("component").orderBy(
         F.desc(score_col), F.asc(id_col)
     )

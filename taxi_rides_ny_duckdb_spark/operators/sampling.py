@@ -185,7 +185,12 @@ def epoch_upsample(
     if epochs <= 0:
         raise ValueError(f"epochs must be > 0, got {epochs}")
     whole = int(epochs)
-    frac = epochs - whole
+    # Round the fractional part to 9dp: raw double subtraction gives
+    # 2.3 → 0.29999999999999982, which only matched an oracle's literal
+    # 0.3 because no 32-bit hash fraction k/2^32 falls in the ~1.7e-16
+    # gap. Rounding makes the threshold the same literal both engines
+    # compare against — no coincidence needed (ADVICE r6).
+    frac = round(epochs - whole, 9)
     n = F.lit(whole) + F.when(
         hash_fraction(F.col(id_col), salt) < F.lit(frac), F.lit(1)
     ).otherwise(F.lit(0))

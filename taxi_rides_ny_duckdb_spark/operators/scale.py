@@ -84,13 +84,19 @@ def write_partitioned(
 
 
 def sink_scratch_dir(sf_dir: str, name: str) -> str:
-    """Per-SF scratch location for sink round-trips, keyed by the
-    dataset directory basename so sf0.01 driver runs and sf0.1 bench
-    runs never collide."""
+    """Per-SF, per-PROCESS scratch location for sink round-trips: keyed
+    by the dataset directory basename so sf0.01 driver runs and sf0.1
+    bench runs never collide, AND by pid so two concurrent sessions on
+    the same SF (e.g. bench and the correctness driver) never race on
+    DROP TABLE + rmtree vs read (ADVICE r6). Growth is bounded — each
+    scratch holds a small-SF projection, and reruns of the same
+    process rmtree before rewriting."""
     import os
 
     base = os.path.basename(sf_dir.rstrip("/")) or "default"
-    return os.path.join("/tmp", "spark_graft_sinks", base, name)
+    return os.path.join(
+        "/tmp", "spark_graft_sinks", f"{base}_pid{os.getpid()}", name
+    )
 
 
 def read_bucketed(spark: SparkSession, table: str) -> DataFrame:

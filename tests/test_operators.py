@@ -930,6 +930,55 @@ def test_cluster_representatives_keep_best(spark):
     assert got == {(1, 2, 0.9), (4, 4, 0.1), (5, 5, 0.7)}
 
 
+def test_cluster_representatives_ambiguous_id_col(spark):
+    """ADVICE r6: id_col='id' used to make the join condition
+    ambiguous between the component frame and the score frame; the
+    aliased score frame must resolve it."""
+    from taxi_rides_ny_duckdb_spark.operators.dedup import (
+        cluster_representatives,
+    )
+
+    docs = spark.createDataFrame([(1, 0.5), (2, 0.9), (3, 0.1)], ["id", "q"])
+    edges = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    got = {
+        (r["component"], r["id"], r["q"])
+        for r in cluster_representatives(docs, edges, "id", "q").collect()
+    }
+    assert got == {(1, 2, 0.9), (3, 3, 0.1)}
+
+
+def test_connected_components_rejects_unknown_algorithm(spark):
+    """ADVICE r6: a typo'd algorithm ('stars') must raise, not silently
+    fall through to label propagation."""
+    import pytest
+
+    from taxi_rides_ny_duckdb_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    with pytest.raises(ValueError, match="algorithm"):
+        connected_components(edges, algorithm="stars")
+
+
+def test_star_components_truncated_iteration_unique_per_id(spark):
+    """ADVICE r6: with max_iter too small for convergence, the final
+    per-id canonicalization must still emit exactly ONE (id, component)
+    row per id (previously duplicate rows could leak out silently)."""
+    from pyspark.sql import Row
+
+    from taxi_rides_ny_duckdb_spark.operators.dedup import connected_components
+
+    # long chain: needs several star rounds; max_iter=1 truncates.
+    edges = spark.createDataFrame(
+        [Row(id_a=i, id_b=i + 1) for i in range(20)],
+        schema="id_a bigint, id_b bigint",
+    )
+    out = connected_components(
+        edges, driver_threshold_edges=0, algorithm="star", max_iter=1
+    ).collect()
+    ids = [r["id"] for r in out]
+    assert len(ids) == len(set(ids)) == 21
+
+
 def test_profile_correlation_exact_and_null_pairwise(spark):
     """corr=±1 on perfectly linear columns; matches numpy corrcoef on
     noisy data to 1e-9; a pair contributes only rows where BOTH sides
