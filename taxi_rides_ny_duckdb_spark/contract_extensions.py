@@ -2998,3 +2998,135 @@ def ext_hard_negative_topk(spark, sf_dir):
     )
     corpus = v.select("vec_id", F.col("ev").alias("embedding"))
     return hard_negative_topk(corpus, queries, comp, k=5)
+
+
+def _hard_neg_ann_oracle() -> str:
+    """DuckDB replay of hard_negative_topk_ann: the FROZEN IVF coarse
+    quantizer (contract_ivf_centroids, same literals as the
+    ext_similarity_ivf_topk oracle) generates candidates — every corpus
+    vector is assigned to its 9dp-rounded-argmin list, each query
+    probes its top-2 lists — then the recursive-CTE connected
+    components exclude same-near-dup-component candidates, and the
+    exact cosine is 9dp-rounded BEFORE the rank. Engine-identical by
+    the same three roundings as the IVF + hard-negative oracles it
+    composes."""
+    from .contract_ivf_centroids import IVF_CENTROIDS, IVF_DIM
+
+    rows = ", ".join(
+        f"({cid}, [" + ", ".join(repr(x) for x in cv) + "]::DOUBLE[])"
+        for cid, cv in enumerate(IVF_CENTROIDS)
+    )
+    return f"""
+WITH RECURSIVE v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
+  FROM embeddings WHERE vec_id < 100
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    CASE WHEN sqrt(list_sum(list_transform(generate_series(1, len(a.ev)), i -> a.ev[i] * a.ev[i]))) > 0
+          AND sqrt(list_sum(list_transform(generate_series(1, len(b.ev)), i -> b.ev[i] * b.ev[i]))) > 0
+    THEN list_sum(list_transform(generate_series(1, len(a.ev)), i -> a.ev[i] * b.ev[i]))
+         / (sqrt(list_sum(list_transform(generate_series(1, len(a.ev)), i -> a.ev[i] * a.ev[i])))
+            * sqrt(list_sum(list_transform(generate_series(1, len(b.ev)), i -> b.ev[i] * b.ev[i]))))
+    ELSE 0.0 END AS cosine_sim
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs WHERE round(cosine_sim, 9) >= 0.3
+  UNION ALL
+  SELECT id_b, id_a FROM pairs WHERE round(cosine_sim, 9) >= 0.3
+), reach(id, r) AS (
+  SELECT vec_id, vec_id FROM v
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+), comp AS (
+  SELECT id, min(r) AS component FROM reach GROUP BY id
+), d AS (
+  SELECT v.vec_id, v.ev, c.cid,
+         round(list_sum(list_transform(generate_series(1, {IVF_DIM}),
+               i -> (v.ev[i] - c.cv[i]) * (v.ev[i] - c.cv[i]))), 9) AS d2
+  FROM v CROSS JOIN (VALUES {rows}) AS c(cid, cv)
+), assigned AS (
+  SELECT vec_id, ev, cid AS list FROM (
+    SELECT vec_id, ev, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM d
+  ) WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS query_id, ev AS qv, cid AS list FROM (
+    SELECT vec_id, ev, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM d WHERE vec_id < 5
+  ) WHERE rn <= 2
+), scored AS (
+  SELECT p.query_id, a.vec_id,
+    round(CASE WHEN sqrt(list_sum(list_transform(generate_series(1, len(p.qv)), i -> p.qv[i] * p.qv[i]))) > 0
+            AND sqrt(list_sum(list_transform(generate_series(1, len(a.ev)), i -> a.ev[i] * a.ev[i]))) > 0
+    THEN list_sum(list_transform(generate_series(1, len(p.qv)), i -> p.qv[i] * a.ev[i]))
+         / (sqrt(list_sum(list_transform(generate_series(1, len(p.qv)), i -> p.qv[i] * p.qv[i])))
+            * sqrt(list_sum(list_transform(generate_series(1, len(a.ev)), i -> a.ev[i] * a.ev[i]))))
+    ELSE 0.0 END, 9) AS cosine_sim_r
+  FROM assigned a JOIN probes p ON a.list = p.list
+  JOIN comp cq ON cq.id = p.query_id
+  JOIN comp cc ON cc.id = a.vec_id
+  WHERE cq.component != cc.component
+)
+SELECT query_id, rank, vec_id, cosine_sim_r FROM (
+  SELECT query_id, vec_id, cosine_sim_r,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine_sim_r DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+@query(
+    "ext_hard_negative_topk_ann",
+    oracle=_hard_neg_ann_oracle(),
+    memoize=False,  # CC iterates eagerly
+)
+def ext_hard_negative_topk_ann(spark, sf_dir):
+    """ANN-backed hard-negative mining (operators/similarity.
+    hard_negative_topk_ann, VERDICT r6 #1 — retiring the last
+    brute-force hot path): candidates come from the FROZEN IVF coarse
+    quantizer (probe 2 of 8 lists, ~4x less scoring), are re-scored
+    with the EXACT cosine, and same-near-dup-component candidates are
+    excluded AFTER generation — so the false-negative guarantee is
+    identical to the exact path and only candidate recall is
+    approximate. Recall vs the exact path is certified by
+    ann_recall_at_k in tests/test_operators.py; the exact
+    hard_negative_topk remains as ground truth. Same near-dup graph as
+    the dedup / leakage / exact-hard-negative stages (pipeline reuse)."""
+    from .contract_ivf_centroids import IVF_CENTROIDS
+    from .operators.dedup import connected_components
+    from .operators.similarity import (
+        cosine_given_norms,
+        hard_negative_topk_ann,
+        l2_norm,
+    )
+
+    v = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 100)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("ev"))
+        .withColumn("nrm", l2_norm(F.col("ev")))
+    )
+    a = v.select(F.col("vec_id").alias("id_a"), F.col("ev").alias("av"), F.col("nrm").alias("na"))
+    b = v.select(F.col("vec_id").alias("id_b"), F.col("ev").alias("bv"), F.col("nrm").alias("nb"))
+    pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.round(
+                cosine_given_norms(F.col("av"), F.col("bv"), F.col("na"), F.col("nb")), 9
+            ).alias("sim"),
+        )
+        .filter(F.col("sim") >= 0.3)
+    )
+    comp = connected_components(pairs, "id_a", "id_b", nodes=v.select("vec_id"))
+    queries = v.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("ev").alias("query_vec")
+    )
+    corpus = v.select("vec_id", F.col("ev").alias("embedding"))
+    return hard_negative_topk_ann(
+        corpus, queries, comp, k=5,
+        centroids=IVF_CENTROIDS, nprobe=2, round_dp=9, score_round_dp=9,
+    )

@@ -1148,3 +1148,68 @@ def test_hard_negative_topk_excludes_own_cluster(spark):
     ids = [r["vec_id"] for r in sorted(got, key=lambda r: r["rank"])]
     assert ids == [2, 3]            # dup (1) and self (0) excluded
     assert got[0]["cosine_sim_r"] < 1.0
+
+
+def test_hard_negative_ann_recall_and_exclusion(spark, sf_dir):
+    """Certification of the ANN-backed hard-negative path (VERDICT r6
+    #1) against the exact ground-truth path via ann_recall_at_k:
+    (a) every mined negative is OUTSIDE its query's near-dup component
+    (the exclusion guarantee is exact, not approximate), (b) every
+    score is a genuine cosine from the exact ranking, and (c) recall@5
+    of the IVF-candidate path clears 0.5 with 2/8 lists probed —
+    the bar that justifies swapping it in for large query sets."""
+    from taxi_rides_ny_duckdb_spark.contract_ivf_centroids import IVF_CENTROIDS
+    from taxi_rides_ny_duckdb_spark.operators.dedup import connected_components
+    from taxi_rides_ny_duckdb_spark.operators.similarity import (
+        ann_recall_at_k,
+        cosine_given_norms,
+        hard_negative_topk,
+        hard_negative_topk_ann,
+        l2_norm,
+    )
+    from taxi_rides_ny_duckdb_spark.sources.registry import load
+
+    v = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 100)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("ev"))
+        .withColumn("nrm", l2_norm(F.col("ev")))
+    )
+    a = v.select(F.col("vec_id").alias("id_a"), F.col("ev").alias("av"), F.col("nrm").alias("na"))
+    b = v.select(F.col("vec_id").alias("id_b"), F.col("ev").alias("bv"), F.col("nrm").alias("nb"))
+    pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.round(
+                cosine_given_norms(F.col("av"), F.col("bv"), F.col("na"), F.col("nb")), 9
+            ).alias("sim"),
+        )
+        .filter(F.col("sim") >= 0.3)
+    )
+    comp = connected_components(pairs, "id_a", "id_b", nodes=v.select("vec_id"))
+    queries = v.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("ev").alias("query_vec")
+    )
+    corpus = v.select("vec_id", F.col("ev").alias("embedding"))
+    exact = hard_negative_topk(corpus, queries, comp, k=5)
+    ann = hard_negative_topk_ann(
+        corpus, queries, comp, k=5, centroids=IVF_CENTROIDS, nprobe=2
+    )
+
+    comp_map = {r["id"]: r["component"] for r in comp.collect()}
+    ann_rows = ann.collect()
+    assert ann_rows, "ANN path returned no negatives"
+    for r in ann_rows:  # (a) exclusion is exact
+        assert comp_map[r["vec_id"]] != comp_map[r["query_id"]]
+
+    exact_scores = {
+        (r["query_id"], r["vec_id"]): r["cosine_sim_r"]
+        for r in hard_negative_topk(corpus, queries, comp, k=10**6).collect()
+    }
+    for r in ann_rows:  # (b) re-scoring is exact
+        assert abs(exact_scores[(r["query_id"], r["vec_id"])] - r["cosine_sim_r"]) < 1e-12
+
+    rec = ann_recall_at_k(ann, exact, k=5)
+    mean_recall = rec.agg(F.avg("recall_at_k")).collect()[0][0]
+    assert mean_recall >= 0.5, f"ANN hard-negative recall@5 too low: {mean_recall}"
