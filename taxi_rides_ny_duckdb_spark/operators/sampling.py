@@ -252,6 +252,7 @@ def cap_per_group(
     group_col: str,
     cap: int,
     salt: str = "cap",
+    two_level: bool = True,
 ) -> DataFrame:
     """Frequency cap: keep at most ``cap`` rows per group — the
     anti-dominance curation rule ("no single domain/source contributes
@@ -262,18 +263,61 @@ def cap_per_group(
     Survivors are the ``cap`` LOWEST-HASH members, so the choice is
     content-addressed like every sampler here — reproducible across
     runs/engines, and stable under appends up to hash displacement
-    (a new doc can displace at most one old survivor). One shuffle on
-    the group key; WindowExec sorts within partitions. For groups far
-    beyond executor memory, pre-prune with a per-partition cap first
-    (same key, partial top-K) — the standard two-level top-K."""
+    (a new doc can displace at most one old survivor).
+
+    Two-level top-K (the default, VERDICT r6 #2): a per-PARTITION
+    partial top-cap runs BEFORE the exchange — an Arrow ``mapInPandas``
+    pass that keeps only each group's ``cap`` lowest-hash rows seen in
+    that partition (state bounded by groups-per-partition × cap, folded
+    batch-by-batch) — then the exact global window runs over at most
+    cap × n_partitions rows per group. Output is IDENTICAL to the
+    single-window form (every global winner is necessarily inside its
+    partition's top-cap); what changes is the physics: the exchange
+    carries cap-bounded survivors instead of the full corpus, and a
+    group holding 50 % of all rows arrives at its one window task
+    already pruned to cap × P rows instead of serializing the corpus
+    half through one reducer. ``two_level=False`` keeps the plain
+    single-window plan (fine when groups are known-bounded and the
+    Arrow pass isn't worth it)."""
     from pyspark.sql.window import Window
 
     if cap < 1:
         raise ValueError(f"cap must be >= 1, got {cap}")
     u = hash_fraction(F.col(id_col), salt)
-    w = Window.partitionBy(group_col).orderBy(u.asc(), F.col(id_col).asc())
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
+    src = df
+    if two_level:
+        import pandas as pd
+
+        with_u = df.withColumn("__u", u)
+        n_keep = cap
+
+        def prune(batches):
+            state: pd.DataFrame | None = None
+            for pdf in batches:
+                both = (
+                    pdf
+                    if state is None
+                    else pd.concat([state, pdf], ignore_index=True)
+                )
+                # sort by the window's exact order, then first `cap`
+                # per group (dropna=False: null groups are groups to
+                # the window too)
+                state = (
+                    both.sort_values(["__u", id_col], kind="mergesort")
+                    .groupby(group_col, dropna=False, sort=False)
+                    .head(n_keep)
+                )
+            if state is not None and len(state):
+                yield state
+
+        src = with_u.mapInPandas(prune, schema=with_u.schema)
+        order_u = F.col("__u")
+    else:
+        order_u = u
+    w = Window.partitionBy(group_col).orderBy(order_u.asc(), F.col(id_col).asc())
+    out = (
+        src.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= cap)
         .drop("__rn")
     )
+    return out.drop("__u") if two_level else out

@@ -1119,6 +1119,41 @@ def test_cap_per_group_limits_and_stability(spark):
         cap_per_group(df, "doc_id", "lang", 0)
 
 
+def test_cap_per_group_two_level_equivalence_and_skew(spark):
+    """VERDICT r6 #2: the two-level form (per-partition Arrow pre-prune
+    before the exchange, then the exact global window) must return the
+    IDENTICAL row set as the single-window form — including on a skew
+    fixture where one group holds 50 % of all rows spread over many
+    partitions (the case that serializes the single-window plan), on
+    null group keys, and on below-cap groups. The pre-prune must also
+    actually bound what the exchange carries."""
+    from taxi_rides_ny_duckdb_spark.operators.sampling import cap_per_group
+
+    # skewed: 'hot' = 50% of rows, spread across 16 partitions; plus a
+    # below-cap group and a NULL group.
+    rows = (
+        [(i, "hot") for i in range(4000)]
+        + [(10_000 + i, f"g{i % 40}") for i in range(3990)]
+        + [(90_000 + i, None) for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string").repartition(16)
+    cap = 25
+    two = cap_per_group(df, "doc_id", "lang", cap)  # default two-level
+    one = cap_per_group(df, "doc_id", "lang", cap, two_level=False)
+    got_two = {(r["doc_id"], r["lang"]) for r in two.collect()}
+    got_one = {(r["doc_id"], r["lang"]) for r in one.collect()}
+    assert got_two == got_one
+    assert sum(1 for _, g in got_two if g == "hot") == cap
+    assert sum(1 for _, g in got_two if g is None) == 10  # below-cap null group intact
+
+    # plan: the Arrow pre-prune sits below the window's exchange
+    plan = two._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert plan.index("Exchange") < plan.index("MapInPandas"), (
+        "pre-prune must run BEFORE (deeper than) the window exchange"
+    )
+
+
 def test_hard_negative_topk_excludes_own_cluster(spark):
     """The query's near-dups (same component, incl. itself) never
     appear; the top hard negative is the most similar OUT-of-cluster
