@@ -84,22 +84,25 @@ def query(
 
 # The driver verifies only the FIRST 50 registered queries against the
 # DuckDB oracle (CORRECTNESS_r{N}.json); the window rotates per round so
-# that over rounds every query accumulates a driver-green row. After r5,
-# exactly 4 oracled queries (added in the final r5 commit, after the
-# window was set) had never sat in a verified window:
-# q9_product_type_profit, ext_text_regex_redact, ext_vocab_coverage,
-# ext_quantile_binning. The ROUND-6 window keeps the taxi DAG as the
-# permanent prefix (the parity claim the whole repo makes), takes those
-# 4 — closing the loop: r3∪r4∪r5∪r6 covers every oracled query — plus
-# every query whose code or guard semantics changed THIS round
-# (q9 merge-hint, prof_lineitem_approx_guarded's independent exact
-# band, the ngram-jaccard round-before-threshold), plus anything newly
-# oracled in round 6. The remaining slots re-verify the TPC-H join
-# family that this round's broadcast-hazard sweep audited. Rows-only
-# queries are never windowed (their slot would carry no value
-# verification — ADVICE r3). Everything outside the window is verified
-# by the local replica of the gate (tests/test_contract_parity.py,
-# collect-compare and driver-faithful pandas-hash paths).
+# that over rounds every query accumulates a driver-green row. After r6
+# the cumulative union r1–r6 covers all 140 oracled queries, but 30 of
+# them had their LATEST green row in r3 — the oldest evidence in the
+# repo (VERDICT r6 #5). The ROUND-7 window keeps the taxi DAG as the
+# permanent prefix (the parity claim the whole repo makes), sweeps all
+# 30 r3-era queries (a5 metric family, dq tests a6–a8, the text-signal
+# and events families, x2–x5/w1/u1/p2/s1/s5/o1/j1–j3, asof/range joins,
+# corpus curation), and fills the rest with the queries ADDED or
+# CHANGED this round: the new ANN hard-negative path, the two-level
+# cap_per_group default, the fused tfidf plan, the correlation
+# exact-flag routing, the epoch-frac rounding, the CC canonicalization
+# consumers, the pid-scoped sink queries, and an ensure-min-partitions
+# guard consumer (the guard's fire condition changed — IVF re-verifies
+# the similarity family under it). After this round no query's latest
+# driver evidence is older than r4. Rows-only queries are never
+# windowed (their slot would carry no value verification — ADVICE r3).
+# Everything outside the window is verified by the local replica of
+# the gate (tests/test_contract_parity.py, collect-compare and
+# driver-faithful pandas-hash paths).
 DRIVER_WINDOW: tuple[str, ...] = (
     # Reference taxi DAG — permanent prefix.
     "taxi_stg_green_tripdata",
@@ -110,62 +113,54 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "taxi_dm_monthly_zone_statistics",
     "taxi_metric_average_distance_month",
     "taxi_metric_avg_distance_manhattan_quarter",
-    # The 4 never-driver-verified round-5 additions.
-    "q9_product_type_profit",
-    "ext_text_regex_redact",
-    "ext_vocab_coverage",
-    "ext_quantile_binning",
-    # Changed this round (guard semantics / plan pins / rounding /
-    # inverted-index rewrite) and the NEW round-6 queries.
-    "prof_lineitem_approx_guarded",
-    "ext_dedup_ngram_jaccard",
-    "ext_text_chunk_windows",
-    "ext_ann_recall_eval",
-    "ext_decontaminate_bloom",
+    # The 30 queries whose latest driver evidence is r3 (the full
+    # freshness sweep, VERDICT r6 #5).
+    "a5_metric_avg_month",
+    "a5_metric_count_day",
+    "a5_metric_rolling_avg_7d",
+    "a6_unique_violations",
+    "a7_null_count",
+    "a8_accepted_values",
+    "ext_asof_join",
+    "ext_corpus_curation",
+    "ext_events_json_extract",
+    "ext_events_session_window",
+    "ext_events_sessionize",
+    "ext_events_tumbling_window",
+    "ext_range_join",
+    "ext_text_lang_id",
+    "ext_text_quality_score",
+    "ext_text_token_count",
+    "j1_broadcast_dim_join",
+    "j2_dim_joined_twice",
+    "j3_left_anti",
+    "o1_topn_orders",
+    "p2_typed_projection",
+    "s1_scan_filter_project",
+    "s5_sql_entrypoint",
+    "u1_union_all_tagged",
+    "w1_dedup_distinct",
+    "w1_dedup_row_number",
+    "x2_case_decode",
+    "x3_surrogate_key",
+    "x4_string_replace",
+    "x5_date_trunc_month",
+    # Added or changed in round 7.
+    "ext_hard_negative_topk_ann",
+    "ext_cap_per_group",
+    "ext_text_tfidf_topk",
+    "ext_profile_correlation",
+    "ext_epoch_upsample",
+    "ext_dedup_cluster_keep_best",
+    "ext_dedup_cluster_components",
+    "ext_leakage_safe_split",
     "ext_partitioned_sink_prune",
     "ext_bucketed_join_colocated",
-    # TPC-H broadcast-hazard sweep family (plans audited this round).
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q10_returned_items",
-    "q18_large_volume_customers",
-    "q11_important_parts",
-    "q22_dormant_customers",
-    # Re-verification: flagship + staples.
-    "a1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q15_top_supplier",
-    "q20_part_promo_suppliers",
-    "j6_outer_join_count_dist",
-    "j7_semi_anti_multicond",
-    "s6_correlated_subquery",
-    "a9_conditional_agg_promo",
-    # LLM-pipeline staples re-verified under the round-6 code.
-    "ext_mixture_sample",
-    "ext_epoch_upsample",
-    "ext_dedup_minhash_lsh",
-    "ext_mixture_sample_tokens",
-    "ext_dedup_cluster_components",
-    "ext_profile_correlation",
-    "ext_dedup_cluster_keep_best",
-    "ext_similarity_ivf_topk",
-    "ext_leakage_safe_split",
-    "ext_streaming_stateful_totals",
-    "ext_streaming_dedup",
-    "ext_text_tfidf_topk",
-    "ext_quality_robust_normalize",
-    "ext_cap_per_group",
     "ext_hard_negative_topk",
-    # Dropped to fit 50: ext_embedding_near_dup, ext_streaming_tumbling,
-    # ext_streaming_stream_join, ext_multimodal_frame_sample,
-    # ext_dedup_exact, ext_dedup_simhash, ext_similarity_lsh_topk,
-    # ext_decontaminate_ngram, ext_dedup_edit_distance,
-    # a10_groupwise_median, ext_pack_sequences, q16_supplier_diversity,
-    # j5_star_join_revenue — all r5/r6-green and UNCHANGED
-    # this round (union coverage keeps them verified); streaming_dedup,
-    # mixture_sample, epoch_upsample, and cluster_keep_best are NEW.
+    "ext_similarity_ivf_topk",
+    # Dropped to fit 50: the TPC-H q* family, streaming, minhash/
+    # simhash/bloom dedup, packing, sampling staples — all r4–r6-green
+    # and UNCHANGED this round (union coverage keeps them verified).
 )
 
 

@@ -2433,11 +2433,11 @@ def ext_vocab_coverage(spark, sf_dir):
 def ext_text_tfidf_topk(spark, sf_dir):
     """Per-document top-3 TF-IDF terms (operators/cleaning.
     tfidf_topk_terms): smooth sklearn idf, 9dp round-before-rank,
-    term-ascending tie-break. Three data-sized shuffles ((doc,term) →
-    term → doc); the document-frequency side of the term join is
-    aggregation-bounded, so AQE picks broadcast for modest
-    vocabularies and shuffle-join past the threshold — never a
-    raw-fact broadcast."""
+    term-ascending tie-break. Fused plan (r7): document frequency is a
+    count-over-term window ON the tf rows, so the tf subtree is
+    computed once and the whole query is three data-sized shuffles
+    ((doc,term) → term → doc) — the join formulation planned tf twice
+    and ran 2.2× slower at sf1."""
     from .operators.cleaning import tfidf_topk_terms
 
     d = load(spark, sf_dir, "documents")
@@ -2705,11 +2705,15 @@ def ext_profile_correlation(spark, sf_dir):
     """Pairwise Pearson correlation panel (plans/profile.
     profile_correlation) over lineitem's numeric measures — the
     column-dependency view a profiler adds on top of per-column stats.
-    All five moments per pair are exact decimal sums (order-independent
-    at any parallelism — built-in corr() drifts in the last ulp with
-    partition order), the textbook formula then runs the identical
-    IEEE double ops in both engines, 9dp-rounded. One aggregate row
-    total, map-side partials, no unpivot."""
+    This is the ``exact_decimal=True`` path — all five moments per
+    pair are exact decimal sums (order-independent at any parallelism
+    — built-in corr() drifts in the last ulp with partition order),
+    the textbook formula then runs the identical IEEE double ops in
+    both engines, 9dp-rounded; that bit-stability is what makes it the
+    oracled path. The operator's DEFAULT is the ~13× cheaper built-in
+    co-moment ``corr()`` (r7 — property-tested to agree within 1e-9;
+    sf1 row in BASELINE.md). One aggregate row total, map-side
+    partials, no unpivot."""
     from .plans.profile import profile_correlation
 
     li = load(spark, sf_dir, "lineitem")
@@ -2720,6 +2724,7 @@ def ext_profile_correlation(spark, sf_dir):
             ("l_quantity", "l_discount"),
             ("l_extendedprice", "l_discount"),
         ],
+        exact_decimal=True,
     )
 
 

