@@ -180,7 +180,14 @@ def lsh_candidate_pairs(
         )
         .drop("__bsz")
     )
-    a = banded.alias("a")
+    # merge-hint the self-join (r7, same rationale as the verify-join
+    # pin in minhash_lsh_dedup_pairs): `banded` is data-sized —
+    # num_bands rows per document — but its shuffle bytes compress so
+    # well on repetitive corpora (identical band keys) that the
+    # broadcast-size accounting can judge one side broadcastable and
+    # build a corpus-sized HashedRelation. Both sides are the same
+    # frame; at scale this join must be the co-partitioned sort-merge.
+    a = banded.alias("a").hint("merge")
     b = banded.alias("b")
     return (
         a.join(
@@ -228,7 +235,16 @@ def minhash_lsh_dedup_pairs(
         sigs, id_col, num_bands, num_perm,
         max_bucket_size=max_bucket_size, portable=portable,
     )
-    sh = sigs.select(F.col(id_col), F.col("shingles"))
+    # merge-hint the shingle side of the verify joins (r7, found by the
+    # sf10 probe): the (id, shingles) frame is DATA-SIZED — the whole
+    # corpus's shingle arrays — but repeated-text corpora compress its
+    # SHUFFLE bytes so well that AQE's compressed-size accounting can
+    # judge it broadcastable and then build a multi-GB in-memory
+    # HashedRelation from a "small" exchange (observed: a ~1 GB
+    # broadcast build OOMing an 8 g heap at sf10 while the final plan
+    # on a retry was plain SMJ). Same hazard class and same fix as the
+    # q9/q4 fact-projection pins; measured neutral-to-faster at sf0.1.
+    sh = sigs.select(F.col(id_col), F.col("shingles")).hint("merge")
     return (
         cands.join(sh.withColumnsRenamed({id_col: "id_a", "shingles": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({id_col: "id_b", "shingles": "sh_b"}), "id_b")

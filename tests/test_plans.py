@@ -736,6 +736,19 @@ def test_no_raw_fact_broadcast(spark, sf_dir, name):
     assert hazards == [], f"{name}: raw fact broadcast(s) {hazards}"
 
 
+def test_minhash_pipeline_no_broadcast(spark, sf_dir):
+    """r7 sf10 finding: the LSH band self-join and the shingle-side
+    verify joins are all DATA-SIZED, but on repetitive corpora their
+    shuffle bytes compress so well that broadcast-size accounting can
+    judge a side broadcastable and build a corpus-sized HashedRelation
+    (observed: ~1 GB broadcast build OOMing an 8 g heap at sf10).
+    Both joins are merge-pinned; the whole pipeline plan must contain
+    ZERO BroadcastExchange nodes at any SF."""
+    df = contract.BUILDERS["ext_dedup_minhash_lsh"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" not in plan, plan
+
+
 def test_partitioned_sink_prune_reads_one_year(spark, sf_dir):
     """The ext_partitioned_sink_prune read-back must satisfy the year
     filter by directory pruning: the scan carries the o_year predicate
