@@ -313,7 +313,10 @@ def ngram_jaccard_pairs(
     ).persist()
 
     if threshold <= 0:  # degenerate: index prunes nothing — brute force
-        a, b = sh.alias("a"), sh.alias("b")
+        # merge-hint: both sides are the corpus's shingle arrays
+        # (data-sized); see the broadcast-compression hazard note in
+        # minhash_lsh_dedup_pairs (r7).
+        a, b = sh.alias("a").hint("merge"), sh.alias("b")
         cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
         for c in block_cols:
             cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
@@ -337,7 +340,11 @@ def ngram_jaccard_pairs(
         F.size("shingles").alias("__n"),
         F.explode("shingles").alias("__s"),
     )
-    a, b = ex.alias("a"), ex.alias("b")
+    # merge-hint: both sides are the exploded (id, shingle) stream —
+    # strictly data-sized (≫ corpus rows); a broadcast here would build
+    # an exploded-corpus-sized hashed relation. Same hazard class as
+    # the minhash pins (r7).
+    a, b = ex.alias("a").hint("merge"), ex.alias("b")
     cond = (
         (F.col("a.__s") == F.col("b.__s"))
         & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
@@ -461,7 +468,10 @@ def simhash_candidate_pairs(
         )
     )
     banded = hashed.select(F.col(id_col), F.col("simhash"), chunks.alias("chunk_idx", "chunk"))
-    a = banded.alias("a")
+    # merge-hint: n_chunks rows per document on both sides — data-sized
+    # self-join; see the broadcast-compression hazard note in
+    # minhash_lsh_dedup_pairs (r7).
+    a = banded.alias("a").hint("merge")
     b = banded.alias("b")
     return (
         a.join(
@@ -787,6 +797,12 @@ def edit_distance_pairs(
     )
     if broadcast_build:
         b = F.broadcast(b)
+    else:
+        # merge-hint unless the caller explicitly opted into a
+        # broadcast build: both sides carry full document text —
+        # data-sized, and highly compressible in shuffle form (the
+        # broadcast-accounting hazard of minhash_lsh_dedup_pairs, r7).
+        a = a.hint("merge")
     dist = F.levenshtein(F.col("text_a"), F.col("text_b"), max_distance)
     return (
         a.join(b, on=keys)

@@ -362,7 +362,11 @@ def embedding_near_dup_pairs(
         rh_signature(F.col(vec_col), dim, bits).alias("__sig"),
     )
     sig = sig.withColumn("__n", l2_norm(F.col("__v")))
-    a, b = sig.alias("a"), sig.alias("b")
+    # merge-hint: both sides carry the corpus's full embedding vectors
+    # — data-sized; a broadcast would build a corpus-sized hashed
+    # relation (the compression-accounting hazard documented at
+    # operators/dedup.minhash_lsh_dedup_pairs, r7).
+    a, b = sig.alias("a").hint("merge"), sig.alias("b")
     score = cosine_given_norms(
         F.col("a.__v"), F.col("b.__v"), F.col("a.__n"), F.col("b.__n")
     )

@@ -736,15 +736,45 @@ def test_no_raw_fact_broadcast(spark, sf_dir, name):
     assert hazards == [], f"{name}: raw fact broadcast(s) {hazards}"
 
 
-def test_minhash_pipeline_no_broadcast(spark, sf_dir):
-    """r7 sf10 finding: the LSH band self-join and the shingle-side
-    verify joins are all DATA-SIZED, but on repetitive corpora their
-    shuffle bytes compress so well that broadcast-size accounting can
-    judge a side broadcastable and build a corpus-sized HashedRelation
-    (observed: ~1 GB broadcast build OOMing an 8 g heap at sf10).
-    Both joins are merge-pinned; the whole pipeline plan must contain
-    ZERO BroadcastExchange nodes at any SF."""
-    df = contract.BUILDERS["ext_dedup_minhash_lsh"](spark, sf_dir)
+@pytest.mark.parametrize(
+    "name",
+    [
+        "ext_dedup_minhash_lsh",
+        "ext_dedup_ngram_jaccard",
+        "ext_dedup_simhash",
+    ],
+)
+def test_pair_finder_pipelines_no_broadcast(spark, sf_dir, name):
+    """r7 sf10 finding: every pair-finder self-join (LSH bands, the
+    shingle verify sides, the exploded inverted index, simhash chunks)
+    is DATA-SIZED, but on repetitive corpora their shuffle bytes
+    compress so well that broadcast-size accounting can judge a side
+    broadcastable and build a corpus-sized HashedRelation (observed:
+    ~1 GB broadcast build OOMing an 8 g heap at sf10 inside minhash).
+    All of them are merge-pinned; each pipeline's plan must contain
+    ZERO BroadcastExchange nodes at any SF. (edit_distance is excluded:
+    its contract query deliberately opts into broadcast_build=True —
+    the operator DEFAULT is merge-pinned and unit-covered.)"""
+    df = contract.BUILDERS[name](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" not in plan, (name, plan)
+
+
+def test_edit_distance_default_is_merge_pinned(spark):
+    """The edit_distance_pairs DEFAULT (broadcast_build=False) must
+    plan zero broadcasts — the scale-safe path; the explicit True flag
+    is the small-reference-side escape hatch."""
+    from pyspark.sql import functions as SF
+
+    from taxi_rides_ny_duckdb_spark.operators.dedup import edit_distance_pairs
+
+    d = spark.createDataFrame(
+        [(i, "text " * 10 + str(i), "en", 60) for i in range(50)],
+        "doc_id bigint, text string, lang string, n_chars bigint",
+    )
+    df = edit_distance_pairs(
+        d, "text", "doc_id", 20, [SF.col("lang"), SF.floor(SF.col("n_chars") / 64)]
+    )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastExchange" not in plan, plan
 
