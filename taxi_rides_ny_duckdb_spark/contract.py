@@ -154,13 +154,19 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ext_dedup_cluster_keep_best",
     "ext_dedup_cluster_components",
     "ext_leakage_safe_split",
-    "ext_partitioned_sink_prune",
-    "ext_bucketed_join_colocated",
+    "ext_corpus_shuffle",
+    "ext_profile_key_skew",
     "ext_hard_negative_topk",
     "ext_similarity_ivf_topk",
     # Dropped to fit 50: the TPC-H q* family, streaming, minhash/
     # simhash/bloom dedup, packing, sampling staples — all r4–r6-green
     # and UNCHANGED this round (union coverage keeps them verified).
+    # ext_partitioned_sink_prune / ext_bucketed_join_colocated ceded
+    # their slots to the two NEW r7 queries (corpus_shuffle,
+    # profile_key_skew): their only r7 change is the pid-scoped
+    # scratch path (behavior-identical, r6-green, locally verified),
+    # while a never-windowed query would otherwise wait a full round
+    # for driver evidence — the r5 lesson.
 )
 
 

@@ -3143,3 +3143,82 @@ def ext_hard_negative_topk_ann(spark, sf_dir):
         corpus, queries, comp, k=5,
         centroids=IVF_CENTROIDS, nprobe=2, round_dp=9, score_round_dp=9,
     )
+
+
+def _corpus_shuffle_oracle() -> str:
+    from .operators.sampling import hash_fraction_sql
+
+    u = hash_fraction_sql("doc_id", "shuffle")
+    return f"""
+    SELECT doc_id, lang,
+           CAST(row_number() OVER (ORDER BY {u} ASC, doc_id ASC) - 1 AS BIGINT)
+             AS shuffle_pos
+    FROM documents
+    """
+
+
+@query("ext_corpus_shuffle", oracle=_corpus_shuffle_oracle(), memoize=False)
+def ext_corpus_shuffle(spark, sf_dir):
+    """Deterministic global training-order shuffle (operators/sampling.
+    corpus_shuffle): every document gets its exact 0-based rank under
+    the content-addressed order (md5 hash fraction, id) — the shuffle
+    step between packing and training, reproducible across retries,
+    re-planning, and engines (rand()-based shuffles are none of
+    those). Exact global rank WITHOUT a global sort or single-reducer
+    window: range-bucket on the hash fraction, an aggregation-bounded
+    counts pass prefix-summed driver-side, then one per-bucket rank
+    window — B-way parallel at any scale. memoize=False: the counts
+    pass is eager."""
+    from .operators.sampling import corpus_shuffle
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return corpus_shuffle(d, "doc_id", n_buckets=64)
+
+
+_KEY_SKEW_ORACLE = """
+WITH k1 AS (
+  SELECT COALESCE(CAST(l_suppkey AS VARCHAR), '<NULL>') AS key_value,
+         COUNT(*) AS n
+  FROM lineitem GROUP BY 1
+), s1 AS (SELECT COUNT(*) AS nd, SUM(n) AS tot FROM k1),
+r1 AS (
+  SELECT key_value, n,
+         row_number() OVER (ORDER BY n DESC, key_value ASC) AS rank
+  FROM k1
+), k2 AS (
+  SELECT COALESCE(CAST(l_returnflag AS VARCHAR), '<NULL>') AS key_value,
+         COUNT(*) AS n
+  FROM lineitem GROUP BY 1
+), s2 AS (SELECT COUNT(*) AS nd, SUM(n) AS tot FROM k2),
+r2 AS (
+  SELECT key_value, n,
+         row_number() OVER (ORDER BY n DESC, key_value ASC) AS rank
+  FROM k2
+)
+SELECT 'l_suppkey' AS column_name, CAST(rank AS BIGINT) AS rank, key_value, n,
+       CAST(s1.nd AS BIGINT) AS n_distinct,
+       round(CAST(n AS DOUBLE) / s1.tot, 9) AS share_r
+FROM r1 CROSS JOIN s1 WHERE rank <= 5
+UNION ALL
+SELECT 'l_returnflag', CAST(rank AS BIGINT), key_value, n,
+       CAST(s2.nd AS BIGINT),
+       round(CAST(n AS DOUBLE) / s2.tot, 9)
+FROM r2 CROSS JOIN s2 WHERE rank <= 5
+"""
+
+
+@query("ext_profile_key_skew", oracle=_KEY_SKEW_ORACLE)
+def ext_profile_key_skew(spark, sf_dir):
+    """Join/group-key skew panel (plans/profile.profile_key_skew):
+    top-5 heavy hitters + distinct count + global share for two
+    lineitem keys — the diagnostic that drives the salting / AQE-skew
+    levers in operators/scale BEFORE a big join, not after it spills.
+    Per column: aggregation-bounded groupBy (shuffle carries distinct
+    keys), TakeOrderedAndProject top-K (per-partition heaps, no
+    global key-space sort), 1-row stats broadcast, rank window over
+    exactly K rows; columns union independently. NULL keys labeled
+    '<NULL>' so both engines order them identically."""
+    from .plans.profile import profile_key_skew
+
+    li = load(spark, sf_dir, "lineitem")
+    return profile_key_skew(li, ["l_suppkey", "l_returnflag"], top_k=5)

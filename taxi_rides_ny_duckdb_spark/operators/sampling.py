@@ -321,3 +321,67 @@ def cap_per_group(
         .drop("__rn")
     )
     return out.drop("__u") if two_level else out
+
+
+def corpus_shuffle(
+    df: DataFrame,
+    id_col: str,
+    salt: str = "shuffle",
+    epoch_col: str | None = None,
+    n_buckets: int = 1024,
+    out_col: str = "shuffle_pos",
+) -> DataFrame:
+    """Deterministic global training-order shuffle: every row gets a
+    0-based ``out_col`` position equal to its rank under the
+    content-addressed order (hash_fraction, id) — the shuffle step
+    between packing and training. ``rand()``-based shuffles change
+    under retries and re-planning; this order is a pure function of
+    content (plus ``salt`` — change it per training run to draw a
+    fresh permutation), so a resumed/re-executed job sees the exact
+    same order, and an external engine can replay it.
+
+    ``epoch_col``: include the epoch index (from ``epoch_upsample``)
+    in the hash key, so a document's copies land at independent
+    positions — epochs interleave instead of replaying back-to-back.
+
+    Scale shape — exact global rank WITHOUT a global sort or
+    single-reducer window: rows are range-bucketed by the hash
+    fraction (``floor(u·B)``, order-preserving across buckets), an
+    aggregation-bounded counts pass (B rows) is prefix-summed on the
+    driver, and the final position is bucket_offset + within-bucket
+    rank — one window per bucket, B-way parallel. This is the
+    standard distributed ranking decomposition; B controls reducer
+    granularity (≈ corpus/B rows per window partition).
+    """
+    from pyspark.sql.window import Window
+
+    key = (
+        F.col(id_col).cast("string")
+        if epoch_col is None
+        else F.concat_ws("#", F.col(id_col).cast("string"), F.col(epoch_col).cast("string"))
+    )
+    u = hash_fraction(key, salt)
+    bucket = F.floor(u * n_buckets).cast("int")
+    with_u = df.withColumn("__u", u).withColumn("__b", bucket)
+    counts = {
+        r["__b"]: r["n"]
+        for r in with_u.groupBy("__b").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+    off = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    ) if offsets else F.create_map()
+    order_cols = [F.col("__u").asc(), F.col(id_col).asc()]
+    if epoch_col is not None:
+        order_cols.append(F.col(epoch_col).asc())
+    w = Window.partitionBy("__b").orderBy(*order_cols)
+    return (
+        with_u.withColumn(
+            out_col,
+            (off[F.col("__b")] + F.row_number().over(w) - F.lit(1)).cast("long"),
+        )
+        .drop("__u", "__b")
+    )

@@ -564,3 +564,55 @@ def profile_correlation(
     return one.select(
         F.explode(F.array(*rows)).alias("p")
     ).select("p.col_x", "p.col_y", "p.corr_r")
+
+
+def profile_key_skew(
+    df: DataFrame, key_cols: list[str], top_k: int = 10
+) -> DataFrame:
+    """Join/group-key skew panel: per key column, the ``top_k`` heavy
+    hitters with their counts, global share, and the column's distinct
+    count — the diagnostic that DRIVES the physical-strategy levers in
+    ``operators/scale`` (a key with share ≫ 1/n_partitions is the one
+    to salt; AQE's skew split handles the moderate middle). Profiling
+    this BEFORE a 100 TB join is how zone-132-style hot keys are found
+    at plan time instead of at 3 a.m.
+
+    Output grain: (column_name, rank, key_value, n, n_distinct,
+    share_r) — key_value stringified (mixed-type columns share one
+    schema), NULL keys labeled '<NULL>' so both engines order them
+    identically, share rounded 9dp.
+
+    Scale shape, per column: one aggregation-bounded groupBy(key)
+    (map-side combined — the shuffle carries distinct keys, not rows),
+    a TakeOrderedAndProject top-K (per-partition heaps — never a
+    global sort of the key space), a 1-row stats aggregate broadcast
+    back, and a rank window over exactly K rows. Columns then union —
+    independent branches, no cross-column shuffle."""
+    from functools import reduce
+
+    from pyspark.sql.window import Window
+
+    outs = []
+    for c in key_cols:
+        counts = df.groupBy(
+            F.coalesce(F.col(c).cast("string"), F.lit("<NULL>")).alias("key_value")
+        ).agg(F.count(F.lit(1)).alias("n"))
+        stats = counts.agg(
+            F.count(F.lit(1)).alias("__nd"),
+            F.sum("n").alias("__tot"),
+        )
+        top = counts.orderBy(F.desc("n"), F.asc("key_value")).limit(top_k)
+        w = Window.orderBy(F.desc("n"), F.asc("key_value"))  # K rows only
+        outs.append(
+            top.withColumn("rank", F.row_number().over(w))
+            .crossJoin(F.broadcast(stats))
+            .select(
+                F.lit(c).alias("column_name"),
+                F.col("rank").cast("long").alias("rank"),
+                "key_value",
+                "n",
+                F.col("__nd").cast("long").alias("n_distinct"),
+                F.round(F.col("n") / F.col("__tot"), 9).alias("share_r"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), outs)

@@ -1306,3 +1306,60 @@ def test_hard_negative_ann_recall_and_exclusion(spark, sf_dir):
     rec = ann_recall_at_k(ann, exact, k=5)
     mean_recall = rec.agg(F.avg("recall_at_k")).collect()[0][0]
     assert mean_recall >= 0.5, f"ANN hard-negative recall@5 too low: {mean_recall}"
+
+
+def test_corpus_shuffle_permutation_determinism_and_epochs(spark):
+    """corpus_shuffle: positions are exactly the permutation 0..n-1;
+    the order is a pure function of content (identical under a
+    different physical partitioning); with epoch_col, a document's
+    copies land at independent positions (epochs interleave instead
+    of replaying back-to-back)."""
+    from taxi_rides_ny_duckdb_spark.operators.sampling import (
+        corpus_shuffle,
+        epoch_upsample,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(500)], ["doc_id"])
+    out = corpus_shuffle(df, "doc_id", n_buckets=16)
+    pos = sorted(r["shuffle_pos"] for r in out.collect())
+    assert pos == list(range(500))
+
+    repart = corpus_shuffle(df.repartition(7), "doc_id", n_buckets=16)
+    a = {r["doc_id"]: r["shuffle_pos"] for r in out.collect()}
+    b = {r["doc_id"]: r["shuffle_pos"] for r in repart.collect()}
+    assert a == b
+
+    # not the identity / sorted order (it actually shuffles)
+    ids_in_order = [d for d, _ in sorted(a.items(), key=lambda kv: kv[1])]
+    assert ids_in_order != sorted(ids_in_order)
+
+    two = epoch_upsample(df, "doc_id", 2.0)
+    shuffled = corpus_shuffle(two, "doc_id", epoch_col="epoch_idx", n_buckets=16)
+    rows = shuffled.collect()
+    assert sorted(r["shuffle_pos"] for r in rows) == list(range(1000))
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r["shuffle_pos"])
+    adjacent = sum(1 for ps in by_doc.values() if abs(ps[0] - ps[1]) == 1)
+    assert adjacent < 50  # copies interleave, not replay back-to-back
+
+
+def test_profile_key_skew_counts_shares_and_null_label(spark):
+    """profile_key_skew: heavy hitters ranked by count desc then key
+    asc, shares against the column total, NULL keys surfaced as
+    '<NULL>', distinct count includes the null bucket."""
+    from taxi_rides_ny_duckdb_spark.plans.profile import profile_key_skew
+
+    rows = (
+        [("hot", 1)] * 60 + [("warm", 1)] * 30
+        + [(None, 1)] * 6 + [("a", 1)] * 2 + [("b", 1)] * 2
+    )
+    df = spark.createDataFrame(rows, ["k", "v"])
+    got = {
+        r["rank"]: (r["key_value"], r["n"], r["n_distinct"], r["share_r"])
+        for r in profile_key_skew(df, ["k"], top_k=3).collect()
+    }
+    assert got[1] == ("hot", 60, 5, 0.6)
+    assert got[2] == ("warm", 30, 5, 0.3)
+    assert got[3] == ("<NULL>", 6, 5, 0.06)
+    assert len(got) == 3
