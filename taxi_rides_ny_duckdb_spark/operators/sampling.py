@@ -371,9 +371,10 @@ def corpus_shuffle(
     for b in sorted(counts):
         offsets[b] = acc
         acc += counts[b]
-    off = F.create_map(
-        *[F.lit(x) for kv in offsets.items() for x in kv]
-    ) if offsets else F.create_map()
+    if not offsets:  # empty corpus: nothing to rank (typed empty map
+        # would be needed for the lookup — short-circuit instead)
+        return df.withColumn(out_col, F.lit(None).cast("long"))
+    off = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
     order_cols = [F.col("__u").asc(), F.col(id_col).asc()]
     if epoch_col is not None:
         order_cols.append(F.col(epoch_col).asc())

@@ -509,12 +509,27 @@ def profile_correlation(
     # narrow. No-op at real scale.
     df = ensure_min_partitions(df.select(*needed), strict=exact_decimal)
     if not exact_decimal:
-        aggs = [
-            F.round(
-                F.corr(F.col(x).cast("double"), F.col(y).cast("double")), 9
+        def one_pair(x: str, y: str):
+            # corr() recomposed from its own co-moment aggregates
+            # (covar_pop + pairwise stddev_pop) so the final division
+            # is OURS and guardable: the built-in corr's internal
+            # ck/√(xMk·yMk) divide RAISES under spark.sql.ansi.enabled
+            # on a zero-variance column, and returns NaN otherwise —
+            # this form returns NULL in both modes, matching the exact
+            # path (property-tested on degenerate frames). Identical
+            # numerics: same stable pairwise-update moments, one extra
+            # multiply. Operands are nulled when their partner is null
+            # so the stddevs see the same pairwise row set corr() uses.
+            both = F.col(x).isNotNull() & F.col(y).isNotNull()
+            xv = F.when(both, F.col(x).cast("double"))
+            yv = F.when(both, F.col(y).cast("double"))
+            cov = F.covar_pop(xv, yv)
+            sx, sy = F.stddev_pop(xv), F.stddev_pop(yv)
+            return F.round(
+                F.when((sx > 0) & (sy > 0), cov / (sx * sy)), 9
             ).alias(f"{x}__{y}")
-            for x, y in pairs
-        ]
+
+        aggs = [one_pair(x, y) for x, y in pairs]
         one = df.agg(*aggs)
         rows = [
             F.struct(
@@ -551,9 +566,12 @@ def profile_correlation(
         sxy = F.col(f"{tag}__sxy").cast("double")
         sxx = F.col(f"{tag}__sxx").cast("double")
         syy = F.col(f"{tag}__syy").cast("double")
-        r = (n * sxy - sx * sy) / F.sqrt(
-            (n * sxx - sx * sx) * (n * syy - sy * sy)
-        )
+        # Guarded division: zero variance (constant column) → NULL,
+        # matching the fast path's normalized corr() — and ANSI-safe
+        # (under spark.sql.ansi.enabled a bare x/0 raises instead of
+        # returning NULL; property-tested on degenerate frames).
+        denom = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        r = F.when(denom > 0, (n * sxy - sx * sy) / denom)
         rows.append(
             F.struct(
                 F.lit(x).alias("col_x"),

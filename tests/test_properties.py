@@ -300,3 +300,111 @@ def test_epoch_upsample_multiset_invariants(spark, n, epochs_x10):
     assert n * lo <= total <= n * hi
     if e >= 1:
         assert len(per) == n  # every row survives when epochs >= 1
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=40),
+                  st.integers(min_value=0, max_value=2)),
+        max_size=30, unique_by=lambda t: t[0],
+    ),
+    cap=st.integers(min_value=1, max_value=4),
+)
+def test_cap_per_group_two_level_equals_single_window(spark, rows, cap):
+    """r7 two-level frequency cap ≡ the single-window form on arbitrary
+    (id, group) sets — including empty input, all-one-group, and
+    below-cap groups; the Arrow pre-prune must never change WHICH rows
+    survive, only where they are pruned."""
+    from taxi_rides_ny_duckdb_spark.operators.sampling import cap_per_group
+
+    df = spark.createDataFrame(rows or [(99, 0)], "doc_id bigint, g int")
+    if not rows:
+        df = df.filter("doc_id < 0")
+    df = df.repartition(3)
+    two = {(r["doc_id"], r["g"])
+           for r in cap_per_group(df, "doc_id", "g", cap).collect()}
+    one = {(r["doc_id"], r["g"])
+           for r in cap_per_group(df, "doc_id", "g", cap, two_level=False).collect()}
+    assert two == one
+
+
+@settings(**_SETTINGS)
+@given(ids=st.lists(st.integers(min_value=-50, max_value=50),
+                    max_size=25, unique=True))
+def test_corpus_shuffle_is_permutation_and_partition_invariant(spark, ids):
+    """corpus_shuffle positions are exactly 0..n-1 for ANY id set
+    (negative ids, empty input) and identical under a different
+    physical partitioning — the content-addressed contract."""
+    from taxi_rides_ny_duckdb_spark.operators.sampling import corpus_shuffle
+
+    df = spark.createDataFrame([(i,) for i in ids] or [(99,)], "doc_id bigint")
+    if not ids:
+        df = df.filter("doc_id < -100")
+    a = {r["doc_id"]: r["shuffle_pos"]
+         for r in corpus_shuffle(df, "doc_id", n_buckets=8).collect()}
+    assert sorted(a.values()) == list(range(len(ids)))
+    b = {r["doc_id"]: r["shuffle_pos"]
+         for r in corpus_shuffle(df.repartition(4), "doc_id", n_buckets=8).collect()}
+    assert a == b
+
+
+@settings(**_SETTINGS)
+@given(
+    docs=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=20), max_size=10
+    )
+)
+def test_tfidf_window_and_join_modes_agree(spark, docs):
+    """The fused (window-df) and AQE-joinable tfidf forms are one
+    operator: identical (id, rank, term, score) on arbitrary small
+    corpora, including empty/whitespace-only documents."""
+    from taxi_rides_ny_duckdb_spark.operators.cleaning import tfidf_topk_terms
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)] or [(0, "x")],
+        "doc_id bigint, text string",
+    )
+    if not docs:
+        df = df.filter("doc_id < 0")
+    w = {(r["doc_id"], r["rank"], r["term"], r["tfidf_r"])
+         for r in tfidf_topk_terms(df, "text", "doc_id", 2).collect()}
+    j = {(r["doc_id"], r["rank"], r["term"], r["tfidf_r"])
+         for r in tfidf_topk_terms(df, "text", "doc_id", 2, df_mode="join").collect()}
+    assert w == j
+
+
+_CORR_VALS = st.one_of(
+    st.just(0.0),
+    # within the exact path's decimal(38,8) domain: magnitudes below
+    # ~1e-8 quantize to 0 in the decimal moments (documented — the
+    # exact route targets price-scale columns), so the property holds
+    # on [1e-3, 100] ∪ {0}, not on subnormals.
+    st.floats(min_value=1e-3, max_value=100, allow_nan=False),
+    st.floats(min_value=-100, max_value=-1e-3, allow_nan=False),
+)
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(_CORR_VALS, st.one_of(st.none(), _CORR_VALS)),
+        min_size=3, max_size=20,
+    )
+)
+def test_profile_correlation_fast_agrees_with_exact(spark, rows):
+    """The default (built-in co-moment) and exact-decimal correlation
+    paths agree within 1e-6 on arbitrary small frames with pairwise
+    nulls — or both return NULL (degenerate variance, including the
+    ANSI-mode divide-by-zero guard)."""
+    from taxi_rides_ny_duckdb_spark.plans.profile import profile_correlation
+
+    df = spark.createDataFrame(rows, "x double, y double")
+    fast = profile_correlation(df, [("x", "y")]).collect()[0]["corr_r"]
+    exact = profile_correlation(
+        df, [("x", "y")], exact_decimal=True
+    ).collect()[0]["corr_r"]
+    if fast is None or exact is None:
+        assert fast is None and exact is None
+    else:
+        assert abs(fast - exact) < 1e-6, (fast, exact)
