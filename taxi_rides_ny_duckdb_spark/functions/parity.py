@@ -57,8 +57,13 @@ def present_doubles(df):
 
 
 def davg(col: Column, precision: int = 18, scale: int = 4) -> Column:
-    """Order-independent AVG: exact decimal sum / non-null count."""
-    return (
-        F.sum(col.cast(f"decimal({precision},{scale})")).cast("double")
-        / F.count(col)
+    """Order-independent AVG: exact decimal sum / non-null count.
+
+    ``try_divide``: an all-NULL group has count 0 — built-in avg()
+    returns NULL there, a bare ``/`` raises DIVIDE_BY_ZERO under the
+    ambient ANSI mode (r7 sweep); try_divide returns NULL in both ANSI
+    modes, which is also what the DuckDB oracle's x/0 yields."""
+    return F.try_divide(
+        F.sum(col.cast(f"decimal({precision},{scale})")).cast("double"),
+        F.count(col),
     )

@@ -164,9 +164,12 @@ def compile_rolling(
         .rangeBetween(-(window_count - 1), Window.currentRow)
     )
     if method == "average":
-        value = (F.sum("__s").over(w).cast("double") / F.sum("__c").over(w)).alias(
-            metric.name
-        )
+        # try_divide: a window can span only periods whose metric
+        # column was all-NULL (Σ__c = 0) — NULL average in both ANSI
+        # modes instead of an ANSI DIVIDE_BY_ZERO (r7 sweep).
+        value = F.try_divide(
+            F.sum("__s").over(w).cast("double"), F.sum("__c").over(w)
+        ).alias(metric.name)
     elif method == "sum":
         value = F.sum("__s").over(w).cast("double").alias(metric.name)
     elif method == "count":

@@ -36,9 +36,11 @@ def profile_numeric(df: DataFrame, cols: list[str]) -> DataFrame:
         F.count_distinct(F.col("value")).alias("n_distinct"),
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
-        (
-            F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
-            / F.count("value")
+        # try_divide: an all-NULL column has count 0 — NULL mean in
+        # both ANSI modes instead of an ANSI DIVIDE_BY_ZERO (r7 sweep)
+        F.try_divide(
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double"),
+            F.count("value"),
         ).alias("mean_value"),
     )
 
@@ -385,7 +387,9 @@ def profile_histogram(
     (bin) — a single narrow shuffle regardless of table width.
 
     Output: (bin_idx, bin_lo, bin_hi, n) — one row per non-empty bin."""
-    width = (hi - lo) / n_bins
+    # constant column (lo == hi): everything lands in bin 0 instead of
+    # a per-row division by a zero width (ANSI raise — r7 sweep)
+    width = (hi - lo) / n_bins or 1.0
     v = F.col(col).cast("double")
     bin_idx = F.least(
         F.lit(n_bins - 1),
@@ -442,7 +446,7 @@ def profile_text(df: DataFrame, cols: list[str]) -> DataFrame:
         F.count_distinct(F.col("value")).alias("n_distinct"),
         F.min(ln).alias("min_len"),
         F.max(ln).alias("max_len"),
-        (F.sum(ln) / F.count("value")).cast("double").alias("mean_len"),
+        F.try_divide(F.sum(ln), F.count("value")).cast("double").alias("mean_len"),
         F.sum(F.when(F.trim("value") == "", 1).otherwise(0)).alias("n_blank"),
     )
 

@@ -880,3 +880,56 @@ def test_mixture_and_epoch_are_pure_projections(spark, sf_dir):
         assert "Exchange" not in plan, (name, plan)
     gen = plan_of(contract.BUILDERS["ext_epoch_upsample"](spark, sf_dir))
     assert "Generate explode" in gen, gen
+
+
+def test_ansi_degenerate_inputs_return_null_not_raise(spark):
+    """r7 ANSI sweep: under Spark 4's ambient ANSI mode a bare x/0
+    raises DIVIDE_BY_ZERO, so every division whose denominator can hit
+    zero on degenerate-but-legal inputs must be guarded. Pins the
+    swept sites: davg over an all-NULL group, profile_numeric /
+    profile_text over an all-NULL column, a rolling average whose
+    window holds only all-NULL periods, and an equi-width histogram of
+    a constant column (zero width)."""
+    from pyspark.sql import functions as SF
+
+    from taxi_rides_ny_duckdb_spark.functions.parity import davg
+    from taxi_rides_ny_duckdb_spark.plans.profile import (
+        profile_histogram,
+        profile_numeric,
+        profile_text,
+    )
+
+    # davg: all-NULL group → NULL (matches built-in avg / DuckDB x/0)
+    g = spark.createDataFrame(
+        [("a", None), ("a", None), ("b", 2.0)], "k string, v double"
+    )
+    got = {
+        r["k"]: r["m"]
+        for r in g.groupBy("k").agg(davg(SF.col("v")).alias("m")).collect()
+    }
+    assert got == {"a": None, "b": 2.0}
+
+    # profile_numeric / profile_text: all-NULL column → NULL mean
+    nn = spark.createDataFrame([(None,), (None,)], "x double")
+    row = profile_numeric(nn, ["x"]).collect()[0]
+    assert row["mean_value"] is None and row["n_null"] == 2
+    ns = spark.createDataFrame([(None,), (None,)], "s string")
+    row = profile_text(ns, ["s"]).collect()[0]
+    assert row["mean_len"] is None
+
+    # histogram of a constant column: one bin, no zero-width division
+    const = spark.createDataFrame([(5.0,)] * 4, "x double")
+    bins = profile_histogram(const, "x", n_bins=4, lo=5.0, hi=5.0).collect()
+    assert len(bins) == 1 and bins[0]["n"] == 4
+
+    # rolling average over all-NULL periods → NULL rows, not a raise
+    from taxi_rides_ny_duckdb_spark.plans.metrics import Metric, compile_rolling
+
+    ev = spark.createDataFrame(
+        [("2024-01-01 00:00:00", None), ("2024-01-02 00:00:00", None)],
+        "ts string, v double",
+    ).select(SF.col("ts").cast("timestamp").alias("ts"), "v")
+    m = Metric(name="avg_v", calculation_method="average",
+               expression="v", timestamp="ts")
+    out = compile_rolling(ev, m, grain="day", window_count=2).collect()
+    assert all(r["avg_v"] is None for r in out)
