@@ -3222,3 +3222,166 @@ def ext_profile_key_skew(spark, sf_dir):
 
     li = load(spark, sf_dir, "lineitem")
     return profile_key_skew(li, ["l_suppkey", "l_returnflag"], top_k=5)
+
+
+_DUP_SPAN_ORACLE = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS w
+  FROM documents
+), c AS (
+  SELECT doc_id,
+         CAST(i AS BIGINT) AS chunk_idx,
+         array_to_string(w[i*8+1 : i*8+8], ' ') AS span,
+         len(w[i*8+1 : i*8+8]) = 8 AS is_full
+  FROM (SELECT doc_id, w,
+               unnest(generate_series(0, CAST((len(w) + 7) // 8 AS INT) - 1)) AS i
+        FROM w WHERE len(w) > 0)
+), b AS (
+  SELECT span FROM c WHERE is_full
+  GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2
+), m AS (
+  SELECT c.doc_id, c.chunk_idx, c.span,
+         (b.span IS NOT NULL) AS is_dup
+  FROM c LEFT JOIN b ON c.span = b.span
+), g AS (
+  SELECT doc_id,
+         COALESCE(string_agg(CASE WHEN NOT is_dup THEN span END,
+                             ' ' ORDER BY chunk_idx), '') AS clean_text,
+         COUNT(*) AS n_spans,
+         SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS n_removed
+  FROM m GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(g.clean_text, '') AS clean_text,
+       CAST(COALESCE(g.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(COALESCE(g.n_removed, 0) AS BIGINT) AS n_removed
+FROM documents d LEFT JOIN g USING (doc_id)
+"""
+
+
+@query("ext_remove_duplicated_spans", oracle=_DUP_SPAN_ORACLE)
+def ext_remove_duplicated_spans(spark, sf_dir):
+    """Corpus-level duplicated-span removal (operators/cleaning.
+    remove_duplicated_spans) — the Gopher/FineWeb boilerplate pass
+    document-level dedup can't do: 8-token non-overlapping spans,
+    spans in ≥2 distinct documents deleted from EVERY document, text
+    rebuilt in original order. On this corpus the near-dup families
+    share 135 full-width spans across 47 documents. Span counting is
+    one groupBy(span) shuffle (map-side partial distinct); the
+    blacklist is heavy-hitters-only so membership joins BROADCAST (the
+    corpus never shuffles for it); the rebuild is an order-restoring
+    array_sort(collect_list(struct)) groupBy — two corpus-sized
+    shuffles total, zero UDFs, zero all-pairs."""
+    from .operators.cleaning import remove_duplicated_spans
+
+    d = load(spark, sf_dir, "documents")
+    return remove_duplicated_spans(
+        d, "text", "doc_id", span_tokens=8, min_dup_docs=2
+    )
+
+
+_QUANT_TOPK_ORACLE = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+), s AS (
+  SELECT vec_id, ev,
+         CASE WHEN list_aggregate(list_transform(ev, x -> abs(x)), 'max') > 0
+              THEN list_aggregate(list_transform(ev, x -> abs(x)), 'max') / 127.0
+              ELSE 1.0 END AS scale
+  FROM v
+), qz AS (
+  SELECT vec_id,
+         list_transform(ev, x -> CAST(floor(x / scale + 0.5) AS DOUBLE)) AS q
+  FROM s
+), q AS (
+  SELECT vec_id AS query_id, q AS qq FROM qz WHERE vec_id < 8
+), scored AS (
+  SELECT q.query_id, c.vec_id,
+    CASE WHEN sqrt(list_sum(list_transform(generate_series(1, len(qq)), i -> qq[i] * qq[i]))) > 0
+          AND sqrt(list_sum(list_transform(generate_series(1, len(c.q)), i -> c.q[i] * c.q[i]))) > 0
+    THEN list_sum(list_transform(generate_series(1, len(qq)), i -> qq[i] * c.q[i]))
+         / (sqrt(list_sum(list_transform(generate_series(1, len(qq)), i -> qq[i] * qq[i])))
+            * sqrt(list_sum(list_transform(generate_series(1, len(c.q)), i -> c.q[i] * c.q[i]))))
+    ELSE 0.0 END AS qcos
+  FROM qz c CROSS JOIN q
+)
+SELECT query_id, rank, vec_id, qcos_r
+FROM (
+  SELECT query_id, vec_id, round(qcos, 9) AS qcos_r,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(qcos, 9) DESC, vec_id ASC) AS rank
+  FROM scored
+)
+WHERE rank <= 5
+"""
+
+
+@query("ext_similarity_quantized_topk", oracle=_QUANT_TOPK_ORACLE)
+def ext_similarity_quantized_topk(spark, sf_dir):
+    """Exact scan over int8-QUANTIZED embeddings (operators/similarity.
+    int8_scale / quantize_int8 / quantized_topk — SQ8 in FAISS terms):
+    per-vector symmetric scale max(|v|)/127, explicit round-half-up
+    quantization, cosine over the integer arrays (the scale cancels).
+    The dot/norm folds run over exact small integers, so scores and
+    ranks are bit-reproducible across engines BY CONSTRUCTION — the
+    oracle replays the identical arithmetic. The 100 TB point is
+    bytes: int8 vectors are 4× smaller than float32 on scan, shuffle
+    and broadcast, for every ANN stage that tolerates ≤scale/2
+    per-component error (recall vs the float path is certified by
+    ann_recall_at_k in tests)."""
+    from .operators.similarity import quantized_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return quantized_topk(emb, queries, k=5)
+
+
+def _sorted_runs_oracle() -> str:
+    from .operators.sampling import hash_fraction_sql
+
+    u = hash_fraction_sql("doc_id", "shuffle")
+    return f"""
+    WITH p AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY {u} ASC, doc_id ASC) - 1 AS pos
+      FROM documents
+    ), t AS (SELECT COUNT(*) AS total FROM documents)
+    SELECT CAST((pos * 8) // total AS INT) AS run,
+           COUNT(*) AS n_rows,
+           CAST(MIN(pos) AS BIGINT) AS min_pos,
+           CAST(MAX(pos) AS BIGINT) AS max_pos
+    FROM p CROSS JOIN t
+    GROUP BY 1
+    """
+
+
+@query("ext_sorted_run_export", oracle=_sorted_runs_oracle(), memoize=False)
+def ext_sorted_run_export(spark, sf_dir):
+    """Sorted-run training export (operators/scale.write_sorted_runs):
+    the deterministic corpus_shuffle order materialized as 8 hive
+    directories, each an internally-sorted run covering an exact
+    1/8th position range — the layout a training loader consumes
+    sequentially, produced with ONE hash shuffle + within-partition
+    sort (never a global ordering exchange; Spark's own
+    repartitionByRange would sample non-replayable boundaries). The
+    query returns per-run stats from the READ-BACK files while the
+    oracle recomputes them from the raw table — matching hashes prove
+    the export round-trips losslessly and the runs tile the position
+    space exactly. Per-file monotonicity is pinned in unit tests."""
+    from .operators.sampling import corpus_shuffle
+    from .operators.scale import sink_scratch_dir, write_sorted_runs
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    total = d.count()
+    ranked = corpus_shuffle(d, "doc_id")
+    out = sink_scratch_dir(sf_dir, "doc_sorted_runs")
+    write_sorted_runs(ranked, "shuffle_pos", 8, out, total_rows=total)
+    back = spark.read.parquet(out)
+    return back.groupBy(F.col("run").cast("int").alias("run")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("shuffle_pos").cast("long").alias("min_pos"),
+        F.max("shuffle_pos").cast("long").alias("max_pos"),
+    )

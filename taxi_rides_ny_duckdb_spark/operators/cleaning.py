@@ -216,3 +216,107 @@ def robust_normalize(
     return joined.select(
         *df.columns, F.round(z, 9).alias(out_col)
     )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    span_tokens: int = 16,
+    min_dup_docs: int = 2,
+    broadcast_blacklist: bool = True,
+) -> DataFrame:
+    """Corpus-level duplicated-span removal (the Gopher/FineWeb
+    "remove repeated boilerplate" pass): cut every document into
+    non-overlapping ``span_tokens``-token spans, blacklist spans that
+    occur in ≥ ``min_dup_docs`` DISTINCT documents (navbars, license
+    footers, templated headers — the text that survives document-level
+    dedup because the documents around it differ), and rewrite each
+    document with the blacklisted spans deleted.
+
+    Only FULL-width spans are blacklist-eligible; a short tail span is
+    kept verbatim (too little context to be meaningful boilerplate).
+    Within-document repetition alone never triggers removal — the
+    count is distinct-documents, so a chant-like doc keeps its text
+    unless another doc shares it.
+
+    Output: one row per input document —
+    ``(id, clean_text, n_spans, n_removed)`` with ``clean_text = ''``
+    when everything was removed (or the document had no tokens).
+
+    Scale shape at 100 TB: span-frequency is ONE corpus-sized
+    groupBy(span) shuffle with map-side partial distinct; the
+    blacklist is heavy-hitters-only (≤ total_spans / min_dup_docs
+    rows, in practice tiny), so the membership join BROADCASTS and the
+    corpus is never shuffled for it; the rebuild is the second
+    corpus-sized shuffle (groupBy doc). Spans are materialized by a
+    narrow ``posexplode`` over a pure array-slice expression — no UDF
+    anywhere. Set ``broadcast_blacklist=False`` when a low threshold
+    on a huge corpus makes the blacklist executor-memory-sized; the
+    join degrades to a shuffle join, same semantics.
+
+    Oracle (DuckDB): same tokenize/slice/array_to_string spans,
+    ``HAVING COUNT(DISTINCT doc_id) >= D`` blacklist, LEFT-JOIN
+    membership, ``string_agg(span, ' ' ORDER BY chunk_idx)`` rebuild.
+    Span strings injectively encode token lists (tokens are
+    whitespace-free), so string equality IS span equality and a short
+    tail can never collide with a full-width span.
+    """
+    if span_tokens <= 0:
+        raise ValueError("span_tokens must be positive")
+    if min_dup_docs < 2:
+        raise ValueError("min_dup_docs < 2 would blacklist every span")
+    toks = df.select(F.col(id_col), tokenize(F.col(text_col)).alias("__toks"))
+    n = F.size("__toks")
+    # ceil(n / span_tokens) via exact integer division (never doubles)
+    over = n + F.lit(span_tokens - 1)
+    n_chunks = ((over - over % span_tokens) / span_tokens).cast("long")
+    staged = toks.filter(F.size("__toks") > 0).select(
+        F.col(id_col),
+        F.col("__toks"),
+        F.sequence(F.lit(0), (n_chunks - 1).cast("int")).alias("__idx"),
+    )
+    ex = staged.select(
+        F.col(id_col),
+        F.posexplode("__idx").alias("chunk_idx", "__i"),
+        F.col("__toks"),
+    )
+    span = F.slice(F.col("__toks"), F.col("__i") * span_tokens + 1, span_tokens)
+    chunks = ex.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.concat_ws(" ", span).alias("__span"),
+        (F.size(span) == span_tokens).alias("__full"),
+    )
+    blacklist = (
+        chunks.filter(F.col("__full"))
+        .groupBy("__span")
+        .agg(F.count_distinct(F.col(id_col)).alias("__dup_docs"))
+        .filter(F.col("__dup_docs") >= min_dup_docs)
+        .select(F.col("__span").alias("__bl_span"))
+    )
+    bl = F.broadcast(blacklist) if broadcast_blacklist else blacklist
+    marked = chunks.join(
+        bl, chunks["__span"] == bl["__bl_span"], "left"
+    ).withColumn("__dup", F.col("__bl_span").isNotNull())
+    kept_struct = F.when(
+        ~F.col("__dup"), F.struct(F.col("chunk_idx"), F.col("__span"))
+    )  # NULL when removed — collect_list drops nulls
+    rebuilt = marked.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda s: s["__span"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("__dup").cast("long")).alias("n_removed"),
+    )
+    ids = df.select(F.col(id_col))
+    return ids.join(rebuilt, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+        F.coalesce(F.col("n_removed"), F.lit(0)).cast("long").alias("n_removed"),
+    )

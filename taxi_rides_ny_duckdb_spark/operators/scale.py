@@ -141,3 +141,48 @@ def salted_join(
     )
     out = l.join(r, [key, "__salt"], how)
     return out.drop("__salt")
+
+
+def write_sorted_runs(
+    df: DataFrame,
+    pos_col: str,
+    n_runs: int,
+    path: str,
+    total_rows: int | None = None,
+) -> None:
+    """Export ``df`` as ``n_runs`` globally-ordered sorted runs: run
+    ``r`` holds positions ``[r·total/n_runs, (r+1)·total/n_runs)`` of
+    ``pos_col`` and its files are internally sorted — the layout a
+    training data loader wants (open run r, read sequentially; global
+    order = runs in index order), produced WITHOUT a global sort.
+
+    ``run = floor(pos · n_runs / total)`` is an explicit, deterministic
+    range partitioning: Spark's ``repartitionByRange`` SAMPLES its
+    boundaries (not engine-replayable, runs uneven under skew), while
+    an exact rank column — e.g. ``sampling.corpus_shuffle`` output —
+    makes perfectly even cuts a pure projection. Exact integer
+    division; no doubles.
+
+    Plan: one hash shuffle on the run id (each run lands on one task),
+    a WITHIN-partition sort (no global ordering exchange), hive
+    ``partitionBy(run)`` layout so a loader reading run ``r`` prunes
+    every other directory at file-listing time. Pass ``total_rows``
+    when the caller already knows it (corpus_shuffle computed it);
+    otherwise one count pass."""
+    if n_runs <= 0:
+        raise ValueError("n_runs must be positive")
+    total = df.count() if total_rows is None else total_rows
+    if total == 0:
+        out = df.withColumn("run", F.lit(0))
+    else:
+        prod = F.col(pos_col).cast("long") * n_runs
+        out = df.withColumn(
+            "run", ((prod - prod % total) / total).cast("int")
+        )
+    (
+        out.repartition(max(n_runs, 1), "run")
+        .sortWithinPartitions("run", pos_col)
+        .write.mode("overwrite")
+        .partitionBy("run")
+        .parquet(path)
+    )

@@ -694,3 +694,78 @@ def hard_negative_topk_ann(
             "cosine_sim_r",
         )
     )
+
+
+def int8_scale(vec: Column) -> Column:
+    """Per-vector symmetric int8 quantization scale: ``max(|v|)/127``
+    (1.0 for the all-zero vector so division is total).
+
+    Oracle: ``list_aggregate(list_transform(v, x -> abs(x)), 'max')``
+    with the same CASE guard."""
+    m = F.array_max(F.transform(vec, lambda x: F.abs(x)))
+    return F.when(m > 0, m / F.lit(127.0)).otherwise(F.lit(1.0))
+
+
+def quantize_int8(vec: Column, scale: Column) -> Column:
+    """Symmetric int8 quantization: ``q_i = floor(v_i/scale + 0.5)``
+    (explicit round-half-up — engine-portable, unlike bankers'/HALF_UP
+    library rounding differences). Stored as ``array<int>`` — 4× fewer
+    bytes than float32 and 8× fewer than the double arrays the exact
+    path folds over; at 100 TB that is 4× less scan + shuffle traffic
+    for every ANN stage that can tolerate the quantization error.
+
+    Keep ``scale`` alongside ``q`` when dot-product MAGNITUDE matters
+    (MIPS): ``dot(a,b) ≈ dot(qa,qb)·sa·sb``. COSINE needs no scale at
+    all — it cancels in the ratio — so ``quantized_topk`` ranks on the
+    integer arrays alone."""
+    return F.transform(vec, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int"))
+
+
+def quantized_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    round_dp: int = 9,
+) -> DataFrame:
+    """Brute-force top-k over int8-QUANTIZED vectors: the
+    storage-efficient exact-scan baseline (SQ8 in FAISS terms). Same
+    plan shape as ``brute_force_topk`` — broadcast queries, corpus
+    never shuffled, per-query window rank — but every fold runs over
+    small exact integers (|q_i| ≤ 127, dims ≤ thousands), so the dot
+    products and norms are EXACT in double arithmetic and the ranking
+    is bit-reproducible across engines by construction, no rounding
+    epsilon needed (``round_dp`` guards only the final similarity
+    VALUE's division). Quantization error vs the float path is bounded
+    per component by scale/2; certify recall on real data with
+    ``ann_recall_at_k`` against ``brute_force_topk``.
+
+    Output: (query_id, rank, vec_id, qcos_r)."""
+    qscale = int8_scale(F.col("__v"))
+    q = F.broadcast(
+        queries.select(F.col(query_id), _as_double_array(F.col(query_vec)).alias("__v"))
+        .withColumn("__qq", _as_double_array(quantize_int8(F.col("__v"), qscale)))
+        .select(query_id, "__qq")
+    )
+    cscale = int8_scale(F.col("__v"))
+    c = (
+        ensure_min_partitions(corpus)
+        .select(F.col(corpus_id), _as_double_array(F.col(corpus_vec)).alias("__v"))
+        .withColumn("__cq", _as_double_array(quantize_int8(F.col("__v"), cscale)))
+        .select(corpus_id, "__cq")
+    )
+    sim = F.round(cosine(F.col("__qq"), F.col("__cq")), round_dp)
+    scored = c.crossJoin(q).select(
+        F.col(query_id), F.col(corpus_id), sim.alias("qcos_r")
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("qcos_r").desc(), F.col(corpus_id).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, "rank", corpus_id, "qcos_r")
+    )

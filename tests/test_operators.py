@@ -1363,3 +1363,194 @@ def test_profile_key_skew_counts_shares_and_null_label(spark):
     assert got[2] == ("warm", 30, 5, 0.3)
     assert got[3] == ("<NULL>", 6, 5, 0.06)
     assert len(got) == 3
+
+
+def test_remove_duplicated_spans_semantics(spark):
+    """Cross-doc spans removed everywhere; within-doc repetition alone
+    survives; short tails never blacklisted; empty / fully-removed docs
+    come back with clean_text='' (r7 boilerplate-removal operator)."""
+    from taxi_rides_ny_duckdb_spark.operators.cleaning import (
+        remove_duplicated_spans,
+    )
+
+    boiler = "subscribe to our newsletter now"[:0]  # readability anchor
+    rows = [
+        # docs 1 and 2 share span tokens [nav bar menu foot] at the
+        # FRONT; unique continuations after
+        (1, "nav bar menu foot alpha beta gamma delta x y"),
+        (2, "nav bar menu foot epsilon zeta eta theta p q"),
+        # doc 3: within-doc repetition of a span no other doc has
+        (3, "solo solo solo solo solo solo solo solo"),
+        # doc 4: empty text
+        (4, ""),
+        # docs 5 and 6: identical SHORT docs (3 tokens < span width) —
+        # tail spans are not blacklist-eligible
+        (5, "tiny tail doc"),
+        (6, "tiny tail doc"),
+        # doc 7: every span shared with doc 1 (prefix copy) → fully removed? no —
+        # only the 4-token-aligned spans it shares
+        (7, "nav bar menu foot"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in remove_duplicated_spans(
+            df, "text", "doc_id", span_tokens=4, min_dup_docs=2
+        ).collect()
+    }
+    assert len(out) == 7  # every input doc present
+    # the shared boilerplate span is gone from all three carriers
+    assert out[1]["clean_text"] == "alpha beta gamma delta x y"
+    assert out[2]["clean_text"] == "epsilon zeta eta theta p q"
+    assert out[7]["clean_text"] == ""  # doc was ONLY boilerplate
+    assert out[1]["n_spans"] == 3 and out[1]["n_removed"] == 1
+    assert out[7]["n_spans"] == 1 and out[7]["n_removed"] == 1
+    # within-doc repetition alone never triggers removal ("solo"×8 =
+    # two identical full spans, but only ONE distinct doc)
+    assert out[3]["clean_text"] == rows[2][1]
+    assert out[3]["n_removed"] == 0
+    # short identical docs: tail spans ineligible
+    assert out[5]["clean_text"] == "tiny tail doc"
+    assert out[6]["n_removed"] == 0
+    # empty doc round-trips
+    assert out[4]["clean_text"] == "" and out[4]["n_spans"] == 0
+    assert boiler == ""
+
+
+def test_remove_duplicated_spans_order_preserved(spark):
+    """Kept spans rebuild in original position order even when the
+    removed ones interleave."""
+    from taxi_rides_ny_duckdb_spark.operators.cleaning import (
+        remove_duplicated_spans,
+    )
+
+    # span width 2: docs share spans (b b) and (d d); doc 8 keeps
+    # (a a) and (c c) in order around the removals
+    rows = [
+        (8, "a a b b c c d d e e"),
+        (9, "b b d d"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in remove_duplicated_spans(
+            df, "text", "doc_id", span_tokens=2, min_dup_docs=2
+        ).collect()
+    }
+    assert out[8]["clean_text"] == "a a c c e e"
+    assert out[8]["n_spans"] == 5 and out[8]["n_removed"] == 2
+    assert out[9]["clean_text"] == "" and out[9]["n_removed"] == 2
+
+
+def test_remove_duplicated_spans_validates_params(spark):
+    from taxi_rides_ny_duckdb_spark.operators.cleaning import (
+        remove_duplicated_spans,
+    )
+
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        remove_duplicated_spans(df, "text", "doc_id", span_tokens=0)
+    with pytest.raises(ValueError):
+        remove_duplicated_spans(df, "text", "doc_id", min_dup_docs=1)
+
+
+def test_quantized_cosine_error_bound_and_recall(spark, sf_dir):
+    """int8-quantized cosine stays within a small absolute error of the
+    exact cosine on real embeddings, and quantized top-5 recall vs the
+    float path is high (SQ8 certification, r7)."""
+    from taxi_rides_ny_duckdb_spark.operators.similarity import (
+        ann_recall_at_k,
+        brute_force_topk,
+        quantized_topk,
+    )
+    from taxi_rides_ny_duckdb_spark.sources.registry import load
+
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = brute_force_topk(emb, queries, k=5)
+    quant = quantized_topk(emb, queries, k=5)
+    # error bound: compare scores on the pairs BOTH paths ranked
+    joined = exact.join(
+        quant.select("query_id", "vec_id", "qcos_r"), ["query_id", "vec_id"]
+    ).select((F.abs(F.col("cosine_sim") - F.col("qcos_r"))).alias("err"))
+    max_err = joined.agg(F.max("err")).first()[0]
+    assert max_err is not None and max_err < 0.02  # 64-dim int8 scan
+    recall = ann_recall_at_k(quant, exact, k=5)
+    mean_recall = recall.agg(F.avg("recall_at_k")).first()[0]
+    assert mean_recall > 0.9
+
+
+def test_quantize_int8_zero_vector_total(spark):
+    """All-zero vector: scale falls back to 1.0, q is all zeros, and
+    quantized cosine against it is 0.0 (ranking stays total)."""
+    from taxi_rides_ny_duckdb_spark.operators.similarity import (
+        int8_scale,
+        quantize_int8,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [1.0, -2.0, 0.5])], ["id", "v"]
+    )
+    got = df.select(
+        "id",
+        int8_scale(F.col("v")).alias("s"),
+        quantize_int8(F.col("v"), int8_scale(F.col("v"))).alias("q"),
+    ).collect()
+    by_id = {r["id"]: r for r in got}
+    assert by_id[1]["s"] == 1.0 and by_id[1]["q"] == [0, 0, 0]
+    assert by_id[2]["s"] == pytest.approx(2.0 / 127.0)
+    assert by_id[2]["q"] == [64, -127, 32]  # round-half-up: 63.5 → 64
+
+
+def test_write_sorted_runs_layout(spark, tmp_path):
+    """Runs tile the position space in order, each run directory holds
+    ONE file, and rows within a file are position-sorted (r7 export)."""
+    from pyspark.sql.window import Window
+
+    from taxi_rides_ny_duckdb_spark.operators.scale import write_sorted_runs
+
+    n = 100
+    df = spark.createDataFrame(
+        [(i, (i * 37) % n) for i in range(n)], ["pos", "payload"]
+    )
+    out = str(tmp_path / "runs")
+    write_sorted_runs(df, "pos", 4, out, total_rows=n)
+    back = spark.read.parquet(out).withColumn("f", F.input_file_name())
+    # one file per run
+    files = back.groupBy("run").agg(F.count_distinct("f").alias("nf")).collect()
+    assert len(files) == 4 and all(r["nf"] == 1 for r in files)
+    # runs tile [0,100) evenly and in order
+    stats = {
+        r["run"]: (r["lo"], r["hi"], r["c"])
+        for r in back.groupBy("run")
+        .agg(F.min("pos").alias("lo"), F.max("pos").alias("hi"), F.count("*").alias("c"))
+        .collect()
+    }
+    assert stats == {0: (0, 24, 25), 1: (25, 49, 25), 2: (50, 74, 25), 3: (75, 99, 25)}
+    # within-file sortedness: parquet row order == pos order
+    w = Window.partitionBy("f").orderBy(F.monotonically_increasing_id())
+    viol = (
+        spark.read.parquet(out)
+        .withColumn("f", F.input_file_name())
+        .withColumn("prev", F.lag("pos").over(w))
+        .filter(F.col("prev").isNotNull() & (F.col("prev") > F.col("pos")))
+        .count()
+    )
+    assert viol == 0
+
+
+def test_write_sorted_runs_sparse_and_empty(spark, tmp_path):
+    """More runs than rows → gaps are fine but order still holds; and
+    n_runs must be positive."""
+    from taxi_rides_ny_duckdb_spark.operators.scale import write_sorted_runs
+
+    df = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], ["pos", "x"])
+    out = str(tmp_path / "sparse")
+    write_sorted_runs(df, "pos", 8, out, total_rows=3)
+    back = spark.read.parquet(out)
+    rows = sorted((r["run"], r["pos"]) for r in back.collect())
+    assert rows == [(0, 0), (2, 1), (5, 2)]  # floor(pos*8/3)
+    with pytest.raises(ValueError):
+        write_sorted_runs(df, "pos", 0, str(tmp_path / "zero"))
