@@ -95,14 +95,25 @@ def query(
 # CHANGED this round: the new ANN hard-negative path, the two-level
 # cap_per_group default, the fused tfidf plan, the correlation
 # exact-flag routing, the epoch-frac rounding, the CC canonicalization
-# consumers, the pid-scoped sink queries, and an ensure-min-partitions
-# guard consumer (the guard's fire condition changed — IVF re-verifies
-# the similarity family under it). After this round no query's latest
-# driver evidence is older than r4. Rows-only queries are never
-# windowed (their slot would carry no value verification — ADVICE r3).
-# Everything outside the window is verified by the local replica of
-# the gate (tests/test_contract_parity.py, collect-compare and
-# driver-faithful pandas-hash paths).
+# consumers, the pid-scoped sink queries, and the three operators NEW
+# this round (duplicated-span removal, int8-quantized top-k,
+# sorted-run export, incremental dedup vs a history index, row-level
+# snapshot diff — never-windowed queries get slots first, the r5
+# lesson). ext_hard_negative_topk / ext_dedup_cluster_components /
+# ext_similarity_ivf_topk / ext_epoch_upsample /
+# ext_dedup_cluster_keep_best ceded their slots to those five: each
+# is r5/r6-driver-green on its own behavior and its r7 change is
+# exercised transitively by windowed queries (hard_negative_topk_ann
+# runs the IVF machinery + min-partitions guard + the same CC graph;
+# leakage_safe_split consumes the canonicalized CC and the
+# hash-fraction draw; the epoch-frac rounding is property-tested and
+# locally parity-gated).
+# After this round no query's latest driver evidence is older than
+# r4. Rows-only queries are never windowed (their slot would carry no
+# value verification — ADVICE r3). Everything outside the window is
+# verified by the local replica of the gate
+# (tests/test_contract_parity.py, collect-compare and driver-faithful
+# pandas-hash paths).
 DRIVER_WINDOW: tuple[str, ...] = (
     # Reference taxi DAG — permanent prefix.
     "taxi_stg_green_tripdata",
@@ -150,14 +161,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ext_cap_per_group",
     "ext_text_tfidf_topk",
     "ext_profile_correlation",
-    "ext_epoch_upsample",
-    "ext_dedup_cluster_keep_best",
-    "ext_dedup_cluster_components",
+    "ext_incremental_dedup",
+    "ext_snapshot_diff",
     "ext_leakage_safe_split",
     "ext_corpus_shuffle",
     "ext_profile_key_skew",
-    "ext_hard_negative_topk",
-    "ext_similarity_ivf_topk",
+    "ext_remove_duplicated_spans",
+    "ext_similarity_quantized_topk",
+    "ext_sorted_run_export",
     # Dropped to fit 50: the TPC-H q* family, streaming, minhash/
     # simhash/bloom dedup, packing, sampling staples — all r4–r6-green
     # and UNCHANGED this round (union coverage keeps them verified).

@@ -3385,3 +3385,126 @@ def ext_sorted_run_export(spark, sf_dir):
         F.min("shuffle_pos").cast("long").alias("min_pos"),
         F.max("shuffle_pos").cast("long").alias("max_pos"),
     )
+
+
+_INCR_DEDUP_ORACLE = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS w
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(
+           list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+                          i -> array_to_string(w[i:i+2], ' '))
+         ) AS shingles
+  FROM w WHERE len(w) >= 3
+), h AS (
+  SELECT doc_id, CAST(concat('0x', substr(md5(s), 18, 15)) AS BIGINT) AS h
+  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
+), sig AS (
+  SELECT doc_id, p.p AS perm,
+         MIN(CAST(concat('0x', substr(md5(concat(CAST(h AS VARCHAR), '-',
+                                              CAST(p.p AS VARCHAR))), 18, 15))
+                  AS BIGINT)) AS m
+  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS p) p
+  GROUP BY doc_id, p.p
+), bands AS (
+  SELECT doc_id, perm // 4 AS band_idx,
+         string_agg(CAST(m AS VARCHAR), ',' ORDER BY perm) AS band_key
+  FROM sig GROUP BY doc_id, perm // 4
+), cand AS (
+  SELECT DISTINCT b.doc_id AS batch_id, a.doc_id AS history_id
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+  WHERE a.doc_id < 250 AND b.doc_id >= 250
+)
+SELECT c.batch_id, c.history_id,
+       CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+         / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard_sim
+FROM cand c
+JOIN sh sa ON sa.doc_id = c.history_id
+JOIN sh sb ON sb.doc_id = c.batch_id
+WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+        / len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= 0.5
+"""
+
+
+@query("ext_incremental_dedup", oracle=_INCR_DEDUP_ORACLE)
+def ext_incremental_dedup(spark, sf_dir):
+    """Incremental near-dup detection against a persisted history index
+    (operators/dedup.incremental_minhash_dedup): history = doc_id<250
+    signed ONCE with minhash_signatures, batch = doc_id≥250 matched
+    against those signatures via the band join + exact-Jaccard verify.
+    The daily-ingest shape at 100 TB — history contributes ZERO
+    quadratic work (never re-paired with itself; persist its signature
+    table bucketed on the band key and daily joins never reshuffle
+    it). portable=True makes DuckDB replay signatures, candidate set
+    and verified matches exactly (the minhash_lsh precedent); 13
+    verified matches straddle this corpus's split. All pair joins
+    merge-pinned (the r7 compressed-broadcast hazard class)."""
+    from .operators.dedup import incremental_minhash_dedup, minhash_signatures
+
+    d = load(spark, sf_dir, "documents")
+    history_sigs = minhash_signatures(
+        d.filter(F.col("doc_id") < 250), "text", "doc_id", portable=True
+    )
+    batch = d.filter(F.col("doc_id") >= 250)
+    return incremental_minhash_dedup(
+        batch, history_sigs, "text", "doc_id",
+        threshold=0.5, portable=True, max_history_bucket=2**31,
+    )
+
+
+_SNAPSHOT_DIFF_ORACLE = """
+WITH old AS (
+  SELECT doc_id,
+         md5(concat_ws('||',
+             coalesce(CAST(text AS VARCHAR), '_snapshot_diff_null_'),
+             coalesce(CAST(lang AS VARCHAR), '_snapshot_diff_null_'),
+             coalesce(CAST(source AS VARCHAR), '_snapshot_diff_null_')))
+           AS old_fingerprint
+  FROM documents WHERE doc_id < 450
+), new AS (
+  SELECT doc_id,
+         md5(concat_ws('||',
+             coalesce(CAST(CASE WHEN doc_id % 7 = 0 THEN text || ' edited'
+                                ELSE text END AS VARCHAR), '_snapshot_diff_null_'),
+             coalesce(CAST(lang AS VARCHAR), '_snapshot_diff_null_'),
+             coalesce(CAST(source AS VARCHAR), '_snapshot_diff_null_')))
+           AS new_fingerprint
+  FROM documents WHERE doc_id >= 20
+)
+SELECT COALESCE(old.doc_id, new.doc_id) AS doc_id,
+       CASE WHEN old_fingerprint IS NULL THEN 'added'
+            WHEN new_fingerprint IS NULL THEN 'removed'
+            WHEN old_fingerprint != new_fingerprint THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       old_fingerprint, new_fingerprint
+FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+"""
+
+
+@query("ext_snapshot_diff", oracle=_SNAPSHOT_DIFF_ORACLE)
+def ext_snapshot_diff(spark, sf_dir):
+    """Row-level snapshot diff (plans/snapshots.snapshot_diff) — the
+    data-versioning primitive: yesterday's corpus (doc_id<450) vs
+    today's (doc_id≥20, every 7th doc edited), each key classified
+    added/removed/changed/unchanged via md5 content fingerprints with
+    the dbt NULL-sentinel recipe. One full-outer hash join on the key
+    (bucket both snapshots on it at 100 TB and it's exchange-free);
+    fingerprints are map-side. Complements PipeRider's distribution
+    compare (plans/profile.profile_compare) with the row answer that
+    feeds incremental downstream refresh (recompute added ∪ changed
+    only)."""
+    from .plans.snapshots import snapshot_diff
+
+    d = load(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") < 450)
+    new = d.filter(F.col("doc_id") >= 20).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" edited"))
+        ).otherwise(F.col("text")),
+    )
+    return snapshot_diff(old, new, "doc_id", ("text", "lang", "source"))

@@ -117,6 +117,18 @@ def minhash_signatures(
     ).drop("__sh_hashes")
 
 
+def _band_key(b: int, r: int, portable: bool) -> Column:
+    """Bucket key for band ``b`` over a ``minhash`` array column:
+    xxhash64 of the joined signature slice (fixed 8-byte shuffle key)
+    by default; ``portable=True`` keeps the joined STRING itself so a
+    SQL oracle groups on the identical key (injective by
+    construction)."""
+    joined = F.concat_ws(
+        ",", *[F.col("minhash")[b * r + j].cast("string") for j in range(r)]
+    )
+    return joined if portable else F.xxhash64(joined)
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame,
     id_col: str,
@@ -145,18 +157,9 @@ def lsh_candidate_pairs(
     from pyspark.sql.window import Window
 
     r = num_perm // num_bands
-    # Band bucket key: default is xxhash64 of the joined signature
-    # slice (fixed 8-byte shuffle key). portable=True keeps the joined
-    # STRING itself so a SQL oracle groups on the identical key — same
-    # bucket partition of docs (the hash is injective-in-practice; the
-    # string is injective by construction), wider shuffle rows.
-    def band_key(b: int) -> Column:
-        joined = F.concat_ws(
-            ",", *[F.col("minhash")[b * r + j].cast("string") for j in range(r)]
-        )
-        return joined if portable else F.xxhash64(joined)
-
-    bands = F.posexplode(F.array(*[band_key(b) for b in range(num_bands)]))
+    bands = F.posexplode(
+        F.array(*[_band_key(b, r, portable) for b in range(num_bands)])
+    )
     # Bucket size via window count: one shuffle on the same
     # (band_idx, band_hash) key the pair-join needs anyway — no extra
     # agg+join round trip, and AQE sees the true key distribution.
@@ -251,6 +254,87 @@ def minhash_lsh_dedup_pairs(
         .withColumn("jaccard_sim", jaccard(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jaccard_sim") >= threshold)
         .select("id_a", "id_b", "jaccard_sim")
+    )
+
+
+def incremental_minhash_dedup(
+    batch: DataFrame,
+    history_sigs: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    num_perm: int = 32,
+    num_bands: int = 8,
+    shingle_n: int = 3,
+    portable: bool = False,
+    max_history_bucket: int = 65536,
+) -> DataFrame:
+    """Incremental near-dup detection: match a NEW batch against a
+    PERSISTED history signature index — the daily-ingest shape at
+    100 TB, where re-running ``minhash_lsh_dedup_pairs`` over
+    history ∪ batch would re-pair the (enormous, already-deduped)
+    history with itself every day. Here history contributes zero
+    quadratic work: its signatures are computed ONCE
+    (``minhash_signatures`` over the historical corpus — persist the
+    output, ideally bucketed on the band key via
+    ``operators.scale.write_bucketed`` so daily joins never reshuffle
+    it), and each batch pays only its own signature pass plus an
+    (batch-bands × history-bands) bucket join.
+
+    ``history_sigs`` must carry (id, minhash, shingles) — exactly what
+    ``minhash_signatures`` emits — computed with the SAME num_perm /
+    shingle_n / portable scheme (the signature is the index contract;
+    mixing schemes silently yields zero matches).
+
+    ``max_history_bucket``: a history band bucket larger than this is
+    boilerplate-keyed (one band key shared by ≳64 k docs) and is
+    DROPPED from candidate generation — its matches are better handled
+    by ``remove_duplicated_spans``; keeping it would fan every
+    colliding batch doc out against the whole bucket. Bounded loss,
+    explicitly chosen; raise the cap to 2**31 for exact parity with a
+    full-bucket oracle.
+
+    Output: (batch_id, history_id, jaccard_sim) for verified matches —
+    the batch docs to drop (or link) before appending to history.
+    """
+    from pyspark.sql.window import Window
+
+    r = num_perm // num_bands
+    bands = F.posexplode(
+        F.array(*[_band_key(b, r, portable) for b in range(num_bands)])
+    )
+    bsigs = minhash_signatures(
+        batch, text_col, id_col, num_perm, shingle_n, portable=portable
+    ).persist()
+    hb = history_sigs.select(
+        F.col(id_col).alias("history_id"), bands.alias("band_idx", "band_hash")
+    ).withColumn(
+        "__hbsz", F.count(F.lit(1)).over(Window.partitionBy("band_idx", "band_hash"))
+    ).filter(F.col("__hbsz") <= max_history_bucket).drop("__hbsz")
+    bb = bsigs.select(
+        F.col(id_col).alias("batch_id"), bands.alias("band_idx", "band_hash")
+    )
+    # merge-pin, same hazard class as every pair-finder join (r7 sf10
+    # probe): band frames are data-sized but compress to "small"
+    # shuffle bytes; a broadcast build of the history side is the OOM.
+    cands = (
+        bb.hint("merge")
+        .join(hb, ["band_idx", "band_hash"])
+        .select("batch_id", "history_id")
+        .distinct()
+    )
+    hsh = history_sigs.select(
+        F.col(id_col).alias("history_id"), F.col("shingles").alias("sh_h")
+    ).hint("merge")
+    bsh = bsigs.select(
+        F.col(id_col).alias("batch_id"), F.col("shingles").alias("sh_b")
+    ).hint("merge")
+    return (
+        cands.join(bsh, "batch_id")
+        .join(hsh, "history_id")
+        .withColumn("jaccard_sim", jaccard(F.col("sh_b"), F.col("sh_h")))
+        .filter(F.col("jaccard_sim") >= threshold)
+        .select("batch_id", "history_id", "jaccard_sim")
     )
 
 

@@ -147,3 +147,60 @@ def snapshot_check(
         *[F.col(f"__s_{c}").alias(c) for c in out_cols]
     )
     return history.unionByName(kept).unionByName(closed).unionByName(inserted)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    unique_key: str,
+    compare_cols: tuple[str, ...],
+) -> DataFrame:
+    """Row-level diff of two table snapshots — the data-versioning
+    primitive behind "what changed between yesterday's corpus build
+    and today's": every key classified as ``added`` / ``removed`` /
+    ``changed`` / ``unchanged`` with both sides' content fingerprints.
+    PipeRider's compare (plans/profile.profile_compare) answers the
+    DISTRIBUTION question; this answers the ROW question, and its
+    output feeds audits ("show me the changed docs") and incremental
+    downstream refresh (recompute only added ∪ changed).
+
+    Change detection is md5 over the compare columns with the
+    NULL-sentinel coalesce of the dbt surrogate-key recipe
+    (functions/macros.py) — NULL ≠ '' and column order is part of the
+    contract. One full-outer hash join on the key: at 100 TB both
+    snapshots bucket by ``unique_key`` (operators/scale.write_bucketed)
+    and the join is exchange-free; the fingerprint is map-side.
+
+    Output: (unique_key, status, old_fingerprint, new_fingerprint) —
+    fingerprints NULL on the side the key is absent from.
+    """
+    sentinel = "_snapshot_diff_null_"
+
+    def fp(df: DataFrame) -> F.Column:
+        return F.md5(
+            F.concat_ws(
+                "||",
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit(sentinel))
+                    for c in compare_cols
+                ],
+            )
+        )
+
+    o = old.select(F.col(unique_key), fp(old).alias("old_fingerprint"))
+    n = new.select(F.col(unique_key), fp(new).alias("new_fingerprint"))
+    joined = o.join(n, unique_key, "full_outer")
+    status = (
+        F.when(F.col("old_fingerprint").isNull(), F.lit("added"))
+        .when(F.col("new_fingerprint").isNull(), F.lit("removed"))
+        .when(
+            F.col("old_fingerprint") != F.col("new_fingerprint"), F.lit("changed")
+        )
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.select(
+        F.col(unique_key),
+        status.alias("status"),
+        "old_fingerprint",
+        "new_fingerprint",
+    )

@@ -1554,3 +1554,58 @@ def test_write_sorted_runs_sparse_and_empty(spark, tmp_path):
     assert rows == [(0, 0), (2, 1), (5, 2)]  # floor(pos*8/3)
     with pytest.raises(ValueError):
         write_sorted_runs(df, "pos", 0, str(tmp_path / "zero"))
+
+
+def test_incremental_minhash_dedup_matches_history(spark, near_dup_docs):
+    """Batch docs match their history near-dup/copy sources; history is
+    never paired with itself; a tiny bucket cap drops boilerplate
+    buckets (r7 incremental-ingest operator)."""
+    from taxi_rides_ny_duckdb_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_signatures,
+    )
+
+    history = near_dup_docs.filter(F.col("doc_id") < 100)
+    batch = near_dup_docs.filter(F.col("doc_id") >= 100)
+    hsigs = minhash_signatures(history, "text", "doc_id")
+    out = incremental_minhash_dedup(
+        batch, hsigs, "text", "doc_id", threshold=0.5
+    ).collect()
+    got = {(r["batch_id"], r["history_id"]) for r in out}
+    # exact copies always land on their source
+    for i in range(5):
+        assert (200 + i, 30 + i) in got
+    # near-dups (one word changed in 40) mostly recalled
+    near_hits = sum((100 + i, i) in got for i in range(20))
+    assert near_hits >= 15
+    # every pair is batch × history — never history × history
+    assert all(b >= 100 and h < 100 for b, h in got)
+    # jaccard threshold respected
+    assert all(r["jaccard_sim"] >= 0.5 for r in out)
+    # cap=0-ish: every history bucket oversized → no candidates at all
+    none = incremental_minhash_dedup(
+        batch, hsigs, "text", "doc_id", threshold=0.5, max_history_bucket=0
+    )
+    assert none.count() == 0
+
+
+def test_snapshot_diff_statuses_and_nulls(spark):
+    """All four statuses; NULL and '' fingerprint differently (the
+    dbt sentinel recipe)."""
+    from taxi_rides_ny_duckdb_spark.plans.snapshots import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", None), (3, "c", "z"), (4, "d", "w")],
+        ["k", "v1", "v2"],
+    )
+    new = spark.createDataFrame(
+        [(2, "b", ""), (3, "c", "z"), (4, "D", "w"), (5, "e", "u")],
+        ["k", "v1", "v2"],
+    )
+    out = {r["k"]: r for r in snapshot_diff(old, new, "k", ("v1", "v2")).collect()}
+    assert out[1]["status"] == "removed" and out[1]["new_fingerprint"] is None
+    assert out[2]["status"] == "changed"  # NULL → '' is a change
+    assert out[3]["status"] == "unchanged"
+    assert out[3]["old_fingerprint"] == out[3]["new_fingerprint"]
+    assert out[4]["status"] == "changed"
+    assert out[5]["status"] == "added" and out[5]["old_fingerprint"] is None
