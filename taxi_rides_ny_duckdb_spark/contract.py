@@ -109,8 +109,13 @@ def query(
 # hash-fraction draw; the epoch-frac rounding is property-tested and
 # locally parity-gated).
 # After this round no query's latest driver evidence is older than
-# r4. Rows-only queries are never windowed (their slot would carry no
-# value verification — ADVICE r3). Everything outside the window is
+# r4. ext_streaming_incremental_dedup stays un-windowed by choice:
+# its oracle is the SAME string as windowed ext_incremental_dedup
+# (batch/stream symmetry is the claim), and the streaming execution
+# path is verified by the local gate plus the maxFilesPerTrigger
+# symmetry test in tests/test_streaming.py. Rows-only queries are
+# never windowed (their slot would carry no value verification —
+# ADVICE r3). Everything outside the window is
 # verified by the local replica of the gate
 # (tests/test_contract_parity.py, collect-compare and driver-faithful
 # pandas-hash paths).

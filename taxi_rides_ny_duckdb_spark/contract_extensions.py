@@ -3508,3 +3508,69 @@ def ext_snapshot_diff(spark, sf_dir):
         ).otherwise(F.col("text")),
     )
     return snapshot_diff(old, new, "doc_id", ("text", "lang", "source"))
+
+
+_DOCS_STREAM_SRC: dict = {}
+
+
+def _docs_stream_dir(spark, sf_dir: str) -> str:
+    """Batch docs (doc_id ≥ 250) staged as TWO parquet files so
+    maxFilesPerTrigger can exercise multiple micro-batches."""
+    key = (id(spark), sf_dir)
+    if key not in _DOCS_STREAM_SRC:
+        import tempfile
+
+        tmp = tempfile.mkdtemp(prefix="docs_stream_")
+        (
+            load(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") >= 250)
+            .repartition(2)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        _DOCS_STREAM_SRC[key] = tmp
+    return _DOCS_STREAM_SRC[key]
+
+
+@query(
+    "ext_streaming_incremental_dedup",
+    oracle=_INCR_DEDUP_ORACLE,  # batch/stream symmetry: SAME oracle
+    memoize=False,  # eager stream run
+)
+def ext_streaming_incremental_dedup(spark, sf_dir):
+    """Streaming incremental dedup (streaming/jobs.
+    stream_dedup_vs_history): the batch ext_incremental_dedup re-bound
+    to a file-drop stream and verified against the IDENTICAL DuckDB
+    oracle — batch/stream symmetry made checkable. Signature pass is
+    narrow (runs unchanged on the stream); band match is a STATELESS
+    stream-static join against the once-computed history index; only
+    the cross-band pair de-dup keys state (match volume, not corpus
+    volume). The streamed side arrives as two files ⇒ the availableNow
+    run processes real multiple micro-batches. The history index is
+    MATERIALIZED (signed once, written to parquet, read back) — both
+    the production shape and a streaming requirement (see
+    stream_dedup_vs_history docstring)."""
+    from .operators.dedup import minhash_signatures
+    from .operators.scale import sink_scratch_dir
+    from .streaming import jobs
+
+    d = load(spark, sf_dir, "documents")
+    idx = sink_scratch_dir(sf_dir, "history_minhash_index")
+    minhash_signatures(
+        d.filter(F.col("doc_id") < 250), "text", "doc_id", portable=True
+    ).write.mode("overwrite").parquet(idx)
+    history_sigs = spark.read.parquet(idx)
+    tmp = _docs_stream_dir(spark, sf_dir)
+    stream = jobs.stream_dedup_vs_history(
+        jobs.read_documents_stream(spark, tmp),
+        history_sigs,
+        threshold=0.5,
+        portable=True,
+    )
+    jobs.run_to_memory_sink(
+        stream,
+        "contract_stream_incr_dedup",
+        output_mode="append",
+        state_partitions=jobs.sized_state_partitions(tmp, floor=4),
+    )
+    return spark.table("contract_stream_incr_dedup")

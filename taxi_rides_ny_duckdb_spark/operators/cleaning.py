@@ -295,7 +295,10 @@ def remove_duplicated_spans(
         .filter(F.col("__dup_docs") >= min_dup_docs)
         .select(F.col("__span").alias("__bl_span"))
     )
-    bl = F.broadcast(blacklist) if broadcast_blacklist else blacklist
+    # False = the caller KNOWS the blacklist outgrew executor memory:
+    # merge-pin it (a bare unpinned frame would still auto-broadcast
+    # whenever size estimates allow, defeating the escape hatch)
+    bl = F.broadcast(blacklist) if broadcast_blacklist else blacklist.hint("merge")
     marked = chunks.join(
         bl, chunks["__span"] == bl["__bl_span"], "left"
     ).withColumn("__dup", F.col("__bl_span").isNotNull())

@@ -91,6 +91,10 @@ def ensure_min_partitions(
     Eager staging decouples the stages and restores full-width compute;
     at scale the branch never triggers, so nothing big is ever
     checkpointed."""
+    if df.isStreaming:
+        # micro-batch width comes from the source/shuffle confs; a
+        # streaming frame has no static partition count to inspect
+        return df
     target = n or df.sparkSession.sparkContext.defaultParallelism
     # Default: fire only when repartitioning at least DOUBLES the
     # width — a full shuffle to go from 27 to 32 partitions costs far
@@ -119,7 +123,13 @@ def barrier_filter(df, cond):
     (``monotonically_increasing_id() >= 0``). Pushdown requires every
     projected field to be deterministic, and pruning can't drop a
     referenced column, so the filter stays put. Costs one long per row
-    in one stage; changes no results."""
+    in one stage; changes no results.
+
+    Streaming frames take the plain filter: the id expression is
+    disallowed there, and the barrier only guards a batch-planner
+    evaluation-cost pathology — semantics are identical either way."""
+    if df.isStreaming:
+        return df.filter(cond)
     b = "__pushdown_barrier"
     return (
         df.withColumn(b, F.monotonically_increasing_id())

@@ -249,3 +249,94 @@ def run_to_memory_sink(stream_df: DataFrame, query_name: str,
             else:
                 spark.conf.set(k, v)
     return q
+
+
+DOCS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def read_documents_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-drop streaming source over a documents directory — the
+    ingest edge of a streaming corpus pipeline (crawl dumps landing as
+    parquet drops)."""
+    return spark.readStream.schema(DOCS_STREAM_SCHEMA).parquet(path)
+
+
+def stream_dedup_vs_history(
+    docs: DataFrame,
+    history_sigs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_perm: int = 32,
+    num_bands: int = 8,
+    shingle_n: int = 3,
+    portable: bool = False,
+) -> DataFrame:
+    """Streaming incremental near-dup detection: incoming documents
+    matched against a PERSISTED history signature index as they
+    arrive — ``operators/dedup.incremental_minhash_dedup`` re-bound to
+    a stream. The signature pass is pure narrow expressions (tokenize →
+    shingle → hash folds, no shuffle), so it runs unchanged on a
+    streaming frame; the band match is a STREAM-STATIC inner join —
+    stateless, no watermark needed, each micro-batch probes the static
+    band table and emits verified matches immediately.
+
+    Batch/stream symmetry (this module's contract): over the same
+    input this equals ``incremental_minhash_dedup(batch, history_sigs,
+    ...)`` exactly — the oracled batch operator IS the backfill.
+
+    The one stateful step is the cross-band de-dup of emitted pairs
+    (a pair sharing k bands would otherwise emit k times):
+    ``dropDuplicates`` keys state by (batch_id, history_id) — MATCH
+    volume, not corpus volume. For a 24/7 deployment add an ingest-time
+    column and use ``dropDuplicatesWithinWatermark`` to bound even
+    that; the finite-drop harness keeps the exact form.
+
+    Shingle arrays ride along the band explode (num_bands copies per
+    doc, batch-sized only) so verification never re-joins the stream
+    with itself — a stream-stream self-join would need watermarks and
+    buffer state for no benefit.
+
+    ``history_sigs`` must be a MATERIALIZED index — read back from
+    storage (parquet/bucketed table), not a live
+    ``minhash_signatures`` plan: streaming queries reject
+    nondeterministic expressions anywhere in the plan, including the
+    static join side, and the live signature plan carries the
+    HOF-staging barrier (session.barrier_filter). Materialization is
+    what production wants anyway — sign history once, probe it every
+    micro-batch."""
+    from ..functions.text import jaccard
+    from ..operators.dedup import _band_key, minhash_signatures
+
+    r = num_perm // num_bands
+    bands = F.posexplode(
+        F.array(*[_band_key(b, r, portable) for b in range(num_bands)])
+    )
+    bsigs = minhash_signatures(
+        docs, text_col, id_col, num_perm, shingle_n, portable=portable
+    )
+    bb = bsigs.select(
+        F.col(id_col).alias("batch_id"),
+        F.col("shingles").alias("sh_b"),
+        bands.alias("band_idx", "band_hash"),
+    )
+    hb = history_sigs.select(
+        F.col(id_col).alias("history_id"),
+        F.col("shingles").alias("sh_h"),
+        bands.alias("band_idx", "band_hash"),
+    )
+    return (
+        bb.join(hb, ["band_idx", "band_hash"])
+        .withColumn("jaccard_sim", jaccard(F.col("sh_b"), F.col("sh_h")))
+        .filter(F.col("jaccard_sim") >= threshold)
+        .select("batch_id", "history_id", "jaccard_sim")
+        .dropDuplicates(["batch_id", "history_id"])
+    )

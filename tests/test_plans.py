@@ -933,3 +933,64 @@ def test_ansi_degenerate_inputs_return_null_not_raise(spark):
                expression="v", timestamp="ts")
     out = compile_rolling(ev, m, grain="day", window_count=2).collect()
     assert all(r["avg_v"] is None for r in out)
+
+
+def test_duplicated_spans_blacklist_broadcasts(spark, sf_dir):
+    """remove_duplicated_spans' membership join must BROADCAST the
+    heavy-hitter blacklist (the corpus is never shuffled for
+    membership) and keep Python out of the plan entirely; with
+    broadcast_blacklist=False the same join degrades to a shuffle
+    join — the explicit giant-blacklist escape hatch."""
+    df = contract.BUILDERS["ext_remove_duplicated_spans"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan, plan
+    for udf_marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+        assert udf_marker not in plan, plan
+
+    from taxi_rides_ny_duckdb_spark.operators.cleaning import (
+        remove_duplicated_spans,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    shuffled = remove_duplicated_spans(
+        d, "text", "doc_id", span_tokens=8, broadcast_blacklist=False
+    )
+    # membership degrades to a shuffle (sort-merge) join; the thin
+    # id-reattach join may still broadcast — that one is plain size
+    # accounting on a column-pruned scan, not the compressed-size trap
+    assert "SortMergeJoin" in plan_of(shuffled)
+
+
+def test_quantized_topk_corpus_never_shuffled(spark, sf_dir):
+    """quantized_topk must keep the brute-force scan shape: queries
+    broadcast (BroadcastNestedLoopJoin), the only data shuffle is the
+    per-query rank window — never a corpus-wide sort-merge join."""
+    df = contract.BUILDERS["ext_similarity_quantized_topk"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_sorted_run_readback_prunes_runs(spark, sf_dir):
+    """Reading ONE run from the sorted-run export must prune the other
+    run directories at planning time (PartitionFilters on run), not
+    data-filter them."""
+    from taxi_rides_ny_duckdb_spark.operators.scale import sink_scratch_dir
+
+    contract.BUILDERS["ext_sorted_run_export"](spark, sf_dir)  # writes
+    out = sink_scratch_dir(sf_dir, "doc_sorted_runs")
+    one = spark.read.parquet(out).filter(F.col("run") == 3)
+    plan = formatted(one)
+    part_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert part_lines and any("run" in l for l in part_lines), plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert not any("run" in l for l in pushed), plan
+
+
+def test_incremental_dedup_no_broadcast(spark, sf_dir):
+    """incremental_minhash_dedup joins are all merge-pinned — same
+    compressed-broadcast hazard class as the pair-finder self-joins
+    (r7 sf10 finding): zero BroadcastExchange at any SF."""
+    df = contract.BUILDERS["ext_incremental_dedup"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastExchange" not in plan, plan

@@ -384,3 +384,64 @@ def test_inactivity_sessions_late_rows_multibatch(spark, late_events_dir):
     # ...and it is the ONLY state left — closed sessions were evicted
     last_state = q.recentProgress[-1]["stateOperators"][0]["numRowsTotal"]
     assert last_state == 1, last_state
+
+
+def test_stream_dedup_vs_history_equals_batch(spark, tmp_path_factory):
+    """stream_dedup_vs_history over maxFilesPerTrigger=1 micro-batches
+    equals the batch incremental_minhash_dedup exactly — batch/stream
+    symmetry for the r7 incremental-ingest operator. History index
+    materialized to parquet (the streaming requirement AND the
+    production shape)."""
+    import random
+
+    from taxi_rides_ny_duckdb_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_signatures,
+    )
+    from taxi_rides_ny_duckdb_spark.streaming import jobs
+
+    rng = random.Random(11)
+    vocab = "red blue green gold iron wood salt rain moon star".split()
+    rows = []
+    for i in range(30):
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(40)),
+                     "en", "src", 0))
+    # batch docs: 10 near-dups of history + 10 fresh
+    for i in range(10):
+        w = rows[i][1].split(); w[5] = "CHANGED"
+        rows.append((100 + i, " ".join(w), "en", "src", 0))
+    for i in range(10):
+        rows.append((200 + i, " ".join(rng.choice(vocab) for _ in range(40)),
+                     "en", "src", 0))
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    history = df.filter(F.col("doc_id") < 100)
+    batch = df.filter(F.col("doc_id") >= 100)
+
+    idx_dir = str(tmp_path_factory.mktemp("hist_idx"))
+    minhash_signatures(history, "text", "doc_id").write.mode("overwrite").parquet(idx_dir)
+    hsigs = spark.read.parquet(idx_dir)
+
+    batch_dir = str(tmp_path_factory.mktemp("batch_docs"))
+    batch.repartition(3).write.mode("overwrite").parquet(batch_dir)  # ≥3 micro-batches
+
+    stream = jobs.stream_dedup_vs_history(
+        spark.readStream.schema(jobs.DOCS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(batch_dir),
+        hsigs,
+        threshold=0.5,
+    )
+    jobs.run_to_memory_sink(stream, "t_incr_dedup", output_mode="append")
+    got = {
+        (r["batch_id"], r["history_id"], round(r["jaccard_sim"], 9))
+        for r in spark.table("t_incr_dedup").collect()
+    }
+    want = {
+        (r["batch_id"], r["history_id"], round(r["jaccard_sim"], 9))
+        for r in incremental_minhash_dedup(
+            batch, hsigs, "text", "doc_id", threshold=0.5
+        ).collect()
+    }
+    assert got == want and len(want) >= 8  # near-dups found, identical sets
