@@ -92,9 +92,15 @@ def ensure_min_partitions(
     at scale the branch never triggers, so nothing big is ever
     checkpointed."""
     if df.isStreaming:
-        # micro-batch width comes from the source/shuffle confs; a
-        # streaming frame has no static partition count to inspect
-        return df
+        # A streaming frame has no static partition count to inspect,
+        # and its micro-batch width comes from the SOURCE (e.g.
+        # maxFilesPerTrigger=1 ⇒ 1-2 partitions) — which serializes
+        # compute-heavy stages exactly like the small-file batch case
+        # (measured: the minhash pass over a 2-file micro-batch ran
+        # ~13× slower than the same batch plan). Repartition
+        # unconditionally: micro-batches are bounded by definition, so
+        # the extra shuffle is one bounded batch's bytes.
+        return df.repartition(n or df.sparkSession.sparkContext.defaultParallelism)
     target = n or df.sparkSession.sparkContext.defaultParallelism
     # Default: fire only when repartitioning at least DOUBLES the
     # width — a full shuffle to go from 27 to 32 partitions costs far

@@ -1609,3 +1609,33 @@ def test_snapshot_diff_statuses_and_nulls(spark):
     assert out[3]["old_fingerprint"] == out[3]["new_fingerprint"]
     assert out[4]["status"] == "changed"
     assert out[5]["status"] == "added" and out[5]["old_fingerprint"] is None
+
+
+def test_incremental_dedup_equals_full_cross_pairs(spark, near_dup_docs):
+    """incremental_minhash_dedup(history, batch) == the cross-boundary
+    pairs of the full minhash_lsh_dedup_pairs over history ∪ batch
+    (same scheme, no salting) — incrementality changes WHAT is paired,
+    never the pairing function."""
+    from taxi_rides_ny_duckdb_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_lsh_dedup_pairs,
+        minhash_signatures,
+    )
+
+    history = near_dup_docs.filter(F.col("doc_id") < 100)
+    batch = near_dup_docs.filter(F.col("doc_id") >= 100)
+    hsigs = minhash_signatures(history, "text", "doc_id")
+    incr = {
+        (r["history_id"], r["batch_id"], round(r["jaccard_sim"], 9))
+        for r in incremental_minhash_dedup(
+            batch, hsigs, "text", "doc_id", threshold=0.5
+        ).collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"], round(r["jaccard_sim"], 9))
+        for r in minhash_lsh_dedup_pairs(
+            near_dup_docs, "text", "doc_id", threshold=0.5, max_bucket_size=2**31
+        ).collect()
+        if r["id_a"] < 100 <= r["id_b"]  # cross-boundary only
+    }
+    assert incr == full and len(full) > 0

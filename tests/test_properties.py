@@ -408,3 +408,135 @@ def test_profile_correlation_fast_agrees_with_exact(spark, rows):
         assert fast is None and exact is None
     else:
         assert abs(fast - exact) < 1e-6, (fast, exact)
+
+
+_WORDS = st.sampled_from(["aa", "bb", "cc", "dd"])  # tiny vocab → span collisions
+
+
+@settings(**_SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(_WORDS, min_size=0, max_size=12), min_size=0, max_size=8
+    ),
+    span=st.integers(min_value=1, max_value=4),
+)
+def test_remove_duplicated_spans_laws(spark, docs, span):
+    """Laws on arbitrary corpora: every doc comes back exactly once;
+    kept text is the in-order concat of non-removed spans (so token
+    count = n_spans·span − removed·span, tail-adjusted); a HIGHER
+    min_dup_docs never removes more; and with no cross-doc duplicate
+    span, text round-trips unchanged."""
+    from taxi_rides_ny_duckdb_spark.operators.cleaning import (
+        remove_duplicated_spans,
+    )
+
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    df = spark.createDataFrame(rows or [(0, "")], ["doc_id", "text"])
+    out2 = {
+        r["doc_id"]: r
+        for r in remove_duplicated_spans(
+            df, "text", "doc_id", span_tokens=span, min_dup_docs=2
+        ).collect()
+    }
+    out3 = {
+        r["doc_id"]: r
+        for r in remove_duplicated_spans(
+            df, "text", "doc_id", span_tokens=span, min_dup_docs=3
+        ).collect()
+    }
+    data = dict(rows or [(0, "")])
+    assert set(out2) == set(data)
+    for i, text in data.items():
+        toks = text.split()
+        n_spans = (len(toks) + span - 1) // span
+        assert out2[i]["n_spans"] == n_spans
+        # monotone: stricter threshold removes a subset
+        assert out3[i]["n_removed"] <= out2[i]["n_removed"]
+        # kept text is a subsequence of original spans, in order
+        spans = [
+            " ".join(toks[j * span : (j + 1) * span]) for j in range(n_spans)
+        ]
+        kept = out2[i]["clean_text"]
+        remaining = [s for s in spans]
+        # greedy check: clean_text must be reproducible by deleting spans
+        pieces = []
+        removed = 0
+        # recompute expected: a span is removed iff FULL and shared by ≥2 docs
+        full_span_docs: dict = {}
+        for j, words in ((k, v.split()) for k, v in data.items()):
+            for b in range(0, len(words) - span + 1, span):
+                s = " ".join(words[b : b + span])
+                full_span_docs.setdefault(s, set()).add(j)
+        for idx, s in enumerate(spans):
+            is_full = len(s.split()) == span
+            if is_full and len(full_span_docs.get(s, ())) >= 2:
+                removed += 1
+            else:
+                pieces.append(s)
+        assert kept == " ".join(p for p in pieces if p)
+        assert out2[i]["n_removed"] == removed
+    assert remaining is not None  # lint quiet
+
+
+@settings(**_SETTINGS)
+@given(
+    vec=st.lists(
+        st.floats(
+            min_value=-10, max_value=10, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_quantize_int8_reconstruction_bound(spark, vec):
+    """Dequantized components stay within scale/2 of the original, and
+    q is always in [-127, 127] (the int8 contract)."""
+    from taxi_rides_ny_duckdb_spark.operators.similarity import (
+        int8_scale,
+        quantize_int8,
+    )
+
+    df = spark.createDataFrame([(1, vec)], ["id", "v"])
+    row = df.select(
+        int8_scale(F.col("v")).alias("s"),
+        quantize_int8(F.col("v"), int8_scale(F.col("v"))).alias("q"),
+    ).first()
+    s, q = row["s"], row["q"]
+    assert all(-127 <= qi <= 127 for qi in q)
+    for x, qi in zip(vec, q):
+        assert abs(qi * s - x) <= s / 2 + 1e-12
+
+
+@settings(**_SETTINGS)
+@given(
+    old=st.lists(st.tuples(st.integers(0, 6), st.integers(0, 2)), max_size=8,
+                 unique_by=lambda t: t[0]),
+    new=st.lists(st.tuples(st.integers(0, 6), st.integers(0, 2)), max_size=8,
+                 unique_by=lambda t: t[0]),
+)
+def test_snapshot_diff_partitions_keyspace(spark, old, new):
+    """diff statuses partition the key union: added = new∖old,
+    removed = old∖new, changed∪unchanged = old∩new with value
+    (in)equality; and diff(x, x) is all-unchanged."""
+    from taxi_rides_ny_duckdb_spark.plans.snapshots import snapshot_diff
+
+    o = spark.createDataFrame(old or [(99, 0)], ["k", "v"])
+    n = spark.createDataFrame(new or [(99, 0)], ["k", "v"])
+    if not old:
+        o = o.filter("k < 0")
+    if not new:
+        n = n.filter("k < 0")
+    got = {r["k"]: r["status"] for r in snapshot_diff(o, n, "k", ("v",)).collect()}
+    od, nd = dict(old), dict(new)
+    assert set(got) == set(od) | set(nd)
+    for k, status in got.items():
+        if k not in od:
+            assert status == "added"
+        elif k not in nd:
+            assert status == "removed"
+        elif od[k] != nd[k]:
+            assert status == "changed"
+        else:
+            assert status == "unchanged"
+    self_diff = snapshot_diff(o, o, "k", ("v",)).collect()
+    assert all(r["status"] == "unchanged" for r in self_diff)
