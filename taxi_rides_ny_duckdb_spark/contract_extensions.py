@@ -3578,6 +3578,14 @@ def ext_streaming_incremental_dedup(spark, sf_dir):
         stream,
         "contract_stream_incr_dedup",
         output_mode="append",
-        state_partitions=jobs.sized_state_partitions(tmp, floor=4),
+        # 1 MB/partition, not the 16 MB window-agg default: the band
+        # join + shingle-set Jaccard verify are interpreted-HOF
+        # compute, ~10× the per-byte cost of a JVM window agg — at
+        # sf1 the default gave 4-wide shuffles and a 28 s run; 1 MB
+        # sizing restored data-proportional width (20-wide, 7.5 s)
+        # while sf0.1 stays at the floor.
+        state_partitions=jobs.sized_state_partitions(
+            tmp, target_bytes=1 << 20, floor=4
+        ),
     )
     return spark.table("contract_stream_incr_dedup")

