@@ -33,6 +33,22 @@ from .functions.text import (
 from .sources.registry import load
 
 
+def _count_pin(df, *cols):
+    """Append an always-true filter referencing ``cols`` — benchmark
+    hygiene for contract queries whose top is a LEFT join against a
+    unique-keyed side or an aggregate whose outputs the final select
+    carries but a bare ``count()`` consumer doesn't read: Catalyst then
+    ELIMINATES those joins/aggregates (correct for that consumer; the
+    driver's value hash reads every column), and the bench row times a
+    partial plan. Found by the r7 count-plan audit — 7 queries timed
+    this optimistically, worst case ann_recall_eval keeping 1 of 5
+    joins. ``hash(cols) >= Int.MinValue`` is mathematically always
+    true but not constant-foldable (simplification doesn't reason
+    about hash ranges), survives pushdown, costs one int per row, and
+    changes zero rows."""
+    return df.filter(F.hash(*[F.col(c) for c in cols]) >= F.lit(-2147483648))
+
+
 @query(
     "ext_dedup_exact",
     oracle="""
@@ -593,7 +609,7 @@ def ext_ann_recall_eval(spark, sf_dir):
     )
     exact = brute_force_topk(emb, queries, k=5)
     ann = lsh_topk(emb, queries, k=5, dim=64, bits=6, score_round_dp=9)
-    return ann_recall_at_k(ann, exact, k=5)
+    return _count_pin(ann_recall_at_k(ann, exact, k=5), "n_hit", "recall_at_k")
 
 
 _NEARDUP_EXACT_ORACLE = """
@@ -1232,7 +1248,10 @@ def ext_asof_join(spark, sf_dir):
         .groupBy("user_id", "ts")
         .agg(F.max("value").alias("view_value"))
     )
-    return asof_join(clicks, views, on="user_id", left_ts="ts", right_ts="ts")
+    return _count_pin(
+        asof_join(clicks, views, on="user_id", left_ts="ts", right_ts="ts"),
+        "view_value",
+    )
 
 
 @query(
@@ -1362,12 +1381,13 @@ def ext_pivot_event_counts(spark, sf_dir):
     """Pivot: per-user event-type counts (explicit value list so the
     plan is a single pass, no distinct-values pre-query)."""
     e = load(spark, sf_dir, "events")
-    return (
+    out = (
         e.groupBy("user_id")
         .pivot("event_type", ["view", "click", "purchase", "signup", "error"])
         .agg(F.count(F.lit(1)))
         .na.fill(0, ["view", "click", "purchase", "signup", "error"])
     )
+    return _count_pin(out, "view", "click", "purchase", "signup", "error")
 
 
 @query(
@@ -2121,9 +2141,10 @@ def ext_date_spine_densify(spark, sf_dir):
     monthly = o.groupBy(
         F.date_trunc("month", F.col("o_orderdate")).alias("month")
     ).agg(F.count(F.lit(1)).alias("n_orders"))
-    return spine.join(monthly, "month", "left_outer").select(
+    out = spine.join(monthly, "month", "left_outer").select(
         "month", F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders")
     )
+    return _count_pin(out, "n_orders")
 
 
 @query(
@@ -2409,7 +2430,9 @@ def ext_vocab_coverage(spark, sf_dir):
     from .operators.cleaning import vocab_coverage
 
     d = load(spark, sf_dir, "documents")
-    return vocab_coverage(d, "text", "doc_id", 20)
+    return _count_pin(
+        vocab_coverage(d, "text", "doc_id", 20), "total_tokens", "vocab_hits", "coverage"
+    )
 
 
 @query(
@@ -3221,7 +3244,10 @@ def ext_profile_key_skew(spark, sf_dir):
     from .plans.profile import profile_key_skew
 
     li = load(spark, sf_dir, "lineitem")
-    return profile_key_skew(li, ["l_suppkey", "l_returnflag"], top_k=5)
+    return _count_pin(
+        profile_key_skew(li, ["l_suppkey", "l_returnflag"], top_k=5),
+        "n_distinct", "share_r",
+    )
 
 
 _DUP_SPAN_ORACLE = """
@@ -3272,13 +3298,24 @@ def ext_remove_duplicated_spans(spark, sf_dir):
     blacklist is heavy-hitters-only so membership joins BROADCAST (the
     corpus never shuffles for it); the rebuild is an order-restoring
     array_sort(collect_list(struct)) groupBy — two corpus-sized
-    shuffles total, zero UDFs, zero all-pairs."""
+    shuffles total, zero UDFs, zero all-pairs.
+
+    The trailing always-true filter is benchmark hygiene, not logic:
+    the operator reattaches ids with a LEFT join against the
+    (unique-keyed) rebuild aggregate, and under the bench's count()
+    action Catalyst ELIMINATES that join outright — correct (a
+    consumer reading no output columns needs none of the work; the
+    driver's value hash reads them all) but it made the bench row
+    time an empty plan (0.05 s flat across 100× data). Referencing
+    the rebuilt columns in a filter pins the real pipeline under
+    count() while changing zero rows."""
     from .operators.cleaning import remove_duplicated_spans
 
     d = load(spark, sf_dir, "documents")
-    return remove_duplicated_spans(
+    out = remove_duplicated_spans(
         d, "text", "doc_id", span_tokens=8, min_dup_docs=2
     )
+    return _count_pin(out, "clean_text", "n_spans", "n_removed")
 
 
 _QUANT_TOPK_ORACLE = """

@@ -994,3 +994,33 @@ def test_incremental_dedup_no_broadcast(spark, sf_dir):
     df = contract.BUILDERS["ext_incremental_dedup"](spark, sf_dir)
     plan = plan_of(df)
     assert "BroadcastExchange" not in plan, plan
+
+
+def test_count_plan_eliminates_no_work(spark, sf_dir):
+    """Benchmark-integrity audit (r7): under a bare count() consumer,
+    no contract query's optimized plan may lose Joins or Aggregates
+    relative to its full plan. Catalyst legitimately eliminates a
+    LEFT join against a unique-keyed side (and aggregates whose
+    outputs go unread) when nothing references their columns — correct
+    per-consumer, but bench.py times count(), so an eliminable top
+    means the bench row times a PARTIAL plan. Seven queries were found
+    doing exactly that (worst: ann_recall_eval kept 1 of 5 joins) and
+    now pin their outputs via _count_pin; this test keeps every future
+    query honest."""
+    import re
+
+    bad = []
+    for name, fn in contract.BUILDERS.items():
+        if name.startswith("ext_streaming"):
+            continue  # eager memory-table output; nothing to elide
+        df = fn(spark, sf_dir)
+        full = df._jdf.queryExecution().optimizedPlan().toString()
+        cnt = df.groupBy().count()._jdf.queryExecution().optimizedPlan().toString()
+        nj = (len(re.findall(r"\bJoin\b", full)), len(re.findall(r"\bJoin\b", cnt)))
+        na = (
+            len(re.findall(r"\bAggregate\b", full)),
+            len(re.findall(r"\bAggregate\b", cnt)) - 1,  # the count agg
+        )
+        if nj[1] < nj[0] or na[1] < na[0]:
+            bad.append((name, nj, na))
+    assert not bad, bad
