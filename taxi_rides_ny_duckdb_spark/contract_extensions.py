@@ -3626,3 +3626,72 @@ def ext_streaming_incremental_dedup(spark, sf_dir):
         ),
     )
     return spark.table("contract_stream_incr_dedup")
+
+
+_DATACARD_ORACLE = """
+WITH base AS (
+  SELECT source, lang, doc_id, md5(text) AS h,
+         CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                              w -> w != '')) AS BIGINT) AS t,
+         (CASE WHEN length(text) >= 100 AND length(text) <= 20000 THEN 0.25 ELSE 0.0 END)
+         + (CASE WHEN len(list_filter(string_split_regex(lower(text), '\\s+'), w -> w != '')) > 0
+                  AND (CAST(length(text) AS DOUBLE)
+                       / len(list_filter(string_split_regex(lower(text), '\\s+'), w -> w != ''))) >= 3.0
+                  AND (CAST(length(text) AS DOUBLE)
+                       / len(list_filter(string_split_regex(lower(text), '\\s+'), w -> w != ''))) <= 12.0
+             THEN 0.25 ELSE 0.0 END)
+         + 0.25 * (1.0 - (CASE WHEN length(text) > 0
+             THEN CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+                  / length(text) ELSE 0.0 END))
+         + 0.25 * least((CASE WHEN len(list_filter(string_split_regex(lower(text), '\\s+'), w -> w != '')) > 0
+             THEN CAST(len(list_filter(list_filter(string_split_regex(lower(text), '\\s+'), w -> w != ''),
+                  w -> list_contains(['the','a','of','and','to','in','is','that','it','for'], w))) AS DOUBLE)
+                  / len(list_filter(string_split_regex(lower(text), '\\s+'), w -> w != ''))
+             ELSE 0.0 END) * 5.0, 1.0) AS q
+  FROM documents
+), core AS (
+  SELECT source, COUNT(*) AS n_docs, CAST(SUM(t) AS BIGINT) AS total_tokens,
+         round(CAST(SUM(CAST(q AS DECIMAL(18,9))) AS DOUBLE) / COUNT(q), 9)
+           AS avg_quality_r,
+         CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+  FROM base GROUP BY source
+), lc AS (
+  SELECT source, lang, COUNT(*) AS c FROM base GROUP BY source, lang
+), top AS (
+  SELECT source, lang AS top_lang, c,
+         row_number() OVER (PARTITION BY source ORDER BY c DESC, lang ASC) AS rn
+  FROM lc
+), dup AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS exact_dup_docs
+  FROM (SELECT source, h, COUNT(*) AS c FROM base GROUP BY source, h)
+  WHERE c > 1 GROUP BY source
+)
+SELECT core.source, n_docs, total_tokens, avg_quality_r, n_langs,
+       top.top_lang,
+       round(CAST(top.c AS DOUBLE) / core.n_docs, 9) AS top_lang_share_r,
+       COALESCE(dup.exact_dup_docs, 0) AS exact_dup_docs
+FROM core
+JOIN top ON top.source = core.source AND top.rn = 1
+LEFT JOIN dup ON dup.source = core.source
+"""
+
+
+@query("ext_corpus_datacard", oracle=_DATACARD_ORACLE)
+def ext_corpus_datacard(spark, sf_dir):
+    """Per-source corpus datasheet (plans/profile.corpus_datacard —
+    "datasheets for datasets"): volume, language makeup (distinct +
+    dominant share), exact-decimal mean quality, within-source exact
+    duplication — the roll-up that sets mixture weights and per-source
+    caps before a training run. One map-side per-doc projection
+    (tokenize staged once), three aggregation-bounded groupBys
+    ((source), (source,lang), (source,md5)), source-cardinality
+    assembly joins. Count-pinned: the assembly LEFT join is
+    unique-keyed and would otherwise be eliminated under the bench's
+    count()."""
+    from .plans.profile import corpus_datacard
+
+    d = load(spark, sf_dir, "documents")
+    return _count_pin(
+        corpus_datacard(d, "source", "lang", "text", "doc_id"),
+        "avg_quality_r", "top_lang", "top_lang_share_r", "exact_dup_docs",
+    )

@@ -638,3 +638,97 @@ def profile_key_skew(
             )
         )
     return reduce(lambda a, b: a.unionByName(b), outs)
+
+
+def corpus_datacard(
+    df: DataFrame,
+    source_col: str,
+    lang_col: str,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Per-source corpus datasheet — the "datasheets for datasets"
+    summary a training-data pipeline publishes per ingest source:
+    volume (docs, tokens), language makeup (distinct count, dominant
+    language and its share), mean heuristic quality, and the
+    within-source exact-duplication count. One row per source; the
+    roll-up that decides mixture weights (operators/sampling.
+    mixture_sample) and per-source caps (cap_per_group) before any
+    training run.
+
+    Plan shape at 100 TB: one map-side projection computes tokens /
+    quality / content-hash per document (tokenize staged ONCE — the
+    HOF-staging law), then three aggregation-bounded groupBys whose
+    shuffle keys are (source), (source, lang), (source, md5) — the
+    first two are source-cardinality; the hash agg carries one row per
+    distinct content, count-only. The final assembly joins
+    source-cardinality frames (broadcast-size by construction).
+
+    Output: (source, n_docs, total_tokens, avg_quality_r, n_langs,
+    top_lang, top_lang_share_r, exact_dup_docs); top_lang ties break
+    lexicographically; avg quality routed through exact decimal
+    (functions/parity.davg) and 9dp-rounded for engine parity.
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions.parity import davg
+    from ..functions.text import quality_score, token_count, tokenize
+
+    staged = df.select(
+        F.col(source_col),
+        F.col(lang_col),
+        F.col(id_col),
+        F.col(text_col),
+        tokenize(F.col(text_col)).alias("__toks"),
+    )
+    base = staged.select(
+        F.col(source_col),
+        F.col(lang_col),
+        token_count(F.col(text_col)).alias("__t"),
+        quality_score(F.col(text_col), tokens=F.col("__toks")).alias("__q"),
+        F.md5(F.col(text_col)).alias("__h"),
+    )
+    core = base.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__t").cast("long").alias("total_tokens"),
+        F.round(davg(F.col("__q"), 18, 9), 9).alias("avg_quality_r"),
+        F.count_distinct(F.col(lang_col)).cast("long").alias("n_langs"),
+    )
+    lc = base.groupBy(source_col, lang_col).agg(F.count(F.lit(1)).alias("__c"))
+    w = Window.partitionBy(source_col).orderBy(
+        F.col("__c").desc(), F.col(lang_col).asc()
+    )
+    top = (
+        lc.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col(source_col),
+            F.col(lang_col).alias("top_lang"),
+            F.col("__c").alias("__top_c"),
+        )
+    )
+    dup = (
+        base.groupBy(source_col, "__h")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") > 1)
+        .groupBy(source_col)
+        .agg(F.sum("__c").cast("long").alias("exact_dup_docs"))
+    )
+    return (
+        core.join(top, source_col)
+        .join(dup, source_col, "left")
+        .select(
+            F.col(source_col),
+            "n_docs",
+            "total_tokens",
+            "avg_quality_r",
+            "n_langs",
+            "top_lang",
+            F.round(F.col("__top_c") / F.col("n_docs"), 9).alias(
+                "top_lang_share_r"
+            ),
+            F.coalesce(F.col("exact_dup_docs"), F.lit(0).cast("long")).alias(
+                "exact_dup_docs"
+            ),
+        )
+    )

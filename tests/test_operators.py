@@ -1639,3 +1639,34 @@ def test_incremental_dedup_equals_full_cross_pairs(spark, near_dup_docs):
         if r["id_a"] < 100 <= r["id_b"]  # cross-boundary only
     }
     assert incr == full and len(full) > 0
+
+
+def test_corpus_datacard_values(spark):
+    """Datacard aggregates on a corpus with known makeup: counts,
+    token totals, dominant-language share (lexicographic tie-break),
+    within-source exact-dup accounting, zero-dup sources report 0."""
+    from taxi_rides_ny_duckdb_spark.plans.profile import corpus_datacard
+
+    rows = [
+        # src_a: 3 docs — two exact copies + one unique; langs en,en,fr
+        (1, "the cat sat", "en", "src_a"),
+        (2, "the cat sat", "en", "src_a"),
+        (3, "le chat", "fr", "src_a"),
+        # src_b: 2 docs, tie between langs de and en → 'de' wins tie
+        (4, "hund", "de", "src_b"),
+        (5, "dog", "en", "src_b"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+    out = {
+        r["source"]: r
+        for r in corpus_datacard(df, "source", "lang", "text", "doc_id").collect()
+    }
+    a, b = out["src_a"], out["src_b"]
+    assert a["n_docs"] == 3 and a["total_tokens"] == 3 + 3 + 2
+    assert a["n_langs"] == 2
+    assert a["top_lang"] == "en" and a["top_lang_share_r"] == pytest.approx(2 / 3)
+    assert a["exact_dup_docs"] == 2  # both copies count
+    assert b["n_docs"] == 2 and b["top_lang"] == "de"  # tie → lexicographic
+    assert b["top_lang_share_r"] == 0.5
+    assert b["exact_dup_docs"] == 0
+    assert 0.0 <= a["avg_quality_r"] <= 1.0
