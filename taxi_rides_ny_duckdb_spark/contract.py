@@ -95,14 +95,14 @@ def query(
 # CHANGED this round: the new ANN hard-negative path, the two-level
 # cap_per_group default, the fused tfidf plan, the correlation
 # exact-flag routing, the epoch-frac rounding, the CC canonicalization
-# consumers, the pid-scoped sink queries, and the three operators NEW
-# this round (duplicated-span removal, int8-quantized top-k,
-# sorted-run export, incremental dedup vs a history index, row-level
-# snapshot diff — never-windowed queries get slots first, the r5
-# lesson). ext_hard_negative_topk / ext_dedup_cluster_components /
-# ext_similarity_ivf_topk / ext_epoch_upsample /
-# ext_dedup_cluster_keep_best ceded their slots to those five: each
-# is r5/r6-driver-green on its own behavior and its r7 change is
+# consumers, the pid-scoped sink queries, and the operators NEW this
+# round (duplicated-span removal, int8-quantized top-k, sorted-run
+# export, incremental dedup vs a history index, row-level snapshot
+# diff, per-source corpus datacard — never-windowed queries get slots
+# first, the r5 lesson). ext_hard_negative_topk /
+# ext_dedup_cluster_components / ext_similarity_ivf_topk /
+# ext_epoch_upsample / ext_dedup_cluster_keep_best ceded their slots:
+# each is r5/r6-driver-green on its own behavior and its r7 change is
 # exercised transitively by windowed queries (hard_negative_topk_ann
 # runs the IVF machinery + min-partitions guard + the same CC graph;
 # leakage_safe_split consumes the canonicalized CC and the
@@ -115,7 +115,15 @@ def query(
 # path is verified by the local gate plus the maxFilesPerTrigger
 # symmetry test in tests/test_streaming.py. Rows-only queries are
 # never windowed (their slot would carry no value verification —
-# ADVICE r3). Everything outside the window is
+# ADVICE r3). w1_dedup_distinct ceded its sweep slot to the new
+# ext_corpus_datacard: it is the second variant of the same staging
+# dedup (w1_dedup_row_number keeps the family's slot) and a
+# never-windowed query outranks a duplicate-family refresh.
+# ext_similarity_ivf_sq8_topk (last r7 addition) stays un-windowed:
+# it is the literal composition of two verified pieces — the frozen
+# IVF assignment (r5/r6-green ext_similarity_ivf_topk's oracle CTEs
+# verbatim) and the windowed ext_similarity_quantized_topk's scoring
+# arithmetic — and is locally parity-gated like everything else. Everything outside the window is
 # verified by the local replica of the gate
 # (tests/test_contract_parity.py, collect-compare and driver-faithful
 # pandas-hash paths).
@@ -155,7 +163,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "s1_scan_filter_project",
     "s5_sql_entrypoint",
     "u1_union_all_tagged",
-    "w1_dedup_distinct",
     "w1_dedup_row_number",
     "x2_case_decode",
     "x3_surrogate_key",
@@ -168,6 +175,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ext_profile_correlation",
     "ext_incremental_dedup",
     "ext_snapshot_diff",
+    "ext_corpus_datacard",
     "ext_leakage_safe_split",
     "ext_corpus_shuffle",
     "ext_profile_key_skew",

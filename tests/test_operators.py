@@ -1670,3 +1670,42 @@ def test_corpus_datacard_values(spark):
     assert b["top_lang_share_r"] == 0.5
     assert b["exact_dup_docs"] == 0
     assert 0.0 <= a["avg_quality_r"] <= 1.0
+
+
+def test_ivf_sq8_quantization_costs_no_recall(spark, sf_dir):
+    """The right decomposition of IVF-SQ8's two approximations: the
+    candidate restriction (probe 2 of 8 lists) is shared with float
+    IVF, so SQ8's recall vs brute force must MATCH float IVF's — and
+    SQ8's top-5 vs float IVF's top-5 must be ≥0.9 (int8 scoring
+    reorders at most a near-tie). On this fixture both hold exactly
+    (mutual recall 1.0): quantization costs zero here (r7)."""
+    from taxi_rides_ny_duckdb_spark.contract_ivf_centroids import IVF_CENTROIDS
+    from taxi_rides_ny_duckdb_spark.operators.similarity import (
+        ann_recall_at_k,
+        brute_force_topk,
+        ivf_quantized_topk,
+        ivf_topk,
+    )
+    from taxi_rides_ny_duckdb_spark.sources.registry import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = brute_force_topk(emb, queries, k=5)
+    flt = ivf_topk(
+        emb, queries, k=5, centroids=IVF_CENTROIDS, nprobe=2,
+        round_dp=9, score_round_dp=9,
+    )
+    sq8 = ivf_quantized_topk(
+        emb, queries, k=5, centroids=IVF_CENTROIDS, nprobe=2, round_dp=9
+    )
+    r_flt = ann_recall_at_k(flt, exact, k=5).agg(F.avg("recall_at_k")).first()[0]
+    r_sq8 = ann_recall_at_k(sq8, exact, k=5).agg(F.avg("recall_at_k")).first()[0]
+    assert r_sq8 >= r_flt - 0.05  # quantization adds ~nothing on top of probing
+    r_mutual = (
+        ann_recall_at_k(sq8, flt.withColumnRenamed("cosine_sim", "s"), k=5)
+        .agg(F.avg("recall_at_k"))
+        .first()[0]
+    )
+    assert r_mutual >= 0.9
