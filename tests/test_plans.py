@@ -1024,3 +1024,24 @@ def test_count_plan_eliminates_no_work(spark, sf_dir):
         if nj[1] < nj[0] or na[1] < na[0]:
             bad.append((name, nj, na))
     assert not bad, bad
+
+
+def test_datacard_joins_are_source_cardinality(spark, sf_dir):
+    """corpus_datacard's assembly joins operate on source-cardinality
+    aggregates — every join in the plan must be broadcast-hash (no
+    data-sized sort-merge), and Python never enters the plan."""
+    df = contract.BUILDERS["ext_corpus_datacard"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "SortMergeJoin" not in plan, plan
+    for udf_marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+        assert udf_marker not in plan, plan
+
+
+def test_ivf_sq8_corpus_never_shuffled(spark, sf_dir):
+    """IVF-SQ8: the probe join must broadcast the exploded query side —
+    the corpus (int8 codes + list id) is scanned, never shuffled; the
+    only exchange is the per-query rank window."""
+    df = contract.BUILDERS["ext_similarity_ivf_sq8_topk"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
