@@ -123,7 +123,11 @@ def query(
 # it is the literal composition of two verified pieces — the frozen
 # IVF assignment (r5/r6-green ext_similarity_ivf_topk's oracle CTEs
 # verbatim) and the windowed ext_similarity_quantized_topk's scoring
-# arithmetic — and is locally parity-gated like everything else. Everything outside the window is
+# arithmetic — and is locally parity-gated like everything else.
+# ext_weighted_sample likewise: it runs the SAME _keyed_top_per_group
+# engine as windowed ext_cap_per_group (only the key expression
+# differs), so the shared machinery gets driver evidence through the
+# cap query while the ES-specific key is locally parity-gated. Everything outside the window is
 # verified by the local replica of the gate
 # (tests/test_contract_parity.py, collect-compare and driver-faithful
 # pandas-hash paths).

@@ -3779,3 +3779,54 @@ def ext_similarity_ivf_sq8_topk(spark, sf_dir):
     return ivf_quantized_topk(
         emb, queries, k=5, centroids=IVF_CENTROIDS, nprobe=2, round_dp=9
     )
+
+
+def _weighted_sample_oracle() -> str:
+    from .operators.sampling import hash_fraction_sql
+
+    u = hash_fraction_sql("doc_id", "wsample")
+    return f"""
+    WITH k AS (
+      SELECT doc_id, lang, n_chars,
+             round(-pow({u}, 1.0 / CAST(n_chars AS DOUBLE)), 9) AS neg_key
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, lang, n_chars, round(-neg_key, 9) AS es_key_r
+    FROM (
+      SELECT doc_id, lang, n_chars, neg_key,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY neg_key ASC, doc_id ASC) AS rn
+      FROM k
+    ) WHERE rn <= 20
+    """
+
+
+@query("ext_weighted_sample", oracle=_weighted_sample_oracle())
+def ext_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement
+    (operators/sampling.weighted_sample_per_group — Efraimidis–Spirakis
+    A-ES): 20 docs per language, selection probability rising with
+    document length (w = n_chars) — the quality/token-weighted
+    downsampler a plain fraction or unweighted cap can't express.
+    Content-addressed draws u^(1/w) (reruns/engines/appends agree),
+    9dp round-before-rank against libm pow ulp drift, id tiebreak.
+    Runs the two-level scale path: Arrow per-partition top-n prune
+    before the exchange, exact window after — identical output,
+    skew-proof shuffle (the cap_per_group machinery, shared)."""
+    from .operators.sampling import hash_fraction, weighted_sample_per_group
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    out = weighted_sample_per_group(
+        d, "doc_id", "lang", n=20, weight_col="n_chars"
+    )
+    u_key = F.round(
+        F.pow(
+            hash_fraction(F.col("doc_id"), "wsample"),
+            F.lit(1.0) / F.col("n_chars"),
+        ),
+        9,
+    )
+    return out.select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"),
+        u_key.alias("es_key_r"),
+    )

@@ -279,16 +279,36 @@ def cap_per_group(
     half through one reducer. ``two_level=False`` keeps the plain
     single-window plan (fine when groups are known-bounded and the
     Arrow pass isn't worth it)."""
-    from pyspark.sql.window import Window
-
     if cap < 1:
         raise ValueError(f"cap must be >= 1, got {cap}")
-    u = hash_fraction(F.col(id_col), salt)
+    return _keyed_top_per_group(
+        df, hash_fraction(F.col(id_col), salt), id_col, group_col, cap, two_level
+    )
+
+
+def _keyed_top_per_group(
+    df: DataFrame,
+    key,
+    id_col: str,
+    group_col: str,
+    cap: int,
+    two_level: bool,
+) -> DataFrame:
+    """Keep the ``cap`` rows with the SMALLEST ``(key, id)`` per group —
+    the shared engine behind ``cap_per_group`` (key = content hash) and
+    ``weighted_sample_per_group`` (key = negated Efraimidis–Spirakis
+    draw). ``two_level=True`` runs the Arrow per-partition partial
+    top-cap BEFORE the exchange (identical output — every global winner
+    is inside its partition's top-cap — with cap-bounded shuffle and no
+    single-reducer skew; see cap_per_group docstring for the full
+    rationale)."""
+    from pyspark.sql.window import Window
+
     src = df
     if two_level:
         import pandas as pd
 
-        with_u = df.withColumn("__u", u)
+        with_u = df.withColumn("__u", key)
         n_keep = cap
 
         def prune(batches):
@@ -313,7 +333,7 @@ def cap_per_group(
         src = with_u.mapInPandas(prune, schema=with_u.schema)
         order_u = F.col("__u")
     else:
-        order_u = u
+        order_u = key
     w = Window.partitionBy(group_col).orderBy(order_u.asc(), F.col(id_col).asc())
     out = (
         src.withColumn("__rn", F.row_number().over(w))
@@ -321,6 +341,49 @@ def cap_per_group(
         .drop("__rn")
     )
     return out.drop("__u") if two_level else out
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    n: int,
+    weight_col: str,
+    salt: str = "wsample",
+    two_level: bool = True,
+) -> DataFrame:
+    """Deterministic WEIGHTED sampling without replacement, ``n`` per
+    group (Efraimidis–Spirakis A-ES): each row draws ``u^(1/w)`` with
+    ``u = hash_fraction(id, salt)`` and the ``n`` LARGEST draws win —
+    selection probability rises with weight exactly as sequential
+    weighted sampling without replacement prescribes. The quality- or
+    token-weighted downsampler: "keep 10 k docs per language, favoring
+    high quality" is this with w = quality; a plain fraction can't
+    express it and unweighted capping ignores quality entirely.
+
+    Content-addressed like every sampler here (``rand()`` would change
+    under retries): the draw is a pure function of (id, salt, weight),
+    so reruns, engines, and appends agree; change ``salt`` for a fresh
+    sample. Rows with ``w <= 0`` or NULL weight are excluded (they
+    have no well-defined draw). The draw is 9dp-rounded BEFORE ranking
+    (round-before-rank: libm ``pow`` may differ in the last ulp across
+    engines) with the id as tiebreak.
+
+    Same two-level scale path as ``cap_per_group``: Arrow partial
+    top-n before the exchange, exact window after — a group holding
+    half the corpus arrives at its reducer pre-pruned.
+
+    Oracle: ``round(-pow(u, 1.0/w), 9)`` ascending, ``row_number()``
+    per group, ``rn <= n``."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    u = hash_fraction(F.col(id_col), salt)
+    # negate so "largest draw wins" becomes the shared engine's
+    # "smallest key wins"; round BEFORE the sign so the oracle's
+    # round(-pow(...)) matches bit-for-bit (round is odd: r(-x)=-r(x))
+    key = -F.round(F.pow(u, F.lit(1.0) / F.col(weight_col)), 9)
+    eligible = df.filter(F.col(weight_col) > 0)
+    return _keyed_top_per_group(eligible, key, id_col, group_col, n, two_level)
 
 
 def corpus_shuffle(

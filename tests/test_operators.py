@@ -1709,3 +1709,34 @@ def test_ivf_sq8_quantization_costs_no_recall(spark, sf_dir):
         .first()[0]
     )
     assert r_mutual >= 0.9
+
+
+def test_weighted_sample_semantics_and_two_level_equivalence(spark):
+    """ES weighted sampling: two-level output equals the single-window
+    form exactly; zero/negative/null weights are excluded; heavier
+    rows win systematically over light ones at equal hash position;
+    deterministic across calls (r7)."""
+    from taxi_rides_ny_duckdb_spark.operators.sampling import (
+        weighted_sample_per_group,
+    )
+
+    rows = [(i, "g", float(1 + (i % 2) * 999)) for i in range(200)]
+    rows += [(900, "g", 0.0), (901, "g", -3.0), (902, "g", None)]
+    df = spark.createDataFrame(rows, "id bigint, grp string, w double")
+    two = weighted_sample_per_group(df, "id", "grp", 20, "w")
+    one = weighted_sample_per_group(df, "id", "grp", 20, "w", two_level=False)
+    got2 = sorted(r["id"] for r in two.collect())
+    got1 = sorted(r["id"] for r in one.collect())
+    assert got2 == got1 and len(got2) == 20
+    # ineligible weights never appear
+    assert not {900, 901, 902} & set(got2)
+    # heavy rows (w=1000, odd ids) dominate: u^(1/1000) ≈ 1 beats
+    # u^(1/1) = u for all but extreme u
+    heavy = sum(i % 2 == 1 for i in got2)
+    assert heavy >= 18
+    # deterministic rerun
+    again = sorted(r["id"] for r in weighted_sample_per_group(
+        df, "id", "grp", 20, "w").collect())
+    assert again == got2
+    with pytest.raises(ValueError):
+        weighted_sample_per_group(df, "id", "grp", 0, "w")
