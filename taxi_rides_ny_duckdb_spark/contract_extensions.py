@@ -3830,3 +3830,42 @@ def ext_weighted_sample(spark, sf_dir):
         "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"),
         u_key.alias("es_key_r"),
     )
+
+
+@query(
+    "ext_sketch_distinct_rollup",
+    oracle="""
+    SELECT CAST(year(l_shipdate) AS INT) AS rollup_key,
+           COUNT(DISTINCT date_trunc('month', l_shipdate)) AS n_shards,
+           COUNT(DISTINCT l_partkey) AS exact_distinct,
+           TRUE AS within_bound
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def ext_sketch_distinct_rollup(spark, sf_dir):
+    """Mergeable HLL distinct-count rollup UNDER ORACLE
+    (operators/sketch): one DataSketches HLL sketch per ship-MONTH
+    shard (the appendable artifact — one ~2 KB row per shard, the
+    fact table scanned once per ingest, never again), yearly distinct
+    parts answered by UNIONING the 12 monthly sketches. The guarded
+    form certifies the union path: exact distinct per year
+    value-matched against DuckDB, plus a boolean asserting the
+    union-of-shards estimate within 10 % of exact (lgK=12 ⇒ RSE
+    ≈1.6 %, so the bound is >6σ; oracle declares literal TRUE — an
+    estimate outside its guarantee flips the hash). The estimate
+    itself is not an output (DuckDB cannot replay a register array) —
+    the prof_lineitem_approx_guarded pattern applied to the
+    incremental-rollup use case. _count_pin: under a count-only
+    consumer Catalyst would column-prune the HLL buffers out of both
+    aggregates and the bench would time a sketch-free plan."""
+    from .operators.sketch import sketch_rollup_guarded
+
+    li = load(spark, sf_dir, "lineitem")
+    out = sketch_rollup_guarded(
+        li,
+        shard=F.date_trunc("month", F.col("l_shipdate")),
+        rollup_fn=lambda c: F.year(c).cast("int"),
+        value_col="l_partkey",
+    )
+    return _count_pin(out, "exact_distinct", "within_bound")

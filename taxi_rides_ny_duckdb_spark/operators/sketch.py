@@ -1,0 +1,151 @@
+"""Mergeable distinct-count sketches (EXTENSION — no reference analog).
+
+The incremental-rollup pattern every 100 TB warehouse converges on:
+materialize ONE small HLL sketch row per shard (ingest partition, day,
+source file batch — whatever the append unit is), then answer any
+"distinct X over this subset of shards" question by UNIONING the
+relevant sketches — the raw fact table is never rescanned. A new shard
+appends one sketch row; historical shards are immutable. This is what
+makes daily "distinct users this quarter" queries O(#shards) instead
+of O(corpus) — the difference between a dashboard refresh and a fact
+scan at scale.
+
+Spark-first: the sketches are the engine's own Apache DataSketches HLL
+aggregates (``hll_sketch_agg`` / ``hll_union_agg`` /
+``hll_sketch_estimate`` — JVM-side, mergeable, whole-stage-codegen
+around them), not a reimplementation. Merge is associative and
+insertion is commutative, so the shard decomposition is semantically
+free; lgConfigK is pinned so every shard's sketch is union-compatible.
+
+Like the profiler's sketch pass (``plans/profile.profile_approx``),
+the raw register arrays are engine-specific, so the ORACLED query is
+the *guarded* form: exact distinct counts value-matched against
+DuckDB plus a deterministic boolean asserting the union-of-shards
+estimate sits within its published error bound (lgConfigK=12 ⇒ RSE
+≈ 1.04/√4096 ≈ 1.6 %; the default bound of 10 % is >6σ). A sketch
+that ever left its guarantee flips the boolean and fails the driver's
+value hash. The pure-sketch path (``sketch_rollup_estimate``) is the
+production scan.
+
+Scale shape:
+- ``shard_distinct_sketches``: ONE groupBy(shard) shuffle over the
+  fact table — the same shuffle any per-shard stat pays — emitting
+  one ~2 KB sketch row per shard. In production this frame is a
+  materialized, appendable table.
+- ``sketch_rollup_estimate``: groupBy(rollup_key) over SKETCH ROWS
+  (#shards of them, not #rows) — negligible at any scale.
+- ``sketch_rollup_guarded`` adds the exact side for certification:
+  two-phase exact distinct (distinct VALUES shuffle, never raw rows —
+  the same NULL-filtered form as ``plans/profile``) joined to the
+  estimates on the rollup key (two tiny aggregates; AQE broadcasts).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_LGK = 12
+
+
+def shard_distinct_sketches(
+    df: DataFrame,
+    shard: Column,
+    value_col: str,
+    lgk: int = DEFAULT_LGK,
+) -> DataFrame:
+    """One row per shard: ``(shard, hll_sketch, n_rows)``.
+
+    ``hll_sketch`` is a mergeable DataSketches HLL register array
+    (binary); ``n_rows`` is the exact non-null row count, carried so
+    rollups can report volume alongside distincts without another
+    pass. NULLs are ignored by ``hll_sketch_agg`` (matching
+    ``COUNT(DISTINCT ...)`` semantics), so ``n_rows`` counts non-null
+    too — the two columns describe the same population."""
+    return df.groupBy(shard.alias("shard")).agg(
+        F.hll_sketch_agg(value_col, lgk).alias("hll_sketch"),
+        F.count(value_col).alias("n_rows"),
+    )
+
+
+def sketch_rollup_estimate(
+    sketches: DataFrame,
+    rollup_fn: Callable[[Column], Column],
+) -> DataFrame:
+    """Union shard sketches per rollup key — the production path.
+
+    Input is the (tiny) sketch frame; output is one row per rollup
+    key: ``(rollup_key, n_shards, n_rows, approx_distinct)``. No scan
+    of the fact table anywhere in this plan — that is the point.
+    ``rollup_fn`` maps the shard column to its rollup key (e.g.
+    month → year)."""
+    return sketches.groupBy(rollup_fn(F.col("shard")).alias("rollup_key")).agg(
+        F.count(F.lit(1)).alias("n_shards"),
+        F.sum("n_rows").alias("n_rows"),
+        F.hll_sketch_estimate(F.hll_union_agg("hll_sketch")).alias(
+            "approx_distinct"
+        ),
+    )
+
+
+def sketch_rollup_guarded(
+    df: DataFrame,
+    shard: Column,
+    rollup_fn: Callable[[Column], Column],
+    value_col: str,
+    lgk: int = DEFAULT_LGK,
+    rel_bound: float = 0.10,
+) -> DataFrame:
+    """The certification query: union-of-shards estimate vs exact.
+
+    ``rollup_fn`` maps a shard value to its rollup key (e.g. shard =
+    ship month, rollup = year of that month), and is applied to the
+    SHARD column on both sides — so the shard decomposition nests
+    inside the rollup grain BY CONSTRUCTION; a value appearing in two
+    shards of one key is de-duplicated by the HLL union exactly as
+    the exact side's DISTINCT de-duplicates it.
+
+    Output per rollup key (all engine-stable):
+    ``(rollup_key, n_shards, exact_distinct, within_bound)`` where
+    ``within_bound ⇔ |estimate − exact| ≤ rel_bound·exact``. The
+    estimate itself is deliberately NOT an output column — DuckDB
+    cannot replay a DataSketches register array; the boolean (oracle:
+    literal TRUE) is the evidence, exactly the
+    ``prof_lineitem_approx_guarded`` pattern.
+
+    Plan notes, measured at the sf1 checkpoint: the sketch pass's
+    map-side combine is what makes it cheap — each input partition
+    emits ONE ~2 KB register array per shard, so the exchange carries
+    kilobytes however big the fact table is. A rejected variant
+    pre-distinct'ed (shard, value) pairs to share one scan between
+    both sides (sound by HLL idempotence — duplicates never move a
+    register): it was ~25 % SLOWER, because the pair-distinct
+    exchange shuffles megabytes where the sketch exchange shuffles
+    kilobytes — partial aggregation beats deduplication here. The
+    exact side uses the engine's own two-phase count_distinct
+    (partial distinct per partition, exact final) for the same
+    map-side-bounded reason."""
+    est = sketch_rollup_estimate(
+        shard_distinct_sketches(df, shard, value_col, lgk), rollup_fn
+    )
+    # count_distinct ignores NULLs — same population as the sketch.
+    exact = df.groupBy(rollup_fn(shard).alias("rollup_key")).agg(
+        F.count_distinct(F.col(value_col)).alias("exact_distinct")
+    )
+    return (
+        est.join(exact, "rollup_key")
+        .select(
+            "rollup_key",
+            "n_shards",
+            "exact_distinct",
+            (
+                F.abs(
+                    F.col("approx_distinct").cast("double")
+                    - F.col("exact_distinct")
+                )
+                <= F.lit(rel_bound) * F.col("exact_distinct")
+            ).alias("within_bound"),
+        )
+    )

@@ -1740,3 +1740,102 @@ def test_weighted_sample_semantics_and_two_level_equivalence(spark):
     assert again == got2
     with pytest.raises(ValueError):
         weighted_sample_per_group(df, "id", "grp", 0, "w")
+
+
+# ---------------------------------------------------------------------------
+# Mergeable HLL distinct-count sketches (operators/sketch)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def sharded_values(spark):
+    """12 monthly shards × values with cross-shard overlap: value v
+    appears in month m iff v % 12 <= m — so every value overlaps many
+    shards and the union MUST de-duplicate across shards to agree
+    with the exact distinct. 3000 distinct values, deterministic."""
+    rows = [
+        (f"2024-{m + 1:02d}-01", v)
+        for v in range(3000)
+        for m in range(12)
+        if v % 12 <= m
+    ]
+    return spark.createDataFrame(rows, ["shard_day", "value"]).select(
+        F.to_timestamp("shard_day").alias("shard_ts"), "value"
+    )
+
+
+def test_sketch_union_matches_direct_and_exact(sharded_values):
+    """The merge claim: union-of-shard-sketches estimates the SAME
+    population as one direct whole-table sketch — both within the
+    published lgK=12 bound (RSE ~1.6%; 5σ = 8%) of the exact count,
+    despite every value spanning multiple shards (union must
+    de-duplicate, not add)."""
+    from taxi_rides_ny_duckdb_spark.operators.sketch import (
+        shard_distinct_sketches,
+        sketch_rollup_estimate,
+    )
+
+    sk = shard_distinct_sketches(
+        sharded_values, F.date_trunc("month", F.col("shard_ts")), "value"
+    )
+    assert sk.count() == 12
+    uni = sketch_rollup_estimate(sk, lambda c: F.lit(1)).collect()[0]
+    direct = sharded_values.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("value", 12)).alias("e")
+    ).collect()[0]["e"]
+    exact = 3000
+    assert abs(uni["approx_distinct"] - exact) <= 0.08 * exact
+    assert abs(direct - exact) <= 0.08 * exact
+    # A non-deduplicating merge would land near sum(per-shard distinct)
+    # = 19500, 6.5x over; assert we are nowhere near it.
+    assert uni["approx_distinct"] < 6000
+    assert uni["n_rows"] == sharded_values.count()
+
+
+def test_sketch_rollup_guarded_green(sharded_values):
+    """Guarded form on a 2-key rollup (H1/H2 half-years): exact counts
+    match a reference groupBy, all guards true at default bound."""
+    from taxi_rides_ny_duckdb_spark.operators.sketch import (
+        sketch_rollup_guarded,
+    )
+
+    out = sketch_rollup_guarded(
+        sharded_values,
+        shard=F.date_trunc("month", F.col("shard_ts")),
+        rollup_fn=lambda c: (F.quarter(c) <= 2).cast("int"),
+        value_col="value",
+    ).collect()
+    assert len(out) == 2
+    by_key = {r["rollup_key"]: r for r in out}
+    # H1 (months 1-6, key 1): values with v%12 <= 5 ... every v has
+    # v%12 <= 11 <= always in month 12; H1 holds v iff v%12 <= 5.
+    exact_h1 = sum(1 for v in range(3000) if v % 12 <= 5)
+    assert by_key[1]["exact_distinct"] == exact_h1
+    assert by_key[0]["exact_distinct"] == 3000  # all values reach H2
+    assert all(r["within_bound"] for r in out)
+    assert by_key[1]["n_shards"] == 6 and by_key[0]["n_shards"] == 6
+
+
+def test_sketch_rollup_estimate_plan_never_rescans(spark, sharded_values):
+    """The 100 TB claim in plan form: given a MATERIALIZED sketch
+    frame, the rollup's physical plan contains no join and exactly
+    one aggregate pair over sketch rows — the fact table does not
+    appear."""
+    from taxi_rides_ny_duckdb_spark.operators.sketch import (
+        shard_distinct_sketches,
+        sketch_rollup_estimate,
+    )
+    import os
+    import tempfile
+
+    sk = shard_distinct_sketches(
+        sharded_values, F.date_trunc("month", F.col("shard_ts")), "value"
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="sketch_tbl"), "sk")
+    sk.write.mode("overwrite").parquet(path)
+    rolled = sketch_rollup_estimate(
+        spark.read.parquet(path), lambda c: F.year(c)
+    )
+    plan = rolled._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1
