@@ -153,7 +153,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ext_corpus_curation",
     "ext_events_json_extract",
     "ext_events_session_window",
-    "ext_events_sessionize",
     "ext_range_join",
     "ext_text_lang_id",
     "ext_text_quality_score",
@@ -186,13 +185,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ext_similarity_quantized_topk",
     "ext_sorted_run_export",
     "ext_sketch_distinct_rollup",
-    # ext_events_tumbling_window ceded its r3-sweep slot to the
-    # never-windowed ext_sketch_distinct_rollup (added after the
-    # sweep was drawn): the tumbling batch analog shares
-    # operators/windows.py with the two windowed events siblings
-    # above AND its streaming twin is r5-green, while a NEW query
-    # would otherwise wait a full round for driver evidence — the
-    # same never-windowed-first rule applied throughout this list.
+    "ext_zorder_layout",
+    # ext_events_tumbling_window and ext_events_sessionize ceded
+    # their r3-sweep slots to the never-windowed
+    # ext_sketch_distinct_rollup and ext_zorder_layout (both added
+    # after the sweep was drawn): the tumbling/sessionize batch
+    # analogs share operators/windows.py with the windowed
+    # ext_events_session_window above AND their streaming twins are
+    # r5-green, while a NEW query would otherwise wait a full round
+    # for driver evidence — the same never-windowed-first rule
+    # applied throughout this list.
     # Dropped to fit 50: the TPC-H q* family, streaming, minhash/
     # simhash/bloom dedup, packing, sampling staples — all r4–r6-green
     # and UNCHANGED this round (union coverage keeps them verified).

@@ -3869,3 +3869,77 @@ def ext_sketch_distinct_rollup(spark, sf_dir):
         value_col="l_partkey",
     )
     return _count_pin(out, "exact_distinct", "within_bound")
+
+
+def _zorder_oracle() -> str:
+    from .operators.scale import zorder_key_sql
+
+    zkey = zorder_key_sql(["(l_partkey & 65535)", "(l_suppkey & 65535)"])
+    return f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+                AS DOUBLE) AS revenue,
+           MIN({zkey}) AS min_zkey,
+           MAX({zkey}) AS max_zkey
+    FROM lineitem
+    WHERE l_partkey BETWEEN 100 AND 400
+      AND l_suppkey BETWEEN 10 AND 40
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """
+
+
+@query("ext_zorder_layout", oracle=_zorder_oracle(), memoize=False)
+def ext_zorder_layout(spark, sf_dir):
+    """Z-order (Morton) layout round trip (operators/scale.zorder_write
+    — the Delta/Iceberg OPTIMIZE ZORDER lever from pure column
+    arithmetic): lineitem rewritten range-partitioned + sorted on the
+    interleaved (l_partkey, l_suppkey) key, read back through a 2-D
+    box predicate, aggregated per returnflag with the min/max Morton
+    key of the box recomputed from the surviving rows — so the oracle
+    certifies BOTH that the layout round-trips losslessly AND that the
+    bit-interleave arithmetic matches engine-for-engine (the same
+    shift/mask expression in DuckDB SQL via zorder_key_sql).
+
+    Why a single-dimension sort is the wrong layout at 100 TB: sorting
+    by partkey alone leaves suppkey scattered through every file, so a
+    suppkey-selective predicate reads the whole table; the interleaved
+    sort tiles the (partkey, suppkey) plane and each file's min/max
+    stats bound a tile — either dimension prunes. The skip-fraction
+    claim is asserted against real parquet footers in
+    tests/test_operators.py (z-order skips files for BOTH single-axis
+    predicates; x-sort only for x). Eager write per run
+    (memoize=False, pid-scoped scratch) — the rewrite IS the product,
+    like sorted_run_export. _count_pin: the aggregate's zkey columns
+    would otherwise be pruned under the bench's count()."""
+    from .operators.scale import sink_scratch_dir, zorder_key, zorder_write
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_returnflag",
+        "l_extendedprice", "l_discount",
+    )
+    path = sink_scratch_dir(sf_dir, "lineitem_zorder")
+    zorder_write(li, ["l_partkey", "l_suppkey"], path, n_files=8)
+    back = spark.read.parquet(path).filter(
+        F.col("l_partkey").between(100, 400)
+        & F.col("l_suppkey").between(10, 40)
+    )
+    zkey = zorder_key(
+        [
+            F.col("l_partkey").bitwiseAND(F.lit(65535)),
+            F.col("l_suppkey").bitwiseAND(F.lit(65535)),
+        ]
+    )
+    out = (
+        back.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 18, 4)
+            .alias("revenue"),
+            F.min(zkey).alias("min_zkey"),
+            F.max(zkey).alias("max_zkey"),
+        )
+        .orderBy("l_returnflag")
+    )
+    return _count_pin(out, "revenue", "min_zkey", "max_zkey")

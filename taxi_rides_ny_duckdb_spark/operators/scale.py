@@ -186,3 +186,109 @@ def write_sorted_runs(
         .partitionBy("run")
         .parquet(path)
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) layout — multi-dimensional row-group pruning
+# ---------------------------------------------------------------------------
+
+
+def zorder_key(cols: list, bits: int = 16):
+    """Morton (Z-order) key: interleave the low ``bits`` bits of each
+    column, dimension-major (bit i of dim d lands at position
+    i·ndims + d). Inputs must already be non-negative ints below
+    2**bits — use ``rank_bucket`` (or an explicit ``& mask``) first;
+    values at or above 2**bits would silently collide, so callers own
+    the normalization.
+
+    Why this matters at 100 TB: sorting a table by (x, y) clusters x
+    perfectly and y not at all — a y-selective predicate reads every
+    row group. Sorting by the INTERLEAVED key clusters both dimensions
+    ~equally, so parquet min/max stats prune row groups for predicates
+    on x, on y, or on both (the Delta/Iceberg OPTIMIZE ZORDER lever,
+    built here from pure column arithmetic). The key is a plain
+    integer expression — whole-stage-codegen'd, no UDF, identical
+    arithmetic available to any engine (``zorder_key_sql``).
+    """
+    n = len(cols)
+    terms = []
+    for d, c in enumerate(cols):
+        # long up front: shiftleft on an IntegerType wraps at bit 31
+        # (3 dims × 16 bits reaches bit 47).
+        c = c.cast("long")
+        for i in range(bits):
+            terms.append(
+                F.shiftleft(
+                    F.shiftright(c, i).bitwiseAND(F.lit(1)), i * n + d
+                )
+            )
+    out = terms[0]
+    for t in terms[1:]:
+        out = out.bitwiseOR(t)
+    return out.cast("long")
+
+
+def zorder_key_sql(cols: list[str], bits: int = 16) -> str:
+    """The identical Morton arithmetic as ANSI SQL (DuckDB-runnable) —
+    the oracle twin of ``zorder_key``."""
+    n = len(cols)
+    # The per-term BIGINT cast matters: an INTEGER-typed bit shifted
+    # left ≥31 overflows int32 in engines that keep 32-bit arithmetic
+    # (DuckDB raises; Spark's shiftleft already widens via the long
+    # literal path).
+    terms = [
+        f"((CAST(({c} >> {i}) AS BIGINT) & 1) << {i * n + d})"
+        for d, c in enumerate(cols)
+        for i in range(bits)
+    ]
+    return "(" + " | ".join(terms) + ")"
+
+
+def rank_bucket(c, lo: float, hi: float, bits: int = 16):
+    """Scale a value with known [lo, hi] bounds onto the integer grid
+    [0, 2**bits): clamp, then fixed-point scale. Pure IEEE-double
+    multiply + floor — deterministic and engine-portable. Bounds come
+    from table stats (one cheap agg, or catalog min/max at scale)."""
+    clamped = F.least(F.greatest(c.cast("double"), F.lit(float(lo))), F.lit(float(hi)))
+    span = float(hi) - float(lo)
+    return F.floor(
+        (clamped - F.lit(float(lo))) * F.lit(((1 << bits) - 1) / span)
+    ).cast("long")
+
+
+def zorder_write(
+    df: DataFrame,
+    cols: list[str],
+    path: str,
+    n_files: int = 8,
+    bits: int = 16,
+) -> None:
+    """Rewrite ``df`` Z-ordered on ``cols``: per-column min/max (one
+    bounded agg), rank-scale, Morton key, range-repartition into
+    ``n_files`` ascending key ranges, sort within each, write parquet.
+    Range partitioning (not hash) is what makes file-level min/max
+    stats tight — each file owns a contiguous Z-range, i.e. a tile of
+    the (x, y, ...) space, so single-dimension predicates skip most
+    files. The shuffle is the one rewrite cost, paid once at layout
+    time — exactly the partitioned-sink trade."""
+    bounds = df.agg(
+        *[F.min(c).alias(f"{c}__lo") for c in cols],
+        *[F.max(c).alias(f"{c}__hi") for c in cols],
+    ).collect()[0]
+    key = zorder_key(
+        [
+            rank_bucket(
+                F.col(c), bounds[f"{c}__lo"], bounds[f"{c}__hi"], bits
+            )
+            for c in cols
+        ],
+        bits,
+    )
+    (
+        df.withColumn("__zkey", key)
+        .repartitionByRange(n_files, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

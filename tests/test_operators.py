@@ -1839,3 +1839,78 @@ def test_sketch_rollup_estimate_plan_never_rescans(spark, sharded_values):
     plan = rolled._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert plan.count("Scan parquet") == 1
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout (operators/scale.zorder_*)
+# ---------------------------------------------------------------------------
+
+
+def test_zorder_key_matches_reference(spark):
+    """Morton interleave vs an independent Python bit-loop, 2-dim and
+    3-dim, including the >bit-31 positions that overflow int32."""
+    import random
+
+    from taxi_rides_ny_duckdb_spark.operators.scale import zorder_key
+
+    rng = random.Random(11)
+    pts = [(rng.randrange(65536), rng.randrange(65536), rng.randrange(65536))
+           for _ in range(50)] + [(0, 0, 0), (65535, 65535, 65535)]
+
+    def ref(vals, bits=16):
+        z, n = 0, len(vals)
+        for d, v in enumerate(vals):
+            for i in range(bits):
+                z |= ((v >> i) & 1) << (i * n + d)
+        return z
+
+    df = spark.createDataFrame(pts, ["x", "y", "w"])
+    got2 = [r["z"] for r in df.select(
+        zorder_key([F.col("x"), F.col("y")]).alias("z")).collect()]
+    got3 = [r["z"] for r in df.select(
+        zorder_key([F.col("x"), F.col("y"), F.col("w")]).alias("z")).collect()]
+    assert got2 == [ref(p[:2]) for p in pts]
+    assert got3 == [ref(p) for p in pts]
+
+
+def test_zorder_layout_prunes_both_axes(spark, tmp_path):
+    """The layout claim against real parquet footers: on a z-ordered
+    rewrite, file-level min/max stats skip files for a predicate on
+    EITHER axis; on an x-sorted rewrite only the x predicate skips.
+    Uniform 256x256 grid, 16 files."""
+    import pyarrow.parquet as pq
+    import glob
+    import itertools
+
+    from taxi_rides_ny_duckdb_spark.operators.scale import zorder_write
+
+    pts = list(itertools.product(range(256), range(256)))
+    df = spark.createDataFrame(pts, ["x", "y"])
+
+    zpath = str(tmp_path / "zorder")
+    xpath = str(tmp_path / "xsort")
+    zorder_write(df, ["x", "y"], zpath, n_files=16)
+    (df.repartitionByRange(16, "x").sortWithinPartitions("x")
+       .write.mode("overwrite").parquet(xpath))
+
+    def skip_fraction(path, col, lo, hi):
+        files = glob.glob(f"{path}/*.parquet")
+        assert len(files) >= 8
+        skipped = 0
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index(col)
+            fmin = min(md.row_group(g).column(idx).statistics.min
+                       for g in range(md.num_row_groups))
+            fmax = max(md.row_group(g).column(idx).statistics.max
+                       for g in range(md.num_row_groups))
+            if fmax < lo or fmin > hi:
+                skipped += 1
+        return skipped / len(files)
+
+    # y-selective predicate (y in one-eighth of the range)
+    assert skip_fraction(zpath, "y", 0, 31) >= 0.5      # tiles prune
+    assert skip_fraction(xpath, "y", 0, 31) == 0.0      # x-sort cannot
+    # x-selective predicate: both layouts prune
+    assert skip_fraction(zpath, "x", 0, 31) >= 0.5
+    assert skip_fraction(xpath, "x", 0, 31) >= 0.8
