@@ -22,6 +22,11 @@ the three standard levers Spark gives a pipeline to avoid or survive it:
   ``plans/core.partition_fact_by_month``): directory-partition facts by
   a coarse time key so time-ranged queries prune whole partitions at
   file-listing time (dynamic partition pruning covers the join case).
+- **Z-order layout** (``zorder_key`` / ``zorder_write``): when queries
+  filter on MORE THAN ONE column, a single-column sort wastes the
+  row-group min/max stats on every other column; the Morton-interleaved
+  sort tiles the multi-dimensional keyspace so each file's stats bound
+  a tile and any clustered dimension prunes.
 """
 
 from __future__ import annotations
