@@ -35,9 +35,9 @@ Scale shape:
 - ``sketch_rollup_estimate``: groupBy(rollup_key) over SKETCH ROWS
   (#shards of them, not #rows) — negligible at any scale.
 - ``sketch_rollup_guarded`` adds the exact side for certification:
-  two-phase exact distinct (distinct VALUES shuffle, never raw rows —
-  the same NULL-filtered form as ``plans/profile``) joined to the
-  estimates on the rollup key (two tiny aggregates; AQE broadcasts).
+  the engine's two-phase ``count_distinct`` (partial distinct per
+  partition, never raw rows over the wire) joined to the estimates on
+  the rollup key (two tiny aggregates; AQE broadcasts).
 """
 
 from __future__ import annotations
