@@ -109,7 +109,14 @@ def query(
 # hash-fraction draw; the epoch-frac rounding is property-tested and
 # locally parity-gated).
 # After this round no query's latest driver evidence is older than
-# r4. ext_streaming_incremental_dedup stays un-windowed by choice:
+# r4, with two flagged exceptions: ext_events_tumbling_window and
+# ext_events_sessionize stay r3-green (unchanged since; pure
+# built-in tumbling/session_window expressions whose machinery the
+# windowed ext_events_session_window + the r5-green streaming twins
+# exercise) — they ceded their sweep slots to the two operators NEW
+# this round (sketch rollup, z-order), because a never-windowed
+# query outranks a freshness refresh of an unchanged one.
+# ext_streaming_incremental_dedup stays un-windowed by choice:
 # its oracle is the SAME string as windowed ext_incremental_dedup
 # (batch/stream symmetry is the claim), and the streaming execution
 # path is verified by the local gate plus the maxFilesPerTrigger
@@ -127,7 +134,15 @@ def query(
 # ext_weighted_sample likewise: it runs the SAME _keyed_top_per_group
 # engine as windowed ext_cap_per_group (only the key expression
 # differs), so the shared machinery gets driver evidence through the
-# cap query while the ES-specific key is locally parity-gated. Everything outside the window is
+# cap query while the ES-specific key is locally parity-gated.
+# ext_histogram_quantile_rollup (post-seal r7) stays un-windowed for
+# now: it is FULLY value-oracled (its oracle replays the decomposed
+# bin/merge/interpolate arithmetic, no guard booleans), locally
+# parity-gated like everything else, and the window's two free swap
+# slots went to the guard-oracled sketch rollup and the Morton
+# arithmetic, where driver evidence adds strictly more (their oracles
+# certify what local tests cannot independently derive). It takes a
+# slot at the r8 window drawing under never-windowed-first. Everything outside the window is
 # verified by the local replica of the gate
 # (tests/test_contract_parity.py, collect-compare and driver-faithful
 # pandas-hash paths).

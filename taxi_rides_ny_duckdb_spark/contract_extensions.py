@@ -3943,3 +3943,55 @@ def ext_zorder_layout(spark, sf_dir):
         .orderBy("l_returnflag")
     )
     return _count_pin(out, "revenue", "min_zkey", "max_zkey")
+
+
+def _hist_quantile_oracle() -> str:
+    from .operators.sketch import histogram_quantile_sql
+
+    return histogram_quantile_sql(
+        "lineitem",
+        shard_sql="date_trunc('month', l_shipdate)",
+        rollup_sql="CAST(year(shard) AS INT)",
+        value_sql="l_quantity",
+        quantiles=[0.5, 0.95],
+        lo=0.0,
+        hi=50.0,
+        n_bins=25,
+    )
+
+
+@query("ext_histogram_quantile_rollup", oracle=_hist_quantile_oracle())
+def ext_histogram_quantile_rollup(spark, sf_dir):
+    """Mergeable-histogram quantile rollup (operators/sketch.
+    shard_histograms → histogram_quantile_rollup): the quantile twin
+    of ext_sketch_distinct_rollup — per-ship-month fixed-bin histogram
+    rows (≤ n_bins per shard, exactly mergeable by SUM), yearly
+    p50/p95 of l_quantity answered by merging the monthly bins +
+    running-total + linear interpolation. Unlike the HLL register
+    array, every step here is integer counts and one rounded double
+    expression, so the oracle replays the DECOMPOSED path
+    value-for-value (shard histogram CTE → merge CTE → interpolation)
+    — fully oracled, not guard-oracled. At 100 TB the shard-histogram
+    table is the appendable artifact; any quantile question over any
+    shard subset costs |keys·bins| rows, no fact rescan. _count_pin:
+    the p-columns are aggregates a count-only consumer would prune."""
+    from .operators.sketch import histogram_quantile_rollup, shard_histograms
+
+    li = load(spark, sf_dir, "lineitem")
+    hists = shard_histograms(
+        li,
+        shard=F.date_trunc("month", F.col("l_shipdate")),
+        value_col="l_quantity",
+        lo=0.0,
+        hi=50.0,
+        n_bins=25,
+    )
+    out = histogram_quantile_rollup(
+        hists,
+        rollup_fn=lambda c: F.year(c).cast("int"),
+        quantiles=[0.5, 0.95],
+        lo=0.0,
+        hi=50.0,
+        n_bins=25,
+    )
+    return _count_pin(out, "n_values", "p50_r", "p95_r")

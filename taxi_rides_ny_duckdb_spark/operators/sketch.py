@@ -149,3 +149,151 @@ def sketch_rollup_guarded(
             ).alias("within_bound"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable fixed-bin histograms → quantile rollup
+# ---------------------------------------------------------------------------
+#
+# The quantile twin of the HLL rollup above, with one better property:
+# a fixed-bin histogram is EXACTLY mergeable (bin counts sum linearly)
+# and its quantile interpolation is plain arithmetic — so unlike the
+# HLL register array, the whole path replays in any engine and the
+# contract query is fully value-oracled, not guard-oracled. Per shard
+# the artifact is ≤ n_bins rows of (shard, bin, count); any
+# "p95 over this subset of shards" question is a SUM + running-total +
+# linear interpolation over merged bins — no fact rescan. Accuracy is
+# bin-width-bounded (edges come from domain knowledge or a one-time
+# quantile probe), which is the classic monitoring-grade trade.
+
+
+def shard_histograms(
+    df: DataFrame,
+    shard: Column,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 32,
+) -> DataFrame:
+    """One row per (shard, bin): the mergeable long-form histogram.
+
+    Bin i covers [lo + i·w, lo + (i+1)·w) with w = (hi−lo)/n_bins;
+    values outside [lo, hi] clamp into the edge bins (count is never
+    lost — the monitoring convention). NULLs are dropped (no bin).
+    ONE groupBy(shard, bin) shuffle over the fact table, map-side
+    combined to ≤ n_bins rows per shard per partition."""
+    w = (float(hi) - float(lo)) / n_bins
+    bin_ = F.least(
+        F.greatest(
+            F.floor((F.col(value_col).cast("double") - F.lit(float(lo))) / F.lit(w)),
+            F.lit(0),
+        ),
+        F.lit(n_bins - 1),
+    ).cast("int")
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(shard.alias("shard"), bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def histogram_quantile_rollup(
+    hists: DataFrame,
+    rollup_fn: Callable[[Column], Column],
+    quantiles: list[float],
+    lo: float,
+    hi: float,
+    n_bins: int = 32,
+    round_dp: int = 9,
+) -> DataFrame:
+    """Merge shard histograms per rollup key and estimate quantiles.
+
+    Merge = groupBy(rollup_key, bin) SUM (exact, order-free); estimate
+    = running-total + linear interpolation inside the target bin
+    (``lo_edge + (target − cum_below)/bin_n · w``, target = q·n with
+    the n-th-smallest convention ``ceil(q·n)``). Every step is integer
+    counts + one double expression, rounded to ``round_dp`` — exactly
+    replayable as ANSI SQL, which is what makes this rollup fully
+    value-oracled. Output: one row per rollup key with ``n_values``
+    and one ``p{q}_r`` column per quantile. Cost is |keys·bins| rows —
+    nothing here touches the fact table."""
+    from pyspark.sql.window import Window
+
+    w = (float(hi) - float(lo)) / n_bins
+    merged = hists.groupBy(
+        rollup_fn(F.col("shard")).alias("rollup_key"), "bin"
+    ).agg(F.sum("n").alias("bin_n"))
+    key_w = Window.partitionBy("rollup_key")
+    order_w = key_w.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    cum = merged.select(
+        "rollup_key",
+        "bin",
+        "bin_n",
+        F.sum("bin_n").over(key_w).alias("n_values"),
+        F.coalesce(F.sum("bin_n").over(order_w), F.lit(0)).alias("cum_below"),
+    )
+    aggs = [F.max("n_values").alias("n_values")]
+    for q in quantiles:
+        target = F.ceil(F.lit(q) * F.col("n_values"))
+        est = (
+            F.lit(float(lo))
+            + F.col("bin").cast("double") * F.lit(w)
+            + ((target - F.col("cum_below")) / F.col("bin_n")) * F.lit(w)
+        )
+        hit = (target > F.col("cum_below")) & (
+            target <= F.col("cum_below") + F.col("bin_n")
+        )
+        name = f"p{int(round(q * 100)):02d}_r"
+        aggs.append(
+            F.round(F.max(F.when(hit, est)), round_dp).alias(name)
+        )
+    return cum.groupBy("rollup_key").agg(*aggs)
+
+
+def histogram_quantile_sql(
+    table: str,
+    shard_sql: str,
+    rollup_sql: str,
+    value_sql: str,
+    quantiles: list[float],
+    lo: float,
+    hi: float,
+    n_bins: int = 32,
+    round_dp: int = 9,
+) -> str:
+    """The identical merge + interpolation as ANSI SQL (DuckDB-runnable)
+    — the oracle twin of ``shard_histograms`` → ``histogram_quantile_rollup``.
+    Deliberately builds the per-shard histogram first and merges it,
+    so the oracle replays the DECOMPOSED path, not a shortcut over raw
+    rows."""
+    w = (float(hi) - float(lo)) / n_bins
+    qcols = ",\n           ".join(
+        f"round(MAX(CASE WHEN CAST(ceil({q} * n_values) AS DOUBLE) > cum_below "
+        f"AND CAST(ceil({q} * n_values) AS DOUBLE) <= cum_below + bin_n "
+        f"THEN {lo} + CAST(bin AS DOUBLE) * {w} "
+        f"+ ((CAST(ceil({q} * n_values) AS DOUBLE) - cum_below) / bin_n) * {w} "
+        f"END), {round_dp}) AS p{int(round(q * 100)):02d}_r"
+        for q in quantiles
+    )
+    return f"""
+    WITH shard_hist AS (
+      SELECT {shard_sql} AS shard,
+             CAST(least(greatest(floor((CAST({value_sql} AS DOUBLE) - {lo}) / {w}), 0), {n_bins - 1}) AS INT) AS bin,
+             COUNT(*) AS n
+      FROM {table}
+      WHERE {value_sql} IS NOT NULL
+      GROUP BY 1, 2
+    ), merged AS (
+      SELECT {rollup_sql} AS rollup_key, bin, SUM(n) AS bin_n
+      FROM shard_hist GROUP BY 1, 2
+    ), cum AS (
+      SELECT rollup_key, bin, CAST(bin_n AS DOUBLE) AS bin_n,
+             CAST(SUM(bin_n) OVER (PARTITION BY rollup_key) AS BIGINT) AS n_values,
+             CAST(COALESCE(SUM(bin_n) OVER (PARTITION BY rollup_key ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE) AS cum_below
+      FROM merged
+    )
+    SELECT rollup_key, MAX(n_values) AS n_values,
+           {qcols}
+    FROM cum GROUP BY rollup_key
+    """

@@ -1914,3 +1914,56 @@ def test_zorder_layout_prunes_both_axes(spark, tmp_path):
     # x-selective predicate: both layouts prune
     assert skip_fraction(zpath, "x", 0, 31) >= 0.5
     assert skip_fraction(xpath, "x", 0, 31) >= 0.8
+
+
+# ---------------------------------------------------------------------------
+# Mergeable histogram quantile rollup (operators/sketch)
+# ---------------------------------------------------------------------------
+
+
+def test_histogram_rollup_merge_equals_direct(spark, sharded_values):
+    """Exact-mergeability: quantiles from 12 merged monthly histograms
+    equal quantiles from one direct whole-population histogram —
+    bin counts sum linearly, so the two paths produce the SAME merged
+    bins and the SAME interpolated values, bit for bit."""
+    from taxi_rides_ny_duckdb_spark.operators.sketch import (
+        histogram_quantile_rollup,
+        shard_histograms,
+    )
+
+    kw = dict(value_col="value", lo=0.0, hi=3000.0, n_bins=30)
+    monthly = shard_histograms(
+        sharded_values, F.date_trunc("month", F.col("shard_ts")), **kw
+    )
+    via_merge = histogram_quantile_rollup(
+        monthly, lambda c: F.lit(1), [0.25, 0.5, 0.95],
+        lo=0.0, hi=3000.0, n_bins=30,
+    ).collect()[0]
+    direct = histogram_quantile_rollup(
+        shard_histograms(sharded_values, F.lit("all"), **kw),
+        lambda c: F.lit(1), [0.25, 0.5, 0.95],
+        lo=0.0, hi=3000.0, n_bins=30,
+    ).collect()[0]
+    assert via_merge["n_values"] == direct["n_values"]
+    for c in ("p25_r", "p50_r", "p95_r"):
+        assert via_merge[c] == direct[c]
+
+
+def test_histogram_quantile_accuracy_and_clamping(spark):
+    """Estimates land within one bin width of the exact percentile,
+    and out-of-range values clamp into edge bins (no count lost)."""
+    from taxi_rides_ny_duckdb_spark.operators.sketch import (
+        histogram_quantile_rollup,
+        shard_histograms,
+    )
+
+    # 0..999 uniform, plus outliers beyond both edges
+    rows = [(i % 4, float(i)) for i in range(1000)]
+    rows += [(0, -50.0), (1, 99999.0)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    hists = shard_histograms(df, F.col("g"), "v", lo=0.0, hi=1000.0, n_bins=20)
+    out = histogram_quantile_rollup(
+        hists, lambda c: F.lit(1), [0.5], lo=0.0, hi=1000.0, n_bins=20
+    ).collect()[0]
+    assert out["n_values"] == 1002          # outliers counted, not lost
+    assert abs(out["p50_r"] - 500.0) <= 50.0  # within one bin width
