@@ -3995,3 +3995,132 @@ def ext_histogram_quantile_rollup(spark, sf_dir):
         n_bins=25,
     )
     return _count_pin(out, "n_values", "p50_r", "p95_r")
+
+
+def _topk_hh_oracle() -> str:
+    from .operators.sketch import topk_rollup_sql
+
+    return topk_rollup_sql(
+        "events",
+        shard_sql="date_trunc('day', ts)",
+        rollup_sql="CAST(date_trunc('week', shard) AS TIMESTAMP)",
+        key_sql="user_id",
+        k=10,
+        n_top=5,
+    )
+
+
+@query("ext_topk_heavy_hitters_rollup", oracle=_topk_hh_oracle())
+def ext_topk_heavy_hitters_rollup(spark, sf_dir):
+    """Mergeable heavy-hitters rollup (operators/sketch.
+    shard_topk_summaries → topk_rollup_certified): the frequent-items
+    member of the sketch trilogy (HLL distincts, histogram quantiles,
+    and now top talkers). Per ingest-DAY shard keep the exact top-10
+    users by event count plus one residual bound (the 11th count);
+    weekly top-5 users are answered by merging the daily summaries —
+    est_lo = Σ kept counts, est_hi adds the residual bounds of shards
+    that dropped the key, with the SpaceSaving sandwich
+    est_lo ≤ true ≤ est_hi certified per output row against the exact
+    count. Every step is exact integer counts with deterministic
+    tie-breaks (n DESC, key ASC), so the oracle replays the DECOMPOSED
+    artifact path value-for-value — bounds, exact and boolean all
+    hashed, unlike the guard-only HLL row. At 100 TB the per-shard
+    top-K table is the appendable artifact (≤ K rows/shard); any "top
+    talkers over this shard subset" is O(#shards·K), no fact rescan.
+    _count_pin: est/exact columns are join-carried aggregates a
+    count-only consumer would prune."""
+    from .operators.sketch import topk_rollup_certified
+
+    ev = load(spark, sf_dir, "events")
+    out = topk_rollup_certified(
+        ev,
+        shard=F.date_trunc("day", F.col("ts")),
+        rollup_fn=lambda c: F.date_trunc("week", c),
+        key_col="user_id",
+        k=10,
+        n_top=5,
+    )
+    return _count_pin(out, "est_lo", "est_hi", "exact_n", "bound_ok")
+
+
+_CDC_APPLY_ORACLE = """
+WITH base AS (
+  SELECT doc_id, text, lang, source, n_chars
+  FROM documents WHERE doc_id < 450
+), changes AS (
+  -- upserts: every 7th doc >= 20 re-ingested with edited text
+  SELECT doc_id, text || ' edited' AS text, lang, source, n_chars,
+         'upsert' AS op, 2 AS seq
+  FROM documents WHERE doc_id >= 20 AND doc_id < 450 AND doc_id % 7 = 0
+  UNION ALL
+  -- inserts: the docs beyond the base snapshot
+  SELECT doc_id, text, lang, source, n_chars, 'upsert' AS op, 2 AS seq
+  FROM documents WHERE doc_id >= 450
+  UNION ALL
+  -- deletes: every 11th doc retired (for doc_id % 77 = 0 a LATER
+  -- upsert above wins -- the latest-per-key compaction under test)
+  SELECT doc_id, text, lang, source, n_chars, 'delete' AS op, 1 AS seq
+  FROM documents WHERE doc_id % 11 = 0 AND doc_id < 450
+), latest AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn
+    FROM changes
+  ) WHERE rn = 1
+)
+SELECT b.doc_id, b.text, b.lang, b.source, b.n_chars
+FROM base b ANTI JOIN latest l ON b.doc_id = l.doc_id
+UNION ALL
+SELECT doc_id, text, lang, source, n_chars
+FROM latest WHERE op = 'upsert'
+"""
+
+
+@query("ext_cdc_apply", oracle=_CDC_APPLY_ORACLE)
+def ext_cdc_apply(spark, sf_dir):
+    """CDC changeset application — MERGE INTO semantics
+    (plans/snapshots.cdc_apply), the inverse of ext_snapshot_diff:
+    base = yesterday's corpus (doc_id<450); the changeset carries
+    upserts (every 7th base doc >= 20 re-ingested edited, plus the new
+    docs >= 450) and deletes (every 11th doc retired), with doc_id % 77 = 0
+    keys holding BOTH a delete (seq 1) and a later upsert (seq 2) so
+    the latest-per-key CDC-log compaction is under test. The applied
+    table is fully value-oracled row-for-row. Plan: compaction is a
+    window over the (tiny) changeset; base pays ONE left-anti join
+    against the change keys (AQE broadcasts -- the corpus is never
+    shuffled) plus a union -- the daily-merge shape at 100 TB; bucket
+    the base on doc_id and even fact-sized changesets merge
+    exchange-free. Round trip with snapshot_diff property-tested in
+    tests/test_snapshots.py."""
+    from .plans.snapshots import cdc_apply
+
+    d = load(spark, sf_dir, "documents")
+    base = d.filter(F.col("doc_id") < 450)
+    payload = ["doc_id", "text", "lang", "source", "n_chars"]
+    upserts_edit = (
+        d.filter(
+            (F.col("doc_id") >= 20)
+            & (F.col("doc_id") < 450)
+            & (F.col("doc_id") % 7 == 0)
+        )
+        .withColumn("text", F.concat(F.col("text"), F.lit(" edited")))
+        .select(*payload)
+        .withColumn("op", F.lit("upsert"))
+        .withColumn("seq", F.lit(2))
+    )
+    upserts_new = (
+        d.filter(F.col("doc_id") >= 450)
+        .select(*payload)
+        .withColumn("op", F.lit("upsert"))
+        .withColumn("seq", F.lit(2))
+    )
+    deletes = (
+        d.filter((F.col("doc_id") % 11 == 0) & (F.col("doc_id") < 450))
+        .select(*payload)
+        .withColumn("op", F.lit("delete"))
+        .withColumn("seq", F.lit(1))
+    )
+    changes = upserts_edit.unionByName(upserts_new).unionByName(deletes)
+    out = cdc_apply(base, changes, "doc_id", op_col="op", seq_col="seq")
+    # _count_pin on the payload: under the bench's count() the text
+    # read + edit concat would otherwise be column-pruned away.
+    return _count_pin(out, "text", "n_chars")

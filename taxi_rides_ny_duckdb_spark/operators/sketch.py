@@ -250,6 +250,214 @@ def histogram_quantile_rollup(
     return cum.groupBy("rollup_key").agg(*aggs)
 
 
+# ---------------------------------------------------------------------------
+# Mergeable per-shard top-K summaries → heavy-hitter rollup
+# ---------------------------------------------------------------------------
+#
+# The frequent-items member of the trilogy (HLL distinct above,
+# histogram quantiles below it, heavy hitters here): per shard keep the
+# exact top-K keys by count plus ONE residual bound — the count of the
+# first key that was dropped. Merging shards is then pure integer
+# arithmetic with a provable sandwich: for any key,
+#   est_lo = Σ kept counts            ≤ true count
+#   est_hi = est_lo + Σ residual_bound over shards where the key was
+#            NOT kept                 ≥ true count
+# (in a shard that dropped the key, its count is ≤ that shard's
+# residual bound by construction of the top-K cut). This is the
+# SpaceSaving/Misra–Gries guarantee rebuilt on deterministic shards —
+# and because every step is exact counts + deterministic tie-breaks,
+# the WHOLE path replays as ANSI SQL: unlike the HLL register array the
+# contract query is fully value-oracled, bounds included.
+#
+# Scale shape: one groupBy(shard, key) shuffle over the fact table
+# (map-side combined), a window over the per-shard COUNT rows (≤ key
+# cardinality per shard, never raw rows), and the artifact is ≤ K+0
+# rows per shard — appendable, immutable, O(#shards·K) to answer any
+# "top talkers over this subset of shards" question with no fact
+# rescan.
+
+
+def shard_topk_summaries(
+    df: DataFrame,
+    shard: Column,
+    key_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """One row per (shard, kept key): the mergeable top-K summary.
+
+    Output ``(shard, key, n, residual_bound)`` — ``n`` is the exact
+    count of ``key`` in ``shard``; ``residual_bound`` (repeated on the
+    shard's kept rows — ≤ K of them, the artifact stays tiny) is the
+    count of the (K+1)-th key, i.e. an upper bound on EVERY dropped
+    key's count in that shard; 0 when nothing was dropped. NULL keys
+    are excluded (no heavy-hitter semantics for NULL). Ties at the cut
+    break deterministically by (n DESC, key ASC) — part of the
+    contract so the oracle replays the same kept set."""
+    counts = (
+        df.where(F.col(key_col).isNotNull())
+        .groupBy(shard.alias("shard"), F.col(key_col).alias("key"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("shard").orderBy(F.desc("n"), F.asc("key"))
+    ranked = counts.select("shard", "key", "n", F.row_number().over(w).alias("__rn"))
+    residual = ranked.groupBy("shard").agg(
+        F.coalesce(
+            F.max(F.when(F.col("__rn") == k + 1, F.col("n"))), F.lit(0).cast("long")
+        ).alias("residual_bound")
+    )
+    return (
+        ranked.where(F.col("__rn") <= k)
+        .join(residual, "shard")
+        .select("shard", "key", "n", "residual_bound")
+    )
+
+
+def topk_rollup(
+    summaries: DataFrame,
+    rollup_fn: Callable[[Column], Column],
+    n_top: int = 5,
+) -> DataFrame:
+    """Merge shard top-K summaries per rollup key — the production
+    path; nothing here touches the fact table.
+
+    Per (rollup key, key): ``est_lo`` sums the counts from shards that
+    kept the key; ``est_hi`` adds the residual bounds of the rollup's
+    OTHER shards (where the key may hide below the cut). Candidates
+    rank by (est_lo DESC, key ASC) and the top ``n_top`` survive.
+    Output ``(rollup_key, rank, key, est_lo, est_hi)`` with the
+    guarantee est_lo ≤ true count ≤ est_hi. Cost is O(#shards·K) rows
+    end to end — two tiny aggregates and one tiny join; AQE broadcasts
+    the per-rollup residual totals."""
+    from pyspark.sql.window import Window
+
+    per_shard = summaries.select("shard", "residual_bound").distinct()
+    totals = per_shard.groupBy(
+        rollup_fn(F.col("shard")).alias("rollup_key")
+    ).agg(F.sum("residual_bound").alias("total_residual"))
+    per_key = summaries.groupBy(
+        rollup_fn(F.col("shard")).alias("rollup_key"), "key"
+    ).agg(
+        F.sum("n").alias("est_lo"),
+        F.sum("residual_bound").alias("present_residual"),
+    )
+    est = per_key.join(totals, "rollup_key").select(
+        "rollup_key",
+        "key",
+        "est_lo",
+        (
+            F.col("est_lo") + F.col("total_residual") - F.col("present_residual")
+        ).alias("est_hi"),
+    )
+    w = Window.partitionBy("rollup_key").orderBy(F.desc("est_lo"), F.asc("key"))
+    return (
+        est.select("*", F.row_number().over(w).alias("rank"))
+        .where(F.col("rank") <= n_top)
+        .select("rollup_key", "rank", "key", "est_lo", "est_hi")
+    )
+
+
+def topk_rollup_certified(
+    df: DataFrame,
+    shard: Column,
+    rollup_fn: Callable[[Column], Column],
+    key_col: str,
+    k: int = 10,
+    n_top: int = 5,
+) -> DataFrame:
+    """The certification query: merged top-N with the exact count
+    joined in and the sandwich asserted per row.
+
+    Adds ``exact_n`` (one groupBy over the fact — what production
+    explicitly avoids; it's here to certify the summaries) and
+    ``bound_ok ⇔ est_lo ≤ exact_n ≤ est_hi``. Because every step is
+    deterministic integer arithmetic, the oracle value-matches ALL
+    columns — bounds, exact, and the boolean — not just a guard."""
+    top = topk_rollup(shard_topk_summaries(df, shard, key_col, k), rollup_fn, n_top)
+    exact = (
+        df.where(F.col(key_col).isNotNull())
+        .groupBy(
+            rollup_fn(shard).alias("rollup_key"), F.col(key_col).alias("key")
+        )
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+    )
+    return top.join(exact, ["rollup_key", "key"]).select(
+        "rollup_key",
+        "rank",
+        "key",
+        "est_lo",
+        "est_hi",
+        "exact_n",
+        (
+            (F.col("est_lo") <= F.col("exact_n"))
+            & (F.col("exact_n") <= F.col("est_hi"))
+        ).alias("bound_ok"),
+    )
+
+
+def topk_rollup_sql(
+    table: str,
+    shard_sql: str,
+    rollup_sql: str,
+    key_sql: str,
+    k: int = 10,
+    n_top: int = 5,
+) -> str:
+    """The identical shard-summary + merge arithmetic as ANSI SQL
+    (DuckDB-runnable) — the oracle twin of ``shard_topk_summaries`` →
+    ``topk_rollup_certified``. Deliberately builds the per-shard
+    top-K artifact first and merges it (same deterministic tie-breaks),
+    so the oracle replays the DECOMPOSED path, not a shortcut over raw
+    rows."""
+    return f"""
+    WITH counts AS (
+      SELECT {shard_sql} AS shard, {key_sql} AS key, COUNT(*) AS n
+      FROM {table}
+      WHERE {key_sql} IS NOT NULL
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT shard, key, n,
+             ROW_NUMBER() OVER (PARTITION BY shard ORDER BY n DESC, key ASC) AS rn
+      FROM counts
+    ), residual AS (
+      SELECT shard,
+             COALESCE(MAX(CASE WHEN rn = {k + 1} THEN n END), 0) AS residual_bound
+      FROM ranked GROUP BY shard
+    ), kept AS (
+      SELECT r.shard, r.key, r.n, s.residual_bound
+      FROM ranked r JOIN residual s ON r.shard = s.shard
+      WHERE r.rn <= {k}
+    ), totals AS (
+      SELECT {rollup_sql} AS rollup_key,
+             CAST(SUM(residual_bound) AS BIGINT) AS total_residual
+      FROM (SELECT DISTINCT shard, residual_bound FROM kept) ps
+      GROUP BY 1
+    ), per_key AS (
+      SELECT {rollup_sql} AS rollup_key, key,
+             CAST(SUM(n) AS BIGINT) AS est_lo,
+             CAST(SUM(residual_bound) AS BIGINT) AS present_residual
+      FROM kept GROUP BY 1, 2
+    ), est AS (
+      SELECT p.rollup_key, p.key, p.est_lo,
+             p.est_lo + t.total_residual - p.present_residual AS est_hi,
+             ROW_NUMBER() OVER (PARTITION BY p.rollup_key
+                                ORDER BY p.est_lo DESC, p.key ASC) AS rank
+      FROM per_key p JOIN totals t ON p.rollup_key = t.rollup_key
+    ), exact AS (
+      SELECT {rollup_sql} AS rollup_key, key, COUNT(*) AS exact_n
+      FROM (SELECT {shard_sql} AS shard, {key_sql} AS key FROM {table}
+            WHERE {key_sql} IS NOT NULL) x
+      GROUP BY 1, 2
+    )
+    SELECT e.rollup_key, CAST(e.rank AS INT) AS rank, e.key, e.est_lo, e.est_hi,
+           x.exact_n,
+           e.est_lo <= x.exact_n AND x.exact_n <= e.est_hi AS bound_ok
+    FROM est e JOIN exact x ON e.rollup_key = x.rollup_key AND e.key = x.key
+    WHERE e.rank <= {n_top}
+    """
+
+
 def histogram_quantile_sql(
     table: str,
     shard_sql: str,

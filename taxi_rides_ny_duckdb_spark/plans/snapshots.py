@@ -149,6 +149,65 @@ def snapshot_check(
     return history.unionByName(kept).unionByName(closed).unionByName(inserted)
 
 
+def cdc_apply(
+    base: DataFrame,
+    changes: DataFrame,
+    unique_key: str,
+    op_col: str = "op",
+    seq_col: str | None = None,
+) -> DataFrame:
+    """Apply a CDC changeset to a snapshot — MERGE INTO semantics
+    (the Delta/Hudi/Iceberg upsert primitive) as plain DataFrame ops;
+    the inverse of ``snapshot_diff``: applying the changeset that
+    ``snapshot_diff(old, new)`` implies onto ``old`` reproduces ``new``
+    exactly (property-tested round trip in tests/test_snapshots.py).
+
+    ``changes`` carries the full row payload plus ``op_col`` ∈
+    {'upsert', 'delete'} (any other value raises at execution — bad
+    ops must not silently vanish). With ``seq_col`` the changeset may
+    hold MULTIPLE entries per key (the raw CDC-log shape); they are
+    compacted to the latest per key first (``row_number`` over
+    (key) ordered by seq DESC — ``seq_col`` must be unique per key,
+    the CDC-log contract). Semantics per surviving change row:
+    delete removes the key, upsert replaces-or-inserts the payload.
+
+    Scale shape: the changeset is the small side by construction (a
+    day's changes vs the full corpus), so the plan is ONE left-anti
+    join of base × change-keys (AQE broadcasts the keys — the base is
+    never shuffled) plus a union with the upsert payloads. At 100 TB
+    with the base bucketed on ``unique_key``
+    (operators/scale.write_bucketed) even a fact-sized changeset
+    merges exchange-free. No Python anywhere.
+    """
+    allowed = ("upsert", "delete")
+    payload_cols = [c for c in base.columns]
+    checked_op = F.when(
+        F.col(op_col).isin(*allowed), F.col(op_col)
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"cdc_apply: {op_col} must be one of {allowed}; got "),
+                F.coalesce(F.col(op_col).cast("string"), F.lit("NULL")),
+            )
+        )
+    )
+    ch = changes.withColumn(op_col, checked_op)
+    if seq_col is not None:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(unique_key).orderBy(F.desc(seq_col))
+        ch = (
+            ch.withColumn("__cdc_rn", F.row_number().over(w))
+            .where(F.col("__cdc_rn") == 1)
+            .drop("__cdc_rn")
+        )
+    survivors = base.join(
+        ch.select(unique_key), unique_key, "left_anti"
+    )
+    upserts = ch.where(F.col(op_col) == "upsert").select(*payload_cols)
+    return survivors.unionByName(upserts)
+
+
 def snapshot_diff(
     old: DataFrame,
     new: DataFrame,

@@ -1967,3 +1967,91 @@ def test_histogram_quantile_accuracy_and_clamping(spark):
     ).collect()[0]
     assert out["n_values"] == 1002          # outliers counted, not lost
     assert abs(out["p50_r"] - 500.0) <= 50.0  # within one bin width
+
+
+# ---------------------------------------------------------------------------
+# Mergeable per-shard top-K heavy-hitter summaries (operators/sketch)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def hh_frame(spark):
+    """Two daily shards with hand-countable keys. Shard A: x×5 y×3 z×2
+    w×1; shard B: z×4 y×2 x×1. With k=2, A keeps {x,y} and its
+    residual bound is 2 (z's count — the first dropped key); B keeps
+    {z,y}, residual 1 (x)."""
+    rows = (
+        [("2024-01-01", "x")] * 5
+        + [("2024-01-01", "y")] * 3
+        + [("2024-01-01", "z")] * 2
+        + [("2024-01-01", "w")]
+        + [("2024-01-02", "z")] * 4
+        + [("2024-01-02", "y")] * 2
+        + [("2024-01-02", "x")]
+    )
+    return spark.createDataFrame(rows, ["d", "key"]).select(
+        F.to_timestamp("d").alias("ts"), "key"
+    )
+
+
+def test_shard_topk_summaries_kept_and_residual(hh_frame):
+    """The artifact: exactly K kept rows per shard (deterministic
+    tie-breaks), residual bound = the (K+1)-th count, 0 when nothing
+    was dropped."""
+    from taxi_rides_ny_duckdb_spark.operators.sketch import (
+        shard_topk_summaries,
+    )
+
+    sk = shard_topk_summaries(
+        hh_frame, F.date_trunc("day", F.col("ts")), "key", k=2
+    ).collect()
+    by_shard = {}
+    for r in sk:
+        by_shard.setdefault(str(r["shard"].date()), {})[r["key"]] = (
+            r["n"],
+            r["residual_bound"],
+        )
+    assert by_shard["2024-01-01"] == {"x": (5, 2), "y": (3, 2)}
+    assert by_shard["2024-01-02"] == {"z": (4, 1), "y": (2, 1)}
+    # k larger than the key count: everything kept, residual 0.
+    from taxi_rides_ny_duckdb_spark.operators.sketch import topk_rollup
+
+    sk_all = shard_topk_summaries(
+        hh_frame, F.date_trunc("day", F.col("ts")), "key", k=10
+    )
+    assert {r["residual_bound"] for r in sk_all.collect()} == {0}
+    # With nothing dropped the merge is exact: est_lo == est_hi.
+    merged = topk_rollup(sk_all, lambda c: F.lit(1), n_top=10).collect()
+    assert all(r["est_lo"] == r["est_hi"] for r in merged)
+
+
+def test_topk_rollup_sandwich_and_ties(hh_frame):
+    """Merged bounds against hand-computed exacts: x true 6 ∈ [5,6],
+    y true 5 ∈ [5,5] (kept everywhere ⇒ tight), z true 6 ∈ [4,6];
+    est_lo ties (x=5, y=5) break by key ASC."""
+    from taxi_rides_ny_duckdb_spark.operators.sketch import (
+        shard_topk_summaries,
+        topk_rollup,
+        topk_rollup_certified,
+    )
+
+    top = topk_rollup(
+        shard_topk_summaries(hh_frame, F.date_trunc("day", F.col("ts")), "key", k=2),
+        lambda c: F.lit(1),
+        n_top=3,
+    ).collect()
+    got = {r["key"]: (r["rank"], r["est_lo"], r["est_hi"]) for r in top}
+    assert got == {"x": (1, 5, 6), "y": (2, 5, 5), "z": (3, 4, 6)}
+    cert = topk_rollup_certified(
+        hh_frame,
+        shard=F.date_trunc("day", F.col("ts")),
+        rollup_fn=lambda c: F.lit(1),
+        key_col="key",
+        k=2,
+        n_top=3,
+    ).collect()
+    exact = {"x": 6, "y": 5, "z": 6}
+    for r in cert:
+        assert r["exact_n"] == exact[r["key"]]
+        assert r["bound_ok"]
+        assert r["est_lo"] <= r["exact_n"] <= r["est_hi"]

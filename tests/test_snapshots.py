@@ -135,3 +135,102 @@ def test_rolling_metric_spans_calendar_gaps(spark):
         "2024-01-02 00:00:00": 30.0,
         "2024-01-10 00:00:00": 40.0,
     }
+
+
+# ---------------------------------------------------------------------------
+# CDC apply (MERGE INTO semantics) — plans/snapshots.cdc_apply
+# ---------------------------------------------------------------------------
+
+
+def _tbl(spark, rows):
+    return spark.createDataFrame(rows, ["id", "val"])
+
+
+def test_cdc_apply_merge_semantics(spark):
+    """delete removes, upsert replaces-or-inserts, untouched rows
+    survive."""
+    from taxi_rides_ny_duckdb_spark.plans.snapshots import cdc_apply
+
+    base = _tbl(spark, [(1, "a"), (2, "b"), (3, "c")])
+    changes = spark.createDataFrame(
+        [(2, None, "delete"), (3, "c2", "upsert"), (4, "d", "upsert")],
+        ["id", "val", "op"],
+    )
+    got = sorted(
+        (r["id"], r["val"]) for r in cdc_apply(base, changes, "id").collect()
+    )
+    assert got == [(1, "a"), (3, "c2"), (4, "d")]
+
+
+def test_cdc_apply_latest_per_key_compaction(spark):
+    """With seq_col, the raw CDC log compacts to latest-per-key before
+    applying: upsert-then-delete deletes; delete-then-upsert lands."""
+    from taxi_rides_ny_duckdb_spark.plans.snapshots import cdc_apply
+
+    base = _tbl(spark, [(5, "e"), (6, "f")])
+    changes = spark.createDataFrame(
+        [
+            (5, "e2", "upsert", 1),
+            (5, None, "delete", 2),
+            (6, None, "delete", 1),
+            (6, "f2", "upsert", 2),
+        ],
+        ["id", "val", "op", "seq"],
+    )
+    got = sorted(
+        (r["id"], r["val"])
+        for r in cdc_apply(base, changes, "id", seq_col="seq").collect()
+    )
+    assert got == [(6, "f2")]
+
+
+def test_cdc_apply_rejects_unknown_op(spark):
+    """A typo'd op must raise at execution, not silently vanish."""
+    import pytest
+
+    from taxi_rides_ny_duckdb_spark.plans.snapshots import cdc_apply
+
+    base = _tbl(spark, [(1, "a")])
+    changes = spark.createDataFrame(
+        [(2, "b", "upsart")], ["id", "val", "op"]
+    )
+    with pytest.raises(Exception, match="cdc_apply"):
+        cdc_apply(base, changes, "id").collect()
+
+
+def test_cdc_apply_inverts_snapshot_diff(spark):
+    """The round trip: build the changeset snapshot_diff(old, new)
+    implies (added/changed → upsert with new payload, removed →
+    delete) and apply it to old — the result must equal new exactly."""
+    from taxi_rides_ny_duckdb_spark.plans.snapshots import (
+        cdc_apply,
+        snapshot_diff,
+    )
+
+    old = _tbl(spark, [(i, f"v{i}") for i in range(40)])
+    new = _tbl(
+        spark,
+        [
+            (i, f"v{i}" + ("!" if i % 3 == 0 else ""))
+            for i in range(40)
+            if i % 5 != 0
+        ]
+        + [(i, f"v{i}") for i in range(40, 46)],
+    )
+    diff = snapshot_diff(old, new, "id", ("val",))
+    upserts = (
+        diff.filter(F.col("status").isin("added", "changed"))
+        .select("id")
+        .join(new, "id")
+        .withColumn("op", F.lit("upsert"))
+    )
+    deletes = (
+        diff.filter(F.col("status") == "removed")
+        .select("id")
+        .join(old, "id")
+        .withColumn("op", F.lit("delete"))
+    )
+    applied = cdc_apply(old, upserts.unionByName(deletes), "id")
+    got = sorted((r["id"], r["val"]) for r in applied.collect())
+    want = sorted((r["id"], r["val"]) for r in new.collect())
+    assert got == want
