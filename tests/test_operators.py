@@ -2055,3 +2055,31 @@ def test_topk_rollup_sandwich_and_ties(hh_frame):
         assert r["exact_n"] == exact[r["key"]]
         assert r["bound_ok"]
         assert r["est_lo"] <= r["exact_n"] <= r["est_hi"]
+
+
+def test_topk_rollup_plan_never_rescans(spark, hh_frame):
+    """The 100 TB claim in plan form: given a MATERIALIZED summary
+    table, the merged top-N plan reads ONLY the summary parquet —
+    every scan in the plan is of the summary, the fact table never
+    appears. (Unlike the HLL estimate the merge does join — per-key
+    sums against per-rollup residual totals — but both sides are
+    summary-row-sized.)"""
+    import os
+    import tempfile
+
+    from taxi_rides_ny_duckdb_spark.operators.sketch import (
+        shard_topk_summaries,
+        topk_rollup,
+    )
+
+    sk = shard_topk_summaries(
+        hh_frame, F.date_trunc("day", F.col("ts")), "key", k=2
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="hh_tbl"), "sk")
+    sk.write.mode("overwrite").parquet(path)
+    rolled = topk_rollup(spark.read.parquet(path), lambda c: F.lit(1), 3)
+    plan = rolled._jdf.queryExecution().executedPlan().toString()
+    # Both scans (per-key side + residual-totals side) read the
+    # summary table; no other source appears in the plan.
+    assert 1 <= plan.count("Scan parquet") <= 2
+    assert plan.count("hh_tbl") == plan.count("Scan parquet")
