@@ -159,7 +159,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # The 30 queries whose latest driver evidence is r3 (the full
     # freshness sweep, VERDICT r6 #5).
     "a5_metric_avg_month",
-    "a5_metric_count_day",
     "a5_metric_rolling_avg_7d",
     "a6_unique_violations",
     "a7_null_count",
@@ -201,6 +200,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ext_zorder_layout",
     "ext_topk_heavy_hitters_rollup",
     "ext_cdc_apply",
+    "ext_profile_drift_psi",
+    # a5_metric_count_day ceded its sweep slot to the never-windowed
+    # PSI query: the a5 family keeps two slots (avg_month,
+    # rolling_avg_7d — the same metrics compiler), and the count
+    # method additionally has r4-green driver evidence via
+    # a5_metric_count_distinct_quarter — the duplicate-family-refresh
+    # rule (w1_dedup_distinct precedent).
     # The two post-seal r7 additions take slots under
     # never-windowed-first; x4_string_replace and j2_dim_joined_twice
     # ceded theirs because BOTH are exercised verbatim every round by

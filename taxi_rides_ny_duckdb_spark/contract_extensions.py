@@ -4124,3 +4124,46 @@ def ext_cdc_apply(spark, sf_dir):
     # _count_pin on the payload: under the bench's count() the text
     # read + edit concat would otherwise be column-pruned away.
     return _count_pin(out, "text", "n_chars")
+
+
+def _drift_psi_oracle() -> str:
+    from .plans.profile import drift_psi_sql
+
+    return drift_psi_sql(
+        "(SELECT * FROM documents WHERE doc_id < 250)",
+        "(SELECT * FROM documents WHERE doc_id >= 250)",
+        "n_chars",
+        lo=0.0,
+        hi=600.0,
+        n_bins=12,
+    )
+
+
+@query("ext_profile_drift_psi", oracle=_drift_psi_oracle())
+def ext_profile_drift_psi(spark, sf_dir):
+    """Distribution-drift gate (plans/profile.profile_drift_psi):
+    Population Stability Index of doc length between two corpus
+    snapshots (doc_id<250 vs >=250) over a 12-bin fixed-[0,600)
+    histogram with Laplace-smoothed probabilities — the standard
+    pre-retrain monitoring check (<0.1 stable / >0.25 shifted) that
+    completes the compare family: compare_profiles diffs the stats,
+    snapshot_diff names the rows, this scores the SHAPE. Fully
+    value-oracled (spine, counts, smoothed p's, per-bin contribution
+    and the repeated total all hashed — the histogram-rollup class of
+    decomposed-arithmetic oracle). Plan: one map-side-combined
+    groupBy(bin) per snapshot — the cheapest full-scan stat there is —
+    then spine-sized (12-row) joins and windows; the two scans ARE the
+    100 TB cost. _count_pin: the p/psi columns ride a left join off
+    the spine and would be pruned under the bench's count()."""
+    from .plans.profile import profile_drift_psi
+
+    d = load(spark, sf_dir, "documents")
+    out = profile_drift_psi(
+        d.filter(F.col("doc_id") < 250),
+        d.filter(F.col("doc_id") >= 250),
+        "n_chars",
+        lo=0.0,
+        hi=600.0,
+        n_bins=12,
+    )
+    return _count_pin(out, "p_base_r", "p_other_r", "psi_contrib_r", "psi_total_r")

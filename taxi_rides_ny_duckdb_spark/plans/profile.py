@@ -466,6 +466,196 @@ def compare_profiles(base: DataFrame, other: DataFrame) -> DataFrame:
     )
 
 
+def profile_drift_psi(
+    base: DataFrame,
+    other: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+    smoothing: float = 0.5,
+    round_dp: int = 9,
+) -> DataFrame:
+    """Population Stability Index between two snapshots of a numeric
+    column — the distributional-drift member of the compare family:
+    ``compare_profiles`` diffs summary stats, ``snapshot_diff`` answers
+    the row question, and this answers "did the SHAPE move?" — the
+    standard ML-monitoring gate (rule of thumb: <0.1 stable, 0.1–0.25
+    drifting, >0.25 shifted) run between corpus builds before a
+    retrain.
+
+    Binning is the fixed-[lo, hi) clamp scheme of
+    ``operators/sketch.shard_histograms`` (out-of-range values land in
+    the edge bins, NULLs drop); every bin 0..n_bins-1 appears via a
+    generated spine so empty bins contribute through their smoothed
+    probability rather than vanishing. Probabilities are Laplace-
+    smoothed — p = (n + s) / (N + s·n_bins) with s=0.5 — so
+    PSI stays finite when a bin empties on one side (the exact case
+    drift detection exists to catch). psi_contrib =
+    (p_other − p_base)·ln(p_other / p_base); psi_total repeats the
+    bin-sum on every row. All arithmetic is counts + one double
+    expression per bin, rounded at ``round_dp`` — fully
+    oracle-replayable, same class as the histogram quantile rollup.
+
+    Scale shape: ONE groupBy(bin) aggregate per side (map-side
+    combined to ≤ n_bins rows per partition — the cheapest possible
+    full-scan stat), then spine-sized joins. At 100 TB the two scans
+    ARE the cost; everything after is n_bins rows. Output: one row per
+    bin ``(bin, n_base, n_other, p_base_r, p_other_r, psi_contrib_r,
+    psi_total_r)``."""
+    from pyspark.sql.window import Window
+
+    w = (float(hi) - float(lo)) / n_bins
+
+    def bins(df: DataFrame, out: str) -> DataFrame:
+        b = F.least(
+            F.greatest(
+                F.floor(
+                    (F.col(value_col).cast("double") - F.lit(float(lo))) / F.lit(w)
+                ),
+                F.lit(0),
+            ),
+            F.lit(n_bins - 1),
+        ).cast("int")
+        return (
+            df.where(F.col(value_col).isNotNull())
+            .groupBy(b.alias("bin"))
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    spine = (
+        base.sparkSession.range(n_bins)
+        .select(F.col("id").cast("int").alias("bin"))
+    )
+    joined = (
+        spine.join(bins(base, "n_base"), "bin", "left")
+        .join(bins(other, "n_other"), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_base", F.lit(0)).alias("n_base"),
+            F.coalesce("n_other", F.lit(0)).alias("n_other"),
+        )
+    )
+    tot = Window.partitionBy()
+    s = float(smoothing)
+    p_base = (F.col("n_base") + F.lit(s)) / (
+        F.sum("n_base").over(tot) + F.lit(s * n_bins)
+    )
+    p_other = (F.col("n_other") + F.lit(s)) / (
+        F.sum("n_other").over(tot) + F.lit(s * n_bins)
+    )
+    contrib = (p_other - p_base) * F.log(p_other / p_base)
+    return joined.select(
+        "bin",
+        "n_base",
+        "n_other",
+        F.round(p_base, round_dp).alias("p_base_r"),
+        F.round(p_other, round_dp).alias("p_other_r"),
+        F.round(contrib, round_dp).alias("psi_contrib_r"),
+        F.round(F.sum(contrib).over(tot), round_dp).alias("psi_total_r"),
+    )
+
+
+def drift_psi_sql(
+    base_rel: str,
+    other_rel: str,
+    value_sql: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+    smoothing: float = 0.5,
+    round_dp: int = 9,
+) -> str:
+    """The identical spine/bin/smooth/contribute arithmetic as ANSI SQL
+    (DuckDB-runnable) — the oracle twin of ``profile_drift_psi``.
+    ``base_rel`` / ``other_rel`` are FROM-able relations (table name or
+    parenthesized subquery)."""
+    w = (float(hi) - float(lo)) / n_bins
+    s = float(smoothing)
+    bin_expr = (
+        f"CAST(least(greatest(floor((CAST({value_sql} AS DOUBLE) - {float(lo)}) "
+        f"/ {w}), 0), {n_bins - 1}) AS INT)"
+    )
+    return f"""
+    WITH spine AS (
+      SELECT unnest(generate_series(0, {n_bins - 1})) AS bin
+    ), b AS (
+      SELECT {bin_expr} AS bin, COUNT(*) AS n_base
+      FROM {base_rel} WHERE {value_sql} IS NOT NULL GROUP BY 1
+    ), o AS (
+      SELECT {bin_expr} AS bin, COUNT(*) AS n_other
+      FROM {other_rel} WHERE {value_sql} IS NOT NULL GROUP BY 1
+    ), j AS (
+      SELECT s.bin,
+             COALESCE(b.n_base, 0) AS n_base,
+             COALESCE(o.n_other, 0) AS n_other
+      FROM spine s LEFT JOIN b USING (bin) LEFT JOIN o USING (bin)
+    ), p AS (
+      SELECT bin, n_base, n_other,
+             (n_base + {s}) / (SUM(n_base) OVER () + {s * n_bins}) AS pb,
+             (n_other + {s}) / (SUM(n_other) OVER () + {s * n_bins}) AS po
+      FROM j
+    )
+    SELECT bin, n_base, n_other,
+           round(pb, {round_dp}) AS p_base_r,
+           round(po, {round_dp}) AS p_other_r,
+           round((po - pb) * ln(po / pb), {round_dp}) AS psi_contrib_r,
+           round(SUM((po - pb) * ln(po / pb)) OVER (), {round_dp}) AS psi_total_r
+    FROM p
+    """
+
+
+def profile_drift_psi_categorical(
+    base: DataFrame,
+    other: DataFrame,
+    col: str,
+    smoothing: float = 0.5,
+    round_dp: int = 9,
+) -> DataFrame:
+    """Categorical twin of ``profile_drift_psi``: the bin spine is the
+    union of categories OBSERVED on either side (data-defined k, the
+    categorical convention — a category present in only one snapshot
+    is exactly the drift signal, kept finite by the same Laplace
+    smoothing). NULL categories drop (profile them via null-rate
+    stats). Same one-aggregate-per-side scale shape; output one row
+    per category with the identical column contract (``category``
+    in place of ``bin``)."""
+    from pyspark.sql.window import Window
+
+    def freqs(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.where(F.col(col).isNotNull())
+            .groupBy(F.col(col).alias("category"))
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    b, o = freqs(base, "n_base"), freqs(other, "n_other")
+    joined = b.join(o, "category", "full_outer").select(
+        "category",
+        F.coalesce("n_base", F.lit(0)).alias("n_base"),
+        F.coalesce("n_other", F.lit(0)).alias("n_other"),
+    )
+    tot = Window.partitionBy()
+    s = float(smoothing)
+    k = F.count(F.lit(1)).over(tot)
+    p_base = (F.col("n_base") + F.lit(s)) / (
+        F.sum("n_base").over(tot) + F.lit(s) * k
+    )
+    p_other = (F.col("n_other") + F.lit(s)) / (
+        F.sum("n_other").over(tot) + F.lit(s) * k
+    )
+    contrib = (p_other - p_base) * F.log(p_other / p_base)
+    return joined.select(
+        "category",
+        "n_base",
+        "n_other",
+        F.round(p_base, round_dp).alias("p_base_r"),
+        F.round(p_other, round_dp).alias("p_other_r"),
+        F.round(contrib, round_dp).alias("psi_contrib_r"),
+        F.round(F.sum(contrib).over(tot), round_dp).alias("psi_total_r"),
+    )
+
+
 def profile_correlation(
     df: DataFrame, pairs: list[tuple[str, str]], exact_decimal: bool = False
 ) -> DataFrame:

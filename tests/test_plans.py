@@ -1045,3 +1045,87 @@ def test_ivf_sq8_corpus_never_shuffled(spark, sf_dir):
     plan = plan_of(df)
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# PSI drift detection (plans/profile.profile_drift_psi*)
+# ---------------------------------------------------------------------------
+
+
+def test_psi_zero_on_identical_snapshots(spark):
+    """Law: PSI(X, X) == 0 exactly — p_base == p_other per bin, so
+    every contribution is (0)·ln(1)."""
+    import math
+
+    from taxi_rides_ny_duckdb_spark.plans.profile import profile_drift_psi
+
+    df = spark.createDataFrame([(float(v),) for v in range(100)], ["x"])
+    out = profile_drift_psi(df, df, "x", lo=0.0, hi=100.0, n_bins=10).collect()
+    assert len(out) == 10
+    assert all(r["psi_contrib_r"] == 0.0 for r in out)
+    assert all(r["psi_total_r"] == 0.0 for r in out)
+    assert all(r["n_base"] == r["n_other"] == 10 for r in out)
+
+
+def test_psi_matches_hand_computation_and_stays_finite(spark):
+    """A constructed shift (base uniform over bins 0-3, other piled on
+    bin 0 with bins 2-3 EMPTY) against a NumPy-free hand replica of the
+    smoothed formula; empty-on-one-side bins stay finite and positive
+    drift is detected."""
+    import math
+
+    from taxi_rides_ny_duckdb_spark.plans.profile import profile_drift_psi
+
+    base = spark.createDataFrame(
+        [(float(b * 10 + i),) for b in range(4) for i in range(5)], ["x"]
+    )  # 5 rows in each of bins 0..3
+    other = spark.createDataFrame(
+        [(0.0,)] * 14 + [(10.0,)] * 6, ["x"]
+    )  # 14 in bin 0, 6 in bin 1, none in 2-3
+    out = {
+        r["bin"]: r
+        for r in profile_drift_psi(
+            base, other, "x", lo=0.0, hi=40.0, n_bins=4
+        ).collect()
+    }
+    s, k, nb, no = 0.5, 4, 20, 20
+    want_total = 0.0
+    for b, (cb, co) in enumerate([(5, 14), (5, 6), (5, 0), (5, 0)]):
+        pb = (cb + s) / (nb + s * k)
+        po = (co + s) / (no + s * k)
+        contrib = (po - pb) * math.log(po / pb)
+        want_total += contrib
+        assert abs(out[b]["psi_contrib_r"] - round(contrib, 9)) < 1e-9
+        assert math.isfinite(out[b]["psi_contrib_r"])
+    assert abs(out[0]["psi_total_r"] - round(want_total, 9)) < 1e-9
+    assert out[0]["psi_total_r"] > 0.25  # a shift this size must alarm
+
+
+def test_psi_categorical_union_spine(spark):
+    """Categorical variant: the spine is the union of observed
+    categories (one side missing a category is the drift signal, kept
+    finite by smoothing), k counts the union."""
+    import math
+
+    from taxi_rides_ny_duckdb_spark.plans.profile import (
+        profile_drift_psi_categorical,
+    )
+
+    base = spark.createDataFrame(
+        [("en",)] * 6 + [("de",)] * 4, ["lang"]
+    )
+    other = spark.createDataFrame(
+        [("en",)] * 5 + [("zh",)] * 5, ["lang"]
+    )
+    out = {
+        r["category"]: r
+        for r in profile_drift_psi_categorical(base, other, "lang").collect()
+    }
+    assert set(out) == {"en", "de", "zh"}
+    s, k = 0.5, 3
+    pb_de = (4 + s) / (10 + s * k)
+    po_de = (0 + s) / (10 + s * k)
+    want = (po_de - pb_de) * math.log(po_de / pb_de)
+    assert abs(out["de"]["psi_contrib_r"] - round(want, 9)) < 1e-9
+    assert out["de"]["n_other"] == 0 and out["zh"]["n_base"] == 0
+    assert all(math.isfinite(r["psi_contrib_r"]) for r in out.values())
