@@ -161,7 +161,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "a5_metric_avg_month",
     "a5_metric_rolling_avg_7d",
     "a6_unique_violations",
-    "a7_null_count",
     "a8_accepted_values",
     "ext_asof_join",
     "ext_corpus_curation",
@@ -170,7 +169,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ext_range_join",
     "ext_text_lang_id",
     "ext_text_quality_score",
-    "ext_text_token_count",
     "j1_broadcast_dim_join",
     "j3_left_anti",
     "o1_topn_orders",
@@ -201,6 +199,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ext_topk_heavy_hitters_rollup",
     "ext_cdc_apply",
     "ext_profile_drift_psi",
+    "ext_compact_small_files",
+    "ext_file_stats_skipping",
+    # a7_null_count and ext_text_token_count ceded sweep slots to the
+    # two never-windowed layout queries: a7 is the one-expression
+    # filter-count whose machinery a6+a8 (kept) strictly contain, and
+    # token_count's staged-tokenize pipeline is exercised by the
+    # windowed lang_id + quality_score (same functions/text HOF
+    # staging) — duplicate-family-refresh rule again.
     # a5_metric_count_day ceded its sweep slot to the never-windowed
     # PSI query: the a5 family keeps two slots (avg_month,
     # rolling_avg_7d — the same metrics compiler), and the count

@@ -4167,3 +4167,113 @@ def ext_profile_drift_psi(spark, sf_dir):
         n_bins=12,
     )
     return _count_pin(out, "p_base_r", "p_other_r", "psi_contrib_r", "psi_total_r")
+
+
+@query(
+    "ext_compact_small_files",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(ceil(COUNT(*) / 200.0) AS INT) AS expected_files,
+           TRUE AS compaction_ok
+    FROM documents
+    """,
+    memoize=False,
+)
+def ext_compact_small_files(spark, sf_dir):
+    """Small-file compaction round trip (operators/scale.compact_files
+    — the OPTIMIZE/rewrite_data_files lever): documents deliberately
+    fragmented into 64 tiny files (the streaming-ingest pathology:
+    every file costs a task + footer parse + open round trip), then
+    compacted at 200 rows/file — the deterministic, engine-replayable
+    sizing, so the oracle value-checks the file count arithmetic
+    (expected_files = ceil(n/200)) and ``compaction_ok`` (file count
+    landed exactly there; literal TRUE oracle) alongside exact
+    losslessness aggregates over the read-back. Round-robin
+    repartition on purpose: compaction must not disturb the existing
+    distribution — reclustering is zorder/sorted-runs' job. The
+    sorted-run-export class of footnote: Spark performs fragment +
+    compact + rescan per run (memoize=False, pid-scoped scratch); the
+    oracle prices the final aggregate."""
+    import math
+
+    from .operators.scale import compact_files, sink_scratch_dir
+
+    d = load(spark, sf_dir, "documents")
+    frag = sink_scratch_dir(sf_dir, "docs_fragmented")
+    d.repartition(64).write.mode("overwrite").parquet(frag)
+    dst = sink_scratch_dir(sf_dir, "docs_compacted")
+    stats = compact_files(spark, frag, dst, rows_per_file=200)
+    expected = max(1, math.ceil(stats["n_rows"] / 200))
+    out = (
+        spark.read.parquet(dst)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("n_chars").cast("long")).alias("sum_chars"),
+        )
+        .select(
+            "n_rows",
+            "sum_chars",
+            F.lit(expected).alias("expected_files"),
+            F.lit(stats["n_files_after"] == expected).alias("compaction_ok"),
+        )
+    )
+    return _count_pin(out, "sum_chars", "expected_files", "compaction_ok")
+
+
+@query(
+    "ext_file_stats_skipping",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           TRUE AS skipped_some
+    FROM documents
+    WHERE n_chars BETWEEN 100 AND 160
+    GROUP BY lang
+    """,
+    memoize=False,
+)
+def ext_file_stats_skipping(spark, sf_dir):
+    """File-stats data-skipping index (operators/scale.
+    file_stats_index + pruned_file_scan — the Delta data-skipping /
+    Iceberg manifest-stats lever as a plain table): documents
+    range-laid-out on n_chars into 8 files, a ONE-scan per-file
+    min/max/count manifest built by grouping on input_file_name(),
+    then a range query planned THROUGH the index — only files whose
+    stats envelope intersects [100, 160] are opened, with the
+    row-level filter kept so envelope false positives are re-filtered
+    (pruning is an optimization, never a correctness dependency; the
+    per-lang aggregates value-matched against the full-table oracle
+    ARE the losslessness certificate). ``skipped_some`` asserts the
+    index actually pruned files (8 range files over the n_chars span,
+    a ~60-wide predicate overlaps ≤3 — oracle: literal TRUE).
+    Complements z-order: clustering makes envelopes TIGHT, the index
+    makes them addressable at plan time without opening footers. At
+    100 TB the manifest is the appendable artifact written at ingest;
+    planning reads #files rows."""
+    from .operators.scale import (
+        file_stats_index,
+        pruned_file_scan,
+        sink_scratch_dir,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    path = sink_scratch_dir(sf_dir, "docs_range_layout")
+    (
+        d.repartitionByRange(8, "n_chars")
+        .sortWithinPartitions("n_chars")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    laid = spark.read.parquet(path)
+    index = file_stats_index(laid, ["n_chars"])
+    pruned, n_total, n_keep = pruned_file_scan(spark, index, "n_chars", 100, 160)
+    out = pruned.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_chars").cast("long")).alias("sum_chars"),
+    ).select(
+        "lang", "n_docs", "sum_chars",
+        F.lit(n_keep < n_total).alias("skipped_some"),
+    )
+    return _count_pin(out, "n_docs", "sum_chars", "skipped_some")

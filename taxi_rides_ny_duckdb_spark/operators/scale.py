@@ -297,3 +297,112 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction (OPTIMIZE) + file-stats data-skipping index
+# ---------------------------------------------------------------------------
+
+
+def compact_files(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    rows_per_file: int | None = None,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Rewrite a fragmented parquet directory into right-sized files —
+    the OPTIMIZE/rewrite_data_files lever every lakehouse ships.
+    Streaming ingest and over-parallel writes leave thousands of tiny
+    files per partition; each costs a task, a footer parse and an open
+    round trip, so scan throughput collapses long before the bytes
+    matter (the inverse failure mode of ``session.ensure_min_partitions``'s
+    too-FEW-splits trap). Compaction is one read → repartition(n) →
+    write; the shuffle is the rewrite price, paid once, amortized over
+    every subsequent scan — the partitioned-sink trade again.
+
+    Sizing: with ``rows_per_file`` the file count is
+    ceil(rows / rows_per_file) — exact, deterministic,
+    engine-replayable (the oracled contract path). Default is
+    bytes-based: ceil(source bytes / target_file_bytes), reading sizes
+    from the source listing (at warehouse scale these come from the
+    table manifest, not a filesystem walk; same arithmetic).
+    Round-robin repartition (no column) because compaction must not
+    disturb whatever distribution the data already has — layout
+    changes are ``zorder_write``/``write_sorted_runs``' job.
+
+    Returns ``{"n_files_before", "n_files_after", "n_rows"}``."""
+    import math
+    import os
+
+    df = spark.read.parquet(src_path)
+    before = df.inputFiles()
+    n_rows = df.count()
+    if rows_per_file is not None:
+        if rows_per_file <= 0:
+            raise ValueError("rows_per_file must be positive")
+        n = max(1, math.ceil(n_rows / rows_per_file))
+    else:
+        total = 0
+        for f in before:
+            local = f.removeprefix("file:")
+            if os.path.exists(local):
+                total += os.path.getsize(local)
+        n = max(1, math.ceil(total / target_file_bytes))
+    df.repartition(n).write.mode("overwrite").parquet(dst_path)
+    after = spark.read.parquet(dst_path).inputFiles()
+    return {
+        "n_files_before": len(before),
+        "n_files_after": len(after),
+        "n_rows": n_rows,
+    }
+
+
+def file_stats_index(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Per-file min/max/count manifest — the Delta data-skipping /
+    Iceberg manifest-stats analog as a plain table: one row per
+    physical file with ``n_rows`` and ``<col>_min`` / ``<col>_max``
+    for each indexed column. Built in ONE scan by grouping on
+    ``input_file_name()`` (map-side combined to one partial row per
+    file per task — the same cheapest-stat shape as the shard
+    summaries); in production this is the appendable artifact written
+    at ingest, and query planning reads #files rows instead of
+    footers. Complements ``zorder_write``: clustering makes per-file
+    ranges TIGHT, this index makes them ADDRESSABLE without opening
+    files."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [F.min(c).alias(f"{c}_min"), F.max(c).alias(f"{c}_max")]
+    return df.groupBy(
+        F.input_file_name().alias("file")
+    ).agg(*aggs)
+
+
+def pruned_file_scan(
+    spark: SparkSession,
+    index: DataFrame,
+    col: str,
+    lo,
+    hi,
+) -> tuple[DataFrame, int, int]:
+    """Plan a range scan THROUGH the stats index: keep only files whose
+    [min, max] envelope intersects [lo, hi], read exactly those. The
+    collect is index-sized (#files rows — the same driver-bounded
+    class as broadcast thresholds); the returned frame still carries
+    the row-level filter, so stats-envelope false positives are
+    re-filtered by the engine (pruning is an optimization, never a
+    correctness dependency). Returns (frame, n_files_total,
+    n_files_kept)."""
+    rows = index.select(
+        "file", F.col(f"{col}_min").alias("lo"), F.col(f"{col}_max").alias("hi")
+    ).collect()
+    keep = [r["file"] for r in rows if not (r["hi"] < lo or r["lo"] > hi)]
+    n_total, n_keep = len(rows), len(keep)
+    if not keep:
+        base = spark.read.parquet(*[r["file"] for r in rows]).limit(0)
+        return base.where(F.col(col).between(lo, hi)), n_total, 0
+    return (
+        spark.read.parquet(*keep).where(F.col(col).between(lo, hi)),
+        n_total,
+        n_keep,
+    )

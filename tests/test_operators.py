@@ -2083,3 +2083,64 @@ def test_topk_rollup_plan_never_rescans(spark, hh_frame):
     # summary table; no other source appears in the plan.
     assert 1 <= plan.count("Scan parquet") <= 2
     assert plan.count("hh_tbl") == plan.count("Scan parquet")
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction + file-stats skipping index (operators/scale)
+# ---------------------------------------------------------------------------
+
+
+def test_compact_files_rowcount_sizing_and_losslessness(spark, tmp_path):
+    """64 fragment files → ceil(n/rows_per_file) compacted files, with
+    the exact row multiset preserved."""
+    from taxi_rides_ny_duckdb_spark.operators.scale import compact_files
+
+    src, dst = str(tmp_path / "frag"), str(tmp_path / "compact")
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 7).alias("v")
+    )
+    df.repartition(64).write.mode("overwrite").parquet(src)
+    stats = compact_files(spark, src, dst, rows_per_file=300)
+    assert stats["n_files_before"] == 64
+    assert stats["n_files_after"] == 4  # ceil(1000/300)
+    assert stats["n_rows"] == 1000
+    back = spark.read.parquet(dst)
+    assert sorted(r["id"] for r in back.collect()) == list(range(1000))
+    import pytest
+
+    with pytest.raises(ValueError):
+        compact_files(spark, src, dst + "2", rows_per_file=0)
+
+
+def test_file_stats_index_and_pruned_scan(spark, tmp_path):
+    """The manifest covers every file and row; a range scan through it
+    opens fewer files yet returns exactly the full-scan answer; a
+    miss-everything predicate opens zero files and returns zero rows."""
+    from taxi_rides_ny_duckdb_spark.operators.scale import (
+        file_stats_index,
+        pruned_file_scan,
+    )
+
+    path = str(tmp_path / "ranged")
+    df = spark.range(800).select(F.col("id"), (F.col("id") * 2).alias("x"))
+    (
+        df.repartitionByRange(8, "x")
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    laid = spark.read.parquet(path)
+    idx = file_stats_index(laid, ["x"])
+    rows = idx.collect()
+    assert len(rows) == len(laid.inputFiles())
+    assert sum(r["n_rows"] for r in rows) == 800
+    assert min(r["x_min"] for r in rows) == 0
+    assert max(r["x_max"] for r in rows) == 1598
+    pruned, n_total, n_keep = pruned_file_scan(spark, idx, "x", 100, 260)
+    assert n_total == 8 and 0 < n_keep < n_total
+    want = sorted(
+        r["id"] for r in laid.where(F.col("x").between(100, 260)).collect()
+    )
+    assert sorted(r["id"] for r in pruned.collect()) == want
+    empty, _, kept0 = pruned_file_scan(spark, idx, "x", 5000, 6000)
+    assert kept0 == 0 and empty.count() == 0
