@@ -3323,7 +3323,7 @@ WITH v AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
 ), s AS (
   SELECT vec_id, ev,
-         CASE WHEN list_aggregate(list_transform(ev, x -> abs(x)), 'max') > 0
+         CASE WHEN list_aggregate(list_transform(ev, x -> abs(x)), 'max') / 127.0 > 0
               THEN list_aggregate(list_transform(ev, x -> abs(x)), 'max') / 127.0
               ELSE 1.0 END AS scale
   FROM v
@@ -3716,7 +3716,7 @@ WITH v AS (
 ), qz AS (
   SELECT vec_id, ev,
          list_transform(ev, x -> CAST(floor(x /
-           (CASE WHEN list_aggregate(list_transform(ev, y -> abs(y)), 'max') > 0
+           (CASE WHEN list_aggregate(list_transform(ev, y -> abs(y)), 'max') / 127.0 > 0
                  THEN list_aggregate(list_transform(ev, y -> abs(y)), 'max') / 127.0
                  ELSE 1.0 END) + 0.5) AS DOUBLE)) AS q
   FROM v
@@ -4277,3 +4277,55 @@ def ext_file_stats_skipping(spark, sf_dir):
         F.lit(n_keep < n_total).alias("skipped_some"),
     )
     return _count_pin(out, "n_docs", "sum_chars", "skipped_some")
+
+
+_PSI_CAT_ORACLE = """
+WITH b AS (
+  SELECT lang AS category, COUNT(*) AS n_base
+  FROM documents WHERE doc_id < 250 AND lang IS NOT NULL GROUP BY 1
+), o AS (
+  SELECT lang AS category, COUNT(*) AS n_other
+  FROM documents WHERE doc_id >= 250 AND lang IS NOT NULL GROUP BY 1
+), j AS (
+  SELECT COALESCE(b.category, o.category) AS category,
+         COALESCE(b.n_base, 0) AS n_base,
+         COALESCE(o.n_other, 0) AS n_other
+  FROM b FULL OUTER JOIN o ON b.category = o.category
+), p AS (
+  SELECT category, n_base, n_other,
+         (n_base + 0.5) / (SUM(n_base) OVER () + 0.5 * COUNT(*) OVER ()) AS pb,
+         (n_other + 0.5) / (SUM(n_other) OVER () + 0.5 * COUNT(*) OVER ()) AS po
+  FROM j
+)
+SELECT category, n_base, n_other,
+       round(pb, 9) AS p_base_r,
+       round(po, 9) AS p_other_r,
+       round((po - pb) * ln(po / pb), 9) AS psi_contrib_r,
+       round(SUM((po - pb) * ln(po / pb)) OVER (), 9) AS psi_total_r
+FROM p
+"""
+
+
+@query("ext_profile_drift_psi_categorical", oracle=_PSI_CAT_ORACLE)
+def ext_profile_drift_psi_categorical(spark, sf_dir):
+    """Categorical twin of ext_profile_drift_psi
+    (plans/profile.profile_drift_psi_categorical): language-mix drift
+    between the two corpus snapshots, spine = union of observed
+    categories (a category present on only one side IS the signal,
+    kept finite by the same Laplace smoothing; k counts the union).
+    Same decomposed-arithmetic full value oracle and the same
+    one-map-side-aggregate-per-snapshot scale shape. Un-windowed by
+    choice: it shares every line of the smoothing/contribution
+    machinery with the WINDOWED numeric form (only the spine differs:
+    generated bins vs full-outer category union), and is locally
+    parity-gated like everything else. _count_pin: same left-join-off-
+    spine pruning hazard as the numeric form."""
+    from .plans.profile import profile_drift_psi_categorical
+
+    d = load(spark, sf_dir, "documents")
+    out = profile_drift_psi_categorical(
+        d.filter(F.col("doc_id") < 250),
+        d.filter(F.col("doc_id") >= 250),
+        "lang",
+    )
+    return _count_pin(out, "p_base_r", "p_other_r", "psi_contrib_r", "psi_total_r")

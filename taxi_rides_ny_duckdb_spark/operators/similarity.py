@@ -700,10 +700,16 @@ def int8_scale(vec: Column) -> Column:
     """Per-vector symmetric int8 quantization scale: ``max(|v|)/127``
     (1.0 for the all-zero vector so division is total).
 
-    Oracle: ``list_aggregate(list_transform(v, x -> abs(x)), 'max')``
-    with the same CASE guard."""
+    Oracle: ``list_aggregate(list_transform(v, x -> abs(x)), 'max')
+    / 127.0`` with the same scale-positivity CASE guard."""
     m = F.array_max(F.transform(vec, lambda x: F.abs(x)))
-    return F.when(m > 0, m / F.lit(127.0)).otherwise(F.lit(1.0))
+    s = m / F.lit(127.0)
+    # Guard the SCALE, not the max: for a subnormal max (|v| < ~6e-322)
+    # m > 0 but m/127 underflows to exactly 0.0 and the quantize divide
+    # trips ANSI DIVIDE_BY_ZERO (hypothesis-found). s > 0 covers both
+    # the all-zero and the underflow vector; such vectors quantize to
+    # all-zero ints, within the scale/2 reconstruction bound.
+    return F.when(s > 0, s).otherwise(F.lit(1.0))
 
 
 def quantize_int8(vec: Column, scale: Column) -> Column:
