@@ -175,7 +175,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "p2_typed_projection",
     "s1_scan_filter_project",
     "s5_sql_entrypoint",
-    "u1_union_all_tagged",
     "w1_dedup_row_number",
     "x2_case_decode",
     "x3_surrogate_key",
@@ -201,6 +200,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ext_profile_drift_psi",
     "ext_compact_small_files",
     "ext_file_stats_skipping",
+    "ext_streaming_drift_psi",
+    # u1_union_all_tagged ceded its sweep slot to the never-windowed
+    # streaming drift monitor: the permanent-prefix taxi_fact_trips IS
+    # the union-all-tagged machinery (plans/core.py:51), re-verified
+    # every round — the same transitive-coverage strength as the
+    # x4/j2 cessions above.
     # a7_null_count and ext_text_token_count ceded sweep slots to the
     # two never-windowed layout queries: a7 is the one-expression
     # filter-count whose machinery a6+a8 (kept) strictly contain, and

@@ -4329,3 +4329,85 @@ def ext_profile_drift_psi_categorical(spark, sf_dir):
         "lang",
     )
     return _count_pin(out, "p_base_r", "p_other_r", "psi_contrib_r", "psi_total_r")
+
+
+_STREAM_DRIFT_ORACLE = """
+WITH binned AS (
+  SELECT time_bucket(INTERVAL '1 day', ts) AS ws,
+         CAST(least(greatest(floor((CAST(value AS DOUBLE) - 0.0) / 50.0), 0), 9)
+              AS INT) AS bin
+  FROM events WHERE value IS NOT NULL
+), c AS (
+  SELECT ws, bin, COUNT(*) AS n FROM binned GROUP BY 1, 2
+), r AS (
+  SELECT bin, COUNT(*) AS n_ref FROM binned
+  WHERE ws < TIMESTAMP '2024-01-11' GROUP BY 1
+), spine AS (
+  SELECT g.ws, b.bin
+  FROM (SELECT DISTINCT ws FROM binned) g
+  CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS bin) b
+), j AS (
+  SELECT s.ws, s.bin,
+         COALESCE(r.n_ref, 0) AS n_ref,
+         COALESCE(c.n, 0) AS n
+  FROM spine s
+  LEFT JOIN c ON s.ws = c.ws AND s.bin = c.bin
+  LEFT JOIN r ON s.bin = r.bin
+), p AS (
+  SELECT ws, bin, n_ref, n,
+         (n_ref + 0.5) / (SUM(n_ref) OVER (PARTITION BY ws) + 5.0) AS pr,
+         (n + 0.5) / (SUM(n) OVER (PARTITION BY ws) + 5.0) AS pg
+  FROM j
+)
+SELECT ws AS window_start, bin, n_ref, n,
+       round(pr, 9) AS p_ref_r,
+       round(pg, 9) AS p_r,
+       round((pg - pr) * ln(pg / pr), 9) AS psi_contrib_r,
+       round(SUM((pg - pr) * ln(pg / pr)) OVER (PARTITION BY ws), 9)
+         AS psi_total_r
+FROM p
+"""
+
+
+@query("ext_streaming_drift_psi", oracle=_STREAM_DRIFT_ORACLE, memoize=False)
+def ext_streaming_drift_psi(spark, sf_dir):
+    """Streaming drift monitor (streaming/jobs.windowed_value_histogram
+    → plans/profile.drift_psi_grouped): the deployment shape of the
+    PSI gate — the STREAM emits one ≤ n_bins-row histogram per
+    tumbling day (state per window is 10 counters; exact integer
+    counts make the complete-mode emission over the finite availableNow
+    drop equal the batch aggregation bit-for-bit), and the comparator
+    scores every emitted window against a fixed reference histogram
+    (the first 10 days) downstream — histograms over the wire, never
+    rows, which is why a drift monitor costs nothing at 100 TB ingest.
+    Fully value-oracled: DuckDB replays bin/spine/smooth/contribute
+    per window (30 day-windows × 10 bins). _count_pin: the psi columns
+    ride spine left joins a count-only consumer would prune."""
+    from .plans.profile import drift_psi_grouped
+    from .streaming import jobs
+
+    tmp = _events_stream_dir(spark, sf_dir)
+    stream = jobs.windowed_value_histogram(
+        jobs.read_events_stream(spark, tmp),
+        "value",
+        lo=0.0,
+        hi=500.0,
+        n_bins=10,
+        width="1 day",
+        watermark="365 days",
+    )
+    jobs.run_to_memory_sink(
+        stream,
+        "contract_stream_drift_hist",
+        output_mode="complete",
+        state_partitions=jobs.sized_state_partitions(tmp, floor=4),
+        no_data_batch=False,
+    )
+    counts = spark.table("contract_stream_drift_hist")
+    ref = (
+        counts.filter(F.col("window_start") < F.lit("2024-01-11").cast("timestamp"))
+        .groupBy("bin")
+        .agg(F.sum("n").alias("n_ref"))
+    )
+    out = drift_psi_grouped(counts, ref, n_bins=10)
+    return _count_pin(out, "p_ref_r", "p_r", "psi_contrib_r", "psi_total_r")

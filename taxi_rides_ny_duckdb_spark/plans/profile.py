@@ -556,6 +556,68 @@ def profile_drift_psi(
     )
 
 
+def drift_psi_grouped(
+    counts: DataFrame,
+    ref_counts: DataFrame,
+    n_bins: int,
+    group_col: str = "window_start",
+    smoothing: float = 0.5,
+    round_dp: int = 9,
+) -> DataFrame:
+    """Score MANY pre-binned histograms against one reference — the
+    monitoring loop of ``profile_drift_psi``: ``counts`` is long-form
+    ``(group, bin, n)`` (e.g. the per-window histograms a stream emits
+    via ``streaming/jobs.windowed_value_histogram``), ``ref_counts``
+    is ``(bin, n_ref)``; output is one PSI panel per group with the
+    identical smoothing/contribution arithmetic. Every group's spine
+    carries all ``n_bins`` bins (distinct-groups × generated bins), so
+    per-group AND reference totals both fall out of one
+    ``partitionBy(group)`` window — the reference rows repeat per
+    group, summing to the global reference total. Cost is
+    |groups·bins| rows end to end; the fact scans happened upstream
+    when the histograms were built. Output: (group, bin, n_ref, n,
+    p_ref_r, p_r, psi_contrib_r, psi_total_r)."""
+    from pyspark.sql.window import Window
+
+    spark = counts.sparkSession
+    bins = spark.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    groups = counts.select(F.col(group_col).alias("__grp")).distinct()
+    spine = groups.crossJoin(bins)
+    j = (
+        spine.join(
+            counts.select(
+                F.col(group_col).alias("__grp"), "bin", F.col("n")
+            ),
+            ["__grp", "bin"],
+            "left",
+        )
+        .join(ref_counts.select("bin", "n_ref"), "bin", "left")
+        .select(
+            "__grp",
+            "bin",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n", F.lit(0)).alias("n"),
+        )
+    )
+    wg = Window.partitionBy("__grp")
+    s = float(smoothing)
+    p_ref = (F.col("n_ref") + F.lit(s)) / (
+        F.sum("n_ref").over(wg) + F.lit(s * n_bins)
+    )
+    p_g = (F.col("n") + F.lit(s)) / (F.sum("n").over(wg) + F.lit(s * n_bins))
+    contrib = (p_g - p_ref) * F.log(p_g / p_ref)
+    return j.select(
+        F.col("__grp").alias(group_col),
+        "bin",
+        "n_ref",
+        "n",
+        F.round(p_ref, round_dp).alias("p_ref_r"),
+        F.round(p_g, round_dp).alias("p_r"),
+        F.round(contrib, round_dp).alias("psi_contrib_r"),
+        F.round(F.sum(contrib).over(wg), round_dp).alias("psi_total_r"),
+    )
+
+
 def drift_psi_sql(
     base_rel: str,
     other_rel: str,

@@ -97,6 +97,38 @@ def session_windows(events: DataFrame, gap: str = "30 minutes",
     )
 
 
+def windowed_value_histogram(events: DataFrame, value_col: str,
+                             lo: float, hi: float, n_bins: int,
+                             width: str = "1 day",
+                             watermark: str = "30 minutes") -> DataFrame:
+    """Per-tumbling-window fixed-bin histogram of a value column — the
+    streaming EMIT side of a drift monitor. State per window is
+    ≤ n_bins counters (the same clamp-binning as
+    plans/profile.profile_drift_psi, so the emitted rows plug straight
+    into ``plans/profile.drift_psi_grouped`` for scoring against a
+    reference histogram out-of-band — the way production drift
+    monitors are actually deployed: the stream ships tiny histograms,
+    the comparator runs downstream). Exact integer counts ⇒ the final
+    complete-mode emission over a finite drop equals the batch
+    aggregation bit-for-bit, which is what lets the contract query
+    carry a plain-SQL oracle. Output: (window_start, bin, n)."""
+    w = (float(hi) - float(lo)) / n_bins
+    b = F.least(
+        F.greatest(
+            F.floor((F.col(value_col).cast("double") - F.lit(float(lo))) / F.lit(w)),
+            F.lit(0),
+        ),
+        F.lit(n_bins - 1),
+    ).cast("int")
+    return (
+        events.where(F.col(value_col).isNotNull())
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "bin", "n")
+    )
+
+
 def dedup_within_watermark(events: DataFrame, keys: list[str] | None = None,
                            watermark: str = "30 minutes") -> DataFrame:
     """Stateful streaming dedup: exactly-one-survivor per key among

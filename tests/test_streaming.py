@@ -445,3 +445,79 @@ def test_stream_dedup_vs_history_equals_batch(spark, tmp_path_factory):
         ).collect()
     }
     assert got == want and len(want) >= 8  # near-dups found, identical sets
+
+
+def test_windowed_histogram_stream_equals_batch(spark, sf_dir, events_dir):
+    """windowed_value_histogram over the stream equals the identical
+    batch binning — exact integer counts make micro-batch splits
+    invisible in complete mode."""
+    stream = jobs.windowed_value_histogram(
+        jobs.read_events_stream(spark, events_dir),
+        "value", lo=0.0, hi=500.0, n_bins=10, width="1 day",
+        watermark="365 days",
+    )
+    jobs.run_to_memory_sink(
+        stream, "t_drift_hist", output_mode="complete", no_data_batch=False
+    )
+    got = {
+        (r["window_start"], r["bin"]): r["n"]
+        for r in spark.table("t_drift_hist").collect()
+    }
+    w = 500.0 / 10
+    b = F.least(
+        F.greatest(F.floor(F.col("value").cast("double") / F.lit(w)), F.lit(0)),
+        F.lit(9),
+    ).cast("int")
+    batch = (
+        load(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .groupBy(F.window("ts", "1 day").alias("w"), b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    want = {
+        (r["w"]["start"], r["bin"]): r["n"] for r in batch.collect()
+    }
+    assert got == want
+
+
+def test_drift_psi_grouped_laws(spark):
+    """drift_psi_grouped: a group identical to the reference scores 0;
+    a shifted group scores positive and matches profile_drift_psi run
+    pairwise on the same counts."""
+    from taxi_rides_ny_duckdb_spark.plans.profile import (
+        drift_psi_grouped,
+        profile_drift_psi,
+    )
+
+    ref = spark.createDataFrame(
+        [(0, 10), (1, 10), (2, 10), (3, 10)], ["bin", "n_ref"]
+    )
+    counts = spark.createDataFrame(
+        [("same", 0, 10), ("same", 1, 10), ("same", 2, 10), ("same", 3, 10),
+         ("shift", 0, 30), ("shift", 1, 10)],
+        ["window_start", "bin", "n"],
+    )
+    out = {
+        (r["window_start"], r["bin"]): r
+        for r in drift_psi_grouped(counts, ref, n_bins=4).collect()
+    }
+    assert len(out) == 8  # full spine for both groups
+    assert all(
+        out[("same", b)]["psi_contrib_r"] == 0.0 for b in range(4)
+    )
+    assert out[("shift", 0)]["psi_total_r"] > 0.25
+    # cross-check the shifted panel against the two-frame operator on
+    # equivalent raw values (bin width 1 over [0, 4))
+    base_rows = [(float(b),) for b in range(4) for _ in range(10)]
+    other_rows = [(0.0,)] * 30 + [(1.0,)] * 10
+    pair = {
+        r["bin"]: r
+        for r in profile_drift_psi(
+            spark.createDataFrame(base_rows, ["x"]),
+            spark.createDataFrame(other_rows, ["x"]),
+            "x", lo=0.0, hi=4.0, n_bins=4,
+        ).collect()
+    }
+    for b in range(4):
+        assert pair[b]["psi_contrib_r"] == out[("shift", b)]["psi_contrib_r"]
+        assert pair[b]["psi_total_r"] == out[("shift", b)]["psi_total_r"]
