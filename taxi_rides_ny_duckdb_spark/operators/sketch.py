@@ -282,6 +282,7 @@ def shard_topk_summaries(
     shard: Column,
     key_col: str,
     k: int = 10,
+    two_level: bool = True,
 ) -> DataFrame:
     """One row per (shard, kept key): the mergeable top-K summary.
 
@@ -292,16 +293,33 @@ def shard_topk_summaries(
     key's count in that shard; 0 when nothing was dropped. NULL keys
     are excluded (no heavy-hitter semantics for NULL). Ties at the cut
     break deterministically by (n DESC, key ASC) — part of the
-    contract so the oracle replays the same kept set."""
+    contract so the oracle replays the same kept set.
+
+    The per-shard cut routes through the SAME two-level engine as
+    ``cap_per_group``/``weighted_sample_per_group``
+    (``sampling._keyed_top_per_group``, order key = −n, tie = key ASC,
+    cap = K+1): after the count aggregate, a per-partition Arrow
+    partial top-(K+1) prunes BEFORE the exchange, so a shard with a
+    billion distinct keys (one hot ingest day) arrives at its window
+    task already cut to (K+1)·P rows instead of serializing its whole
+    key space through one reducer — identical output by the
+    partition-winner containment argument, property-tested equal to
+    the single-window form."""
+    from .sampling import _keyed_top_per_group
+
     counts = (
         df.where(F.col(key_col).isNotNull())
         .groupBy(shard.alias("shard"), F.col(key_col).alias("key"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    top = _keyed_top_per_group(
+        counts, (-F.col("n")).cast("long"), "key", "shard", k + 1, two_level
+    )
     from pyspark.sql.window import Window
 
+    # ≤ K+1 rows per shard from here on — the window is artifact-sized.
     w = Window.partitionBy("shard").orderBy(F.desc("n"), F.asc("key"))
-    ranked = counts.select("shard", "key", "n", F.row_number().over(w).alias("__rn"))
+    ranked = top.select("shard", "key", "n", F.row_number().over(w).alias("__rn"))
     residual = ranked.groupBy("shard").agg(
         F.coalesce(
             F.max(F.when(F.col("__rn") == k + 1, F.col("n"))), F.lit(0).cast("long")

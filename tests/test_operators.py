@@ -2144,3 +2144,40 @@ def test_file_stats_index_and_pruned_scan(spark, tmp_path):
     assert sorted(r["id"] for r in pruned.collect()) == want
     empty, _, kept0 = pruned_file_scan(spark, idx, "x", 5000, 6000)
     assert kept0 == 0 and empty.count() == 0
+
+
+def test_shard_topk_two_level_equals_single_window(spark):
+    """The two-level (partition-pruned) summary path is output-identical
+    to the single-window form on a many-partition frame with duplicate
+    counts straddling the K+1 cut."""
+    from taxi_rides_ny_duckdb_spark.operators.sketch import (
+        shard_topk_summaries,
+    )
+
+    rows = [
+        (f"2024-01-{(i % 3) + 1:02d}", f"k{i % 37:02d}")
+        for i in range(3000)
+        for _ in range((i % 5) + 1)
+    ]
+    df = (
+        spark.createDataFrame(rows, ["d", "key"])
+        .select(F.to_timestamp("d").alias("ts"), "key")
+        .repartition(16)
+    )
+    a = sorted(
+        map(
+            tuple,
+            shard_topk_summaries(
+                df, F.date_trunc("day", F.col("ts")), "key", k=7, two_level=True
+            ).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            shard_topk_summaries(
+                df, F.date_trunc("day", F.col("ts")), "key", k=7, two_level=False
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) == 21  # 3 shards × k=7
