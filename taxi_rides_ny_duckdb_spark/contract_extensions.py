@@ -4411,3 +4411,38 @@ def ext_streaming_drift_psi(spark, sf_dir):
     )
     out = drift_psi_grouped(counts, ref, n_bins=10)
     return _count_pin(out, "p_ref_r", "p_r", "psi_contrib_r", "psi_total_r")
+
+
+@query(
+    "ext_source_freshness",
+    oracle="""
+    SELECT MAX(ts) AS max_loaded_at,
+           CAST(epoch(TIMESTAMP '2024-02-01 00:00:00')
+                - epoch(MAX(ts)) AS BIGINT) AS age_seconds,
+           CASE WHEN MAX(ts) IS NULL
+                  OR epoch(TIMESTAMP '2024-02-01 00:00:00') - epoch(MAX(ts))
+                     > 604800 THEN 'error'
+                WHEN epoch(TIMESTAMP '2024-02-01 00:00:00') - epoch(MAX(ts))
+                     > 86400 THEN 'warn'
+                ELSE 'pass' END AS status
+    FROM events
+    """,
+)
+def ext_source_freshness(spark, sf_dir):
+    """dbt `source freshness` (plans/dq.source_freshness): max(ts) of
+    the events source aged against a pinned evaluation instant
+    (2024-02-01), warn_after 1 day / error_after 7 days — the drop's
+    newest event is ~25 h old, so the verdict is 'warn', and all three
+    output columns (max timestamp, age seconds, status) value-hash
+    against DuckDB's epoch arithmetic. One MAX aggregate, map-side
+    combined — the pre-run staleness gate at any scale. Un-windowed by
+    choice: a single-aggregate projection whose machinery (MAX + CASE)
+    is driver-covered by a dozen windowed queries; locally
+    parity-gated like everything else."""
+    from .plans.dq import source_freshness
+
+    ev = load(spark, sf_dir, "events")
+    return source_freshness(
+        ev, "ts", "2024-02-01 00:00:00", warn_after_s=86400,
+        error_after_s=604800,
+    )

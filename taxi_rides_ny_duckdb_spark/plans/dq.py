@@ -198,3 +198,44 @@ def bind_relationship_tests(tests: list[DQTest], zone_lookup: DataFrame) -> list
         else:
             bound.append(t)
     return bound
+
+
+def source_freshness(
+    df: DataFrame,
+    loaded_at: str,
+    now,
+    warn_after_s: int,
+    error_after_s: int,
+) -> DataFrame:
+    """``dbt source freshness`` — is the source table stale? dbt's
+    freshness block (``loaded_at_field`` + ``warn_after`` /
+    ``error_after``) compiles to exactly this: ``max(loaded_at)``,
+    its age against an evaluation instant, and a pass/warn/error
+    verdict. ``now`` is an explicit parameter (dbt uses the wall
+    clock; an explicit instant keeps runs reproducible and the oracle
+    replayable — the snapshots-``as_of`` convention). NULL
+    ``loaded_at`` rows are ignored by MAX, matching dbt; an all-NULL
+    or empty source yields a NULL age and status 'error' (no evidence
+    of freshness is staleness).
+
+    One row out of one MAX aggregate — a single scan, map-side
+    combined; the cheapest possible check to schedule before every
+    pipeline run. Output: (max_loaded_at, age_seconds, status)."""
+    if not (0 < warn_after_s <= error_after_s):
+        raise ValueError(
+            "need 0 < warn_after_s <= error_after_s, got "
+            f"{warn_after_s=} {error_after_s=}"
+        )
+    now_ts = F.lit(now).cast("timestamp")
+    mx = F.max(F.col(loaded_at))
+    age = now_ts.cast("long") - mx.cast("long")
+    status = (
+        F.when(age.isNull() | (age > error_after_s), F.lit("error"))
+        .when(age > warn_after_s, F.lit("warn"))
+        .otherwise(F.lit("pass"))
+    )
+    return df.agg(
+        mx.alias("max_loaded_at"),
+        age.alias("age_seconds"),
+        status.alias("status"),
+    )

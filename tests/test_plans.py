@@ -1129,3 +1129,30 @@ def test_psi_categorical_union_spine(spark):
     assert abs(out["de"]["psi_contrib_r"] - round(want, 9)) < 1e-9
     assert out["de"]["n_other"] == 0 and out["zh"]["n_base"] == 0
     assert all(math.isfinite(r["psi_contrib_r"]) for r in out.values())
+
+
+def test_source_freshness_verdicts(spark):
+    """pass / warn / error thresholds, NULL-ignoring MAX, empty-source
+    = error, invalid thresholds raise."""
+    import datetime as dt
+
+    import pytest
+
+    from taxi_rides_ny_duckdb_spark.plans.dq import source_freshness
+
+    rows = [(dt.datetime(2024, 1, 1, 0, 0, 0),), (None,)]
+    df = spark.createDataFrame(rows, ["ts"])
+
+    def status(now, warn, err):
+        return source_freshness(df, "ts", now, warn, err).collect()[0]
+
+    r = status("2024-01-01 00:30:00", 3600, 7200)
+    assert (r["status"], r["age_seconds"]) == ("pass", 1800)
+    assert r["max_loaded_at"] == dt.datetime(2024, 1, 1)
+    assert status("2024-01-01 01:30:00", 3600, 7200)["status"] == "warn"
+    assert status("2024-01-02 00:00:00", 3600, 7200)["status"] == "error"
+    empty = spark.createDataFrame([], "ts timestamp")
+    r0 = source_freshness(empty, "ts", "2024-01-01", 60, 120).collect()[0]
+    assert r0["status"] == "error" and r0["age_seconds"] is None
+    with pytest.raises(ValueError):
+        source_freshness(df, "ts", "2024-01-01", 7200, 3600)
