@@ -176,7 +176,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "s1_scan_filter_project",
     "s5_sql_entrypoint",
     "w1_dedup_row_number",
-    "x2_case_decode",
     "x3_surrogate_key",
     "x5_date_trunc_month",
     # Added or changed in round 7.
@@ -201,6 +200,18 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ext_compact_small_files",
     "ext_file_stats_skipping",
     "ext_streaming_drift_psi",
+    "ext_metric_anomaly",
+    # x2_case_decode ceded its sweep slot to the never-windowed
+    # anomaly panel: the payment-type CASE macro
+    # (functions/macros.py:28) runs verbatim inside the permanent
+    # taxi_stg_* prefix every round — the x4/j2/u1 transitive-coverage
+    # class. The anomaly panel's exact-decimal windowed moments are
+    # NEW arithmetic that driver evidence certifies beyond the local
+    # gate. Remaining un-windowed post-seal queries
+    # (ext_profile_drift_psi_categorical, ext_source_freshness,
+    # ext_histogram_quantile_rollup) each carry a written rationale in
+    # their docstrings/comments and take slots at the r8 drawing under
+    # never-windowed-first.
     # u1_union_all_tagged ceded its sweep slot to the never-windowed
     # streaming drift monitor: the permanent-prefix taxi_fact_trips IS
     # the union-all-tagged machinery (plans/core.py:51), re-verified

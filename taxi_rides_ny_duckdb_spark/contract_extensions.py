@@ -4446,3 +4446,68 @@ def ext_source_freshness(spark, sf_dir):
         ev, "ts", "2024-02-01 00:00:00", warn_after_s=86400,
         error_after_s=604800,
     )
+
+
+@query(
+    "ext_metric_anomaly",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS period_month,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS x
+      FROM orders GROUP BY 1
+    ), s AS (
+      SELECT period_month, x,
+             -- widen one operand to force DuckDB's int128 multiply
+             -- (18x18 runs in int64 and overflows on ~1e11 raw)
+             CAST(CAST(x AS DECIMAL(19,2)) * x AS DECIMAL(38,6)) AS xx
+      FROM m
+    ), w AS (
+      SELECT period_month, x,
+             COUNT(x) OVER win AS n,
+             CAST(SUM(x) OVER win AS DOUBLE) AS sx,
+             CAST(SUM(xx) OVER win AS DOUBLE) AS sxx
+      FROM s
+      WINDOW win AS (ORDER BY period_month ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT period_month,
+           round(CAST(x AS DOUBLE), 2) AS value_r,
+           n AS n_history,
+           round(sx / n, 2) AS mean_r,
+           CASE WHEN n >= 2 AND (sxx - sx * sx / n) / (n - 1) > 0
+                THEN round((CAST(x AS DOUBLE) - sx / n)
+                           / sqrt((sxx - sx * sx / n) / (n - 1)), 9)
+           END AS z_r,
+           CASE WHEN NOT (n >= 2 AND (sxx - sx * sx / n) / (n - 1) > 0)
+                  THEN 'no_score'
+                WHEN abs((CAST(x AS DOUBLE) - sx / n)
+                         / sqrt((sxx - sx * sx / n) / (n - 1))) > 2.0
+                  THEN 'anomaly'
+                ELSE 'ok' END AS verdict
+    FROM w
+    """,
+)
+def ext_metric_anomaly(spark, sf_dir):
+    """Metric anomaly panel (plans/metrics.metric_anomaly): monthly
+    order revenue scored by trailing-6-month z (current month
+    excluded so a spike cannot mask itself) — the third observability
+    leg after PSI drift and source freshness. Exact-decimal windowed
+    moments (Σx, Σx² as DECIMAL window sums) with mean/var/z derived
+    in one double expression — identical IEEE ops in both engines, so
+    the full panel (value, history size, mean, z, verdict) is
+    bit-reproducibly value-oracled with no stddev-accumulation-order
+    hazard; short-history and zero-variance rows score NULL, distinct
+    from 'not anomalous'. The window input is one row per month — the
+    heavy groupBy happened upstream, artifact-sized at any scale.
+    _count_pin: the z/mean columns are window aggregates a count-only
+    consumer would prune."""
+    from .functions.parity import dsum
+    from .plans.metrics import metric_anomaly
+
+    o = load(spark, sf_dir, "orders")
+    series = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("period_month")
+    ).agg(dsum(F.col("o_totalprice"), 18, 2).alias("revenue"))
+    out = metric_anomaly(
+        series, "period_month", "revenue", trailing_n=6, z_thresh=2.0
+    )
+    return _count_pin(out, "value_r", "mean_r", "z_r", "verdict")

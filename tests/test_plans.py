@@ -1156,3 +1156,32 @@ def test_source_freshness_verdicts(spark):
     assert r0["status"] == "error" and r0["age_seconds"] is None
     with pytest.raises(ValueError):
         source_freshness(df, "ts", "2024-01-01", 7200, 3600)
+
+
+def test_metric_anomaly_verdicts_and_exact_moments(spark):
+    """Hand-computed panel on a constructed series: a 10x spike flags
+    'anomaly', stable rows 'ok', the first two rows 'no_score'
+    (insufficient history), and mean matches the exact-decimal
+    arithmetic."""
+    import datetime as dt
+
+    from taxi_rides_ny_duckdb_spark.plans.metrics import metric_anomaly
+
+    vals = [100.0, 104.0, 98.0, 101.0, 99.0, 1000.0, 100.0]
+    rows = [
+        (dt.datetime(2024, m + 1, 1), float(v)) for m, v in enumerate(vals)
+    ]
+    out = metric_anomaly(
+        spark.createDataFrame(rows, ["period", "v"]),
+        "period", "v", trailing_n=4, z_thresh=2.0,
+    ).orderBy("period").collect()
+    verdicts = [r["verdict"] for r in out]
+    assert verdicts[0] == "no_score" and verdicts[1] == "no_score"
+    assert verdicts[5] == "anomaly"  # the 1000.0 spike
+    assert all(v == "ok" for v in (verdicts[2], verdicts[3], verdicts[4]))
+    # verdict[6]: history includes the spike -> huge variance -> ok
+    assert verdicts[6] == "ok"
+    r5 = out[5]
+    assert r5["n_history"] == 4
+    assert r5["mean_r"] == 100.5  # (104+98+101+99)/4
+    assert r5["z_r"] > 2.0
