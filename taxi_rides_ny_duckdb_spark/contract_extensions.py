@@ -4511,3 +4511,79 @@ def ext_metric_anomaly(spark, sf_dir):
         series, "period_month", "revenue", trailing_n=6, z_thresh=2.0
     )
     return _count_pin(out, "value_r", "mean_r", "z_r", "verdict")
+
+
+_BM25_QUERIES = [
+    ("q_join", "spark merge join"),
+    ("q_scan", "fast hash table scan"),
+    ("q_stream", "stream window agg"),
+]
+
+_BM25_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                            w -> w != '')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+), dl AS (
+  SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+), tfdl AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dl.dl FROM tf JOIN dl USING (doc_id)
+), wdf AS (
+  SELECT tfdl.*, COUNT(*) OVER (PARTITION BY term) AS df FROM tfdl
+), stats AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  w -> w != ''))) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM documents
+), q AS (
+  SELECT DISTINCT query_id,
+         unnest(list_filter(string_split_regex(lower(qtext), '\\s+'),
+                            w -> w != '')) AS term
+  FROM (VALUES ('q_join', 'spark merge join'),
+               ('q_scan', 'fast hash table scan'),
+               ('q_stream', 'stream window agg')) AS t(query_id, qtext)
+), scored AS (
+  SELECT q.query_id, wdf.doc_id,
+         CAST(SUM(CAST(round(
+             ln(1.0 + (stats.n - wdf.df + 0.5) / (wdf.df + 0.5))
+             * (wdf.tf * (1.2 + 1.0))
+               / (wdf.tf + 1.2 * (1.0 - 0.75 + 0.75 * wdf.dl / stats.avgdl)),
+           12) AS DECIMAL(38,12))) AS DOUBLE) AS s
+  FROM wdf JOIN q USING (term) CROSS JOIN stats
+  GROUP BY q.query_id, wdf.doc_id
+)
+SELECT query_id, rank, doc_id, score_r FROM (
+  SELECT query_id, doc_id, round(s, 9) AS score_r,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 9) DESC, doc_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+@query("ext_bm25_topk", oracle=_BM25_ORACLE)
+def ext_bm25_topk(spark, sf_dir):
+    """Okapi BM25 top-5 per query (operators/retrieval.bm25_topk) over
+    three fixed 3–4-term queries — the lexical-retrieval primitive for
+    targeted corpus search (eval-topic mining, retrieval-training
+    positives, importance-sampling seed sets). Lucene non-negative
+    idf; k1=1.2, b=0.75.
+
+    Cross-engine determinism: tf/df/dl/N are integers, avgdl is an
+    exact integer-sum ratio, each per-term addend is one double
+    expression rounded to 12dp then summed as exact DECIMAL
+    (order-independent — the parity no-raw-sum(double) rule), ranked
+    after a 9dp round with doc_id tie-break.
+
+    Scale: corpus bytes shuffle once (groupBy(id, term) with map-side
+    combine); df is a window ON the tf rows (fused tfidf shape, no
+    second corpus pass); the query side and the 1-row stats frame ride
+    broadcast; the top-k window partitions by query over match-bounded
+    candidates."""
+    from .operators.retrieval import bm25_topk
+
+    d = load(spark, sf_dir, "documents")
+    return bm25_topk(spark, d, _BM25_QUERIES, "text", "doc_id", k=5)
