@@ -4587,3 +4587,120 @@ def ext_bm25_topk(spark, sf_dir):
 
     d = load(spark, sf_dir, "documents")
     return bm25_topk(spark, d, _BM25_QUERIES, "text", "doc_id", k=5)
+
+
+_GOPHER_STOPS = "('the','a','of','and','to','in','is','that','it','for')"
+
+_GOPHER_ORACLE = f"""
+WITH staged AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     w -> w != '') AS toks,
+         len(regexp_extract_all(text, '#|\\.\\.\\.')) AS n_sym
+  FROM documents
+), sig AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         round(CASE WHEN len(toks) > 0 THEN
+             CAST(list_sum(list_transform(toks, w -> len(w))) AS DOUBLE)
+             / CAST(len(toks) AS DOUBLE) END, 9) AS mean_word_len_r,
+         round(CASE WHEN len(toks) > 0 THEN
+             CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-z]')))
+                  AS DOUBLE) / CAST(len(toks) AS DOUBLE) END, 9)
+           AS alpha_ratio_r,
+         round(CASE WHEN len(toks) > 0 THEN
+             CAST(n_sym AS DOUBLE) / CAST(len(toks) AS DOUBLE) END, 9)
+           AS symbol_ratio_r,
+         CAST(len(list_intersect(list_distinct(toks),
+                                 {_GOPHER_STOPS.replace("(", "[").replace(")", "]")}))
+              AS BIGINT) AS stop_hits
+  FROM staged
+)
+SELECT doc_id, n_words, mean_word_len_r, alpha_ratio_r, symbol_ratio_r,
+       stop_hits,
+       (n_words >= 50 AND n_words <= 100000) AS rule_word_count,
+       COALESCE(mean_word_len_r >= 3.0 AND mean_word_len_r <= 10.0, false)
+         AS rule_mean_word_len,
+       COALESCE(alpha_ratio_r >= 0.80, false) AS rule_alpha_ratio,
+       COALESCE(symbol_ratio_r <= 0.10, false) AS rule_symbol_ratio,
+       (stop_hits >= 2) AS rule_stopwords,
+       ((n_words >= 50 AND n_words <= 100000)
+        AND COALESCE(mean_word_len_r >= 3.0 AND mean_word_len_r <= 10.0, false)
+        AND COALESCE(alpha_ratio_r >= 0.80, false)
+        AND COALESCE(symbol_ratio_r <= 0.10, false)
+        AND stop_hits >= 2) AS keep
+FROM sig
+"""
+
+
+@query("ext_gopher_quality", oracle=_GOPHER_ORACLE)
+def ext_gopher_quality(spark, sf_dir):
+    """Gopher-style quality rule panel (operators/cleaning.
+    gopher_quality): word-count band, mean-word-length band,
+    alphabetic-word ratio, symbol-to-word ratio, stopword floor —
+    each signal AND each rule verdict per document, plus the
+    conjunction ``keep``. Kept wide (not pre-filtered) so a pipeline
+    can audit which rule fired or re-threshold without a rescan.
+
+    Scale: map-only projection in the scan's codegen stage — zero
+    shuffle at any corpus size; the token array is staged once per
+    row (HOF-staging law)."""
+    from .operators.cleaning import gopher_quality
+
+    d = load(spark, sf_dir, "documents")
+    return gopher_quality(d, "text", "doc_id")
+
+
+_DSIR_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         CAST(CAST(concat('0x', substring(md5(term), 1, 8)) AS BIGINT) % 64
+              AS BIGINT) AS b
+  FROM (SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  w -> w != '')) AS term
+        FROM documents)
+), ttoks AS (
+  SELECT doc_id,
+         CAST(CAST(concat('0x', substring(md5(term), 1, 8)) AS BIGINT) % 64
+              AS BIGINT) AS b
+  FROM (SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  w -> w != '')) AS term
+        FROM documents WHERE lang = 'en')
+), spine AS (SELECT CAST(range AS BIGINT) AS b FROM range(64)),
+tc AS (SELECT b, COUNT(*) AS c FROM ttoks GROUP BY b),
+bc AS (SELECT b, COUNT(*) AS c FROM toks GROUP BY b),
+model AS (
+  SELECT spine.b, COALESCE(tc.c, 0) AS tcnt, COALESCE(bc.c, 0) AS bcnt
+  FROM spine LEFT JOIN tc USING (b) LEFT JOIN bc USING (b)
+), tot AS (SELECT SUM(tcnt) AS tt, SUM(bcnt) AS bt FROM model),
+mlr AS (
+  SELECT b,
+         CAST(round(ln(((tcnt + 0.5) / (tt + 32.0))
+                       / ((bcnt + 0.5) / (bt + 32.0))), 12)
+              AS DECIMAL(38,12)) AS lr
+  FROM model CROSS JOIN tot
+)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       round(CAST(SUM(lr) AS DOUBLE), 9) AS dsir_score_r
+FROM toks JOIN mlr USING (b) GROUP BY doc_id
+"""
+
+
+@query("ext_dsir_importance", oracle=_DSIR_ORACLE)
+def ext_dsir_importance(spark, sf_dir):
+    """DSIR importance scores (operators/sampling.dsir_scores): hashed-
+    unigram log-likelihood ratio of an English-target model vs the
+    full-corpus background model, add-0.5 smoothing over a dense
+    64-bucket spine — the data-selection score behind importance
+    resampling toward a target domain.
+
+    Scale: two corpus-sized groupBy(bucket) model passes that collapse
+    to 64 rows each (map-side combine), the 64-row model broadcast
+    onto the token stream, one groupBy(doc) scoring pass — no
+    all-pairs, no Python, nothing driver-sized but the model."""
+    from .operators.sampling import dsir_scores
+
+    d = load(spark, sf_dir, "documents")
+    return dsir_scores(d, d.filter(F.col("lang") == "en"), "text", "doc_id")

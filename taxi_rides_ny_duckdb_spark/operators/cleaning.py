@@ -323,3 +323,89 @@ def remove_duplicated_spans(
         F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
         F.coalesce(F.col("n_removed"), F.lit(0)).cast("long").alias("n_removed"),
     )
+
+
+def gopher_quality(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_ratio: float = 0.80,
+    max_symbol_ratio: float = 0.10,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style repetition/format quality rules (Rae et al. 2021,
+    §A1.1 heuristics re-expressed as pure Column predicates): word
+    count band, mean-word-length band, alphabetic-word ratio,
+    symbol-to-word ratio (``#`` and ``...``), and distinct-stopword
+    floor. One row per document with every signal, each rule's verdict,
+    and the conjunction ``keep`` — kept wide (not pre-filtered) so the
+    caller can audit WHICH rule fired, re-threshold without a rescan,
+    or feed the booleans to a quality-weighted sampler.
+
+    Determinism: every signal is integer-derived; ratios are exact
+    integer quotients rounded to 9dp before comparison with the
+    thresholds, so both engines evaluate identical doubles (the
+    round-before-compare parity rule). Zero-token docs yield NULL
+    ratios and fail the word-count rule (NULL-safe: rule booleans
+    coalesce to false).
+
+    Scale: map-only — one projection inside the scan's codegen stage,
+    no shuffle, no Python. The token array is staged ONCE in a column
+    (higher-order lambdas are exempt from subexpression elimination —
+    the ``lang_best`` precedent).
+
+    Oracle (DuckDB): ``list_filter``/``list_transform``/``list_sum``
+    over ``string_split_regex`` with the same integer arithmetic.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    staged = df.select(F.col(id_col), F.col(text_col), toks.alias("__toks"))
+    n_words = F.size("__toks").cast("long")
+    char_sum = F.aggregate(
+        "__toks", F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    mean_wl = F.round(
+        F.when(n_words > 0, char_sum.cast("double") / n_words.cast("double")), 9
+    )
+    n_alpha = F.size(F.filter("__toks", lambda w: w.rlike("[a-z]"))).cast("long")
+    alpha_ratio = F.round(
+        F.when(n_words > 0, n_alpha.cast("double") / n_words.cast("double")), 9
+    )
+    n_sym = F.regexp_count(F.col(text_col), F.lit(r"#|\.\.\.")).cast("long")
+    symbol_ratio = F.round(
+        F.when(n_words > 0, n_sym.cast("double") / n_words.cast("double")), 9
+    )
+    from ..functions.text import stopword_hits
+
+    stops = stopword_hits(F.col("__toks"), "en").cast("long")
+    out = staged.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len_r"),
+        alpha_ratio.alias("alpha_ratio_r"),
+        symbol_ratio.alias("symbol_ratio_r"),
+        stops.alias("stop_hits"),
+    )
+    r_words = (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)
+    r_mwl = F.coalesce(
+        (F.col("mean_word_len_r") >= min_mean_word_len)
+        & (F.col("mean_word_len_r") <= max_mean_word_len),
+        F.lit(False),
+    )
+    r_alpha = F.coalesce(F.col("alpha_ratio_r") >= min_alpha_ratio, F.lit(False))
+    r_sym = F.coalesce(F.col("symbol_ratio_r") <= max_symbol_ratio, F.lit(False))
+    r_stop = F.col("stop_hits") >= min_stop_hits
+    return out.select(
+        "*",
+        r_words.alias("rule_word_count"),
+        r_mwl.alias("rule_mean_word_len"),
+        r_alpha.alias("rule_alpha_ratio"),
+        r_sym.alias("rule_symbol_ratio"),
+        r_stop.alias("rule_stopwords"),
+        (r_words & r_mwl & r_alpha & r_sym & r_stop).alias("keep"),
+    )

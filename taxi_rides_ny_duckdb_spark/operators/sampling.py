@@ -449,3 +449,99 @@ def corpus_shuffle(
         )
         .drop("__u", "__b")
     )
+
+
+def dsir_scores(
+    docs: DataFrame,
+    target: DataFrame,
+    text_col: str,
+    id_col: str,
+    buckets: int = 64,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """DSIR-style importance score (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling", hashed-n-gram
+    variant with n=1): per-document log-likelihood ratio between a
+    TARGET domain's hashed-unigram language model and the full
+    corpus's background model —
+    ``score(d) = Σ_tokens ln(p_target[h(t)] / p_bg[h(t)])``.
+    Documents that look like the target domain score high; feeding the
+    scores to ``hash_sample``-style thresholding (or Gumbel top-k)
+    IS importance resampling.
+
+    Hashing is md5-based (``hash_fraction`` precedent) so an external
+    engine reproduces the bucketing bit-for-bit. Both models are
+    add-``alpha``-smoothed over a DENSE ``buckets``-bucket spine, so
+    empty buckets still carry probability mass and the ratio is always
+    finite.
+
+    Determinism: bucket counts and totals are integers; each bucket's
+    ``ln(p_t/p_b)`` is one double expression on exact integers
+    (identical in both engines), rounded to 12dp, and the per-document
+    sum runs as exact DECIMAL (order-independent — the parity
+    no-raw-sum(double) rule), presented rounded to 9dp.
+
+    Plan at 100 TB: two model passes are corpus-sized groupBy(bucket)
+    aggregations that COLLAPSE to ``buckets`` rows (map-side combine
+    does almost all the work); the model join back onto the token
+    stream is a broadcast of ``buckets`` rows, so scoring is one
+    corpus-sized groupBy(id) — no all-pairs, no Python, nothing
+    driver-sized but the B-row model.
+
+    Output: ``(id, n_tokens, dsir_score_r)``, one row per document
+    with ≥1 token.
+    """
+    from ..functions.text import tokenize
+
+    if buckets <= 0:
+        raise ValueError("buckets must be positive")
+
+    def bucket(term: Column) -> Column:
+        return (
+            F.conv(F.substring(F.md5(term), 1, 8), 16, 10).cast("long")
+            % F.lit(buckets)
+        )
+
+    def toks(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("__term")
+        ).select(F.col(id_col), bucket(F.col("__term")).alias("__b"))
+
+    spine = docs.sparkSession.range(0, buckets).select(
+        F.col("id").alias("__b")
+    )
+    t_counts = toks(target).groupBy("__b").agg(F.count(F.lit(1)).alias("__tc"))
+    b_counts = toks(docs).groupBy("__b").agg(F.count(F.lit(1)).alias("__bc"))
+    model = (
+        spine.join(t_counts, "__b", "left")
+        .join(b_counts, "__b", "left")
+        .select(
+            "__b",
+            F.coalesce("__tc", F.lit(0)).cast("long").alias("__tc"),
+            F.coalesce("__bc", F.lit(0)).cast("long").alias("__bc"),
+        )
+    )
+    totals = model.agg(
+        F.sum("__tc").alias("__tt"), F.sum("__bc").alias("__bt")
+    )
+    # ln(p_t / p_b) with add-alpha smoothing over B buckets; pure
+    # integer-derived doubles, identical in both engines.
+    lr = F.round(
+        F.log(
+            ((F.col("__tc") + F.lit(alpha)) / (F.col("__tt") + F.lit(alpha * buckets)))
+            / ((F.col("__bc") + F.lit(alpha)) / (F.col("__bt") + F.lit(alpha * buckets)))
+        ),
+        12,
+    )
+    model_lr = model.crossJoin(F.broadcast(totals)).select(
+        "__b", lr.cast("decimal(38,12)").alias("__lr")
+    )
+    return (
+        toks(docs)
+        .join(F.broadcast(model_lr), "__b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("__lr").cast("double"), 9).alias("dsir_score_r"),
+        )
+    )

@@ -2181,3 +2181,87 @@ def test_shard_topk_two_level_equals_single_window(spark):
         )
     )
     assert a == b and len(a) == 21  # 3 shards × k=7
+
+
+def test_bm25_ranks_term_match_and_length_norm(spark):
+    """Hand-checkable BM25: the doc containing both query terms beats
+    single-term docs; among equal-tf docs the shorter wins (length
+    normalization); non-matching docs never appear."""
+    from taxi_rides_ny_duckdb_spark.operators.retrieval import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark join"),                      # both terms, short
+            (2, "spark join extra words here now"), # both terms, long
+            (3, "spark alpha beta"),                # one term
+            (4, "gamma delta epsilon"),             # no terms
+        ],
+        ["doc_id", "text"],
+    )
+    out = bm25_topk(spark, docs, [("q", "spark join")], "text", "doc_id", k=10)
+    rows = out.orderBy("rank").collect()
+    assert [r["doc_id"] for r in rows[:2]] == [1, 2]  # both-term docs lead
+    assert 4 not in {r["doc_id"] for r in rows}
+    assert rows[0]["score_r"] > rows[1]["score_r"]  # shorter doc scores higher
+
+
+def test_bm25_rejects_empty_queries(spark):
+    from taxi_rides_ny_duckdb_spark.operators.retrieval import bm25_topk
+
+    with pytest.raises(ValueError, match="non-empty"):
+        bm25_topk(spark, None, [], "text", "doc_id")
+
+
+def test_gopher_quality_rules_fire_individually(spark):
+    from taxi_rides_ny_duckdb_spark.operators.cleaning import gopher_quality
+
+    good = "the quick brown fox jumps over a lazy dog and then it ran off " * 5
+    short = "the a of and"                       # fails word count
+    symbols = " ".join(["###"] * 60)             # fails symbol + alpha + stops
+    empty = ""
+    docs = spark.createDataFrame(
+        [(1, good), (2, short), (3, symbols), (4, empty)], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in gopher_quality(docs, "text", "doc_id").collect()}
+    assert out[1]["keep"] and all(
+        out[1][c] for c in out[1].asDict() if c.startswith("rule_")
+    )
+    assert not out[2]["rule_word_count"] and not out[2]["keep"]
+    assert out[2]["rule_stopwords"]  # stopwords present even though short
+    assert not out[3]["rule_symbol_ratio"] and not out[3]["rule_alpha_ratio"]
+    # zero-token doc: NULL ratios coalesce to failed rules, not NULL keep
+    assert out[4]["n_words"] == 0 and out[4]["keep"] is False
+    assert out[4]["mean_word_len_r"] is None
+
+
+def test_dsir_scores_separate_target_from_background(spark):
+    """Docs drawn from the target vocabulary must outscore docs from a
+    disjoint background vocabulary, and a doc's score must scale with
+    its length (sum over tokens)."""
+    from taxi_rides_ny_duckdb_spark.operators.sampling import dsir_scores
+
+    target_vocab = "alpha beta gamma delta"
+    bg_vocab = "omega psi chi phi"
+    docs = spark.createDataFrame(
+        [
+            (1, target_vocab, "t"),
+            (2, target_vocab + " " + target_vocab, "t"),
+            (3, bg_vocab, "b"),
+            (4, target_vocab, "t"),
+        ],
+        ["doc_id", "text", "kind"],
+    )
+    out = dsir_scores(
+        docs, docs.filter("kind = 't'"), "text", "doc_id", buckets=64
+    )
+    scores = {r["doc_id"]: r["dsir_score_r"] for r in out.collect()}
+    assert scores[1] > scores[3]            # target-looking beats background
+    assert scores[2] == pytest.approx(2 * scores[1], abs=1e-6)  # additive in length
+    assert scores[1] == scores[4]           # content-addressed determinism
+
+
+def test_dsir_rejects_bad_buckets(spark):
+    from taxi_rides_ny_duckdb_spark.operators.sampling import dsir_scores
+
+    with pytest.raises(ValueError, match="buckets"):
+        dsir_scores(None, None, "text", "doc_id", buckets=0)
