@@ -4644,11 +4644,20 @@ def ext_gopher_quality(spark, sf_dir):
 
     Scale: map-only projection in the scan's codegen stage — zero
     shuffle at any corpus size; the token array is staged once per
-    row (HOF-staging law)."""
+    row (HOF-staging law). _count_pin: every output column is a pure
+    projection a count-only consumer would otherwise prune to a
+    row-count scan."""
     from .operators.cleaning import gopher_quality
 
     d = load(spark, sf_dir, "documents")
-    return gopher_quality(d, "text", "doc_id")
+    return _count_pin(
+        gopher_quality(d, "text", "doc_id"),
+        "mean_word_len_r",
+        "alpha_ratio_r",
+        "symbol_ratio_r",
+        "stop_hits",
+        "keep",
+    )
 
 
 _DSIR_ORACLE = """

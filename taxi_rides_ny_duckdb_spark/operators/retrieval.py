@@ -4,20 +4,17 @@ BM25 ranking over the corpus: the standard lexical-retrieval primitive
 a training-data pipeline uses for targeted corpus search (mining
 positives for retrieval training, finding documents about an eval
 topic, building seed sets for importance sampling). Everything is
-DataFrame-native: the query set rides along broadcast, corpus bytes
-shuffle exactly once (the tf aggregation), and scoring is a pure
-column expression on aggregation-bounded rows.
+DataFrame-native; the corpus is never shuffled at token grain.
 
 Scale notes (100 TB):
-- The corpus-sized work is one ``groupBy(id, term)`` with map-side
-  combine — the exploded token stream collapses before the exchange.
-- Document frequency is ``count(*) over (partition by term)`` ON the
-  tf rows (one row per document containing the term) — the same fused
-  shape as ``cleaning.tfidf_topk_terms``; no second pass over the
-  corpus and no second plan of the tf subtree.
-- Queries are a driver-side list (product queries are human-typed:
-  tens-to-thousands). They become a broadcast literal frame; the
-  term-match join is broadcast-hash, never a shuffle of corpus rows.
+- Small query-term sets (the human-typed case) take the PIVOT path:
+  per-term tf as whole-stage-codegen string expressions in ONE
+  map-only corpus scan, zero corpus shuffle — only rows matching ≥1
+  term survive, and everything downstream is match-bounded.
+- Large term sets (mined query workloads) take the EXPLODE path: the
+  term-set filter is pushed map-side into the token stream (IN literal
+  or broadcast semi-join), so the ``groupBy(id, term)`` exchange
+  carries only (doc, matching-term) rows.
 - Corpus stats (N, avgdl) are a 1-row aggregate cross-joined
   broadcast — a scalar, not a shuffle.
 - The per-query top-k is a window over (query, candidate) rows —
@@ -27,12 +24,27 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.text import tokenize
 from ..session import ensure_min_partitions
+
+# Above this many distinct query terms the pivoted tf-column form stops
+# paying (one string-replace pass per term per row, and plan width
+# grows linearly); the explode path's shuffle is match-bounded anyway.
+_PIVOT_MAX_TERMS = 64
+
+
+def _query_terms(queries: list[tuple[str, str]]) -> dict[str, list[str]]:
+    """Per-query DISTINCT terms via the same whitespace-lowercase
+    tokenization as the corpus side (str.split() ≡ split on \\s+ with
+    empties dropped)."""
+    return {
+        qid: sorted({t for t in qtext.lower().split() if t})
+        for qid, qtext in queries
+    }
 
 
 def bm25_topk(
@@ -44,6 +56,7 @@ def bm25_topk(
     k: int = 5,
     k1: float = 1.2,
     b: float = 0.75,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Top-``k`` documents per query under Okapi BM25 (Lucene's
     non-negative idf: ``ln(1 + (N - df + 0.5)/(df + 0.5))``) →
@@ -55,66 +68,59 @@ def bm25_topk(
     tokenized with the same ``functions.text.tokenize`` as the corpus
     so both sides agree on the term space.
 
-    Determinism across engines: tf, df, N and dl are integers; the
-    score is one double expression evaluated identically by Spark and
-    DuckDB, rounded to 9dp BEFORE the rank window (round-before-rank),
-    ties broken by document id ascending.
+    Determinism across engines AND between strategies: tf, df, N and
+    dl are integers; the score is one double expression evaluated
+    identically everywhere, each per-term addend rounded to 12dp and
+    summed as exact DECIMAL (order-independent), presented at 9dp
+    BEFORE the rank window, ties broken by document id ascending.
 
-    Oracle shape (DuckDB): same CTE pipeline — tokens → tf (+ dl) →
-    window df → join to a VALUES query-term list → per-query top-k.
+    ``strategy``: ``'pivot'`` (zero-shuffle codegen tf columns),
+    ``'explode'`` (token-stream form), or ``'auto'`` (pivot iff the
+    distinct-term count is ≤ 64). Both produce identical output —
+    property-tested in tests/test_operators.py.
     """
     if not queries:
         raise ValueError("queries must be a non-empty list of (id, text)")
-    # Corpus side: one explode + one aggregation; dl (document length
-    # in tokens) is functionally dependent on the id, so carrying it
-    # in the groupBy keys adds no groups.
-    toks = ensure_min_partitions(docs.select(id_col, text_col)).select(
-        F.col(id_col),
-        F.size(tokenize(F.col(text_col))).alias("__dl"),
-        F.explode(tokenize(F.col(text_col))).alias("term"),
-    )
-    tf = toks.groupBy(id_col, "term", "__dl").agg(F.count(F.lit(1)).alias("tf"))
-    # Document frequency fused onto the tf rows (no second corpus pass).
-    with_df = tf.withColumn(
-        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
-    )
-    # Scalar corpus stats: N docs and average document length.
-    stats = docs.select(
-        F.size(tokenize(F.col(text_col))).alias("__dl")
-    ).agg(
+    if strategy not in ("auto", "pivot", "explode"):
+        raise ValueError(
+            f"strategy must be 'auto', 'pivot' or 'explode'; got {strategy!r}"
+        )
+    qterms = _query_terms(queries)
+    all_terms = sorted({t for ts in qterms.values() for t in ts})
+    if strategy == "auto":
+        strategy = "pivot" if len(all_terms) <= _PIVOT_MAX_TERMS else "explode"
+
+    # Scalar corpus stats: N docs and average document length. Exact
+    # integer sum / count — avg(double) would be partition-order-
+    # dependent and break cross-engine bit parity. dl is counted with
+    # a codegen'd regexp_count ('\S+' runs ≡ tokenize() length).
+    dl_expr = F.regexp_count(F.col(text_col), F.lit(r"\S+")).cast("long")
+    stats = docs.select(dl_expr.alias("__dl")).agg(
         F.count(F.lit(1)).alias("__n"),
-        # exact integer sum / count — avg(double) would be partition-
-        # order-dependent and break cross-engine bit parity
         (
             F.sum("__dl").cast("double") / F.count(F.lit(1)).cast("double")
         ).alias("__avgdl"),
     )
-    # Query side: distinct (query_id, term) literal rows — broadcast.
-    qterms = spark.createDataFrame(
-        [(qid, qtext) for qid, qtext in queries], ["query_id", "__qtext"]
-    ).select(
-        "query_id", F.explode(tokenize(F.col("__qtext"))).alias("term")
-    ).distinct()
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("__n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-    )
-    tf_part = (F.col("tf") * (F.lit(k1) + 1.0)) / (
-        F.col("tf")
-        + F.lit(k1)
-        * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("__dl") / F.col("__avgdl"))
-    )
-    # Order-independent sum (parity rule: no raw sum(double)): each
-    # per-term addend is rounded to 12dp — identical in both engines —
-    # then summed as exact DECIMAL, so partition order cannot perturb
-    # the total. Presented as double rounded to 9dp before the rank.
-    addend = F.round(idf * tf_part, 12).cast("decimal(38,12)")
-    scored = (
-        with_df.join(F.broadcast(qterms), "term")
-        .crossJoin(F.broadcast(stats))
-        .groupBy("query_id", id_col)
-        .agg(F.round(F.sum(addend).cast("double"), 9).alias("score_r"))
-    )
+
+    def idf(df_col: Column) -> Column:
+        return F.log(
+            F.lit(1.0)
+            + (F.col("__n") - df_col + F.lit(0.5)) / (df_col + F.lit(0.5))
+        )
+
+    def tf_part(tf_col: Column) -> Column:
+        return (tf_col * (F.lit(k1) + 1.0)) / (
+            tf_col
+            + F.lit(k1)
+            * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("__dl") / F.col("__avgdl"))
+        )
+
+    if strategy == "pivot":
+        scored = _pivot_scores(docs, qterms, all_terms, text_col, id_col,
+                               dl_expr, stats, idf, tf_part)
+    else:
+        scored = _explode_scores(spark, docs, qterms, all_terms, text_col,
+                                 id_col, stats, idf, tf_part)
     w = Window.partitionBy("query_id").orderBy(F.desc("score_r"), F.asc(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -125,4 +131,154 @@ def bm25_topk(
             F.col(id_col),
             "score_r",
         )
+    )
+
+
+def _pivot_scores(
+    docs, qterms, all_terms, text_col, id_col, dl_expr, stats, idf, tf_part
+):
+    """Zero-shuffle BM25: per-term tf as codegen string expressions.
+
+    tf of term t = occurrences of ``' t '`` in the text normalized so
+    every token is flanked by its OWN spaces (whitespace runs →
+    double space, double space at both ends): non-overlapping
+    ``replace`` then counts occurrences exactly, because adjacent
+    matches never compete for a separator. ``(len(before) -
+    len(replace(before, pat, ''))) / len(pat)`` is exact integer
+    arithmetic, entirely inside whole-stage codegen — no HOF, no
+    explode, no shuffle.
+
+    One corpus scan produces (id, dl, tf_1..tf_m) for rows matching
+    ≥1 term; df per term is a single 1-row aggregate over that
+    match-bounded frame (docs NOT matching any query term can't
+    contribute to any query term's df), broadcast back; scores stack
+    to (query, doc) rows via a narrow inline explode. The scan is
+    planned twice (df pass + score pass), both map-only over the
+    pruned (id, text) columns."""
+    padded = F.concat(
+        F.lit("  "),
+        F.regexp_replace(F.lower(F.col(text_col)), r"\s+", "  "),
+        F.lit("  "),
+    )
+
+    def tf_of(term: str) -> Column:
+        pat = f" {term} "
+        return (
+            (F.length(padded) - F.length(F.replace(padded, F.lit(pat), F.lit(""))))
+            / F.lit(len(pat))
+        ).cast("long")
+
+    # persist(): the tf columns feed THREE consumers (the any-match
+    # filter, the df aggregate, the score projection); without a
+    # materialization boundary Catalyst's projection collapse inlines
+    # the replace-chain into every reference and the scan re-runs per
+    # consumer (measured 31 s vs 1.3 s at sf1). The cached frame is
+    # match-bounded: (id, dl, m ints) per matching doc.
+    base = (
+        ensure_min_partitions(docs.select(id_col, text_col))
+        .select(
+            F.col(id_col),
+            dl_expr.alias("__dl"),
+            *[tf_of(t).alias(f"__tf_{i}") for i, t in enumerate(all_terms)],
+        )
+        .filter(
+            sum((F.col(f"__tf_{i}") for i in range(len(all_terms))), F.lit(0)) > 0
+        )
+        .persist()
+    )
+    dfreq = base.agg(
+        *[
+            F.sum((F.col(f"__tf_{i}") > 0).cast("long")).alias(f"__df_{i}")
+            for i in range(len(all_terms))
+        ]
+    )
+    term_idx = {t: i for i, t in enumerate(all_terms)}
+    joined = base.crossJoin(F.broadcast(dfreq)).crossJoin(F.broadcast(stats))
+
+    def score_of(terms: list[str]) -> Column:
+        # per-term addend rounded to 12dp then summed as exact DECIMAL
+        # (same arithmetic as the explode path, column-wise)
+        total = None
+        for t in terms:
+            i = term_idx[t]
+            addend = F.when(
+                F.col(f"__tf_{i}") > 0,
+                F.round(
+                    idf(F.col(f"__df_{i}")) * tf_part(F.col(f"__tf_{i}")), 12
+                ).cast("decimal(38,12)"),
+            ).otherwise(F.lit(0).cast("decimal(38,12)"))
+            total = addend if total is None else total + addend
+        return total
+
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(qid).alias("query_id"),
+                score_of(terms).alias("__s"),
+                # a (query, doc) row exists only when the doc matches
+                # ≥1 of THIS query's terms — mirrors the join semantics
+                # of the explode path
+                sum(
+                    (F.col(f"__tf_{term_idx[t]}") for t in terms), F.lit(0)
+                ).alias("__m"),
+            )
+            for qid, terms in sorted(qterms.items())
+        ]
+    )
+    return (
+        joined.select(F.col(id_col), F.explode(pairs).alias("__p"))
+        .filter(F.col("__p.__m") > 0)
+        .select(
+            F.col("__p.query_id").alias("query_id"),
+            F.col(id_col),
+            F.round(F.col("__p.__s").cast("double"), 9).alias("score_r"),
+        )
+    )
+
+
+def _explode_scores(
+    spark, docs, qterms, all_terms, text_col, id_col, stats, idf, tf_part
+):
+    """Token-stream BM25 for large term sets: the term-set filter is
+    pushed map-side BEFORE the aggregation, so the shuffle carries
+    only (doc, matching-term) rows — the corpus token stream itself is
+    never shuffled. BM25 needs tf only for query terms, and
+    df-per-query-term is exactly the count of docs containing it,
+    which the filtered tf rows still give. Term sets ≤1000 inline as a
+    codegen'd IN literal; larger ones degrade to a broadcast
+    semi-join (same map-side effect, no plan-size blowup)."""
+    toks = ensure_min_partitions(
+        docs.select(id_col, text_col)
+    ).withColumn("__toks", tokenize(F.col(text_col))).select(
+        F.col(id_col),
+        F.size("__toks").alias("__dl"),
+        F.explode("__toks").alias("term"),
+    )
+    if len(all_terms) <= 1000:
+        matched = toks.filter(F.col("term").isin(all_terms))
+    else:
+        tset = docs.sparkSession.createDataFrame(
+            [(t,) for t in all_terms], ["term"]
+        )
+        matched = toks.join(F.broadcast(tset), "term", "semi")
+    # dl is functionally dependent on the id — no extra groups.
+    tf = matched.groupBy(id_col, "term", "__dl").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    # Document frequency fused onto the tf rows (no second corpus pass).
+    with_df = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    )
+    qt = spark.createDataFrame(
+        [(qid, t) for qid, terms in sorted(qterms.items()) for t in terms],
+        ["query_id", "term"],
+    )
+    addend = F.round(idf(F.col("df")) * tf_part(F.col("tf")), 12).cast(
+        "decimal(38,12)"
+    )
+    return (
+        with_df.join(F.broadcast(qt), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", id_col)
+        .agg(F.round(F.sum(addend).cast("double"), 9).alias("score_r"))
     )

@@ -2265,3 +2265,35 @@ def test_dsir_rejects_bad_buckets(spark):
 
     with pytest.raises(ValueError, match="buckets"):
         dsir_scores(None, None, "text", "doc_id", buckets=0)
+
+
+def test_bm25_pivot_and_explode_agree(spark):
+    """The zero-shuffle pivot path and the token-stream explode path
+    must produce identical (query, rank, doc, score) rows — same
+    integer tf/df/dl/N, same rounded arithmetic."""
+    import random
+
+    from taxi_rides_ny_duckdb_spark.operators.retrieval import bm25_topk
+
+    rng = random.Random(11)
+    vocab = "alpha beta gamma delta epsilon zeta eta theta".split()
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 30))))
+            for i in range(80)
+        ],
+        ["doc_id", "text"],
+    )
+    qs = [("q1", "alpha beta"), ("q2", "zeta"), ("q3", "missing gamma")]
+    a = bm25_topk(spark, docs, qs, "text", "doc_id", k=7, strategy="pivot")
+    b = bm25_topk(spark, docs, qs, "text", "doc_id", k=7, strategy="explode")
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb and len(ra) > 0
+
+
+def test_bm25_rejects_bad_strategy(spark):
+    from taxi_rides_ny_duckdb_spark.operators.retrieval import bm25_topk
+
+    with pytest.raises(ValueError, match="strategy"):
+        bm25_topk(spark, None, [("q", "x")], "text", "doc_id", strategy="bogus")
