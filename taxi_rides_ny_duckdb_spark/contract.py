@@ -172,12 +172,23 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "j1_broadcast_dim_join",
     "j3_left_anti",
     "o1_topn_orders",
-    "p2_typed_projection",
     "s1_scan_filter_project",
     "s5_sql_entrypoint",
     "w1_dedup_row_number",
-    "x3_surrogate_key",
-    "x5_date_trunc_month",
+    # p2_typed_projection, x3_surrogate_key and x5_date_trunc_month
+    # ceded their sweep slots to the three never-windowed round-7
+    # additions below (ext_bm25_topk, ext_gopher_quality,
+    # ext_dsir_importance) under the duplicate-family-refresh rule:
+    # the 21-col typed projection, the md5-concat-coalesce surrogate
+    # key and the month date_trunc all run VERBATIM inside the
+    # permanent taxi prefix (stg_* / dm_monthly_*) every round — the
+    # x2/x4/j2/u1 transitive-coverage class — while the BM25 pivoted
+    # tf arithmetic, the Gopher rule panel and the DSIR smoothed
+    # log-ratio model are NEW arithmetic that driver evidence
+    # certifies beyond the local gate.
+    "ext_bm25_topk",
+    "ext_gopher_quality",
+    "ext_dsir_importance",
     # Added or changed in round 7.
     "ext_hard_negative_topk_ann",
     "ext_cap_per_group",
