@@ -4713,3 +4713,79 @@ def ext_dsir_importance(spark, sf_dir):
 
     d = load(spark, sf_dir, "documents")
     return dsir_scores(d, d.filter(F.col("lang") == "en"), "text", "doc_id")
+
+
+_FUNNEL_ORACLE = """
+WITH s0 AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS t0 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), s1 AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t1
+  FROM events e JOIN s0 USING (user_id)
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s0.t0
+  GROUP BY e.user_id
+), s2 AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s1.t1
+  GROUP BY e.user_id
+)
+SELECT s0.user_id, s0.t0 AS view_us, s1.t1 AS click_us,
+       s2.t2 AS purchase_us,
+       CAST(1 + (s1.t1 IS NOT NULL)::INT + (s2.t2 IS NOT NULL)::INT
+            AS BIGINT) AS stages_completed
+FROM s0 LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+"""
+
+
+@query("ext_events_funnel", oracle=_FUNNEL_ORACLE)
+def ext_events_funnel(spark, sf_dir):
+    """First-touch funnel view → click → purchase (operators/windows.
+    funnel_stages): per user, the first click strictly after the first
+    view, the first purchase strictly after that click; epoch-µs
+    outputs, longest-prefix stage count. Stage events filter map-side
+    (pushed to the scan); all joins are user-keyed, user-sized.
+    _count_pin: the top is a LEFT join chain against unique-keyed
+    aggregates a count-only consumer would eliminate."""
+    from .operators.windows import funnel_stages
+
+    e = load(spark, sf_dir, "events")
+    return _count_pin(
+        funnel_stages(
+            e, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+        ),
+        "view_us",
+        "click_us",
+        "purchase_us",
+        "stages_completed",
+    )
+
+
+_RETENTION_ORACLE = """
+WITH active AS (
+  SELECT DISTINCT user_id,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) AS period
+  FROM events
+), cohorts AS (
+  SELECT user_id, MIN(period) AS cohort FROM active GROUP BY user_id
+)
+SELECT cohorts.cohort AS cohort_period,
+       CAST((epoch_us(active.period) - epoch_us(cohorts.cohort))
+            / 86400000000 AS BIGINT) AS period_offset,
+       COUNT(*) AS n_users
+FROM active JOIN cohorts USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+@query("ext_events_retention", oracle=_RETENTION_ORACLE)
+def ext_events_retention(spark, sf_dir):
+    """Day-grain cohort retention matrix (operators/windows.
+    cohort_retention): users bucketed by first-activity day, counted
+    in each later active day by exact integer day offset. Three
+    event-bounded shuffles (distinct, first-activity agg, matrix agg),
+    each output smaller than its input."""
+    from .operators.windows import cohort_retention
+
+    e = load(spark, sf_dir, "events")
+    return cohort_retention(e, "user_id", "ts", "day")

@@ -77,3 +77,113 @@ def sliding_window_agg(
         F.col("w.end").alias("window_end"),
         *[F.col(c) for c in out.columns if c != "w"],
     )
+
+
+def funnel_stages(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    stages: list[str],
+) -> DataFrame:
+    """Ordered funnel analysis (first-touch semantics): for each user
+    who performed ``stages[0]``, the FIRST time they performed each
+    subsequent stage STRICTLY AFTER their first completion of the
+    previous one — the classic product-analytics conversion query
+    (view → click → purchase), exact, not sequence-pattern-approximate.
+
+    Output: one row per user who reached stage 1 —
+    ``(user, stage1_us, ..., stageK_us, stages_completed)`` with each
+    stage's first-completion time as epoch MICROSECONDS (integer —
+    sidesteps cross-engine timestamp-unit rendering) and NULL once a
+    stage was never reached after its predecessor.
+
+    Plan at scale: stage i is a map-side ``type = stage_i`` filter
+    (pushed to the scan) aggregated to user grain, then an equi-join
+    on the user key against the user-grain funnel-so-far frame —
+    K-1 user-keyed shuffles of user-sized (not event-sized) frames.
+    Conditional-aggregation single-pass forms exist for fixed K but
+    recompute every stage over the full event scan; the join chain
+    touches each stage's events once and keeps every intermediate
+    user-bounded. First-touch ties inside one timestamp are broken by
+    the MIN aggregate itself (µs-exact on both engines).
+    """
+    if len(stages) < 2:
+        raise ValueError("funnel needs >= 2 stages")
+    us = F.unix_micros(F.col(ts_col))
+    cur = (
+        events.filter(F.col(type_col) == stages[0])
+        .groupBy(user_col)
+        .agg(F.min(us).alias("__t0"))
+    )
+    for i, stage in enumerate(stages[1:], start=1):
+        nxt = (
+            events.filter(F.col(type_col) == stage)
+            .select(F.col(user_col), us.alias("__ts"))
+            .join(cur.select(user_col, f"__t{i-1}"), user_col)
+            .filter(F.col("__ts") > F.col(f"__t{i-1}"))
+            .groupBy(user_col)
+            .agg(F.min("__ts").alias(f"__t{i}"))
+        )
+        cur = cur.join(nxt, user_col, "left")
+    completed = F.lit(1)
+    for i in range(1, len(stages)):
+        completed = completed + F.col(f"__t{i}").isNotNull().cast("int")
+    # stages_completed counts the longest PREFIX completed; a NULL
+    # stage makes every later __t NULL by construction (each join
+    # filters on the previous stage's time), so the sum IS the prefix
+    # length.
+    return cur.select(
+        F.col(user_col),
+        *[
+            F.col(f"__t{i}").alias(f"{stage}_us")
+            for i, stage in enumerate(stages)
+        ],
+        completed.cast("long").alias("stages_completed"),
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    grain: str = "day",
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by their FIRST-activity
+    period (the cohort), counted in every later period they were
+    active — ``(cohort_period, period_offset, n_users)`` where
+    ``n_users`` is the count of cohort members active exactly
+    ``period_offset`` periods after their first activity. Offset 0 is
+    the cohort size (every member is active in their first period).
+
+    Determinism: periods are ``date_trunc(grain)`` TIMESTAMPs (the
+    calendar-bucket parity convention); offsets are exact integer
+    epoch-µs arithmetic, valid for 'day'/'hour'-class fixed-width
+    grains (month arithmetic would need months_between — not needed
+    here and deliberately unsupported; raises).
+
+    Plan at scale: first-activity is one user-keyed aggregation;
+    (user, period) activity is a distinct at user×period grain; the
+    cohort label joins back on the user key and the matrix is one
+    aggregation at cohort×offset grain — three event-bounded
+    shuffles, each output strictly smaller than its input, no window,
+    no Python.
+    """
+    if grain not in ("day", "hour"):
+        raise ValueError(f"grain must be 'day' or 'hour', got {grain!r}")
+    period_us = {"day": 86_400_000_000, "hour": 3_600_000_000}[grain]
+    period = F.date_trunc(grain, F.col(ts_col))
+    active = events.select(
+        F.col(user_col), period.alias("__period")
+    ).distinct()
+    cohorts = active.groupBy(user_col).agg(F.min("__period").alias("__cohort"))
+    offset = (
+        (F.unix_micros(F.col("__period")) - F.unix_micros(F.col("__cohort")))
+        / F.lit(period_us)
+    ).cast("long")
+    return (
+        active.join(cohorts, user_col)
+        .select(F.col("__cohort").alias("cohort_period"), offset.alias("period_offset"))
+        .groupBy("cohort_period", "period_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

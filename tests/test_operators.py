@@ -2297,3 +2297,77 @@ def test_bm25_rejects_bad_strategy(spark):
 
     with pytest.raises(ValueError, match="strategy"):
         bm25_topk(spark, None, [("q", "x")], "text", "doc_id", strategy="bogus")
+
+
+def test_funnel_strict_ordering_semantics(spark):
+    """click BEFORE the first view must not count; a later click does.
+    Stage times are first-after-predecessor, and a missing middle
+    stage nulls everything after it."""
+    from datetime import datetime
+
+    from taxi_rides_ny_duckdb_spark.operators.windows import funnel_stages
+
+    T = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        # u1: full funnel in order
+        (1, T(10), "view"), (1, T(20), "click"), (1, T(30), "purchase"),
+        # u2: click precedes view -> click doesn't count; no later click
+        (2, T(5), "click"), (2, T(10), "view"), (2, T(30), "purchase"),
+        # u3: purchase before click -> stops at click
+        (3, T(10), "view"), (3, T(15), "purchase"), (3, T(20), "click"),
+        # u4: never viewed -> excluded entirely
+        (4, T(10), "click"), (4, T(20), "purchase"),
+        # u5: two views; funnel anchors on the FIRST view
+        (5, T(10), "view"), (5, T(40), "view"), (5, T(20), "click"),
+    ]
+    e = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    out = {
+        r["user_id"]: r
+        for r in funnel_stages(
+            e, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 5}
+    assert out[1]["stages_completed"] == 3
+    assert out[2]["stages_completed"] == 1 and out[2]["click_us"] is None
+    # u2's purchase can't count without a qualifying click
+    assert out[2]["purchase_us"] is None
+    assert out[3]["stages_completed"] == 2 and out[3]["purchase_us"] is None
+    assert out[5]["stages_completed"] == 2  # click after FIRST view counts
+
+
+def test_funnel_rejects_single_stage(spark):
+    from taxi_rides_ny_duckdb_spark.operators.windows import funnel_stages
+
+    with pytest.raises(ValueError, match="stages"):
+        funnel_stages(None, "u", "ts", "t", ["only"])
+
+
+def test_cohort_retention_offsets(spark):
+    from datetime import datetime
+
+    from taxi_rides_ny_duckdb_spark.operators.windows import cohort_retention
+
+    rows = [
+        (1, datetime(2024, 1, 1, 9)), (1, datetime(2024, 1, 3, 1)),
+        (2, datetime(2024, 1, 1, 23)), (2, datetime(2024, 1, 2, 0)),
+        (3, datetime(2024, 1, 2, 12)),
+        (1, datetime(2024, 1, 1, 18)),  # same-day repeat: no double count
+    ]
+    e = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = {
+        (r["cohort_period"].day, r["period_offset"]): r["n_users"]
+        for r in cohort_retention(e, "user_id", "ts", "day").collect()
+    }
+    assert out[(1, 0)] == 2   # users 1, 2 start Jan 1
+    assert out[(1, 1)] == 1   # user 2 back on day 1 offset
+    assert out[(1, 2)] == 1   # user 1 back on day 2 offset
+    assert out[(2, 0)] == 1   # user 3's cohort
+    assert (2, 1) not in out
+
+
+def test_cohort_retention_rejects_month_grain(spark):
+    from taxi_rides_ny_duckdb_spark.operators.windows import cohort_retention
+
+    with pytest.raises(ValueError, match="grain"):
+        cohort_retention(None, "u", "ts", "month")
