@@ -81,6 +81,8 @@ def bm25_topk(
     """
     if not queries:
         raise ValueError("queries must be a non-empty list of (id, text)")
+    if len({qid for qid, _ in queries}) != len(queries):
+        raise ValueError("query ids must be unique")
     if strategy not in ("auto", "pivot", "explode"):
         raise ValueError(
             f"strategy must be 'auto', 'pivot' or 'explode'; got {strategy!r}"

@@ -110,6 +110,11 @@ def funnel_stages(
     """
     if len(stages) < 2:
         raise ValueError("funnel needs >= 2 stages")
+    if len(set(stages)) != len(stages):
+        # output columns are named {stage}_us — a repeated stage name
+        # would collide; repeated-action funnels (view → view) should
+        # disambiguate the labels upstream
+        raise ValueError(f"stage names must be distinct, got {stages}")
     us = F.unix_micros(F.col(ts_col))
     cur = (
         events.filter(F.col(type_col) == stages[0])

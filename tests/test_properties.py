@@ -540,3 +540,65 @@ def test_snapshot_diff_partitions_keyspace(spark, old, new):
             assert status == "unchanged"
     self_diff = snapshot_diff(o, o, "k", ("v",)).collect()
     assert all(r["status"] == "unchanged" for r in self_diff)
+
+
+@settings(**_SETTINGS)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=5),   # user
+            st.integers(min_value=0, max_value=50),  # second offset
+            st.sampled_from(["A", "B", "C", "other"]),
+        ),
+        max_size=40,
+    )
+)
+def test_funnel_matches_sequential_reference(spark, events):
+    """funnel_stages ≡ an O(n) per-user sequential scan: walk the
+    user's events in (ts, then input order is irrelevant — ties break
+    by MIN) time order, advancing a stage pointer only on a strictly
+    later matching event."""
+    from datetime import datetime
+
+    from taxi_rides_ny_duckdb_spark.operators.windows import funnel_stages
+
+    stages = ["A", "B", "C"]
+    rows = [
+        (u, datetime(2024, 1, 1, 0, 0, 0, s * 1000), t) for u, s, t in events
+    ]
+    df = spark.createDataFrame(
+        rows or [(1, datetime(2024, 1, 1), "other")],
+        "user_id bigint, ts timestamp, event_type string",
+    ).repartition(3)
+    got = {
+        r["user_id"]: (r["A_us"], r["B_us"], r["C_us"], r["stages_completed"])
+        for r in funnel_stages(
+            df, "user_id", "ts", "event_type", stages
+        ).collect()
+    }
+    # reference: first A = min ts of A; then min ts of B > tA; etc.
+    import collections
+
+    by_user = collections.defaultdict(list)
+    for u, ts, t in rows:
+        by_user[u].append((ts, t))
+    want = {}
+    for u, evs in by_user.items():
+        t_prev, times = None, []
+        for stage in stages:
+            cand = [
+                ts for ts, t in evs
+                if t == stage and (t_prev is None or ts > t_prev)
+            ]
+            t_prev = min(cand) if cand else None
+            times.append(t_prev)
+            if t_prev is None:
+                break
+        if times[0] is None:
+            continue
+        us = [
+            None if t is None else int(t.timestamp() * 1_000_000)
+            for t in times + [None] * (3 - len(times))
+        ]
+        want[u] = (us[0], us[1], us[2], sum(1 for t in us if t is not None))
+    assert got == want
