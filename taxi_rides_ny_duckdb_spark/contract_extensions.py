@@ -4789,3 +4789,119 @@ def ext_events_retention(spark, sf_dir):
 
     e = load(spark, sf_dir, "events")
     return cohort_retention(e, "user_id", "ts", "day")
+
+
+_HYBRID_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                            w -> w != '')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+), dl AS (
+  SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+), tfdl AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dl.dl FROM tf JOIN dl USING (doc_id)
+), wdf AS (
+  SELECT tfdl.*, COUNT(*) OVER (PARTITION BY term) AS df FROM tfdl
+), stats AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  w -> w != ''))) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM documents
+), q AS (
+  SELECT DISTINCT query_id,
+         unnest(list_filter(string_split_regex(lower(qtext), '\\s+'),
+                            w -> w != '')) AS term
+  FROM (VALUES ('q_join', 'spark merge join'),
+               ('q_scan', 'fast hash table scan'),
+               ('q_stream', 'stream window agg')) AS t(query_id, qtext)
+), bm_scored AS (
+  SELECT q.query_id, wdf.doc_id,
+         CAST(SUM(CAST(round(
+             ln(1.0 + (stats.n - wdf.df + 0.5) / (wdf.df + 0.5))
+             * (wdf.tf * (1.2 + 1.0))
+               / (wdf.tf + 1.2 * (1.0 - 0.75 + 0.75 * wdf.dl / stats.avgdl)),
+           12) AS DECIMAL(38,12))) AS DOUBLE) AS s
+  FROM wdf JOIN q USING (term) CROSS JOIN stats
+  GROUP BY q.query_id, wdf.doc_id
+), bm AS (
+  SELECT query_id, doc_id AS item_id, rank FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(s, 9) DESC, doc_id ASC) AS rank
+    FROM bm_scored
+  ) WHERE rank <= 5
+), qv AS (
+  SELECT CASE vec_id WHEN 0 THEN 'q_join' WHEN 1 THEN 'q_scan'
+                     ELSE 'q_stream' END AS query_id,
+         CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 3
+), cv AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+), ann_scored AS (
+  SELECT qv.query_id, cv.vec_id,
+    CASE WHEN sqrt(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i]))) > 0
+          AND sqrt(list_sum(list_transform(generate_series(1, len(cv)), i -> cv[i] * cv[i]))) > 0
+    THEN list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * cv[i]))
+         / (sqrt(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i])))
+            * sqrt(list_sum(list_transform(generate_series(1, len(cv)), i -> cv[i] * cv[i]))))
+    ELSE 0.0 END AS cosine_sim
+  FROM cv CROSS JOIN qv
+), ann AS (
+  SELECT query_id, vec_id AS item_id, rank FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine_sim DESC, vec_id ASC) AS rank
+    FROM ann_scored
+  ) WHERE rank <= 5
+), fused AS (
+  SELECT COALESCE(bm.query_id, ann.query_id) AS query_id,
+         COALESCE(bm.item_id, ann.item_id) AS item_id,
+         round(COALESCE(1.0 / (60 + bm.rank), 0.0)
+               + COALESCE(1.0 / (60 + ann.rank), 0.0), 9) AS rrf_r
+  FROM bm FULL OUTER JOIN ann
+    ON bm.query_id = ann.query_id AND bm.item_id = ann.item_id
+)
+SELECT query_id, rank, item_id, rrf_r FROM (
+  SELECT query_id, item_id, rrf_r,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rrf_r DESC, item_id ASC) AS rank
+  FROM fused
+) WHERE rank <= 5
+"""
+
+
+@query("ext_hybrid_rrf_topk", oracle=_HYBRID_ORACLE)
+def ext_hybrid_rrf_topk(spark, sf_dir):
+    """Hybrid retrieval: BM25 lexical top-5 ⊕ exact-cosine embedding
+    top-5 fused by reciprocal-rank fusion (operators/retrieval.
+    rrf_fuse, c=60) — the standard hybrid-search combiner, consuming
+    only ranks so no cross-retriever score calibration is needed. The
+    three fixed queries are the BM25 contract queries; their dense
+    counterparts are the frozen embeddings of vec_id 0/1/2, and the
+    shared item-id convention is doc_id ≡ vec_id.
+
+    Scale: both retrievers' outputs are top-k-bounded per query, so
+    fusion (full-outer join + re-rank) is list-sized at any corpus
+    scale — the corpus-sized work is inside the upstream retrievers,
+    each already scale-audited."""
+    from .operators.retrieval import bm25_topk, rrf_fuse
+    from .operators.similarity import brute_force_topk
+
+    d = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    bm = bm25_topk(spark, d, _BM25_QUERIES, "text", "doc_id", k=5).select(
+        "query_id", F.col("doc_id").alias("item_id"), "rank"
+    )
+    qmap = F.when(F.col("vec_id") == 0, "q_join").when(
+        F.col("vec_id") == 1, "q_scan"
+    ).otherwise("q_stream")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        qmap.alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    ann = brute_force_topk(emb, queries, k=5).select(
+        "query_id", F.col("vec_id").alias("item_id"), "rank"
+    )
+    return rrf_fuse(bm, ann, k=5)

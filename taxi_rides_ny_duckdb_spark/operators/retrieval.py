@@ -284,3 +284,59 @@ def _explode_scores(
         .groupBy("query_id", id_col)
         .agg(F.round(F.sum(addend).cast("double"), 9).alias("score_r"))
     )
+
+
+def rrf_fuse(
+    a: DataFrame,
+    b: DataFrame,
+    k: int = 5,
+    c: int = 60,
+    query_col: str = "query_id",
+    id_col: str = "item_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of two ranked
+    retrieval lists — the standard hybrid-search combiner (lexical
+    BM25 ⊕ embedding ANN) that needs no score calibration because it
+    consumes only RANKS: ``rrf = Σ 1/(c + rank)`` over the lists that
+    returned the item, missing-list contributions = 0.
+
+    Output: ``(query, rank, id, rrf_r)`` — top-``k`` per query by the
+    fused score, ties broken by id ascending.
+
+    Determinism: the fused score is a TWO-term fixed-order double sum
+    of exact integer reciprocals — identical in any engine — rounded
+    to 9dp before the rank window.
+
+    Scale: both inputs are already top-k-bounded per query (k·|Q|
+    rows), so the full-outer join and the re-rank window are
+    list-sized, not corpus-sized — the expensive work happened in the
+    upstream retrievers. The join keys on (query, id); with thousands
+    of queries it is a tiny hash join at any corpus scale.
+    """
+    fa = a.select(
+        F.col(query_col), F.col(id_col), F.col(rank_col).alias("__ra")
+    )
+    fb = b.select(
+        F.col(query_col), F.col(id_col), F.col(rank_col).alias("__rb")
+    )
+    fused = fa.join(fb, [query_col, id_col], "full_outer").select(
+        F.col(query_col),
+        F.col(id_col),
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(c) + F.col("__ra")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(c) + F.col("__rb")), F.lit(0.0)),
+            9,
+        ).alias("rrf_r"),
+    )
+    w = Window.partitionBy(query_col).orderBy(F.desc("rrf_r"), F.asc(id_col))
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col(query_col),
+            F.col("rank").cast("long").alias("rank"),
+            F.col(id_col),
+            "rrf_r",
+        )
+    )

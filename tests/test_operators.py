@@ -2371,3 +2371,26 @@ def test_cohort_retention_rejects_month_grain(spark):
 
     with pytest.raises(ValueError, match="grain"):
         cohort_retention(None, "u", "ts", "month")
+
+
+def test_rrf_fuse_semantics(spark):
+    """Items in both lists outrank single-list items at comparable
+    ranks; a missing side contributes 0; ties break by item id."""
+    from taxi_rides_ny_duckdb_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(
+        [("q", 10, 1), ("q", 20, 2), ("q", 30, 3)],
+        ["query_id", "item_id", "rank"],
+    )
+    b = spark.createDataFrame(
+        [("q", 10, 3), ("q", 40, 1), ("q", 50, 2)],
+        ["query_id", "item_id", "rank"],
+    )
+    out = rrf_fuse(a, b, k=10).orderBy("rank").collect()
+    assert out[0]["item_id"] == 10  # in both lists -> top
+    assert out[0]["rrf_r"] == pytest.approx(1 / 61 + 1 / 63, abs=1e-9)
+    # single-list items: rank-1-in-b (40) beats rank-2-in-a (20)? No:
+    # 1/61 (rank1) > 1/62 (rank2) -> 40 ahead of 20
+    ids = [r["item_id"] for r in out]
+    assert ids.index(40) < ids.index(20)
+    assert len(out) == 5
