@@ -4905,3 +4905,103 @@ def ext_hybrid_rrf_topk(spark, sf_dir):
         "query_id", F.col("vec_id").alias("item_id"), "rank"
     )
     return rrf_fuse(bm, ann, k=5)
+
+
+_TRANSITION_ORACLE = """
+WITH pairs AS (
+  SELECT prev_type, event_type AS next_type FROM (
+    SELECT user_id,
+           lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_type) AS prev_type,
+           event_type
+    FROM events
+  ) WHERE prev_type IS NOT NULL
+), counts AS (
+  SELECT prev_type, next_type, COUNT(*) AS n
+  FROM pairs GROUP BY prev_type, next_type
+), totals AS (
+  SELECT prev_type, SUM(n) AS tot FROM counts GROUP BY prev_type
+)
+SELECT counts.prev_type, counts.next_type, counts.n,
+       round(CAST(counts.n AS DOUBLE) / CAST(totals.tot AS DOUBLE), 9) AS p_r
+FROM counts JOIN totals USING (prev_type)
+"""
+
+
+@query("ext_events_transition_matrix", oracle=_TRANSITION_ORACLE)
+def ext_events_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    streams (operators/windows.event_transition_matrix): lag() under a
+    total (ts, type) order, |types|²-bounded counts, exact-ratio
+    probabilities — next-action priors / error-loop screens / bot
+    fingerprints. One user-keyed window shuffle; everything after is
+    type-cardinality-bounded."""
+    from .operators.windows import event_transition_matrix
+
+    e = load(spark, sf_dir, "events")
+    return event_transition_matrix(e, "user_id", "ts", "event_type")
+
+
+_CHI2_ORACLE = """
+WITH cells AS (
+  SELECT source AS a, lang AS b, COUNT(*) AS observed
+  FROM documents GROUP BY source, lang
+), marg AS (
+  SELECT a, b, observed,
+         SUM(observed) OVER (PARTITION BY a) AS row_tot,
+         SUM(observed) OVER (PARTITION BY b) AS col_tot,
+         SUM(observed) OVER () AS n
+  FROM cells
+), panel AS (
+  SELECT a, b, observed,
+         round(CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+               / CAST(n AS DOUBLE), 9) AS expected_r,
+         round(((CAST(observed AS DOUBLE)
+                 - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+                   / CAST(n AS DOUBLE))
+                * (CAST(observed AS DOUBLE)
+                   - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+                     / CAST(n AS DOUBLE)))
+               / (CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+                  / CAST(n AS DOUBLE)), 9) AS contrib_r,
+         CAST(round(((CAST(observed AS DOUBLE)
+                 - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+                   / CAST(n AS DOUBLE))
+                * (CAST(observed AS DOUBLE)
+                   - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+                     / CAST(n AS DOUBLE)))
+               / (CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+                  / CAST(n AS DOUBLE)), 12) AS DECIMAL(38,12)) AS c12,
+         n
+  FROM marg
+), summary AS (
+  SELECT COUNT(DISTINCT a) AS ka, COUNT(DISTINCT b) AS kb,
+         CAST(SUM(c12) AS DOUBLE) AS chi2, MAX(n) AS nn
+  FROM panel
+)
+SELECT a, b, observed, expected_r, contrib_r,
+       CASE WHEN (ka - 1) * (kb - 1) > 0 THEN round(chi2, 9) END AS chi2_r,
+       CAST(CASE WHEN (ka - 1) * (kb - 1) > 0
+                 THEN (ka - 1) * (kb - 1) END AS BIGINT) AS dof,
+       CASE WHEN (ka - 1) * (kb - 1) > 0
+            THEN round(sqrt(chi2 / (CAST(nn AS DOUBLE)
+                 * CAST(least(ka - 1, kb - 1) AS DOUBLE))), 9) END
+         AS cramers_v_r
+FROM panel CROSS JOIN summary
+"""
+
+
+@query("ext_profile_chi_square", oracle=_CHI2_ORACLE)
+def ext_profile_chi_square(spark, sf_dir):
+    """Chi-square independence panel source × lang (plans/profile.
+    chi_square_independence): full contingency cells with expected
+    counts and contributions, plus chi2 / dof / Cramér's V — the
+    "is my language mix independent of source" QA check beside the
+    PSI drift gates. One corpus-sized groupBy collapsing to |A|·|B|
+    cells; marginals are window sums ON the cell frame; the cell
+    contributions are 12dp-rounded and DECIMAL-summed
+    (order-independent) before the summary derives from them."""
+    from .plans.profile import chi_square_independence
+
+    d = load(spark, sf_dir, "documents")
+    return chi_square_independence(d, "source", "lang")

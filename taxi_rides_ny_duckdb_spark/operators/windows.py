@@ -192,3 +192,50 @@ def cohort_retention(
         .groupBy("cohort_period", "period_offset")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+def event_transition_matrix(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """First-order Markov transition counts + probabilities over each
+    user's time-ordered event stream: ``(prev_type, next_type, n,
+    p_r)`` where ``p_r = n / Σ n over prev_type`` — the behavioral
+    fingerprint behind next-action prediction, anomaly screens
+    ("error → error loops"), and bot detection.
+
+    Ordering is total: (ts, then ``order_cols`` — default the event
+    type itself) so lag() is deterministic under ties on BOTH engines.
+    A user's first event has no predecessor and is excluded (standard
+    convention). Probabilities are exact integer ratios rounded to 9dp.
+
+    Plan at scale: one user-keyed window (the per-user sort is the
+    irreducible cost of sequence analysis — Spark sorts within user
+    partitions, no global sort), then an aggregation that collapses to
+    |types|² rows. The row-total join is against a |types|-row
+    aggregate — broadcast."""
+    order_cols = order_cols if order_cols is not None else [type_col]
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), *[F.col(c).asc() for c in order_cols]
+    )
+    pairs = (
+        events.select(
+            F.lag(F.col(type_col)).over(w).alias("prev_type"),
+            F.col(type_col).alias("next_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("prev_type").agg(F.sum("n").alias("__tot"))
+    return pairs.join(F.broadcast(totals), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("__tot").cast("double"), 9).alias(
+            "p_r"
+        ),
+    )

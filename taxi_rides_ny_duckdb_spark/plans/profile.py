@@ -984,3 +984,87 @@ def corpus_datacard(
             ),
         )
     )
+
+
+def chi_square_independence(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Chi-square test of independence between two categorical
+    columns, with the full contingency panel: one row per observed
+    (a, b) cell — ``(a, b, observed, expected_r, contrib_r)`` — plus
+    the test summary repeated on every row (``chi2_r``, ``dof``,
+    ``cramers_v_r``) so the panel is a single self-contained frame.
+    The QA question it answers: is the corpus's language mix
+    independent of its source (a skewed crawl), is a label independent
+    of its shard (a bad partitioner)?
+
+    Determinism: observed counts and marginals are exact integer
+    window sums over the cell frame; ``expected`` is a fixed-order
+    double expression of those integers; cell contributions are
+    rounded to 12dp and summed as exact DECIMAL (order-independent),
+    with the summary derived from that sum — identical bits in both
+    engines at any parallelism.
+
+    Plan at scale: ONE corpus-sized groupBy(a, b) that collapses to
+    |A|·|B| cells; marginals and totals are window sums ON the cell
+    frame (cell-sized, not corpus-sized); the summary is a 1-row
+    aggregate broadcast back. No second corpus pass, no join against
+    anything data-sized. Cramér's V uses the chi2/(N·min(kA-1, kB-1))
+    normalization; dof = (kA-1)(kB-1); both NULL when either column is
+    constant (0 dof — independence is undefined, not "perfect")."""
+    from pyspark.sql.window import Window
+
+    cells = df.groupBy(
+        F.col(col_a).alias("a"), F.col(col_b).alias("b")
+    ).agg(F.count(F.lit(1)).alias("observed"))
+    wa = Window.partitionBy("a")
+    wb = Window.partitionBy("b")
+    wall = Window.partitionBy()
+    with_marg = cells.select(
+        "a",
+        "b",
+        "observed",
+        F.sum("observed").over(wa).alias("__row_tot"),
+        F.sum("observed").over(wb).alias("__col_tot"),
+        F.sum("observed").over(wall).alias("__n"),
+    )
+    expected = (
+        F.col("__row_tot").cast("double")
+        * F.col("__col_tot").cast("double")
+        / F.col("__n").cast("double")
+    )
+    diff = F.col("observed").cast("double") - expected
+    contrib = (diff * diff) / expected
+    paneled = with_marg.select(
+        "a",
+        "b",
+        "observed",
+        F.round(expected, 9).alias("expected_r"),
+        F.round(contrib, 9).alias("contrib_r"),
+        F.round(contrib, 12).cast("decimal(38,12)").alias("__c12"),
+        "__n",
+    )
+    summary = paneled.agg(
+        F.count_distinct("a").alias("__ka"),
+        F.count_distinct("b").alias("__kb"),
+        F.sum("__c12").cast("double").alias("__chi2"),
+        F.max("__n").alias("__nn"),
+    )
+    dof = (F.col("__ka") - 1) * (F.col("__kb") - 1)
+    v = F.sqrt(
+        F.col("__chi2")
+        / (
+            F.col("__nn").cast("double")
+            * F.least(F.col("__ka") - 1, F.col("__kb") - 1).cast("double")
+        )
+    )
+    return paneled.crossJoin(F.broadcast(summary)).select(
+        "a",
+        "b",
+        "observed",
+        "expected_r",
+        "contrib_r",
+        F.when(dof > 0, F.round(F.col("__chi2"), 9)).alias("chi2_r"),
+        F.when(dof > 0, dof).cast("long").alias("dof"),
+        F.when(dof > 0, F.round(v, 9)).alias("cramers_v_r"),
+    )

@@ -2394,3 +2394,64 @@ def test_rrf_fuse_semantics(spark):
     ids = [r["item_id"] for r in out]
     assert ids.index(40) < ids.index(20)
     assert len(out) == 5
+
+
+def test_transition_matrix_counts_and_probs(spark):
+    from datetime import datetime
+
+    from taxi_rides_ny_duckdb_spark.operators.windows import (
+        event_transition_matrix,
+    )
+
+    T = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        (1, T(1), "a"), (1, T(2), "b"), (1, T(3), "a"), (1, T(4), "b"),
+        (2, T(1), "a"), (2, T(2), "a"),
+        (3, T(1), "c"),  # single event: no transition
+    ]
+    e = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    out = {
+        (r["prev_type"], r["next_type"]): (r["n"], r["p_r"])
+        for r in event_transition_matrix(
+            e, "user_id", "ts", "event_type"
+        ).collect()
+    }
+    # from 'a': a->b twice (u1), a->a once (u2) -> p 2/3, 1/3
+    assert out[("a", "b")] == (2, pytest.approx(2 / 3, abs=1e-9))
+    assert out[("a", "a")] == (1, pytest.approx(1 / 3, abs=1e-9))
+    # from 'b': b->a once, p=1
+    assert out[("b", "a")] == (1, 1.0)
+    assert ("c", "a") not in out and len(out) == 3
+
+
+def test_chi_square_known_value(spark):
+    """2×2 with a hand-computed chi2: o=[[10,20],[20,10]] ->
+    expected all 15, chi2 = 4*(25/15) = 6.666..., V = sqrt(chi2/60)."""
+    from taxi_rides_ny_duckdb_spark.plans.profile import (
+        chi_square_independence,
+    )
+
+    rows = (
+        [("x", "u")] * 10 + [("x", "v")] * 20 + [("y", "u")] * 20 + [("y", "v")] * 10
+    )
+    df = spark.createDataFrame(rows, ["a", "b"])
+    out = chi_square_independence(df, "a", "b").collect()
+    assert len(out) == 4
+    r = out[0]
+    assert r["dof"] == 1
+    assert r["chi2_r"] == pytest.approx(20 / 3, abs=1e-6)
+    assert r["cramers_v_r"] == pytest.approx((20 / 3 / 60) ** 0.5, abs=1e-6)
+    assert all(x["expected_r"] == 15.0 for x in out)
+
+
+def test_chi_square_constant_column_null_summary(spark):
+    from taxi_rides_ny_duckdb_spark.plans.profile import (
+        chi_square_independence,
+    )
+
+    df = spark.createDataFrame([("x", "u"), ("x", "v")], ["a", "b"])
+    out = chi_square_independence(df, "a", "b").collect()
+    assert all(
+        r["chi2_r"] is None and r["dof"] is None and r["cramers_v_r"] is None
+        for r in out
+    )
