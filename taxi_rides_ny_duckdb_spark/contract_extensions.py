@@ -5005,3 +5005,82 @@ def ext_profile_chi_square(spark, sf_dir):
 
     d = load(spark, sf_dir, "documents")
     return chi_square_independence(d, "source", "lang")
+
+
+_PMI_ORACLE = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                              w -> w != '')) AS term
+    FROM documents)
+), counts AS (
+  SELECT term, COUNT(*) AS c FROM toks GROUP BY term
+), vocab AS (
+  SELECT term, c FROM counts ORDER BY c DESC, term LIMIT 100
+), filt AS (
+  SELECT toks.doc_id, toks.term FROM toks JOIN vocab USING (term)
+), pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b, COUNT(*) AS c_ab
+  FROM filt a JOIN filt b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY 1, 2 HAVING COUNT(*) >= 5
+), n AS (SELECT COUNT(*) AS nn FROM documents)
+SELECT term_b, term_a, c_ab, c_a, c_b, pmi_r, rank FROM (
+  SELECT pairs.term_a, pairs.term_b, pairs.c_ab,
+         va.c AS c_a, vb.c AS c_b,
+         round(ln(CAST(nn AS DOUBLE) * CAST(c_ab AS DOUBLE)
+                  / (CAST(va.c AS DOUBLE) * CAST(vb.c AS DOUBLE))), 9)
+           AS pmi_r,
+         CAST(row_number() OVER (
+             ORDER BY round(ln(CAST(nn AS DOUBLE) * CAST(c_ab AS DOUBLE)
+                      / (CAST(va.c AS DOUBLE) * CAST(vb.c AS DOUBLE))), 9)
+               DESC, pairs.term_a ASC, pairs.term_b ASC) AS BIGINT) AS rank
+  FROM pairs
+  JOIN vocab va ON pairs.term_a = va.term
+  JOIN vocab vb ON pairs.term_b = vb.term
+  CROSS JOIN n
+) WHERE rank <= 20
+"""
+
+
+@query("ext_text_pmi_collocations", oracle=_PMI_ORACLE)
+def ext_text_pmi_collocations(spark, sf_dir):
+    """Top-20 document-level PMI collocations over the top-100 vocab
+    (operators/cleaning.pmi_collocations, min 5 co-occurring docs) —
+    phrase mining / tokenizer-merge candidates. The pair explosion is
+    vocabulary-bounded by a broadcast semi-join BEFORE pairing (≤V²/2
+    per doc regardless of document length), so the corpus shuffles
+    once at (doc, distinct-term) grain and everything after is
+    cell-bounded."""
+    from .operators.cleaning import pmi_collocations
+
+    d = load(spark, sf_dir, "documents")
+    return pmi_collocations(d, "text", "doc_id", 100, 5, 20)
+
+
+_PIVOT_ORACLE = """
+SELECT source,
+       CAST(COUNT(*) FILTER (WHERE lang = 'en') AS BIGINT) AS en,
+       CAST(COUNT(*) FILTER (WHERE lang = 'es') AS BIGINT) AS es,
+       CAST(COUNT(*) FILTER (WHERE lang = 'fr') AS BIGINT) AS fr,
+       CAST(COUNT(*) FILTER (WHERE lang = 'de') AS BIGINT) AS de,
+       CAST(COUNT(*) FILTER (WHERE lang = 'zh') AS BIGINT) AS zh,
+       CAST(COUNT(*) FILTER (WHERE lang NOT IN ('en','es','fr','de','zh')
+                             OR lang IS NULL) AS BIGINT) AS other,
+       COUNT(*) AS row_total
+FROM documents GROUP BY source
+"""
+
+
+@query("ext_pivot_lang_by_source", oracle=_PIVOT_ORACLE)
+def ext_pivot_lang_by_source(spark, sf_dir):
+    """Wide language × source contingency table via the NATIVE
+    ``groupBy().pivot(values)`` path (operators/cleaning.
+    crosstab_pivot) — explicit value list so the schema is static and
+    Catalyst rewrites to a single aggregation (one shuffle, map-side
+    |values|+1 counters per group); out-of-list languages fold into
+    ``other``."""
+    from .operators.cleaning import crosstab_pivot
+
+    d = load(spark, sf_dir, "documents")
+    return crosstab_pivot(d, "source", "lang", ["en", "es", "fr", "de", "zh"])

@@ -409,3 +409,152 @@ def gopher_quality(
         r_stop.alias("rule_stopwords"),
         (r_words & r_mwl & r_alpha & r_sym & r_stop).alias("keep"),
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    top_vocab: int = 100,
+    min_pair_docs: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Top-``k`` term collocations by document-level PMI:
+    ``pmi = ln(N · c_ab / (c_a · c_b))`` over DISTINCT-per-document
+    term pairs — the corpus-analysis primitive behind phrase mining,
+    topic seeding, and tokenizer-merge candidates.
+
+    Both terms are restricted to the ``top_vocab`` most frequent
+    corpus terms (ties broken by term — deterministic), and pairs are
+    ordered (a < b) so each collocation appears once. Pairs seen in
+    fewer than ``min_pair_docs`` documents are pruned before scoring
+    (PMI is noise for rare pairs).
+
+    Determinism: all counts are integers; the score is one double
+    expression rounded to 9dp before the rank, ties by (term_a,
+    term_b).
+
+    Plan at scale: the quadratic step is bounded by construction —
+    the per-document DISTINCT-term array is first semi-joined
+    (broadcast, vocabulary-sized) to the top-V vocab, so the pair
+    explosion is ≤ V²/2 per doc REGARDLESS of document length, and
+    the pair aggregation collapses to ≤ V²/2 groups corpus-wide.
+    Unigram doc-counts reuse the same filtered stream (one extra
+    cell-bounded aggregation, broadcast back). Corpus bytes shuffle
+    once (the filtered (doc, term) distinct)."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokenize(F.col(text_col)))).alias("term"),
+    )
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    vocab = F.broadcast(
+        counts.orderBy(F.desc("c"), F.asc("term")).limit(top_vocab)
+    )
+    # Integer vocab ids, assigned in TERM order so vid comparison ≡
+    # term comparison: the pair stream (the ≤V²/2-per-doc quadratic
+    # blow-up) then joins, compares and aggregates 4-byte ints instead
+    # of strings — the pair rows are the dominant volume, so their
+    # width is the constant that matters (string pairs measured 2×
+    # slower at sf1).
+    from pyspark.sql.window import Window
+
+    vid_w = Window.orderBy(F.asc("term"))
+    vocab_ids = F.broadcast(
+        vocab.select("term", "c", F.row_number().over(vid_w).alias("__vid"))
+    )
+    # persist(): the vocab-filtered (doc, vid) stream feeds both sides
+    # of the pair self-join; without the boundary the scan + explode +
+    # join subtree is planned twice. The cached frame is
+    # (doc, vocab-term) bounded. The ordered-pair join is the same
+    # shape DuckDB's oracle plans (a ⋈ b ON doc AND a < b): one
+    # doc-keyed exchange per side, in-partition pairing, ≤V²/2 output
+    # rows per doc regardless of document length. An array-based form
+    # (collect_set + per-element HOF filter) measured 13× slower —
+    # interpreted lambdas over V-sized arrays per row.
+    filt = toks.join(vocab_ids.select("term", "__vid"), "term").select(
+        F.col(id_col), F.col("__vid")
+    ).persist()
+    fa = filt.select(F.col(id_col), F.col("__vid").alias("__va"))
+    fb = filt.select(F.col(id_col), F.col("__vid").alias("__vb"))
+    pairs = (
+        fa.join(fb, id_col)
+        .filter(F.col("__va") < F.col("__vb"))
+        .groupBy("__va", "__vb")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= min_pair_docs)
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("__n"))
+    ca = vocab_ids.select(
+        F.col("__vid").alias("__va"),
+        F.col("term").alias("term_a"),
+        F.col("c").alias("c_a"),
+    )
+    cb = vocab_ids.select(
+        F.col("__vid").alias("__vb"),
+        F.col("term").alias("term_b"),
+        F.col("c").alias("c_b"),
+    )
+    pmi = F.log(
+        F.col("__n").cast("double")
+        * F.col("c_ab").cast("double")
+        / (F.col("c_a").cast("double") * F.col("c_b").cast("double"))
+    )
+    w = Window.orderBy(
+        F.desc("pmi_r"), F.asc("term_a"), F.asc("term_b")
+    )
+    return (
+        pairs.join(F.broadcast(ca), "__va")
+        .join(F.broadcast(cb), "__vb")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "term_a",
+            "term_b",
+            "c_ab",
+            "c_a",
+            "c_b",
+            F.round(pmi, 9).alias("pmi_r"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def crosstab_pivot(
+    df: DataFrame,
+    row_col: str,
+    pivot_col: str,
+    values: list[str],
+    other_label: str = "other",
+) -> DataFrame:
+    """Wide contingency table via the native ``groupBy().pivot()``
+    path: one row per ``row_col`` value, one LONG count column per
+    pivot value (plus ``other`` for everything outside the list, and
+    ``row_total``). The reporting-shaped complement of
+    ``plans.profile.chi_square_independence``'s long panel.
+
+    ``values`` must be explicit: Spark's pivot-without-values runs a
+    driver-side distinct scan AND column order would depend on data;
+    an explicit list keeps the schema static (the Catalyst pivot
+    rewrites to ONE aggregation with a when/otherwise expression per
+    value — no per-value scan, no second pass).
+
+    Scale: exactly one shuffle at row_col grain, map-side partials
+    carrying |values|+1 counters per group."""
+    binned = df.select(
+        F.col(row_col),
+        F.when(
+            F.col(pivot_col).isin(values), F.col(pivot_col)
+        ).otherwise(F.lit(other_label)).alias("__p"),
+    )
+    out = (
+        binned.groupBy(row_col)
+        .pivot("__p", [*values, other_label])
+        .agg(F.count(F.lit(1)))
+    )
+    counts = [F.coalesce(F.col(v), F.lit(0)).cast("long").alias(v)
+              for v in [*values, other_label]]
+    total = sum(
+        (F.coalesce(F.col(v), F.lit(0)) for v in [*values, other_label]),
+        F.lit(0),
+    )
+    return out.select(F.col(row_col), *counts, total.cast("long").alias("row_total"))

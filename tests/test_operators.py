@@ -2455,3 +2455,41 @@ def test_chi_square_constant_column_null_summary(spark):
         r["chi2_r"] is None and r["dof"] is None and r["cramers_v_r"] is None
         for r in out
     )
+
+
+def test_pmi_collocations_favors_coupled_terms(spark):
+    """Terms engineered to always co-occur get the top PMI; terms
+    that never co-occur in >= min_pair_docs docs are absent."""
+    from taxi_rides_ny_duckdb_spark.operators.cleaning import pmi_collocations
+
+    rows = []
+    for i in range(10):
+        rows.append((i, "coupleda coupledb filler"))        # always together
+    for i in range(10, 30):
+        rows.append((i, "common filler"))                    # frequent alone
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = pmi_collocations(df, "text", "doc_id", top_vocab=10,
+                           min_pair_docs=5, k=10).collect()
+    top = out[0]
+    assert {top["term_a"], top["term_b"]} == {"coupleda", "coupledb"}
+    # coupled pair: pmi = ln(30*10/(10*10)) = ln 3
+    import math
+    assert top["pmi_r"] == pytest.approx(math.log(3), abs=1e-9)
+    pairs = {(r["term_a"], r["term_b"]) for r in out}
+    assert all("coupleda" in p or "filler" in p or "common" in p or "coupledb" in p
+               for p in pairs)
+
+
+def test_crosstab_pivot_other_and_totals(spark):
+    from taxi_rides_ny_duckdb_spark.operators.cleaning import crosstab_pivot
+
+    df = spark.createDataFrame(
+        [("s1", "en"), ("s1", "en"), ("s1", "xx"), ("s2", "es"), ("s2", None)],
+        ["source", "lang"],
+    )
+    out = {r["source"]: r for r in
+           crosstab_pivot(df, "source", "lang", ["en", "es"]).collect()}
+    assert out["s1"]["en"] == 2 and out["s1"]["other"] == 1
+    assert out["s1"]["es"] == 0 and out["s1"]["row_total"] == 3
+    assert out["s2"]["es"] == 1 and out["s2"]["other"] == 1  # NULL -> other
+    assert out["s2"]["row_total"] == 2
