@@ -459,8 +459,15 @@ def pmi_collocations(
     from pyspark.sql.window import Window
 
     vid_w = Window.orderBy(F.asc("term"))
+    # persist(): the V-row vocab frame feeds FOUR consumers (the vid
+    # map join, ca, cb, and transitively both self-join sides);
+    # unpersisted, each consumer re-plans the corpus-sized token
+    # aggregation underneath it (three extra corpus passes observed in
+    # the physical plan).
     vocab_ids = F.broadcast(
-        vocab.select("term", "c", F.row_number().over(vid_w).alias("__vid"))
+        vocab.select(
+            "term", "c", F.row_number().over(vid_w).alias("__vid")
+        ).persist()
     )
     # persist(): the vocab-filtered (doc, vid) stream feeds both sides
     # of the pair self-join; without the boundary the scan + explode +
