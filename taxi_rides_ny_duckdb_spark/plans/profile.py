@@ -1068,3 +1068,80 @@ def chi_square_independence(
         F.when(dof > 0, dof).cast("long").alias("dof"),
         F.when(dof > 0, F.round(v, 9)).alias("cramers_v_r"),
     )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    alpha_coeff: float = 1.358,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov test between two groups of
+    a numeric column → one row: ``(n_a, n_b, d_stat_r, d_crit_r,
+    reject)`` — the distribution-equality check beside PSI (which
+    needs binning) and chi-square (categorical only): "is the quality
+    distribution of shard A the same as shard B", with the classic
+    α=0.05 critical value ``c·sqrt((n_a+n_b)/(n_a·n_b))``.
+
+    D is computed on the pooled EMPIRICAL CDFs evaluated at every
+    distinct observed value — the exact statistic, not a binned
+    approximation. NULL values are excluded (they have no order
+    position); if either group is empty the row is all-NULL except
+    the counts.
+
+    Determinism: counts and cumulative counts are integer window sums
+    under a total value order; the CDF difference is one double
+    expression; max() of identical doubles is order-independent.
+
+    Plan at scale: rows collapse to (value, count_a, count_b) — ONE
+    corpus-sized aggregation — before any ordering; the cumsum window
+    then runs over DISTINCT VALUES only. Its single-reducer total
+    order is exact-by-construction (the quantile_binning precedent);
+    for columns whose distinct-value set itself exceeds a reducer,
+    the scale path is the two-level prefix-sum used by
+    ``operators/scale.sorted_run_export`` (per-partition subtotals +
+    broadcast prefix), same arithmetic."""
+    from pyspark.sql.window import Window
+
+    tagged = df.select(
+        F.col(value_col).alias("__v"),
+        F.when(F.col(group_col) == group_a, 1).otherwise(0).alias("__a"),
+        F.when(F.col(group_col) == group_b, 1).otherwise(0).alias("__b"),
+    ).filter(F.col("__v").isNotNull() & ((F.col("__a") == 1) | (F.col("__b") == 1)))
+    per_value = tagged.groupBy("__v").agg(
+        F.sum("__a").alias("__ca"), F.sum("__b").alias("__cb")
+    )
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_value.select(
+        F.sum("__ca").over(w).alias("__cuma"),
+        F.sum("__cb").over(w).alias("__cumb"),
+    )
+    totals = cum.agg(
+        F.max("__cuma").alias("n_a"), F.max("__cumb").alias("n_b")
+    )
+    d = cum.crossJoin(F.broadcast(totals)).agg(
+        F.max(
+            F.abs(
+                F.col("__cuma").cast("double") / F.col("n_a").cast("double")
+                - F.col("__cumb").cast("double") / F.col("n_b").cast("double")
+            )
+        ).alias("__d"),
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+    )
+    # cast-before-arithmetic: long*long would ANSI-overflow at ~3e9
+    # rows per group; the double forms are deterministic either way
+    crit = F.lit(alpha_coeff) * F.sqrt(
+        (F.col("n_a").cast("double") + F.col("n_b").cast("double"))
+        / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+    )
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    return d.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.when(ok, F.round(F.col("__d"), 9)).alias("d_stat_r"),
+        F.when(ok, F.round(crit, 9)).alias("d_crit_r"),
+        F.when(ok, F.col("__d") > crit).alias("reject"),
+    )
