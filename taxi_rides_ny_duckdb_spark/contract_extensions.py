@@ -5084,3 +5084,55 @@ def ext_pivot_lang_by_source(spark, sf_dir):
 
     d = load(spark, sf_dir, "documents")
     return crosstab_pivot(d, "source", "lang", ["en", "es", "fr", "de", "zh"])
+
+
+_KS_ORACLE = """
+WITH tagged AS (
+  SELECT value AS v,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a,
+         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS b
+  FROM events
+  WHERE value IS NOT NULL AND event_type IN ('click', 'error')
+), per_value AS (
+  SELECT v, SUM(a) AS ca, SUM(b) AS cb FROM tagged GROUP BY v
+), cum AS (
+  SELECT SUM(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cuma,
+         SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cumb
+  FROM per_value
+), tot AS (SELECT MAX(cuma) AS na, MAX(cumb) AS nb FROM cum),
+d AS (
+  SELECT MAX(ABS(CAST(cuma AS DOUBLE) / CAST(na AS DOUBLE)
+              - CAST(cumb AS DOUBLE) / CAST(nb AS DOUBLE))) AS dd,
+         MAX(na) AS na, MAX(nb) AS nb
+  FROM cum CROSS JOIN tot
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       CASE WHEN na > 0 AND nb > 0 THEN round(dd, 9) END AS d_stat_r,
+       CASE WHEN na > 0 AND nb > 0 THEN
+         round(1.358 * sqrt((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+               / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))), 9) END
+         AS d_crit_r,
+       CASE WHEN na > 0 AND nb > 0 THEN
+         dd > 1.358 * sqrt((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+              / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) END AS reject
+FROM d
+"""
+
+
+@query("ext_profile_ks_test", oracle=_KS_ORACLE)
+def ext_profile_ks_test(spark, sf_dir):
+    """Exact two-sample Kolmogorov–Smirnov test (plans/profile.
+    ks_two_sample): click-vs-error value distributions, empirical CDFs
+    at every distinct observed value, α=0.05 critical band — the
+    unbinned distribution-equality check beside PSI (binned) and
+    chi-square (categorical). Rows collapse to (value, count, count)
+    in ONE corpus-sized aggregation before the distinct-value cumsum
+    window; the two-level prefix-sum scale path for
+    reducer-overflowing distinct sets is documented at the
+    operator."""
+    from .plans.profile import ks_two_sample
+
+    e = load(spark, sf_dir, "events")
+    return ks_two_sample(e, "value", "event_type", "click", "error")

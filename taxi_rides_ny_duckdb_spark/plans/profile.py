@@ -1121,11 +1121,18 @@ def ks_two_sample(
     totals = cum.agg(
         F.max("__cuma").alias("n_a"), F.max("__cumb").alias("n_b")
     )
+    # try_divide: an empty group has n=0 and a bare `/` RAISES under
+    # the engine's ambient ANSI mode even for doubles; NULL propagates
+    # through max() and the `ok` gate masks the summary anyway
     d = cum.crossJoin(F.broadcast(totals)).agg(
         F.max(
             F.abs(
-                F.col("__cuma").cast("double") / F.col("n_a").cast("double")
-                - F.col("__cumb").cast("double") / F.col("n_b").cast("double")
+                F.try_divide(
+                    F.col("__cuma").cast("double"), F.col("n_a").cast("double")
+                )
+                - F.try_divide(
+                    F.col("__cumb").cast("double"), F.col("n_b").cast("double")
+                )
             )
         ).alias("__d"),
         F.max("n_a").alias("n_a"),

@@ -2493,3 +2493,25 @@ def test_crosstab_pivot_other_and_totals(spark):
     assert out["s1"]["es"] == 0 and out["s1"]["row_total"] == 3
     assert out["s2"]["es"] == 1 and out["s2"]["other"] == 1  # NULL -> other
     assert out["s2"]["row_total"] == 2
+
+
+def test_ks_two_sample_known_and_degenerate(spark):
+    from taxi_rides_ny_duckdb_spark.plans.profile import ks_two_sample
+
+    # identical distributions -> D = 0, no rejection
+    rows = [(float(v), g) for v in range(10) for g in ("x", "y")]
+    df = spark.createDataFrame(rows, ["v", "g"])
+    r = ks_two_sample(df, "v", "g", "x", "y").collect()[0]
+    assert r["n_a"] == r["n_b"] == 10
+    assert r["d_stat_r"] == 0.0 and r["reject"] is False
+    # disjoint supports -> D = 1, rejected
+    rows = [(float(v), "x") for v in range(20)] + [
+        (float(v + 100), "y") for v in range(20)
+    ]
+    df = spark.createDataFrame(rows, ["v", "g"])
+    r = ks_two_sample(df, "v", "g", "x", "y").collect()[0]
+    assert r["d_stat_r"] == 1.0 and r["reject"] is True
+    # empty group -> NULL stats, counts kept
+    df = spark.createDataFrame([(1.0, "x")], ["v", "g"])
+    r = ks_two_sample(df, "v", "g", "x", "y").collect()[0]
+    assert r["n_b"] == 0 and r["d_stat_r"] is None and r["reject"] is None
