@@ -4712,7 +4712,11 @@ def ext_dsir_importance(spark, sf_dir):
     from .operators.sampling import dsir_scores
 
     d = load(spark, sf_dir, "documents")
-    return dsir_scores(d, d.filter(F.col("lang") == "en"), "text", "doc_id")
+    return _count_pin(
+        dsir_scores(d, F.col("lang") == "en", "text", "doc_id"),
+        "n_tokens",
+        "dsir_score_r",
+    )
 
 
 _FUNNEL_ORACLE = """
@@ -4939,7 +4943,9 @@ def ext_events_transition_matrix(spark, sf_dir):
     from .operators.windows import event_transition_matrix
 
     e = load(spark, sf_dir, "events")
-    return event_transition_matrix(e, "user_id", "ts", "event_type")
+    return _count_pin(
+        event_transition_matrix(e, "user_id", "ts", "event_type"), "n", "p_r"
+    )
 
 
 _CHI2_ORACLE = """
@@ -5004,7 +5010,14 @@ def ext_profile_chi_square(spark, sf_dir):
     from .plans.profile import chi_square_independence
 
     d = load(spark, sf_dir, "documents")
-    return chi_square_independence(d, "source", "lang")
+    return _count_pin(
+        chi_square_independence(d, "source", "lang"),
+        "expected_r",
+        "contrib_r",
+        "chi2_r",
+        "dof",
+        "cramers_v_r",
+    )
 
 
 _PMI_ORACLE = """
@@ -5083,7 +5096,16 @@ def ext_pivot_lang_by_source(spark, sf_dir):
     from .operators.cleaning import crosstab_pivot
 
     d = load(spark, sf_dir, "documents")
-    return crosstab_pivot(d, "source", "lang", ["en", "es", "fr", "de", "zh"])
+    return _count_pin(
+        crosstab_pivot(d, "source", "lang", ["en", "es", "fr", "de", "zh"]),
+        "en",
+        "es",
+        "fr",
+        "de",
+        "zh",
+        "other",
+        "row_total",
+    )
 
 
 _KS_ORACLE = """
@@ -5135,4 +5157,11 @@ def ext_profile_ks_test(spark, sf_dir):
     from .plans.profile import ks_two_sample
 
     e = load(spark, sf_dir, "events")
-    return ks_two_sample(e, "value", "event_type", "click", "error")
+    return _count_pin(
+        ks_two_sample(e, "value", "event_type", "click", "error"),
+        "n_a",
+        "n_b",
+        "d_stat_r",
+        "d_crit_r",
+        "reject",
+    )
