@@ -5165,3 +5165,70 @@ def ext_profile_ks_test(spark, sf_dir):
         "d_crit_r",
         "reject",
     )
+
+
+_FUNNEL_LATENCY_ORACLE = """
+WITH s0 AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS t0 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), s1 AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t1
+  FROM events e JOIN s0 USING (user_id)
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s0.t0
+  GROUP BY e.user_id
+), s2 AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s1.t1
+  GROUP BY e.user_id
+), lags AS (
+  SELECT 'view_to_click' AS transition, s1.t1 - s0.t0 AS lag_us
+  FROM s0 JOIN s1 USING (user_id)
+  UNION ALL
+  SELECT 'click_to_purchase' AS transition, s2.t2 - s1.t1 AS lag_us
+  FROM s1 JOIN s2 USING (user_id)
+)
+SELECT transition, COUNT(*) AS n_converted,
+       round(quantile_cont(lag_us, 0.5), 9) AS p50_us_r,
+       round(quantile_cont(lag_us, 0.9), 9) AS p90_us_r,
+       CAST(SUM(CAST(lag_us AS DECIMAL(38,0))) AS DOUBLE) / COUNT(*)
+         AS avg_us
+FROM lags GROUP BY transition
+"""
+
+
+@query("ext_events_funnel_latency", oracle=_FUNNEL_LATENCY_ORACLE)
+def ext_events_funnel_latency(spark, sf_dir):
+    """Conversion-latency panel on the funnel frame: per transition
+    (view→click, click→purchase), the converted-user count and the
+    p50/p90/mean first-touch lag in µs — "how long does conversion
+    take", the funnel's companion metric. Exact percentiles are
+    justified by the quantile_binning precedent: only one integer lag
+    per CONVERTED user enters the sort, never event-sized data; the
+    mean is DECIMAL-routed (exact integer sum / count).
+
+    Plan: reuses the funnel join chain (user-sized frames), unpivots
+    two lag columns via a 2-element stack, one |transitions|-group
+    aggregation."""
+    from .operators.windows import funnel_stages
+
+    e = load(spark, sf_dir, "events")
+    f = funnel_stages(
+        e, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    )
+    lags = f.select(
+        F.expr(
+            "stack(2, 'view_to_click', click_us - view_us, "
+            "'click_to_purchase', purchase_us - click_us) "
+            "AS (transition, lag_us)"
+        )
+    ).filter(F.col("lag_us").isNotNull())
+    return lags.groupBy("transition").agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.percentile("lag_us", F.lit(0.5)), 9).alias("p50_us_r"),
+        F.round(F.percentile("lag_us", F.lit(0.9)), 9).alias("p90_us_r"),
+        (
+            F.sum(F.col("lag_us").cast("decimal(38,0)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_us"),
+    )
