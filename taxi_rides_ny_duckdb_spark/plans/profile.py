@@ -1145,9 +1145,10 @@ def ks_two_sample(
         / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
     )
     ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    # fully-empty input: the aggregates are NULL; counts present as 0
     return d.select(
-        F.col("n_a").cast("long").alias("n_a"),
-        F.col("n_b").cast("long").alias("n_b"),
+        F.coalesce(F.col("n_a"), F.lit(0)).cast("long").alias("n_a"),
+        F.coalesce(F.col("n_b"), F.lit(0)).cast("long").alias("n_b"),
         F.when(ok, F.round(F.col("__d"), 9)).alias("d_stat_r"),
         F.when(ok, F.round(crit, 9)).alias("d_crit_r"),
         F.when(ok, F.col("__d") > crit).alias("reject"),

@@ -602,3 +602,95 @@ def test_funnel_matches_sequential_reference(spark, events):
         ]
         want[u] = (us[0], us[1], us[2], sum(1 for t in us if t is not None))
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=15),  # value
+            st.booleans(),                           # group a/b
+        ),
+        max_size=40,
+    )
+)
+def test_ks_two_sample_matches_reference(spark, rows):
+    """ks_two_sample ≡ the textbook O(n log n) reference: D = max over
+    pooled distinct values of |F_a(x) - F_b(x)|."""
+    from taxi_rides_ny_duckdb_spark.plans.profile import ks_two_sample
+
+    data = [(float(v), "x" if a else "y") for v, a in rows]
+    df = spark.createDataFrame(
+        data or [(0.0, "z")], "v double, g string"
+    ).repartition(3)
+    r = ks_two_sample(df, "v", "g", "x", "y").collect()[0]
+    xs = sorted(v for v, g in data if g == "x")
+    ys = sorted(v for v, g in data if g == "y")
+    assert r["n_a"] == len(xs) and r["n_b"] == len(ys)
+    if not xs or not ys:
+        assert r["d_stat_r"] is None and r["reject"] is None
+        return
+    import bisect
+
+    d = max(
+        abs(
+            bisect.bisect_right(xs, v) / len(xs)
+            - bisect.bisect_right(ys, v) / len(ys)
+        )
+        for v in sorted({*xs, *ys})
+    )
+    assert abs(r["d_stat_r"] - round(d, 9)) <= 1e-9
+    crit = 1.358 * ((len(xs) + len(ys)) / (len(xs) * len(ys))) ** 0.5
+    assert r["reject"] == (d > crit)
+
+
+@settings(**_SETTINGS)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),   # user
+            st.integers(min_value=0, max_value=30),  # second
+            st.sampled_from(["a", "b", "c"]),
+        ),
+        max_size=30,
+    )
+)
+def test_transition_matrix_matches_reference(spark, events):
+    """event_transition_matrix ≡ a per-user sorted-scan reference
+    (ties within one timestamp break by event type — the operator's
+    documented total order)."""
+    import collections
+    from datetime import datetime
+
+    from taxi_rides_ny_duckdb_spark.operators.windows import (
+        event_transition_matrix,
+    )
+
+    rows = [(u, datetime(2024, 1, 1, 0, 0, s), t) for u, s, t in events]
+    df = spark.createDataFrame(
+        rows or [(1, datetime(2024, 1, 1), "a")],
+        "user_id bigint, ts timestamp, event_type string",
+    ).repartition(3)
+    if not rows:
+        df = df.filter("user_id < 0")
+    got = {
+        (r["prev_type"], r["next_type"]): (r["n"], r["p_r"])
+        for r in event_transition_matrix(
+            df, "user_id", "ts", "event_type"
+        ).collect()
+    }
+    by_user = collections.defaultdict(list)
+    for u, ts, t in rows:
+        by_user[u].append((ts, t))
+    counts = collections.Counter()
+    for evs in by_user.values():
+        evs.sort()  # (ts, type) — the same total order
+        for (_, p), (_, c) in zip(evs, evs[1:]):
+            counts[(p, c)] += 1
+    want = {}
+    row_tot = collections.Counter()
+    for (p, c), n in counts.items():
+        row_tot[p] += n
+    for (p, c), n in counts.items():
+        want[(p, c)] = (n, round(n / row_tot[p], 9))
+    assert got == want
