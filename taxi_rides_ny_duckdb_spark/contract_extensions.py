@@ -5232,3 +5232,32 @@ def ext_events_funnel_latency(spark, sf_dir):
             / F.count(F.lit(1)).cast("double")
         ).alias("avg_us"),
     )
+
+
+@query(
+    "ext_streaming_funnel",
+    oracle=_FUNNEL_ORACLE,
+    memoize=False,  # eager stream run
+)
+def ext_streaming_funnel(spark, sf_dir):
+    """Streaming first-touch funnel (streaming/stateful.
+    streaming_funnel): per-user sorted stage-time lists re-walked each
+    micro-batch — exact under any arrival order. Over the contract's
+    single availableNow batch, update-mode output is one final funnel
+    row per converting user: exactly the batch funnel join chain the
+    DuckDB oracle runs. Multi-batch out-of-order exactness is pinned
+    in tests/test_streaming.py."""
+    from .streaming import jobs, stateful
+
+    tmp = _events_stream_dir(spark, sf_dir)
+    stream = stateful.streaming_funnel(jobs.read_events_stream(spark, tmp))
+    jobs.run_to_memory_sink(
+        stream,
+        "contract_stream_funnel",
+        output_mode="update",
+        state_partitions=jobs.sized_state_partitions(
+            tmp, floor=min(16, spark.sparkContext.defaultParallelism)
+        ),
+        no_data_batch=False,  # NoTimeout state machine emits every batch
+    )
+    return spark.table("contract_stream_funnel")

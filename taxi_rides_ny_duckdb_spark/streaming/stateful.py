@@ -186,3 +186,93 @@ def inactivity_sessions(
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def streaming_funnel(
+    events: DataFrame,
+    stages: tuple = ("view", "click", "purchase"),
+) -> DataFrame:
+    """First-touch funnel as a per-user streaming state machine — the
+    stateful twin of ``operators/windows.funnel_stages`` (same strict
+    ts-ordering semantics, same output columns).
+
+    State per user: one SORTED event-time list (epoch µs) per stage,
+    holding only that stage's events. Appending the batch's stage
+    events and RE-WALKING the funnel from the lists each batch makes
+    the operator exact under ANY arrival order — a late stage-1 event
+    arriving after a stage-2 event was processed still lands in its
+    list and the next walk finds the correct chain, which a
+    current-best-timestamps state machine cannot do (an earlier
+    predecessor can retroactively validate a previously-useless
+    successor). That exactness is what the multi-batch out-of-order
+    test pins.
+
+    State bound: per-user stage-event counts — the per-key analog of
+    the batch operator's user-grain frames. Production deployments
+    cap the horizon with an event-time timeout that finalizes a
+    user's funnel when the watermark passes (the
+    ``inactivity_sessions`` pattern); the contract run is a finite
+    drop, so no timeout is attached here.
+
+    Output mode ``update``: one row per TOUCHED user per batch with
+    the funnel so far; over a single availableNow batch that is
+    exactly the batch funnel. Users who never performed ``stages[0]``
+    emit nothing (matching the batch operator's inner first stage).
+    """
+    out_schema = T.StructType(
+        [T.StructField("user_id", T.LongType())]
+        + [T.StructField(f"{s}_us", T.LongType()) for s in stages]
+        + [T.StructField("stages_completed", T.LongType())]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField(f"s{i}", T.ArrayType(T.LongType()))
+            for i in range(len(stages))
+        ]
+    )
+    n_stages = len(stages)
+
+    def update(
+        key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import bisect
+
+        lists = (
+            [list(x) for x in state.get]
+            if state.exists
+            else [[] for _ in range(n_stages)]
+        )
+        for pdf in pdfs:
+            us = pdf["ts"].values.astype("datetime64[us]").astype("int64")
+            types = pdf["event_type"].values
+            for i, stage in enumerate(stages):
+                hit = us[types == stage]
+                if len(hit):
+                    lists[i].extend(int(v) for v in hit)
+        for lst in lists:
+            lst.sort()
+        state.update(tuple(lists))
+        if not lists[0]:
+            return
+        times: list = [lists[0][0]]
+        t_prev = times[0]
+        for i in range(1, n_stages):
+            if t_prev is None:
+                times.append(None)
+                continue
+            j = bisect.bisect_right(lists[i], t_prev)
+            t_prev = lists[i][j] if j < len(lists[i]) else None
+            times.append(t_prev)
+        row = {"user_id": [key[0]]}
+        for s, t in zip(stages, times):
+            row[f"{s}_us"] = [t]
+        row["stages_completed"] = [sum(1 for t in times if t is not None)]
+        yield pd.DataFrame(row)
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -521,3 +521,80 @@ def test_drift_psi_grouped_laws(spark):
     for b in range(4):
         assert pair[b]["psi_contrib_r"] == out[("shift", b)]["psi_contrib_r"]
         assert pair[b]["psi_total_r"] == out[("shift", b)]["psi_total_r"]
+
+
+def test_streaming_funnel_multibatch_out_of_order_equals_batch(
+    spark, tmp_path_factory
+):
+    """streaming_funnel over 3 in-order micro-batches whose CONTENT is
+    event-time out of order (the views arrive in batch 2, AFTER their
+    clicks/purchases were processed in batch 1) must converge to the
+    batch funnel — the state keeps full per-stage time lists and
+    re-walks, so a late predecessor retroactively validates successors.
+    The last update-mode row per user is the converged funnel."""
+    from datetime import datetime
+
+    from taxi_rides_ny_duckdb_spark.operators.windows import funnel_stages
+    from taxi_rides_ny_duckdb_spark.streaming import jobs, stateful
+
+    T = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    # event-time order per user 1: view(10) click(20) purchase(30);
+    # user 2: view(5) click(3 — before view, never counts) purchase(40)
+    batch1 = [  # clicks + purchases FIRST
+        (101, T(20), 1, "click", 0.0, ""),
+        (102, T(30), 1, "purchase", 0.0, ""),
+        (103, T(3), 2, "click", 0.0, ""),
+        (104, T(40), 2, "purchase", 0.0, ""),
+    ]
+    batch2 = [  # the late views
+        (105, T(10), 1, "view", 0.0, ""),
+        (106, T(5), 2, "view", 0.0, ""),
+    ]
+    batch3 = [  # a later click for user 2 — completes view->click
+        (107, T(50), 2, "click", 0.0, ""),
+    ]
+    d = tmp_path_factory.mktemp("funnel_stream")
+    cols = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    for i, b in enumerate([batch1, batch2, batch3]):
+        spark.createDataFrame(b, cols).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(d / f"b{i}"))
+    # register the three drops as one dir of files, named in order
+    import glob
+    import shutil
+
+    src = tmp_path_factory.mktemp("funnel_src")
+    for i in range(3):
+        f = glob.glob(str(d / f"b{i}" / "part-*.parquet"))[0]
+        shutil.copy(f, str(src / f"{i:03d}.parquet"))
+
+    stream = stateful.streaming_funnel(
+        spark.readStream.schema(jobs.EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    jobs.run_to_memory_sink(stream, "t_stream_funnel", output_mode="update")
+    rows = spark.table("t_stream_funnel").collect()
+    # multi-batch: users re-emit per touched batch; keep the LAST row
+    # per user (memory sink preserves batch order)
+    last = {}
+    for r in rows:
+        last[r["user_id"]] = r
+    all_events = spark.createDataFrame(batch1 + batch2 + batch3, cols)
+    want = {
+        r["user_id"]: r
+        for r in funnel_stages(
+            all_events, "user_id", "ts", "event_type",
+            ["view", "click", "purchase"],
+        ).collect()
+    }
+    assert set(last) == set(want)
+    for u in want:
+        for c in ("view_us", "click_us", "purchase_us", "stages_completed"):
+            assert last[u][c] == want[u][c], (u, c, last[u][c], want[u][c])
+    # and the out-of-order semantics specifically: user 2's click at
+    # t=3 never counts (before the view at t=5); the batch-3 click at
+    # t=50 does, and the purchase at t=40 precedes it -> chain stops
+    assert last[2]["stages_completed"] == 2
+    assert last[2]["purchase_us"] is None
+    assert last[1]["stages_completed"] == 3
