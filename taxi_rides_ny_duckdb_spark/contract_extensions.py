@@ -5261,3 +5261,48 @@ def ext_streaming_funnel(spark, sf_dir):
         no_data_batch=False,  # NoTimeout state machine emits every batch
     )
     return spark.table("contract_stream_funnel")
+
+
+_INTERLEAVE_ORACLE = """
+WITH ranked AS (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (
+             PARTITION BY source
+             ORDER BY (CAST(concat('0x', substring(md5(concat('', ':',
+                 CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
+                 / 4294967296.0) ASC, doc_id ASC) - 1 AS BIGINT)
+           AS group_rank
+  FROM documents
+), gs AS (
+  SELECT COUNT(DISTINCT source) AS n_groups FROM documents
+), gidx AS (
+  SELECT source,
+         CAST(row_number() OVER (ORDER BY source) - 1 AS BIGINT)
+           AS group_index
+  FROM (SELECT DISTINCT source FROM documents)
+)
+SELECT ranked.doc_id, ranked.source, ranked.group_rank,
+       gidx.group_index,
+       ranked.group_rank * gs.n_groups + gidx.group_index AS pos
+FROM ranked JOIN gidx USING (source) CROSS JOIN gs
+"""
+
+
+@query("ext_curriculum_interleave", oracle=_INTERLEAVE_ORACLE)
+def ext_curriculum_interleave(spark, sf_dir):
+    """Source-interleaved training order (operators/sampling.
+    curriculum_interleave): round-robin positions across the 20
+    sources with a content-addressed (md5) stable shuffle inside each
+    — reproducible on any cluster layout, anti-clumping by
+    construction. One window shuffle on the group key; the group
+    index map broadcasts. _count_pin: pos/group cols are pure window
+    projections a count-only consumer would prune."""
+    from .operators.sampling import curriculum_interleave
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return _count_pin(
+        curriculum_interleave(d, "source", "doc_id"),
+        "group_rank",
+        "group_index",
+        "pos",
+    )

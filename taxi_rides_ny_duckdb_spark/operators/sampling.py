@@ -580,3 +580,67 @@ def dsir_scores(
             F.round(F.sum("__lr").cast("double"), 9).alias("dsir_score_r"),
         )
     )
+
+
+def curriculum_interleave(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    order_col: str | None = None,
+    descending: bool = False,
+) -> DataFrame:
+    """Deterministic source-interleaved training order: position
+    ``pos = rank_within_group * n_groups + group_index`` — round-robin
+    across groups, so consecutive training examples come from
+    different sources (the anti-clumping ordering a shuffled-but-
+    source-skewed corpus doesn't give you), with the WITHIN-group
+    order either content-addressed (md5 hash of the id — a stable
+    shuffle) or curriculum-driven (``order_col``, e.g. a quality or
+    difficulty score, ascending = easy-first).
+
+    Output: input columns + ``(group_rank, group_index, pos)`` —
+    ``pos`` is globally unique and dense through the balanced prefix
+    (min group size × n_groups); groups that run out simply stop
+    contributing (documented tail clumping — the standard behavior of
+    round-robin interleave).
+
+    Determinism: within-group ranks tie-break by id; group indexes
+    are the group keys in sorted order (broadcast map). Re-running on
+    the same data yields the identical ordering on any cluster
+    layout — which is what makes the training order reproducible.
+
+    Plan at scale: ONE window shuffle on the group key (the rank);
+    the group-index map is a |groups|-row broadcast; ``pos`` is a
+    pure projection. Consumers write with
+    ``sort_within_partitions(pos)`` after a range repartition on pos
+    (the ``sorted_run_export`` machinery) — no global sort here.
+    """
+    from pyspark.sql.window import Window
+
+    order = (
+        hash_fraction(F.col(id_col))
+        if order_col is None
+        else (F.col(order_col).desc() if descending else F.col(order_col).asc())
+    )
+    w = Window.partitionBy(group_col).orderBy(order, F.col(id_col).asc())
+    groups = (
+        df.select(F.col(group_col)).distinct().groupBy().agg(
+            F.array_sort(F.collect_list(group_col)).alias("__gs")
+        )
+    )
+    with_rank = df.withColumn(
+        "group_rank", (F.row_number().over(w) - 1).cast("long")
+    )
+    return (
+        with_rank.crossJoin(F.broadcast(groups))
+        .withColumn(
+            "group_index",
+            (F.array_position(F.col("__gs"), F.col(group_col)) - 1).cast("long"),
+        )
+        .withColumn(
+            "pos",
+            F.col("group_rank") * F.size("__gs").cast("long")
+            + F.col("group_index"),
+        )
+        .drop("__gs")
+    )

@@ -2515,3 +2515,36 @@ def test_ks_two_sample_known_and_degenerate(spark):
     df = spark.createDataFrame([(1.0, "x")], ["v", "g"])
     r = ks_two_sample(df, "v", "g", "x", "y").collect()[0]
     assert r["n_b"] == 0 and r["d_stat_r"] is None and r["reject"] is None
+
+
+def test_curriculum_interleave_round_robin_and_determinism(spark):
+    from taxi_rides_ny_duckdb_spark.operators.sampling import (
+        curriculum_interleave,
+    )
+
+    rows = [(i, "s" + str(i % 3)) for i in range(30)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"]).repartition(4)
+    out = curriculum_interleave(df, "source", "doc_id").collect()
+    # pos is a permutation of 0..29 (equal group sizes -> fully dense)
+    assert sorted(r["pos"] for r in out) == list(range(30))
+    # consecutive positions cycle through the three sources
+    by_pos = {r["pos"]: r["source"] for r in out}
+    for p in range(0, 30, 3):
+        assert {by_pos[p], by_pos[p + 1], by_pos[p + 2]} == {"s0", "s1", "s2"}
+    # determinism: identical on re-run with different partitioning
+    out2 = curriculum_interleave(df.repartition(7), "source", "doc_id").collect()
+    assert {(r["doc_id"], r["pos"]) for r in out} == {
+        (r["doc_id"], r["pos"]) for r in out2
+    }
+
+
+def test_curriculum_interleave_quality_order(spark):
+    from taxi_rides_ny_duckdb_spark.operators.sampling import (
+        curriculum_interleave,
+    )
+
+    rows = [(i, "s", float(100 - i)) for i in range(5)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "q"])
+    out = curriculum_interleave(df, "source", "doc_id", order_col="q")
+    ordered = [r["doc_id"] for r in out.orderBy("pos").collect()]
+    assert ordered == [4, 3, 2, 1, 0]  # ascending quality = easy-first
