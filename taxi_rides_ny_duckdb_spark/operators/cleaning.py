@@ -442,6 +442,10 @@ def pmi_collocations(
     Unigram doc-counts reuse the same filtered stream (one extra
     cell-bounded aggregation, broadcast back). Corpus bytes shuffle
     once (the filtered (doc, term) distinct)."""
+    if top_vocab <= 0 or k <= 0:
+        raise ValueError("top_vocab and k must be positive")
+    if min_pair_docs < 1:
+        raise ValueError("min_pair_docs must be >= 1")
     toks = docs.select(
         F.col(id_col),
         F.explode(F.array_distinct(tokenize(F.col(text_col)))).alias("term"),
@@ -547,6 +551,10 @@ def crosstab_pivot(
 
     Scale: exactly one shuffle at row_col grain, map-side partials
     carrying |values|+1 counters per group."""
+    if other_label in values:
+        raise ValueError(
+            f"other_label {other_label!r} collides with a pivot value"
+        )
     binned = df.select(
         F.col(row_col),
         F.when(

@@ -623,24 +623,28 @@ def curriculum_interleave(
         else (F.col(order_col).desc() if descending else F.col(order_col).asc())
     )
     w = Window.partitionBy(group_col).orderBy(order, F.col(id_col).asc())
-    groups = (
-        df.select(F.col(group_col)).distinct().groupBy().agg(
-            F.array_sort(F.collect_list(group_col)).alias("__gs")
+    # group-index MAP (broadcast hash join), not an array scanned per
+    # row: at web scale group_col is a domain with millions of values,
+    # so array_position would cost O(|groups|) per row and the array
+    # itself would ride inside every task's row. The index window runs
+    # on the |groups|-row distinct frame — groups-bounded.
+    gw = Window.orderBy(F.asc(group_col))
+    gidx = F.broadcast(
+        df.select(F.col(group_col)).distinct().select(
+            F.col(group_col),
+            (F.row_number().over(gw) - 1).cast("long").alias("group_index"),
+            F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias(
+                "__ng"
+            ),
         )
     )
     with_rank = df.withColumn(
         "group_rank", (F.row_number().over(w) - 1).cast("long")
     )
     return (
-        with_rank.crossJoin(F.broadcast(groups))
+        with_rank.join(gidx, group_col)
         .withColumn(
-            "group_index",
-            (F.array_position(F.col("__gs"), F.col(group_col)) - 1).cast("long"),
+            "pos", F.col("group_rank") * F.col("__ng") + F.col("group_index")
         )
-        .withColumn(
-            "pos",
-            F.col("group_rank") * F.size("__gs").cast("long")
-            + F.col("group_index"),
-        )
-        .drop("__gs")
+        .drop("__ng")
     )
