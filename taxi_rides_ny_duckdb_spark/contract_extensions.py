@@ -5306,3 +5306,46 @@ def ext_curriculum_interleave(spark, sf_dir):
         "group_index",
         "pos",
     )
+
+
+_LM_ORACLE = """
+WITH stream AS (
+  SELECT doc_id, (lang = 'en') AS ref,
+         unnest(list_transform(generate_series(1, len(lower(text)) - 2),
+                               i -> substr(lower(text), i, 3))) AS g
+  FROM documents WHERE len(lower(text)) >= 3
+), model AS (
+  SELECT g, COUNT(*) AS c FROM stream WHERE ref GROUP BY g
+), tot AS (SELECT SUM(c) AS t, COUNT(*) AS v FROM model),
+model_lp AS (
+  SELECT g,
+         CAST(round(-ln((c + 0.5) / (t + 0.5 * v)), 12)
+              AS DECIMAL(38,12)) AS nlp
+  FROM model CROSS JOIN tot
+), floor_lp AS (
+  SELECT CAST(round(-ln(0.5 / (t + 0.5 * v)), 12)
+              AS DECIMAL(38,12)) AS f
+  FROM tot
+)
+SELECT doc_id, COUNT(*) AS n_ngrams,
+       round(CAST(SUM(COALESCE(model_lp.nlp, floor_lp.f)) AS DOUBLE)
+             / COUNT(*), 9) AS lm_score_r
+FROM stream
+LEFT JOIN model_lp USING (g)
+CROSS JOIN floor_lp
+GROUP BY doc_id
+"""
+
+
+@query("ext_text_lm_perplexity", oracle=_LM_ORACLE)
+def ext_text_lm_perplexity(spark, sf_dir):
+    """CCNet-style char-trigram LM quality score (operators/cleaning.
+    ngram_lm_score): mean negative log-probability under a model
+    trained on the English slice — the perplexity-filter stage of a
+    crawl pipeline (low = reference-like). One persisted n-gram pass
+    feeds both the V-row model (broadcast back) and the scoring
+    groupBy; unseen trigrams get the smoothed floor."""
+    from .operators.cleaning import ngram_lm_score
+
+    d = load(spark, sf_dir, "documents")
+    return ngram_lm_score(d, F.col("lang") == "en", "text", "doc_id")

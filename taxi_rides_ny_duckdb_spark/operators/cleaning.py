@@ -573,3 +573,99 @@ def crosstab_pivot(
         F.lit(0),
     )
     return out.select(F.col(row_col), *counts, total.cast("long").alias("row_total"))
+
+
+def ngram_lm_score(
+    docs: DataFrame,
+    reference: Column,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """CCNet-style language-model quality score: per-document mean
+    negative log-probability (a cross-entropy / perplexity proxy)
+    under a character-``n``-gram model trained on the REFERENCE slice
+    of the corpus (``reference`` is a boolean Column over ``docs``
+    rows — e.g. the high-quality or in-language subset). Low score =
+    reference-like text; thresholding or quantile-bucketing the score
+    is the classic perplexity filter (Wenzek et al. 2020, CCNet).
+
+    Model: add-``alpha``-smoothed over the reference's OBSERVED
+    n-gram vocabulary (size V, the standard convention; unseen
+    n-grams at scoring time get the ``alpha / (T + alpha·V)`` floor).
+    Character n-grams over ``lower(text)`` keep the model
+    alphabet-bounded (V ≤ charset^n — tens of thousands), so it
+    broadcasts whole; no hashing needed, unlike the DSIR bucket
+    model.
+
+    Determinism: counts/totals are integers; each n-gram's
+    ``-ln p`` is one double expression rounded to 12dp, summed as
+    exact DECIMAL (order-independent), and the mean is that exact sum
+    / count, rounded to 9dp.
+
+    Plan at 100 TB: ONE tokenize-free pass — the n-gram stream is a
+    narrow ``explode(transform(sequence))`` over each row, persisted
+    with the reference flag so the model aggregation (collapsing to V
+    rows map-side) and the scoring ``groupBy(id)`` share it; the
+    V-row model rides back broadcast. No Python, no all-pairs.
+
+    Output: ``(id, n_ngrams, lm_score_r)`` for documents with ≥1
+    n-gram (shorter texts drop out — no defined score).
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    low = F.lower(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(low) - F.lit(n - 1)),
+        lambda i: low.substr(i, F.lit(n)),
+    )
+    stream = docs.filter(F.length(low) >= n).select(
+        F.col(id_col),
+        reference.alias("__ref"),
+        F.explode(grams).alias("__g"),
+    ).persist()
+    model = (
+        stream.filter(F.col("__ref"))
+        .groupBy("__g")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    totals = model.agg(
+        F.sum("__c").alias("__t"), F.count(F.lit(1)).alias("__v")
+    )
+    neg_logp = F.round(
+        -F.log(
+            (F.col("__c") + F.lit(alpha))
+            / (F.col("__t") + F.lit(alpha) * F.col("__v"))
+        ),
+        12,
+    ).cast("decimal(38,12)")
+    model_lp = model.crossJoin(F.broadcast(totals)).select(
+        "__g", neg_logp.alias("__nlp")
+    )
+    floor_lp = (
+        totals.select(
+            F.round(
+                -F.log(
+                    F.lit(alpha) / (F.col("__t") + F.lit(alpha) * F.col("__v"))
+                ),
+                12,
+            ).cast("decimal(38,12)").alias("__floor")
+        )
+    )
+    return (
+        stream.join(F.broadcast(model_lp), "__g", "left")
+        .crossJoin(F.broadcast(floor_lp))
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("__nlp"), F.col("__floor")).alias("__lp"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.round(
+                F.sum("__lp").cast("double") / F.count(F.lit(1)).cast("double"),
+                9,
+            ).alias("lm_score_r"),
+        )
+    )

@@ -2548,3 +2548,38 @@ def test_curriculum_interleave_quality_order(spark):
     out = curriculum_interleave(df, "source", "doc_id", order_col="q")
     ordered = [r["doc_id"] for r in out.orderBy("pos").collect()]
     assert ordered == [4, 3, 2, 1, 0]  # ascending quality = easy-first
+
+
+def test_ngram_lm_score_reference_likeness(spark):
+    """Docs made of reference trigrams score LOWER (more likely) than
+    out-of-distribution docs; repeated text scores identically per
+    n-gram (mean is length-invariant for uniform content)."""
+    from taxi_rides_ny_duckdb_spark.operators.cleaning import ngram_lm_score
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaa bbbb aaaa bbbb", True),
+            (2, "aaaa bbbb", True),
+            (3, "aaaa bbbb", False),       # same text, not in reference
+            (4, "zzzz qqqq", False),       # fully OOV
+            (5, "ab", False),              # shorter than n -> dropped
+        ],
+        ["doc_id", "text", "ref"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in ngram_lm_score(
+            docs, F.col("ref"), "text", "doc_id"
+        ).collect()
+    }
+    assert 5 not in out
+    assert out[3]["lm_score_r"] < out[4]["lm_score_r"]  # in-dist beats OOV
+    assert out[3]["lm_score_r"] == out[2]["lm_score_r"]  # same text, same score
+    assert out[4]["n_ngrams"] == 7
+
+
+def test_ngram_lm_score_rejects_bad_n(spark):
+    from taxi_rides_ny_duckdb_spark.operators.cleaning import ngram_lm_score
+
+    with pytest.raises(ValueError, match="n must be"):
+        ngram_lm_score(None, None, "text", "doc_id", n=0)
