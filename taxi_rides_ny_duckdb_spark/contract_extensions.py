@@ -5349,3 +5349,42 @@ def ext_text_lm_perplexity(spark, sf_dir):
 
     d = load(spark, sf_dir, "documents")
     return ngram_lm_score(d, F.col("lang") == "en", "text", "doc_id")
+
+
+_NOVELTY_ORACLE = """
+WITH stream AS (
+  SELECT doc_id, s FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(w) >= 3 THEN
+             list_distinct(list_transform(generate_series(1, len(w) - 2),
+                           i -> array_to_string(w[i:i+2], ' ')))
+           ELSE [] END) AS s
+    FROM (SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x != '') AS w
+          FROM documents)
+  )
+), with_df AS (
+  SELECT doc_id, s, COUNT(*) OVER (PARTITION BY s) AS df FROM stream
+)
+SELECT doc_id, COUNT(*) AS n_shingles,
+       CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS unique_shingles,
+       round(CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 9) AS novelty_r
+FROM with_df GROUP BY doc_id
+"""
+
+
+@query("ext_text_novelty", oracle=_NOVELTY_ORACLE)
+def ext_text_novelty(spark, sf_dir):
+    """Content-novelty scores (operators/cleaning.novelty_scores):
+    share of each document's distinct 3-word shingles that occur in no
+    other document — the originality weight for mix construction (the
+    inverse lens of the dedup family). Fused tfidf shape: df is a
+    count-over-shingle window ON the (doc, shingle) stream — two
+    data-sized exchanges total, no self-join."""
+    from .operators.cleaning import novelty_scores
+
+    d = load(spark, sf_dir, "documents")
+    return novelty_scores(d, "text", "doc_id", 3)

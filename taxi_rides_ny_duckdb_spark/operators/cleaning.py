@@ -669,3 +669,53 @@ def ngram_lm_score(
             ).alias("lm_score_r"),
         )
     )
+
+
+def novelty_scores(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Content-novelty score: the share of a document's DISTINCT
+    word-``shingle_n``-grams that appear in NO other document —
+    ``novelty = unique_shingles / n_shingles`` (1.0 = fully original,
+    0.0 = everything shared). The inverse lens of the dedup family:
+    where MinHash asks "which documents duplicate each other",
+    novelty asks "how much of THIS document exists nowhere else" —
+    the data-mix signal for weighting original content over
+    boilerplate-heavy sources.
+
+    Determinism: counts are integers; the ratio is one double
+    division rounded to 9dp.
+
+    Plan at scale: distinct shingles explode per doc (map-side
+    ``array_distinct`` BEFORE the explode), document frequency is a
+    count-over-shingle window ON the (doc, shingle) stream (the fused
+    tfidf shape — no self-join, no second pass), then one
+    groupBy(doc). Two data-sized exchanges total.
+
+    Output: ``(id, n_shingles, unique_shingles, novelty_r)`` for docs
+    with ≥1 shingle."""
+    from pyspark.sql.window import Window
+
+    from ..functions.text import word_shingles
+    from ..session import ensure_min_partitions
+
+    toks = tokenize(F.col(text_col))
+    stream = ensure_min_partitions(docs.select(id_col, text_col)).select(
+        F.col(id_col),
+        F.explode(word_shingles(toks, shingle_n)).alias("__s"),
+    )
+    with_df = stream.withColumn(
+        "__df", F.count(F.lit(1)).over(Window.partitionBy("__s"))
+    )
+    return with_df.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum((F.col("__df") == 1).cast("long")).alias("unique_shingles"),
+        F.round(
+            F.sum((F.col("__df") == 1).cast("long")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            9,
+        ).alias("novelty_r"),
+    )

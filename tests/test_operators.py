@@ -2583,3 +2583,22 @@ def test_ngram_lm_score_rejects_bad_n(spark):
 
     with pytest.raises(ValueError, match="n must be"):
         ngram_lm_score(None, None, "text", "doc_id", n=0)
+
+
+def test_novelty_scores_unique_vs_shared(spark):
+    from taxi_rides_ny_duckdb_spark.operators.cleaning import novelty_scores
+
+    shared = "alpha beta gamma delta epsilon"
+    docs = spark.createDataFrame(
+        [
+            (1, shared),                      # fully duplicated by doc 2
+            (2, shared),
+            (3, "zeta eta theta iota kappa"), # fully original
+            (4, "ab"),                        # < 3 tokens -> dropped
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in novelty_scores(docs, "text", "doc_id").collect()}
+    assert out[1]["novelty_r"] == 0.0 and out[2]["novelty_r"] == 0.0
+    assert out[3]["novelty_r"] == 1.0 and out[3]["n_shingles"] == 3
+    assert 4 not in out
