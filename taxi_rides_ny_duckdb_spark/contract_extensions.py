@@ -5388,3 +5388,65 @@ def ext_text_novelty(spark, sf_dir):
 
     d = load(spark, sf_dir, "documents")
     return novelty_scores(d, "text", "doc_id", 3)
+
+
+_STREAM_QUALITY_ORACLE = f"""
+WITH panel AS ({_GOPHER_ORACLE}),
+agg AS (
+  SELECT source, keep, COUNT(*) AS c FROM (
+    SELECT sig.*, d.source,
+           ((n_words >= 50 AND n_words <= 100000)
+            AND COALESCE(mean_word_len_r >= 3.0 AND mean_word_len_r <= 10.0,
+                         false)
+            AND COALESCE(alpha_ratio_r >= 0.80, false)
+            AND COALESCE(symbol_ratio_r <= 0.10, false)
+            AND stop_hits >= 2) AS keep
+    FROM (SELECT doc_id, n_words, mean_word_len_r, alpha_ratio_r,
+                 symbol_ratio_r, stop_hits FROM panel) sig
+    JOIN documents d USING (doc_id)
+    WHERE d.doc_id >= 250  -- the contract doc-stream drop (see
+                           -- _docs_stream_dir: the incremental-ingest
+                           -- "batch" half of the corpus)
+  ) GROUP BY source, keep
+)
+SELECT source,
+       CAST(COALESCE(SUM(c) FILTER (WHERE keep), 0) AS BIGINT) AS n_pass,
+       CAST(COALESCE(SUM(c) FILTER (WHERE NOT keep), 0) AS BIGINT)
+         AS n_fail
+FROM agg GROUP BY source
+"""
+
+
+@query(
+    "ext_streaming_quality_gate",
+    oracle=_STREAM_QUALITY_ORACLE,
+    memoize=False,  # eager stream run
+)
+def ext_streaming_quality_gate(spark, sf_dir):
+    """Streaming ingest quality gate: the BATCH Gopher rule panel
+    (operators/cleaning.gopher_quality — pure map-only Columns)
+    applied unchanged to the document STREAM, aggregated to per-source
+    pass/fail counts in complete mode — the batch/stream symmetry
+    argument made executable: a map-only batch operator IS a streaming
+    operator. Over the finite availableNow drop the complete-mode
+    table equals the batch aggregation DuckDB runs."""
+    from .operators.cleaning import gopher_quality
+    from .streaming import jobs
+
+    tmp = _docs_stream_dir(spark, sf_dir)
+    stream_docs = spark.readStream.schema(jobs.DOCS_STREAM_SCHEMA).parquet(tmp)
+    # the panel is per-ROW, so carrying source as the id column avoids
+    # a (complete-mode-illegal) stream-stream join entirely
+    panel = gopher_quality(stream_docs, "text", "source")
+    gated = panel.groupBy("source").agg(
+        F.sum(F.col("keep").cast("long")).alias("n_pass"),
+        F.sum((~F.col("keep")).cast("long")).alias("n_fail"),
+    )
+    jobs.run_to_memory_sink(
+        gated,
+        "contract_stream_quality",
+        output_mode="complete",
+        state_partitions=jobs.sized_state_partitions(tmp, floor=4),
+        no_data_batch=False,
+    )
+    return spark.table("contract_stream_quality")
