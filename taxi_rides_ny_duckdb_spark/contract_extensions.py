@@ -5348,7 +5348,11 @@ def ext_text_lm_perplexity(spark, sf_dir):
     from .operators.cleaning import ngram_lm_score
 
     d = load(spark, sf_dir, "documents")
-    return ngram_lm_score(d, F.col("lang") == "en", "text", "doc_id")
+    return _count_pin(
+        ngram_lm_score(d, F.col("lang") == "en", "text", "doc_id"),
+        "n_ngrams",
+        "lm_score_r",
+    )
 
 
 _NOVELTY_ORACLE = """

@@ -826,8 +826,16 @@ def profile_correlation(
         # matching the fast path's normalized corr() — and ANSI-safe
         # (under spark.sql.ansi.enabled a bare x/0 raises instead of
         # returning NULL; property-tested on degenerate frames).
-        denom = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
-        r = F.when(denom > 0, (n * sxy - sx * sy) / denom)
+        # Per-factor positivity, not product positivity: the decimal
+        # moments are rounded at 8dp, so a zero-variance column can
+        # come back as a TINY NEGATIVE (e.g. x=1.28125: x² needs 10dp;
+        # sxx-sx²/n ≈ -2.5e-9); two such negatives make the PRODUCT
+        # positive and the old `denom > 0` guard let a spurious ±1
+        # through (hypothesis-found). Each variance must itself be
+        # positive for a defined correlation.
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        r = F.when((vx > 0) & (vy > 0), (n * sxy - sx * sy) / F.sqrt(vx * vy))
         rows.append(
             F.struct(
                 F.lit(x).alias("col_x"),
