@@ -169,12 +169,23 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ext_range_join",
     "ext_text_lang_id",
     "ext_text_quality_score",
-    "j1_broadcast_dim_join",
     "j3_left_anti",
     "o1_topn_orders",
-    "s1_scan_filter_project",
     "s5_sql_entrypoint",
-    "w1_dedup_row_number",
+    # j1_broadcast_dim_join, s1_scan_filter_project and
+    # w1_dedup_row_number ceded their sweep slots to the three
+    # never-windowed BPE tokenizer queries below under
+    # never-windowed-first: all three ceders run VERBATIM inside the
+    # permanent taxi prefix every round (taxi_fact_trips IS the
+    # broadcast dim join at plans/core.py:56-72 — the j2 precedent;
+    # the staging queries ARE scan+filter+typed-projection and the
+    # rn=1 dedup at plans/staging.py:62-119), while the BPE trainer's
+    # iterative argmax/fold arithmetic is NEW and its unrolled
+    # chained-CTE oracle is exactly the kind of independent
+    # derivation driver evidence certifies beyond the local gate.
+    "ext_bpe_pair_counts",
+    "ext_bpe_learn_merges",
+    "ext_bpe_segment",
     # p2_typed_projection, x3_surrogate_key and x5_date_trunc_month
     # ceded their sweep slots to the three never-windowed round-7
     # additions below (ext_bm25_topk, ext_gopher_quality,

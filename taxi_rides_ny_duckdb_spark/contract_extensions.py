@@ -5454,3 +5454,249 @@ def ext_streaming_quality_gate(spark, sf_dir):
         no_data_batch=False,
     )
     return spark.table("contract_stream_quality")
+
+
+# --- BPE tokenizer training (operators/tokenizer.py) ---------------------
+
+_BPE_PAIRS_ORACLE = """
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                w -> w != '')) AS wd
+  FROM documents
+), wc AS (
+  SELECT wd, COUNT(*) AS c FROM toks GROUP BY wd
+), pos AS (
+  SELECT wd, c, unnest(generate_series(1, length(wd))) AS i FROM wc
+), pairs AS (
+  SELECT substring(wd, i, 1) AS sym_a,
+         CASE WHEN i < length(wd) THEN substring(wd, i + 1, 1)
+              ELSE '</w>' END AS sym_b,
+         c
+  FROM pos
+)
+SELECT sym_a, sym_b, pair_count, rank FROM (
+  SELECT sym_a, sym_b, CAST(SUM(c) AS BIGINT) AS pair_count,
+         CAST(row_number() OVER (ORDER BY SUM(c) DESC, sym_a, sym_b)
+              AS BIGINT) AS rank
+  FROM pairs GROUP BY sym_a, sym_b
+) WHERE rank <= 30
+"""
+
+
+@query("ext_bpe_pair_counts", oracle=_BPE_PAIRS_ORACLE)
+def ext_bpe_pair_counts(spark, sf_dir):
+    """Top-30 BPE merge-step pair statistics (operators/tokenizer.
+    bpe_pair_counts): adjacent-symbol counts over round-0 symbol
+    sequences (chars + ``</w>``), weighted by word frequency — the
+    arithmetic core of tokenizer training. ONE corpus-sized shuffle
+    (the word-frequency agg, map-side combined); the pair explosion
+    runs over the DISTINCT-WORD vocabulary (Heaps-law-sized, ~sqrt of
+    corpus tokens) and collapses to ≤|alphabet|² groups."""
+    from .operators.tokenizer import bpe_pair_counts
+
+    d = load(spark, sf_dir, "documents")
+    return bpe_pair_counts(d, "text", 30)
+
+
+def _bpe_merge_round_sql(k: int, part: str, keep: str, best_src: str) -> str:
+    """One BPE merge-application round as chained CTEs — the
+    gaps-and-islands window-parity derivation of the left-to-right
+    non-overlapping greedy merge (independent of the Spark side's
+    Catalyst left-fold): mark adjacent matches of the winning pair,
+    island consecutive matches, select every ODD match within an
+    island (greedy takes the first, skips its consumed partner, takes
+    the next...), then drop consumed rows and renumber.
+
+    ``part`` is the window partition key (the unit holding one symbol
+    sequence); ``best_src`` is the 1-row relation carrying the round's
+    merge pair as columns ``a, b``."""
+    return f"""
+m{k} AS (
+  SELECT s.*,
+         coalesce(s.sym = bb.a AND
+           lead(s.sym) OVER (PARTITION BY {part} ORDER BY s.pos) = bb.b,
+           FALSE) AS hit
+  FROM s{k} s CROSS JOIN {best_src} bb
+), x{k} AS (
+  SELECT *, CASE WHEN hit THEN pos - ROW_NUMBER()
+                   OVER (PARTITION BY {part}, hit ORDER BY pos) END AS island
+  FROM m{k}
+), y{k} AS (
+  SELECT *, CASE WHEN hit THEN
+              ROW_NUMBER() OVER (PARTITION BY {part}, island ORDER BY pos)
+                % 2 = 1
+            ELSE FALSE END AS selected
+  FROM x{k}
+), z{k} AS (
+  SELECT *,
+         coalesce(lag(selected) OVER (PARTITION BY {part} ORDER BY pos),
+                  FALSE) AS consumed,
+         lead(sym) OVER (PARTITION BY {part} ORDER BY pos) AS nxt
+  FROM y{k}
+), s{k + 1} AS (
+  SELECT {keep},
+         CAST(ROW_NUMBER() OVER (PARTITION BY {part} ORDER BY pos)
+              AS BIGINT) AS pos,
+         CASE WHEN selected THEN sym || nxt ELSE sym END AS sym
+  FROM z{k} WHERE NOT consumed
+)"""
+
+
+def _bpe_learn_oracle(n_rounds: int) -> str:
+    """Chained-CTE oracle for the ITERATIVE BPE trainer: per round, a
+    pair recount + deterministic argmax (``best{k}``) feeds the
+    window-parity merge application, whose output symbols seed the
+    next round — the data-dependent fixpoint unrolled to SQL."""
+    parts = [
+        """
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                w -> w != '')) AS wd
+  FROM documents
+), wc AS (
+  SELECT wd, COUNT(*) AS c FROM toks GROUP BY wd
+), s0 AS (
+  SELECT wd, c, CAST(i AS BIGINT) AS pos,
+         CASE WHEN i <= length(wd) THEN substring(wd, i, 1)
+              ELSE '</w>' END AS sym
+  FROM (SELECT wd, c, unnest(generate_series(1, length(wd) + 1)) AS i
+        FROM wc)
+)"""
+    ]
+    for k in range(n_rounds):
+        parts.append(f""",
+p{k} AS (
+  SELECT sym AS a, lead(sym) OVER (PARTITION BY wd ORDER BY pos) AS b, c
+  FROM s{k}
+), best{k} AS (
+  SELECT a, b, CAST(SUM(c) AS BIGINT) AS pc
+  FROM p{k} WHERE b IS NOT NULL
+  GROUP BY a, b ORDER BY SUM(c) DESC, a, b LIMIT 1
+),""")
+        parts.append(_bpe_merge_round_sql(k, "wd", "wd, c", f"best{k}"))
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({k + 1} AS BIGINT) AS rank, a AS sym_a, b AS sym_b,"
+        f" pc AS pair_count FROM best{k}"
+        for k in range(n_rounds)
+    )
+    parts.append(
+        f"\nSELECT rank, sym_a, sym_b, pair_count FROM ({union}) ORDER BY rank"
+    )
+    return "".join(parts)
+
+
+_BPE_N_MERGES = 6
+
+
+@query(
+    "ext_bpe_learn_merges",
+    oracle=_bpe_learn_oracle(_BPE_N_MERGES),
+    memoize=False,
+)
+def ext_bpe_learn_merges(spark, sf_dir):
+    """The ITERATIVE BPE trainer (operators/tokenizer.
+    bpe_learn_merges): 6 rounds of pair recount → deterministic argmax
+    → left-to-right merge apply over the frequency-weighted
+    distinct-word vocabulary. Corpus read+shuffled ONCE (word counts);
+    each round is a vocab-sized job with a 1-ROW driver collect, and
+    ``localCheckpoint`` per round caps plan depth (the star-CC
+    pattern). memoize=False: training runs eagerly in the builder, so
+    a cached frame would skip the work a re-run must measure.
+
+    Oracle independence: Spark applies merges with a Catalyst
+    ``aggregate`` left-fold; the oracle unrolls the same fixpoint to
+    chained CTEs with a gaps-and-islands window-parity greedy — two
+    derivations of the merge semantics that share no mechanism."""
+    from .operators.tokenizer import bpe_learn_merges_df
+
+    d = load(spark, sf_dir, "documents")
+    return bpe_learn_merges_df(spark, d, "text", _BPE_N_MERGES)
+
+
+# Frozen merge table for the segmentation contract: learned ONCE (from
+# the sf0.001 documents fixture via bpe_learn_merges, the realistic
+# "train the tokenizer on a sample, apply it to the corpus" flow) and
+# pinned as literals so the query is deterministic at every SF and the
+# oracle can inline the same pairs — the frozen-IVF-centroids
+# precedent (contract_ivf_centroids.py).
+_BPE_FROZEN_MERGES: tuple[tuple[str, str], ...] = (
+    ("e", "r"),
+    ("e", "</w>"),
+    ("n", "</w>"),
+    ("o", "r"),
+    ("t", "</w>"),
+    ("er", "</w>"),
+    ("o", "w"),
+    ("ow", "</w>"),
+)
+
+
+def _bpe_segment_oracle(merges) -> str:
+    """Segmentation oracle: per-(doc, word-position) symbol sequences,
+    the SAME window-parity merge rounds as the trainer oracle but with
+    the frozen pair inlined as a literal 1-row relation, then a
+    per-document ordered ``string_agg`` rebuild."""
+    parts = [
+        """
+WITH toks AS (
+  SELECT doc_id, i AS wpos, arr[i] AS wd
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           w -> w != '') AS arr,
+               unnest(generate_series(1, len(list_filter(
+                 string_split_regex(lower(text), '\\s+'),
+                 w -> w != '')))) AS i
+        FROM documents)
+), s0 AS (
+  SELECT doc_id, wpos, CAST(i AS BIGINT) AS pos,
+         CASE WHEN i <= length(wd) THEN substring(wd, i, 1)
+              ELSE '</w>' END AS sym
+  FROM (SELECT doc_id, wpos, wd,
+               unnest(generate_series(1, length(wd) + 1)) AS i
+        FROM toks)
+)"""
+    ]
+    for k, (a, b) in enumerate(merges):
+        lit_a, lit_b = a.replace("'", "''"), b.replace("'", "''")
+        parts.append(
+            f", lit{k} AS (SELECT '{lit_a}' AS a, '{lit_b}' AS b),"
+        )
+        parts.append(_bpe_merge_round_sql(k, "doc_id, wpos", "doc_id, wpos", f"lit{k}"))
+    last = len(merges)
+    parts.append(f"""
+SELECT d.doc_id,
+       coalesce(r.bpe_text, '') AS bpe_text,
+       coalesce(r.n_bpe_tokens, 0) AS n_bpe_tokens
+FROM documents d LEFT JOIN (
+  SELECT doc_id,
+         string_agg(sym, ' ' ORDER BY wpos, pos) AS bpe_text,
+         CAST(COUNT(*) AS BIGINT) AS n_bpe_tokens
+  FROM s{last} GROUP BY doc_id
+) r USING (doc_id)""")
+    return "".join(parts)
+
+
+@query(
+    "ext_bpe_segment", oracle=_bpe_segment_oracle(_BPE_FROZEN_MERGES)
+)
+def ext_bpe_segment(spark, sf_dir):
+    """Apply the frozen 8-rule BPE merge table to every document
+    (operators/tokenizer.bpe_segment): rebuild the corpus as subword
+    sequences ``(doc_id, bpe_text, n_bpe_tokens)``. The merge chain
+    runs once over the DISTINCT-WORD vocabulary (map-only Catalyst
+    folds), the word→symbols map BROADCASTS onto the corpus, and the
+    only corpus-sized exchange is the per-document rebuild groupBy —
+    segmentation itself never shuffles the corpus.
+
+    Oracle independence: the oracle re-derives segmentation per
+    (doc, word-position) from the inlined literal pairs via the
+    window-parity greedy — it never sees the vocabulary factoring or
+    the fold."""
+    from .operators.tokenizer import bpe_segment
+
+    d = load(spark, sf_dir, "documents")
+    return _count_pin(
+        bpe_segment(d, "text", "doc_id", list(_BPE_FROZEN_MERGES)),
+        "bpe_text",
+        "n_bpe_tokens",
+    )

@@ -2602,3 +2602,164 @@ def test_novelty_scores_unique_vs_shared(spark):
     assert out[1]["novelty_r"] == 0.0 and out[2]["novelty_r"] == 0.0
     assert out[3]["novelty_r"] == 1.0 and out[3]["n_shingles"] == 3
     assert 4 not in out
+
+
+# --- BPE tokenizer training (operators/tokenizer.py) ---------------------
+
+
+def _ref_bpe(word_counts, n):
+    """Independent single-machine BPE reference (Sennrich-style dicts
+    and while-loops — shares no mechanism with the Spark fold)."""
+    vocab = {}
+    for w, c in word_counts.items():
+        key = tuple(list(w) + ["</w>"])
+        vocab[key] = vocab.get(key, 0) + c
+    merges = []
+    for _ in range(n):
+        pairs = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] = (
+                    pairs.get((syms[i], syms[i + 1]), 0) + c
+                )
+        if not pairs:
+            break
+        bc = max(pairs.values())
+        best = min(p for p, c in pairs.items() if c == bc)
+        merges.append((best[0], best[1], bc))
+        nv = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i < len(syms) - 1
+                    and syms[i] == best[0]
+                    and syms[i + 1] == best[1]
+                ):
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nv[tuple(out)] = nv.get(tuple(out), 0) + c
+        vocab = nv
+    return merges
+
+
+def _ref_segment(text, merges):
+    out = []
+    for w in text.lower().split():
+        syms = list(w) + ["</w>"]
+        for a, b in merges:
+            o, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    o.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    o.append(syms[i])
+                    i += 1
+            syms = o
+        out.extend(syms)
+    return " ".join(out), len(out)
+
+
+_BPE_DOCS = [
+    (1, "low lower lowest low"),
+    (2, "new newer newest new low"),
+    (3, ""),  # token-less doc must survive segmentation as ('', 0)
+    (4, "aaa aa a"),  # overlapping-run greedy: 'aaa' + (a,a) -> [aa, a]
+    (5, "newest lowest widest"),
+]
+
+
+def _bpe_frame(spark):
+    return spark.createDataFrame(_BPE_DOCS, "doc_id int, text string")
+
+
+def test_bpe_learn_merges_matches_reference(spark):
+    from collections import Counter
+
+    from taxi_rides_ny_duckdb_spark.operators.tokenizer import (
+        bpe_learn_merges,
+    )
+
+    wc = Counter()
+    for _, t in _BPE_DOCS:
+        wc.update(t.lower().split())
+    ref = _ref_bpe(dict(wc), 10)
+    got = bpe_learn_merges(_bpe_frame(spark), "text", 10)
+    assert [(a, b, pc) for _, a, b, pc in got] == ref
+    assert [r for r, *_ in got] == list(range(1, len(got) + 1))
+
+
+def test_bpe_pair_counts_is_round_one(spark):
+    """Rank-1 of the standalone pair statistic must be the learner's
+    first merge (they share the round-0 symbol model)."""
+    from taxi_rides_ny_duckdb_spark.operators.tokenizer import (
+        bpe_learn_merges,
+        bpe_pair_counts,
+    )
+
+    df = _bpe_frame(spark)
+    top = bpe_pair_counts(df, "text", 3).orderBy("rank").collect()
+    assert [r["rank"] for r in top] == [1, 2, 3]
+    (_, a, b, pc) = bpe_learn_merges(df, "text", 1)[0]
+    assert (top[0]["sym_a"], top[0]["sym_b"], top[0]["pair_count"]) == (
+        a,
+        b,
+        pc,
+    )
+
+
+def test_bpe_segment_matches_reference_and_keeps_empty_docs(spark):
+    from collections import Counter
+
+    from taxi_rides_ny_duckdb_spark.operators.tokenizer import (
+        bpe_learn_merges,
+        bpe_segment,
+    )
+
+    df = _bpe_frame(spark)
+    merges = [(a, b) for _, a, b, _ in bpe_learn_merges(df, "text", 6)]
+    got = {
+        r["doc_id"]: (r["bpe_text"], r["n_bpe_tokens"])
+        for r in bpe_segment(
+            df, "text", "doc_id", merges, checkpoint_every=2
+        ).collect()
+    }
+    for doc_id, text in _BPE_DOCS:
+        assert got[doc_id] == _ref_segment(text, merges), doc_id
+    assert got[3] == ("", 0)
+
+
+def test_bpe_segment_broadcasts_vocab_map(spark):
+    """The word→symbols map must reach the corpus as a BROADCAST join —
+    segmentation never shuffles the corpus for the mapping."""
+    from taxi_rides_ny_duckdb_spark.operators.tokenizer import bpe_segment
+
+    plan = (
+        bpe_segment(_bpe_frame(spark), "text", "doc_id", [("l", "o")])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bpe_validates_inputs(spark):
+    import pytest as _pt
+
+    from taxi_rides_ny_duckdb_spark.operators.tokenizer import (
+        bpe_learn_merges,
+        bpe_pair_counts,
+        bpe_segment,
+    )
+
+    df = _bpe_frame(spark)
+    with _pt.raises(ValueError):
+        bpe_pair_counts(df, "text", 0)
+    with _pt.raises(ValueError):
+        bpe_learn_merges(df, "text", 0)
+    with _pt.raises(ValueError):
+        bpe_segment(df, "text", "doc_id", [], checkpoint_every=0)

@@ -694,3 +694,47 @@ def test_transition_matrix_matches_reference(spark, events):
     for (p, c), n in counts.items():
         want[(p, c)] = (n, round(n / row_tot[p], 9))
     assert got == want
+
+
+_BPE_WORD = st.text(alphabet="ab", min_size=1, max_size=5)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    docs=st.lists(
+        st.lists(_BPE_WORD, min_size=0, max_size=6).map(" ".join),
+        min_size=1,
+        max_size=6,
+    ),
+    n_merges=st.integers(min_value=1, max_value=4),
+)
+def test_bpe_learn_and_segment_match_reference(spark, docs, n_merges):
+    """Distributed BPE (Catalyst left-fold merge apply, vocab-factored
+    segmentation) must equal the single-machine Sennrich reference on
+    arbitrary corpora — a 2-letter alphabet maximizes overlapping-run
+    cases ('aaa' under merge (a,a)) where greedy scan order is the
+    easiest thing to get wrong."""
+    from collections import Counter
+
+    from taxi_rides_ny_duckdb_spark.operators.tokenizer import (
+        bpe_learn_merges,
+        bpe_segment,
+    )
+    from tests.test_operators import _ref_bpe, _ref_segment
+
+    frame = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id int, text string"
+    )
+    wc = Counter(w for t in docs for w in t.lower().split())
+    ref = _ref_bpe(dict(wc), n_merges)
+    got = bpe_learn_merges(frame, "text", n_merges)
+    assert [(a, b, pc) for _, a, b, pc in got] == ref
+
+    pairs = [(a, b) for a, b, _ in ref]
+    seg = {
+        r["doc_id"]: (r["bpe_text"], r["n_bpe_tokens"])
+        for r in bpe_segment(frame, "text", "doc_id", pairs).collect()
+    }
+    for i, t in enumerate(docs):
+        assert seg[i] == _ref_segment(t, pairs), (i, t)
