@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.text import tokenize
+from ..session import ensure_min_partitions
 
 EOW = "</w>"
 
@@ -43,9 +44,13 @@ EOW = "</w>"
 def word_counts(docs: DataFrame, text_col: str) -> DataFrame:
     """Corpus word-frequency table ``(wd, c)`` — the ONE corpus-sized
     shuffle in BPE training (map-side partial counts; everything
-    downstream is vocabulary-sized)."""
+    downstream is vocabulary-sized). ``ensure_min_partitions``: a
+    small-file scan (1-2 partitions) would serialize the tokenize +
+    explode onto one core; at 100 TB the input is already wide and
+    this is a no-op."""
     return (
-        docs.select(F.explode(tokenize(F.col(text_col))).alias("wd"))
+        ensure_min_partitions(docs.select(F.col(text_col)))
+        .select(F.explode(tokenize(F.col(text_col))).alias("wd"))
         .groupBy("wd")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -235,7 +240,7 @@ def bpe_segment(
     """
     if checkpoint_every <= 0:
         raise ValueError("checkpoint_every must be positive")
-    words = docs.select(
+    words = ensure_min_partitions(docs.select(id_col, text_col)).select(
         F.col(id_col), F.posexplode(tokenize(F.col(text_col))).alias("pos", "wd")
     )
     vocab = words.select("wd").distinct()
