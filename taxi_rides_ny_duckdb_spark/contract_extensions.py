@@ -5508,8 +5508,11 @@ def _bpe_merge_round_sql(k: int, part: str, keep: str, best_src: str) -> str:
     the next...), then drop consumed rows and renumber.
 
     ``part`` is the window partition key (the unit holding one symbol
-    sequence); ``best_src`` is the 1-row relation carrying the round's
-    merge pair as columns ``a, b``."""
+    sequence); ``keep`` the carry-through columns s{k+1} must project
+    (ONLY these plus pos/sym — re-selecting ``*`` would duplicate
+    ``hit``/``selected`` next round and rebind them to stale values);
+    ``best_src`` is the 1-row relation carrying the round's merge pair
+    as columns ``a, b``."""
     return f"""
 m{k} AS (
   SELECT s.*,
