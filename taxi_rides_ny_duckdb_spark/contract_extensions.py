@@ -5703,3 +5703,217 @@ def ext_bpe_segment(spark, sf_dir):
         "bpe_text",
         "n_bpe_tokens",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: supervised quality-classifier stage (operators/classify.py) —
+# the CCNet/FineWeb-Edu pattern: train a bag-of-words classifier on the
+# corpus, score every document, calibrate the threshold with exact AUC.
+# Shared oracle CTE prefix: train split = doc_id % 5 <> 0 (deterministic,
+# engine-identical modulo), multinomial NB with add-1 smoothing, every
+# ln() rounded to 12dp at the addend (BM25/LM-perplexity precedent).
+
+_NB_MODEL_CTES = """
+tok AS (
+  SELECT doc_id, lang,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'), w -> w != ''))
+           AS token
+  FROM documents
+),
+train_tok AS (SELECT * FROM tok WHERE doc_id % 5 <> 0),
+nb_counts AS (
+  SELECT lang AS label, token, COUNT(*) AS n FROM train_tok GROUP BY 1, 2
+),
+nb_vocab AS (SELECT COUNT(DISTINCT token) AS v FROM nb_counts),
+nb_tot AS (SELECT label, SUM(n) AS tot FROM nb_counts GROUP BY 1),
+nb_model AS (
+  SELECT c.label, c.token, c.n,
+         round(ln((CAST(c.n AS DOUBLE) + 1.0)
+                  / (CAST(t.tot AS DOUBLE) + 1.0 * CAST(v.v AS DOUBLE))), 12)
+           AS logp_r
+  FROM nb_counts c JOIN nb_tot t USING (label) CROSS JOIN nb_vocab v
+),
+nb_train_docs AS (SELECT doc_id, lang FROM documents WHERE doc_id % 5 <> 0),
+nb_ndocs AS (SELECT lang AS label, COUNT(*) AS n_docs FROM nb_train_docs GROUP BY 1),
+nb_alldocs AS (SELECT COUNT(*) AS all_docs FROM nb_train_docs),
+nb_labels AS (
+  SELECT d.label, d.n_docs,
+         round(ln(CAST(d.n_docs AS DOUBLE) / CAST(a.all_docs AS DOUBLE)), 12)
+           AS log_prior_r,
+         round(ln(1.0 / (CAST(t.tot AS DOUBLE) + 1.0 * CAST(v.v AS DOUBLE))), 12)
+           AS log_floor_r
+  FROM nb_ndocs d JOIN nb_tot t ON t.label = d.label
+  CROSS JOIN nb_vocab v CROSS JOIN nb_alldocs a
+)
+"""
+
+_NB_SCORE_CTES = _NB_MODEL_CTES + """,
+heldout AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 = 0),
+ho_tc AS (
+  SELECT doc_id, token, COUNT(*) AS cnt
+  FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '\\s+'), w -> w != ''))
+             AS token
+    FROM heldout
+  ) GROUP BY 1, 2
+),
+ho_tc_v AS (
+  SELECT * FROM ho_tc WHERE token IN (SELECT DISTINCT token FROM nb_model)
+),
+nb_contrib AS (
+  SELECT t.doc_id, l.label,
+         CAST(t.cnt AS DECIMAL(8,0))
+           * CAST(COALESCE(m.logp_r, l.log_floor_r) AS DECIMAL(18,12)) AS c
+  FROM ho_tc_v t
+  CROSS JOIN nb_labels l
+  LEFT JOIN nb_model m ON m.token = t.token AND m.label = l.label
+),
+nb_partial AS (
+  SELECT doc_id, label, SUM(c) AS loglik FROM nb_contrib GROUP BY 1, 2
+),
+nb_spine AS (
+  SELECT h.doc_id, l.label, l.log_prior_r
+  FROM (SELECT DISTINCT doc_id FROM heldout) h CROSS JOIN nb_labels l
+),
+nb_scores AS (
+  SELECT s.doc_id, s.label,
+         round(s.log_prior_r + COALESCE(CAST(p.loglik AS DOUBLE), 0.0), 9)
+           AS score_r
+  FROM nb_spine s LEFT JOIN nb_partial p
+    ON p.doc_id = s.doc_id AND p.label = s.label
+)
+"""
+
+
+@query(
+    "ext_nb_train",
+    oracle="WITH " + _NB_MODEL_CTES + """
+SELECT label, token, n, logp_r FROM nb_model
+""",
+)
+def ext_nb_train(spark, sf_dir):
+    """Train the multinomial-NB language classifier on the 80% modulo
+    split (operators/classify.nb_train): the fastText-family linear
+    bag-of-words model behind CCNet/FineWeb-style quality filters,
+    trained in CLOSED FORM — two aggregation-bounded shuffles ((label,
+    token) counts map-side combined, then C-row label totals), zero
+    gradient iterations, model output V×C rows (broadcastable by
+    construction). Fully value-oracled: smoothed log-conditionals are
+    engine-exact via round(ln(...), 12)."""
+    from .operators.classify import nb_train
+
+    d = load(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 5 != 0)
+    token_logp, _ = nb_train(train, "text", "lang")
+    return token_logp.select("label", "token", "n", "logp_r")
+
+
+@query(
+    "ext_nb_classify",
+    oracle="WITH " + _NB_SCORE_CTES + """,
+pred AS (
+  SELECT doc_id, label AS pred_label, score_r,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score_r DESC, label ASC) AS rn
+  FROM nb_scores
+)
+SELECT p.doc_id, p.pred_label, p.score_r, h.lang AS actual_label,
+       CAST(p.pred_label = h.lang AS BOOLEAN) AS is_correct
+FROM pred p JOIN (SELECT DISTINCT doc_id, lang FROM heldout) h USING (doc_id)
+WHERE p.rn = 1
+""",
+)
+def ext_nb_classify(spark, sf_dir):
+    """Score + predict the 20% held-out split with the broadcast NB
+    model (operators/classify.nb_score/nb_predict): the corpus-side
+    plan never shuffles text — OOV tokens drop against a broadcast
+    vocabulary semi-join map-side, the V×C model and C-row label table
+    broadcast, and the only exchanges are the (doc, label) partial-sum
+    groupBy and the C-rows-per-doc argmax window. Exact-decimal addend
+    sums make the scores layout-independent; prediction ties break by
+    label ascending on the 9dp-rounded score (round-before-rank)."""
+    from .operators.classify import nb_predict, nb_score, nb_train
+
+    d = load(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 5 != 0)
+    heldout = d.filter(F.col("doc_id") % 5 == 0)
+    token_logp, label_stats = nb_train(train, "text", "lang")
+    scores = nb_score(heldout, "text", "doc_id", token_logp, label_stats)
+    pred = nb_predict(scores, "doc_id")
+    return _count_pin(
+        pred.join(heldout.select("doc_id", F.col("lang").alias("actual_label")), "doc_id")
+        .select(
+            "doc_id",
+            "pred_label",
+            "score_r",
+            "actual_label",
+            (F.col("pred_label") == F.col("actual_label")).alias("is_correct"),
+        ),
+        "pred_label",
+        "is_correct",
+    )
+
+
+@query(
+    "ext_classifier_auc",
+    oracle="WITH " + _NB_SCORE_CTES + """,
+margins AS (
+  SELECT doc_id,
+         round(MAX(CASE WHEN label = 'en' THEN score_r END)
+               - MAX(CASE WHEN label <> 'en' THEN score_r END), 9) AS margin_r
+  FROM nb_scores GROUP BY doc_id
+),
+labeled AS (
+  SELECT m.doc_id, m.margin_r,
+         CASE WHEN h.lang = 'en' THEN 1 ELSE 0 END AS is_pos
+  FROM margins m JOIN (SELECT DISTINCT doc_id, lang FROM heldout) h USING (doc_id)
+),
+by_score AS (
+  SELECT margin_r AS s, COUNT(*) AS n, SUM(is_pos) AS n_pos
+  FROM labeled GROUP BY 1
+),
+ranked AS (
+  SELECT n, n_pos,
+         2 * (SUM(n) OVER (ORDER BY s
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n)
+           + n + 1 AS two_avg_rank
+  FROM by_score
+),
+agg AS (
+  SELECT CAST(SUM(n_pos) AS DECIMAL(18,0)) AS np,
+         CAST(SUM(n) - SUM(n_pos) AS DECIMAL(18,0)) AS nn,
+         SUM(CAST(n_pos AS DECIMAL(14,0)) * CAST(two_avg_rank AS DECIMAL(18,0)))
+           AS two_rpos
+  FROM ranked
+)
+SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+       round((CAST(two_rpos AS DOUBLE) / 2.0
+              - CAST(np AS DOUBLE) * (CAST(np AS DOUBLE) + 1.0) / 2.0)
+             / (CAST(np AS DOUBLE) * CAST(nn AS DOUBLE)), 9) AS auc_r
+FROM agg
+""",
+)
+def ext_classifier_auc(spark, sf_dir):
+    """Exact tie-corrected ROC-AUC (operators/classify.auc_exact) of
+    the one-vs-rest 'en' margin on the held-out split — the threshold-
+    calibration step every classifier-based corpus filter needs before
+    it gates data. Rows collapse to DISTINCT SCORES map-side before the
+    cumulative-rank window (at 100 TB the 9dp margin column has bounded
+    cardinality; for unbounded scores the corpus_shuffle range-bucket +
+    driver prefix-sum pattern replaces the single window). All rank
+    arithmetic is exact-integer (2·avg_rank) in DECIMAL — both engines
+    agree before the one presentation round."""
+    from .operators.classify import auc_exact, nb_margin, nb_score, nb_train
+
+    d = load(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 5 != 0)
+    heldout = d.filter(F.col("doc_id") % 5 == 0)
+    token_logp, label_stats = nb_train(train, "text", "lang")
+    scores = nb_score(heldout, "text", "doc_id", token_logp, label_stats)
+    margins = nb_margin(scores, "doc_id", "en")
+    labeled = margins.join(
+        heldout.select("doc_id", (F.col("lang") == "en").cast("int").alias("is_pos")),
+        "doc_id",
+    )
+    return _count_pin(auc_exact(labeled, "margin_r", "is_pos"), "n_pos", "auc_r")

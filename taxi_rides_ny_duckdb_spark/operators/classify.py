@@ -1,0 +1,273 @@
+"""Supervised corpus classification (EXTENSION — no reference analog).
+
+The quality-classifier stage of an LLM data pipeline: CCNet trains a
+fastText model to keep Wikipedia-like text, FineWeb-Edu scores every
+document with an educational-quality classifier, and both then filter
+or re-weight the corpus by the score. This module provides the
+distributed, engine-exact core of that stage:
+
+- ``nb_train``: multinomial Naive Bayes over whitespace tokens —
+  the linear bag-of-words classifier family fastText belongs to,
+  trained in closed form (two aggregations), no gradient loop.
+- ``nb_score`` / ``nb_predict``: broadcast-model scoring — the corpus
+  is never shuffled by the model; one groupBy(doc, label) over the
+  token stream.
+- ``auc_exact``: exact tie-corrected Mann-Whitney ROC-AUC for
+  threshold calibration of any score column.
+
+100 TB design notes:
+- Training is two shuffles, both aggregation-bounded: (label, token)
+  counts (map-side combined — the token stream collapses to the
+  vocabulary before it moves) and per-label totals. The model is
+  V×C rows (vocabulary × classes) — broadcastable by construction,
+  the same shape argument as DSIR's B-row model.
+- Scoring shuffles (doc, label) partial sums only — never text. The
+  per-doc argmax window runs over C rows per doc.
+- Every log() is rounded to 12dp at the addend and summed as exact
+  DECIMAL (order-independent across any partitioning — the BM25 /
+  LM-perplexity precedent), so the same corpus scores identically on
+  any cluster layout and in the single-node oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import tokenize
+
+# Per-addend log-prob rounding (12dp) and final score rounding (9dp):
+# the round-before-sum / round-before-rank parity discipline used by
+# bm25_topk and ngram_lm_score.
+_LOGP_DP = 12
+_SCORE_DP = 9
+
+
+def _doc_token_counts(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, token, cnt) bag-of-words — one explode, one map-side
+    combined groupBy; the token stream collapses to per-doc distinct
+    terms before any exchange."""
+    return (
+        docs.select(F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def nb_train(
+    docs: DataFrame,
+    text_col: str,
+    label_col: str,
+    alpha: float = 1.0,
+) -> tuple[DataFrame, DataFrame]:
+    """Train multinomial Naive Bayes; returns ``(token_logp, label_stats)``.
+
+    token_logp:  (label, token, n, logp_r) — add-α smoothed conditional
+                 ``round(ln((n + α) / (tot_label + α·V)), 12)`` for every
+                 (token, label) pair SEEN in training (V×C upper bound).
+    label_stats: (label, n_docs, log_prior_r, log_floor_r) — C rows;
+                 the floor is the smoothed log-prob of an in-vocabulary
+                 token unseen in this class, ``ln(α / (tot_label + α·V))``.
+
+    Both frames are aggregation-bounded (vocabulary-sized / C-sized) —
+    the corpus itself is read once and shuffled only as (label, token)
+    count pairs. OOV tokens at scoring time are dropped (standard
+    multinomial NB over a closed vocabulary).
+    """
+    toks = docs.select(
+        F.col(label_col).alias("label"),
+        F.explode(tokenize(F.col(text_col))).alias("token"),
+    )
+    counts = toks.groupBy("label", "token").agg(F.count(F.lit(1)).alias("n"))
+    # Global vocabulary size V and per-label token totals: two scalar/
+    # C-row aggregates over the (label, token) count frame — NOT over
+    # the corpus again (exchange reuse: `counts` is the only
+    # corpus-sized pass).
+    vocab_n = counts.select(F.countDistinct("token").alias("v"))
+    label_tot = counts.groupBy("label").agg(F.sum("n").alias("tot"))
+    n_docs = docs.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    total_docs = docs.select(F.count(F.lit(1)).alias("all_docs"))
+
+    a = F.lit(float(alpha))
+    token_logp = (
+        counts.join(F.broadcast(label_tot), "label")
+        .crossJoin(F.broadcast(vocab_n))
+        .select(
+            "label",
+            "token",
+            "n",
+            F.round(
+                F.log(
+                    (F.col("n").cast("double") + a)
+                    / (F.col("tot").cast("double") + a * F.col("v").cast("double"))
+                ),
+                _LOGP_DP,
+            ).alias("logp_r"),
+        )
+    )
+    label_stats = (
+        n_docs.join(F.broadcast(label_tot), "label")
+        .crossJoin(F.broadcast(vocab_n))
+        .crossJoin(F.broadcast(total_docs))
+        .select(
+            "label",
+            "n_docs",
+            F.round(
+                F.log(F.col("n_docs").cast("double") / F.col("all_docs").cast("double")),
+                _LOGP_DP,
+            ).alias("log_prior_r"),
+            F.round(
+                F.log(a / (F.col("tot").cast("double") + a * F.col("v").cast("double"))),
+                _LOGP_DP,
+            ).alias("log_floor_r"),
+        )
+    )
+    return token_logp, label_stats
+
+
+def nb_score(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    token_logp: DataFrame,
+    label_stats: DataFrame,
+) -> DataFrame:
+    """Per-(doc, label) log-posterior: (id, label, score_r).
+
+    Plan shape: the (doc, token, cnt) bag is vocabulary-filtered by a
+    broadcast semi-join (OOV dropped map-side), fanned out ×C against
+    the broadcast label table, left-joined against the broadcast model
+    (unseen-in-class → the label's floor), then ONE groupBy(id, label).
+    A docs×C spine guarantees every document scores under every label
+    even with zero in-vocabulary tokens (prior-only prediction). Every
+    addend is ``cnt × logp12`` as exact DECIMAL — order-independent.
+    """
+    labels = label_stats.select("label", "log_prior_r", "log_floor_r")
+    vocab = token_logp.select("token").distinct()
+    tc = (
+        _doc_token_counts(docs, text_col, id_col)
+        .join(F.broadcast(vocab), "token", "semi")
+        .crossJoin(F.broadcast(labels.select("label", "log_floor_r")))
+        .join(F.broadcast(token_logp.select("token", "label", "logp_r")),
+              ["token", "label"], "left")
+    )
+    # cnt × logp12: logp12 is a double with |value| < 1e6, exactly
+    # representable at DECIMAL(18,12); per-doc term counts fit
+    # DECIMAL(8,0). The product is DECIMAL(27,12) in Spark (p1+p2+1)
+    # and DECIMAL(26,12) in DuckDB (p1+p2) — both EXACT and both well
+    # under the precision-38 cliff where Spark silently truncates
+    # scale; the sum is associative.
+    contrib = tc.select(
+        F.col(id_col),
+        "label",
+        (
+            F.col("cnt").cast("decimal(8,0)")
+            * F.coalesce(F.col("logp_r"), F.col("log_floor_r")).cast("decimal(18,12)")
+        ).alias("c"),
+    )
+    partial = contrib.groupBy(id_col, "label").agg(F.sum("c").alias("loglik"))
+    spine = docs.select(id_col).crossJoin(F.broadcast(labels))
+    return (
+        spine.join(partial, [id_col, "label"], "left")
+        .select(
+            F.col(id_col),
+            "label",
+            F.round(
+                F.col("log_prior_r")
+                + F.coalesce(F.col("loglik").cast("double"), F.lit(0.0)),
+                _SCORE_DP,
+            ).alias("score_r"),
+        )
+    )
+
+
+def nb_predict(scores: DataFrame, id_col: str) -> DataFrame:
+    """Argmax label per doc: (id, pred_label, score_r). Ties broken by
+    label ascending (round-before-rank: score_r is already 9dp). The
+    window runs over C rows per doc — never data-sized."""
+    w = Window.partitionBy(id_col).orderBy(F.col("score_r").desc(), F.col("label").asc())
+    return (
+        scores.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(F.col(id_col), F.col("label").alias("pred_label"), "score_r")
+    )
+
+
+def nb_margin(scores: DataFrame, id_col: str, positive_label: str) -> DataFrame:
+    """One-vs-rest decision score: (id, margin_r) = score(positive) −
+    max(score(other)) — the binary calibration input for ``auc_exact``.
+    Pure C-row-per-doc arithmetic (conditional aggregation, no joins)."""
+    pos = F.lit(positive_label)
+    return scores.groupBy(id_col).agg(
+        F.round(
+            F.max(F.when(F.col("label") == pos, F.col("score_r")))
+            - F.max(F.when(F.col("label") != pos, F.col("score_r"))),
+            _SCORE_DP,
+        ).alias("margin_r")
+    )
+
+
+def auc_exact(
+    scored: DataFrame, score_col: str, label_col: str
+) -> DataFrame:
+    """Exact ROC-AUC via the tie-corrected Mann-Whitney rank-sum.
+
+    ``label_col`` is a boolean/int (1 = positive). AUC =
+    (R⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻) where R⁺ is the sum of AVERAGE ranks
+    (ascending score) of the positives — the textbook tie-corrected
+    estimator, every step exact rational arithmetic (average ranks have
+    .5 granularity → DECIMAL(38,1); products stay DECIMAL) so both
+    engines agree bit-for-bit before the single 9dp presentation round.
+
+    Scale shape: rows collapse to DISTINCT SCORES first (groupBy — at
+    100 TB a 9dp-rounded score column has bounded cardinality, and the
+    compression happens map-side); the cumulative rank window then runs
+    over distinct scores, not rows. For a score column with unbounded
+    distinct values, range-bucket + driver prefix-sum (the
+    corpus_shuffle two-phase pattern at operators/sampling.py) replaces
+    the single window; at the contract's 9dp margins the window form is
+    the right plan.
+
+    Returns one row: (n_pos, n_neg, auc_r).
+    """
+    pos = F.col(label_col).cast("int")
+    by_score = scored.groupBy(F.col(score_col).alias("s")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(pos).alias("n_pos"),
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # average rank of a tie-group = rank_before + (n+1)/2, exact at .5:
+    # 2·avg_rank = 2·cum_before + n + 1 keeps everything integer.
+    ranked = by_score.select(
+        "n",
+        "n_pos",
+        (
+            F.lit(2) * (F.sum("n").over(w) - F.col("n")) + F.col("n") + F.lit(1)
+        ).alias("two_avg_rank"),
+    )
+    # n_pos per tie-group fits DECIMAL(14,0) (1e14 rows per distinct
+    # score is beyond any corpus); 2·avg_rank ≤ 2N+1 fits DECIMAL(18,0)
+    # — the product is (33,0) in Spark / (32,0) in DuckDB, exact, and
+    # its sum stays under precision 38.
+    agg = ranked.agg(
+        F.sum("n_pos").cast("decimal(18,0)").alias("np"),
+        (F.sum("n") - F.sum("n_pos")).cast("decimal(18,0)").alias("nn"),
+        F.sum(
+            F.col("n_pos").cast("decimal(14,0)") * F.col("two_avg_rank").cast("decimal(18,0)")
+        ).alias("two_rpos"),
+    )
+    return agg.select(
+        F.col("np").cast("bigint").alias("n_pos"),
+        F.col("nn").cast("bigint").alias("n_neg"),
+        F.round(
+            (
+                F.col("two_rpos").cast("double") / F.lit(2.0)
+                - F.col("np").cast("double") * (F.col("np").cast("double") + F.lit(1.0)) / F.lit(2.0)
+            )
+            / (F.col("np").cast("double") * F.col("nn").cast("double")),
+            _SCORE_DP,
+        ).alias("auc_r"),
+    )

@@ -2763,3 +2763,121 @@ def test_bpe_validates_inputs(spark):
         bpe_learn_merges(df, "text", 0)
     with _pt.raises(ValueError):
         bpe_segment(df, "text", "doc_id", [], checkpoint_every=0)
+
+
+# ---------------------------------------------------------------------------
+# operators/classify.py — multinomial NB + exact AUC
+
+
+def _nb_fixture(spark):
+    rows = [
+        (1, "the cat sat on the mat", "en"),
+        (2, "the dog ate the bone", "en"),
+        (3, "a cat and a dog", "en"),
+        (4, "le chat et le chien", "fr"),
+        (5, "le chien mange le os", "fr"),
+        (6, "un chat sur le tapis", "fr"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+
+def test_nb_train_model_shape_and_smoothing(spark):
+    from taxi_rides_ny_duckdb_spark.operators.classify import nb_train
+    import math
+
+    docs = _nb_fixture(spark)
+    token_logp, label_stats = nb_train(docs, "text", "lang")
+    model = {(r["label"], r["token"]): r for r in token_logp.collect()}
+    stats = {r["label"]: r for r in label_stats.collect()}
+    # vocabulary is shared across classes; totals/priors are per class.
+    vocab = {t for (_, t) in model}
+    tot_en = sum(r["n"] for (l, _), r in model.items() if l == "en")
+    v = len(vocab)
+    # hand-check one smoothed conditional: p('the'|en) = (n+1)/(tot+V)
+    n_the = model[("en", "the")]["n"]
+    expect = round(math.log((n_the + 1.0) / (tot_en + 1.0 * v)), 12)
+    assert model[("en", "the")]["logp_r"] == expect
+    # priors: 3 docs each → ln(0.5)
+    assert stats["en"]["log_prior_r"] == round(math.log(0.5), 12)
+    # floor is strictly below every seen conditional for that label
+    assert all(
+        stats[l]["log_floor_r"] <= r["logp_r"] for (l, _), r in model.items()
+    )
+
+
+def test_nb_predict_separates_and_is_layout_independent(spark):
+    from taxi_rides_ny_duckdb_spark.operators.classify import (
+        nb_predict,
+        nb_score,
+        nb_train,
+    )
+
+    docs = _nb_fixture(spark)
+    token_logp, label_stats = nb_train(docs, "text", "lang")
+    tests_df = spark.createDataFrame(
+        [(10, "the cat sat"), (11, "le chien et le chat"), (12, "zzz qqq")],
+        ["doc_id", "text"],
+    )
+    pred = {
+        r["doc_id"]: r["pred_label"]
+        for r in nb_predict(
+            nb_score(tests_df, "text", "doc_id", token_logp, label_stats),
+            "doc_id",
+        ).collect()
+    }
+    assert pred[10] == "en" and pred[11] == "fr"
+    # doc 12 is fully OOV → prior-only; priors tie at ln(.5) → label asc
+    assert pred[12] == "en"
+    # layout independence: scores identical under a different partitioning
+    s1 = nb_score(tests_df, "text", "doc_id", token_logp, label_stats)
+    s2 = nb_score(
+        tests_df.repartition(7), "text", "doc_id", token_logp, label_stats
+    )
+    assert sorted(map(tuple, s1.collect())) == sorted(map(tuple, s2.collect()))
+
+
+def test_auc_exact_known_values(spark):
+    from taxi_rides_ny_duckdb_spark.operators.classify import auc_exact
+
+    # perfect separation → 1.0; anti-separation → 0.0
+    perfect = spark.createDataFrame(
+        [(0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0)], ["s", "y"]
+    )
+    assert auc_exact(perfect, "s", "y").collect()[0]["auc_r"] == 1.0
+    rev = spark.createDataFrame(
+        [(0.9, 0), (0.8, 0), (0.2, 1), (0.1, 1)], ["s", "y"]
+    )
+    assert auc_exact(rev, "s", "y").collect()[0]["auc_r"] == 0.0
+    # all-tied scores → 0.5 exactly (tie-corrected average ranks)
+    tied = spark.createDataFrame([(0.5, 1), (0.5, 0), (0.5, 1)], ["s", "y"])
+    assert auc_exact(tied, "s", "y").collect()[0]["auc_r"] == 0.5
+    # hand-computed mixed case with a tie straddling classes:
+    # scores: pos {0.8, 0.5}, neg {0.5, 0.2}; ranks asc: 0.2→1,
+    # 0.5,0.5→avg 2.5, 0.8→4; R+ = 2.5+4 = 6.5; U = 6.5-3 = 3.5;
+    # AUC = 3.5/4 = 0.875
+    mixed = spark.createDataFrame(
+        [(0.8, 1), (0.5, 1), (0.5, 0), (0.2, 0)], ["s", "y"]
+    )
+    row = auc_exact(mixed, "s", "y").collect()[0]
+    assert (row["n_pos"], row["n_neg"], row["auc_r"]) == (2, 2, 0.875)
+
+
+def test_auc_exact_matches_pair_counting_reference(spark):
+    """Property: AUC == (#concordant + ½·#tied) / (n_pos·n_neg) on a
+    deterministic pseudo-random fixture, vs an O(n²) reference."""
+    from taxi_rides_ny_duckdb_spark.operators.classify import auc_exact
+
+    rows = []
+    x = 1
+    for i in range(60):
+        x = (x * 1103515245 + 12345) % (2**31)
+        score = round((x % 13) / 13.0, 6)  # coarse grid → many ties
+        label = 1 if (x // 13) % 3 == 0 else 0
+        rows.append((score, label))
+    pos = [s for s, y in rows if y == 1]
+    neg = [s for s, y in rows if y == 0]
+    conc = sum(1 for p in pos for n in neg if p > n)
+    tie = sum(1 for p in pos for n in neg if p == n)
+    expect = round((conc + 0.5 * tie) / (len(pos) * len(neg)), 9)
+    df = spark.createDataFrame(rows, ["s", "y"])
+    assert auc_exact(df, "s", "y").collect()[0]["auc_r"] == expect
