@@ -5917,3 +5917,140 @@ def ext_classifier_auc(spark, sf_dir):
         "doc_id",
     )
     return _count_pin(auc_exact(labeled, "margin_r", "is_pos"), "n_pos", "auc_r")
+
+
+# ---------------------------------------------------------------------------
+# Round 8: semantic dedup & decontamination (embedding-space twins of
+# the MinHash dedup / n-gram decontamination pair).
+
+
+def _semdedup_oracle(threshold: float = 0.3) -> str:
+    """DuckDB replay of operators/similarity.semdedup against the
+    FROZEN coarse quantizer: assignment (round(d2,9) argmin, ties to
+    the lower centroid id), own-centroid cosine (round 9), pairs ONLY
+    within clusters (round-before-threshold), recursive-CTE transitive
+    closure, keep = argmin(cent_sim_r, id) per component."""
+    from .contract_ivf_centroids import IVF_CENTROIDS, IVF_DIM
+
+    rows = ", ".join(
+        f"({cid}, [" + ", ".join(repr(x) for x in cv) + "]::DOUBLE[])"
+        for cid, cv in enumerate(IVF_CENTROIDS)
+    )
+    return f"""
+WITH RECURSIVE v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+), cents(cid, cv) AS (SELECT * FROM (VALUES {rows}) AS t(cid, cv)),
+d AS (
+  SELECT v.vec_id, v.ev, c.cid,
+         round(list_sum(list_transform(generate_series(1, {IVF_DIM}),
+               i -> (v.ev[i] - c.cv[i]) * (v.ev[i] - c.cv[i]))), 9) AS d2
+  FROM v CROSS JOIN cents c
+), assigned AS (
+  SELECT vec_id, ev, cid AS centroid_id FROM (
+    SELECT vec_id, ev, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM d
+  ) WHERE rn = 1
+), withsim AS (
+  SELECT a.vec_id, a.ev, a.centroid_id,
+    round(CASE WHEN sqrt(list_sum(list_transform(generate_series(1, {IVF_DIM}), i -> a.ev[i] * a.ev[i]))) > 0
+            AND sqrt(list_sum(list_transform(generate_series(1, {IVF_DIM}), i -> c.cv[i] * c.cv[i]))) > 0
+    THEN list_sum(list_transform(generate_series(1, {IVF_DIM}), i -> a.ev[i] * c.cv[i]))
+         / (sqrt(list_sum(list_transform(generate_series(1, {IVF_DIM}), i -> a.ev[i] * a.ev[i])))
+            * sqrt(list_sum(list_transform(generate_series(1, {IVF_DIM}), i -> c.cv[i] * c.cv[i]))))
+    ELSE 0.0 END, 9) AS cent_sim_r
+  FROM assigned a JOIN cents c ON c.cid = a.centroid_id
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM withsim a JOIN withsim b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+  WHERE round(CASE WHEN sqrt(list_sum(list_transform(generate_series(1, {IVF_DIM}), i -> a.ev[i] * a.ev[i]))) > 0
+            AND sqrt(list_sum(list_transform(generate_series(1, {IVF_DIM}), i -> b.ev[i] * b.ev[i]))) > 0
+    THEN list_sum(list_transform(generate_series(1, {IVF_DIM}), i -> a.ev[i] * b.ev[i]))
+         / (sqrt(list_sum(list_transform(generate_series(1, {IVF_DIM}), i -> a.ev[i] * a.ev[i])))
+            * sqrt(list_sum(list_transform(generate_series(1, {IVF_DIM}), i -> b.ev[i] * b.ev[i]))))
+    ELSE 0.0 END, 9) >= {threshold}
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+), reach(id, r) AS (
+  SELECT vec_id, vec_id FROM v
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+), comp AS (
+  SELECT id, min(r) AS component FROM reach GROUP BY id
+)
+SELECT w.vec_id, w.centroid_id, c.component, w.cent_sim_r,
+       (row_number() OVER (PARTITION BY c.component
+                           ORDER BY w.cent_sim_r ASC, w.vec_id ASC) = 1) AS keep
+FROM withsim w JOIN comp c ON c.id = w.vec_id
+"""
+
+
+@query("ext_semdedup", oracle=_semdedup_oracle(0.3), memoize=False)
+def ext_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) over the full embeddings table
+    against the frozen IVF quantizer (operators/similarity.semdedup):
+    cluster-scoped near-dup pairing (O(Σ|c|²), never O(N²) — the
+    paper's scaling argument), CC collapse, keep-the-most-atypical
+    (lowest own-centroid cosine, ties to the lower id). The semantic
+    member of the dedup ladder: MinHash catches lexical copies, this
+    catches paraphrases that share no shingles. memoize=False: CC
+    iterates eagerly inside the builder."""
+    from .contract_ivf_centroids import IVF_CENTROIDS
+    from .operators.similarity import semdedup
+
+    emb = load(spark, sf_dir, "embeddings")
+    return semdedup(emb, IVF_CENTROIDS, threshold=0.3)
+
+
+_SEM_DECON_ORACLE = """
+WITH ev AS (
+  SELECT vec_id AS eid, CAST(embedding AS DOUBLE[]) AS evv
+  FROM embeddings WHERE vec_id < 8
+), c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id >= 8
+), scored AS (
+  SELECT c.vec_id, ev.eid,
+    round(CASE WHEN sqrt(list_sum(list_transform(generate_series(1, len(c.cv)), i -> c.cv[i] * c.cv[i]))) > 0
+            AND sqrt(list_sum(list_transform(generate_series(1, len(ev.evv)), i -> ev.evv[i] * ev.evv[i]))) > 0
+    THEN list_sum(list_transform(generate_series(1, len(c.cv)), i -> c.cv[i] * ev.evv[i]))
+         / (sqrt(list_sum(list_transform(generate_series(1, len(c.cv)), i -> c.cv[i] * c.cv[i])))
+            * sqrt(list_sum(list_transform(generate_series(1, len(ev.evv)), i -> ev.evv[i] * ev.evv[i]))))
+    ELSE 0.0 END, 9) AS s
+  FROM c CROSS JOIN ev
+)
+SELECT vec_id, s AS max_eval_sim_r, (s >= 0.25) AS contaminated,
+       CAST(eid AS BIGINT) AS nearest_eval_id
+FROM (
+  SELECT vec_id, s, eid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, eid ASC) AS rn
+  FROM scored
+) WHERE rn = 1
+"""
+
+
+@query("ext_semantic_decontaminate", oracle=_SEM_DECON_ORACLE)
+def ext_semantic_decontaminate(spark, sf_dir):
+    """Embedding-space decontamination
+    (operators/similarity.semantic_decontaminate): the 8 frozen query
+    vectors stand in for a benchmark's embedded eval set (the
+    hard-negative precedent); every corpus vector's max cosine against
+    the broadcast eval side flags paraphrased leakage that exact
+    n-gram shingles (ext_decontaminate_corpus) cannot see. Corpus
+    scanned once, never shuffled; the per-doc argmax is one map-side
+    combinable max-struct aggregate — no window."""
+    from .operators.similarity import semantic_decontaminate
+
+    emb = load(spark, sf_dir, "embeddings")
+    ev = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("eval_id"), F.col("embedding").alias("eval_vec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 8)
+    return _count_pin(
+        semantic_decontaminate(corpus, ev, threshold=0.25),
+        "max_eval_sim_r",
+        "contaminated",
+    )

@@ -848,3 +848,165 @@ def ivf_quantized_topk(
         .filter(F.col("rank") <= k)
         .select(query_id, "rank", corpus_id, "qcos_r")
     )
+
+
+def semdedup(
+    df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 9,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup via embedding
+    clusters — assign every vector to its nearest centroid, pair ONLY
+    within clusters, connect pairs with cosine ≥ threshold into
+    components, and keep the component member LEAST similar to its
+    centroid (the paper's "keep the most atypical" rule; ties to the
+    lower id). Returns (id, centroid_id, component, cent_sim_r, keep).
+
+    100 TB shape: the assignment is a pure projection (centroids ride
+    as literals — no join, no shuffle); pairing is O(Σ|c|²) WITHIN
+    clusters instead of O(N²) — the paper's entire scaling argument;
+    the pair self-join is merge-pinned (repetitive corpora compress so
+    well that broadcast-size accounting would build a corpus-sized
+    hashed relation — the r7 family-wide hazard); component collapse
+    reuses the size-gated CC (driver union-find for small edge lists,
+    large-star/small-star beyond). Every cosine is rounded BEFORE the
+    threshold / argmin so the decision set is engine-reproducible.
+    """
+    from .dedup import connected_components
+
+    assigned = assign_nearest_centroid(
+        ensure_min_partitions(df), centroids, vec_col=vec_col,
+        out_col="centroid_id", round_dp=round_dp,
+    ).select(
+        F.col(id_col),
+        "centroid_id",
+        _as_double_array(F.col(vec_col)).alias("__v"),
+    ).withColumn("__n", l2_norm(F.col("__v")))
+
+    # similarity of each vector to ITS OWN centroid — the keep-rule
+    # score. One codegen expression per centroid, selected by id.
+    cent_sim = F.round(
+        _pick_centroid_cosine(F.col("__v"), F.col("__n"), centroids, "centroid_id"),
+        round_dp,
+    )
+    assigned = assigned.withColumn("cent_sim_r", cent_sim)
+
+    a, b = assigned.alias("a").hint("merge"), assigned.alias("b")
+    score = F.round(
+        cosine_given_norms(
+            F.col("a.__v"), F.col("b.__v"), F.col("a.__n"), F.col("b.__n")
+        ),
+        round_dp,
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            score.alias("sim"),
+        )
+        .filter(F.col("sim") >= F.lit(float(threshold)))
+    )
+    comp = connected_components(
+        pairs, "id_a", "id_b", nodes=assigned.select(F.col(id_col).alias("id"))
+    )
+    joined = assigned.select(id_col, "centroid_id", "cent_sim_r").join(
+        comp.select(F.col("id").alias(id_col), "component"), id_col
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("cent_sim_r").asc(), F.col(id_col).asc()
+    )
+    return joined.select(
+        id_col,
+        "centroid_id",
+        "component",
+        "cent_sim_r",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
+
+
+def _pick_centroid_cosine(
+    vec: Column, norm: Column, centroids: list[list[float]], id_col_name: str
+) -> Column:
+    """cosine(vec, centroids[assigned_id]) as one CASE chain of codegen
+    folds — nlist branches, zero joins; the per-row cost is one dot
+    product (only the matching branch evaluates its fold lazily per
+    row in codegen)."""
+    branches = []
+    for i, c in enumerate(centroids):
+        cn = math.sqrt(sum(float(x) * float(x) for x in c))
+        dot_i = F.aggregate(
+            F.zip_with(vec, F.lit([float(x) for x in c]), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        branches.append(
+            F.when(
+                (F.col(id_col_name) == i) & (norm > 0) & (F.lit(cn) > 0),
+                dot_i / (norm * F.lit(cn)),
+            )
+        )
+    # exactly one branch is non-NULL per row unless norm==0 or cn==0 —
+    # define those as 0.0 (a zero vector has no direction; it can never
+    # exceed a positive threshold anyway).
+    return F.coalesce(*branches, F.lit(0.0))
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eval_id_col: str = "eval_id",
+    eval_vec_col: str = "eval_vec",
+    round_dp: int = 9,
+) -> DataFrame:
+    """Embedding-space decontamination: flag corpus items whose cosine
+    to ANY benchmark/eval item is ≥ threshold — the semantic twin of
+    the n-gram decontaminator (operators/dedup.decontaminate_ngrams),
+    catching paraphrased eval leakage that exact shingles miss.
+
+    Returns (id, max_eval_sim_r, contaminated, nearest_eval_id);
+    nearest_eval_id ties break to the lower eval id at equal rounded
+    similarity.
+
+    100 TB shape: the eval suite is bounded (thousands of rows) and
+    BROADCASTS; the corpus is scanned once, never shuffled — the
+    per-corpus-row cost is |eval| fused dot products and the output is
+    corpus-sized. The same broadcast-the-small-side economics as the
+    n-gram decontaminator's eval-shingle broadcast.
+    """
+    ev = eval_df.select(
+        F.col(eval_id_col).alias("__eid"),
+        _as_double_array(F.col(eval_vec_col)).alias("__ev"),
+    ).withColumn("__en", l2_norm(F.col("__ev")))
+    c = ensure_min_partitions(corpus).select(
+        F.col(id_col),
+        _as_double_array(F.col(vec_col)).alias("__v"),
+    ).withColumn("__n", l2_norm(F.col("__v")))
+    sim = F.round(
+        cosine_given_norms(F.col("__v"), F.col("__ev"), F.col("__n"), F.col("__en")),
+        round_dp,
+    )
+    scored = c.crossJoin(F.broadcast(ev)).select(
+        F.col(id_col), F.col("__eid"), sim.alias("__s")
+    )
+    # argmax over the eval axis: max struct of (sim, -eid) ties to the
+    # LOWER eval id without a window (one map-side-combinable agg).
+    best = scored.groupBy(id_col).agg(
+        F.max(F.struct(F.col("__s").alias("s"), (-F.col("__eid")).alias("neg_eid"))).alias("b")
+    )
+    return best.select(
+        F.col(id_col),
+        F.col("b.s").alias("max_eval_sim_r"),
+        (F.col("b.s") >= F.lit(float(threshold))).alias("contaminated"),
+        (-F.col("b.neg_eid")).cast("bigint").alias("nearest_eval_id"),
+    )

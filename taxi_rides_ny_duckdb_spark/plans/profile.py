@@ -804,13 +804,26 @@ def profile_correlation(
         xv = F.when(both, F.col(x).cast("double"))
         yv = F.when(both, F.col(y).cast("double"))
         tag = f"{x}__{y}"
+        # Quantize each input ONCE at 8dp, then square/multiply the
+        # DECIMALS — (18,8)×(18,8) → (37,16), exact in both engines.
+        # Quantizing x and x·x independently (the pre-r8 form, products
+        # truncated at 8dp) made the moments mutually INCONSISTENT:
+        # n·Σx² − (Σx)² is a catastrophic cancellation, so independent
+        # 5e-9 truncations amplified and a 2-point frame came back at
+        # corr = −1.000018 (hypothesis-found). Consistent moments are a
+        # true correlation of the quantized points — |r| ≤ 1 by
+        # construction. For ≤2dp decimal data (the documented price-
+        # scale domain, incl. the contract's lineitem panel) the 8dp
+        # quantization is lossless, so values are unchanged.
+        xd = xv.cast("decimal(18,8)")
+        yd = yv.cast("decimal(18,8)")
         aggs += [
             F.count(xv).alias(f"{tag}__n"),
-            F.sum(xv.cast("decimal(38,8)")).alias(f"{tag}__sx"),
-            F.sum(yv.cast("decimal(38,8)")).alias(f"{tag}__sy"),
-            F.sum((xv * yv).cast("decimal(38,8)")).alias(f"{tag}__sxy"),
-            F.sum((xv * xv).cast("decimal(38,8)")).alias(f"{tag}__sxx"),
-            F.sum((yv * yv).cast("decimal(38,8)")).alias(f"{tag}__syy"),
+            F.sum(xd).alias(f"{tag}__sx"),
+            F.sum(yd).alias(f"{tag}__sy"),
+            F.sum(xd * yd).alias(f"{tag}__sxy"),
+            F.sum(xd * xd).alias(f"{tag}__sxx"),
+            F.sum(yd * yd).alias(f"{tag}__syy"),
         ]
     one = df.agg(*aggs)
     rows = []

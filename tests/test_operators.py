@@ -2881,3 +2881,68 @@ def test_auc_exact_matches_pair_counting_reference(spark):
     expect = round((conc + 0.5 * tie) / (len(pos) * len(neg)), 9)
     df = spark.createDataFrame(rows, ["s", "y"])
     assert auc_exact(df, "s", "y").collect()[0]["auc_r"] == expect
+
+
+# ---------------------------------------------------------------------------
+# operators/similarity.py — semdedup + semantic_decontaminate
+
+
+def test_semdedup_cluster_scoped_pairs_and_keep_rule(spark):
+    from taxi_rides_ny_duckdb_spark.operators.similarity import semdedup
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    rows = [
+        (1, [1.0, 0.01]),   # cluster 0
+        (2, [1.0, 0.02]),   # near-dup of 1, slightly MORE atypical
+        (3, [0.9, 0.2]),    # cluster 0, not a dup at τ=0.999
+        (4, [0.72, 0.69]),  # cluster 0 ┐ cosine(4,5) ≈ 0.99911 ≥ τ but
+        (5, [0.69, 0.72]),  # cluster 1 ┘ different clusters → never paired
+        (6, [0.01, 1.0]),   # cluster 1
+        (7, [0.01, 1.0]),   # exact dup of 6
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in semdedup(df, cents, threshold=0.999).collect()}
+    assert {i: out[i]["centroid_id"] for i in out} == {
+        1: 0, 2: 0, 3: 0, 4: 0, 5: 1, 6: 1, 7: 1
+    }
+    # 1-2 one component; 6-7 one component; 4 and 5 SEPARATE despite
+    # cross-cluster cosine above threshold (cluster-scoped pairing)
+    assert out[1]["component"] == out[2]["component"]
+    assert out[6]["component"] == out[7]["component"]
+    assert out[4]["component"] != out[5]["component"]
+    assert out[3]["component"] not in (out[1]["component"], out[4]["component"])
+    # keep rule: the LEAST centroid-similar member survives (2 is more
+    # atypical than 1); exact tie (6 vs 7) → lower id
+    assert (out[1]["keep"], out[2]["keep"]) == (False, True)
+    assert (out[6]["keep"], out[7]["keep"]) == (True, False)
+    # singletons always keep
+    assert out[3]["keep"] and out[4]["keep"] and out[5]["keep"]
+
+
+def test_semantic_decontaminate_flags_and_argmax_ties(spark):
+    from taxi_rides_ny_duckdb_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    ev = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [1.0, 0.0])],
+        "eval_id long, eval_vec array<double>",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (10, [2.0, 0.0]),    # same direction as eval 0 AND 2 → sim 1.0, tie → id 0
+            (11, [-1.0, 0.0]),   # anti-parallel → max sim is 0.0 vs eval 1
+            (12, [1.0, 1.0]),    # 45° → 0.707106781 to all
+            (13, [0.0, 0.0]),    # zero vector → defined 0.0, clean
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r["vec_id"]: r
+        for r in semantic_decontaminate(corpus, ev, threshold=0.9).collect()
+    }
+    assert out[10]["contaminated"] and out[10]["max_eval_sim_r"] == 1.0
+    assert out[10]["nearest_eval_id"] == 0  # tie with eval 2 → lower id
+    assert not out[11]["contaminated"] and out[11]["max_eval_sim_r"] == 0.0
+    assert out[12]["max_eval_sim_r"] == 0.707106781 and not out[12]["contaminated"]
+    assert out[13]["max_eval_sim_r"] == 0.0 and not out[13]["contaminated"]

@@ -374,15 +374,18 @@ def test_tfidf_window_and_join_modes_agree(spark, docs):
     assert w == j
 
 
-_CORR_VALS = st.one_of(
-    st.just(0.0),
-    # within the exact path's decimal(38,8) domain: magnitudes below
-    # ~1e-8 quantize to 0 in the decimal moments (documented — the
-    # exact route targets price-scale columns), so the property holds
-    # on [1e-3, 100] ∪ {0}, not on subnormals.
-    st.floats(min_value=1e-3, max_value=100, allow_nan=False),
-    st.floats(min_value=-100, max_value=-1e-3, allow_nan=False),
-)
+# The exact path's documented domain is decimal-valued (price-scale)
+# data: inputs are quantized once at 8dp, so the two paths see the
+# SAME points only when values are exactly representable there.
+# Quarter-steps are binary-exact 2dp decimals — lossless under the
+# 8dp quantization, and lossless as doubles — so any residual
+# disagreement is genuinely the two aggregation algorithms, not input
+# representation. (Arbitrary floats — e.g. −92.775390625, 9dp — are
+# perturbed by quantization; on near-degenerate frames that legally
+# moves the correlation, which is out of scope for this agreement
+# property. The exact path's |r| ≤ 1 invariant is asserted below on
+# every draw regardless.)
+_CORR_VALS = st.integers(min_value=-400, max_value=400).map(lambda i: i / 4.0)
 
 
 @settings(**_SETTINGS)
@@ -404,6 +407,9 @@ def test_profile_correlation_fast_agrees_with_exact(spark, rows):
     exact = profile_correlation(
         df, [("x", "y")], exact_decimal=True
     ).collect()[0]["corr_r"]
+    if exact is not None:
+        # consistent quantized moments ⇒ a true correlation ⇒ in range
+        assert abs(exact) <= 1.0, exact
     if fast is None or exact is None:
         assert fast is None and exact is None
     else:
