@@ -6054,3 +6054,64 @@ def ext_semantic_decontaminate(spark, sf_dir):
         "max_eval_sim_r",
         "contaminated",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: PCA whitening against the frozen basis (operators/pca.py).
+
+
+def _pca_whiten_oracle() -> str:
+    """DuckDB replay of pca_whiten_project against the FROZEN basis
+    (contract_pca_components — trained once by the Arrow partial-moment
+    seam + driver eigh, embedded as double literals exactly like the
+    IVF centroids): per component, the same center→dot→scale fold,
+    9dp-rounded."""
+    from .contract_pca_components import (
+        PCA_COMPONENTS,
+        PCA_DIM,
+        PCA_MEAN,
+        PCA_SCALES,
+    )
+
+    mean_lit = "[" + ", ".join(repr(x) for x in PCA_MEAN) + "]::DOUBLE[]"
+    pcs = []
+    for j, (comp, sc) in enumerate(zip(PCA_COMPONENTS, PCA_SCALES), start=1):
+        w = "[" + ", ".join(repr(x) for x in comp) + "]::DOUBLE[]"
+        pcs.append(
+            f"""round(list_sum(list_transform(generate_series(1, {PCA_DIM}),
+              i -> (ev[i] - ({mean_lit})[i]) * ({w})[i])) / {sc!r}, 9) AS pc{j}"""
+        )
+    cols = ",\n       ".join(pcs)
+    return f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+)
+SELECT vec_id,
+       {cols}
+FROM v
+"""
+
+
+@query("ext_pca_whiten", oracle=_pca_whiten_oracle())
+def ext_pca_whiten(spark, sf_dir):
+    """Whitened top-4 PCA projection of every embedding against the
+    frozen basis (operators/pca.pca_whiten_project): the decorrelate +
+    unit-variance preprocessing step ANN/semantic-dedup stacks run
+    before indexing, so no single dominant direction soaks up the LSH
+    bits / IVF cells. Serving is a PURE projection — basis, mean and
+    whitening scales ride as literals (zero joins, zero shuffles, zero
+    Python in the row path); at 100 TB it runs at scan parallelism.
+    Training (one distributed Arrow partial-moment pass + driver eigh
+    over the d×d covariance) is pinned by tests/test_operators.py."""
+    from .contract_pca_components import (
+        PCA_COMPONENTS,
+        PCA_MEAN,
+        PCA_SCALES,
+    )
+    from .operators.pca import pca_whiten_project
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    out = pca_whiten_project(
+        emb, PCA_MEAN, PCA_COMPONENTS, PCA_SCALES, vec_col="embedding"
+    )
+    return _count_pin(out.select("vec_id", "pc1", "pc2", "pc3", "pc4"), "pc1", "pc4")

@@ -2946,3 +2946,77 @@ def test_semantic_decontaminate_flags_and_argmax_ties(spark):
     assert not out[11]["contaminated"] and out[11]["max_eval_sim_r"] == 0.0
     assert out[12]["max_eval_sim_r"] == 0.707106781 and not out[12]["contaminated"]
     assert out[13]["max_eval_sim_r"] == 0.0 and not out[13]["contaminated"]
+
+
+# ---------------------------------------------------------------------------
+# operators/pca.py — train + whiten-project
+
+
+def test_train_pca_matches_numpy_reference(spark):
+    import numpy as np
+    from taxi_rides_ny_duckdb_spark.operators.pca import train_pca
+
+    rng = np.random.RandomState(7)
+    # anisotropic cloud: strong axis 0, weak axis 2
+    base = rng.randn(200, 3) * np.array([5.0, 1.0, 0.2]) + np.array([1.0, -2.0, 0.5])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(base)],
+        "id long, embedding array<double>",
+    )
+    mean, comps, scales = train_pca(df, "embedding", k=3, dim=3)
+    # reference: population covariance + eigh
+    ref_mean = base.mean(axis=0)
+    cov = np.cov(base, rowvar=False, bias=True)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1]
+    assert np.allclose(mean, ref_mean, atol=1e-9)
+    for j, idx in enumerate(order):
+        # sign-normalized comparison (eigenvectors defined up to sign)
+        v = evecs[:, idx]
+        got = np.asarray(comps[j])
+        assert np.allclose(np.abs(got), np.abs(v), atol=1e-8), j
+        assert abs(scales[j] - np.sqrt(evals[idx])) < 1e-9
+    # components orthonormal
+    c = np.asarray(comps)
+    assert np.allclose(c @ c.T, np.eye(3), atol=1e-9)
+    # variance ordering descending
+    assert scales[0] >= scales[1] >= scales[2]
+
+
+def test_pca_whiten_project_decorrelates_training_data(spark):
+    import numpy as np
+    from taxi_rides_ny_duckdb_spark.operators.pca import (
+        pca_whiten_project,
+        train_pca,
+    )
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(300, 4) @ rng.randn(4, 4) + rng.randn(4)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(base)],
+        "id long, embedding array<double>",
+    )
+    mean, comps, scales = train_pca(df, "embedding", k=4, dim=4)
+    out = pca_whiten_project(df, mean, comps, scales, vec_col="embedding",
+                             round_dp=None)
+    m = np.array([[r[f"pc{j}"] for j in range(1, 5)] for r in out.collect()])
+    # zero-mean, identity covariance on the training distribution
+    assert np.allclose(m.mean(axis=0), 0.0, atol=1e-9)
+    cov = np.cov(m, rowvar=False, bias=True)
+    assert np.allclose(cov, np.eye(4), atol=1e-6)
+
+
+def test_pca_validates_inputs(spark):
+    import pytest as _pytest
+    from taxi_rides_ny_duckdb_spark.operators.pca import (
+        pca_whiten_project,
+        train_pca,
+    )
+
+    df = spark.createDataFrame([(1, [1.0, 2.0])], "id long, embedding array<double>")
+    with _pytest.raises(ValueError, match="k must be"):
+        train_pca(df, "embedding", k=3, dim=2)
+    with _pytest.raises(ValueError, match="at least 2"):
+        train_pca(df, "embedding", k=1, dim=2)
+    with _pytest.raises(ValueError, match="equal length"):
+        pca_whiten_project(df, [0.0, 0.0], [[1.0, 0.0]], [1.0, 2.0])
