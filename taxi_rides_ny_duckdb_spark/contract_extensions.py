@@ -6115,3 +6115,78 @@ def ext_pca_whiten(spark, sf_dir):
         emb, PCA_MEAN, PCA_COMPONENTS, PCA_SCALES, vec_col="embedding"
     )
     return _count_pin(out.select("vec_id", "pc1", "pc2", "pc3", "pc4"), "pc1", "pc4")
+
+
+# ---------------------------------------------------------------------------
+# Round 8: streaming heavy-hitters rollup — the sketch trilogy's
+# deployment shape (per-micro-batch summaries → artifact → rollup).
+
+
+@query(
+    "ext_streaming_topk_rollup",
+    oracle=_topk_hh_oracle(),  # IDENTICAL SQL as the batch form — the
+    # batch/stream symmetry claim (ext_streaming_incremental_dedup
+    # precedent): day-atomic micro-batches make per-batch summaries
+    # equal the batch shard summaries row-for-row.
+    memoize=False,  # eager stream run + sink round-trip
+)
+def ext_streaming_topk_rollup(spark, sf_dir):
+    """Streaming heavy hitters (streaming/jobs.stream_topk_shard_summaries
+    → operators/sketch.topk_rollup): every micro-batch of the events
+    file-drop collapses AT THE EDGE to its per-day top-10 summary
+    (≤ K+1 rows per day — fact rows never reach the artifact), weekly
+    top-5 with SpaceSaving sandwich bounds are answered from the
+    artifact alone, and the sandwich is certified per row against the
+    exact counts from the static table. The source is written
+    day-atomically (repartition by day), so the appended summaries
+    equal the batch form's exactly — which is why the oracle is the
+    batch SQL verbatim. No streaming state at all: summaries are
+    per-batch frames; the checkpoint only makes appends exactly-once.
+    _count_pin: est/exact columns are join-carried aggregates a
+    count-only consumer would prune."""
+    import shutil
+
+    from .operators.scale import sink_scratch_dir
+    from .operators.sketch import topk_rollup
+    from .streaming import jobs
+
+    base = sink_scratch_dir(sf_dir, "stream_topk")
+    src, sink, ckpt = f"{base}/src", f"{base}/sink", f"{base}/ckpt"
+    for d in (src, sink, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    ev = load(spark, sf_dir, "events")
+    (
+        ev.withColumn("__day", F.date_trunc("day", F.col("ts")))
+        .repartition(8, F.col("__day"))
+        .drop("__day")
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    jobs.stream_topk_shard_summaries(
+        spark, src, sink, ckpt, key_col="user_id", k=10
+    )
+    summaries = spark.read.parquet(sink)
+    top = topk_rollup(summaries, lambda c: F.date_trunc("week", c), n_top=5)
+    exact = (
+        ev.where(F.col("user_id").isNotNull())
+        .groupBy(
+            F.date_trunc("week", F.date_trunc("day", F.col("ts"))).alias(
+                "rollup_key"
+            ),
+            F.col("user_id").alias("key"),
+        )
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+    )
+    out = top.join(exact, ["rollup_key", "key"]).select(
+        "rollup_key",
+        "rank",
+        "key",
+        "est_lo",
+        "est_hi",
+        "exact_n",
+        (
+            (F.col("est_lo") <= F.col("exact_n"))
+            & (F.col("exact_n") <= F.col("est_hi"))
+        ).alias("bound_ok"),
+    )
+    return _count_pin(out, "est_lo", "est_hi", "exact_n", "bound_ok")

@@ -598,3 +598,41 @@ def test_streaming_funnel_multibatch_out_of_order_equals_batch(
     assert last[2]["stages_completed"] == 2
     assert last[2]["purchase_us"] is None
     assert last[1]["stages_completed"] == 3
+
+
+def test_stream_topk_summaries_equal_batch_form(spark, sf_dir, tmp_path_factory):
+    """Multi-batch symmetry: with a day-atomic source and
+    maxFilesPerTrigger=1, the appended per-batch summaries equal
+    shard_topk_summaries over the whole static table row-for-row —
+    the claim that lets the contract query reuse the batch oracle."""
+    from taxi_rides_ny_duckdb_spark.operators.sketch import (
+        shard_topk_summaries,
+    )
+
+    base = tmp_path_factory.mktemp("stream_topk")
+    src, sink, ckpt = str(base / "src"), str(base / "sink"), str(base / "ckpt")
+    ev = load(spark, sf_dir, "events")
+    (
+        ev.withColumn("__day", F.date_trunc("day", F.col("ts")))
+        .repartition(6, F.col("__day"))
+        .drop("__day")
+        .write.parquet(src)
+    )
+    jobs.stream_topk_shard_summaries(spark, src, sink, ckpt, "user_id", k=10)
+    got = sorted(
+        map(tuple, spark.read.parquet(sink).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            shard_topk_summaries(
+                ev, F.date_trunc("day", F.col("ts")), "user_id", k=10
+            ).collect(),
+        )
+    )
+    assert got == want
+    # and it genuinely ran as multiple micro-batches (one per file)
+    import glob
+
+    n_files = len(glob.glob(f"{src}/*.parquet"))
+    assert n_files >= 2  # day-atomic layout produced several batches
