@@ -6190,3 +6190,318 @@ def ext_streaming_topk_rollup(spark, sf_dir):
         ).alias("bound_ok"),
     )
     return _count_pin(out, "est_lo", "est_hi", "exact_n", "bound_ok")
+
+
+# ---------------------------------------------------------------------------
+# Round-8 wave A: cluster-downstream sampling (purged k-fold, contrastive
+# pairs), temperature mixing, exact-k sampling.
+# ---------------------------------------------------------------------------
+
+# Shared oracle prefix: near-dup components over the vec_id<100 embedding
+# subset — identical arithmetic to _CLUSTER_COMPONENTS_ORACLE (cosine pairs
+# at 0.3 after 9dp rounding, transitive closure by recursive CTE).
+_COMP_PREFIX = """
+WITH RECURSIVE v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
+  FROM embeddings WHERE vec_id < 100
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    CASE WHEN sqrt(list_sum(list_transform(generate_series(1, len(a.ev)), i -> a.ev[i] * a.ev[i]))) > 0
+          AND sqrt(list_sum(list_transform(generate_series(1, len(b.ev)), i -> b.ev[i] * b.ev[i]))) > 0
+    THEN list_sum(list_transform(generate_series(1, len(a.ev)), i -> a.ev[i] * b.ev[i]))
+         / (sqrt(list_sum(list_transform(generate_series(1, len(a.ev)), i -> a.ev[i] * a.ev[i])))
+            * sqrt(list_sum(list_transform(generate_series(1, len(b.ev)), i -> b.ev[i] * b.ev[i]))))
+    ELSE 0.0 END AS cosine_sim
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+), ndpairs AS (
+  SELECT id_a, id_b FROM pairs WHERE round(cosine_sim, 9) >= 0.3
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM ndpairs
+  UNION ALL
+  SELECT id_b, id_a FROM ndpairs
+), reach(id, r) AS (
+  SELECT vec_id, vec_id FROM v
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+), comp AS (
+  SELECT id, min(r) AS component FROM reach GROUP BY id
+)
+"""
+
+
+def _embedding_near_dup_inputs(spark, sf_dir):
+    """(verified near-dup pairs, node list) over the vec_id<100
+    embedding subset — the shared input of the cluster-downstream
+    contract queries (components / keep-best / leakage split / k-fold /
+    contrastive)."""
+    from .operators.similarity import cosine_given_norms, l2_norm
+
+    v = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 100)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("ev"))
+        .withColumn("nrm", l2_norm(F.col("ev")))
+    )
+    a = v.select(
+        F.col("vec_id").alias("id_a"), F.col("ev").alias("av"), F.col("nrm").alias("na")
+    )
+    b = v.select(
+        F.col("vec_id").alias("id_b"), F.col("ev").alias("bv"), F.col("nrm").alias("nb")
+    )
+    pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                cosine_given_norms(F.col("av"), F.col("bv"), F.col("na"), F.col("nb")),
+                9,
+            ).alias("sim"),
+        )
+        .filter(F.col("sim") >= 0.3)
+    )
+    return pairs, v.select("vec_id")
+
+
+_KFOLD_ORACLE = _COMP_PREFIX + """
+SELECT id AS vec_id, component,
+       CAST(floor((CAST(concat('0x', substring(md5(concat('fold', ':', CAST(component AS VARCHAR))), 1, 8)) AS BIGINT)
+                   / 4294967296.0) * 5) AS INTEGER) AS fold
+FROM comp
+"""
+
+
+@query("ext_purged_kfold", oracle=_KFOLD_ORACLE, memoize=False)
+def ext_purged_kfold(spark, sf_dir):
+    """Purged k-fold CV assignment (operators/sampling.purged_kfold):
+    the fold unit is the near-dup CLUSTER — per-row folding puts a
+    document in fold 0 and its near-copy in fold 3, leaking every
+    fold's eval into every other fold's train. One deterministic
+    hash draw per component; members inherit it. memoize=False: CC
+    iterates eagerly."""
+    from .operators.sampling import purged_kfold
+
+    pairs, nodes = _embedding_near_dup_inputs(spark, sf_dir)
+    return purged_kfold(nodes, pairs, "vec_id", 5).select(
+        "vec_id", "component", "fold"
+    )
+
+
+_CONTRASTIVE_ORACLE = _COMP_PREFIX + """, pos AS (
+  SELECT id_a AS anchor_id, id_b AS positive_id FROM ndpairs
+), pool AS (
+  SELECT id AS negative_id, component AS nc FROM comp
+  WHERE (CAST(concat('0x', substring(md5(concat('neg:pool', ':', CAST(id AS VARCHAR))), 1, 8)) AS BIGINT)
+         / 4294967296.0) < 0.25
+), cand AS (
+  SELECT p.anchor_id, p.positive_id, pl.negative_id,
+         (CAST(concat('0x', substring(md5(concat('neg', ':',
+              concat_ws('|', CAST(p.anchor_id AS VARCHAR),
+                             CAST(p.positive_id AS VARCHAR),
+                             CAST(pl.negative_id AS VARCHAR)))), 1, 8)) AS BIGINT)
+          / 4294967296.0) AS u
+  FROM pos p
+  JOIN comp ac ON p.anchor_id = ac.id
+  JOIN pool pl ON ac.component <> pl.nc
+)
+SELECT anchor_id, positive_id, negative_id
+FROM (
+  SELECT anchor_id, positive_id, negative_id,
+         row_number() OVER (PARTITION BY anchor_id, positive_id
+                            ORDER BY u ASC, negative_id ASC) AS rn
+  FROM cand
+) WHERE rn = 1
+"""
+
+
+@query("ext_contrastive_pairs", oracle=_CONTRASTIVE_ORACLE, memoize=False)
+def ext_contrastive_pairs(spark, sf_dir):
+    """Contrastive-pair mining (operators/sampling.contrastive_pairs):
+    every verified near-dup pair becomes (anchor, positive) and draws
+    one deterministic negative from a bounded broadcast pool OUTSIDE
+    the anchor's cluster — in-cluster negatives are false negatives
+    that poison a contrastive loss. Pool is a 25 % content-addressed
+    hash sample of the ids (bounded/broadcast at any scale); the
+    corpus is never joined all-pairs. memoize=False: CC iterates
+    eagerly."""
+    from .operators.sampling import contrastive_pairs
+
+    pairs, nodes = _embedding_near_dup_inputs(spark, sf_dir)
+    return contrastive_pairs(nodes, pairs, "vec_id", pool_fraction=0.25)
+
+
+@query(
+    "ext_temperature_mixture",
+    oracle="""
+    WITH c AS (
+      SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n FROM documents GROUP BY lang
+    ), w AS (
+      SELECT lang, n, round(sqrt(n), 9) AS wt FROM c
+    ), t AS (
+      SELECT CAST(SUM(CAST(wt AS DECIMAL(38,9))) AS DOUBLE) AS tot FROM w
+    ), s AS (
+      SELECT lang, n, wt / tot AS share FROM w, t
+    ), m AS (
+      SELECT MIN(n / share) AS n_out FROM s
+    ), f AS (
+      SELECT lang, LEAST(1.0, round(share * n_out / n, 9)) AS frac FROM s, m
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN f USING (lang)
+    WHERE (CAST(concat('0x', substring(md5(concat('tmix', ':', CAST(d.doc_id AS VARCHAR))), 1, 8)) AS BIGINT) / 4294967296.0)
+          < f.frac
+    """,
+)
+def ext_temperature_mixture(spark, sf_dir):
+    """Temperature-smoothed mixing (operators/sampling.
+    temperature_mixture, alpha=0.5): target shares ∝ sqrt(stratum
+    size) — the multilingual-sampling rule that boosts low-resource
+    languages relative to raw proportions without hand-tuned shares.
+    Engine-portable arithmetic end-to-end: sqrt (correctly-rounded
+    IEEE everywhere, unlike pow) → 9dp half-away round → exact
+    DECIMAL(38,9) total → pinned-order double ops for shares and
+    fractions. One counts pass + the no-shuffle scan-CASE-filter
+    projection."""
+    from .operators.sampling import temperature_mixture
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return temperature_mixture(d, "doc_id", "lang", alpha=0.5, salt="tmix")
+
+
+@query(
+    "ext_exact_k_sample",
+    oracle="""
+    SELECT doc_id, lang, source FROM documents
+    ORDER BY (CAST(concat('0x', substring(md5(concat('exact', ':', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) / 4294967296.0) ASC,
+             doc_id ASC
+    LIMIT 64
+    """,
+)
+def ext_exact_k_sample(spark, sf_dir):
+    """Exactly-k deterministic sample (operators/sampling.
+    exact_k_sample): the 64 rows with the smallest content hash —
+    fixed-size reproducible sampling where Bernoulli's ±sqrt(N) size
+    jitter won't do. Plan is TakeOrderedAndProject (per-partition
+    top-k, driver merges k-sized heaps — no global sort, no shuffle;
+    plan-pinned in tests/test_plans)."""
+    from .operators.sampling import exact_k_sample
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return exact_k_sample(d, "doc_id", 64)
+
+
+# ---------------------------------------------------------------------------
+# Round-8 wave B: governance gates + passage fingerprints.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ext_k_anonymity_suppress",
+    oracle="""
+    WITH c AS (
+      SELECT lang, source, COUNT(*) AS qi_group_size
+      FROM documents GROUP BY lang, source
+    )
+    SELECT d.doc_id, d.lang, d.source, c.qi_group_size
+    FROM documents d JOIN c USING (lang, source)
+    WHERE c.qi_group_size >= 5
+    """,
+)
+def ext_k_anonymity_suppress(spark, sf_dir):
+    """K-anonymity row suppression (operators/cleaning.
+    k_anonymity_suppress): drop documents whose (lang, source)
+    quasi-identifier combination occurs < 5 times — the
+    re-identification floor a privacy-reviewed corpus enforces after
+    PII redaction. One combination-bounded aggregation + join back;
+    AQE broadcasts the surviving-combination frame."""
+    from .operators.cleaning import k_anonymity_suppress
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return k_anonymity_suppress(d, ["lang", "source"], 5).select(
+        "doc_id", "lang", "source", "qi_group_size"
+    )
+
+
+_QUALITY_GATE_ORACLE = (
+    "WITH qs AS (" + _QS_ORACLE + """
+), q AS (
+  SELECT qs.doc_id, d.source, qs.quality
+  FROM qs JOIN documents d USING (doc_id)
+), s AS (
+  SELECT source,
+         round(CAST(SUM(CAST(quality AS DECIMAL(18,9))) AS DOUBLE)
+               / COUNT(quality), 9) AS src_quality_r
+  FROM q GROUP BY source
+)
+SELECT q.doc_id, q.source, s.src_quality_r
+FROM q JOIN s USING (source)
+WHERE s.src_quality_r >= 0.80
+"""
+)
+
+
+@query("ext_domain_quality_gate", oracle=_QUALITY_GATE_ORACLE)
+def ext_domain_quality_gate(spark, sf_dir):
+    """Domain-level quality gate (operators/cleaning.
+    group_quality_gate): drop entire SOURCES whose mean quality score
+    is below 0.80 — the C4/CCNet-style domain blocklist step (a spam
+    domain's individually-passable pages are still spam). Mean routes
+    through exact decimal (davg) + 9dp round for engine parity; the
+    stats frame is source-bounded and broadcasts back — the corpus
+    never shuffles."""
+    from .operators.cleaning import group_quality_gate
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", "text", tokenize(F.col("text")).alias("__toks")
+    )
+    scored = toks.select(
+        "doc_id",
+        "source",
+        quality_score(F.col("text"), tokens=F.col("__toks")).alias("quality"),
+    )
+    return group_quality_gate(
+        scored, "source", "quality", 0.80, out_col="src_quality_r"
+    ).select("doc_id", "source", "src_quality_r")
+
+
+@query(
+    "ext_winnow_fingerprints",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS toks
+      FROM documents
+    ), s0 AS (
+      SELECT doc_id,
+        CASE WHEN len(toks) >= 5 THEN
+          list_transform(generate_series(1, len(toks) - 4),
+            i -> CAST(concat('0x', substring(md5(array_to_string(list_slice(toks, i, i + 4), ' ')), 18, 15)) AS BIGINT))
+        ELSE [] END AS h
+      FROM t
+    ), s AS (
+      SELECT doc_id,
+        CASE WHEN len(h) >= 4 THEN
+          list_transform(generate_series(1, len(h) - 3),
+            j -> list_aggregate(list_slice(h, j, j + 3), 'min'))
+        WHEN len(h) >= 1 THEN [list_aggregate(h, 'min')]
+        ELSE [] END AS sel
+      FROM s0
+    )
+    SELECT doc_id, CAST(unnest(list_distinct(sel)) AS BIGINT) AS fingerprint
+    FROM s
+    """,
+)
+def ext_winnow_fingerprints(spark, sf_dir):
+    """Winnowing passage fingerprints (operators/dedup.
+    winnow_fingerprints, SIGMOD'03 / MOSS): 5-token shingle hashes,
+    sliding window of 4, keep each window's minimum — every shared
+    8-token passage between two documents is guaranteed to share a
+    fingerprint, at ~2/(w+1) the density of the full shingle set.
+    Pure per-row Column program (tokenize → hash array → sliding
+    array_min → array_distinct → explode): ZERO shuffles, one codegen
+    stage — plan-pinned in tests/test_plans."""
+    from .operators.dedup import winnow_fingerprints
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return winnow_fingerprints(d, "text", "doc_id", k=5, w=4)

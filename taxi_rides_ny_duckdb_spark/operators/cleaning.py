@@ -719,3 +719,66 @@ def novelty_scores(
             9,
         ).alias("novelty_r"),
     )
+
+
+def k_anonymity_suppress(
+    df: DataFrame, quasi_cols: list[str], k: int
+) -> DataFrame:
+    """K-anonymity suppression: drop every row whose quasi-identifier
+    combination (``quasi_cols``) occurs fewer than ``k`` times — the
+    re-identification gate a privacy-reviewed training corpus runs
+    after PII redaction (a rare (language, source, …) combination can
+    identify an individual even with direct identifiers scrubbed;
+    Sweeney's k-anonymity, applied at the row-suppression level).
+
+    Output: surviving rows + ``qi_group_size`` so downstream audits
+    can prove the floor held.
+
+    Scale shape: ONE aggregation on the quasi keys (map-side partial
+    combine shrinks each partition to its distinct combinations before
+    the exchange — the group-count frame is combination-bounded, not
+    row-bounded), then a join back on the same keys; AQE picks
+    broadcast when the surviving-combinations frame is small (the
+    common case: suppression targets the long tail, survivors are the
+    head). The suppressed long tail itself is never collected or
+    broadcast anywhere."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    counts = df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).alias("qi_group_size")
+    )
+    survivors = counts.filter(F.col("qi_group_size") >= k)
+    return df.join(survivors, list(quasi_cols))
+
+
+def group_quality_gate(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    min_mean: float,
+    out_col: str = "group_mean_r",
+) -> DataFrame:
+    """Group-level quality gating: keep every row of groups whose MEAN
+    ``score_col`` clears ``min_mean``, drop whole groups below it —
+    the C4/CCNet-style domain blocklist step (a spam domain's
+    individually-passable pages are still spam; gating at the source
+    level catches what per-document thresholds miss).
+
+    Output: df columns + ``out_col`` (the group's 9dp-rounded mean) on
+    surviving rows.
+
+    Determinism: the mean routes through exact decimal sum / count
+    (functions/parity.davg) and is 9dp-rounded — order-independent and
+    bit-reproducible against any SQL engine's DECIMAL arithmetic.
+    Scale shape: one aggregation-bounded stats pass (rows = #groups),
+    broadcast back to the corpus scan — the corpus itself never
+    shuffles."""
+    from ..functions.parity import davg
+
+    stats = df.groupBy(group_col).agg(
+        F.round(davg(F.col(score_col), 18, 9), 9).alias(out_col)
+    )
+    keep = stats.filter(F.col(out_col) >= min_mean)
+    return df.join(F.broadcast(keep), group_col)

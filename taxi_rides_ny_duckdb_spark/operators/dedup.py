@@ -1101,3 +1101,69 @@ def cluster_representatives(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD'03 — the MOSS algorithm): hash every ``k``-token shingle,
+    slide a window of ``w`` consecutive shingle hashes, and keep each
+    window's MINIMUM — a provably bounded-density fingerprint set that
+    still guarantees every shared run of ``k + w - 1`` tokens between
+    two documents shares at least one selected fingerprint. The
+    standard copy-detection sketch where MinHash answers "how similar
+    are these documents?" but winnowing answers "do they share a
+    PASSAGE?" (plagiarism / license-text / quote detection).
+
+    Output: one row per (document, selected fingerprint) —
+    ``(id_col, fingerprint)`` with per-document distinct applied
+    INSIDE the row (array_distinct before explode), so no global
+    dedup shuffle is ever needed. A doc with fewer than ``k`` tokens
+    yields no rows; with fewer than ``w`` shingles it yields its
+    single global-minimum hash (the window degenerates gracefully).
+
+    Scale shape: the entire selection is a pure per-row Column
+    program — tokenize → shingle-hash array → sliding array_min →
+    array_distinct → explode — inside one codegen stage with ZERO
+    shuffles; downstream passage-match joins group on the fingerprint
+    value, and the winnowed density (≈ 2/(w+1) of all shingles) is
+    what keeps that join's input sublinear in corpus tokens.
+
+    Shingle hashes use ``portable_hash60`` (md5-suffix), so an
+    external SQL engine replays fingerprints bit-for-bit; swap in
+    xxhash64 for production ingest where oracle parity is not needed.
+    Both ``sequence`` calls are guarded against the descending-range
+    hazard (sequence(1, 0) counts DOWN in Spark)."""
+    if k < 1 or w < 1:
+        raise ValueError(f"k and w must be >= 1, got k={k}, w={w}")
+    toks = tokenize(F.col(text_col))
+    n = F.size(toks)
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(k) + 1),
+            lambda i: portable_hash60(F.concat_ws(" ", F.slice(toks, i, k))),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    staged = df.select(F.col(id_col), grams.alias("__h"))
+    m = F.size(F.col("__h"))
+    sel = (
+        F.when(
+            m >= w,
+            F.transform(
+                F.sequence(F.lit(1), m - F.lit(w) + 1),
+                lambda j: F.array_min(F.slice(F.col("__h"), j, w)),
+            ),
+        )
+        .when(m >= 1, F.array(F.array_min(F.col("__h"))))
+        .otherwise(F.array().cast("array<long>"))
+    )
+    return staged.select(
+        F.col(id_col), F.explode(F.array_distinct(sel)).alias("fingerprint")
+    )

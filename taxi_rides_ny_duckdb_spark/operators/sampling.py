@@ -648,3 +648,207 @@ def curriculum_interleave(
         )
         .drop("__ng")
     )
+
+
+def purged_kfold(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    k: int,
+    src: str = "id_a",
+    dst: str = "id_b",
+    salt: str = "fold",
+) -> DataFrame:
+    """K-fold cross-validation assignment with near-dup PURGING: every
+    member of a near-dup cluster lands in the same fold, so no fold's
+    held-out set contains a near-copy of another fold's training rows
+    — the k-fold generalization of ``leakage_safe_split`` (per-row
+    folding leaks exactly the way per-row splitting does).
+
+    Connected components over ``pairs`` (size-gated / star variants,
+    see ``connected_components``); the COMPONENT label drives one
+    deterministic draw ``fold = floor(hash_fraction(component) * k)``
+    that every member inherits. Rows absent from ``pairs`` are
+    singleton components and fold independently, so folds stay
+    near-balanced. Output: df columns + (component, fold).
+
+    Scale shape: CC is pair-list-sized (never document-sized); the
+    labeling join shuffles (id, component) pairs; the fold itself is a
+    pure projection. hash_fraction values are exact k/2^32 doubles, so
+    the floor is engine-portable with no rounding step."""
+    from ..operators.dedup import connected_components
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    comp = connected_components(pairs, src, dst, nodes=df.select(id_col))
+    labeled = df.join(
+        comp.select(F.col("id").alias(id_col), "component"), id_col
+    )
+    fold = F.floor(hash_fraction(F.col("component"), salt) * F.lit(k)).cast("int")
+    return labeled.withColumn("fold", fold)
+
+
+def contrastive_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    pool_fraction: float = 0.25,
+    src: str = "id_a",
+    dst: str = "id_b",
+    salt: str = "neg",
+) -> DataFrame:
+    """Contrastive training-pair mining from a near-dup pair list:
+    every verified near-dup pair (a, b) becomes an (anchor, positive)
+    example, and each gets one deterministic hard-ish NEGATIVE drawn
+    from a bounded candidate pool OUTSIDE the anchor's near-dup
+    cluster — cluster-aware negative sampling (a negative from the
+    anchor's own cluster would be a false negative and poison the
+    contrastive loss).
+
+    Mechanics: connected components over ``pairs`` give the cluster
+    label; the negative pool is a content-addressed ``pool_fraction``
+    hash-sample of the corpus ids (BOUNDED by construction — at 100 TB
+    the caller sizes the fraction so the pool broadcasts; the corpus
+    itself is never joined all-pairs). Each (anchor, positive) row
+    scans the broadcast pool, keeps candidates from other components,
+    and selects the one with the smallest
+    ``hash_fraction(anchor|positive|candidate)`` — a reproducible
+    per-pair draw (ties break by candidate id). Pairs whose every pool
+    candidate shares the anchor's component (pathological: the pool is
+    one cluster) drop out rather than emit a false negative.
+
+    Output: (anchor_id, positive_id, negative_id) — one row per input
+    pair. Cost: |pairs| × |pool| map-side comparisons + one window on
+    (anchor, positive); no corpus-sized shuffle anywhere."""
+    from pyspark.sql.window import Window
+
+    from ..operators.dedup import connected_components
+
+    if not (0.0 < pool_fraction <= 1.0):
+        raise ValueError(f"pool_fraction must be in (0, 1], got {pool_fraction}")
+    comp = connected_components(pairs, src, dst, nodes=df.select(id_col))
+    pos = pairs.select(
+        F.col(src).alias("anchor_id"), F.col(dst).alias("positive_id")
+    )
+    anchored = pos.join(
+        comp.select(F.col("id").alias("anchor_id"), F.col("component").alias("__ac")),
+        "anchor_id",
+    )
+    pool = (
+        df.select(F.col(id_col).alias("negative_id"))
+        .filter(
+            hash_fraction(F.col("negative_id"), salt + ":pool") < F.lit(pool_fraction)
+        )
+        .join(
+            comp.select(
+                F.col("id").alias("negative_id"), F.col("component").alias("__nc")
+            ),
+            "negative_id",
+        )
+    )
+    cand = anchored.join(F.broadcast(pool), F.col("__ac") != F.col("__nc"))
+    draw = hash_fraction(
+        F.concat_ws(
+            "|",
+            F.col("anchor_id").cast("string"),
+            F.col("positive_id").cast("string"),
+            F.col("negative_id").cast("string"),
+        ),
+        salt,
+    )
+    w = Window.partitionBy("anchor_id", "positive_id").orderBy(
+        draw.asc(), F.col("negative_id").asc()
+    )
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("anchor_id", "positive_id", "negative_id")
+    )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    alpha: float = 0.5,
+    salt: str = "mix",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Temperature-smoothed pretraining mix: target shares are
+    ``n_s^alpha / sum(n^alpha)`` — the multilingual-sampling rule
+    (alpha < 1 boosts low-resource strata relative to their raw
+    share; alpha = 1 is proportional i.e. a no-op mix; alpha = 0 is
+    uniform). The caller names a temperature, not hand-tuned shares;
+    selection then delegates to the ``mixture_sample`` machinery
+    (downsample-only, largest feasible output, content-addressed).
+
+    Engine-portable arithmetic (the oracle replays it bit-for-bit):
+    per-stratum weight ``w = round(n^alpha, 9)`` — computed with
+    ``sqrt`` when alpha = 0.5 (correctly-rounded IEEE in every libm,
+    unlike ``pow``) and rounded half-away-from-zero like SQL ROUND;
+    the weight total is summed EXACTLY as DECIMAL(38,9) (order
+    independent); shares, the feasible size ``n_out = min(n_s /
+    share_s)`` and per-stratum fractions ``f_s = round(share_s * n_out
+    / n_s, 9)`` are plain double ops in a pinned order. Scale shape:
+    one aggregation-bounded counts pass + the usual scan-CASE-filter
+    projection — two scans, no data-sized shuffle."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    if weight_col is None:
+        agg = df.groupBy(stratum_col).count()
+    else:
+        agg = df.groupBy(stratum_col).agg(
+            F.sum(F.col(weight_col).cast("decimal(38,6)"))
+            .cast("double")
+            .alias("count")
+        )
+    counts = {r[0]: float(r[1]) for r in agg.collect()}
+    if not counts:
+        raise ValueError("no strata found")
+
+    def _round9(x: float) -> float:
+        # SQL ROUND (half away from zero), not Python's banker's round
+        return float(Decimal(x).quantize(Decimal("1e-9"), rounding=ROUND_HALF_UP))
+
+    pw = (
+        (lambda n: math.sqrt(n))
+        if alpha == 0.5
+        else (lambda n: math.pow(n, alpha))
+    )
+    weights = {s: _round9(pw(n)) for s, n in counts.items()}
+    total = float(sum(Decimal(repr(w)) for w in weights.values()))  # exact sum
+    shares = {s: w / total for s, w in weights.items()}
+    n_out = min(counts[s] / share for s, share in shares.items())
+    fractions = {
+        s: min(1.0, _round9(shares[s] * n_out / counts[s])) for s in shares
+    }
+    return stratified_hash_sample(
+        df, id_col, stratum_col, fractions, default_fraction=0.0, salt=salt
+    )
+
+
+def exact_k_sample(df: DataFrame, id_col: str, k: int, salt: str = "exact") -> DataFrame:
+    """Exactly-k deterministic uniform sample (without replacement):
+    the k rows with the smallest content-addressed hash fraction —
+    "give me a reproducible 10k-row eyeball sample of the corpus"
+    where Bernoulli sampling's ±sqrt(N) size jitter won't do.
+
+    Physical plan is TakeOrderedAndProject: every partition keeps its
+    local top-k and the driver merges k-sized heaps — no global sort,
+    no shuffle of the data, O(k) driver memory. That is the whole
+    point of expressing it as ORDER BY + LIMIT instead of a window
+    rank (which would shuffle the corpus into one ordering). Ties
+    (hash collisions) break by id, so the result is a pure function
+    of content + salt on any cluster layout."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    u = hash_fraction(F.col(id_col), salt)
+    return (
+        df.withColumn("__u", u)
+        .orderBy(F.col("__u").asc(), F.col(id_col).asc())
+        .limit(k)
+        .drop("__u")
+    )

@@ -3020,3 +3020,207 @@ def test_pca_validates_inputs(spark):
         train_pca(df, "embedding", k=1, dim=2)
     with _pytest.raises(ValueError, match="equal length"):
         pca_whiten_project(df, [0.0, 0.0], [[1.0, 0.0]], [1.0, 2.0])
+
+
+# --- round-8 wave A: cluster-downstream sampling --------------------------
+
+
+def _toy_cluster_inputs(spark):
+    """6 nodes; pairs {1-2, 2-3} and {5-6} → components {1,2,3}, {4}, {5,6}."""
+    nodes = spark.createDataFrame([(i,) for i in range(1, 7)], "id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    return nodes, pairs
+
+
+def test_purged_kfold_cluster_integrity(spark):
+    from taxi_rides_ny_duckdb_spark.operators.sampling import purged_kfold
+
+    nodes, pairs = _toy_cluster_inputs(spark)
+    out = purged_kfold(nodes, pairs, "id", k=4).collect()
+    assert len(out) == 6
+    by_comp = {}
+    for r in out:
+        assert 0 <= r["fold"] < 4
+        by_comp.setdefault(r["component"], set()).add(r["fold"])
+    # every cluster's members share ONE fold
+    assert all(len(folds) == 1 for folds in by_comp.values())
+    # clusters resolved correctly: {1,2,3} together, {5,6} together
+    comp_of = {r["id"]: r["component"] for r in out}
+    assert comp_of[1] == comp_of[2] == comp_of[3] == 1
+    assert comp_of[5] == comp_of[6] == 5
+    assert comp_of[4] == 4
+
+
+def test_purged_kfold_validates_k(spark):
+    import pytest as _pytest
+
+    from taxi_rides_ny_duckdb_spark.operators.sampling import purged_kfold
+
+    nodes, pairs = _toy_cluster_inputs(spark)
+    with _pytest.raises(ValueError, match="k must be"):
+        purged_kfold(nodes, pairs, "id", k=1)
+
+
+def test_contrastive_pairs_negative_outside_cluster(spark):
+    from taxi_rides_ny_duckdb_spark.operators.sampling import contrastive_pairs
+
+    nodes, pairs = _toy_cluster_inputs(spark)
+    out = contrastive_pairs(nodes, pairs, "id", pool_fraction=1.0).collect()
+    # one row per input pair
+    assert sorted((r["anchor_id"], r["positive_id"]) for r in out) == [
+        (1, 2), (2, 3), (5, 6),
+    ]
+    comp = {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5}
+    for r in out:
+        assert comp[r["negative_id"]] != comp[r["anchor_id"]]
+    # deterministic: a second run returns the identical rows
+    again = contrastive_pairs(nodes, pairs, "id", pool_fraction=1.0).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_contrastive_pairs_validates_fraction(spark):
+    import pytest as _pytest
+
+    from taxi_rides_ny_duckdb_spark.operators.sampling import contrastive_pairs
+
+    nodes, pairs = _toy_cluster_inputs(spark)
+    with _pytest.raises(ValueError, match="pool_fraction"):
+        contrastive_pairs(nodes, pairs, "id", pool_fraction=0.0)
+
+
+def test_temperature_mixture_alpha_zero_uniform(spark):
+    """alpha=0: shares are uniform, so the smallest stratum is kept in
+    full and larger strata downsample toward its size."""
+    from taxi_rides_ny_duckdb_spark.operators.sampling import temperature_mixture
+
+    rows = (
+        [(i, "big") for i in range(100)]
+        + [(i + 100, "mid") for i in range(50)]
+        + [(i + 150, "small") for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "id long, lang string")
+    out = temperature_mixture(df, "id", "lang", alpha=0.0)
+    kept = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    # uniform shares → n_out = 30, expected keeps ~ (10, 15, 30·⅓)=10 each
+    assert kept["small"] == 10  # fraction 1.0 — kept entirely
+    assert kept["big"] <= 20 and kept["mid"] <= 20  # ~10 expected
+
+
+def test_temperature_mixture_alpha_one_keeps_everything(spark):
+    """alpha=1: shares equal raw proportions, so every per-stratum
+    fraction is 1.0 (proportional mixing is a no-op downsample)."""
+    from taxi_rides_ny_duckdb_spark.operators.sampling import temperature_mixture
+
+    rows = [(i, "a") for i in range(40)] + [(i + 40, "b") for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, lang string")
+    assert temperature_mixture(df, "id", "lang", alpha=1.0).count() == 60
+
+
+def test_exact_k_sample_size_and_determinism(spark):
+    from taxi_rides_ny_duckdb_spark.operators.sampling import (
+        exact_k_sample,
+        hash_fraction,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(i,) for i in range(1000)], "id long")
+    out = exact_k_sample(df, "id", 25)
+    got = sorted(r["id"] for r in out.collect())
+    assert len(got) == 25
+    # matches the manual min-25 by hash fraction
+    manual = [
+        r["id"]
+        for r in df.select("id", hash_fraction(F.col("id"), "exact").alias("u"))
+        .orderBy("u", "id")
+        .limit(25)
+        .collect()
+    ]
+    assert got == sorted(manual)
+    assert sorted(r["id"] for r in exact_k_sample(df, "id", 25).collect()) == got
+
+
+# --- round-8 wave B: governance gates + winnowing --------------------------
+
+
+def test_k_anonymity_suppresses_small_groups(spark):
+    from taxi_rides_ny_duckdb_spark.operators.cleaning import k_anonymity_suppress
+
+    rows = (
+        [(i, "en", "a") for i in range(5)]
+        + [(10 + i, "en", "b") for i in range(2)]
+        + [(20, "fr", "a")]
+    )
+    df = spark.createDataFrame(rows, "id long, lang string, src string")
+    out = k_anonymity_suppress(df, ["lang", "src"], 3).collect()
+    assert sorted(r["id"] for r in out) == [0, 1, 2, 3, 4]
+    assert all(r["qi_group_size"] == 5 for r in out)
+
+
+def test_k_anonymity_validates_inputs(spark):
+    import pytest as _pytest
+
+    from taxi_rides_ny_duckdb_spark.operators.cleaning import k_anonymity_suppress
+
+    df = spark.createDataFrame([(1, "en")], "id long, lang string")
+    with _pytest.raises(ValueError, match="k must be"):
+        k_anonymity_suppress(df, ["lang"], 1)
+    with _pytest.raises(ValueError, match="non-empty"):
+        k_anonymity_suppress(df, [], 3)
+
+
+def test_group_quality_gate_drops_whole_group(spark):
+    from taxi_rides_ny_duckdb_spark.operators.cleaning import group_quality_gate
+
+    rows = [
+        (1, "good", 0.9), (2, "good", 0.7),          # mean 0.8 → kept
+        (3, "bad", 0.9), (4, "bad", 0.1), (5, "bad", 0.1),  # mean ~0.367 → dropped
+    ]
+    df = spark.createDataFrame(rows, "id long, src string, q double")
+    out = group_quality_gate(df, "src", "q", 0.5).collect()
+    assert sorted(r["id"] for r in out) == [1, 2]
+    assert all(abs(r["group_mean_r"] - 0.8) < 1e-12 for r in out)
+
+
+def test_winnowing_guarantee_shared_passage(spark):
+    """Two docs sharing a k+w-1 = 8-token passage MUST share at least
+    one selected fingerprint (the winnowing coverage guarantee)."""
+    from taxi_rides_ny_duckdb_spark.operators.dedup import winnow_fingerprints
+
+    passage = "alpha bravo charlie delta echo foxtrot golf hotel"
+    df = spark.createDataFrame(
+        [
+            (1, f"unrelated prefix words here {passage} and a suffix"),
+            (2, f"{passage} totally different continuation of text body"),
+            (3, "no overlap with anything else at all in this one document"),
+        ],
+        "doc_id long, text string",
+    )
+    out = winnow_fingerprints(df, "text", "doc_id", k=5, w=4).collect()
+    fps = {}
+    for r in out:
+        fps.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert fps[1] & fps[2], "shared 8-token passage must share a fingerprint"
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+
+
+def test_winnowing_short_docs(spark):
+    from taxi_rides_ny_duckdb_spark.operators.dedup import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [
+            (1, "one two three"),              # < k tokens → no rows
+            (2, "one two three four five six"),  # 2 shingles < w → 1 global min
+        ],
+        "doc_id long, text string",
+    )
+    out = winnow_fingerprints(df, "text", "doc_id", k=5, w=4).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["doc_id"], []).append(r["fingerprint"])
+    assert 1 not in by_id
+    assert len(by_id[2]) == 1

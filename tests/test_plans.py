@@ -1261,3 +1261,37 @@ def test_pivot_single_aggregation(spark, sf_dir):
     plan = plan_of(df)
     assert plan.count("Scan parquet") == 1
     assert "pivotfirst" in plan.lower() or plan.count("HashAggregate") <= 4
+
+
+def test_exact_k_sample_top_k_plan(spark, sf_dir):
+    """exact_k_sample must plan TakeOrderedAndProject (per-partition
+    top-k + driver heap merge), never a global range sort of the
+    corpus."""
+    df = contract.BUILDERS["ext_exact_k_sample"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_contrastive_pairs_broadcasts_pool(spark, sf_dir):
+    """The negative pool join must BROADCAST the bounded pool — a
+    shuffle there would be corpus-sized at scale."""
+    df = contract.BUILDERS["ext_contrastive_pairs"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_winnowing_zero_shuffle(spark, sf_dir):
+    """The winnowing selection is a pure per-row Column program — the
+    plan must contain NO exchange of any kind."""
+    df = contract.BUILDERS["ext_winnow_fingerprints"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "Exchange" not in plan
+
+
+def test_quality_gate_broadcasts_stats(spark, sf_dir):
+    """The per-source stats frame is source-bounded — it must come
+    back as a broadcast, never a corpus-sized shuffle join."""
+    df = contract.BUILDERS["ext_domain_quality_gate"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
