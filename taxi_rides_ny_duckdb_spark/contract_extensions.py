@@ -6505,3 +6505,190 @@ def ext_winnow_fingerprints(spark, sf_dir):
 
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     return winnow_fingerprints(d, "text", "doc_id", k=5, w=4)
+
+
+_WINNOW_CTES = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS toks
+  FROM documents
+), s0 AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) >= 5 THEN
+      list_transform(generate_series(1, len(toks) - 4),
+        i -> CAST(concat('0x', substring(md5(array_to_string(list_slice(toks, i, i + 4), ' ')), 18, 15)) AS BIGINT))
+    ELSE [] END AS h
+  FROM t
+), s AS (
+  SELECT doc_id,
+    CASE WHEN len(h) >= 4 THEN
+      list_transform(generate_series(1, len(h) - 3),
+        j -> list_aggregate(list_slice(h, j, j + 3), 'min'))
+    WHEN len(h) >= 1 THEN [list_aggregate(h, 'min')]
+    ELSE [] END AS sel
+  FROM s0
+), wfp AS (
+  SELECT doc_id, CAST(unnest(list_distinct(sel)) AS BIGINT) AS fingerprint
+  FROM s
+)
+"""
+
+
+@query(
+    "ext_passage_matches",
+    oracle=_WINNOW_CTES + """, dfc AS (
+  SELECT fingerprint, COUNT(*) AS df FROM wfp GROUP BY fingerprint
+), elig AS (
+  SELECT fingerprint FROM dfc WHERE df BETWEEN 2 AND 10
+), fpe AS (
+  SELECT w.doc_id, w.fingerprint FROM wfp w JOIN elig USING (fingerprint)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+FROM fpe a JOIN fpe b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= 2
+""",
+)
+def ext_passage_matches(spark, sf_dir):
+    """Cross-document passage detection (operators/dedup.
+    winnow_passage_matches): document pairs sharing ≥2 winnowed
+    fingerprints — the copy/quote/license-text join document-level
+    MinHash misses. Boilerplate fingerprints (df > 10) are excluded
+    before pairing, capping every bucket's pair fan-out at
+    max_df·(max_df−1)/2 regardless of corpus size; the self-join is
+    merge-pinned (broadcast-compression hazard, r7)."""
+    from .operators.dedup import winnow_passage_matches
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return winnow_passage_matches(
+        d, "text", "doc_id", k=5, w=4, min_shared=2, max_df=10
+    )
+
+
+def _lr_oracle_ctes(iters: int = 3, dim: int = 32, lr: float = 0.5) -> str:
+    """Unrolled-CTE DuckDB replay of lr_train_surrogate (the BPE-
+    trainer precedent applied to gradient descent): hashed-tf
+    features, w₀ = 0, then per iteration the exact 12dp-quantized
+    product sums, the surrogate sigmoid (pure rational arithmetic —
+    no libm exp), and the pinned-order update w − lr·(g/n). Every
+    value replays bit-for-bit against the Spark trainer."""
+    base = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')) AS token
+  FROM documents
+), fidx AS (
+  SELECT doc_id,
+         CAST(concat('0x', substring(md5(token), 18, 15)) AS BIGINT) % {dim} AS idx
+  FROM tok
+), fcnt AS (
+  SELECT doc_id, idx, COUNT(*) AS cnt FROM fidx GROUP BY doc_id, idx
+), ntok AS (
+  SELECT doc_id, SUM(cnt) AS n_tok FROM fcnt GROUP BY doc_id
+), f AS (
+  SELECT fc.doc_id, fc.idx, CAST(fc.cnt AS DOUBLE) / CAST(nt.n_tok AS DOUBLE) AS x
+  FROM fcnt fc JOIN ntok nt USING (doc_id)
+), ftrain AS (SELECT * FROM f WHERE doc_id % 5 <> 0),
+ytrain AS (
+  SELECT doc_id, CAST(lang = 'en' AS INT) AS y FROM documents WHERE doc_id % 5 <> 0
+),
+ntrain AS (SELECT COUNT(*) AS n FROM ytrain),
+w0 AS (SELECT CAST(unnest(generate_series(0, {dim - 1})) AS BIGINT) AS idx, 0.0 AS wt),
+b0 AS (SELECT 0.0 AS bv)"""
+    for t in range(iters):
+        base += f""",
+z{t} AS (
+  SELECT f.doc_id,
+         CAST(SUM(CAST(round(f.x * w.wt, 12) AS DECIMAL(38,12))) AS DOUBLE)
+           + (SELECT bv FROM b{t}) AS z
+  FROM ftrain f JOIN w{t} w USING (idx) GROUP BY f.doc_id
+),
+e{t} AS (
+  SELECT y.doc_id,
+         round(0.5 + 0.5 * z.z / (1.0 + abs(z.z)), 12) - CAST(y.y AS DOUBLE) AS err
+  FROM ytrain y JOIN z{t} z USING (doc_id)
+),
+g{t} AS (
+  SELECT f.idx,
+         CAST(SUM(CAST(round(e.err * f.x, 12) AS DECIMAL(38,12))) AS DOUBLE) AS g
+  FROM ftrain f JOIN e{t} e USING (doc_id) GROUP BY f.idx
+),
+gb{t} AS (SELECT CAST(SUM(CAST(err AS DECIMAL(38,12))) AS DOUBLE) AS g FROM e{t}),
+w{t + 1} AS (
+  SELECT w.idx, w.wt - {lr} * (COALESCE(g.g, 0.0) / (SELECT n FROM ntrain)) AS wt
+  FROM w{t} w LEFT JOIN g{t} g USING (idx)
+),
+b{t + 1} AS (
+  SELECT (SELECT bv FROM b{t}) - {lr} * ((SELECT g FROM gb{t}) / (SELECT n FROM ntrain)) AS bv
+)"""
+    return base
+
+
+@query(
+    "ext_lr_train",
+    oracle=_lr_oracle_ctes() + """
+SELECT idx, round(wt, 9) AS weight_r FROM w3
+UNION ALL
+SELECT CAST(-1 AS BIGINT) AS idx, round(bv, 9) AS weight_r FROM b3
+""",
+    memoize=False,
+)
+def ext_lr_train(spark, sf_dir):
+    """Distributed GD training of the fastText-style binary filter
+    (operators/classify.lr_train_surrogate): 3 full-batch iterations
+    over hashed-tf features, is-English target, surrogate sigmoid
+    (pure rational — no cross-libm exp hazard), 12dp-quantized decimal
+    gradient sums. Per iteration: two data-derivative shuffles + a
+    33-double driver sync; the oracle replays the whole descent as
+    unrolled CTEs. memoize=False: the trainer collects gradients
+    eagerly per iteration. Output: 32 weights + bias (idx −1), 9dp."""
+    from .operators.classify import _round9_half_up, lr_train_surrogate
+
+    d = load(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 5 != 0).withColumn(
+        "y", (F.col("lang") == "en").cast("int")
+    )
+    w, b = lr_train_surrogate(train, "text", "doc_id", "y", dim=32, iters=3, lr=0.5)
+    rows = [(i, _round9_half_up(v)) for i, v in enumerate(w)]
+    rows.append((-1, _round9_half_up(b)))
+    return spark.createDataFrame(rows, "idx bigint, weight_r double")
+
+
+@query(
+    "ext_lr_score",
+    oracle=_lr_oracle_ctes() + """,
+fheld AS (SELECT * FROM f WHERE doc_id % 5 = 0),
+zh AS (
+  SELECT f.doc_id,
+         CAST(SUM(CAST(round(f.x * w.wt, 12) AS DECIMAL(38,12))) AS DOUBLE)
+           + (SELECT bv FROM b3) AS z
+  FROM fheld f JOIN w3 w USING (idx) GROUP BY f.doc_id
+)
+SELECT zh.doc_id,
+       round(0.5 + 0.5 * zh.z / (1.0 + abs(zh.z)), 9) AS score_r,
+       (d.lang = 'en') AS is_positive
+FROM zh JOIN documents d USING (doc_id)
+""",
+    memoize=False,
+)
+def ext_lr_score(spark, sf_dir):
+    """Score the 20% held-out split with the GD-trained filter
+    (operators/classify.lr_score_surrogate): the 33-literal model
+    rides inside the plan (broadcast by construction), the corpus side
+    is one groupBy(doc) over the ≤32-rows-per-doc feature frame —
+    text never shuffles. Paired with ext_classifier_auc's exact AUC
+    for threshold calibration. memoize=False: training collects
+    eagerly."""
+    from .operators.classify import lr_score_surrogate, lr_train_surrogate
+
+    d = load(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 5 != 0).withColumn(
+        "y", (F.col("lang") == "en").cast("int")
+    )
+    heldout = d.filter(F.col("doc_id") % 5 == 0)
+    w, b = lr_train_surrogate(train, "text", "doc_id", "y", dim=32, iters=3, lr=0.5)
+    scores = lr_score_surrogate(heldout, "text", "doc_id", w, b)
+    return scores.join(
+        heldout.select("doc_id", (F.col("lang") == "en").alias("is_positive")),
+        "doc_id",
+    ).select("doc_id", "score_r", "is_positive")

@@ -271,3 +271,166 @@ def auc_exact(
             _SCORE_DP,
         ).alias("auc_r"),
     )
+
+
+def _round9_half_up(x: float) -> float:
+    """SQL ROUND semantics (half away from zero) at 9dp — Python's
+    built-in round() is banker's and would diverge from both engines."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(x).quantize(Decimal("1e-9"), rounding=ROUND_HALF_UP))
+
+
+def lr_hashed_features(
+    docs: DataFrame, text_col: str, id_col: str, dim: int = 32
+) -> DataFrame:
+    """Hashed bag-of-words term-frequency features: token →
+    ``portable_hash60 % dim`` bucket (the fastText hashing trick —
+    fixed model width regardless of vocabulary), x = bucket count /
+    doc token count. Output (id, idx, x), ≤ ``dim`` rows per doc.
+
+    Scale shape: the token stream collapses to ≤ dim buckets per doc
+    map-side BEFORE the exchange (groupBy(id, idx) partial combine),
+    so the shuffled feature frame is ≤ dim × corpus-docs rows of three
+    scalars — never tokens, never text. The md5-based bucket hash
+    keeps features engine-replayable (oracle parity); swap xxhash64
+    for production ingest."""
+    from .dedup import portable_hash60
+
+    if dim < 2:
+        raise ValueError(f"dim must be >= 2, got {dim}")
+    tok = docs.select(
+        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("token")
+    )
+    fidx = tok.select(
+        F.col(id_col), (portable_hash60(F.col("token")) % dim).alias("idx")
+    )
+    fcnt = fidx.groupBy(id_col, "idx").agg(F.count(F.lit(1)).alias("cnt"))
+    ntok = fcnt.groupBy(id_col).agg(F.sum("cnt").alias("n_tok"))
+    return fcnt.join(ntok, id_col).select(
+        F.col(id_col),
+        F.col("idx"),
+        (F.col("cnt").cast("double") / F.col("n_tok").cast("double")).alias("x"),
+    )
+
+
+def _surrogate_p(z: Column, dp: int) -> Column:
+    """The engine-exact surrogate sigmoid σ̃(z) = 0.5 + 0.5·z/(1+|z|)
+    ("fast sigmoid"): same shape, range and monotonicity as the
+    logistic, but PURE rational arithmetic — no exp(), whose last-ulp
+    libm differences across engines could flip a rounded addend and
+    cascade through gradient iterations. The determinism-first choice
+    for a cross-engine-verified trainer."""
+    return F.round(
+        F.lit(0.5) + (F.lit(0.5) * z) / (F.lit(1.0) + F.abs(z)), dp
+    )
+
+
+def lr_train_surrogate(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    label_col: str,
+    dim: int = 32,
+    iters: int = 3,
+    lr: float = 0.5,
+) -> tuple[list[float], float]:
+    """Distributed full-batch gradient-descent trainer for a binary
+    linear classifier over hashed bag-of-words features — the
+    fastText-style supervised quality/language filter (CCNet trains
+    exactly this family), here with the iterative-training pattern NB's
+    closed form doesn't exercise.
+
+    Loss: squared-error against the surrogate sigmoid σ̃ (see
+    ``_surrogate_p``) — gradient per feature is Σ_d (σ̃(z_d) − y_d) ·
+    x_{d,idx} / n. w₀ = 0, b₀ = 0 (so iteration 1's predictions are
+    exactly 0.5 — a pinned, engine-identical starting point).
+
+    Engine-exact discipline (the BPE-trainer precedent, applied to
+    GD): every per-row product is 12dp-rounded THEN summed as exact
+    DECIMAL(38,12) (order-independent across any partitioning); the
+    driver applies updates with the same pinned double ops the oracle
+    SQL spells (w − lr·(g/n)). The returned model replays bit-for-bit
+    in DuckDB's unrolled-CTE rendering of the same iterations.
+
+    100 TB shape: per iteration, TWO data-derivative shuffles — the
+    per-doc z groupBy and the per-idx gradient groupBy, both over the
+    (doc, idx, x) feature frame (≤ dim scalars per doc, never text) —
+    plus a dim+1-double driver sync. The model is dim+1 values:
+    broadcast by construction, like NB's V×C table but smaller."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    feats = lr_hashed_features(docs, text_col, id_col, dim).persist()
+    labels = docs.select(
+        F.col(id_col), F.col(label_col).cast("double").alias("y")
+    )
+    n = docs.count()
+    if n == 0:
+        raise ValueError("empty training set")
+    w = [0.0] * dim
+    b = 0.0
+    for _ in range(iters):
+        warr = F.array(*[F.lit(v) for v in w])
+        wt = F.element_at(warr, (F.col("idx") + 1).cast("int"))
+        prod = F.round(F.col("x") * wt, _LOGP_DP)
+        z = feats.groupBy(id_col).agg(
+            (
+                F.sum(prod.cast("decimal(38,12)")).cast("double") + F.lit(b)
+            ).alias("z")
+        )
+        err_expr = _surrogate_p(F.col("z"), _LOGP_DP) - F.col("y")
+        err = z.join(labels, id_col).select(
+            F.col(id_col), err_expr.alias("err")
+        )
+        grads = (
+            feats.join(err, id_col)
+            .groupBy("idx")
+            .agg(
+                F.sum(
+                    F.round(F.col("err") * F.col("x"), _LOGP_DP).cast(
+                        "decimal(38,12)"
+                    )
+                )
+                .cast("double")
+                .alias("g")
+            )
+            .collect()
+        )
+        gb = err.agg(
+            F.sum(F.col("err").cast("decimal(38,12)")).cast("double").alias("g")
+        ).collect()[0]["g"]
+        gmap = {r["idx"]: r["g"] for r in grads}
+        w = [w[i] - lr * (gmap.get(i, 0.0) / n) for i in range(dim)]
+        b = b - lr * ((gb if gb is not None else 0.0) / n)
+    feats.unpersist()
+    return w, b
+
+
+def lr_score_surrogate(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    weights: list[float],
+    bias: float,
+    dim: int | None = None,
+) -> DataFrame:
+    """Score documents with a trained surrogate-LR model: σ̃ of the
+    hashed-feature dot product, 9dp-rounded. The model rides into the
+    plan as dim+1 literals (broadcast by construction); the corpus
+    side is the same ≤-dim-rows-per-doc feature frame as training —
+    one groupBy(doc) shuffle, never text. Output (id, score_r)."""
+    d = dim if dim is not None else len(weights)
+    if d != len(weights):
+        raise ValueError(f"dim {d} != len(weights) {len(weights)}")
+    feats = lr_hashed_features(docs, text_col, id_col, d)
+    warr = F.array(*[F.lit(v) for v in weights])
+    wt = F.element_at(warr, (F.col("idx") + 1).cast("int"))
+    prod = F.round(F.col("x") * wt, _LOGP_DP)
+    z = feats.groupBy(id_col).agg(
+        (F.sum(prod.cast("decimal(38,12)")).cast("double") + F.lit(bias)).alias(
+            "z"
+        )
+    )
+    return z.select(
+        F.col(id_col), _surrogate_p(F.col("z"), _SCORE_DP).alias("score_r")
+    )

@@ -1167,3 +1167,56 @@ def winnow_fingerprints(
     return staged.select(
         F.col(id_col), F.explode(F.array_distinct(sel)).alias("fingerprint")
     )
+
+
+def winnow_passage_matches(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int = 10,
+) -> DataFrame:
+    """Cross-document passage detection on winnowed fingerprints: two
+    documents "share a passage" when they share ≥ ``min_shared``
+    selected fingerprints — the copy-detection join (quotes, licenses,
+    plagiarized spans) that document-level MinHash misses because the
+    documents AROUND the shared passage differ.
+
+    Fingerprints occurring in more than ``max_df`` documents are
+    excluded before pairing — they are boilerplate (navbars, license
+    headers) whose buckets would otherwise explode quadratically; the
+    same heavy-hitters economics as ``remove_duplicated_spans``'s
+    blacklist, applied as a pair-join guard. Singleton fingerprints
+    (df = 1) can't produce a pair and are pruned in the same pass.
+
+    Scale shape: the fingerprint frame is a winnowed derivative
+    (≈ 2/(w+1) of shingles, 16 bytes a row — never documents); the
+    document-frequency pass is one aggregation-bounded groupBy; the
+    self-join buckets on the fingerprint VALUE with bucket size capped
+    at ``max_df`` by construction, so worst-case pair fan-out per
+    fingerprint is max_df·(max_df-1)/2 regardless of corpus size.
+    merge-hinted like every data-sized self-join here (the
+    broadcast-compression hazard, r7).
+
+    Output: (id_a, id_b, n_shared) with id_a < id_b."""
+    if min_shared < 1:
+        raise ValueError(f"min_shared must be >= 1, got {min_shared}")
+    if max_df < 2:
+        raise ValueError(f"max_df must be >= 2, got {max_df}")
+    fp = winnow_fingerprints(df, text_col, id_col, k=k, w=w).persist()
+    dfc = fp.groupBy("fingerprint").agg(F.count(F.lit(1)).alias("__df"))
+    elig = dfc.filter((F.col("__df") >= 2) & (F.col("__df") <= max_df)).select(
+        "fingerprint"
+    )
+    fpe = fp.join(elig, "fingerprint")
+    a = fpe.select(F.col("fingerprint"), F.col(id_col).alias("id_a")).hint("merge")
+    b = fpe.select(F.col("fingerprint"), F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, ["fingerprint"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -3224,3 +3224,101 @@ def test_winnowing_short_docs(spark):
         by_id.setdefault(r["doc_id"], []).append(r["fingerprint"])
     assert 1 not in by_id
     assert len(by_id[2]) == 1
+
+
+# --- round-8 wave 2: passage matches + surrogate-LR trainer ----------------
+
+
+def test_passage_matches_finds_shared_passage(spark):
+    from taxi_rides_ny_duckdb_spark.operators.dedup import winnow_passage_matches
+
+    passage = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliett "
+        "kilo lima mike november oscar papa quebec romeo sierra tango"
+    )
+    boiler = "copyright footer notice all rights reserved by the site owner"
+    docs = [
+        (1, f"intro words before {passage} trailing content one two"),
+        (2, f"{passage} with a different continuation entirely here now"),
+        (3, "completely unrelated text with no shared passages anywhere at all"),
+    ]
+    # boilerplate shared by MANY docs must not produce pairs when
+    # max_df excludes it
+    docs += [(10 + i, f"unique{i} filler{i} words{i} again{i} more{i} {boiler}") for i in range(6)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = winnow_passage_matches(
+        df, "text", "doc_id", k=5, w=4, min_shared=2, max_df=4
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in out}
+    assert (1, 2) in got
+    assert all(a < 10 and b < 10 for a, b in got), f"boilerplate paired: {got}"
+
+
+def test_passage_matches_validates(spark):
+    import pytest as _pytest
+
+    from taxi_rides_ny_duckdb_spark.operators.dedup import winnow_passage_matches
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="min_shared"):
+        winnow_passage_matches(df, "text", "doc_id", min_shared=0)
+    with _pytest.raises(ValueError, match="max_df"):
+        winnow_passage_matches(df, "text", "doc_id", max_df=1)
+
+
+def test_lr_learns_separable_classes(spark):
+    """On a cleanly separable two-vocabulary corpus the GD trainer must
+    rank every positive above every negative (AUC = 1)."""
+    from taxi_rides_ny_duckdb_spark.operators.classify import (
+        lr_score_surrogate,
+        lr_train_surrogate,
+    )
+
+    rows = []
+    for i in range(40):
+        rows.append((i, "alpha beta gamma alpha beta", 1))
+        rows.append((100 + i, "omega sigma tau omega sigma", 0))
+    df = spark.createDataFrame(rows, "doc_id long, text string, y int")
+    w, b = lr_train_surrogate(df, "text", "doc_id", "y", dim=16, iters=5, lr=4.0)
+    assert any(abs(v) > 1e-6 for v in w), "weights must move off zero"
+    scored = {
+        r["doc_id"]: r["score_r"]
+        for r in lr_score_surrogate(df, "text", "doc_id", w, b).collect()
+    }
+    pos = [scored[i] for i in range(40)]
+    neg = [scored[100 + i] for i in range(40)]
+    assert min(pos) > max(neg), "separable classes must separate"
+
+
+def test_lr_features_shape(spark):
+    from taxi_rides_ny_duckdb_spark.operators.classify import lr_hashed_features
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "x x x")], "doc_id long, text string"
+    )
+    out = lr_hashed_features(df, "text", "doc_id", dim=8).collect()
+    by_doc = {}
+    for r in out:
+        assert 0 <= r["idx"] < 8
+        by_doc.setdefault(r["doc_id"], 0.0)
+        by_doc[r["doc_id"]] += r["x"]
+    # per-doc tf mass sums to exactly 1
+    assert all(abs(v - 1.0) < 1e-12 for v in by_doc.values())
+
+
+def test_lr_validates_inputs(spark):
+    import pytest as _pytest
+
+    from taxi_rides_ny_duckdb_spark.operators.classify import (
+        lr_hashed_features,
+        lr_score_surrogate,
+        lr_train_surrogate,
+    )
+
+    df = spark.createDataFrame([(1, "a", 1)], "doc_id long, text string, y int")
+    with _pytest.raises(ValueError, match="dim must be"):
+        lr_hashed_features(df, "text", "doc_id", dim=1)
+    with _pytest.raises(ValueError, match="iters"):
+        lr_train_surrogate(df, "text", "doc_id", "y", iters=0)
+    with _pytest.raises(ValueError, match="dim 4"):
+        lr_score_surrogate(df, "text", "doc_id", [0.0, 0.0], 0.0, dim=4)
