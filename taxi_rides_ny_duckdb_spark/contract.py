@@ -84,70 +84,41 @@ def query(
 
 # The driver verifies only the FIRST 50 registered queries against the
 # DuckDB oracle (CORRECTNESS_r{N}.json); the window rotates per round so
-# that over rounds every query accumulates a driver-green row. After r6
-# the cumulative union r1–r6 covers all 140 oracled queries, but 30 of
-# them had their LATEST green row in r3 — the oldest evidence in the
-# repo (VERDICT r6 #5). The ROUND-7 window keeps the taxi DAG as the
-# permanent prefix (the parity claim the whole repo makes), sweeps all
-# 30 r3-era queries (a5 metric family, dq tests a6–a8, the text-signal
-# and events families, x2–x5/w1/u1/p2/s1/s5/o1/j1–j3, asof/range joins,
-# corpus curation), and fills the rest with the queries ADDED or
-# CHANGED this round: the new ANN hard-negative path, the two-level
-# cap_per_group default, the fused tfidf plan, the correlation
-# exact-flag routing, the epoch-frac rounding, the CC canonicalization
-# consumers, the pid-scoped sink queries, and the operators NEW this
-# round (duplicated-span removal, int8-quantized top-k, sorted-run
-# export, incremental dedup vs a history index, row-level snapshot
-# diff, per-source corpus datacard — never-windowed queries get slots
-# first, the r5 lesson). ext_hard_negative_topk /
-# ext_dedup_cluster_components / ext_similarity_ivf_topk /
-# ext_epoch_upsample / ext_dedup_cluster_keep_best ceded their slots:
-# each is r5/r6-driver-green on its own behavior and its r7 change is
-# exercised transitively by windowed queries (hard_negative_topk_ann
-# runs the IVF machinery + min-partitions guard + the same CC graph;
-# leakage_safe_split consumes the canonicalized CC and the
-# hash-fraction draw; the epoch-frac rounding is property-tested and
-# locally parity-gated).
-# After this round no query's latest driver evidence is older than
-# r4, with two flagged exceptions: ext_events_tumbling_window and
-# ext_events_sessionize stay r3-green (unchanged since; pure
-# built-in tumbling/session_window expressions whose machinery the
-# windowed ext_events_session_window + the r5-green streaming twins
-# exercise) — they ceded their sweep slots to the two operators NEW
-# this round (sketch rollup, z-order), because a never-windowed
-# query outranks a freshness refresh of an unchanged one.
-# ext_streaming_incremental_dedup stays un-windowed by choice:
-# its oracle is the SAME string as windowed ext_incremental_dedup
-# (batch/stream symmetry is the claim), and the streaming execution
-# path is verified by the local gate plus the maxFilesPerTrigger
-# symmetry test in tests/test_streaming.py. Rows-only queries are
-# never windowed (their slot would carry no value verification —
-# ADVICE r3). w1_dedup_distinct ceded its sweep slot to the new
-# ext_corpus_datacard: it is the second variant of the same staging
-# dedup (w1_dedup_row_number keeps the family's slot) and a
-# never-windowed query outranks a duplicate-family refresh.
-# ext_similarity_ivf_sq8_topk (last r7 addition) stays un-windowed:
-# it is the literal composition of two verified pieces — the frozen
-# IVF assignment (r5/r6-green ext_similarity_ivf_topk's oracle CTEs
-# verbatim) and the windowed ext_similarity_quantized_topk's scoring
-# arithmetic — and is locally parity-gated like everything else.
-# ext_weighted_sample likewise: it runs the SAME _keyed_top_per_group
-# engine as windowed ext_cap_per_group (only the key expression
-# differs), so the shared machinery gets driver evidence through the
-# cap query while the ES-specific key is locally parity-gated.
-# ext_histogram_quantile_rollup (post-seal r7) stays un-windowed for
-# now: it is FULLY value-oracled (its oracle replays the decomposed
-# bin/merge/interpolate arithmetic, no guard booleans), locally
-# parity-gated like everything else, and the window's two free swap
-# slots went to the guard-oracled sketch rollup and the Morton
-# arithmetic, where driver evidence adds strictly more (their oracles
-# certify what local tests cannot independently derive). It takes a
-# slot at the r8 window drawing under never-windowed-first. Everything outside the window is
-# verified by the local replica of the gate
-# (tests/test_contract_parity.py, collect-compare and driver-faithful
-# pandas-hash paths).
+# that over rounds every query accumulates a driver-green row. Union of
+# r1-r7 green rows covers every query registered through the r7 seal;
+# everything outside the window is verified every suite run by the
+# local replica of the gate (tests/test_contract_parity.py,
+# collect-compare + driver-faithful pandas-hash).
+#
+# ROUND-8 drawing, never-windowed-first (the standing rule):
+# 1. The reference taxi DAG keeps the permanent 8-slot prefix (the
+#    parity claim the whole repo makes, re-verified every round).
+# 2. All 26 queries with NO driver evidence yet take slots: the
+#    r7 post-seal additions (nb_train/nb_classify/classifier_auc,
+#    semdedup, semantic_decontaminate, pca_whiten,
+#    streaming_topk_rollup) and the r7 queries the 50-slot r7 window
+#    could not fit (ivf_sq8, weighted_sample, histogram_quantile —
+#    each carried a written "takes a slot at the r8 drawing" note —
+#    plus the events/profile/text/streaming families listed below).
+#    ext_streaming_incremental_dedup stays un-windowed BY CHOICE:
+#    its oracle is the SAME string as windowed ext_incremental_dedup
+#    (batch/stream symmetry is the claim) and the streaming execution
+#    path is locally gated (tests/test_streaming.py).
+# 3. The 10 queries NEW this round take slots (purged k-fold,
+#    contrastive pairs, temperature mixture, exact-k sample,
+#    k-anonymity, domain quality gate, winnowing fingerprints,
+#    passage matches, LR train/score).
+# 4. The remaining 6 slots refresh the oldest driver evidence (r3):
+#    a5_metric_count_day, a7_null_count, events_sessionize,
+#    events_tumbling_window, text_token_count, w1_dedup_distinct —
+#    the r3-era queries NOT exercised verbatim by the taxi prefix.
+#    The other r3-era rows (j1/j2/p2/s1/u1/w1_row_number/x2-x5) run
+#    VERBATIM inside the permanent prefix every round (taxi_fact_trips
+#    IS the broadcast dim join + dim-joined-twice + union-all-tagged;
+#    taxi_stg_* ARE scan/typed-projection/rn=1-dedup/case/md5/replace/
+#    date_trunc) -- the documented transitive-coverage class.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # Reference taxi DAG — permanent prefix.
+    # 1. Reference taxi DAG -- permanent prefix.
     "taxi_stg_green_tripdata",
     "taxi_stg_yellow_tripdata",
     "taxi_dim_zones",
@@ -156,126 +127,51 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "taxi_dm_monthly_zone_statistics",
     "taxi_metric_average_distance_month",
     "taxi_metric_avg_distance_manhattan_quarter",
-    # The 30 queries whose latest driver evidence is r3 (the full
-    # freshness sweep, VERDICT r6 #5).
-    "a5_metric_avg_month",
-    "a5_metric_rolling_avg_7d",
-    "a6_unique_violations",
-    "a8_accepted_values",
-    "ext_asof_join",
-    "ext_corpus_curation",
-    "ext_events_json_extract",
-    "ext_events_session_window",
-    "ext_range_join",
-    "ext_text_lang_id",
-    "ext_text_quality_score",
-    "j3_left_anti",
-    "o1_topn_orders",
-    "s5_sql_entrypoint",
-    # j1_broadcast_dim_join, s1_scan_filter_project and
-    # w1_dedup_row_number ceded their sweep slots to the three
-    # never-windowed BPE tokenizer queries below under
-    # never-windowed-first: all three ceders run VERBATIM inside the
-    # permanent taxi prefix every round (taxi_fact_trips IS the
-    # broadcast dim join at plans/core.py:56-72 — the j2 precedent;
-    # the staging queries ARE scan+filter+typed-projection and the
-    # rn=1 dedup at plans/staging.py:62-119), while the BPE trainer's
-    # iterative argmax/fold arithmetic is NEW and its unrolled
-    # chained-CTE oracle is exactly the kind of independent
-    # derivation driver evidence certifies beyond the local gate.
-    "ext_bpe_pair_counts",
-    "ext_bpe_learn_merges",
-    "ext_bpe_segment",
-    # p2_typed_projection, x3_surrogate_key and x5_date_trunc_month
-    # ceded their sweep slots to the three never-windowed round-7
-    # additions below (ext_bm25_topk, ext_gopher_quality,
-    # ext_dsir_importance) under the duplicate-family-refresh rule:
-    # the 21-col typed projection, the md5-concat-coalesce surrogate
-    # key and the month date_trunc all run VERBATIM inside the
-    # permanent taxi prefix (stg_* / dm_monthly_*) every round — the
-    # x2/x4/j2/u1 transitive-coverage class — while the BM25 pivoted
-    # tf arithmetic, the Gopher rule panel and the DSIR smoothed
-    # log-ratio model are NEW arithmetic that driver evidence
-    # certifies beyond the local gate.
-    "ext_bm25_topk",
-    "ext_gopher_quality",
-    "ext_dsir_importance",
-    # Added or changed in round 7.
-    "ext_hard_negative_topk_ann",
-    "ext_cap_per_group",
-    "ext_text_tfidf_topk",
-    "ext_profile_correlation",
-    "ext_incremental_dedup",
-    "ext_snapshot_diff",
-    "ext_corpus_datacard",
-    "ext_leakage_safe_split",
-    "ext_corpus_shuffle",
-    "ext_profile_key_skew",
-    "ext_remove_duplicated_spans",
-    "ext_similarity_quantized_topk",
-    "ext_sorted_run_export",
-    "ext_sketch_distinct_rollup",
-    "ext_zorder_layout",
-    "ext_topk_heavy_hitters_rollup",
-    "ext_cdc_apply",
-    "ext_profile_drift_psi",
-    "ext_compact_small_files",
-    "ext_file_stats_skipping",
-    "ext_streaming_drift_psi",
-    "ext_metric_anomaly",
-    # x2_case_decode ceded its sweep slot to the never-windowed
-    # anomaly panel: the payment-type CASE macro
-    # (functions/macros.py:28) runs verbatim inside the permanent
-    # taxi_stg_* prefix every round — the x4/j2/u1 transitive-coverage
-    # class. The anomaly panel's exact-decimal windowed moments are
-    # NEW arithmetic that driver evidence certifies beyond the local
-    # gate. Remaining un-windowed post-seal queries
-    # (ext_profile_drift_psi_categorical, ext_source_freshness,
-    # ext_histogram_quantile_rollup) each carry a written rationale in
-    # their docstrings/comments and take slots at the r8 drawing under
-    # never-windowed-first.
-    # u1_union_all_tagged ceded its sweep slot to the never-windowed
-    # streaming drift monitor: the permanent-prefix taxi_fact_trips IS
-    # the union-all-tagged machinery (plans/core.py:51), re-verified
-    # every round — the same transitive-coverage strength as the
-    # x4/j2 cessions above.
-    # a7_null_count and ext_text_token_count ceded sweep slots to the
-    # two never-windowed layout queries: a7 is the one-expression
-    # filter-count whose machinery a6+a8 (kept) strictly contain, and
-    # token_count's staged-tokenize pipeline is exercised by the
-    # windowed lang_id + quality_score (same functions/text HOF
-    # staging) — duplicate-family-refresh rule again.
-    # a5_metric_count_day ceded its sweep slot to the never-windowed
-    # PSI query: the a5 family keeps two slots (avg_month,
-    # rolling_avg_7d — the same metrics compiler), and the count
-    # method additionally has r4-green driver evidence via
-    # a5_metric_count_distinct_quarter — the duplicate-family-refresh
-    # rule (w1_dedup_distinct precedent).
-    # The two post-seal r7 additions take slots under
-    # never-windowed-first; x4_string_replace and j2_dim_joined_twice
-    # ceded theirs because BOTH are exercised verbatim every round by
-    # the permanent taxi prefix above: taxi_dim_zones IS the x4
-    # replace (plans/core.py:40) and taxi_fact_trips IS the
-    # dim-joined-twice aliased broadcast pair (plans/core.py:63-72) —
-    # the strongest transitive-coverage case in the sweep list.
-    # ext_events_tumbling_window and ext_events_sessionize ceded
-    # their r3-sweep slots to the never-windowed
-    # ext_sketch_distinct_rollup and ext_zorder_layout (both added
-    # after the sweep was drawn): the tumbling/sessionize batch
-    # analogs share operators/windows.py with the windowed
-    # ext_events_session_window above AND their streaming twins are
-    # r5-green, while a NEW query would otherwise wait a full round
-    # for driver evidence — the same never-windowed-first rule
-    # applied throughout this list.
-    # Dropped to fit 50: the TPC-H q* family, streaming, minhash/
-    # simhash/bloom dedup, packing, sampling staples — all r4–r6-green
-    # and UNCHANGED this round (union coverage keeps them verified).
-    # ext_partitioned_sink_prune / ext_bucketed_join_colocated ceded
-    # their slots to the two NEW r7 queries (corpus_shuffle,
-    # profile_key_skew): their only r7 change is the pid-scoped
-    # scratch path (behavior-identical, r6-green, locally verified),
-    # while a never-windowed query would otherwise wait a full round
-    # for driver evidence — the r5 lesson.
+    # 2. Never driver-verified (r7 additions beyond its window).
+    "ext_nb_train",
+    "ext_nb_classify",
+    "ext_classifier_auc",
+    "ext_semdedup",
+    "ext_semantic_decontaminate",
+    "ext_pca_whiten",
+    "ext_streaming_topk_rollup",
+    "ext_similarity_ivf_sq8_topk",
+    "ext_weighted_sample",
+    "ext_histogram_quantile_rollup",
+    "ext_profile_drift_psi_categorical",
+    "ext_source_freshness",
+    "ext_events_funnel",
+    "ext_events_funnel_latency",
+    "ext_events_retention",
+    "ext_events_transition_matrix",
+    "ext_hybrid_rrf_topk",
+    "ext_profile_chi_square",
+    "ext_profile_ks_test",
+    "ext_text_pmi_collocations",
+    "ext_pivot_lang_by_source",
+    "ext_curriculum_interleave",
+    "ext_text_lm_perplexity",
+    "ext_text_novelty",
+    "ext_streaming_funnel",
+    "ext_streaming_quality_gate",
+    # 3. New this round.
+    "ext_purged_kfold",
+    "ext_contrastive_pairs",
+    "ext_temperature_mixture",
+    "ext_exact_k_sample",
+    "ext_k_anonymity_suppress",
+    "ext_domain_quality_gate",
+    "ext_winnow_fingerprints",
+    "ext_passage_matches",
+    "ext_lr_train",
+    "ext_lr_score",
+    # 4. Oldest-evidence refresh (r3, not taxi-prefix-covered).
+    "a5_metric_count_day",
+    "a7_null_count",
+    "ext_events_sessionize",
+    "ext_events_tumbling_window",
+    "ext_text_token_count",
+    "w1_dedup_distinct",
 )
 
 
