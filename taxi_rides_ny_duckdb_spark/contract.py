@@ -110,8 +110,12 @@ def query(
 #    passage matches, LR train/score).
 # 4. The remaining 6 slots refresh the oldest driver evidence (r3):
 #    a5_metric_count_day, a7_null_count, events_sessionize,
-#    events_tumbling_window, text_token_count, w1_dedup_distinct —
-#    the r3-era queries NOT exercised verbatim by the taxi prefix.
+#    events_tumbling_window, text_token_count — the r3-era queries
+#    NOT exercised verbatim by the taxi prefix. w1_dedup_distinct
+#    ceded its slot to ext_filter_funnel (added after the drawing):
+#    a never-windowed NEW query outranks a duplicate-family refresh
+#    (w1_dedup_row_number keeps the family's coverage through the
+#    taxi prefix; the distinct variant is locally parity-gated).
 #    The other r3-era rows (j1/j2/p2/s1/u1/w1_row_number/x2-x5) run
 #    VERBATIM inside the permanent prefix every round (taxi_fact_trips
 #    IS the broadcast dim join + dim-joined-twice + union-all-tagged;
@@ -165,13 +169,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ext_passage_matches",
     "ext_lr_train",
     "ext_lr_score",
+    "ext_filter_funnel",
     # 4. Oldest-evidence refresh (r3, not taxi-prefix-covered).
     "a5_metric_count_day",
     "a7_null_count",
     "ext_events_sessionize",
     "ext_events_tumbling_window",
     "ext_text_token_count",
-    "w1_dedup_distinct",
 )
 
 

@@ -5939,6 +5939,7 @@ def _semdedup_oracle(threshold: float = 0.3) -> str:
     return f"""
 WITH RECURSIVE v AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+  WHERE vec_id < 2000
 ), cents(cid, cv) AS (SELECT * FROM (VALUES {rows}) AS t(cid, cv)),
 d AS (
   SELECT v.vec_id, v.ev, c.cid,
@@ -5990,18 +5991,25 @@ FROM withsim w JOIN comp c ON c.id = w.vec_id
 
 @query("ext_semdedup", oracle=_semdedup_oracle(0.3), memoize=False)
 def ext_semdedup(spark, sf_dir):
-    """SemDeDup (Abbas et al. 2023) over the full embeddings table
-    against the frozen IVF quantizer (operators/similarity.semdedup):
-    cluster-scoped near-dup pairing (O(Σ|c|²), never O(N²) — the
-    paper's scaling argument), CC collapse, keep-the-most-atypical
+    """SemDeDup (Abbas et al. 2023) against the frozen IVF quantizer
+    (operators/similarity.semdedup): cluster-scoped near-dup pairing
+    (O(Σ|c|²), never O(N²)), CC collapse, keep-the-most-atypical
     (lowest own-centroid cosine, ties to the lower id). The semantic
     member of the dedup ladder: MinHash catches lexical copies, this
-    catches paraphrases that share no shingles. memoize=False: CC
-    iterates eagerly inside the builder."""
+    catches paraphrases that share no shingles.
+
+    Input bounded to vec_id < 2000 (the standard fixed-cutoff
+    pattern): the paper's O(Σ|c|²) bound requires nlist to SCALE with
+    the corpus so mean cluster size stays constant — against this
+    FROZEN 8-centroid quantizer, cluster sizes grow linearly with the
+    table and pairing re-quadratizes (measured: 4.6 s at sf0.1 →
+    329 s at sf1 unbounded). Production use re-trains/sizes the
+    quantizer per corpus (tools_freeze_ivf.py); the operator docstring
+    carries the sizing rule. memoize=False: CC iterates eagerly."""
     from .contract_ivf_centroids import IVF_CENTROIDS
     from .operators.similarity import semdedup
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 2000)
     return semdedup(emb, IVF_CENTROIDS, threshold=0.3)
 
 
@@ -6567,11 +6575,13 @@ def ext_passage_matches(spark, sf_dir):
 
 def _lr_oracle_ctes(iters: int = 3, dim: int = 32, lr: float = 0.5) -> str:
     """Unrolled-CTE DuckDB replay of lr_train_surrogate (the BPE-
-    trainer precedent applied to gradient descent): hashed-tf
-    features, w₀ = 0, then per iteration the exact 12dp-quantized
-    product sums, the surrogate sigmoid (pure rational arithmetic —
-    no libm exp), and the pinned-order update w − lr·(g/n). Every
-    value replays bit-for-bit against the Spark trainer."""
+    trainer precedent applied to gradient descent): hashed-tf features
+    + the bias-as-feature fold (idx = dim, x = 1 — one gradient
+    formula covers weights and intercept), w\u2080 = 0, then per iteration
+    the exact 12dp-quantized product sums, the surrogate sigmoid (pure
+    rational arithmetic — no libm exp), and the pinned-order update
+    w − lr·(g/n). Every value replays bit-for-bit against the Spark
+    trainer."""
     base = f"""
 WITH tok AS (
   SELECT doc_id,
@@ -6588,19 +6598,19 @@ WITH tok AS (
 ), f AS (
   SELECT fc.doc_id, fc.idx, CAST(fc.cnt AS DOUBLE) / CAST(nt.n_tok AS DOUBLE) AS x
   FROM fcnt fc JOIN ntok nt USING (doc_id)
+  UNION ALL
+  SELECT doc_id, CAST({dim} AS BIGINT) AS idx, 1.0 AS x FROM documents
 ), ftrain AS (SELECT * FROM f WHERE doc_id % 5 <> 0),
 ytrain AS (
   SELECT doc_id, CAST(lang = 'en' AS INT) AS y FROM documents WHERE doc_id % 5 <> 0
 ),
 ntrain AS (SELECT COUNT(*) AS n FROM ytrain),
-w0 AS (SELECT CAST(unnest(generate_series(0, {dim - 1})) AS BIGINT) AS idx, 0.0 AS wt),
-b0 AS (SELECT 0.0 AS bv)"""
+w0 AS (SELECT CAST(unnest(generate_series(0, {dim})) AS BIGINT) AS idx, 0.0 AS wt)"""
     for t in range(iters):
         base += f""",
 z{t} AS (
   SELECT f.doc_id,
-         CAST(SUM(CAST(round(f.x * w.wt, 12) AS DECIMAL(38,12))) AS DOUBLE)
-           + (SELECT bv FROM b{t}) AS z
+         CAST(SUM(CAST(round(f.x * w.wt, 12) AS DECIMAL(38,12))) AS DOUBLE) AS z
   FROM ftrain f JOIN w{t} w USING (idx) GROUP BY f.doc_id
 ),
 e{t} AS (
@@ -6613,13 +6623,9 @@ g{t} AS (
          CAST(SUM(CAST(round(e.err * f.x, 12) AS DECIMAL(38,12))) AS DOUBLE) AS g
   FROM ftrain f JOIN e{t} e USING (doc_id) GROUP BY f.idx
 ),
-gb{t} AS (SELECT CAST(SUM(CAST(err AS DECIMAL(38,12))) AS DOUBLE) AS g FROM e{t}),
 w{t + 1} AS (
   SELECT w.idx, w.wt - {lr} * (COALESCE(g.g, 0.0) / (SELECT n FROM ntrain)) AS wt
   FROM w{t} w LEFT JOIN g{t} g USING (idx)
-),
-b{t + 1} AS (
-  SELECT (SELECT bv FROM b{t}) - {lr} * ((SELECT g FROM gb{t}) / (SELECT n FROM ntrain)) AS bv
 )"""
     return base
 
@@ -6627,9 +6633,9 @@ b{t + 1} AS (
 @query(
     "ext_lr_train",
     oracle=_lr_oracle_ctes() + """
-SELECT idx, round(wt, 9) AS weight_r FROM w3
-UNION ALL
-SELECT CAST(-1 AS BIGINT) AS idx, round(bv, 9) AS weight_r FROM b3
+SELECT CASE WHEN idx = 32 THEN CAST(-1 AS BIGINT) ELSE idx END AS idx,
+       round(wt, 9) AS weight_r
+FROM w3
 """,
     memoize=False,
 )
@@ -6638,10 +6644,12 @@ def ext_lr_train(spark, sf_dir):
     (operators/classify.lr_train_surrogate): 3 full-batch iterations
     over hashed-tf features, is-English target, surrogate sigmoid
     (pure rational — no cross-libm exp hazard), 12dp-quantized decimal
-    gradient sums. Per iteration: two data-derivative shuffles + a
-    33-double driver sync; the oracle replays the whole descent as
-    unrolled CTEs. memoize=False: the trainer collects gradients
-    eagerly per iteration. Output: 32 weights + bias (idx −1), 9dp."""
+    gradient sums, bias trained as the constant feature idx=32. Per
+    iteration: ONE exchange (the 33-row gradient groupBy — the z-agg
+    and err-join are exchange-free on the doc-partitioned cache) and
+    ONE action; the oracle replays the whole descent as unrolled
+    CTEs. memoize=False: the trainer collects gradients eagerly per
+    iteration. Output: 32 weights + bias (idx −1), 9dp."""
     from .operators.classify import _round9_half_up, lr_train_surrogate
 
     d = load(spark, sf_dir, "documents")
@@ -6660,8 +6668,7 @@ def ext_lr_train(spark, sf_dir):
 fheld AS (SELECT * FROM f WHERE doc_id % 5 = 0),
 zh AS (
   SELECT f.doc_id,
-         CAST(SUM(CAST(round(f.x * w.wt, 12) AS DECIMAL(38,12))) AS DOUBLE)
-           + (SELECT bv FROM b3) AS z
+         CAST(SUM(CAST(round(f.x * w.wt, 12) AS DECIMAL(38,12))) AS DOUBLE) AS z
   FROM fheld f JOIN w3 w USING (idx) GROUP BY f.doc_id
 )
 SELECT zh.doc_id,
@@ -6692,3 +6699,107 @@ def ext_lr_score(spark, sf_dir):
         heldout.select("doc_id", (F.col("lang") == "en").alias("is_positive")),
         "doc_id",
     ).select("doc_id", "score_r", "is_positive")
+
+
+_FUNNEL_ORACLE = (
+    "WITH qs AS (" + _QS_ORACLE + """
+), s0 AS (
+  SELECT d.doc_id, d.lang, md5(d.text) AS h, d.text
+  FROM documents d
+), optout AS (
+  SELECT DISTINCT h FROM s0
+  WHERE (CAST(concat('0x', substring(md5(concat('optout', ':', h)), 1, 8)) AS BIGINT)
+         / 4294967296.0) < 0.03
+), s1 AS (
+  SELECT s0.* FROM s0 WHERE h NOT IN (SELECT h FROM optout)
+), s2 AS (
+  SELECT * FROM s1 WHERE lang IN ('en', 'zh', 'de')
+), s3 AS (
+  SELECT s2.* FROM s2 JOIN qs USING (doc_id) WHERE qs.quality >= 0.5
+), canon AS (
+  SELECT h, MIN(doc_id) AS doc_id FROM s3 GROUP BY h
+), s4 AS (
+  SELECT s3.* FROM s3 JOIN canon USING (h, doc_id)
+), evs AS (
+  SELECT DISTINCT sh FROM (
+    SELECT unnest(list_transform(generate_series(1, greatest(
+             len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')) - 3, 0)),
+           i -> array_to_string(list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')[i:i+3], ' '))) AS sh
+    FROM documents WHERE doc_id < 20
+  )
+), contaminated AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT s4.doc_id,
+           unnest(list_transform(generate_series(1, greatest(
+             len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')) - 3, 0)),
+           i -> array_to_string(list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')[i:i+3], ' '))) AS sh
+    FROM s4
+  ) WHERE sh IN (SELECT sh FROM evs)
+), s5 AS (
+  SELECT * FROM s4 WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+)
+SELECT * FROM (
+  SELECT CAST(0 AS BIGINT) AS stage_idx, 'raw' AS stage, COUNT(*) AS n_docs FROM s0
+  UNION ALL SELECT 1, 'opt_out', COUNT(*) FROM s1
+  UNION ALL SELECT 2, 'lang_allowlist', COUNT(*) FROM s2
+  UNION ALL SELECT 3, 'quality_gate', COUNT(*) FROM s3
+  UNION ALL SELECT 4, 'exact_dedup', COUNT(*) FROM s4
+  UNION ALL SELECT 5, 'decontaminated', COUNT(*) FROM s5
+)
+"""
+)
+
+
+@query("ext_filter_funnel", oracle=_FUNNEL_ORACLE)
+def ext_filter_funnel(spark, sf_dir):
+    """End-to-end curation-funnel attrition report (operators/cleaning.
+    funnel_report): raw → opt-out registry anti-join (content-hash
+    blocklist, broadcast) → language allowlist → quality ≥ 0.5 →
+    exact-dedup canonicalization → 4-gram eval decontamination, one
+    survivor count per stage — the corpus-datasheet headline and the
+    regression canary for any pipeline change. Composes five existing
+    operators in one plan; every stage count is aggregation-bounded."""
+    from .functions.text import word_shingles
+    from .operators.sampling import hash_fraction
+
+    d = load(spark, sf_dir, "documents")
+    s0 = d.select("doc_id", "lang", "text", F.md5(F.col("text")).alias("__h"))
+    optout = (
+        s0.select(F.col("__h").alias("content_hash"))
+        .distinct()
+        .filter(hash_fraction(F.col("content_hash"), "optout") < 0.03)
+    )
+    s1 = s0.join(
+        F.broadcast(optout), s0["__h"] == optout["content_hash"], "left_anti"
+    )
+    s2 = s1.filter(F.col("lang").isin("en", "zh", "de"))
+    toks = s2.select("*", tokenize(F.col("text")).alias("__toks"))
+    s3 = toks.filter(
+        quality_score(F.col("text"), tokens=F.col("__toks")) >= 0.5
+    ).drop("__toks")
+    canon = s3.groupBy("__h").agg(F.min("doc_id").alias("doc_id"))
+    s4 = s3.join(canon, ["__h", "doc_id"])
+    ev_sh = (
+        d.filter(F.col("doc_id") < 20)
+        .select(F.explode(word_shingles(tokenize(F.col("text")), 4)).alias("sh"))
+        .distinct()
+    )
+    s4_sh = s4.select(
+        "doc_id", F.explode(word_shingles(tokenize(F.col("text")), 4)).alias("sh")
+    )
+    contaminated = (
+        s4_sh.join(F.broadcast(ev_sh), "sh").select("doc_id").distinct()
+    )
+    s5 = s4.join(contaminated, "doc_id", "left_anti")
+    from .operators.cleaning import funnel_report
+
+    return funnel_report(
+        [
+            ("raw", s0),
+            ("opt_out", s1),
+            ("lang_allowlist", s2),
+            ("quality_gate", s3),
+            ("exact_dedup", s4),
+            ("decontaminated", s5),
+        ]
+    )

@@ -353,34 +353,50 @@ def lr_train_surrogate(
     SQL spells (w − lr·(g/n)). The returned model replays bit-for-bit
     in DuckDB's unrolled-CTE rendering of the same iterations.
 
-    100 TB shape: per iteration, TWO data-derivative shuffles — the
-    per-doc z groupBy and the per-idx gradient groupBy, both over the
-    (doc, idx, x) feature frame (≤ dim scalars per doc, never text) —
-    plus a dim+1-double driver sync. The model is dim+1 values:
-    broadcast by construction, like NB's V×C table but smaller."""
+    The intercept trains as feature ``idx = dim`` with constant
+    x = 1 (the classic bias-as-feature fold): one gradient aggregation
+    covers weights AND bias, halving the actions per iteration, and
+    the oracle needs no special-case bias CTEs. Documents with zero
+    tokens still carry the bias row, so they train/score on the
+    intercept instead of silently dropping out.
+
+    100 TB shape: the feature frame carries the label column and is
+    cached HASH-PARTITIONED ON THE DOC ID, so each iteration's per-doc
+    z aggregation and the error-join back to the features are
+    exchange-free on the cache — per iteration exactly ONE exchange
+    (the dim+1-row gradient groupBy, map-side combined) + ONE action
+    + a dim+1-double driver sync. The model is dim+1 values: broadcast
+    by construction, like NB's V×C table but smaller."""
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
-    feats = lr_hashed_features(docs, text_col, id_col, dim).persist()
+    base = lr_hashed_features(docs, text_col, id_col, dim).unionByName(
+        docs.select(
+            F.col(id_col),
+            F.lit(dim).cast("long").alias("idx"),
+            F.lit(1.0).alias("x"),
+        )
+    )
     labels = docs.select(
         F.col(id_col), F.col(label_col).cast("double").alias("y")
     )
+    # label joined in ONCE, then cached partitioned by doc id: the
+    # per-iteration z-agg and err-join run exchange-free on the cache.
+    feats = base.join(labels, id_col).repartition(F.col(id_col)).persist()
     n = docs.count()
     if n == 0:
         raise ValueError("empty training set")
-    w = [0.0] * dim
-    b = 0.0
+    w = [0.0] * (dim + 1)  # w[dim] is the intercept
     for _ in range(iters):
         warr = F.array(*[F.lit(v) for v in w])
         wt = F.element_at(warr, (F.col("idx") + 1).cast("int"))
         prod = F.round(F.col("x") * wt, _LOGP_DP)
         z = feats.groupBy(id_col).agg(
-            (
-                F.sum(prod.cast("decimal(38,12)")).cast("double") + F.lit(b)
-            ).alias("z")
+            F.sum(prod.cast("decimal(38,12)")).cast("double").alias("z"),
+            F.first("y").alias("y"),
         )
-        err_expr = _surrogate_p(F.col("z"), _LOGP_DP) - F.col("y")
-        err = z.join(labels, id_col).select(
-            F.col(id_col), err_expr.alias("err")
+        err = z.select(
+            F.col(id_col),
+            (_surrogate_p(F.col("z"), _LOGP_DP) - F.col("y")).alias("err"),
         )
         grads = (
             feats.join(err, id_col)
@@ -396,14 +412,10 @@ def lr_train_surrogate(
             )
             .collect()
         )
-        gb = err.agg(
-            F.sum(F.col("err").cast("decimal(38,12)")).cast("double").alias("g")
-        ).collect()[0]["g"]
         gmap = {r["idx"]: r["g"] for r in grads}
-        w = [w[i] - lr * (gmap.get(i, 0.0) / n) for i in range(dim)]
-        b = b - lr * ((gb if gb is not None else 0.0) / n)
+        w = [w[i] - lr * (gmap.get(i, 0.0) / n) for i in range(dim + 1)]
     feats.unpersist()
-    return w, b
+    return w[:dim], w[dim]
 
 
 def lr_score_surrogate(
@@ -422,14 +434,18 @@ def lr_score_surrogate(
     d = dim if dim is not None else len(weights)
     if d != len(weights):
         raise ValueError(f"dim {d} != len(weights) {len(weights)}")
-    feats = lr_hashed_features(docs, text_col, id_col, d)
-    warr = F.array(*[F.lit(v) for v in weights])
+    feats = lr_hashed_features(docs, text_col, id_col, d).unionByName(
+        docs.select(
+            F.col(id_col),
+            F.lit(d).cast("long").alias("idx"),
+            F.lit(1.0).alias("x"),
+        )
+    )
+    warr = F.array(*[F.lit(v) for v in [*weights, bias]])
     wt = F.element_at(warr, (F.col("idx") + 1).cast("int"))
     prod = F.round(F.col("x") * wt, _LOGP_DP)
     z = feats.groupBy(id_col).agg(
-        (F.sum(prod.cast("decimal(38,12)")).cast("double") + F.lit(bias)).alias(
-            "z"
-        )
+        F.sum(prod.cast("decimal(38,12)")).cast("double").alias("z")
     )
     return z.select(
         F.col(id_col), _surrogate_p(F.col("z"), _SCORE_DP).alias("score_r")

@@ -782,3 +782,30 @@ def group_quality_gate(
     )
     keep = stats.filter(F.col(out_col) >= min_mean)
     return df.join(F.broadcast(keep), group_col)
+
+
+def funnel_report(stages: list) -> DataFrame:
+    """Curation-funnel attrition report: given the ORDERED list of
+    (stage_name, DataFrame) a cleaning pipeline produces, emit one row
+    per stage — ``(stage_idx, stage, n_docs)`` — the survivor-count
+    artifact every corpus datasheet leads with ("started with 4.2B
+    pages, 1.1B after dedup, …") and the first thing an engineer
+    checks when a pipeline change moves the output size.
+
+    Each stage contributes ONE aggregation-bounded count (map-side
+    partial count → 1 row); the report is a union of |stages| single
+    rows. Spark evaluates each stage's full lineage for its count —
+    at 100 TB, share scans by staging the pipeline on a persisted
+    frame, or swap counts for the file-stats index when stages are
+    materialized."""
+    if not stages:
+        raise ValueError("stages must be non-empty")
+    out = None
+    for i, (name, df) in enumerate(stages):
+        row = df.agg(F.count(F.lit(1)).alias("n_docs")).select(
+            F.lit(i).cast("bigint").alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.col("n_docs"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -867,7 +867,12 @@ def semdedup(
 
     100 TB shape: the assignment is a pure projection (centroids ride
     as literals — no join, no shuffle); pairing is O(Σ|c|²) WITHIN
-    clusters instead of O(N²) — the paper's entire scaling argument;
+    clusters instead of O(N²) — the paper's entire scaling argument,
+    WHICH ONLY HOLDS IF len(centroids) SCALES WITH THE CORPUS: size
+    nlist ≈ N / target_cluster_size (the paper uses ~sqrt(N)-scale
+    cluster counts) so mean |c| stays constant; a frozen small
+    quantizer re-quadratizes as the table grows (measured: 4.6 s →
+    329 s across a 10× scale-up against 8 fixed centroids);
     the pair self-join is merge-pinned (repetitive corpora compress so
     well that broadcast-size accounting would build a corpus-sized
     hashed relation — the r7 family-wide hazard); component collapse

@@ -3322,3 +3322,28 @@ def test_lr_validates_inputs(spark):
         lr_train_surrogate(df, "text", "doc_id", "y", iters=0)
     with _pytest.raises(ValueError, match="dim 4"):
         lr_score_surrogate(df, "text", "doc_id", [0.0, 0.0], 0.0, dim=4)
+
+
+def test_funnel_report_counts_and_order(spark):
+    from taxi_rides_ny_duckdb_spark.operators.cleaning import funnel_report
+
+    df = spark.createDataFrame([(i,) for i in range(10)], "id long")
+    out = funnel_report(
+        [
+            ("raw", df),
+            ("half", df.filter("id < 5")),
+            ("one", df.filter("id = 0")),
+        ]
+    ).collect()
+    assert [(r["stage_idx"], r["stage"], r["n_docs"]) for r in out] == [
+        (0, "raw", 10), (1, "half", 5), (2, "one", 1),
+    ]
+
+
+def test_funnel_report_validates(spark):
+    import pytest as _pytest
+
+    from taxi_rides_ny_duckdb_spark.operators.cleaning import funnel_report
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        funnel_report([])

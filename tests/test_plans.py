@@ -1281,12 +1281,19 @@ def test_contrastive_pairs_broadcasts_pool(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
-def test_winnowing_zero_shuffle(spark, sf_dir):
-    """The winnowing selection is a pure per-row Column program — the
-    plan must contain NO exchange of any kind."""
+def test_winnowing_codegen_row_pipeline(spark, sf_dir):
+    """Winnowing runs as the exploded-row pipeline: the shingle hash
+    must sit in a codegen projection (NOT inside an interpreted HOF
+    lambda — the 10× hazard the operator docstring documents), the
+    lead() and sliding-min windows must share ONE exchange+sort, and
+    the per-doc distinct adds exactly one more — two exchanges
+    total."""
     df = contract.BUILDERS["ext_winnow_fingerprints"](spark, sf_dir)
     plan = plan_of(df)
-    assert "Exchange" not in plan
+    assert "transform(" not in plan, "shingle hash regressed into a HOF lambda"
+    # ONE exchange: both windows share the (doc, pos) sort, and the
+    # per-doc distinct reuses the doc_id hash partitioning.
+    assert plan.count("Exchange") - plan.count("ReusedExchange") == 1
 
 
 def test_quality_gate_broadcasts_stats(spark, sf_dir):
