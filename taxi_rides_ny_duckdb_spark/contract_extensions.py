@@ -6758,7 +6758,14 @@ def ext_filter_funnel(spark, sf_dir):
     exact-dedup canonicalization → 4-gram eval decontamination, one
     survivor count per stage — the corpus-datasheet headline and the
     regression canary for any pipeline change. Composes five existing
-    operators in one plan; every stage count is aggregation-bounded."""
+    operators in one plan; every stage count is aggregation-bounded.
+
+    The quality-gated frame is PERSISTED: stages 3-5 all sit on top of
+    the tokenize+quality projection (the expensive pass), and each
+    stage's count would otherwise re-evaluate it — the exact
+    share-scans-by-staging rule the funnel_report docstring states
+    (measured: the uncached form re-ran quality 3× and the shingle
+    explode per count at sf10)."""
     from .functions.text import word_shingles
     from .operators.sampling import hash_fraction
 
@@ -6774,9 +6781,11 @@ def ext_filter_funnel(spark, sf_dir):
     )
     s2 = s1.filter(F.col("lang").isin("en", "zh", "de"))
     toks = s2.select("*", tokenize(F.col("text")).alias("__toks"))
-    s3 = toks.filter(
-        quality_score(F.col("text"), tokens=F.col("__toks")) >= 0.5
-    ).drop("__toks")
+    s3 = (
+        toks.filter(quality_score(F.col("text"), tokens=F.col("__toks")) >= 0.5)
+        .drop("__toks")
+        .persist()
+    )
     canon = s3.groupBy("__h").agg(F.min("doc_id").alias("doc_id"))
     s4 = s3.join(canon, ["__h", "doc_id"])
     ev_sh = (
@@ -6787,8 +6796,12 @@ def ext_filter_funnel(spark, sf_dir):
     s4_sh = s4.select(
         "doc_id", F.explode(word_shingles(tokenize(F.col("text")), 4)).alias("sh")
     )
+    # persisted like s3: both the stage-5 count and the s5 frame's
+    # anti-join consume it, and it is contaminated-ids-sized (tiny) —
+    # without the pin each consumer re-runs the corpus shingle explode
+    # (measured 33 s/run at sf10).
     contaminated = (
-        s4_sh.join(F.broadcast(ev_sh), "sh").select("doc_id").distinct()
+        s4_sh.join(F.broadcast(ev_sh), "sh").select("doc_id").distinct().persist()
     )
     s5 = s4.join(contaminated, "doc_id", "left_anti")
     from .operators.cleaning import funnel_report

@@ -1109,6 +1109,7 @@ def winnow_fingerprints(
     id_col: str,
     k: int = 5,
     w: int = 4,
+    token_hash=None,
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
     "Winnowing: Local Algorithms for Document Fingerprinting",
@@ -1137,13 +1138,17 @@ def winnow_fingerprints(
     ROW-LEVEL portable_hash60 (codegen) → sliding min via a window
     over the SAME sort (no second exchange) → per-doc distinct. Two
     token-stream-sized shuffles total, every hash JIT-compiled; window
-    partitions are document-bounded. The md5-based hash keeps
-    fingerprints engine-replayable (oracle parity); swap xxhash64 into
-    the same row pipeline for production ingest."""
+    partitions are document-bounded. ``token_hash`` picks the shingle
+    hash: default ``portable_hash60`` (md5-based) keeps fingerprints
+    engine-replayable for the oracle; pass ``F.xxhash64`` for
+    production ingest — same pipeline, native 64-bit hash, no hex
+    round-trip (the simhash token_hash convention)."""
     from pyspark.sql.window import Window
 
     if k < 1 or w < 1:
         raise ValueError(f"k and w must be >= 1, got k={k}, w={w}")
+    if token_hash is None:
+        token_hash = portable_hash60
     toks = tokenize(F.col(text_col))
     staged = df.select(F.col(id_col), toks.alias("__t")).select(
         F.col(id_col),
@@ -1158,7 +1163,7 @@ def winnow_fingerprints(
         F.col(id_col),
         F.col("pos"),
         F.col("__n"),
-        portable_hash60(gram).alias("__h"),
+        token_hash(gram).alias("__h"),
     ).filter(F.col("pos") <= F.col("__n") - k)  # grams 0..n-k (0-based)
     # sliding min over the NEXT w shingle hashes; same (doc, pos) sort
     # as the lead() window, so no second exchange. Valid start

@@ -3347,3 +3347,24 @@ def test_funnel_report_validates(spark):
 
     with _pytest.raises(ValueError, match="non-empty"):
         funnel_report([])
+
+
+def test_winnowing_hash_agnostic_pipeline(spark):
+    """The production xxhash64 variant runs the same pipeline and
+    keeps the coverage guarantee (shared 8-token passage ⇒ shared
+    fingerprint) — only the hash values differ from the md5 default."""
+    from taxi_rides_ny_duckdb_spark.operators.dedup import winnow_fingerprints
+
+    passage = "alpha bravo charlie delta echo foxtrot golf hotel"
+    df = spark.createDataFrame(
+        [
+            (1, f"some leading words {passage} and trailing ones here"),
+            (2, f"{passage} then a different continuation of the text"),
+        ],
+        "doc_id long, text string",
+    )
+    out = winnow_fingerprints(df, "text", "doc_id", k=5, w=4, token_hash=F.xxhash64)
+    fps = {}
+    for r in out.collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert fps[1] & fps[2]
