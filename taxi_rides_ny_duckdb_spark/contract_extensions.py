@@ -5806,7 +5806,12 @@ def ext_nb_train(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     train = d.filter(F.col("doc_id") % 5 != 0)
     token_logp, _ = nb_train(train, "text", "lang")
-    return token_logp.select("label", "token", "n", "logp_r")
+    # count-pin: under a bare count() the no-grouping-key vocab
+    # aggregate (provably 1 row) and its cross join feed only the
+    # unread logp_r and get pruned — the r7 audit class.
+    return _count_pin(
+        token_logp.select("label", "token", "n", "logp_r"), "logp_r"
+    )
 
 
 @query(
@@ -6684,8 +6689,9 @@ def ext_lr_score(spark, sf_dir):
     rides inside the plan (broadcast by construction), the corpus side
     is one groupBy(doc) over the ≤32-rows-per-doc feature frame —
     text never shuffles. Paired with ext_classifier_auc's exact AUC
-    for threshold calibration. memoize=False: training collects
-    eagerly."""
+    for threshold calibration. Count-pinned: under a bare count()
+    Catalyst elides the unread score aggregate (the r7 audit class).
+    memoize=False: training collects eagerly."""
     from .operators.classify import lr_score_surrogate, lr_train_surrogate
 
     d = load(spark, sf_dir, "documents")
@@ -6695,10 +6701,14 @@ def ext_lr_score(spark, sf_dir):
     heldout = d.filter(F.col("doc_id") % 5 == 0)
     w, b = lr_train_surrogate(train, "text", "doc_id", "y", dim=32, iters=3, lr=0.5)
     scores = lr_score_surrogate(heldout, "text", "doc_id", w, b)
-    return scores.join(
-        heldout.select("doc_id", (F.col("lang") == "en").alias("is_positive")),
-        "doc_id",
-    ).select("doc_id", "score_r", "is_positive")
+    return _count_pin(
+        scores.join(
+            heldout.select("doc_id", (F.col("lang") == "en").alias("is_positive")),
+            "doc_id",
+        ).select("doc_id", "score_r", "is_positive"),
+        "score_r",
+        "is_positive",
+    )
 
 
 _FUNNEL_ORACLE = (
