@@ -116,6 +116,11 @@ def query(
 #    a never-windowed NEW query outranks a duplicate-family refresh
 #    (w1_dedup_row_number keeps the family's coverage through the
 #    taxi prefix; the distinct variant is locally parity-gated).
+#    text_token_count likewise ceded to ext_kmeans_train (added after
+#    the drawing): its staged-tokenize machinery is exercised by the
+#    windowed lang_id + quality_score family (the r7 rationale), while
+#    the distributed Lloyd trainer's iterative assignment/update
+#    arithmetic is NEW and exactly what driver evidence certifies.
 #    The other r3-era rows (j1/j2/p2/s1/u1/w1_row_number/x2-x5) run
 #    VERBATIM inside the permanent prefix every round (taxi_fact_trips
 #    IS the broadcast dim join + dim-joined-twice + union-all-tagged;
@@ -170,12 +175,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ext_lr_train",
     "ext_lr_score",
     "ext_filter_funnel",
+    "ext_kmeans_train",
     # 4. Oldest-evidence refresh (r3, not taxi-prefix-covered).
     "a5_metric_count_day",
     "a7_null_count",
     "ext_events_sessionize",
     "ext_events_tumbling_window",
-    "ext_text_token_count",
 )
 
 

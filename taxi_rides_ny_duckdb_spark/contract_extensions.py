@@ -6826,3 +6826,98 @@ def ext_filter_funnel(spark, sf_dir):
             ("decontaminated", s5),
         ]
     )
+
+
+def _kmeans_oracle(iters: int = 3, k: int = 4, dim: int = 64) -> str:
+    """Unrolled-CTE DuckDB replay of kmeans_lloyd: per iteration the
+    exploded-coordinate distance (per-term scaled-integer 1e12
+    quantization → exact LONG sum) with ties-to-lower-cid argmin, then
+    per-(cid, dim) 12dp-quantized DECIMAL coordinate sums / counts,
+    9dp half-away rounded; empty clusters carry the previous
+    centroid."""
+    base = f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+),
+dims AS (
+  SELECT vec_id, g.j, ev[g.j] AS x
+  FROM v CROSS JOIN generate_series(1, {dim}) g(j)
+),
+c0 AS (
+  SELECT CAST(vec_id AS INT) AS cid, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id < {k}
+)"""
+    for t in range(iters):
+        base += f""",
+dd{t} AS (
+  SELECT d.vec_id, c.cid,
+         CAST(SUM(CAST(round((d.x - c.cv[d.j]) * (d.x - c.cv[d.j]) * 1000000000000.0)
+                       AS BIGINT)) AS BIGINT) AS d2
+  FROM dims d CROSS JOIN c{t} c
+  GROUP BY d.vec_id, c.cid
+),
+asg{t} AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
+    FROM dd{t}
+  ) WHERE rn = 1
+),
+st{t} AS (
+  SELECT a.cid, d.j,
+         CAST(SUM(CAST(round(d.x, 12) AS DECIMAL(38,12))) AS DOUBLE) AS s,
+         COUNT(*) AS n
+  FROM dims d JOIN asg{t} a USING (vec_id)
+  GROUP BY a.cid, d.j
+),
+c{t + 1} AS (
+  SELECT c.cid,
+         list(COALESCE(round(st.s / st.n, 9), c.cv[g.j]) ORDER BY g.j) AS cv
+  FROM c{t} c
+  CROSS JOIN generate_series(1, {dim}) g(j)
+  LEFT JOIN st{t} st ON st.cid = c.cid AND st.j = g.j
+  GROUP BY c.cid
+)"""
+    base += f"""
+SELECT c.cid, CAST(g.j AS BIGINT) AS dim_idx, c.cv[g.j] AS coord_r,
+       CAST(COALESCE(sz.n, 0) AS BIGINT) AS n_assigned
+FROM c{iters} c
+CROSS JOIN generate_series(1, {dim}) g(j)
+LEFT JOIN (SELECT cid, COUNT(*) AS n FROM asg{iters - 1} GROUP BY cid) sz
+  USING (cid)
+"""
+    return base
+
+
+@query("ext_kmeans_train", oracle=_kmeans_oracle(), memoize=False)
+def ext_kmeans_train(spark, sf_dir):
+    """Distributed k-means training over the FULL embeddings table
+    (operators/similarity.kmeans_lloyd, 3 Lloyd iterations, k=4,
+    deterministic init = the first k vectors): the quantizer-sizing
+    answer to the SemDeDup finding — nlist must scale with the corpus,
+    so the trainer has to run distributed rather than on a bounded
+    sample. Per iteration: pure-projection assignment (centroids as
+    literals, 9dp round-before-argmin) + ONE map-side-combined
+    k·dim-bounded aggregate + a k·dim driver sync; the oracle replays
+    every iteration as unrolled CTEs. memoize=False: the trainer
+    collects per iteration."""
+    from .operators.similarity import kmeans_lloyd
+
+    emb = load(spark, sf_dir, "embeddings")
+    init = [
+        [float(x) for x in r["cv"]]
+        for r in emb.filter(F.col("vec_id") < 4)
+        .select(F.col("vec_id"), F.col("embedding").cast("array<double>").alias("cv"))
+        .orderBy("vec_id")
+        .collect()
+    ]
+    cents, sizes = kmeans_lloyd(
+        emb, init, id_col="vec_id", vec_col="embedding", iters=3
+    )
+    rows = []
+    for cid, cv in enumerate(cents):
+        for j, x in enumerate(cv, start=1):
+            rows.append((cid, j, x, sizes.get(cid, 0)))
+    return spark.createDataFrame(
+        rows, "cid int, dim_idx bigint, coord_r double, n_assigned bigint"
+    )

@@ -3368,3 +3368,52 @@ def test_winnowing_hash_agnostic_pipeline(spark):
     for r in out.collect():
         fps.setdefault(r["doc_id"], set()).add(r["fingerprint"])
     assert fps[1] & fps[2]
+
+
+def test_kmeans_lloyd_separates_blobs(spark):
+    """Two well-separated blobs with k=2 and one init vector in each:
+    Lloyd must assign every point to its blob and move the centroids
+    to (approximately) the blob means."""
+    from taxi_rides_ny_duckdb_spark.operators.similarity import kmeans_lloyd
+
+    rows = []
+    for i in range(30):
+        rows.append((i, [10.0 + (i % 3) * 0.1, 10.0 - (i % 5) * 0.1]))
+        rows.append((100 + i, [-10.0 - (i % 3) * 0.1, -10.0 + (i % 5) * 0.1]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    init = [[10.0, 10.0], [-10.0, -10.0]]
+    cents, sizes = kmeans_lloyd(df, init, iters=2)
+    assert sizes == {0: 30, 1: 30}
+    assert cents[0][0] > 9.5 and cents[1][0] < -9.5
+    # deterministic: rerun identical
+    again, sizes2 = kmeans_lloyd(df, init, iters=2)
+    assert again == cents and sizes2 == sizes
+
+
+def test_kmeans_lloyd_empty_cluster_carries_centroid(spark):
+    from taxi_rides_ny_duckdb_spark.operators.similarity import kmeans_lloyd
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [0.2, 0.0]), (3, [0.1, 0.1])],
+        "vec_id long, embedding array<double>",
+    )
+    # second centroid is far away — no point ever assigns to it
+    init = [[0.0, 0.0], [99.0, 99.0]]
+    cents, sizes = kmeans_lloyd(df, init, iters=3)
+    assert sizes.get(1) is None or sizes.get(1, 0) == 0
+    assert cents[1] == [99.0, 99.0], "empty cluster must keep its centroid"
+    assert sizes[0] == 3
+
+
+def test_kmeans_lloyd_validates(spark):
+    import pytest as _pytest
+
+    from taxi_rides_ny_duckdb_spark.operators.similarity import kmeans_lloyd
+
+    df = spark.createDataFrame([(1, [0.0])], "vec_id long, embedding array<double>")
+    with _pytest.raises(ValueError, match="iters"):
+        kmeans_lloyd(df, [[0.0]], iters=0)
+    with _pytest.raises(ValueError, match="non-empty"):
+        kmeans_lloyd(df, [], iters=1)
+    with _pytest.raises(ValueError, match="dimensionality"):
+        kmeans_lloyd(df, [[0.0], [0.0, 1.0]], iters=1)
