@@ -121,6 +121,11 @@ def query(
 #    windowed lang_id + quality_score family (the r7 rationale), while
 #    the distributed Lloyd trainer's iterative assignment/update
 #    arithmetic is NEW and exactly what driver evidence certifies.
+#    events_sessionize likewise ceded to ext_passage_clusters (added
+#    after the drawing): its sessionize machinery is shared with the
+#    windowed ext_events_session_window and its streaming twin is
+#    driver-green (the r7 rationale for this exact query), while the
+#    passage-family closure composes two NEW operators.
 #    The other r3-era rows (j1/j2/p2/s1/u1/w1_row_number/x2-x5) run
 #    VERBATIM inside the permanent prefix every round (taxi_fact_trips
 #    IS the broadcast dim join + dim-joined-twice + union-all-tagged;
@@ -176,10 +181,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ext_lr_score",
     "ext_filter_funnel",
     "ext_kmeans_train",
+    "ext_passage_clusters",
     # 4. Oldest-evidence refresh (r3, not taxi-prefix-covered).
     "a5_metric_count_day",
     "a7_null_count",
-    "ext_events_sessionize",
     "ext_events_tumbling_window",
 )
 

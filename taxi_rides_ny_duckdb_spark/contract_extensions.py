@@ -6921,3 +6921,52 @@ def ext_kmeans_train(spark, sf_dir):
     return spark.createDataFrame(
         rows, "cid int, dim_idx bigint, coord_r double, n_assigned bigint"
     )
+
+
+_PASSAGE_CLUSTERS_ORACLE = _WINNOW_CTES.replace(
+    "WITH t AS (", "WITH RECURSIVE t AS (", 1
+) + """, dfc AS (
+  SELECT fingerprint, COUNT(*) AS df FROM wfp GROUP BY fingerprint
+), elig AS (
+  SELECT fingerprint FROM dfc WHERE df BETWEEN 2 AND 10
+), fpe AS (
+  SELECT w.doc_id, w.fingerprint FROM wfp w JOIN elig USING (fingerprint)
+), pmp AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM fpe a JOIN fpe b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING COUNT(*) >= 2
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pmp
+  UNION ALL
+  SELECT id_b, id_a FROM pmp
+), reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+)
+SELECT id AS doc_id, min(r) AS passage_family FROM reach GROUP BY id
+"""
+
+
+@query("ext_passage_clusters", oracle=_PASSAGE_CLUSTERS_ORACLE, memoize=False)
+def ext_passage_clusters(spark, sf_dir):
+    """Passage-sharing document families: transitive closure of the
+    winnowed passage-match pair list (a shares a passage with b, b
+    with c ⇒ one family) — the cluster step that turns pairwise
+    copy detection into actionable groups (license-text families,
+    quote chains, mirrored articles), completing the winnowing ladder
+    exactly as connected components completed the near-dup ladder.
+    Pairs are passage-match-sized (never documents); CC is the
+    size-gated union-find / star machinery; singleton docs come back
+    as their own family. memoize=False: CC iterates eagerly."""
+    from .operators.dedup import connected_components, winnow_passage_matches
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = winnow_passage_matches(
+        d, "text", "doc_id", k=5, w=4, min_shared=2, max_df=10
+    )
+    comp = connected_components(
+        pairs, "id_a", "id_b", nodes=d.select("doc_id")
+    )
+    return comp.select(F.col("id").alias("doc_id"), F.col("component").alias("passage_family"))
