@@ -126,6 +126,12 @@ def query(
 #    windowed ext_events_session_window and its streaming twin is
 #    driver-green (the r7 rationale for this exact query), while the
 #    passage-family closure composes two NEW operators.
+#    events_tumbling_window likewise ceded to
+#    ext_perplexity_bucket_mix (added after the drawing): its batch
+#    tumbling expression shares operators/windows.py with the windowed
+#    ext_events_session_window and its streaming twin is driver-green
+#    (the r7 rationale verbatim), while the quality-paced mixer's
+#    exact-quantile bucketing is NEW arithmetic.
 #    The other r3-era rows (j1/j2/p2/s1/u1/w1_row_number/x2-x5) run
 #    VERBATIM inside the permanent prefix every round (taxi_fact_trips
 #    IS the broadcast dim join + dim-joined-twice + union-all-tagged;
@@ -182,10 +188,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ext_filter_funnel",
     "ext_kmeans_train",
     "ext_passage_clusters",
+    "ext_perplexity_bucket_mix",
     # 4. Oldest-evidence refresh (r3, not taxi-prefix-covered).
     "a5_metric_count_day",
     "a7_null_count",
-    "ext_events_tumbling_window",
 )
 
 

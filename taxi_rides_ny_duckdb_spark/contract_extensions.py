@@ -6970,3 +6970,47 @@ def ext_passage_clusters(spark, sf_dir):
         pairs, "id_a", "id_b", nodes=d.select("doc_id")
     )
     return comp.select(F.col("id").alias("doc_id"), F.col("component").alias("passage_family"))
+
+
+_PPL_MIX_ORACLE = (
+    "WITH lm AS (" + _LM_ORACLE + """
+), cuts AS (
+  SELECT quantile_cont(lm_score_r, 0.25) AS c1,
+         quantile_cont(lm_score_r, 0.50) AS c2,
+         quantile_cont(lm_score_r, 0.75) AS c3
+  FROM lm
+), b AS (
+  SELECT lm.doc_id, lm.lm_score_r,
+         CAST(lm.lm_score_r > cuts.c1 AS INT)
+         + CAST(lm.lm_score_r > cuts.c2 AS INT)
+         + CAST(lm.lm_score_r > cuts.c3 AS INT) AS bucket
+  FROM lm CROSS JOIN cuts
+)
+SELECT doc_id, lm_score_r, CAST(bucket AS INT) AS bucket
+FROM b
+WHERE (CAST(concat('0x', substring(md5(concat('qmix', ':', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) / 4294967296.0)
+      < CASE bucket WHEN 0 THEN 1.0 WHEN 1 THEN 0.75 WHEN 2 THEN 0.5 ELSE 0.25 END
+"""
+)
+
+
+@query("ext_perplexity_bucket_mix", oracle=_PPL_MIX_ORACLE)
+def ext_perplexity_bucket_mix(spark, sf_dir):
+    """Perplexity-paced mixing (operators/sampling.quality_bucket_mix
+    over operators/cleaning.ngram_lm_score): bucket the corpus by
+    exact LM-score quartiles and keep 100/75/50/25 % per bucket —
+    everything reference-like survives, the tail thins; the
+    quality-pacing stage a CCNet-style pipeline runs after scoring.
+    Cuts are one 1-row aggregation broadcast back; bucketing and the
+    per-bucket hash draw are a pure projection — the corpus pays the
+    LM scorer's passes and nothing else."""
+    from .operators.cleaning import ngram_lm_score
+    from .operators.sampling import quality_bucket_mix
+
+    d = load(spark, sf_dir, "documents")
+    lm = ngram_lm_score(d, F.col("lang") == "en", "text", "doc_id").select(
+        "doc_id", "lm_score_r"
+    )
+    return quality_bucket_mix(
+        lm, "doc_id", "lm_score_r", [1.0, 0.75, 0.5, 0.25]
+    )

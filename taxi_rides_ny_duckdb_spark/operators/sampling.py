@@ -852,3 +852,52 @@ def exact_k_sample(df: DataFrame, id_col: str, k: int, salt: str = "exact") -> D
         .limit(k)
         .drop("__u")
     )
+
+
+def quality_bucket_mix(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    keep_fractions: list[float],
+    salt: str = "qmix",
+) -> DataFrame:
+    """Quality-paced mixing: bucket rows by exact global score
+    quantiles (n buckets for n ``keep_fractions``, bucket 0 = LOWEST
+    scores) and keep a different content-addressed fraction per
+    bucket — "keep everything reference-like, thin the tail" as one
+    declarative pass, the quality-pacing counterpart of
+    ``temperature_mixture``'s size-based shares (CCNet keeps/buckets
+    crawl text by LM perplexity exactly this way; pass the best
+    fraction first when lower scores are better, e.g. perplexity).
+
+    Determinism: cuts are EXACT interpolated percentiles
+    (``F.percentile`` bit-matches quantile_cont — the a10 precedent;
+    swap percentile_approx at 100 TB and drop the exactness claim),
+    bucket is a pure ``score > cut`` sum against those cuts, and the
+    per-bucket draw is the engine-portable hash fraction. Plan: one
+    aggregation-bounded cuts pass (1 row, broadcast back) + a pure
+    scan-CASE-filter projection. Output: df columns + ``bucket``,
+    surviving rows only."""
+    n = len(keep_fractions)
+    if n < 2:
+        raise ValueError("need at least 2 buckets")
+    if any(not (0.0 <= f <= 1.0) for f in keep_fractions):
+        raise ValueError("keep_fractions must be in [0, 1]")
+    cuts = df.agg(
+        *[
+            F.percentile(score_col, F.lit(i / n)).alias(f"__c{i}")
+            for i in range(1, n)
+        ]
+    )
+    joined = df.crossJoin(F.broadcast(cuts))
+    bucket = None
+    for i in range(1, n):
+        term = (F.col(score_col) > F.col(f"__c{i}")).cast("int")
+        bucket = term if bucket is None else bucket + term
+    labeled = joined.select(*df.columns, bucket.alias("bucket"))
+    thresh = F.lit(keep_fractions[-1])
+    for i in range(n - 2, -1, -1):
+        thresh = F.when(F.col("bucket") == i, F.lit(keep_fractions[i])).otherwise(
+            thresh
+        )
+    return labeled.filter(hash_fraction(F.col(id_col), salt) < thresh)

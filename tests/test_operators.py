@@ -3417,3 +3417,36 @@ def test_kmeans_lloyd_validates(spark):
         kmeans_lloyd(df, [], iters=1)
     with _pytest.raises(ValueError, match="dimensionality"):
         kmeans_lloyd(df, [[0.0], [0.0, 1.0]], iters=1)
+
+
+def test_quality_bucket_mix_semantics(spark):
+    from taxi_rides_ny_duckdb_spark.operators.sampling import quality_bucket_mix
+
+    # scores 0..99; quartile cuts at 24.75/49.5/74.25
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "id long, score double"
+    )
+    out = quality_bucket_mix(df, "id", "score", [1.0, 1.0, 1.0, 1.0]).collect()
+    # keep-all fractions: every row survives, buckets are quartiles
+    assert len(out) == 100
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r["score"])
+    assert sorted(by_bucket) == [0, 1, 2, 3]
+    assert max(by_bucket[0]) < min(by_bucket[1])
+    assert max(by_bucket[2]) < min(by_bucket[3])
+    # zero fraction for the worst bucket drops it entirely
+    out2 = quality_bucket_mix(df, "id", "score", [1.0, 1.0, 1.0, 0.0]).collect()
+    assert all(r["bucket"] != 3 for r in out2)
+
+
+def test_quality_bucket_mix_validates(spark):
+    import pytest as _pytest
+
+    from taxi_rides_ny_duckdb_spark.operators.sampling import quality_bucket_mix
+
+    df = spark.createDataFrame([(1, 1.0)], "id long, score double")
+    with _pytest.raises(ValueError, match="2 buckets"):
+        quality_bucket_mix(df, "id", "score", [1.0])
+    with _pytest.raises(ValueError, match="keep_fractions"):
+        quality_bucket_mix(df, "id", "score", [1.0, 1.5])
