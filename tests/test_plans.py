@@ -1288,6 +1288,11 @@ def test_winnowing_codegen_row_pipeline(spark, sf_dir):
     lead() and sliding-min windows must share ONE exchange+sort, and
     the per-doc distinct adds exactly one more — two exchanges
     total."""
+    # an earlier parity test may have left winnow_passage_matches'
+    # persisted fingerprint frame in the cache manager — a cache hit
+    # on the identical logical plan would splice an InMemoryTableScan
+    # into this plan and hide the exchanges being pinned
+    spark.catalog.clearCache()
     df = contract.BUILDERS["ext_winnow_fingerprints"](spark, sf_dir)
     plan = plan_of(df)
     assert "transform(" not in plan, "shingle hash regressed into a HOF lambda"
