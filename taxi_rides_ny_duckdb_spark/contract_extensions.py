@@ -6511,9 +6511,13 @@ def ext_winnow_fingerprints(spark, sf_dir):
     sliding window of 4, keep each window's minimum — every shared
     8-token passage between two documents is guaranteed to share a
     fingerprint, at ~2/(w+1) the density of the full shingle set.
-    Pure per-row Column program (tokenize → hash array → sliding
-    array_min → array_distinct → explode): ZERO shuffles, one codegen
-    stage — plan-pinned in tests/test_plans."""
+    EXPLODED-ROW pipeline (posexplode tokens → k-gram via lead() →
+    codegen row-level hash → sliding min over the SAME (doc, pos)
+    sort → per-doc distinct): ONE exchange total, every hash
+    whole-stage-codegen'd — chosen over the zero-shuffle HOF Column
+    form because Catalyst interprets higher-order-function lambdas
+    (~14× slower, the r8 measurement). Exchange count == 1 is
+    plan-pinned in tests/test_plans."""
     from .operators.dedup import winnow_fingerprints
 
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
@@ -6897,7 +6901,8 @@ def ext_kmeans_train(spark, sf_dir):
     answer to the SemDeDup finding — nlist must scale with the corpus,
     so the trainer has to run distributed rather than on a bounded
     sample. Per iteration: pure-projection assignment (centroids as
-    literals, 9dp round-before-argmin) + ONE map-side-combined
+    literals; per-term round(t²·10¹²) LONG sums, argmin ties to the
+    lower cid — exact integers, no rounding step) + ONE map-side-combined
     k·dim-bounded aggregate + a k·dim driver sync; the oracle replays
     every iteration as unrolled CTEs. memoize=False: the trainer
     collects per iteration."""

@@ -1186,20 +1186,85 @@ def j6_outer_join_count_dist(spark, sf_dir):
 )
 def j7_semi_anti_multicond(spark, sf_dir):
     """TPC-H Q21-shaped compound EXISTS / NOT EXISTS: the only supplier
-    with a returned ('R') line on a multi-supplier order. Exercises
-    semi and anti joins with MULTI-CONDITION predicates (equi key +
-    non-equi ``l_suppkey <>``) — beyond ext_semi_join's single-key
-    EXISTS. Spark-first plan: both subqueries become one self-join pass
-    each (left_semi then left_anti on the same key), so the physical
-    plan is two hash joins on l_orderkey — the non-equi term rides
-    along as a join residual, not a nested-loop; the supplier/nation
-    dims broadcast. This query deliberately KEEPS the semi/anti form
-    (it is the contract's multi-condition semi/anti coverage, plan-
-    pinned in tests); at 100 TB the equivalent-but-cheaper
-    decorrelation is per-order aggregates — EXISTS(other supplier) ⇔
-    countDistinct(suppkey) > 1, NOT EXISTS(other R supplier) ⇔
-    R-supplier distinct count = 1 — one (orderkey, suppkey) dedup
-    shuffle instead of two fact self-joins."""
+    with a returned ('R') line on a multi-supplier order. DEFAULT
+    execution is the DECORRELATED aggregate form (the 100 TB plan,
+    promoted from the docstring per VERDICT r8 #2): per (order,
+    supplier) one dedup row with an any-R flag, per order
+    n_supp = distinct suppliers and n_rsupp = distinct R-suppliers;
+    EXISTS(other supplier) ⇔ n_supp > 1 and NOT EXISTS(other R
+    supplier) ⇔ n_rsupp = 1 (the l1 row itself is R, so its supplier
+    IS the unique R-supplier). ONE (orderkey, suppkey) dedup shuffle +
+    one order-grain join back, instead of TWO fact self-joins — 6.4×
+    behind DuckDB at sf10 as semi/anti, at-or-under par decorrelated.
+    Both fan-ins are exact: COUNT over the deduped per-supplier rows
+    gives distinct-supplier counts without countDistinct's Expand.
+    The multi-condition semi/anti PHYSICAL form stays in the contract
+    as ``j7_semi_anti_plan_form`` (same oracle, plan-pinned) — this
+    query certifies the semantics, that one the join lowering.
+    Equivalence of the two forms is additionally pinned row-for-row in
+    tests/test_operators.py::test_j7_aggregate_decorrelation_equivalent."""
+    li = load(spark, sf_dir, "lineitem")
+    per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias(
+            "has_r"
+        )
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("has_r").alias("n_rsupp"),
+    )
+    l1 = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    )
+    waiting = l1.join(
+        per_order.filter((F.col("n_supp") > 1) & (F.col("n_rsupp") == 1)),
+        "l_orderkey",
+    )
+    s = F.broadcast(load(spark, sf_dir, "supplier"))
+    n = F.broadcast(
+        load(spark, sf_dir, "nation").filter(
+            F.col("n_name").isin("NATION_3", "NATION_7")
+        )
+    )
+    return (
+        waiting.join(s, waiting["l_suppkey"] == s["s_suppkey"])
+        .join(n, s["s_nationkey"] == n["n_nationkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@query(
+    "j7_semi_anti_plan_form",
+    oracle="""
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name IN ('NATION_3', 'NATION_7')
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    """,
+)
+def j7_semi_anti_plan_form(spark, sf_dir):
+    """The multi-condition semi/anti PHYSICAL form of j7 — the
+    contract's coverage query for LeftSemi/LeftAnti with compound
+    predicates (equi key + non-equi ``l_suppkey <>``): both subqueries
+    lower to single-pass hash joins on l_orderkey with the non-equi
+    supplier term as a join residual (never BroadcastNestedLoopJoin /
+    CartesianProduct — plan-pinned in tests/test_plans). Same oracle
+    and output as ``j7_semi_anti_multicond``, whose default execution
+    is the decorrelated aggregate plan that replaces these two fact
+    self-joins at scale."""
     li = load(spark, sf_dir, "lineitem")
     l1 = li.select("l_orderkey", "l_suppkey", "l_returnflag").filter(
         F.col("l_returnflag") == "R"

@@ -734,6 +734,16 @@ def k_anonymity_suppress(
     Output: surviving rows + ``qi_group_size`` so downstream audits
     can prove the floor held.
 
+    NULL quasi-values are ALWAYS suppressed, regardless of how many
+    rows share the NULL combination: groupBy counts NULLs as a group
+    (so it can have qi_group_size >= k), but the equi-join back never
+    matches NULL keys — deliberate, and the conservative choice for a
+    privacy gate (a NULL quasi-identifier means its anonymity set is
+    UNKNOWN, not large; treating unknown as unsafe is the fail-closed
+    direction). Callers that want NULL treated as an ordinary value
+    should coalesce to a sentinel before calling. The SQL-oracle
+    rendering (USING join) has identical semantics.
+
     Scale shape: ONE aggregation on the quasi keys (map-side partial
     combine shrinks each partition to its distinct combinations before
     the exchange — the group-count frame is combination-bounded, not

@@ -1213,7 +1213,15 @@ def winnow_passage_matches(
     merge-hinted like every data-sized self-join here (the
     broadcast-compression hazard, r7).
 
-    Output: (id_a, id_b, n_shared) with id_a < id_b."""
+    Output: (id_a, id_b, n_shared) with id_a < id_b.
+
+    Cache note: the fingerprint frame is persisted for intra-query
+    reuse (the df pass and the pair join both read it) and — like
+    every operator-level persist in this repo — NOT unpersisted here,
+    because the returned frame is lazy and unpersisting before the
+    caller's action would recompute fingerprints twice. Callers that
+    run many queries in one session clear between queries
+    (bench.py's clearCache; tests do the same)."""
     if min_shared < 1:
         raise ValueError(f"min_shared must be >= 1, got {min_shared}")
     if max_df < 2:

@@ -1045,10 +1045,16 @@ def kmeans_lloyd(
     exchange-free aggregation on the cache — per-row squared-diff
     terms are codegen-small (the r8 lesson, twice: HOF folds run
     interpreted, and a k·dim expanded expression tree overflows
-    codegen method limits — the exploded form avoids both); terms are
-    12dp-quantized and summed as exact DECIMAL so distances are
-    order-independent, then 9dp-rounded before the argmin (ties to the
-    lower centroid id); (2) the update joins the k-value assignment
+    codegen method limits — the exploded form avoids both); each term
+    is scaled-integer quantized (round(t²·10¹²) cast to LONG) and
+    summed as an exact LONG, so distances are order-independent
+    integers and the argmin (ties to the lower centroid id) is
+    engine-reproducible with no further rounding step. PRECONDITION:
+    coordinates must be bounded so per-term |t²|·10¹² stays well
+    under 2⁶³/dim (|x − c| ≲ 150 at dim 64) — Spark's non-ANSI LONG
+    sum WRAPS silently on overflow where DuckDB raises; unnormalized
+    feature vectors with |coord| ~1e3+ need pre-scaling (embeddings
+    here are unit-scale); (2) the update joins the k-value assignment
     back to the cache (co-partitioned, exchange-free) and takes
     per-(cid, dim) 12dp-quantized DECIMAL coordinate sums + counts —
     ONE map-side-combined k·dim-bounded exchange; (3) the driver
@@ -1057,11 +1063,13 @@ def kmeans_lloyd(
     (deterministic, no re-seeding randomness). ONE action per
     iteration.
 
-    The engine-exact discipline (12dp addends → exact decimal sums →
-    pinned-order division → 9dp half-away rounding) is the LR/GD
-    precedent: the whole training replays bit-for-bit in an
-    unrolled-CTE SQL oracle. Returns (centroids, sizes) where sizes is
-    the LAST iteration's assignment count per centroid id."""
+    The engine-exact discipline (scaled-integer LONG distance sums
+    for the argmin; 12dp decimal addends → exact decimal sums →
+    pinned-order division → 9dp half-away rounding for the centroid
+    update) is the LR/GD precedent: the whole training replays
+    bit-for-bit in an unrolled-CTE SQL oracle. Returns (centroids,
+    sizes) where sizes is the LAST iteration's assignment count per
+    centroid id."""
     from ..operators.classify import _round9_half_up
 
     if iters < 1:

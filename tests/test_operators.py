@@ -733,47 +733,22 @@ def test_chunk_token_windows_reconstruction_property(spark, window, stride):
 
 
 def test_j7_aggregate_decorrelation_equivalent(spark, sf_dir):
-    """The scale rewrite documented in j7's docstring, pinned: the
-    EXISTS/NOT EXISTS pair is equivalent to per-order supplier
+    """The two contract renderings of Q21 must agree row-for-row:
+    ``j7_semi_anti_multicond`` (default: decorrelated per-order
     aggregates — EXISTS(other supplier) ⇔ distinct suppliers > 1,
-    NOT EXISTS(other R supplier) ⇔ distinct R-suppliers = 1 — so the
-    aggregate form must reproduce the semi/anti contract query
-    row-for-row."""
+    NOT EXISTS(other R supplier) ⇔ distinct R-suppliers = 1) and
+    ``j7_semi_anti_plan_form`` (the semi/anti physical form both
+    plans' shared oracle renders literally)."""
     from taxi_rides_ny_duckdb_spark import contract
-    from taxi_rides_ny_duckdb_spark.sources.registry import load
 
     contract.load_all()
     semi_anti = {
         (r["s_name"], r["numwait"])
-        for r in contract.BUILDERS["j7_semi_anti_multicond"](spark, sf_dir).collect()
+        for r in contract.BUILDERS["j7_semi_anti_plan_form"](spark, sf_dir).collect()
     }
-    li = load(spark, sf_dir, "lineitem")
-    per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
-        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("has_r")
-    )
-    per_order = per_supp.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_supp"),
-        F.sum("has_r").alias("n_rsupp"),
-    )
-    l1 = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
-    waiting = l1.join(
-        per_order.filter((F.col("n_supp") > 1) & (F.col("n_rsupp") == 1)),
-        "l_orderkey",
-        "inner",
-    )
-    s = F.broadcast(load(spark, sf_dir, "supplier"))
-    n = F.broadcast(
-        load(spark, sf_dir, "nation").filter(
-            F.col("n_name").isin("NATION_3", "NATION_7")
-        )
-    )
     agg_form = {
         (r["s_name"], r["numwait"])
-        for r in waiting.join(s, waiting["l_suppkey"] == s["s_suppkey"])
-        .join(n, s["s_nationkey"] == n["n_nationkey"])
-        .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
-        .collect()
+        for r in contract.BUILDERS["j7_semi_anti_multicond"](spark, sf_dir).collect()
     }
     assert agg_form == semi_anti and semi_anti
 

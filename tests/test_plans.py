@@ -519,7 +519,7 @@ def test_semi_anti_multicond_are_hash_joins(spark, sf_dir):
     lower to single-pass hash joins on the equi key with the non-equi
     supplier term as a join residual — a BroadcastNestedLoopJoin or
     CartesianProduct here would be O(n²) at scale."""
-    df = contract.BUILDERS["j7_semi_anti_multicond"](spark, sf_dir)
+    df = contract.BUILDERS["j7_semi_anti_plan_form"](spark, sf_dir)
     plan = plan_of(df)
     assert "LeftSemi" in plan and "LeftAnti" in plan
     assert "BroadcastNestedLoopJoin" not in plan
