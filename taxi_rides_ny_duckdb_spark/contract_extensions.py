@@ -6303,7 +6303,10 @@ def ext_purged_kfold(spark, sf_dir):
 _CONTRASTIVE_ORACLE = _COMP_PREFIX + """, pos AS (
   SELECT id_a AS anchor_id, id_b AS positive_id FROM ndpairs
 ), pool AS (
-  SELECT id AS negative_id, component AS nc FROM comp
+  SELECT id AS negative_id, component AS nc,
+         CAST(floor((CAST(concat('0x', substring(md5(concat('neg:bucket', ':', CAST(id AS VARCHAR))), 1, 8)) AS BIGINT)
+              / 4294967296.0) * 8) AS INTEGER) AS nb
+  FROM comp
   WHERE (CAST(concat('0x', substring(md5(concat('neg:pool', ':', CAST(id AS VARCHAR))), 1, 8)) AS BIGINT)
          / 4294967296.0) < 0.25
 ), cand AS (
@@ -6315,7 +6318,12 @@ _CONTRASTIVE_ORACLE = _COMP_PREFIX + """, pos AS (
           / 4294967296.0) AS u
   FROM pos p
   JOIN comp ac ON p.anchor_id = ac.id
-  JOIN pool pl ON ac.component <> pl.nc
+  JOIN pool pl
+    ON CAST(floor((CAST(concat('0x', substring(md5(concat('neg:probe', ':',
+            concat_ws('|', CAST(p.anchor_id AS VARCHAR),
+                           CAST(p.positive_id AS VARCHAR)))), 1, 8)) AS BIGINT)
+            / 4294967296.0) * 8) AS INTEGER) = pl.nb
+   AND ac.component <> pl.nc
 )
 SELECT anchor_id, positive_id, negative_id
 FROM (
@@ -6334,13 +6342,17 @@ def ext_contrastive_pairs(spark, sf_dir):
     one deterministic negative from a bounded broadcast pool OUTSIDE
     the anchor's cluster — in-cluster negatives are false negatives
     that poison a contrastive loss. Pool is a 25 % content-addressed
-    hash sample of the ids (bounded/broadcast at any scale); the
-    corpus is never joined all-pairs. memoize=False: CC iterates
-    eagerly."""
+    hash sample of the ids (bounded/broadcast at any scale), hashed
+    into B=8 buckets; each pair probes exactly ONE bucket (equi-join
+    on the bucket id — |pairs|·|pool|/B work, never the |pairs|×|pool|
+    nested loop; the r8 quadratic-envelope fix, B pinned into the
+    oracle's draw). memoize=False: CC iterates eagerly."""
     from .operators.sampling import contrastive_pairs
 
     pairs, nodes = _embedding_near_dup_inputs(spark, sf_dir)
-    return contrastive_pairs(nodes, pairs, "vec_id", pool_fraction=0.25)
+    return contrastive_pairs(
+        nodes, pairs, "vec_id", pool_fraction=0.25, n_buckets=8
+    )
 
 
 @query(

@@ -696,6 +696,7 @@ def contrastive_pairs(
     src: str = "id_a",
     dst: str = "id_b",
     salt: str = "neg",
+    n_buckets: int = 8,
 ) -> DataFrame:
     """Contrastive training-pair mining from a near-dup pair list:
     every verified near-dup pair (a, b) becomes an (anchor, positive)
@@ -709,23 +710,39 @@ def contrastive_pairs(
     label; the negative pool is a content-addressed ``pool_fraction``
     hash-sample of the corpus ids (BOUNDED by construction — at 100 TB
     the caller sizes the fraction so the pool broadcasts; the corpus
-    itself is never joined all-pairs). Each (anchor, positive) row
-    scans the broadcast pool, keeps candidates from other components,
-    and selects the one with the smallest
-    ``hash_fraction(anchor|positive|candidate)`` — a reproducible
-    per-pair draw (ties break by candidate id). Pairs whose every pool
-    candidate shares the anchor's component (pathological: the pool is
-    one cluster) drop out rather than emit a false negative.
+    itself is never joined all-pairs). The pool is hashed into
+    ``n_buckets`` deterministic BUCKETS
+    (``floor(hash_fraction(candidate)·B)``) and each (anchor,
+    positive) row probes exactly ONE bucket — the one its own hash
+    ``floor(hash_fraction(anchor|positive)·B)`` names — keeping
+    candidates from other components and selecting the one with the
+    smallest ``hash_fraction(anchor|positive|candidate)`` (ties break
+    by candidate id). Every draw is a pure function of content, so
+    re-runs, retries and different layouts return identical
+    negatives; the bucket probe cuts per-pair work from |pool| to
+    |pool|/B comparisons — the r8 quadratic-envelope fix (with pairs
+    ~ corpus-sized and a fixed pool fraction the unbucketed scan was
+    |pairs| × |pool|). The probe is an EQUI-join on the bucket id
+    (hash join with the component check as residual), never a
+    pairs × pool nested loop — plan-pinned in tests/test_plans.
 
-    Output: (anchor_id, positive_id, negative_id) — one row per input
-    pair. Cost: |pairs| × |pool| map-side comparisons + one window on
-    (anchor, positive); no corpus-sized shuffle anywhere."""
+    Dropout semantics: a pair drops out rather than emit a false
+    negative when its probed bucket holds no out-of-component
+    candidate (with |pool|/B ≫ cluster sizes the probability is
+    negligible, and the dropout set is deterministic).
+
+    Output: (anchor_id, positive_id, negative_id) — one row per
+    surviving input pair. Cost: |pairs| × |pool|/B map-side
+    comparisons + one window on (anchor, positive); no corpus-sized
+    shuffle anywhere."""
     from pyspark.sql.window import Window
 
     from ..operators.dedup import connected_components
 
     if not (0.0 < pool_fraction <= 1.0):
         raise ValueError(f"pool_fraction must be in (0, 1], got {pool_fraction}")
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     comp = connected_components(pairs, src, dst, nodes=df.select(id_col))
     pos = pairs.select(
         F.col(src).alias("anchor_id"), F.col(dst).alias("positive_id")
@@ -733,6 +750,19 @@ def contrastive_pairs(
     anchored = pos.join(
         comp.select(F.col("id").alias("anchor_id"), F.col("component").alias("__ac")),
         "anchor_id",
+    ).withColumn(
+        "__probe",
+        F.floor(
+            hash_fraction(
+                F.concat_ws(
+                    "|",
+                    F.col("anchor_id").cast("string"),
+                    F.col("positive_id").cast("string"),
+                ),
+                salt + ":probe",
+            )
+            * F.lit(n_buckets)
+        ).cast("int"),
     )
     pool = (
         df.select(F.col(id_col).alias("negative_id"))
@@ -745,8 +775,18 @@ def contrastive_pairs(
             ),
             "negative_id",
         )
+        .withColumn(
+            "__bkt",
+            F.floor(
+                hash_fraction(F.col("negative_id"), salt + ":bucket")
+                * F.lit(n_buckets)
+            ).cast("int"),
+        )
     )
-    cand = anchored.join(F.broadcast(pool), F.col("__ac") != F.col("__nc"))
+    cand = anchored.join(
+        F.broadcast(pool),
+        (F.col("__probe") == F.col("__bkt")) & (F.col("__ac") != F.col("__nc")),
+    )
     draw = hash_fraction(
         F.concat_ws(
             "|",

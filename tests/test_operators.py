@@ -3042,7 +3042,11 @@ def test_contrastive_pairs_negative_outside_cluster(spark):
     from taxi_rides_ny_duckdb_spark.operators.sampling import contrastive_pairs
 
     nodes, pairs = _toy_cluster_inputs(spark)
-    out = contrastive_pairs(nodes, pairs, "id", pool_fraction=1.0).collect()
+    # n_buckets=1 degenerates to the full-pool scan: every pair sees
+    # every candidate, so exactly one row per input pair survives.
+    out = contrastive_pairs(
+        nodes, pairs, "id", pool_fraction=1.0, n_buckets=1
+    ).collect()
     # one row per input pair
     assert sorted((r["anchor_id"], r["positive_id"]) for r in out) == [
         (1, 2), (2, 3), (5, 6),
@@ -3051,8 +3055,50 @@ def test_contrastive_pairs_negative_outside_cluster(spark):
     for r in out:
         assert comp[r["negative_id"]] != comp[r["anchor_id"]]
     # deterministic: a second run returns the identical rows
-    again = contrastive_pairs(nodes, pairs, "id", pool_fraction=1.0).collect()
+    again = contrastive_pairs(
+        nodes, pairs, "id", pool_fraction=1.0, n_buckets=1
+    ).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_contrastive_pairs_bucketed_draw_matches_replay(spark):
+    """Bucketed probing (the default, B=8): every emitted negative must
+    (a) come from outside the anchor's component, (b) live in exactly
+    the bucket the (anchor, positive) hash names, and (c) be the
+    minimum-draw candidate of that bucket — verified by replaying the
+    md5 arithmetic in pure Python. Dropped pairs are exactly those
+    whose probed bucket has no out-of-component candidate."""
+    import hashlib
+
+    from taxi_rides_ny_duckdb_spark.operators.sampling import contrastive_pairs
+
+    def u(salt, key):
+        h = hashlib.md5(f"{salt}:{key}".encode()).hexdigest()
+        return int(h[:8], 16) / 4294967296.0
+
+    nodes, pairs = _toy_cluster_inputs(spark)
+    B = 4
+    out = {
+        (r["anchor_id"], r["positive_id"]): r["negative_id"]
+        for r in contrastive_pairs(
+            nodes, pairs, "id", pool_fraction=1.0, n_buckets=B
+        ).collect()
+    }
+    comp = {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5}
+    pos = [(1, 2), (2, 3), (5, 6)]
+    expected = {}
+    for a, p in pos:
+        probe = int(u("neg:probe", f"{a}|{p}") * B)
+        cands = [
+            n
+            for n in comp
+            if int(u("neg:bucket", n) * B) == probe and comp[n] != comp[a]
+        ]
+        if cands:
+            expected[(a, p)] = min(
+                cands, key=lambda n: (u("neg", f"{a}|{p}|{n}"), n)
+            )
+    assert out == expected
 
 
 def test_contrastive_pairs_validates_fraction(spark):

@@ -1274,11 +1274,29 @@ def test_exact_k_sample_top_k_plan(spark, sf_dir):
 
 
 def test_contrastive_pairs_broadcasts_pool(spark, sf_dir):
-    """The negative pool join must BROADCAST the bounded pool — a
-    shuffle there would be corpus-sized at scale."""
-    df = contract.BUILDERS["ext_contrastive_pairs"](spark, sf_dir)
+    """The negative pool join must BROADCAST the bounded pool AND probe
+    it through the bucket EQUI key (__probe = __bkt hash join with the
+    component check as residual) — a BroadcastNestedLoopJoin here is
+    the |pairs| × |pool| scan the bucketing exists to remove (r8 fix),
+    and a shuffle would be corpus-sized at scale. Pinned on the
+    OPERATOR's own plan over equi-join-derived inputs: the contract
+    fixture's pair DISCOVERY is a deliberate non-equi all-pairs cosine
+    join over a 100-row subset, whose NL join would mask this
+    assertion."""
+    from taxi_rides_ny_duckdb_spark.operators.sampling import contrastive_pairs
+
+    nodes = spark.range(0, 200).withColumnRenamed("id", "vec_id")
+    pairs = (
+        spark.range(0, 50)
+        .select(
+            F.col("id").alias("id_a"), (F.col("id") + 100).alias("id_b")
+        )
+    )
+    df = contrastive_pairs(nodes, pairs, "vec_id", pool_fraction=0.5)
     plan = plan_of(df)
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "BroadcastHashJoin [__probe" in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_winnowing_codegen_row_pipeline(spark, sf_dir):
