@@ -1076,7 +1076,9 @@ def ext_events_json_extract(spark, sf_dir):
            md5(text) AS payload_hash,
            CAST(octet_length(encode(text)) % 1920 + 1 AS INTEGER) AS width,
            CAST(octet_length(encode(text)) % 1080 + 1 AS INTEGER) AS height,
-           CAST(1 AS INTEGER) AS n_frames
+           CAST(1 AS INTEGER) AS n_frames,
+           CAST(NULL AS INTEGER) AS sample_rate,
+           CAST(NULL AS BIGINT) AS duration_ms
     FROM documents
     """,
 )
@@ -1084,12 +1086,123 @@ def ext_multimodal_features(spark, sf_dir):
     """Multimodal decode/feature-extract plumbing over mapInPandas
     (Arrow batches, zero shuffle). The decode step is a deterministic
     stub (operators/multimodal.py) — byte length, content hash, faked
-    dimensions — so the full Spark path is oracle-checkable; a real
-    decoder replaces only the stub block."""
+    dimensions; container metadata (sample_rate/duration_ms) is NULL
+    by design in stub mode — so the full Spark path is
+    oracle-checkable; the REAL container parse is certified by
+    ext_multimodal_container_meta."""
     from .operators.multimodal import documents_as_media, extract_media_features
 
     media = documents_as_media(load(spark, sf_dir, "documents"))
     return extract_media_features(media, decode_stub=True)
+
+
+@query(
+    "ext_multimodal_container_meta",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, octet_length(encode(text)) AS ob,
+             CAST(1 + doc_id % 2 AS INTEGER) AS ch,
+             CAST(8000 * (1 + doc_id % 3) AS INTEGER) AS rate
+      FROM documents WHERE doc_id < 50
+    )
+    SELECT doc_id * 2 AS media_id,
+           'audio' AS modality,
+           CAST(44 + ob - ob % (ch * 2) AS BIGINT) AS n_bytes,
+           rate AS sample_rate,
+           CAST((((ob - ob % (ch * 2)) // (ch * 2)) * 1000) // rate AS BIGINT) AS duration_ms,
+           CAST(NULL AS INTEGER) AS width,
+           CAST(NULL AS INTEGER) AS height,
+           CAST((ob - ob % (ch * 2)) // (ch * 2) AS INTEGER) AS n_frames
+    FROM d
+    UNION ALL
+    SELECT doc_id * 2 + 1,
+           'video',
+           CAST(232 AS BIGINT),
+           CAST(NULL AS INTEGER),
+           CAST((doc_id % 30 + 1) * 1000 AS BIGINT),
+           CAST(320 + (doc_id % 4) * 16 AS INTEGER),
+           CAST(240 + (doc_id % 4) * 16 AS INTEGER),
+           CAST(NULL AS INTEGER)
+    FROM d
+    """,
+)
+def ext_multimodal_container_meta(spark, sf_dir):
+    """REAL audio/video container-metadata decode (retires the r8
+    honest metadata stubs): per document two genuine binary
+    containers are synthesized executor-side — a 16-bit PCM WAV
+    wrapping the utf-8 text bytes (channels/rate varied by doc_id)
+    and a 232-byte ISO-BMFF skeleton (ftyp+moov/mvhd/tkhd, duration
+    and presentation size varied by doc_id) — then
+    ``extract_media_features`` runs its REAL (non-stub) path:
+    ``parse_wav_header`` walks RIFF chunks for
+    channels/rate/bits/frame count, ``parse_mp4_header`` walks the
+    box tree for timescale/duration/size. The ORACLE predicts the
+    parser's output purely from the construction rules (WAV frames =
+    usable bytes // block align; MP4 duration_ms from the pinned
+    600-tick timescale), so parity fails if the parser misreads any
+    header field. Same mapInPandas batch seam as every multimodal
+    op: synthesis + parse are partition-local, zero shuffle,
+    features-only output. Cites reference scope: the engine treats
+    media as opaque binary + typed metadata; sample-level decode
+    still honestly requires codecs (sample_frames)."""
+    import struct as _struct
+
+    from .operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_media_features,
+        synthesize_mp4,
+        synthesize_wav,
+    )
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50).select(
+        "doc_id", "text"
+    )
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, mods, mimes, payloads = [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                tb = (text or "").encode("utf-8")
+                ids.append(doc_id * 2)
+                mods.append("audio")
+                mimes.append("audio/wav")
+                payloads.append(
+                    synthesize_wav(tb, 1 + doc_id % 2, 8000 * (1 + doc_id % 3))
+                )
+                ids.append(doc_id * 2 + 1)
+                mods.append("video")
+                mimes.append("video/mp4")
+                payloads.append(
+                    synthesize_mp4(
+                        doc_id % 30 + 1,
+                        320 + (doc_id % 4) * 16,
+                        240 + (doc_id % 4) * 16,
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "modality": mods,
+                    "mime": mimes,
+                    "payload": pd.Series(payloads, dtype=object),
+                }
+            )
+
+    media = docs.mapInPandas(build, MEDIA_SCHEMA)
+    feats = extract_media_features(media, decode_stub=False)
+    return feats.select(
+        "media_id",
+        "modality",
+        "n_bytes",
+        "sample_rate",
+        "duration_ms",
+        "width",
+        "height",
+        "n_frames",
+    )
 
 
 @query(
@@ -6844,27 +6957,20 @@ def ext_filter_funnel(spark, sf_dir):
     )
 
 
-def _kmeans_oracle(iters: int = 3, k: int = 4, dim: int = 64) -> str:
-    """Unrolled-CTE DuckDB replay of kmeans_lloyd: per iteration the
-    exploded-coordinate distance (per-term scaled-integer 1e12
-    quantization → exact LONG sum) with ties-to-lower-cid argmin, then
-    per-(cid, dim) 12dp-quantized DECIMAL coordinate sums / counts,
-    9dp half-away rounded; empty clusters carry the previous
-    centroid."""
-    base = f"""
-WITH v AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
-),
-dims AS (
-  SELECT vec_id, g.j, ev[g.j] AS x
-  FROM v CROSS JOIN generate_series(1, {dim}) g(j)
-),
-c0 AS (
-  SELECT CAST(vec_id AS INT) AS cid, CAST(embedding AS DOUBLE[]) AS cv
-  FROM embeddings WHERE vec_id < {k}
-)"""
+def _kmeans_iter_ctes(iters: int, dim: int) -> str:
+    """The per-iteration Lloyd CTE chain shared by every trained-
+    quantizer oracle (``_kmeans_oracle``, ``_semdedup_auto_oracle``):
+    for t in 0..iters-1 emit dd{t} (exploded-coordinate scaled-integer
+    LONG distance sums against c{t}), asg{t} (ties-to-lower-cid
+    argmin), st{t} (per-(cid, dim) 12dp DECIMAL coordinate sums +
+    counts) and c{t+1} (9dp half-away means; empty clusters carry the
+    previous centroid). Requires CTEs ``dims`` (vec_id, j, x) and
+    ``c0`` (cid, cv) upstream; k is whatever c0 holds — the chain
+    itself never names it, which is what lets the auto-sized oracle
+    compute nlist from the data."""
+    out = ""
     for t in range(iters):
-        base += f""",
+        out += f""",
 dd{t} AS (
   SELECT d.vec_id, c.cid,
          CAST(SUM(CAST(round((d.x - c.cv[d.j]) * (d.x - c.cv[d.j]) * 1000000000000.0)
@@ -6894,6 +7000,29 @@ c{t + 1} AS (
   LEFT JOIN st{t} st ON st.cid = c.cid AND st.j = g.j
   GROUP BY c.cid
 )"""
+    return out
+
+
+def _kmeans_oracle(iters: int = 3, k: int = 4, dim: int = 64) -> str:
+    """Unrolled-CTE DuckDB replay of kmeans_lloyd: per iteration the
+    exploded-coordinate distance (per-term scaled-integer 1e12
+    quantization → exact LONG sum) with ties-to-lower-cid argmin, then
+    per-(cid, dim) 12dp-quantized DECIMAL coordinate sums / counts,
+    9dp half-away rounded; empty clusters carry the previous
+    centroid."""
+    base = f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+),
+dims AS (
+  SELECT vec_id, g.j, ev[g.j] AS x
+  FROM v CROSS JOIN generate_series(1, {dim}) g(j)
+),
+c0 AS (
+  SELECT CAST(vec_id AS INT) AS cid, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id < {k}
+)"""
+    base += _kmeans_iter_ctes(iters, dim)
     base += f"""
 SELECT c.cid, CAST(g.j AS BIGINT) AS dim_idx, c.cv[g.j] AS coord_r,
        CAST(COALESCE(sz.n, 0) AS BIGINT) AS n_assigned
@@ -6937,6 +7066,118 @@ def ext_kmeans_train(spark, sf_dir):
             rows.append((cid, j, x, sizes.get(cid, 0)))
     return spark.createDataFrame(
         rows, "cid int, dim_idx bigint, coord_r double, n_assigned bigint"
+    )
+
+
+def _semdedup_auto_oracle(
+    target: int = 250, iters: int = 2, dim: int = 64, threshold: float = 0.3
+) -> str:
+    """DuckDB replay of operators/similarity.semdedup_auto — the whole
+    pipeline with a DATA-SIZED quantizer: nlist = ceil(N/target) as a
+    scalar subquery, init = first nlist vectors by id, the unrolled
+    Lloyd chain (shared ``_kmeans_iter_ctes`` — its CTEs never name k,
+    so a data-dependent centroid count just works), one final
+    scaled-integer argmin assignment against c{iters}, own-centroid
+    cosine (round 9), within-cluster pairs (round-before-threshold),
+    recursive-CTE transitive closure, keep = argmin(cent_sim_r, id)
+    per component."""
+    base = f"""
+WITH RECURSIVE v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+),
+dims AS (
+  SELECT vec_id, g.j, ev[g.j] AS x
+  FROM v CROSS JOIN generate_series(1, {dim}) g(j)
+),
+nl AS (
+  SELECT CAST(ceil(COUNT(*) / {target}.0) AS BIGINT) AS nlist FROM v
+),
+c0 AS (
+  SELECT CAST(rn - 1 AS INT) AS cid, ev AS cv FROM (
+    SELECT vec_id, ev, row_number() OVER (ORDER BY vec_id) AS rn FROM v
+  ) WHERE rn <= (SELECT nlist FROM nl)
+)"""
+    base += _kmeans_iter_ctes(iters, dim)
+    base += f""",
+ddF AS (
+  SELECT d.vec_id, c.cid,
+         CAST(SUM(CAST(round((d.x - c.cv[d.j]) * (d.x - c.cv[d.j]) * 1000000000000.0)
+                       AS BIGINT)) AS BIGINT) AS d2
+  FROM dims d CROSS JOIN c{iters} c
+  GROUP BY d.vec_id, c.cid
+),
+asgF AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
+    FROM ddF
+  ) WHERE rn = 1
+),
+withsim AS (
+  SELECT a.vec_id, v.ev, a.cid AS centroid_id,
+    round(CASE WHEN sqrt(list_sum(list_transform(generate_series(1, {dim}), i -> v.ev[i] * v.ev[i]))) > 0
+            AND sqrt(list_sum(list_transform(generate_series(1, {dim}), i -> c.cv[i] * c.cv[i]))) > 0
+    THEN list_sum(list_transform(generate_series(1, {dim}), i -> v.ev[i] * c.cv[i]))
+         / (sqrt(list_sum(list_transform(generate_series(1, {dim}), i -> v.ev[i] * v.ev[i])))
+            * sqrt(list_sum(list_transform(generate_series(1, {dim}), i -> c.cv[i] * c.cv[i]))))
+    ELSE 0.0 END, 9) AS cent_sim_r
+  FROM asgF a JOIN v ON v.vec_id = a.vec_id JOIN c{iters} c ON c.cid = a.cid
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM withsim a JOIN withsim b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+  WHERE round(CASE WHEN sqrt(list_sum(list_transform(generate_series(1, {dim}), i -> a.ev[i] * a.ev[i]))) > 0
+            AND sqrt(list_sum(list_transform(generate_series(1, {dim}), i -> b.ev[i] * b.ev[i]))) > 0
+    THEN list_sum(list_transform(generate_series(1, {dim}), i -> a.ev[i] * b.ev[i]))
+         / (sqrt(list_sum(list_transform(generate_series(1, {dim}), i -> a.ev[i] * a.ev[i])))
+            * sqrt(list_sum(list_transform(generate_series(1, {dim}), i -> b.ev[i] * b.ev[i]))))
+    ELSE 0.0 END, 9) >= {threshold}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT vec_id, vec_id FROM v
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+),
+comp AS (
+  SELECT id, min(r) AS component FROM reach GROUP BY id
+)
+SELECT w.vec_id, w.centroid_id, c.component, w.cent_sim_r,
+       (row_number() OVER (PARTITION BY c.component
+                           ORDER BY w.cent_sim_r ASC, w.vec_id ASC) = 1) AS keep
+FROM withsim w JOIN comp c ON c.id = w.vec_id
+"""
+    return base
+
+
+@query("ext_semdedup_auto", oracle=_semdedup_auto_oracle(), memoize=False)
+def ext_semdedup_auto(spark, sf_dir):
+    """Scale-adaptive SemDeDup over the FULL embeddings table
+    (operators/similarity.semdedup_auto, target_cluster_size=250,
+    2 Lloyd iterations, threshold=0.3): the quantizer is SIZED AND
+    TRAINED from the corpus — nlist = ceil(N/250), init = first nlist
+    vectors, in-corpus kmeans_lloyd — so mean cluster size stays ~250
+    and within-cluster pairing stays O(N·250) at every scale factor.
+    This is the operator-level close of the r8 measured
+    re-quadratization (frozen 8-centroid quantizer: 4.6 s → 329 s
+    across one decade; this query's own sf0.1→sf1 scaling is the
+    ≤-linear acceptance, BASELINE.md r9). Unlike ext_semdedup (the
+    frozen-quantizer parity query, input bounded by design), this one
+    is UNBOUNDED — the auto-sizing is what makes that safe. The
+    oracle replays everything: data-dependent nlist as a scalar
+    subquery, the unrolled Lloyd chain, the final scaled-integer
+    argmin assignment, and the CC/keep collapse. memoize=False:
+    training collects per iteration."""
+    from .operators.similarity import semdedup_auto
+
+    emb = load(spark, sf_dir, "embeddings")
+    return semdedup_auto(
+        emb, target_cluster_size=250, threshold=0.3, iters=2
     )
 
 

@@ -906,6 +906,19 @@ def semdedup(
     )
     assigned = assigned.withColumn("cent_sim_r", cent_sim)
 
+    return _semdedup_collapse(assigned, threshold, id_col, round_dp)
+
+
+def _semdedup_collapse(
+    assigned: DataFrame, threshold: float, id_col: str, round_dp: int
+) -> DataFrame:
+    """Shared SemDeDup tail: within-cluster pairing (merge-pinned
+    self-join on centroid_id, cosine rounded BEFORE the threshold),
+    size-gated connected components, keep = the component member LEAST
+    similar to its centroid (ties to the lower id). ``assigned``
+    carries (id_col, centroid_id, cent_sim_r, __v, __n)."""
+    from .dedup import connected_components
+
     a, b = assigned.alias("a").hint("merge"), assigned.alias("b")
     score = F.round(
         cosine_given_norms(
@@ -942,6 +955,103 @@ def semdedup(
         "cent_sim_r",
         (F.row_number().over(w) == 1).alias("keep"),
     )
+
+
+def semdedup_auto(
+    df: DataFrame,
+    target_cluster_size: int,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 2,
+    round_dp: int = 9,
+    max_expr_k: int = 128,
+) -> DataFrame:
+    """Scale-adaptive SemDeDup — the operator-level close of the r8
+    finding that a FROZEN coarse quantizer re-quadratizes (measured:
+    4.6 s → 329 s across one 10× scale-up against 8 fixed centroids,
+    BASELINE.md r8 footnote): instead of trusting the caller to size
+    the quantizer, derive nlist = ceil(N / target_cluster_size) from
+    the corpus itself, train that many centroids in-corpus with
+    ``kmeans_lloyd`` (deterministic init = the first nlist vectors by
+    id), and only then run the SemDeDup collapse. Mean cluster size
+    stays ~target_cluster_size at EVERY corpus size, so within-cluster
+    pairing is O(N · target) — the paper's linear envelope, now held
+    by construction rather than by caller discipline.
+
+    Assignment here is one more Lloyd E-step with the final centroids
+    (scaled-integer LONG argmin, ties to the lower cid) — consistent
+    with training and, unlike a float-sum argmin, bit-reproducible in
+    ANY summation order, which is what lets the physical form switch
+    freely: expression aggregates while nlist ≤ ``max_expr_k`` (plan
+    size grows with k), blocked-numpy Arrow beyond (``kmeans_lloyd``'s
+    ``assign`` strategies). The keep-rule score (own-centroid cosine,
+    ``round_dp``-rounded) comes from ONE broadcast join against the
+    k-row centroid frame — no k-branch CASE chain. The collapse tail
+    (merge-pinned within-cluster pairing, round-before-threshold,
+    size-gated CC, keep-the-most-atypical) is shared with ``semdedup``.
+
+    Driver syncs are all bounded: one count, one nlist·dim init
+    collect, k·dim doubles per training iteration. Output schema ==
+    ``semdedup``: (id, centroid_id, component, cent_sim_r, keep).
+    Cites SemDeDup (Abbas et al. 2023) §3: nlist must grow with N —
+    the paper trains k ∝ corpus size on embeddings exactly so."""
+    import math as _math
+
+    if target_cluster_size < 1:
+        raise ValueError(
+            f"target_cluster_size must be >= 1, got {target_cluster_size}"
+        )
+    n = df.count()
+    if n == 0:
+        raise ValueError("semdedup_auto needs a non-empty corpus")
+    nlist = max(1, _math.ceil(n / target_cluster_size))
+    init = [
+        [float(x) for x in r["__cv"]]
+        for r in df.select(
+            F.col(id_col), _as_double_array(F.col(vec_col)).alias("__cv")
+        )
+        .orderBy(id_col)
+        .limit(nlist)
+        .collect()
+    ]
+    strategy = "expr" if nlist <= max_expr_k else "arrow"
+    cents, _sizes = kmeans_lloyd(
+        df, init, id_col=id_col, vec_col=vec_col, iters=iters, assign=strategy
+    )
+    v = ensure_min_partitions(df).select(
+        F.col(id_col),
+        _as_double_array(F.col(vec_col)).alias("__v"),
+    ).withColumn("__n", l2_norm(F.col("__v")))
+    if strategy == "expr":
+        dims = v.select(
+            F.col(id_col), F.posexplode("__v").alias("pos", "x")
+        ).select(F.col(id_col), (F.col("pos") + 1).alias("j"), "x")
+        asg = _kmeans_assign_expr(dims, cents, id_col)
+    else:
+        asg = kmeans_assign_arrow(v, cents, id_col, vec_col="__v")
+    spark = df.sparkSession
+    cents_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cid int, cv array<double>",
+    ).withColumn("__cn", l2_norm(F.col("cv")))
+    assigned = (
+        v.join(asg, id_col)
+        .join(F.broadcast(cents_df), "cid")
+        .select(
+            F.col(id_col),
+            F.col("cid").alias("centroid_id"),
+            F.col("__v"),
+            F.col("__n"),
+            F.round(
+                cosine_given_norms(
+                    F.col("__v"), F.col("cv"), F.col("__n"), F.col("__cn")
+                ),
+                round_dp,
+            ).alias("cent_sim_r"),
+        )
+    )
+    return _semdedup_collapse(assigned, threshold, id_col, round_dp)
 
 
 def _pick_centroid_cosine(
@@ -1030,6 +1140,7 @@ def kmeans_lloyd(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     iters: int = 3,
+    assign: str = "expr",
 ) -> tuple[list[list[float]], dict[int, int]]:
     """Distributed k-means (Lloyd) trainer — the quantizer-sizing
     answer to the SemDeDup finding (cluster counts must SCALE with the
@@ -1069,13 +1180,37 @@ def kmeans_lloyd(
     update) is the LR/GD precedent: the whole training replays
     bit-for-bit in an unrolled-CTE SQL oracle. Returns (centroids,
     sizes) where sizes is the LAST iteration's assignment count per
-    centroid id."""
+    centroid id.
+
+    ``assign`` picks the E-step's physical form — the arithmetic
+    (scaled-integer LONG distance sums, argmin ties to the lower cid)
+    is IDENTICAL and the result bit-equal either way (pinned by
+    tests/test_operators.py::test_kmeans_assign_arrow_matches_expr):
+
+    - ``"expr"`` (default): k codegen sum-aggregates over the exploded
+      cache, argmin as an array_min of structs — zero Python, but the
+      plan carries k aggregate columns and k literal arrays, so plan
+      build + Janino compile grow with k. Right for k ≲ ~128 (the
+      coarse-quantizer regime of the oracled contract queries).
+    - ``"arrow"``: one mapInPandas over the (id, vector) frame —
+      centroids ride in the closure as ONE k×dim ndarray; per Arrow
+      batch the argmin is blocked numpy (row-chunks × centroid-chunks
+      so the b×k×dim temporary stays ~tens of MB). Because the
+      distance terms are quantized to int64 BEFORE summing, numpy's
+      pairwise summation equals the fold sum exactly — integer
+      addition is associative, which is precisely why the scaled-int
+      route (not a float sum) is the only Arrow-safe one. Right for
+      large k, where the trainer is O(N·k·dim) per iteration no
+      matter what and vectorized C is the only sane executor.
+    """
     from ..operators.classify import _round9_half_up
 
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
     if not init_centroids:
         raise ValueError("init_centroids must be non-empty")
+    if assign not in ("expr", "arrow"):
+        raise ValueError(f"assign must be 'expr' or 'arrow', got {assign!r}")
     dim = len(init_centroids[0])
     if any(len(c) != dim for c in init_centroids):
         raise ValueError("init centroids must share one dimensionality")
@@ -1088,35 +1223,23 @@ def kmeans_lloyd(
         .repartition(F.col(id_col))
         .persist()
     )
+    vecs = None
+    if assign == "arrow":
+        vecs = (
+            df.select(
+                F.col(id_col), _as_double_array(F.col(vec_col)).alias("__v")
+            )
+            .repartition(F.col(id_col))
+            .persist()
+        )
     cents = [list(map(float, c)) for c in init_centroids]
     k = len(cents)
     sizes: dict[int, int] = {}
     for _ in range(iters):
-        dist_aggs = []
-        for cid, c in enumerate(cents):
-            cl = F.lit([float(x) for x in c])
-            t = F.col("x") - F.element_at(cl, F.col("j").cast("int"))
-            # scaled-integer quantization: round(t²·10¹²) → exact LONG
-            # sums — order-independent like the decimal route but
-            # ~3× cheaper than Decimal128 on the corpus-sized agg
-            # (both engines compute the identical double t²·1e12
-            # before the round, so the integers match bit-for-bit;
-            # 64 terms × |t²| ≤ ~2e12 stays far under 2⁶³).
-            dist_aggs.append(
-                F.sum(F.round(t * t * F.lit(1e12)).cast("long")).alias(
-                    f"__d{cid}"
-                )
-            )
-        dist = dims.groupBy(id_col).agg(*dist_aggs)
-        choice = F.array_min(
-            F.array(
-                *[
-                    F.struct(F.col(f"__d{i}").alias("d"), F.lit(i).alias("i"))
-                    for i in range(k)
-                ]
-            )
-        )["i"]
-        asg = dist.select(F.col(id_col), choice.alias("cid"))
+        if assign == "arrow":
+            asg = kmeans_assign_arrow(vecs, cents, id_col, vec_col="__v")
+        else:
+            asg = _kmeans_assign_expr(dims, cents, id_col)
         rows = (
             dims.join(asg, id_col)
             .groupBy("cid", "j")
@@ -1142,4 +1265,108 @@ def kmeans_lloyd(
             for ci in range(k)
         ]
     dims.unpersist()
+    if vecs is not None:
+        vecs.unpersist()
     return cents, sizes
+
+
+def _kmeans_assign_expr(
+    dims: DataFrame, cents: list[list[float]], id_col: str
+) -> DataFrame:
+    """Lloyd E-step, expression form: per-vector scaled-integer
+    distances to all k centroids as ONE aggregation over the exploded
+    (id, j, x) cache (k codegen-small sum columns — centroids ride as
+    array literals indexed by element_at), argmin as an array_min of
+    (d, i) structs — ties to the lower centroid id. Returns (id_col,
+    cid). Plan size grows with k; see ``kmeans_lloyd`` for the
+    strategy trade-off."""
+    k = len(cents)
+    dist_aggs = []
+    for cid, c in enumerate(cents):
+        cl = F.lit([float(x) for x in c])
+        t = F.col("x") - F.element_at(cl, F.col("j").cast("int"))
+        # scaled-integer quantization: round(t²·10¹²) → exact LONG
+        # sums — order-independent like the decimal route but
+        # ~3× cheaper than Decimal128 on the corpus-sized agg
+        # (both engines compute the identical double t²·1e12
+        # before the round, so the integers match bit-for-bit;
+        # 64 terms × |t²| ≤ ~2e12 stays far under 2⁶³).
+        dist_aggs.append(
+            F.sum(F.round(t * t * F.lit(1e12)).cast("long")).alias(f"__d{cid}")
+        )
+    dist = dims.groupBy(id_col).agg(*dist_aggs)
+    choice = F.array_min(
+        F.array(
+            *[
+                F.struct(F.col(f"__d{i}").alias("d"), F.lit(i).alias("i"))
+                for i in range(k)
+            ]
+        )
+    )["i"]
+    return dist.select(F.col(id_col), choice.alias("cid"))
+
+
+def kmeans_assign_arrow(
+    df: DataFrame,
+    cents: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd E-step, Arrow form: nearest centroid per vector by the
+    SAME scaled-integer distance as ``_kmeans_assign_expr`` —
+    per-term floor(t²·10¹² + 0.5) (== round-half-up; t² ≥ 0) summed
+    as int64, argmin ties to the lower centroid id — computed in
+    blocked numpy inside one ``mapInPandas``. Integer sums are
+    associative, so numpy's pairwise order equals the expression
+    fold EXACTLY (the reason the Arrow path quantizes before summing
+    rather than summing doubles). Returns (id_col, cid int).
+
+    100 TB shape: centroids ship once per task in the closure as a
+    k×dim float64 ndarray (8·k·dim bytes — 800×64 is 400 KB); the
+    corpus streams through in Arrow batches, never shuffles; the
+    b×kc×dim temporary is double-blocked (row chunks × centroid
+    chunks) to stay ~30 MB regardless of batch size or k."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(cents, dtype=np.float64)
+    out_schema = f"{id_col} long, cid int"
+    row_chunk, cent_chunk = 1024, 64
+
+    def fn(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            X = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            best_d = np.empty(n, dtype=np.int64)
+            best_i = np.empty(n, dtype=np.int32)
+            for r0 in range(0, n, row_chunk):
+                xb = X[r0 : r0 + row_chunk]
+                bd = None
+                bi = None
+                for c0 in range(0, len(C), cent_chunk):
+                    cb = C[c0 : c0 + cent_chunk]
+                    t = xb[:, None, :] - cb[None, :, :]
+                    d = (
+                        np.floor(t * t * 1e12 + 0.5)
+                        .astype(np.int64)
+                        .sum(axis=2)
+                    )
+                    ci = d.argmin(axis=1)  # first occurrence = lower cid
+                    cd = d[np.arange(len(xb)), ci]
+                    if bd is None:
+                        bd, bi = cd, (ci + c0).astype(np.int32)
+                    else:
+                        upd = cd < bd  # strict: earlier chunk keeps ties
+                        bd = np.where(upd, cd, bd)
+                        bi = np.where(upd, (ci + c0).astype(np.int32), bi)
+                best_d[r0 : r0 + len(xb)] = bd
+                best_i[r0 : r0 + len(xb)] = bi
+            yield pd.DataFrame({id_col: ids, "cid": best_i})
+
+    return df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        _as_double_array(F.col(vec_col)).alias(vec_col),
+    ).mapInPandas(fn, schema=out_schema)

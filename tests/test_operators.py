@@ -353,6 +353,87 @@ def test_multimodal_real_decode_with_pil(spark):
     assert resized[3]["payload"] is None
 
 
+def test_container_header_parsers_roundtrip():
+    """The pure-Python WAV/MP4 metadata parsers must read back exactly
+    what the synthesizers wrote — including the RIFF odd-size padding
+    walk, the mvhd v1 (64-bit) layout, and graceful None on garbage."""
+    import struct
+
+    from taxi_rides_ny_duckdb_spark.operators.multimodal import (
+        parse_mp4_header,
+        parse_wav_header,
+        synthesize_mp4,
+        synthesize_wav,
+    )
+
+    # stereo: block align 4, 101 bytes of data truncate to 25 frames
+    wav = synthesize_wav(b"x" * 101, 2, 16000)
+    assert parse_wav_header(wav) == (2, 16000, 16, 25)
+    # mono with an extra ODD-sized chunk before fmt: the chunk walk
+    # must skip it with word alignment intact
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    base = synthesize_wav(b"y" * 32, 1, 8000)
+    padded = base[:12] + extra + base[12:]
+    assert parse_wav_header(padded) == (1, 8000, 16, 16)
+
+    mp4 = synthesize_mp4(7, 336, 256)
+    assert len(mp4) == 232  # the constant the contract oracle pins
+    assert parse_mp4_header(mp4) == (600, 7 * 600, 336, 256)
+    # mvhd version 1: 64-bit creation/modification/duration layout
+    mvhd1_body = (
+        b"\x01\x00\x00\x00"
+        + struct.pack(">QQ", 0, 0)
+        + struct.pack(">I", 90000)
+        + struct.pack(">Q", 123456789)
+    )
+    mvhd1 = struct.pack(">I", 8 + len(mvhd1_body)) + b"mvhd" + mvhd1_body
+    moov = struct.pack(">I", 8 + len(mvhd1)) + b"moov" + mvhd1
+    assert parse_mp4_header(moov) == (90000, 123456789, None, None)
+
+    # corrupt inputs are data, not exceptions
+    for junk in (b"", b"RIFF", b"RIFFxxxxWAVE", b"\x00" * 40, b"not-media"):
+        assert parse_wav_header(junk) is None
+        assert parse_mp4_header(junk) is None
+
+
+def test_extract_media_features_real_container_path(spark):
+    """extract_media_features(decode_stub=False) on audio/video rows
+    runs WITHOUT Pillow (container parsing is pure Python): WAV rows
+    get sample_rate/n_frames/duration_ms, MP4 rows get
+    width/height/duration_ms, and a corrupt payload degrades to NULL
+    metadata instead of failing the partition."""
+    from taxi_rides_ny_duckdb_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_media_features,
+        synthesize_mp4,
+        synthesize_wav,
+    )
+
+    rows = [
+        (1, "audio", "audio/wav", synthesize_wav(b"z" * 400, 2, 16000)),
+        (2, "video", "video/mp4", synthesize_mp4(3, 320, 240)),
+        (3, "audio", "audio/wav", b"garbage-not-a-wav"),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {
+        r["media_id"]: r
+        for r in extract_media_features(media, decode_stub=False).collect()
+    }
+    a = feats[1]
+    assert (a["sample_rate"], a["n_frames"], a["duration_ms"]) == (
+        16000,
+        100,
+        100 * 1000 // 16000,
+    )
+    assert a["width"] is None and a["height"] is None
+    v = feats[2]
+    assert (v["width"], v["height"], v["duration_ms"]) == (320, 240, 3000)
+    assert v["sample_rate"] is None and v["n_frames"] is None
+    bad = feats[3]
+    assert bad["sample_rate"] is None and bad["duration_ms"] is None
+    assert bad["n_bytes"] == len(b"garbage-not-a-wav")
+
+
 def test_hash_split_deterministic_partition_of_ids(spark):
     """hash_split labels are a deterministic function of id only:
     stable across re-runs and repartitioning, weights ~respected."""
@@ -3438,6 +3519,93 @@ def test_kmeans_lloyd_validates(spark):
         kmeans_lloyd(df, [], iters=1)
     with _pytest.raises(ValueError, match="dimensionality"):
         kmeans_lloyd(df, [[0.0], [0.0, 1.0]], iters=1)
+
+
+def test_kmeans_assign_arrow_matches_expr(spark, sf_dir):
+    """The two E-step physical forms must be BIT-EQUAL on real fixture
+    embeddings — the property that licenses the large-k Arrow path:
+    distance terms are quantized to int64 before summing, so numpy's
+    pairwise order equals the expression fold exactly, and the whole
+    trainer (assign='arrow' vs 'expr') returns identical centroids
+    and sizes."""
+    from taxi_rides_ny_duckdb_spark.operators.similarity import (
+        _kmeans_assign_expr,
+        kmeans_assign_arrow,
+        kmeans_lloyd,
+    )
+    from taxi_rides_ny_duckdb_spark.sources.registry import load
+
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    init = [
+        [float(x) for x in r["cv"]]
+        for r in emb.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id"), F.col("embedding").cast("array<double>").alias("cv"))
+        .orderBy("vec_id")
+        .collect()
+    ]
+    dims = (
+        emb.select(
+            F.col("vec_id"),
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "pos", "x"
+            ),
+        )
+        .select(F.col("vec_id"), (F.col("pos") + 1).alias("j"), "x")
+    )
+    expr_asg = {
+        r["vec_id"]: r["cid"]
+        for r in _kmeans_assign_expr(dims, init, "vec_id").collect()
+    }
+    arrow_asg = {
+        r["vec_id"]: r["cid"]
+        for r in kmeans_assign_arrow(emb, init, "vec_id").collect()
+    }
+    assert expr_asg == arrow_asg and len(expr_asg) == 300
+
+    ce, se = kmeans_lloyd(emb, init, iters=2, assign="expr")
+    ca, sa = kmeans_lloyd(emb, init, iters=2, assign="arrow")
+    assert ce == ca and se == sa
+
+
+def test_semdedup_auto_sizes_quantizer_and_keeps_one_per_component(spark):
+    """semdedup_auto must derive nlist from N/target (2 well-separated
+    blobs of 40 with target 40 → 2 clusters), keep exactly one row per
+    component, and return the same schema as semdedup."""
+    from taxi_rides_ny_duckdb_spark.operators.similarity import semdedup_auto
+
+    rows = []
+    for i in range(40):
+        rows.append((i, [5.0 + 0.001 * i, 5.0, 1.0, 0.0]))
+        rows.append((100 + i, [-5.0 - 0.001 * i, 5.0, -1.0, 0.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semdedup_auto(df, target_cluster_size=40, threshold=0.999).collect()
+    assert len(out) == 80
+    assert {r["centroid_id"] for r in out} == {0, 1}
+    by_comp = {}
+    for r in out:
+        by_comp.setdefault(r["component"], []).append(r)
+    for comp_rows in by_comp.values():
+        assert sum(r["keep"] for r in comp_rows) == 1
+    # near-identical blob members must collapse into one component each
+    assert len(by_comp) == 2
+    # determinism across reruns
+    again = semdedup_auto(df, target_cluster_size=40, threshold=0.999).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_semdedup_auto_validates(spark):
+    import pytest as _pytest
+
+    from taxi_rides_ny_duckdb_spark.operators.similarity import semdedup_auto
+
+    df = spark.createDataFrame(
+        [(1, [0.0])], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(ValueError, match="target_cluster_size"):
+        semdedup_auto(df, target_cluster_size=0, threshold=0.5)
+    empty = df.filter("vec_id < 0")
+    with _pytest.raises(ValueError, match="non-empty"):
+        semdedup_auto(empty, target_cluster_size=10, threshold=0.5)
 
 
 def test_quality_bucket_mix_semantics(spark):
