@@ -104,6 +104,149 @@ def sink_scratch_dir(sf_dir: str, name: str) -> str:
     )
 
 
+def ensure_layout(sf_dir: str, name: str, build) -> str:
+    """Build-once per (dataset, process) on-disk layout cache: calls
+    ``build(path)`` the first time a process asks for ``name`` over
+    ``sf_dir``, then returns the same path for free on every later
+    call (a ``_LAYOUT_OK`` marker gates rebuilds). This is the ingest
+    side of the scale story made explicit: at 100 TB the partitioned /
+    sorted / manifested layout is written ONCE at ingest and every
+    query reads the pruned form — the contract fixtures replay exactly
+    that amortization (first call pays the rewrite, every rerun and
+    every sibling query reads pruned). pid-keyed like
+    ``sink_scratch_dir`` so concurrent driver/bench sessions never
+    race on overwrite-vs-read."""
+    import os
+
+    path = sink_scratch_dir(sf_dir, f"layout_{name}")
+    marker = os.path.join(path, "_LAYOUT_OK")
+    if not os.path.exists(marker):
+        build(path)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return path
+
+
+def partitioned_id_layout(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    id_col: str,
+    bucket_size: int = 1024,
+) -> str:
+    """Hive-partition ``table`` by ``floor(id/bucket_size)`` (column
+    ``__bkt``) under a process-local layout dir — the cure for
+    fixed-id-subset workloads whose scan otherwise grows with the
+    corpus: a filter on ``__bkt`` prunes whole directories at
+    planning time, so reading ids [0, 100) touches one bucket no
+    matter how many billions of rows the table grows. Built once per
+    process via ``ensure_layout``."""
+    from ..sources.registry import load
+
+    def build(path: str) -> None:
+        df = load(spark, sf_dir, table)
+        df.withColumn(
+            "__bkt", F.floor(F.col(id_col) / F.lit(bucket_size)).cast("long")
+        ).write.mode("overwrite").partitionBy("__bkt").parquet(path)
+
+    return ensure_layout(sf_dir, f"{table}_by_{id_col}_{bucket_size}", build)
+
+
+def pruned_id_range_read(
+    spark: SparkSession,
+    path: str,
+    id_col: str,
+    lo: int,
+    hi: int,
+    bucket_size: int = 1024,
+) -> DataFrame:
+    """Range read through a ``partitioned_id_layout``: the ``__bkt``
+    predicate prunes directories at planning time (PartitionFilters in
+    the scan), the row-level ``id`` predicate re-filters inside the
+    surviving buckets — pruning is an optimization, never a
+    correctness dependency. [lo, hi) semantics."""
+    df = spark.read.parquet(path)
+    return (
+        df.filter(
+            (F.col("__bkt") >= lo // bucket_size)
+            & (F.col("__bkt") <= (hi - 1) // bucket_size)
+            & (F.col(id_col) >= F.lit(lo))
+            & (F.col(id_col) < F.lit(hi))
+        )
+        .drop("__bkt")
+    )
+
+
+def sorted_topk_layout(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    df_build,
+    sort_col: str,
+    tie_col: str,
+    n_files: int = 16,
+) -> tuple[str, str]:
+    """Materialized-sort-column layout for fixed top-k workloads:
+    write ``df_build()`` range-partitioned on (sort_col, tie_col) —
+    non-overlapping per-file ranges, sorted within — plus a tiny
+    per-file min/max/count MANIFEST (``file_stats_index``). A top-k
+    query then reads the manifest (n_files rows), takes the minimal
+    file PREFIX covering k rows, and scans only that — the scan stops
+    growing with the corpus, which a computed-on-read sort key can
+    never do. Returns (data_path, manifest_path)."""
+
+    def build(path: str) -> None:
+        df = df_build()
+        (
+            df.repartitionByRange(n_files, F.col(sort_col), F.col(tie_col))
+            .sortWithinPartitions(sort_col, tie_col)
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        idx = file_stats_index(spark.read.parquet(path), [sort_col])
+        idx.coalesce(1).write.mode("overwrite").parquet(path + "__manifest")
+
+    data = ensure_layout(sf_dir, f"topk_{name}", build)
+    return data, data + "__manifest"
+
+
+def topk_prefix_scan(
+    spark: SparkSession,
+    data_path: str,
+    manifest_path: str,
+    sort_col: str,
+    k: int,
+) -> DataFrame:
+    """Plan a global top-k THROUGH a ``sorted_topk_layout`` manifest:
+    sort the manifest rows by ``{sort_col}_min``, verify the file
+    ranges are non-overlapping (equal sort keys land in one range
+    partition, so a sound layout always passes; an unsound one falls
+    back to scanning everything — pruning is never a correctness
+    dependency), and read the minimal prefix whose cumulative row
+    count reaches k. The driver handles n_files rows — the same
+    bounded class as broadcast thresholds. The caller still applies
+    its own orderBy/limit on the returned frame."""
+    rows = sorted(
+        spark.read.parquet(manifest_path).collect(),
+        key=lambda r: (r[f"{sort_col}_min"], r["file"]),
+    )
+    sound = all(
+        rows[i][f"{sort_col}_max"] <= rows[i + 1][f"{sort_col}_min"]
+        for i in range(len(rows) - 1)
+    )
+    if not sound:
+        return spark.read.parquet(data_path)
+    keep, covered = [], 0
+    for r in rows:
+        keep.append(r["file"])
+        covered += r["n_rows"]
+        if covered >= k:
+            break
+    if not keep:
+        return spark.read.parquet(data_path)
+    return spark.read.parquet(*keep)
+
+
 def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     """Read a bucketed table with its bucket metadata intact (only the
     catalog path preserves bucketing — ``spark.read.parquet`` on the

@@ -1273,6 +1273,64 @@ def test_exact_k_sample_top_k_plan(spark, sf_dir):
     assert "rangepartitioning" not in plan.lower()
 
 
+def test_pruned_id_layout_prunes_partitions(spark, sf_dir):
+    """The fixed-subset fixture layout must actually prune: the scan
+    over partitioned_id_layout with a [0, 100) id range carries a
+    PartitionFilter on __bkt (planning-time directory pruning — the
+    scan reads ONE bucket however large the table grows), and the
+    row-level vec_id predicate stays as the in-bucket re-filter."""
+    from taxi_rides_ny_duckdb_spark.operators.scale import (
+        partitioned_id_layout,
+        pruned_id_range_read,
+    )
+
+    path = partitioned_id_layout(spark, sf_dir, "embeddings", "vec_id")
+    df = pruned_id_range_read(spark, path, "vec_id", 0, 100)
+    plan = formatted(df)
+    part = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert any("__bkt" in l for l in part), plan[:2000]
+    assert df.count() == 100
+
+
+def test_topk_prefix_scan_covers_global_topk(spark, sf_dir):
+    """topk_prefix_scan must return a file subset that provably
+    contains the global top-k: the manifest prefix rows re-sorted by
+    the materialized draw must equal the full-scan top-k exactly, and
+    the pruned read must touch fewer files than the layout holds."""
+    from pyspark.sql import functions as F
+
+    from taxi_rides_ny_duckdb_spark.operators.sampling import hash_fraction
+    from taxi_rides_ny_duckdb_spark.operators.scale import (
+        sorted_topk_layout,
+        topk_prefix_scan,
+    )
+    from taxi_rides_ny_duckdb_spark.sources.registry import load
+
+    def build_df():
+        return (
+            load(spark, sf_dir, "documents")
+            .select("doc_id")
+            .withColumn("__draw", hash_fraction(F.col("doc_id"), "exact"))
+        )
+
+    data, manifest = sorted_topk_layout(
+        spark, sf_dir, "documents_exact_draw_plan_test", build_df,
+        "__draw", "doc_id", n_files=8,
+    )
+    pruned = topk_prefix_scan(spark, data, manifest, "__draw", 10)
+    n_files_read = pruned.select(F.input_file_name()).distinct().count()
+    assert n_files_read < 8, "prefix scan must prune files"
+    got = [
+        r["doc_id"]
+        for r in pruned.orderBy("__draw", "doc_id").limit(10).collect()
+    ]
+    want = [
+        r["doc_id"]
+        for r in build_df().orderBy("__draw", "doc_id").limit(10).collect()
+    ]
+    assert got == want
+
+
 def test_contrastive_pairs_broadcasts_pool(spark, sf_dir):
     """The negative pool join must BROADCAST the bounded pool AND probe
     it through the bucket EQUI key (__probe = __bkt hash join with the
