@@ -90,53 +90,48 @@ def query(
 # local replica of the gate (tests/test_contract_parity.py,
 # collect-compare + driver-faithful pandas-hash).
 #
-# ROUND-8 drawing, never-windowed-first (the standing rule):
+# ROUND-9 drawing, never-windowed-first (the standing rule):
 # 1. The reference taxi DAG keeps the permanent 8-slot prefix (the
 #    parity claim the whole repo makes, re-verified every round).
-# 2. All 26 queries with NO driver evidence yet take slots: the
-#    r7 post-seal additions (nb_train/nb_classify/classifier_auc,
-#    semdedup, semantic_decontaminate, pca_whiten,
-#    streaming_topk_rollup) and the r7 queries the 50-slot r7 window
-#    could not fit (ivf_sq8, weighted_sample, histogram_quantile —
-#    each carried a written "takes a slot at the r8 drawing" note —
-#    plus the events/profile/text/streaming families listed below).
-#    ext_streaming_incremental_dedup stays un-windowed BY CHOICE:
-#    its oracle is the SAME string as windowed ext_incremental_dedup
-#    (batch/stream symmetry is the claim) and the streaming execution
-#    path is locally gated (tests/test_streaming.py).
-# 3. The 10 queries NEW this round take slots (purged k-fold,
-#    contrastive pairs, temperature mixture, exact-k sample,
-#    k-anonymity, domain quality gate, winnowing fingerprints,
-#    passage matches, LR train/score).
-# 4. The remaining 6 slots refresh the oldest driver evidence (r3):
-#    a5_metric_count_day, a7_null_count, events_sessionize,
-#    events_tumbling_window, text_token_count — the r3-era queries
-#    NOT exercised verbatim by the taxi prefix. w1_dedup_distinct
-#    ceded its slot to ext_filter_funnel (added after the drawing):
-#    a never-windowed NEW query outranks a duplicate-family refresh
-#    (w1_dedup_row_number keeps the family's coverage through the
-#    taxi prefix; the distinct variant is locally parity-gated).
-#    text_token_count likewise ceded to ext_kmeans_train (added after
-#    the drawing): its staged-tokenize machinery is exercised by the
-#    windowed lang_id + quality_score family (the r7 rationale), while
-#    the distributed Lloyd trainer's iterative assignment/update
-#    arithmetic is NEW and exactly what driver evidence certifies.
-#    events_sessionize likewise ceded to ext_passage_clusters (added
-#    after the drawing): its sessionize machinery is shared with the
-#    windowed ext_events_session_window and its streaming twin is
-#    driver-green (the r7 rationale for this exact query), while the
-#    passage-family closure composes two NEW operators.
-#    events_tumbling_window likewise ceded to
-#    ext_perplexity_bucket_mix (added after the drawing): its batch
-#    tumbling expression shares operators/windows.py with the windowed
-#    ext_events_session_window and its streaming twin is driver-green
-#    (the r7 rationale verbatim), while the quality-paced mixer's
-#    exact-quantile bucketing is NEW arithmetic.
-#    The other r3-era rows (j1/j2/p2/s1/u1/w1_row_number/x2-x5) run
-#    VERBATIM inside the permanent prefix every round (taxi_fact_trips
-#    IS the broadcast dim join + dim-joined-twice + union-all-tagged;
-#    taxi_stg_* ARE scan/typed-projection/rn=1-dedup/case/md5/replace/
-#    date_trunc) -- the documented transitive-coverage class.
+# 2. The 4 queries with NO driver evidence yet take slots:
+#    ext_semdedup_auto + ext_multimodal_container_meta +
+#    j7_semi_anti_plan_form (new this round — r8 advice tasks 1/2/6)
+#    and ext_streaming_incremental_dedup (un-windowed through r8 by
+#    documented choice; the r8 judge asked for a row of its own —
+#    VERDICT r8 task 4 — so it takes a slot now. memoize=False: the
+#    driver re-run drives the real availableNow micro-batch job).
+# 3. The 4 queries whose EXECUTION or ORACLE changed this round get
+#    re-verified even though r8-green: j7_semi_anti_multicond (default
+#    plan is now the decorrelated countDistinct form),
+#    ext_contrastive_pairs (bucketed negative draw — the draw function
+#    and its oracle both changed), ext_exact_k_sample and
+#    ext_purged_kfold (fixtures now read a pruned partitioned layout).
+#    A changed query's old green row certifies a plan that no longer
+#    exists, so re-verification outranks refresh.
+# 4. The remaining 34 slots refresh the oldest driver evidence
+#    (VERDICT r8 task 9): the 4 r3-era queries NOT exercised verbatim
+#    by the taxi prefix (w1_dedup_distinct, ext_text_token_count,
+#    ext_events_sessionize, ext_events_tumbling_window — each ceded
+#    its r8 slot to a then-new query and is now the oldest evidence in
+#    the registry), all 25 r4-era rows (the multimodal/profile/metric
+#    families the judge named), and the 3 oldest r5-era
+#    dedup/similarity singles. ext_similarity_lsh_topk and
+#    ext_embedding_near_dup_exact ceded their refresh slots to
+#    ext_token_budget_select + ext_source_overlap_matrix (added after
+#    the drawing): a never-windowed NEW query outranks a refresh (the
+#    standing rule), and both ceded queries keep family coverage
+#    through windowed relatives (the IVF/SQ8 ANN chain r8-green; the
+#    near-dup component machinery inside this window's
+#    ext_dedup_exact/simhash rows) plus the local parity gate.
+#    The r3-era rows j1/j2/p2/s1/u1/
+#    w1_row_number/x2-x5 run VERBATIM inside the permanent prefix
+#    every round (taxi_fact_trips IS the broadcast dim join +
+#    dim-joined-twice + union-all-tagged; taxi_stg_* ARE scan/
+#    typed-projection/rn=1-dedup/case/md5/replace/date_trunc) -- the
+#    documented transitive-coverage class.
+#    Remaining r5-era singles plus the r6/r7/r8 cohorts stay
+#    outside this window on r5-r8 green rows; all are re-verified
+#    every suite run by the local two-way parity gate.
 DRIVER_WINDOW: tuple[str, ...] = (
     # 1. Reference taxi DAG -- permanent prefix.
     "taxi_stg_green_tripdata",
@@ -147,51 +142,54 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "taxi_dm_monthly_zone_statistics",
     "taxi_metric_average_distance_month",
     "taxi_metric_avg_distance_manhattan_quarter",
-    # 2. Never driver-verified (r7 additions beyond its window).
-    "ext_nb_train",
-    "ext_nb_classify",
-    "ext_classifier_auc",
-    "ext_semdedup",
-    "ext_semantic_decontaminate",
-    "ext_pca_whiten",
-    "ext_streaming_topk_rollup",
-    "ext_similarity_ivf_sq8_topk",
-    "ext_weighted_sample",
-    "ext_histogram_quantile_rollup",
-    "ext_profile_drift_psi_categorical",
-    "ext_source_freshness",
-    "ext_events_funnel",
-    "ext_events_funnel_latency",
-    "ext_events_retention",
-    "ext_events_transition_matrix",
-    "ext_hybrid_rrf_topk",
-    "ext_profile_chi_square",
-    "ext_profile_ks_test",
-    "ext_text_pmi_collocations",
-    "ext_pivot_lang_by_source",
-    "ext_curriculum_interleave",
-    "ext_text_lm_perplexity",
-    "ext_text_novelty",
-    "ext_streaming_funnel",
-    "ext_streaming_quality_gate",
-    # 3. New this round.
-    "ext_purged_kfold",
+    # 2. Never driver-verified.
+    "ext_semdedup_auto",
+    "ext_multimodal_container_meta",
+    "j7_semi_anti_plan_form",
+    "ext_streaming_incremental_dedup",
+    # 3. Execution/oracle changed this round (r8-green rows stale).
+    "j7_semi_anti_multicond",
     "ext_contrastive_pairs",
-    "ext_temperature_mixture",
     "ext_exact_k_sample",
-    "ext_k_anonymity_suppress",
-    "ext_domain_quality_gate",
-    "ext_winnow_fingerprints",
-    "ext_passage_matches",
-    "ext_lr_train",
-    "ext_lr_score",
-    "ext_filter_funnel",
-    "ext_kmeans_train",
-    "ext_passage_clusters",
-    "ext_perplexity_bucket_mix",
-    # 4. Oldest-evidence refresh (r3, not taxi-prefix-covered).
-    "a5_metric_count_day",
-    "a7_null_count",
+    "ext_purged_kfold",
+    # 4a. Oldest-evidence refresh: r3-era, not taxi-prefix-covered.
+    "w1_dedup_distinct",
+    "ext_text_token_count",
+    "ext_events_sessionize",
+    "ext_events_tumbling_window",
+    # 4b. Oldest-evidence refresh: the full r4-era cohort.
+    "prof_lineitem_numeric",
+    "prof_documents_text",
+    "prof_lineitem_histogram",
+    "prof_orders_topk_values",
+    "prof_lineitem_percentiles",
+    "a5_metric_count_distinct_quarter",
+    "a5_metric_sum_week",
+    "a5_metric_min_year",
+    "a5_metric_max_year",
+    "a5_metric_derived_revenue_per_order",
+    "ext_snapshot_scd2_timestamp",
+    "j5_star_join_revenue",
+    "j8_full_outer_join",
+    "j9_cross_join_grid",
+    "j10_null_safe_join",
+    "a10_groupwise_median",
+    "q16_supplier_diversity",
+    "ext_text_bpe_ish_count",
+    "ext_text_fingerprint",
+    "ext_events_sliding_window",
+    "ext_multimodal_features",
+    "ext_salted_join",
+    "ext_pivot_event_counts",
+    "ext_rollup_revenue",
+    "ext_window_lag_lead",
+    # 4c. Oldest-evidence refresh: oldest r5-era dedup/similarity.
+    "ext_dedup_exact",
+    "ext_dedup_simhash",
+    "ext_similarity_topk_bruteforce",
+    # 5. New this round (added after the drawing; see rationale).
+    "ext_token_budget_select",
+    "ext_source_overlap_matrix",
 )
 
 

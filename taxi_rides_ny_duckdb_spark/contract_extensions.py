@@ -7305,3 +7305,125 @@ def ext_perplexity_bucket_mix(spark, sf_dir):
     return quality_bucket_mix(
         lm, "doc_id", "lm_score_r", [1.0, 0.75, 0.5, 0.25]
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 9: token-budget selection + cross-source overlap matrix.
+# ---------------------------------------------------------------------------
+
+_TOKEN_BUDGET_ORACLE = """
+WITH t0 AS (
+  SELECT doc_id,
+         text,
+         len(list_filter(string_split_regex(lower(text), '\\s+'), w -> w != '')) AS n_tok,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+         len(list_filter(list_filter(string_split_regex(lower(text), '\\s+'), w -> w != ''),
+             w -> list_contains(['the','a','of','and','to','in','is','that','it','for'], w)))
+           AS n_sw
+  FROM documents
+), t AS (
+  SELECT doc_id,
+    round(
+      (CASE WHEN n_chars >= 100 AND n_chars <= 20000 THEN 0.25 ELSE 0.0 END)
+      + (CASE WHEN n_tok > 0 AND (CAST(n_chars AS DOUBLE) / n_tok) >= 3.0
+                 AND (CAST(n_chars AS DOUBLE) / n_tok) <= 12.0 THEN 0.25 ELSE 0.0 END)
+      + 0.25 * (1.0 - (CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END))
+      + 0.25 * least((CASE WHEN n_tok > 0 THEN CAST(n_sw AS DOUBLE) / n_tok ELSE 0.0 END) * 5.0, 1.0),
+      9) AS score_r,
+    CAST(n_tok AS BIGINT) AS n_tokens
+  FROM t0
+), b AS (
+  SELECT CAST(floor(0.4 * SUM(n_tokens)) AS BIGINT) AS budget FROM t
+), c AS (
+  SELECT doc_id, score_r, n_tokens,
+         CAST(SUM(n_tokens) OVER (
+           ORDER BY score_r DESC, doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS cum_tokens
+  FROM t
+)
+SELECT c.doc_id, c.score_r, c.n_tokens, c.cum_tokens,
+       (c.cum_tokens <= b.budget) AS keep
+FROM c CROSS JOIN b
+"""
+
+
+@query("ext_token_budget_select", oracle=_TOKEN_BUDGET_ORACLE, memoize=False)
+def ext_token_budget_select(spark, sf_dir):
+    """Global token-budget curation (operators/sampling.
+    token_budget_select): keep the highest-quality documents until 40 %
+    of the corpus's tokens are spent — the "take the best 2T tokens"
+    cut every fixed-size pretraining mix ends with. Budget is derived
+    FROM the corpus (one bounded agg), so the workload is data-sized
+    at every scale factor, not a fixed-subset fixture. The oracle is
+    the textbook single global-order window; the Spark plan is the
+    two-level distributed prefix sum (bucket-partitioned windows +
+    an n_buckets-row driver prefix + broadcast offsets) — identical
+    semantics, no Exchange SinglePartition anywhere (plan-pinned in
+    tests/test_plans.py). memoize=False: the bucket-totals collect and
+    the budget agg are eager work a re-run must repay."""
+    from .operators.sampling import token_budget_select
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "text", tokenize(F.col("text")).alias("__toks"))
+    scored = toks.select(
+        "doc_id",
+        F.round(quality_score(F.col("text"), tokens=F.col("__toks")), 9).alias(
+            "score_r"
+        ),
+        F.size("__toks").cast("bigint").alias("n_tokens"),
+    )
+    total = scored.agg(F.sum("n_tokens").alias("t")).collect()[0]["t"]
+    budget = int(0.4 * total)
+    return token_budget_select(scored, "doc_id", "score_r", "n_tokens", budget)
+
+
+_SOURCE_OVERLAP_ORACLE = """
+WITH toks AS (
+  SELECT source,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS w
+  FROM documents
+), sh AS (
+  SELECT DISTINCT source AS g, u.shingle
+  FROM toks,
+  UNNEST(list_distinct(list_transform(
+      generate_series(1, greatest(len(w) - 2, 0)),
+      i -> array_to_string(w[i:i+2], ' ')))) AS u(shingle)
+), sizes AS (
+  SELECT g, COUNT(*) AS n FROM sh GROUP BY g
+), inter AS (
+  SELECT a.g AS group_a, b.g AS group_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.g < b.g
+  GROUP BY a.g, b.g
+)
+SELECT sa.g AS group_a, sb.g AS group_b,
+       sa.n AS n_a, sb.n AS n_b,
+       CAST(COALESCE(i.n_common, 0) AS BIGINT) AS n_common,
+       round(CASE WHEN sa.n + sb.n - COALESCE(i.n_common, 0) > 0
+         THEN CAST(COALESCE(i.n_common, 0) AS DOUBLE)
+              / (sa.n + sb.n - COALESCE(i.n_common, 0))
+         ELSE 0.0 END, 9) AS jaccard_r,
+       round(CASE WHEN least(sa.n, sb.n) > 0
+         THEN CAST(COALESCE(i.n_common, 0) AS DOUBLE) / least(sa.n, sb.n)
+         ELSE 0.0 END, 9) AS containment_r
+FROM sizes sa
+JOIN sizes sb ON sa.g < sb.g
+LEFT JOIN inter i ON i.group_a = sa.g AND i.group_b = sb.g
+"""
+
+
+@query("ext_source_overlap_matrix", oracle=_SOURCE_OVERLAP_ORACLE)
+def ext_source_overlap_matrix(spark, sf_dir):
+    """Cross-source 3-gram contamination matrix (operators/cleaning.
+    source_ngram_overlap): distinct-shingle Jaccard + containment for
+    every source pair — the corpus-level "is split B already inside
+    split A" view above the per-document dedup ladder. One corpus-
+    sized distinct (source, shingle) shuffle; the pair join runs on
+    that deduplicated stream with fan-out bounded by C(G,2), so no
+    document crossJoin exists at any scale; zero-overlap pairs are
+    emitted so the matrix is total."""
+    from .operators.cleaning import source_ngram_overlap
+
+    d = load(spark, sf_dir, "documents")
+    return source_ngram_overlap(d, "text", "source", n=3)

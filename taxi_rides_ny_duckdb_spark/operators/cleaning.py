@@ -819,3 +819,89 @@ def funnel_report(stages: list) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def source_ngram_overlap(
+    docs: DataFrame,
+    text_col: str,
+    group_col: str,
+    n: int = 3,
+    round_dp: int = 9,
+) -> DataFrame:
+    """Pairwise n-gram overlap between corpus slices (sources, splits,
+    snapshots): for every unordered pair of ``group_col`` values,
+    report distinct-shingle set sizes, the intersection, Jaccard, and
+    containment — the corpus-level contamination matrix ("how much of
+    the eval split's text already lives in train?", "which two crawl
+    sources mirror each other?") that sits one level above the per-pair
+    document dedup ladder.
+
+    Scale shape: the ONLY corpus-sized shuffle is the distinct
+    (group, shingle) aggregation — document text collapses to shingle
+    sets before anything pairs up. The pair join is shingle-keyed on
+    the DEDUPLICATED stream: each shingle contributes at most
+    C(G, 2) pair rows (G = group count, e.g. 10 sources → ≤45), so
+    join fan-out is bounded by the group cardinality, never by corpus
+    size — no document crossJoin exists in the plan. Set sizes are a
+    G-row aggregate, broadcast into the final G²-row result; zero-
+    overlap pairs are emitted (n_common = 0) so the matrix is total.
+
+    Ratios are ``round_dp``-rounded doubles over exact BIGINT counts
+    (round-before-compare; the counts themselves are order-exact).
+    Output: (group_a, group_b, n_a, n_b, n_common, jaccard_r,
+    containment_r) for every pair with group_a < group_b.
+    """
+    from ..functions.text import word_shingles
+
+    sh = docs.select(
+        F.col(group_col).alias("__g"),
+        F.explode(word_shingles(tokenize(F.col(text_col)), n)).alias("__sh"),
+    ).distinct()
+    sizes = sh.groupBy("__g").agg(F.count(F.lit(1)).alias("__n"))
+    inter = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.__sh") == F.col("b.__sh"))
+            & (F.col("a.__g") < F.col("b.__g")),
+        )
+        .groupBy(
+            F.col("a.__g").alias("group_a"), F.col("b.__g").alias("group_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    pairs = (
+        sizes.alias("sa")
+        .crossJoin(F.broadcast(sizes.alias("sb")))
+        .filter(F.col("sa.__g") < F.col("sb.__g"))
+        .select(
+            F.col("sa.__g").alias("group_a"),
+            F.col("sb.__g").alias("group_b"),
+            F.col("sa.__n").alias("n_a"),
+            F.col("sb.__n").alias("n_b"),
+        )
+    )
+    out = pairs.join(F.broadcast(inter), ["group_a", "group_b"], "left").select(
+        "group_a",
+        "group_b",
+        "n_a",
+        "n_b",
+        F.coalesce(F.col("n_common"), F.lit(0).cast("bigint")).alias("n_common"),
+    )
+    denom_j = (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
+    denom_c = F.least("n_a", "n_b").cast("double")
+    return out.select(
+        "group_a",
+        "group_b",
+        "n_a",
+        "n_b",
+        "n_common",
+        F.round(
+            F.when(denom_j > 0, F.col("n_common") / denom_j).otherwise(0.0),
+            round_dp,
+        ).alias("jaccard_r"),
+        F.round(
+            F.when(denom_c > 0, F.col("n_common") / denom_c).otherwise(0.0),
+            round_dp,
+        ).alias("containment_r"),
+    )

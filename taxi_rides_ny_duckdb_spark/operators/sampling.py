@@ -941,3 +941,110 @@ def quality_bucket_mix(
             thresh
         )
     return labeled.filter(hash_fraction(F.col(id_col), salt) < thresh)
+
+
+def token_budget_select(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    tokens_col: str,
+    budget: int,
+    n_buckets: int = 256,
+    score_lo: float = 0.0,
+    score_hi: float = 1.0,
+) -> DataFrame:
+    """Select the best documents until a global token budget is spent:
+    walk the corpus in (score DESC, id ASC) order and keep every row
+    whose INCLUSIVE running token total fits inside ``budget`` — the
+    curation step every fixed-size pretraining mix ends with ("take
+    the highest-quality 2T tokens"), where a per-doc threshold can't
+    hit the budget and a fraction-based sample ignores quality.
+
+    Logically this is ``SUM(tokens) OVER (ORDER BY score DESC, id)``
+    + a filter — but a global-order window shuffles the corpus into
+    ONE partition (Exchange SinglePartition), the canonical 100 TB
+    anti-plan. Executed instead as the two-level distributed prefix
+    sum:
+
+    1. bucket = floor((score_hi - score) / span · n_buckets), clamped
+       — a pure projection, monotone DECREASING in score, so bucket
+       ASC + within-bucket (score DESC, id ASC) IS the global order;
+    2. per-bucket token totals: one n_buckets-row aggregate, collected
+       (driver sync bounded by ``n_buckets``, never by data) and
+       prefix-summed into per-bucket offsets;
+    3. within-bucket running sums: a window PARTITIONED BY bucket —
+       n_buckets-way parallel, no single-partition exchange — plus
+       the broadcast offset joined back; ``cum_tokens`` = offset +
+       within-bucket prefix, exactly the global inclusive prefix.
+
+    Cost: one n_buckets-row agg + one bucket-keyed window shuffle of
+    (id, score, tokens)-sized rows. Skew bound: a bucket holds the
+    rows of one score sliver (span/n_buckets wide); a point-mass score
+    distribution degrades that bucket's window to the per-value cost —
+    inherent to ANY order-exact prefix over tied keys; raise
+    ``n_buckets`` to narrow slivers. All token arithmetic is BIGINT —
+    exact in any summation order, no decimal route needed.
+
+    Rows with NULL score or NULL/negative tokens are excluded up front
+    (they have no place in the order / no well-defined cost).
+
+    Output: (id, score, tokens, cum_tokens, keep) for EVERY surviving
+    input row — keep=false rows are returned (not dropped) so the
+    caller can audit the cut line. Oracle: the single-window form —
+    identical semantics, only the physical plan differs.
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    if not score_hi > score_lo:
+        raise ValueError("score_hi must be > score_lo")
+    from pyspark.sql import Window
+
+    span = score_hi - score_lo
+    base = df.select(
+        F.col(id_col),
+        F.col(score_col).cast("double").alias("__score"),
+        F.col(tokens_col).cast("bigint").alias("__tokens"),
+    ).filter(
+        F.col("__score").isNotNull()
+        & F.col("__tokens").isNotNull()
+        & (F.col("__tokens") >= 0)
+    )
+    bucket = F.least(
+        F.greatest(
+            F.floor((F.lit(score_hi) - F.col("__score")) / F.lit(span) * n_buckets),
+            F.lit(0).cast("bigint"),
+        ),
+        F.lit(n_buckets - 1).cast("bigint"),
+    )
+    b = base.withColumn("__bucket", bucket)
+    totals = (
+        b.groupBy("__bucket")
+        .agg(F.sum("__tokens").alias("__btotal"))
+        .orderBy("__bucket")
+        .collect()
+    )
+    offsets, running = [], 0
+    for r in totals:
+        offsets.append((r["__bucket"], running))
+        running += r["__btotal"]
+    off_df = b.sparkSession.createDataFrame(
+        offsets, schema="__bucket bigint, __offset bigint"
+    )
+    w = (
+        Window.partitionBy("__bucket")
+        .orderBy(F.col("__score").desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        b.join(F.broadcast(off_df), "__bucket")
+        .withColumn("__cum", F.col("__offset") + F.sum("__tokens").over(w))
+        .select(
+            F.col(id_col),
+            F.col("__score").alias(score_col),
+            F.col("__tokens").alias(tokens_col),
+            F.col("__cum").alias("cum_tokens"),
+            (F.col("__cum") <= F.lit(budget)).alias("keep"),
+        )
+    )

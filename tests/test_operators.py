@@ -3639,3 +3639,80 @@ def test_quality_bucket_mix_validates(spark):
         quality_bucket_mix(df, "id", "score", [1.0])
     with _pytest.raises(ValueError, match="keep_fractions"):
         quality_bucket_mix(df, "id", "score", [1.0, 1.5])
+
+
+def test_token_budget_select_semantics(spark):
+    from taxi_rides_ny_duckdb_spark.operators.sampling import token_budget_select
+
+    rows = [
+        # (id, score, tokens) — global order by (score desc, id asc)
+        (1, 0.9, 10),
+        (2, 0.9, 10),
+        (3, 0.5, 30),
+        (4, 0.2, 100),
+        (5, None, 5),   # NULL score excluded
+        (6, 0.4, None), # NULL tokens excluded
+    ]
+    df = spark.createDataFrame(rows, "id bigint, score double, tokens bigint")
+    out = token_budget_select(df, "id", "score", "tokens", budget=50, n_buckets=4)
+    got = {r["id"]: (r["cum_tokens"], r["keep"]) for r in out.collect()}
+    # order: 1 (10), 2 (20), 3 (50), 4 (150); budget 50 inclusive
+    assert got == {1: (10, True), 2: (20, True), 3: (50, True), 4: (150, False)}
+    # budget 0 keeps nothing but still returns every priced row
+    out0 = token_budget_select(df, "id", "score", "tokens", budget=0)
+    assert [r["keep"] for r in out0.collect()] == [False] * 4
+
+
+def test_token_budget_select_matches_global_window(spark):
+    """The bucketed prefix sum must equal the single-window form for a
+    continuous score column at every bucket width."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+    from taxi_rides_ny_duckdb_spark.operators.sampling import token_budget_select
+
+    df = (
+        spark.range(200)
+        .select(
+            F.col("id"),
+            (F.sin(F.col("id").cast("double")) * 0.5 + 0.5).alias("score"),
+            (F.col("id") % 17 + 1).cast("bigint").alias("tokens"),
+        )
+        .cache()
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("id").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    expect = {
+        r["id"]: r["cum"]
+        for r in df.select("id", F.sum("tokens").over(w).alias("cum")).collect()
+    }
+    for n_buckets in (1, 7, 64):
+        out = token_budget_select(
+            df, "id", "score", "tokens", budget=500, n_buckets=n_buckets
+        )
+        got = {r["id"]: r["cum_tokens"] for r in out.collect()}
+        assert got == expect, f"n_buckets={n_buckets}"
+
+
+def test_source_ngram_overlap_toy(spark):
+    from taxi_rides_ny_duckdb_spark.operators.cleaning import source_ngram_overlap
+
+    docs = spark.createDataFrame(
+        [
+            # srcA shingles: {a b c, b c d} ; srcB: {a b c} ; srcC: {x y z}
+            ("A", "a b c d"),
+            ("B", "a b c"),
+            ("C", "x y z"),
+            ("C", "x y"),  # too short for 3-grams — contributes nothing
+        ],
+        "source string, text string",
+    )
+    out = source_ngram_overlap(docs, "text", "source", n=3)
+    rows = {(r["group_a"], r["group_b"]): r for r in out.collect()}
+    assert set(rows) == {("A", "B"), ("A", "C"), ("B", "C")}
+    ab = rows[("A", "B")]
+    assert (ab["n_a"], ab["n_b"], ab["n_common"]) == (2, 1, 1)
+    assert abs(ab["jaccard_r"] - 0.5) < 1e-9
+    assert abs(ab["containment_r"] - 1.0) < 1e-9
+    ac = rows[("A", "C")]
+    assert ac["n_common"] == 0 and ac["jaccard_r"] == 0.0

@@ -1383,3 +1383,34 @@ def test_quality_gate_broadcasts_stats(spark, sf_dir):
     df = contract.BUILDERS["ext_domain_quality_gate"](spark, sf_dir)
     plan = plan_of(df)
     assert "BroadcastHashJoin" in plan
+
+
+def test_token_budget_select_no_single_partition_window(spark, sf_dir):
+    """token_budget_select's running sum must be the two-level prefix
+    sum: a window PARTITIONED BY the score bucket (n_buckets-way
+    parallel), never the global-order window's Exchange
+    SinglePartition gather of the corpus."""
+    df = contract.BUILDERS["ext_token_budget_select"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "SinglePartition" not in plan
+    assert "Window" in plan
+    # the window keys on the bucket column, i.e. it is partitioned
+    assert "__bucket" in plan
+
+
+def test_source_overlap_no_document_cross_join(spark, sf_dir):
+    """source_ngram_overlap pairs SOURCES, not documents: the only
+    nested-loop/cartesian join allowed is the G-row size-table pair
+    expansion (broadcast); the shingle self-join must be an equi-join
+    on the deduplicated (group, shingle) stream."""
+    df = contract.BUILDERS["ext_source_overlap_matrix"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    # exactly ONE nested-loop join: the G-row size-table pair expansion
+    # (broadcast). The shingle intersection must be keyed — broadcast
+    # hash at toy scale, shuffle hash / sort-merge at corpus scale —
+    # never a second nested loop.
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    # the corpus-sized distinct collapses (group, shingle) before any
+    # join sees document rows
+    assert "HashAggregate" in plan

@@ -138,13 +138,25 @@ def replicate(src_dir: str, out_dir: str, copies: int) -> None:
     for name in (
         "customer supplier part orders lineitem events documents embeddings"
     ).split():
-        out = pa.concat_tables([copy_of(name, i) for i in range(copies)])
-        pq.write_table(
-            out,
-            os.path.join(out_dir, f"{name}.parquet"),
-            row_group_size=1 << 20,
-        )
-        print(f"{name}: {out.num_rows} rows", file=sys.stderr)
+        # Stream copies through one writer instead of concatenating all
+        # K tables in memory first — at K=100 the concat form held ~60M
+        # lineitem rows resident and got OOM-killed when run alongside
+        # anything else. Output rows/values are identical; only row-group
+        # boundaries differ (one group per copy chunk, ~source-sized).
+        path = os.path.join(out_dir, f"{name}.parquet")
+        n_rows = 0
+        writer = None
+        try:
+            for i in range(copies):
+                t = copy_of(name, i)
+                if writer is None:
+                    writer = pq.ParquetWriter(path, t.schema)
+                writer.write_table(t, row_group_size=1 << 20)
+                n_rows += t.num_rows
+        finally:
+            if writer is not None:
+                writer.close()
+        print(f"{name}: {n_rows} rows", file=sys.stderr)
 
 
 if __name__ == "__main__":
