@@ -95,14 +95,18 @@ def query(
 #    parity claim the whole repo makes, re-verified every round).
 # 2. The 4 queries with NO driver evidence yet take slots:
 #    ext_semdedup_auto + ext_multimodal_container_meta +
-#    j7_semi_anti_plan_form (new this round — r8 advice tasks 1/2/6)
+#    j7_decorrelated_form (new this round — r8 advice tasks 1/2/6;
+#    renamed from j7_semi_anti_plan_form when the r9 measurement made
+#    the semi/anti form the default and this one the alternative)
 #    and ext_streaming_incremental_dedup (un-windowed through r8 by
 #    documented choice; the r8 judge asked for a row of its own —
 #    VERDICT r8 task 4 — so it takes a slot now. memoize=False: the
 #    driver re-run drives the real availableNow micro-batch job).
 # 3. The 4 queries whose EXECUTION or ORACLE changed this round get
 #    re-verified even though r8-green: j7_semi_anti_multicond (default
-#    plan is now the decorrelated countDistinct form),
+#    plan is now the MERGE-pinned semi/anti form — the r9 four-plan
+#    measurement reversed the r8 decorrelation hypothesis, see its
+#    docstring),
 #    ext_contrastive_pairs (bucketed negative draw — the draw function
 #    and its oracle both changed), ext_exact_k_sample and
 #    ext_purged_kfold (fixtures now read a pruned partitioned layout).
@@ -145,7 +149,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # 2. Never driver-verified.
     "ext_semdedup_auto",
     "ext_multimodal_container_meta",
-    "j7_semi_anti_plan_form",
+    "j7_decorrelated_form",
     "ext_streaming_incremental_dedup",
     # 3. Execution/oracle changed this round (r8-green rows stale).
     "j7_semi_anti_multicond",

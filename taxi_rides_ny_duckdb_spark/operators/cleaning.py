@@ -853,10 +853,20 @@ def source_ngram_overlap(
     """
     from ..functions.text import word_shingles
 
-    sh = docs.select(
-        F.col(group_col).alias("__g"),
-        F.explode(word_shingles(tokenize(F.col(text_col)), n)).alias("__sh"),
-    ).distinct()
+    # persist(): the deduplicated (group, shingle) frame feeds FOUR
+    # plan branches (both sides of the intersection self-join + both
+    # sides of the size pair expansion); unpersisted, each branch
+    # re-explodes and re-distincts the corpus (measured 4.2 s vs the
+    # one-pass cost at sf0.1) — same pattern as the minhash/simhash/
+    # pmi persists.
+    sh = (
+        docs.select(
+            F.col(group_col).alias("__g"),
+            F.explode(word_shingles(tokenize(F.col(text_col)), n)).alias("__sh"),
+        )
+        .distinct()
+        .persist()
+    )
     sizes = sh.groupBy("__g").agg(F.count(F.lit(1)).alias("__n"))
     inter = (
         sh.alias("a")

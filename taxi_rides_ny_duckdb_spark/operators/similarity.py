@@ -965,7 +965,7 @@ def semdedup_auto(
     vec_col: str = "embedding",
     iters: int = 2,
     round_dp: int = 9,
-    max_expr_k: int = 128,
+    max_expr_k: int = 32,
 ) -> DataFrame:
     """Scale-adaptive SemDeDup — the operator-level close of the r8
     finding that a FROZEN coarse quantizer re-quadratizes (measured:
@@ -985,7 +985,11 @@ def semdedup_auto(
     ANY summation order, which is what lets the physical form switch
     freely: expression aggregates while nlist ≤ ``max_expr_k`` (plan
     size grows with k), blocked-numpy Arrow beyond (``kmeans_lloyd``'s
-    ``assign`` strategies). The keep-rule score (own-centroid cosine,
+    ``assign`` strategies). The default switch point is 32: measured
+    at sf1 (N=20k → nlist=80), the expr plan's k-literal build +
+    Janino compile cost 76.9 s where the Arrow path runs 16.3 s —
+    4.7× — while at coarse-quantizer sizes (nlist ≤ ~16, the oracled
+    contract regime) expr avoids Python entirely and stays faster. The keep-rule score (own-centroid cosine,
     ``round_dp``-rounded) comes from ONE broadcast join against the
     k-row centroid frame — no k-branch CASE chain. The collapse tail
     (merge-pinned within-cluster pairing, round-before-threshold,

@@ -818,14 +818,14 @@ def test_j7_aggregate_decorrelation_equivalent(spark, sf_dir):
     ``j7_semi_anti_multicond`` (default: decorrelated per-order
     aggregates — EXISTS(other supplier) ⇔ distinct suppliers > 1,
     NOT EXISTS(other R supplier) ⇔ distinct R-suppliers = 1) and
-    ``j7_semi_anti_plan_form`` (the semi/anti physical form both
+    ``j7_decorrelated_form`` (the aggregate-decorrelation form both
     plans' shared oracle renders literally)."""
     from taxi_rides_ny_duckdb_spark import contract
 
     contract.load_all()
     semi_anti = {
         (r["s_name"], r["numwait"])
-        for r in contract.BUILDERS["j7_semi_anti_plan_form"](spark, sf_dir).collect()
+        for r in contract.BUILDERS["j7_decorrelated_form"](spark, sf_dir).collect()
     }
     agg_form = {
         (r["s_name"], r["numwait"])

@@ -514,17 +514,20 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
                 spark.conf.set(k, v)
 
 
-def test_semi_anti_multicond_are_hash_joins(spark, sf_dir):
+def test_semi_anti_multicond_are_keyed_joins(spark, sf_dir):
     """Q21-shaped compound EXISTS/NOT EXISTS (j7): both subqueries must
-    lower to single-pass hash joins on the equi key with the non-equi
+    lower to single-pass KEYED joins on the equi key with the non-equi
     supplier term as a join residual — a BroadcastNestedLoopJoin or
-    CartesianProduct here would be O(n²) at scale."""
-    df = contract.BUILDERS["j7_semi_anti_plan_form"](spark, sf_dir)
+    CartesianProduct here would be O(n²) at scale. The probe sides are
+    merge-pinned (sort-merge spills; a shuffled-hash build of the fact
+    side OOMed at sf10), so the keyed form is SortMergeJoin."""
+    df = contract.BUILDERS["j7_semi_anti_multicond"](spark, sf_dir)
     plan = plan_of(df)
     assert "LeftSemi" in plan and "LeftAnti" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
-    # the non-equi term rides as a residual on the hash join
+    assert "SortMergeJoin" in plan
+    # the non-equi term rides as a residual on the keyed join
     assert "NOT (l_suppkey" in plan
 
 
