@@ -119,12 +119,14 @@ def query(
 #    its r8 slot to a then-new query and is now the oldest evidence in
 #    the registry), all 25 r4-era rows (the multimodal/profile/metric
 #    families the judge named), and the 3 oldest r5-era
-#    dedup/similarity singles. ext_similarity_lsh_topk and
-#    ext_embedding_near_dup_exact ceded their refresh slots to
-#    ext_token_budget_select + ext_source_overlap_matrix (added after
+#    dedup/similarity singles. ext_similarity_lsh_topk,
+#    ext_embedding_near_dup_exact and ext_similarity_topk_bruteforce
+#    ceded their refresh slots to ext_token_budget_select +
+#    ext_source_overlap_matrix + j7_bucketed_layout (added after
 #    the drawing): a never-windowed NEW query outranks a refresh (the
-#    standing rule), and both ceded queries keep family coverage
-#    through windowed relatives (the IVF/SQ8 ANN chain r8-green; the
+#    standing rule), and the ceded queries keep family coverage
+#    through windowed relatives (the IVF/SQ8 ANN chain r8-green,
+#    recall-certified against the brute-force ground truth; the
 #    near-dup component machinery inside this window's
 #    ext_dedup_exact/simhash rows) plus the local parity gate.
 #    The r3-era rows j1/j2/p2/s1/u1/
@@ -190,10 +192,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # 4c. Oldest-evidence refresh: oldest r5-era dedup/similarity.
     "ext_dedup_exact",
     "ext_dedup_simhash",
-    "ext_similarity_topk_bruteforce",
     # 5. New this round (added after the drawing; see rationale).
     "ext_token_budget_select",
     "ext_source_overlap_matrix",
+    "j7_bucketed_layout",
 )
 
 

@@ -1417,3 +1417,15 @@ def test_source_overlap_no_document_cross_join(spark, sf_dir):
     # the corpus-sized distinct collapses (group, shingle) before any
     # join sees document rows
     assert "HashAggregate" in plan
+
+
+def test_j7_bucketed_layout_single_exchange(spark, sf_dir):
+    """j7 over the bucketed lineitem layout: both aggregations and the
+    order-grain join back must ride the bucket partitioning — the ONLY
+    hash Exchange in the plan is the final s_name aggregate (the
+    broadcast dim exchanges are k-row)."""
+    df = contract.BUILDERS["j7_bucketed_layout"](spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan
