@@ -7364,8 +7364,13 @@ def ext_token_budget_select(spark, sf_dir):
     tests/test_plans.py). memoize=False: the bucket-totals collect and
     the budget agg are eager work a re-run must repay."""
     from .operators.sampling import token_budget_select
+    from .session import ensure_min_partitions
 
-    d = load(spark, sf_dir, "documents")
+    # Small-file guard (the tfidf precedent): one parquet file ⇒ one
+    # scan partition, serializing the regex-heavy quality scorer onto
+    # a single core; measured 8.9 s at sf1 vs 7.2 s at sf10 before
+    # the repartition restored full width. No-op at real scale.
+    d = ensure_min_partitions(load(spark, sf_dir, "documents"))
     toks = d.select("doc_id", "text", tokenize(F.col("text")).alias("__toks"))
     scored = toks.select(
         "doc_id",
@@ -7374,9 +7379,12 @@ def ext_token_budget_select(spark, sf_dir):
         ),
         F.size("__toks").cast("bigint").alias("n_tokens"),
     )
-    total = scored.agg(F.sum("n_tokens").alias("t")).collect()[0]["t"]
-    budget = int(0.4 * total)
-    return token_budget_select(scored, "doc_id", "score_r", "n_tokens", budget)
+    # budget_fraction derives floor(0.4·Σtokens) from the operator's
+    # own bucket-totals collect — one fewer full pass over the
+    # regex-heavy scoring lineage than a caller-side total agg.
+    return token_budget_select(
+        scored, "doc_id", "score_r", "n_tokens", budget_fraction=0.4
+    )
 
 
 _SOURCE_OVERLAP_ORACLE = """

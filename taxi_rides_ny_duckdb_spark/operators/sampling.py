@@ -948,10 +948,11 @@ def token_budget_select(
     id_col: str,
     score_col: str,
     tokens_col: str,
-    budget: int,
+    budget: int | None = None,
     n_buckets: int = 256,
     score_lo: float = 0.0,
     score_hi: float = 1.0,
+    budget_fraction: float | None = None,
 ) -> DataFrame:
     """Select the best documents until a global token budget is spent:
     walk the corpus in (score DESC, id ASC) order and keep every row
@@ -988,13 +989,29 @@ def token_budget_select(
     Rows with NULL score or NULL/negative tokens are excluded up front
     (they have no place in the order / no well-defined cost).
 
+    ``budget_fraction`` (exclusive with ``budget``) spends that share
+    of the corpus's OWN total tokens: budget = floor(frac · Σtokens),
+    derived from the SAME n_buckets-row collect that builds the
+    offsets — a corpus-relative budget costs no extra pass where a
+    caller-side total would re-evaluate the (often expensive) score
+    lineage once more. The base frame is persisted for the same
+    reason: it feeds the totals aggregate AND the window join, and
+    unpersisted each consumer replays the scoring chain (the
+    minhash/pmi/vocab persist precedent).
+
     Output: (id, score, tokens, cum_tokens, keep) for EVERY surviving
     input row — keep=false rows are returned (not dropped) so the
     caller can audit the cut line. Oracle: the single-window form —
     identical semantics, only the physical plan differs.
     """
-    if budget < 0:
+    if (budget is None) == (budget_fraction is None):
+        raise ValueError("pass exactly one of budget / budget_fraction")
+    if budget is not None and budget < 0:
         raise ValueError(f"budget must be >= 0, got {budget}")
+    if budget_fraction is not None and not (0.0 <= budget_fraction <= 1.0):
+        raise ValueError(
+            f"budget_fraction must be in [0, 1], got {budget_fraction}"
+        )
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     if not score_hi > score_lo:
@@ -1018,7 +1035,7 @@ def token_budget_select(
         ),
         F.lit(n_buckets - 1).cast("bigint"),
     )
-    b = base.withColumn("__bucket", bucket)
+    b = base.withColumn("__bucket", bucket).persist()
     totals = (
         b.groupBy("__bucket")
         .agg(F.sum("__tokens").alias("__btotal"))
@@ -1029,6 +1046,8 @@ def token_budget_select(
     for r in totals:
         offsets.append((r["__bucket"], running))
         running += r["__btotal"]
+    if budget_fraction is not None:
+        budget = int(budget_fraction * running)
     off_df = b.sparkSession.createDataFrame(
         offsets, schema="__bucket bigint, __offset bigint"
     )
