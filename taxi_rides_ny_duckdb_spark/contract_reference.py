@@ -940,7 +940,16 @@ def a5_metric_rolling_avg_7d(spark, sf_dir):
         timestamp="o_orderdate",
         time_grains=("day",),
     )
-    return compile_rolling(o, m, "day", 7)
+    return _count_pin(compile_rolling(o, m, "day", 7), "avg_price_7d")
+
+
+def _count_pin(df, *cols):
+    """Always-true filter referencing ``cols`` — the bench-integrity
+    pin (see contract_extensions._count_pin): keeps Catalyst from
+    eliminating the window/join that produces them under the bench's
+    bare count() consumer. hash(cols) >= Int.MinValue is always true,
+    not constant-foldable, and changes zero rows."""
+    return df.filter(F.hash(*[F.col(c) for c in cols]) >= F.lit(-2147483648))
 
 
 @query(
@@ -961,7 +970,10 @@ def prof_orders_topk_values(spark, sf_dir):
     TakeOrderedAndProject, never a global sort."""
     from .plans.profile import profile_topk
 
-    return profile_topk(load(spark, sf_dir, "orders"), "o_orderpriority", 3)
+    return _count_pin(
+        profile_topk(load(spark, sf_dir, "orders"), "o_orderpriority", 3),
+        "rank",
+    )
 
 
 @query(

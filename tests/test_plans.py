@@ -1009,7 +1009,13 @@ def test_count_plan_eliminates_no_work(spark, sf_dir):
     means the bench row times a PARTIAL plan. Seven queries were found
     doing exactly that (worst: ann_recall_eval kept 1 of 5 joins) and
     now pin their outputs via _count_pin; this test keeps every future
-    query honest."""
+    query honest.
+
+    Extended in r9 to WINDOW and GENERATE nodes after a sweep found 13
+    more queries losing their Window under count() (worst:
+    ext_window_running_sum benched as a bare scan-count since r5, and
+    the brand-new ext_source_overlap_matrix lost 2 of 3 joins the day
+    it was written) — all now pinned on a window-derived column."""
     import re
 
     bad = []
@@ -1019,13 +1025,11 @@ def test_count_plan_eliminates_no_work(spark, sf_dir):
         df = fn(spark, sf_dir)
         full = df._jdf.queryExecution().optimizedPlan().toString()
         cnt = df.groupBy().count()._jdf.queryExecution().optimizedPlan().toString()
-        nj = (len(re.findall(r"\bJoin\b", full)), len(re.findall(r"\bJoin\b", cnt)))
-        na = (
-            len(re.findall(r"\bAggregate\b", full)),
-            len(re.findall(r"\bAggregate\b", cnt)) - 1,  # the count agg
-        )
-        if nj[1] < nj[0] or na[1] < na[0]:
-            bad.append((name, nj, na))
+        for node, slack in (("Join", 0), ("Aggregate", 1), ("Window", 0), ("Generate", 0)):
+            nf = len(re.findall(rf"\b{node}\b", full))
+            nc = len(re.findall(rf"\b{node}\b", cnt)) - slack
+            if nc < nf:
+                bad.append((name, node, nf, nc))
     assert not bad, bad
 
 
