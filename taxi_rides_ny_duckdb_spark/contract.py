@@ -111,7 +111,13 @@ def query(
 #    and its oracle both changed), ext_exact_k_sample and
 #    ext_purged_kfold (fixtures now read a pruned partitioned layout).
 #    A changed query's old green row certifies a plan that no longer
-#    exists, so re-verification outranks refresh.
+#    exists, so re-verification outranks refresh. (The r9 _count_pin
+#    additions — 13 queries gained an always-true hash filter so the
+#    bench's count() consumer cannot eliminate their Window stage —
+#    are exempt from this rule: zero rows change, the driver's
+#    value-hash reads every column either way, and all 13 are
+#    re-proven by the local two-way parity gate each suite run.
+#    Five of them sit in this window regardless.)
 # 4. The remaining 34 slots refresh the oldest driver evidence
 #    (VERDICT r8 task 9): the 4 r3-era queries NOT exercised verbatim
 #    by the taxi prefix (w1_dedup_distinct, ext_text_token_count,
