@@ -766,6 +766,16 @@ def connected_components(
             [(n, comp[n]) for n in node_ids],
             schema=f"id {out_type}, component {out_type}",
         )
+    # Distributed path: checkpoint sym AND ids off the still-cached
+    # edge frame BEFORE dropping it. The previous order (unpersist,
+    # then let the star/label path checkpoint sym and read ids from
+    # raw lineage) re-evaluated the caller's pair-finder 2-3× — for
+    # semdedup_auto at sf10 that was a 25M-candidate cosine join run
+    # three times: 119.5 s collapse vs 41 s with the cache held
+    # (profiled r9). Edges are (id, id)-sized; the checkpoints are
+    # cheap and every round localCheckpoints anyway.
+    sym = sym.localCheckpoint(eager=True)
+    ids = ids.localCheckpoint(eager=True)
     e.unpersist()
 
     if algorithm in ("star", "auto"):

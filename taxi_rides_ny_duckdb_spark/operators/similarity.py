@@ -916,9 +916,16 @@ def _semdedup_collapse(
     self-join on centroid_id, cosine rounded BEFORE the threshold),
     size-gated connected components, keep = the component member LEAST
     similar to its centroid (ties to the lower id). ``assigned``
-    carries (id_col, centroid_id, cent_sim_r, __v, __n)."""
+    carries (id_col, centroid_id, cent_sim_r, __v, __n).
+
+    ``assigned`` is persisted here: it feeds FOUR plan branches (both
+    sides of the pairing self-join, the CC node list, and the final
+    keep join) and its lineage is the full quantizer assignment —
+    unpersisted, the arrow/expr argmin re-ran per branch (the r9 CC
+    profile; same class as the connected_components edge-cache fix)."""
     from .dedup import connected_components
 
+    assigned = assigned.persist()
     a, b = assigned.alias("a").hint("merge"), assigned.alias("b")
     score = F.round(
         cosine_given_norms(
