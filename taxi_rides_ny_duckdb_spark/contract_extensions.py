@@ -59,8 +59,6 @@ def _count_pin(df, *cols):
     GROUP BY md5(text)
     """,
 )
-
-
 def ext_dedup_exact(spark, sf_dir):
     """Exact dedup via content-hash groupBy: one shuffle of (hash, id)
     pairs, never of full documents — at 100 TB project-then-shuffle is
@@ -79,8 +77,6 @@ def ext_dedup_exact(spark, sf_dir):
     FROM documents
     """,
 )
-
-
 def ext_text_token_count(spark, sf_dir):
     """Whitespace token counting — JVM-side split+size, no UDF."""
     d = load(spark, sf_dir, "documents")
@@ -100,8 +96,6 @@ def ext_text_token_count(spark, sf_dir):
     FROM documents
     """,
 )
-
-
 def ext_text_bpe_ish_count(spark, sf_dir):
     """BPE-ish token estimator (word pieces + punctuation singles)."""
     d = load(spark, sf_dir, "documents")
@@ -116,8 +110,6 @@ def ext_text_bpe_ish_count(spark, sf_dir):
     FROM documents
     """,
 )
-
-
 def ext_text_fingerprint(spark, sf_dir):
     """Canonical content fingerprint (md5 of normalized text) — a
     portable dedup/lineage key."""
@@ -149,8 +141,6 @@ FROM t
 
 
 @query("ext_text_quality_score", oracle=_QS_ORACLE)
-
-
 def ext_text_quality_score(spark, sf_dir):
     """Heuristic quality score: length band + word shape + punctuation
     density + stopword presence (functions/text.py). Tokens staged as a
@@ -192,8 +182,6 @@ FROM hits
 
 
 @query("ext_text_lang_id", oracle=_LANG_ORACLE)
-
-
 def ext_text_lang_id(spark, sf_dir):
     """Stopword-overlap language ID (argmax with deterministic
     tie-break on language code). Tokens and the argmax struct are
@@ -240,8 +228,6 @@ WHERE jaccard_sim >= 0.2
 
 
 @query("ext_dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
-
-
 def ext_dedup_ngram_jaccard(spark, sf_dir):
     """Exact 3-gram Jaccard near-dup pairs, blocked by lang (brute
     force within blocks — the exact baseline the LSH path prunes).
@@ -306,8 +292,6 @@ WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
 
 
 @query("ext_dedup_minhash_lsh", oracle=_MINHASH_LSH_ORACLE)
-
-
 def ext_dedup_minhash_lsh(spark, sf_dir):
     """MinHash(32 perms) + LSH(8 bands) near-dup pairs, verified by
     exact Jaccard ≥ 0.5 — the 100 TB dedup path (linear-time
@@ -367,8 +351,6 @@ WHERE bit_count(xor(a.fp, b.fp)) <= 3
 
 
 @query("ext_dedup_simhash", oracle=_SIMHASH_ORACLE)
-
-
 def ext_dedup_simhash(spark, sf_dir):
     """SimHash fingerprints + hamming≤3 candidate pairs (pigeonhole
     banding into max_hamming+1 chunks); majority vote is the only
@@ -417,8 +399,6 @@ WHERE rank <= 5
 
 
 @query("ext_similarity_topk_bruteforce", oracle=_TOPK_ORACLE)
-
-
 def ext_similarity_topk_bruteforce(spark, sf_dir):
     """Exact cosine top-5 for 8 query vectors against the whole corpus:
     broadcast queries, JVM-side zip_with/aggregate cosine, window rank
@@ -485,8 +465,6 @@ WHERE rank <= 5
 
 
 @query("ext_similarity_lsh_topk", oracle=_LSH_TOPK_ORACLE)
-
-
 def ext_similarity_lsh_topk(spark, sf_dir):
     """ANN top-5 via random-hyperplane LSH buckets (6 bits ⇒ ~64×
     less scoring than brute force at recall < 1). Oracled (was
@@ -563,8 +541,6 @@ SELECT query_id, rank, vec_id, cosine_sim_r FROM (
 
 
 @query("ext_similarity_ivf_topk", oracle=_ivf_oracle())
-
-
 def ext_similarity_ivf_topk(spark, sf_dir):
     """ANN top-5 via IVF (k-means coarse quantizer, FAISS IndexIVFFlat
     scheme): probe the 2 nearest of 8 inverted lists ⇒ ~4× less scoring
@@ -616,8 +592,6 @@ FROM truth t LEFT JOIN hit h USING (query_id)
 
 
 @query("ext_ann_recall_eval", oracle=_RECALL_ORACLE)
-
-
 def ext_ann_recall_eval(spark, sf_dir):
     """Recall@5 of the RH-LSH ANN path against the brute-force ground
     truth (operators/similarity.ann_recall_at_k) — the evaluation
@@ -658,8 +632,6 @@ FROM pairs WHERE round(cosine_sim, 9) >= 0.3
 
 
 @query("ext_embedding_near_dup_exact", oracle=_NEARDUP_EXACT_ORACLE)
-
-
 def ext_embedding_near_dup_exact(spark, sf_dir):
     """Exact embedding-cosine near-dup pairs on a bounded subset — the
     ground truth the LSH-bucketed variant approximates (and the oracle
@@ -712,8 +684,6 @@ SELECT id AS vec_id, min(r) AS component FROM reach GROUP BY id
 
 
 @query("ext_dedup_cluster_components", oracle=_CLUSTER_COMPONENTS_ORACLE, memoize=False)
-
-
 def ext_dedup_cluster_components(spark, sf_dir):
     """Transitive closure of the exact near-dup pair list (a≈b, b≈c ⇒
     one cluster): distributed min-label propagation vs the oracle's
@@ -789,8 +759,6 @@ SELECT component, vec_id, score FROM (
     oracle=_CLUSTER_KEEP_BEST_ORACLE,
     memoize=False,  # CC iterates eagerly
 )
-
-
 def ext_dedup_cluster_keep_best(spark, sf_dir):
     """Quality-aware cluster collapse (operators/dedup.
     cluster_representatives): one survivor per near-dup cluster, chosen
@@ -849,8 +817,6 @@ SELECT vec_id, cid AS centroid_id FROM ranked WHERE rn = 1
 
 
 @query("ext_embedding_centroid_assign", oracle=_CENTROID_ASSIGN_ORACLE)
-
-
 def ext_embedding_centroid_assign(spark, sf_dir):
     """K-means assignment step (operators/similarity.
     assign_nearest_centroid): every vector → nearest of 8 fixed
@@ -898,8 +864,6 @@ WHERE round(CASE WHEN a.nrm > 0 AND b.nrm > 0
 
 
 @query("ext_embedding_near_dup", oracle=_EMB_NEAR_DUP_ORACLE)
-
-
 def ext_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup pairs within RH-LSH buckets. Oracled
     (was rows-only) on the same grounds as ext_similarity_lsh_topk:
@@ -948,8 +912,6 @@ def ext_embedding_near_dup(spark, sf_dir):
     )
     """,
 )
-
-
 def ext_events_sessionize(spark, sf_dir):
     """Gap-based sessionization (30-min gap): lag + running sum over a
     total per-user order; µs-exact gap arithmetic on both engines."""
@@ -982,8 +944,6 @@ def ext_events_sessionize(spark, sf_dir):
     GROUP BY 1, 2
     """,
 )
-
-
 def ext_events_tumbling_window(spark, sf_dir):
     """10-minute tumbling windows per event_type (batch F.window ≡
     DuckDB time_bucket on window_start); value sum decimal-routed."""
@@ -1024,8 +984,6 @@ def ext_events_tumbling_window(spark, sf_dir):
     GROUP BY 1, 2
     """,
 )
-
-
 def ext_events_sliding_window(spark, sf_dir):
     """10-minute windows hopping every 5 minutes per event_type
     (operators/windows.sliding_window_agg): Spark's F.window(width,
@@ -1074,8 +1032,6 @@ def ext_events_sliding_window(spark, sf_dir):
     GROUP BY user_id, session_seq
     """,
 )
-
-
 def ext_events_session_window(spark, sf_dir):
     """Per-user session windows with a 30-minute inactivity gap via
     Spark's native ``F.session_window`` (the same operator Structured
@@ -1106,8 +1062,6 @@ def ext_events_session_window(spark, sf_dir):
     FROM events
     """,
 )
-
-
 def ext_events_json_extract(spark, sf_dir):
     """JSON property extraction from the props string column."""
     e = load(spark, sf_dir, "events")
@@ -1131,8 +1085,6 @@ def ext_events_json_extract(spark, sf_dir):
     FROM documents
     """,
 )
-
-
 def ext_multimodal_features(spark, sf_dir):
     """Multimodal decode/feature-extract plumbing over mapInPandas
     (Arrow batches, zero shuffle). The decode step is a deterministic
@@ -1177,8 +1129,6 @@ def ext_multimodal_features(spark, sf_dir):
     FROM d
     """,
 )
-
-
 def ext_multimodal_container_meta(spark, sf_dir):
     """REAL audio/video container-metadata decode (retires the r8
     honest metadata stubs): per document two genuine binary
@@ -1268,8 +1218,6 @@ def ext_multimodal_container_meta(spark, sf_dir):
     WHERE doc_id < 100
     """,
 )
-
-
 def ext_multimodal_frame_sample(spark, sf_dir):
     """Video frame sampling through the real mapInPandas plumbing
     (row-exploding, partition-local): documents-as-media tagged video,
@@ -1321,8 +1269,6 @@ def _events_stream_dir(spark, sf_dir: str) -> str:
     """,
     memoize=False,  # eager stream run
 )
-
-
 def ext_streaming_tumbling(spark, sf_dir):
     """Structured Streaming tumbling-window counts driven to completion
     with availableNow over a parquet drop of the events table; the
@@ -1355,8 +1301,6 @@ def ext_streaming_tumbling(spark, sf_dir):
     """,
     memoize=False,  # eager stream run
 )
-
-
 def ext_streaming_dedup(spark, sf_dir):
     """Streaming dedup-on-ingest (streaming/jobs.dedup_within_watermark
     — dropDuplicatesWithinWatermark): exactly one survivor per
@@ -1403,8 +1347,6 @@ def ext_streaming_dedup(spark, sf_dir):
       ON c.user_id = v.user_id AND c.ts >= v.ts
     """,
 )
-
-
 def ext_asof_join(spark, sf_dir):
     """As-of join (operators/temporal.py): each click attaches the most
     recent prior view's value per user — the sort-based union+window
@@ -1446,8 +1388,6 @@ def ext_asof_join(spark, sf_dir):
      AND c.click_ts >= p.win_start AND c.click_ts <= p.win_end
     """,
 )
-
-
 def ext_range_join(spark, sf_dir):
     """Range (interval) join (operators/temporal.py): clicks landing
     within 30 minutes after a purchase by the same user. Bucketed
@@ -1480,8 +1420,6 @@ def ext_range_join(spark, sf_dir):
     WHERE l_linenumber = 1
     """,
 )
-
-
 def ext_salted_join(spark, sf_dir):
     """Skew-resistant salted equi-join (operators/scale.py): the hot key
     spreads over 4 salt partitions; the result multiset is identical to
@@ -1508,8 +1446,6 @@ def ext_salted_join(spark, sf_dir):
     """,
     memoize=False,  # eager stream run
 )
-
-
 def ext_streaming_stateful_totals(spark, sf_dir):
     """applyInPandasWithState running per-user totals driven to
     completion with availableNow — an arbitrary per-key state machine
@@ -1557,8 +1493,6 @@ def ext_streaming_stateful_totals(spark, sf_dir):
     FROM events GROUP BY user_id
     """,
 )
-
-
 def ext_pivot_event_counts(spark, sf_dir):
     """Pivot: per-user event-type counts (explicit value list so the
     plan is a single pass, no distinct-values pre-query)."""
@@ -1582,8 +1516,6 @@ def ext_pivot_event_counts(spark, sf_dir):
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
 )
-
-
 def ext_rollup_revenue(spark, sf_dir):
     """ROLLUP hierarchy totals (status, priority) — grouping-set
     aggregation in one pass."""
@@ -1614,8 +1546,6 @@ def ext_rollup_revenue(spark, sf_dir):
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
 )
-
-
 def ext_window_lag_lead(spark, sf_dir):
     """lag/lead analytics per user over a pinned total order (ts +
     event_id tiebreak — determinism is what makes the values
@@ -1633,7 +1563,7 @@ def ext_window_lag_lead(spark, sf_dir):
         .cast("bigint")
         .alias("secs_since_prev"),
     ),
-        "prev_value", "next_value",
+        "prev_value", "next_value", "secs_since_prev",
     )
 
 
@@ -1649,8 +1579,6 @@ def ext_window_lag_lead(spark, sf_dir):
     FROM events
     """,
 )
-
-
 def ext_window_running_sum(spark, sf_dir):
     """Cumulative frame aggregation (ROWS UNBOUNDED PRECEDING..CURRENT):
     running per-user total. The sum routes through exact DECIMAL
@@ -1682,8 +1610,6 @@ def ext_window_running_sum(spark, sf_dir):
     WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
     """,
 )
-
-
 def ext_window_rank_family(spark, sf_dir):
     """The ranking-function family over a pinned total order: rank,
     dense_rank, ntile, percent_rank per order-priority partition."""
@@ -1716,8 +1642,6 @@ def ext_window_rank_family(spark, sf_dir):
     GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
 )
-
-
 def ext_cube_revenue(spark, sf_dir):
     """CUBE over (returnflag, linestatus) — all 4 grouping combinations
     in one pass (Spark expands to an internal Expand node; one shuffle).
@@ -1744,8 +1668,6 @@ def ext_cube_revenue(spark, sf_dir):
     GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
     """,
 )
-
-
 def ext_grouping_sets(spark, sf_dir):
     """Explicit GROUPING SETS (by-flag, by-status, grand total) via the
     SQL path — Spark and DuckDB agree on subtotal NULL semantics via
@@ -1778,8 +1700,6 @@ def ext_grouping_sets(spark, sf_dir):
     """,
     memoize=False,  # eager stream run
 )
-
-
 def ext_streaming_stream_join(spark, sf_dir):
     """Watermarked stream-stream inner join (view→click attribution
     within 10 minutes; streaming/jobs.view_click_join). Inner joins
@@ -1814,8 +1734,6 @@ def ext_streaming_stream_join(spark, sf_dir):
     )
     """,
 )
-
-
 def ext_semi_join(spark, sf_dir):
     """Left-semi join (EXISTS): customers with at least one open order.
     Semi joins never multiply rows — the probe side streams through a
@@ -1839,8 +1757,6 @@ def ext_semi_join(spark, sf_dir):
     SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day FROM events WHERE event_type = 'purchase'
     """,
 )
-
-
 def ext_set_intersect(spark, sf_dir):
     """INTERSECT (distinct semantics): (user, day) pairs with both a
     view and a purchase. Catalyst lowers this to a left-semi join over
@@ -1863,8 +1779,6 @@ def ext_set_intersect(spark, sf_dir):
     SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day FROM events WHERE event_type = 'purchase'
     """,
 )
-
-
 def ext_set_union_distinct(spark, sf_dir):
     """UNION with distinct semantics (vs the reference's positional
     UNION ALL, U1): (user, day) pairs with a view or a purchase, each
@@ -1888,8 +1802,6 @@ def ext_set_union_distinct(spark, sf_dir):
     SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day FROM events WHERE event_type = 'purchase'
     """,
 )
-
-
 def ext_set_except(spark, sf_dir):
     """EXCEPT (distinct semantics): (user, day) pairs that viewed but
     did not purchase that day — the anti-join twin of
@@ -1914,8 +1826,6 @@ def ext_set_except(spark, sf_dir):
     FROM documents
     """,
 )
-
-
 def ext_train_val_split(spark, sf_dir):
     """Deterministic content-addressed train/val/test split
     (operators/sampling.hash_split): md5-bucketed 80/10/10 on doc_id.
@@ -1935,8 +1845,6 @@ def ext_train_val_split(spark, sf_dir):
     WHERE (CAST(concat('0x', substring(md5(concat('', ':', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) / 4294967296.0) < 0.1
     """,
 )
-
-
 def ext_hash_sample(spark, sf_dir):
     """Deterministic 10% Bernoulli-style sample
     (operators/sampling.hash_sample): content-addressed, so retries and
@@ -1975,8 +1883,6 @@ _CURATION_ORACLE = (
 
 
 @query("ext_corpus_curation", oracle=_CURATION_ORACLE)
-
-
 def ext_corpus_curation(spark, sf_dir):
     """The full curation pipeline in one plan: quality ≥ 0.5 AND
     predicted lang = 'en' → exact dedup (min-id survivor per content
@@ -2036,8 +1942,6 @@ HAVING COUNT(*) >= 50
 
 
 @query("ext_text_explode_tokens", oracle=_EXPLODE_ORACLE)
-
-
 def ext_text_explode_tokens(spark, sf_dir):
     """Generator surface: explode the token array to one row per
     (doc, token), then corpus-level term frequencies — Spark's
@@ -2075,8 +1979,6 @@ def ext_text_explode_tokens(spark, sf_dir):
     SELECT o_orderpriority, 'n_orders' AS measure, n_orders AS value FROM a
     """,
 )
-
-
 def ext_unpivot_measures(spark, sf_dir):
     """UNPIVOT / melt: wide per-priority measures → long (key, measure,
     value) triples — the reshape every metrics store and feature
@@ -2114,8 +2016,6 @@ def ext_unpivot_measures(spark, sf_dir):
           < CASE lang WHEN 'en' THEN 0.25 WHEN 'zh' THEN 0.5 ELSE 1.0 END
     """,
 )
-
-
 def ext_stratified_sample(spark, sf_dir):
     """Deterministic stratified sample
     (operators/sampling.stratified_hash_sample): rebalance the corpus
@@ -2144,8 +2044,6 @@ def ext_stratified_sample(spark, sf_dir):
     FROM embeddings
     """,
 )
-
-
 def ext_array_hof(spark, sf_dir):
     """Array higher-order-function surface over the embedding column:
     transform (scale+floor each component — exact integer math, so the
@@ -2180,8 +2078,6 @@ def ext_array_hof(spark, sf_dir):
     ORDER BY o_totalprice DESC, o_orderkey
     """,
 )
-
-
 def ext_global_sort(spark, sf_dir):
     """Global ORDER BY (no limit — o1's TakeOrderedAndProject doesn't
     apply): Spark samples the sort key to build range boundaries, then
@@ -2210,8 +2106,6 @@ def ext_global_sort(spark, sf_dir):
     WHERE levenshtein(a.text, b.text) <= 20
     """,
 )
-
-
 def ext_dedup_edit_distance(spark, sf_dir):
     """Bounded-Levenshtein near-dup pairs with (lang, length-bucket)
     blocking (operators/dedup.edit_distance_pairs) — the character-
@@ -2272,8 +2166,6 @@ FROM r WHERE rn = 1
 
 
 @query("ext_embedding_group_medoid", oracle=_GROUP_MEDOID_ORACLE, memoize=True)
-
-
 def ext_embedding_group_medoid(spark, sf_dir):
     """Per-label medoid over the embeddings table
     (operators/similarity.group_medoid) — representative selection via
@@ -2307,8 +2199,6 @@ def ext_embedding_group_medoid(spark, sf_dir):
     GROUP BY key
     """,
 )
-
-
 def ext_events_map_explode(spark, sf_dir):
     """Semi-structured MAP path: parse the JSON ``props`` column to
     ``map<string,bigint>`` and EXPLODE its entries to (key, value)
@@ -2348,8 +2238,6 @@ def ext_events_map_explode(spark, sf_dir):
     FROM spine LEFT JOIN m USING (month)
     """,
 )
-
-
 def ext_date_spine_densify(spark, sf_dir):
     """Date-spine densify (the dbt_utils.date_spine staple): generate
     every month between the corpus bounds with ``sequence`` + explode,
@@ -2407,8 +2295,6 @@ def ext_date_spine_densify(spark, sf_dir):
     FROM c
     """,
 )
-
-
 def ext_pack_sequences(spark, sf_dir):
     """LLM-pretraining sequence packing (operators/packing.py,
     split mode): documents laid end-to-end per language bucket and cut
@@ -2450,8 +2336,6 @@ FROM (SELECT doc_id, w, unnest(generate_series(0, n_chunks - 1)) AS i FROM c)
 
 
 @query("ext_text_chunk_windows", oracle=_CHUNK_ORACLE)
-
-
 def ext_text_chunk_windows(spark, sf_dir):
     """Overlapping token-window chunking (operators/packing.
     chunk_token_windows): 64-token windows, stride 48 (16-token
@@ -2487,8 +2371,6 @@ def ext_text_chunk_windows(spark, sf_dir):
     GROUP BY s.doc_id
     """,
 )
-
-
 def ext_decontaminate_ngram(spark, sf_dir):
     """Benchmark decontamination (operators/dedup.ngram_contamination):
     corpus docs sharing any word 4-gram with the pseudo-benchmark
@@ -2525,8 +2407,6 @@ def ext_decontaminate_ngram(spark, sf_dir):
     GROUP BY s.doc_id
     """,
 )
-
-
 def ext_decontaminate_bloom(spark, sf_dir):
     """Bloom-prefiltered decontamination (operators/dedup.
     bloom_prefilter_contamination): same exact per-doc overlap counts
@@ -2570,8 +2450,6 @@ def ext_decontaminate_bloom(spark, sf_dir):
     FROM s
     """,
 )
-
-
 def ext_text_repetition_ratio(spark, sf_dir):
     """Intra-document repetition ratio (Gopher-style quality rule):
     1 − distinct/total over the doc's word 3-grams — boilerplate and
@@ -2618,8 +2496,6 @@ _WORD_PAT = "\\bcustomer\\b"
     FROM documents
     """,
 )
-
-
 def ext_text_regex_redact(spark, sf_dir):
     """Regex redaction pass (operators/cleaning.redact): scrub every
     match of a pattern set, count matches per row. The contract set is
@@ -2665,8 +2541,6 @@ def ext_text_regex_redact(spark, sf_dir):
     FROM toks GROUP BY doc_id
     """,
 )
-
-
 def ext_vocab_coverage(spark, sf_dir):
     """Frequency-vocabulary build + per-document coverage
     (operators/cleaning.vocab_coverage): top-K corpus tokens by count
@@ -2715,8 +2589,6 @@ def ext_vocab_coverage(spark, sf_dir):
     ) WHERE rank <= 3
     """,
 )
-
-
 def ext_text_tfidf_topk(spark, sf_dir):
     """Per-document top-3 TF-IDF terms (operators/cleaning.
     tfidf_topk_terms): smooth sklearn idf, 9dp round-before-rank,
@@ -2745,8 +2617,6 @@ FROM binned GROUP BY bin ORDER BY bin
 
 
 @query("ext_quantile_binning", oracle=_QB_ORACLE)
-
-
 def ext_quantile_binning(spark, sf_dir):
     """Quality-decile curriculum bins: NTILE(10) over the quality
     score (ties pinned by doc_id so the decile boundaries are
@@ -2794,8 +2664,6 @@ def ext_quantile_binning(spark, sf_dir):
     ORDER BY o_orderpriority
     """,
 )
-
-
 def ext_partitioned_sink_prune(spark, sf_dir):
     """Partitioned-sink round trip (operators/scale.write_partitioned):
     orders written hive-partitioned by ``o_year``, read back with a
@@ -2837,8 +2705,6 @@ def ext_partitioned_sink_prune(spark, sf_dir):
     ORDER BY o_orderpriority
     """,
 )
-
-
 def ext_bucketed_join_colocated(spark, sf_dir):
     """Shuffle-free fact⨝fact join via bucketed layout (operators/scale.
     write_bucketed): lineitem and orders each saved bucketed 8 ways on
@@ -2921,8 +2787,6 @@ def ext_bucketed_join_colocated(spark, sf_dir):
           < f.frac
     """,
 )
-
-
 def ext_mixture_sample(spark, sf_dir):
     """Pretraining-mix rebalancing (operators/sampling.mixture_sample):
     downsample so the corpus composition hits 50 % en / 25 % zh /
@@ -2953,8 +2817,6 @@ def ext_mixture_sample(spark, sf_dir):
     FROM (SELECT doc_id, lang, unnest(generate_series(0, n - 1)) AS i FROM e)
     """,
 )
-
-
 def ext_epoch_upsample(spark, sf_dir):
     """Fractional-epoch upsampling (operators/sampling.epoch_upsample):
     2.3 epochs — every document twice, a content-hashed 30 % a third
@@ -2998,8 +2860,6 @@ FROM m
 
 
 @query("ext_profile_correlation", oracle=_CORR_ORACLE)
-
-
 def ext_profile_correlation(spark, sf_dir):
     """Pairwise Pearson correlation panel (plans/profile.
     profile_correlation) over lineitem's numeric measures — the
@@ -3053,8 +2913,6 @@ def ext_profile_correlation(spark, sf_dir):
           < f.frac
     """,
 )
-
-
 def ext_mixture_sample_tokens(spark, sf_dir):
     """Token-budget mixture (operators/sampling.mixture_sample with
     weight_col): shares are fractions of the TOKEN budget — what a
@@ -3095,8 +2953,6 @@ FROM q JOIN s USING (lang)
 
 
 @query("ext_quality_robust_normalize", oracle=_ROBUST_ORACLE)
-
-
 def ext_quality_robust_normalize(spark, sf_dir):
     """Per-language robust quality calibration (operators/cleaning.
     robust_normalize): (quality − lang-median) / lang-IQR, so one
@@ -3155,8 +3011,6 @@ FROM comp
     oracle=_LEAK_SPLIT_ORACLE,
     memoize=False,  # CC iterates eagerly
 )
-
-
 def ext_leakage_safe_split(spark, sf_dir):
     """Leakage-safe train/val split (operators/sampling.
     leakage_safe_split): the split unit is the near-dup CLUSTER, not
@@ -3205,8 +3059,6 @@ def ext_leakage_safe_split(spark, sf_dir):
     ) WHERE rn <= 60
     """,
 )
-
-
 def ext_cap_per_group(spark, sf_dir):
     """Per-source frequency cap (operators/sampling.cap_per_group):
     at most 60 documents per language — the anti-dominance rule a
@@ -3270,8 +3122,6 @@ SELECT query_id, rank, vec_id, cosine_sim_r FROM (
     oracle=_HARD_NEG_ORACLE,
     memoize=False,  # CC iterates eagerly
 )
-
-
 def ext_hard_negative_topk(spark, sf_dir):
     """Hard-negative mining (operators/similarity.hard_negative_topk):
     per query, the 5 most-similar vectors OUTSIDE the query's near-dup
@@ -3397,8 +3247,6 @@ SELECT query_id, rank, vec_id, cosine_sim_r FROM (
     oracle=_hard_neg_ann_oracle(),
     memoize=False,  # CC iterates eagerly
 )
-
-
 def ext_hard_negative_topk_ann(spark, sf_dir):
     """ANN-backed hard-negative mining (operators/similarity.
     hard_negative_topk_ann, VERDICT r6 #1 — retiring the last
@@ -3461,8 +3309,6 @@ def _corpus_shuffle_oracle() -> str:
 
 
 @query("ext_corpus_shuffle", oracle=_corpus_shuffle_oracle(), memoize=False)
-
-
 def ext_corpus_shuffle(spark, sf_dir):
     """Deterministic global training-order shuffle (operators/sampling.
     corpus_shuffle): every document gets its exact 0-based rank under
@@ -3516,8 +3362,6 @@ FROM r2 CROSS JOIN s2 WHERE rank <= 5
 
 
 @query("ext_profile_key_skew", oracle=_KEY_SKEW_ORACLE)
-
-
 def ext_profile_key_skew(spark, sf_dir):
     """Join/group-key skew panel (plans/profile.profile_key_skew):
     top-5 heavy hitters + distinct count + global share for two
@@ -3574,8 +3418,6 @@ FROM documents d LEFT JOIN g USING (doc_id)
 
 
 @query("ext_remove_duplicated_spans", oracle=_DUP_SPAN_ORACLE)
-
-
 def ext_remove_duplicated_spans(spark, sf_dir):
     """Corpus-level duplicated-span removal (operators/cleaning.
     remove_duplicated_spans) — the Gopher/FineWeb boilerplate pass
@@ -3644,8 +3486,6 @@ WHERE rank <= 5
 
 
 @query("ext_similarity_quantized_topk", oracle=_QUANT_TOPK_ORACLE)
-
-
 def ext_similarity_quantized_topk(spark, sf_dir):
     """Exact scan over int8-QUANTIZED embeddings (operators/similarity.
     int8_scale / quantize_int8 / quantized_topk — SQ8 in FAISS terms):
@@ -3687,8 +3527,6 @@ def _sorted_runs_oracle() -> str:
 
 
 @query("ext_sorted_run_export", oracle=_sorted_runs_oracle(), memoize=False)
-
-
 def ext_sorted_run_export(spark, sf_dir):
     """Sorted-run training export (operators/scale.write_sorted_runs):
     the deterministic corpus_shuffle order materialized as 8 hive
@@ -3761,8 +3599,6 @@ WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
 
 
 @query("ext_incremental_dedup", oracle=_INCR_DEDUP_ORACLE)
-
-
 def ext_incremental_dedup(spark, sf_dir):
     """Incremental near-dup detection against a persisted history index
     (operators/dedup.incremental_minhash_dedup): history = doc_id<250
@@ -3818,8 +3654,6 @@ FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
 
 
 @query("ext_snapshot_diff", oracle=_SNAPSHOT_DIFF_ORACLE)
-
-
 def ext_snapshot_diff(spark, sf_dir):
     """Row-level snapshot diff (plans/snapshots.snapshot_diff) — the
     data-versioning primitive: yesterday's corpus (doc_id<450) vs
@@ -3871,8 +3705,6 @@ def _docs_stream_dir(spark, sf_dir: str) -> str:
     oracle=_INCR_DEDUP_ORACLE,  # batch/stream symmetry: SAME oracle
     memoize=False,  # eager stream run
 )
-
-
 def ext_streaming_incremental_dedup(spark, sf_dir):
     """Streaming incremental dedup (streaming/jobs.
     stream_dedup_vs_history): the batch ext_incremental_dedup re-bound
@@ -3976,8 +3808,6 @@ LEFT JOIN dup ON dup.source = core.source
 
 
 @query("ext_corpus_datacard", oracle=_DATACARD_ORACLE)
-
-
 def ext_corpus_datacard(spark, sf_dir):
     """Per-source corpus datasheet (plans/profile.corpus_datacard —
     "datasheets for datasets"): volume, language makeup (distinct +
@@ -4060,8 +3890,6 @@ SELECT query_id, rank, vec_id, qcos_r FROM (
 
 
 @query("ext_similarity_ivf_sq8_topk", oracle=_ivf_sq8_oracle())
-
-
 def ext_similarity_ivf_sq8_topk(spark, sf_dir):
     """IVF-SQ8 ANN top-5 (operators/similarity.ivf_quantized_topk —
     FAISS IndexIVFScalarQuantizer scheme): the frozen coarse quantizer
@@ -4105,8 +3933,6 @@ def _weighted_sample_oracle() -> str:
 
 
 @query("ext_weighted_sample", oracle=_weighted_sample_oracle())
-
-
 def ext_weighted_sample(spark, sf_dir):
     """Deterministic weighted sampling without replacement
     (operators/sampling.weighted_sample_per_group — Efraimidis–Spirakis
@@ -4148,8 +3974,6 @@ def ext_weighted_sample(spark, sf_dir):
     GROUP BY 1
     """,
 )
-
-
 def ext_sketch_distinct_rollup(spark, sf_dir):
     """Mergeable HLL distinct-count rollup UNDER ORACLE
     (operators/sketch): one DataSketches HLL sketch per ship-MONTH
@@ -4198,8 +4022,6 @@ def _zorder_oracle() -> str:
 
 
 @query("ext_zorder_layout", oracle=_zorder_oracle(), memoize=False)
-
-
 def ext_zorder_layout(spark, sf_dir):
     """Z-order (Morton) layout round trip (operators/scale.zorder_write
     — the Delta/Iceberg OPTIMIZE ZORDER lever from pure column
@@ -4270,8 +4092,6 @@ def _hist_quantile_oracle() -> str:
 
 
 @query("ext_histogram_quantile_rollup", oracle=_hist_quantile_oracle())
-
-
 def ext_histogram_quantile_rollup(spark, sf_dir):
     """Mergeable-histogram quantile rollup (operators/sketch.
     shard_histograms → histogram_quantile_rollup): the quantile twin
@@ -4322,8 +4142,6 @@ def _topk_hh_oracle() -> str:
 
 
 @query("ext_topk_heavy_hitters_rollup", oracle=_topk_hh_oracle())
-
-
 def ext_topk_heavy_hitters_rollup(spark, sf_dir):
     """Mergeable heavy-hitters rollup (operators/sketch.
     shard_topk_summaries → topk_rollup_certified): the frequent-items
@@ -4389,8 +4207,6 @@ FROM latest WHERE op = 'upsert'
 
 
 @query("ext_cdc_apply", oracle=_CDC_APPLY_ORACLE)
-
-
 def ext_cdc_apply(spark, sf_dir):
     """CDC changeset application — MERGE INTO semantics
     (plans/snapshots.cdc_apply), the inverse of ext_snapshot_diff:
@@ -4455,8 +4271,6 @@ def _drift_psi_oracle() -> str:
 
 
 @query("ext_profile_drift_psi", oracle=_drift_psi_oracle())
-
-
 def ext_profile_drift_psi(spark, sf_dir):
     """Distribution-drift gate (plans/profile.profile_drift_psi):
     Population Stability Index of doc length between two corpus
@@ -4497,8 +4311,6 @@ def ext_profile_drift_psi(spark, sf_dir):
     """,
     memoize=False,
 )
-
-
 def ext_compact_small_files(spark, sf_dir):
     """Small-file compaction round trip (operators/scale.compact_files
     — the OPTIMIZE/rewrite_data_files lever): documents deliberately
@@ -4553,8 +4365,6 @@ def ext_compact_small_files(spark, sf_dir):
     """,
     memoize=False,
 )
-
-
 def ext_file_stats_skipping(spark, sf_dir):
     """File-stats data-skipping index (operators/scale.
     file_stats_index + pruned_file_scan — the Delta data-skipping /
@@ -4628,8 +4438,6 @@ FROM p
 
 
 @query("ext_profile_drift_psi_categorical", oracle=_PSI_CAT_ORACLE)
-
-
 def ext_profile_drift_psi_categorical(spark, sf_dir):
     """Categorical twin of ext_profile_drift_psi
     (plans/profile.profile_drift_psi_categorical): language-mix drift
@@ -4693,8 +4501,6 @@ FROM p
 
 
 @query("ext_streaming_drift_psi", oracle=_STREAM_DRIFT_ORACLE, memoize=False)
-
-
 def ext_streaming_drift_psi(spark, sf_dir):
     """Streaming drift monitor (streaming/jobs.windowed_value_histogram
     → plans/profile.drift_psi_grouped): the deployment shape of the
@@ -4753,8 +4559,6 @@ def ext_streaming_drift_psi(spark, sf_dir):
     FROM events
     """,
 )
-
-
 def ext_source_freshness(spark, sf_dir):
     """dbt `source freshness` (plans/dq.source_freshness): max(ts) of
     the events source aged against a pinned evaluation instant
@@ -4813,8 +4617,6 @@ def ext_source_freshness(spark, sf_dir):
     FROM w
     """,
 )
-
-
 def ext_metric_anomaly(spark, sf_dir):
     """Metric anomaly panel (plans/metrics.metric_anomaly): monthly
     order revenue scored by trailing-6-month z (current month
@@ -4894,8 +4696,6 @@ SELECT query_id, rank, doc_id, score_r FROM (
 
 
 @query("ext_bm25_topk", oracle=_BM25_ORACLE)
-
-
 def ext_bm25_topk(spark, sf_dir):
     """Okapi BM25 top-5 per query (operators/retrieval.bm25_topk) over
     three fixed 3–4-term queries — the lexical-retrieval primitive for
@@ -4965,8 +4765,6 @@ FROM sig
 
 
 @query("ext_gopher_quality", oracle=_GOPHER_ORACLE)
-
-
 def ext_gopher_quality(spark, sf_dir):
     """Gopher-style quality rule panel (operators/cleaning.
     gopher_quality): word-count band, mean-word-length band,
@@ -5031,8 +4829,6 @@ FROM toks JOIN mlr USING (b) GROUP BY doc_id
 
 
 @query("ext_dsir_importance", oracle=_DSIR_ORACLE)
-
-
 def ext_dsir_importance(spark, sf_dir):
     """DSIR importance scores (operators/sampling.dsir_scores): hashed-
     unigram log-likelihood ratio of an English-target model vs the
@@ -5078,8 +4874,6 @@ FROM s0 LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
 
 
 @query("ext_events_funnel", oracle=_FUNNEL_ORACLE)
-
-
 def ext_events_funnel(spark, sf_dir):
     """First-touch funnel view → click → purchase (operators/windows.
     funnel_stages): per user, the first click strictly after the first
@@ -5120,8 +4914,6 @@ GROUP BY 1, 2
 
 
 @query("ext_events_retention", oracle=_RETENTION_ORACLE)
-
-
 def ext_events_retention(spark, sf_dir):
     """Day-grain cohort retention matrix (operators/windows.
     cohort_retention): users bucketed by first-activity day, counted
@@ -5217,8 +5009,6 @@ SELECT query_id, rank, item_id, rrf_r FROM (
 
 
 @query("ext_hybrid_rrf_topk", oracle=_HYBRID_ORACLE)
-
-
 def ext_hybrid_rrf_topk(spark, sf_dir):
     """Hybrid retrieval: BM25 lexical top-5 ⊕ exact-cosine embedding
     top-5 fused by reciprocal-rank fusion (operators/retrieval.
@@ -5274,8 +5064,6 @@ FROM counts JOIN totals USING (prev_type)
 
 
 @query("ext_events_transition_matrix", oracle=_TRANSITION_ORACLE)
-
-
 def ext_events_transition_matrix(spark, sf_dir):
     """First-order Markov transition matrix over per-user event
     streams (operators/windows.event_transition_matrix): lag() under a
@@ -5341,8 +5129,6 @@ FROM panel CROSS JOIN summary
 
 
 @query("ext_profile_chi_square", oracle=_CHI2_ORACLE)
-
-
 def ext_profile_chi_square(spark, sf_dir):
     """Chi-square independence panel source × lang (plans/profile.
     chi_square_independence): full contingency cells with expected
@@ -5402,8 +5188,6 @@ SELECT term_b, term_a, c_ab, c_a, c_b, pmi_r, rank FROM (
 
 
 @query("ext_text_pmi_collocations", oracle=_PMI_ORACLE)
-
-
 def ext_text_pmi_collocations(spark, sf_dir):
     """Top-20 document-level PMI collocations over the top-100 vocab
     (operators/cleaning.pmi_collocations, min 5 co-occurring docs) —
@@ -5433,8 +5217,6 @@ FROM documents GROUP BY source
 
 
 @query("ext_pivot_lang_by_source", oracle=_PIVOT_ORACLE)
-
-
 def ext_pivot_lang_by_source(spark, sf_dir):
     """Wide language × source contingency table via the NATIVE
     ``groupBy().pivot(values)`` path (operators/cleaning.
@@ -5493,8 +5275,6 @@ FROM d
 
 
 @query("ext_profile_ks_test", oracle=_KS_ORACLE)
-
-
 def ext_profile_ks_test(spark, sf_dir):
     """Exact two-sample Kolmogorov–Smirnov test (plans/profile.
     ks_two_sample): click-vs-error value distributions, empirical CDFs
@@ -5549,8 +5329,6 @@ FROM lags GROUP BY transition
 
 
 @query("ext_events_funnel_latency", oracle=_FUNNEL_LATENCY_ORACLE)
-
-
 def ext_events_funnel_latency(spark, sf_dir):
     """Conversion-latency panel on the funnel frame: per transition
     (view→click, click→purchase), the converted-user count and the
@@ -5592,8 +5370,6 @@ def ext_events_funnel_latency(spark, sf_dir):
     oracle=_FUNNEL_ORACLE,
     memoize=False,  # eager stream run
 )
-
-
 def ext_streaming_funnel(spark, sf_dir):
     """Streaming first-touch funnel (streaming/stateful.
     streaming_funnel): per-user sorted stage-time lists re-walked each
@@ -5644,8 +5420,6 @@ FROM ranked JOIN gidx USING (source) CROSS JOIN gs
 
 
 @query("ext_curriculum_interleave", oracle=_INTERLEAVE_ORACLE)
-
-
 def ext_curriculum_interleave(spark, sf_dir):
     """Source-interleaved training order (operators/sampling.
     curriculum_interleave): round-robin positions across the 20
@@ -5695,8 +5469,6 @@ GROUP BY doc_id
 
 
 @query("ext_text_lm_perplexity", oracle=_LM_ORACLE)
-
-
 def ext_text_lm_perplexity(spark, sf_dir):
     """CCNet-style char-trigram LM quality score (operators/cleaning.
     ngram_lm_score): mean negative log-probability under a model
@@ -5740,8 +5512,6 @@ FROM with_df GROUP BY doc_id
 
 
 @query("ext_text_novelty", oracle=_NOVELTY_ORACLE)
-
-
 def ext_text_novelty(spark, sf_dir):
     """Content-novelty scores (operators/cleaning.novelty_scores):
     share of each document's distinct 3-word shingles that occur in no
@@ -5790,8 +5560,6 @@ FROM agg GROUP BY source
     oracle=_STREAM_QUALITY_ORACLE,
     memoize=False,  # eager stream run
 )
-
-
 def ext_streaming_quality_gate(spark, sf_dir):
     """Streaming ingest quality gate: the BATCH Gopher rule panel
     (operators/cleaning.gopher_quality — pure map-only Columns)
@@ -5850,8 +5618,6 @@ SELECT sym_a, sym_b, pair_count, rank FROM (
 
 
 @query("ext_bpe_pair_counts", oracle=_BPE_PAIRS_ORACLE)
-
-
 def ext_bpe_pair_counts(spark, sf_dir):
     """Top-30 BPE merge-step pair statistics (operators/tokenizer.
     bpe_pair_counts): adjacent-symbol counts over round-0 symbol
@@ -5964,8 +5730,6 @@ _BPE_N_MERGES = 6
     oracle=_bpe_learn_oracle(_BPE_N_MERGES),
     memoize=False,
 )
-
-
 def ext_bpe_learn_merges(spark, sf_dir):
     """The ITERATIVE BPE trainer (operators/tokenizer.
     bpe_learn_merges): 6 rounds of pair recount → deterministic argmax
@@ -6052,8 +5816,6 @@ FROM documents d LEFT JOIN (
 @query(
     "ext_bpe_segment", oracle=_bpe_segment_oracle(_BPE_FROZEN_MERGES)
 )
-
-
 def ext_bpe_segment(spark, sf_dir):
     """Apply the frozen 8-rule BPE merge table to every document
     (operators/tokenizer.bpe_segment): rebuild the corpus as subword
@@ -6164,8 +5926,6 @@ nb_scores AS (
 SELECT label, token, n, logp_r FROM nb_model
 """,
 )
-
-
 def ext_nb_train(spark, sf_dir):
     """Train the multinomial-NB language classifier on the 80% modulo
     split (operators/classify.nb_train): the fastText-family linear
@@ -6203,8 +5963,6 @@ FROM pred p JOIN (SELECT DISTINCT doc_id, lang FROM heldout) h USING (doc_id)
 WHERE p.rn = 1
 """,
 )
-
-
 def ext_nb_classify(spark, sf_dir):
     """Score + predict the 20% held-out split with the broadcast NB
     model (operators/classify.nb_score/nb_predict): the corpus-side
@@ -6275,8 +6033,6 @@ SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
 FROM agg
 """,
 )
-
-
 def ext_classifier_auc(spark, sf_dir):
     """Exact tie-corrected ROC-AUC (operators/classify.auc_exact) of
     the one-vs-rest 'en' margin on the held-out split — the threshold-
@@ -6373,8 +6129,6 @@ FROM withsim w JOIN comp c ON c.id = w.vec_id
 
 
 @query("ext_semdedup", oracle=_semdedup_oracle(0.3), memoize=False)
-
-
 def ext_semdedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023) against the frozen IVF quantizer
     (operators/similarity.semdedup): cluster-scoped near-dup pairing
@@ -6429,8 +6183,6 @@ FROM (
 
 
 @query("ext_semantic_decontaminate", oracle=_SEM_DECON_ORACLE)
-
-
 def ext_semantic_decontaminate(spark, sf_dir):
     """Embedding-space decontamination
     (operators/similarity.semantic_decontaminate): the 8 frozen query
@@ -6491,8 +6243,6 @@ FROM v
 
 
 @query("ext_pca_whiten", oracle=_pca_whiten_oracle())
-
-
 def ext_pca_whiten(spark, sf_dir):
     """Whitened top-4 PCA projection of every embedding against the
     frozen basis (operators/pca.pca_whiten_project): the decorrelate +
@@ -6530,8 +6280,6 @@ def ext_pca_whiten(spark, sf_dir):
     # equal the batch shard summaries row-for-row.
     memoize=False,  # eager stream run + sink round-trip
 )
-
-
 def ext_streaming_topk_rollup(spark, sf_dir):
     """Streaming heavy hitters (streaming/jobs.stream_topk_shard_summaries
     → operators/sketch.topk_rollup): every micro-batch of the events
@@ -6683,8 +6431,6 @@ FROM comp
 
 
 @query("ext_purged_kfold", oracle=_KFOLD_ORACLE, memoize=False)
-
-
 def ext_purged_kfold(spark, sf_dir):
     """Purged k-fold CV assignment (operators/sampling.purged_kfold):
     the fold unit is the near-dup CLUSTER — per-row folding puts a
@@ -6736,8 +6482,6 @@ FROM (
 
 
 @query("ext_contrastive_pairs", oracle=_CONTRASTIVE_ORACLE, memoize=False)
-
-
 def ext_contrastive_pairs(spark, sf_dir):
     """Contrastive-pair mining (operators/sampling.contrastive_pairs):
     every verified near-dup pair becomes (anchor, positive) and draws
@@ -6779,8 +6523,6 @@ def ext_contrastive_pairs(spark, sf_dir):
           < f.frac
     """,
 )
-
-
 def ext_temperature_mixture(spark, sf_dir):
     """Temperature-smoothed mixing (operators/sampling.
     temperature_mixture, alpha=0.5): target shares ∝ sqrt(stratum
@@ -6806,8 +6548,6 @@ def ext_temperature_mixture(spark, sf_dir):
     LIMIT 64
     """,
 )
-
-
 def ext_exact_k_sample(spark, sf_dir):
     """Exactly-k deterministic sample: the 64 rows with the smallest
     content hash — fixed-size reproducible sampling where Bernoulli's
@@ -6862,8 +6602,6 @@ def ext_exact_k_sample(spark, sf_dir):
     WHERE c.qi_group_size >= 5
     """,
 )
-
-
 def ext_k_anonymity_suppress(spark, sf_dir):
     """K-anonymity row suppression (operators/cleaning.
     k_anonymity_suppress): drop documents whose (lang, source)
@@ -6898,8 +6636,6 @@ WHERE s.src_quality_r >= 0.80
 
 
 @query("ext_domain_quality_gate", oracle=_QUALITY_GATE_ORACLE)
-
-
 def ext_domain_quality_gate(spark, sf_dir):
     """Domain-level quality gate (operators/cleaning.
     group_quality_gate): drop entire SOURCES whose mean quality score
@@ -6951,8 +6687,6 @@ def ext_domain_quality_gate(spark, sf_dir):
     FROM s
     """,
 )
-
-
 def ext_winnow_fingerprints(spark, sf_dir):
     """Winnowing passage fingerprints (operators/dedup.
     winnow_fingerprints, SIGMOD'03 / MOSS): 5-token shingle hashes,
@@ -7014,8 +6748,6 @@ GROUP BY a.doc_id, b.doc_id
 HAVING COUNT(*) >= 2
 """,
 )
-
-
 def ext_passage_matches(spark, sf_dir):
     """Cross-document passage detection (operators/dedup.
     winnow_passage_matches): document pairs sharing ≥2 winnowed
@@ -7098,8 +6830,6 @@ FROM w3
 """,
     memoize=False,
 )
-
-
 def ext_lr_train(spark, sf_dir):
     """Distributed GD training of the fastText-style binary filter
     (operators/classify.lr_train_surrogate): 3 full-batch iterations
@@ -7139,8 +6869,6 @@ FROM zh JOIN documents d USING (doc_id)
 """,
     memoize=False,
 )
-
-
 def ext_lr_score(spark, sf_dir):
     """Score the 20% held-out split with the GD-trained filter
     (operators/classify.lr_score_surrogate): the 33-literal model
@@ -7219,8 +6947,6 @@ SELECT * FROM (
 
 
 @query("ext_filter_funnel", oracle=_FUNNEL_ORACLE)
-
-
 def ext_filter_funnel(spark, sf_dir):
     """End-to-end curation-funnel attrition report (operators/cleaning.
     funnel_report): raw → opt-out registry anti-join (content-hash
@@ -7366,8 +7092,6 @@ LEFT JOIN (SELECT cid, COUNT(*) AS n FROM asg{iters - 1} GROUP BY cid) sz
 
 
 @query("ext_kmeans_train", oracle=_kmeans_oracle(), memoize=False)
-
-
 def ext_kmeans_train(spark, sf_dir):
     """Distributed k-means training over the FULL embeddings table
     (operators/similarity.kmeans_lloyd, 3 Lloyd iterations, k=4,
@@ -7489,8 +7213,6 @@ FROM withsim w JOIN comp c ON c.id = w.vec_id
 
 
 @query("ext_semdedup_auto", oracle=_semdedup_auto_oracle(), memoize=False)
-
-
 def ext_semdedup_auto(spark, sf_dir):
     """Scale-adaptive SemDeDup over the FULL embeddings table
     (operators/similarity.semdedup_auto, target_cluster_size=250,
@@ -7546,8 +7268,6 @@ SELECT id AS doc_id, min(r) AS passage_family FROM reach GROUP BY id
 
 
 @query("ext_passage_clusters", oracle=_PASSAGE_CLUSTERS_ORACLE, memoize=False)
-
-
 def ext_passage_clusters(spark, sf_dir):
     """Passage-sharing document families: transitive closure of the
     winnowed passage-match pair list (a shares a passage with b, b
@@ -7593,8 +7313,6 @@ WHERE (CAST(concat('0x', substring(md5(concat('qmix', ':', CAST(doc_id AS VARCHA
 
 
 @query("ext_perplexity_bucket_mix", oracle=_PPL_MIX_ORACLE)
-
-
 def ext_perplexity_bucket_mix(spark, sf_dir):
     """Perplexity-paced mixing (operators/sampling.quality_bucket_mix
     over operators/cleaning.ngram_lm_score): bucket the corpus by
@@ -7659,8 +7377,6 @@ FROM c CROSS JOIN b
 
 
 @query("ext_token_budget_select", oracle=_TOKEN_BUDGET_ORACLE, memoize=False)
-
-
 def ext_token_budget_select(spark, sf_dir):
     """Global token-budget curation (operators/sampling.
     token_budget_select): keep the highest-quality documents until 40 %
@@ -7738,8 +7454,6 @@ LEFT JOIN inter i ON i.group_a = sa.g AND i.group_b = sb.g
 
 
 @query("ext_source_overlap_matrix", oracle=_SOURCE_OVERLAP_ORACLE)
-
-
 def ext_source_overlap_matrix(spark, sf_dir):
     """Cross-source 3-gram contamination matrix (operators/cleaning.
     source_ngram_overlap): distinct-shingle Jaccard + containment for
@@ -7783,8 +7497,6 @@ _J7_ORACLE_SQL = """
 
 
 @query("j7_bucketed_layout", oracle=_J7_ORACLE_SQL, memoize=False)
-
-
 def j7_bucketed_layout(spark, sf_dir):
     """Q21 over a BUCKETED lineitem layout — the repo's own cure
     applied to its weakest measured ratio: with lineitem bucketed and
@@ -7802,15 +7514,21 @@ def j7_bucketed_layout(spark, sf_dir):
     scorecard: a lakehouse fact is bucketed at ingest, the shuffle is
     paid once at write, never per query. Layout builds once per
     (dataset, process) — best-of-2 reports the amortized read path,
-    the ``partitioned_id_layout`` precedent. memoize=False: the
-    layout write is eager work in the builder."""
-    from .operators.scale import sink_scratch_dir, write_bucketed
+    the ``partitioned_id_layout`` precedent. The scratch table is
+    keyed by a SOURCE FINGERPRINT (mtime+size of the lineitem
+    parquet), not just the dataset basename, so a regenerated dataset
+    at the same path — the documented scale-data regen workflow — or
+    two dataset dirs sharing a basename rebuild instead of silently
+    reusing a stale layout (ADVICE r9). memoize=False: the layout
+    write is eager work in the builder."""
+    from .operators.scale import sink_scratch_dir, source_fingerprint, write_bucketed
 
     base = (
         os.path.basename(sf_dir.rstrip("/")).replace(".", "_").replace("-", "_")
         or "default"
     )
-    t = f"bkt_li_j7_{base}"
+    fp = source_fingerprint(sf_dir, "lineitem")
+    t = f"bkt_li_j7_{base}_{fp}"
     if not spark.catalog.tableExists(t):
         write_bucketed(
             load(spark, sf_dir, "lineitem")

@@ -104,6 +104,30 @@ def sink_scratch_dir(sf_dir: str, name: str) -> str:
     )
 
 
+def source_fingerprint(sf_dir: str, table: str) -> str:
+    """Short content fingerprint (mtime + size, hex-hashed) of a source
+    parquet — key process-local derived layouts by it so a REGENERATED
+    dataset at the same path (the scale-data regen workflow) or two
+    dataset dirs sharing a basename rebuild the layout instead of
+    silently reusing a stale one; the stale-reuse failure surfaced as
+    an oracle row mismatch, not a rebuild (ADVICE r9). Directory
+    sources fold every member file in name order."""
+    import hashlib
+    import os
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    parts: list[str] = []
+    if os.path.isdir(path):
+        for root, _dirs, files in os.walk(path):
+            for f in sorted(files):
+                st = os.stat(os.path.join(root, f))
+                parts.append(f"{f}:{st.st_mtime_ns}:{st.st_size}")
+    else:
+        st = os.stat(path)
+        parts.append(f"{st.st_mtime_ns}:{st.st_size}")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:10]
+
+
 def ensure_layout(sf_dir: str, name: str, build) -> str:
     """Build-once per (dataset, process) on-disk layout cache: calls
     ``build(path)`` the first time a process asks for ``name`` over

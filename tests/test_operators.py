@@ -815,19 +815,20 @@ def test_chunk_token_windows_reconstruction_property(spark, window, stride):
 
 def test_j7_aggregate_decorrelation_equivalent(spark, sf_dir):
     """The two contract renderings of Q21 must agree row-for-row:
-    ``j7_semi_anti_multicond`` (default: decorrelated per-order
-    aggregates — EXISTS(other supplier) ⇔ distinct suppliers > 1,
-    NOT EXISTS(other R supplier) ⇔ distinct R-suppliers = 1) and
-    ``j7_decorrelated_form`` (the aggregate-decorrelation form both
-    plans' shared oracle renders literally)."""
+    ``j7_semi_anti_multicond`` (the r9 default: merge-pinned SEMI/ANTI
+    self-joins — the four-plan sf10 scorecard reversed the r8
+    decorrelation promotion) and ``j7_decorrelated_form`` (the
+    EXISTS→aggregate rewrite — EXISTS(other supplier) ⇔ distinct
+    suppliers > 1, NOT EXISTS(other R supplier) ⇔ distinct
+    R-suppliers = 1 — kept as plan coverage for the bucketed regime)."""
     from taxi_rides_ny_duckdb_spark import contract
 
     contract.load_all()
-    semi_anti = {
+    agg_form = {
         (r["s_name"], r["numwait"])
         for r in contract.BUILDERS["j7_decorrelated_form"](spark, sf_dir).collect()
     }
-    agg_form = {
+    semi_anti = {
         (r["s_name"], r["numwait"])
         for r in contract.BUILDERS["j7_semi_anti_multicond"](spark, sf_dir).collect()
     }
