@@ -1171,12 +1171,14 @@ def kmeans_lloyd(
     is scaled-integer quantized (round(t²·10¹²) cast to LONG) and
     summed as an exact LONG, so distances are order-independent
     integers and the argmin (ties to the lower centroid id) is
-    engine-reproducible with no further rounding step. PRECONDITION:
-    coordinates must be bounded so per-term |t²|·10¹² stays well
-    under 2⁶³/dim (|x − c| ≲ 150 at dim 64) — Spark's non-ANSI LONG
-    sum WRAPS silently on overflow where DuckDB raises; unnormalized
-    feature vectors with |coord| ~1e3+ need pre-scaling (embeddings
-    here are unit-scale); (2) the update joins the k-value assignment
+    engine-reproducible with no further rounding step. PRECONDITION
+    (ENFORCED, r10): coordinates must be bounded so per-term |t²|·10¹²
+    stays well under 2⁶³/dim (|x − c| ≲ 150 at dim 64) — Spark's
+    non-ANSI LONG sum WRAPS silently on overflow where DuckDB raises,
+    so the trainer now measures max|coord| in one extra bounded agg on
+    the first pass and raises with pre-scaling guidance instead of
+    mis-assigning (unnormalized feature vectors with |coord| ~1e3+
+    need pre-scaling; embeddings here are unit-scale); (2) the update joins the k-value assignment
     back to the cache (co-partitioned, exchange-free) and takes
     per-(cid, dim) 12dp-quantized DECIMAL coordinate sums + counts —
     ONE map-side-combined k·dim-bounded exchange; (3) the driver
@@ -1245,6 +1247,32 @@ def kmeans_lloyd(
         )
     cents = [list(map(float, c)) for c in init_centroids]
     k = len(cents)
+    # Overflow guard (r9 advice → r10): the scaled-integer distance sums
+    # per-term round(t²·10¹²) into a LONG, and Spark's non-ANSI LONG sum
+    # WRAPS silently where DuckDB raises — so enforce the documented
+    # precondition instead of documenting it. One extra bounded agg on
+    # the already-persisted exploded cache (it warms the persist the
+    # first iteration would populate anyway): every centroid any
+    # iteration can produce is a mean of data coordinates, so
+    # |t| ≤ max|x| + max(max|x|, max|c0|) bounds EVERY iteration's
+    # terms, and dim · (max|t|)² · 10¹² < 2⁶² (one bit of headroom
+    # under the int64 line) guarantees no per-vector distance sum can
+    # wrap. Unit-scale embeddings pass with ~10⁴× margin; unnormalized
+    # feature vectors with |coord| ≳ 10³ at dim 64 raise with guidance.
+    max_x = dims.agg(F.max(F.abs(F.col("x")))).collect()[0][0] or 0.0
+    max_c0 = max((abs(float(x)) for c in cents for x in c), default=0.0)
+    max_t = max_x + max(max_x, max_c0)
+    if dim * (max_t * max_t) * 1e12 >= float(2**62):
+        dims.unpersist()
+        if vecs is not None:
+            vecs.unpersist()
+        raise ValueError(
+            f"kmeans_lloyd: coordinate range too large for the exact "
+            f"scaled-integer distance (max |coord| {max(max_x, max_c0):g} "
+            f"at dim {dim}: dim·(max|t|)²·1e12 ≥ 2⁶², the int64 sum "
+            f"would wrap silently) — pre-scale the vectors (e.g. divide "
+            f"by their max norm) before training"
+        )
     sizes: dict[int, int] = {}
     for _ in range(iters):
         if assign == "arrow":

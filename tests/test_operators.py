@@ -3522,6 +3522,34 @@ def test_kmeans_lloyd_validates(spark):
         kmeans_lloyd(df, [[0.0], [0.0, 1.0]], iters=1)
 
 
+def test_kmeans_lloyd_rejects_overflowing_coordinates(spark):
+    """The exact scaled-integer distance wraps int64 silently for
+    unnormalized coordinates (the documented |x−c| ≲ 150-at-dim-64
+    precondition) — the trainer must RAISE with pre-scaling guidance,
+    not mis-assign (VERDICT r9 task 5)."""
+    import pytest as _pytest
+
+    from taxi_rides_ny_duckdb_spark.operators.similarity import kmeans_lloyd
+
+    dim = 64
+    big = spark.createDataFrame(
+        [(1, [1.0e5] * dim), (2, [-1.0e5] * dim)],
+        "vec_id long, embedding array<double>",
+    )
+    with _pytest.raises(ValueError, match="pre-scale"):
+        kmeans_lloyd(big, [[0.0] * dim, [1.0] * dim], iters=1)
+    # out-of-bound INIT centroids trip the same guard even on tame data
+    tame = spark.createDataFrame(
+        [(1, [0.0] * dim), (2, [1.0] * dim)],
+        "vec_id long, embedding array<double>",
+    )
+    with _pytest.raises(ValueError, match="pre-scale"):
+        kmeans_lloyd(tame, [[0.0] * dim, [5.0e5] * dim], iters=1)
+    # unit-scale embeddings pass with orders-of-magnitude margin
+    cents, sizes = kmeans_lloyd(tame, [[0.0] * dim, [1.0] * dim], iters=1)
+    assert sizes == {0: 1, 1: 1}
+
+
 def test_kmeans_assign_arrow_matches_expr(spark, sf_dir):
     """The two E-step physical forms must be BIT-EQUAL on real fixture
     embeddings — the property that licenses the large-k Arrow path:
