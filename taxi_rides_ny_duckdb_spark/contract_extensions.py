@@ -49,6 +49,26 @@ def _count_pin(df, *cols):
     return df.filter(F.hash(*[F.col(c) for c in cols]) >= F.lit(-2147483648))
 
 
+def _materialize_ctes(sql: str) -> str:
+    """Rewrite every non-recursive CTE in an unrolled-Lloyd oracle to
+    ``AS MATERIALIZED`` — semantics-neutral, pure evaluation hint.
+    Without it DuckDB RE-INLINES multi-referenced CTEs, and the deep
+    trained-quantizer chains re-evaluate the whole upstream pipeline
+    at every reference (measured on ext_semdedup_hier at sf0.01:
+    114.8 s → 0.6 s, bit-identical rows) — the flat semdedup_auto
+    oracle's 227 s at sf0.1 was the same artifact, not genuine work,
+    so leaving it unmaterialized would overstate the Spark-vs-DuckDB
+    win (the r9 count-pin integrity precedent, applied to the OTHER
+    engine's side). The recursive member ``reach(id, r) AS`` doesn't
+    match the pattern (its parenthesized column list precedes AS), so
+    it stays plain — DuckDB rejects materializing the recursive CTE
+    itself."""
+    import re
+
+    return re.sub(r"\b([A-Za-z_][A-Za-z0-9_]*) AS \(", r"\1 AS MATERIALIZED (", sql)
+
+
+
 @query(
     "ext_dedup_exact",
     oracle="""
@@ -7091,7 +7111,7 @@ LEFT JOIN (SELECT cid, COUNT(*) AS n FROM asg{iters - 1} GROUP BY cid) sz
     return base
 
 
-@query("ext_kmeans_train", oracle=_kmeans_oracle(), memoize=False)
+@query("ext_kmeans_train", oracle=_materialize_ctes(_kmeans_oracle()), memoize=False)
 def ext_kmeans_train(spark, sf_dir):
     """Distributed k-means training over the FULL embeddings table
     (operators/similarity.kmeans_lloyd, 3 Lloyd iterations, k=4,
@@ -7212,7 +7232,7 @@ FROM withsim w JOIN comp c ON c.id = w.vec_id
     return base
 
 
-@query("ext_semdedup_auto", oracle=_semdedup_auto_oracle(), memoize=False)
+@query("ext_semdedup_auto", oracle=_materialize_ctes(_semdedup_auto_oracle()), memoize=False)
 def ext_semdedup_auto(spark, sf_dir):
     """Scale-adaptive SemDeDup over the FULL embeddings table
     (operators/similarity.semdedup_auto, target_cluster_size=250,
@@ -7228,8 +7248,15 @@ def ext_semdedup_auto(spark, sf_dir):
     is UNBOUNDED — the auto-sizing is what makes that safe. The
     oracle replays everything: data-dependent nlist as a scalar
     subquery, the unrolled Lloyd chain, the final scaled-integer
-    argmin assignment, and the CC/keep collapse. memoize=False:
-    training collects per iteration."""
+    argmin assignment, and the CC/keep collapse. Above 64 leaf
+    centroids the operator switches to the TWO-LEVEL quantizer
+    (r10: flat assignment is O(N·nlist) with nlist ∝ N — the r9
+    footnote's named super-linear envelope): at this query's
+    target=250 every oracled SF stays flat (sf0.01 nlist=2, sf0.1
+    nlist=8 — this oracle replays those exactly), while the sf1/sf10
+    scaling rows run the hierarchical path, whose own full oracle is
+    ``ext_semdedup_hier``. memoize=False: training collects per
+    iteration."""
     from .operators.similarity import semdedup_auto
 
     emb = load(spark, sf_dir, "embeddings")
@@ -7237,6 +7264,213 @@ def ext_semdedup_auto(spark, sf_dir):
         semdedup_auto(
         emb, target_cluster_size=250, threshold=0.3, iters=2
     ),
+        "keep", "component", "cent_sim_r",
+    )
+
+
+def _grouped_lloyd_ctes(iters: int, dim: int) -> str:
+    """The per-iteration GROUPED Lloyd CTE chain for the two-level
+    quantizer oracle: requires CTEs ``dims`` (vec_id, j, x), ``asgB``
+    (vec_id, bid — the coarse branch assignment) and ``sc0`` (bid,
+    scid, cv — per-branch init sub-centroids) upstream. For t in
+    0..iters-1 emits gdd{t} (scaled-integer LONG distance sums of each
+    vector against ITS OWN BRANCH's sub-centroids — the join on bid is
+    the hierarchy), gasg{t} (ties-to-lower-scid argmin), gst{t}
+    (per-(bid, scid, dim) 12dp DECIMAL coordinate sums + counts) and
+    sc{t+1} (9dp half-away means, empty sub-clusters carrying the
+    previous centroid) — exactly operators/similarity.
+    kmeans_lloyd_grouped's arithmetic."""
+    out = ""
+    for t in range(iters):
+        out += f""",
+gdd{t} AS (
+  SELECT d.vec_id, c.bid, c.scid,
+         CAST(SUM(CAST(round((d.x - c.cv[d.j]) * (d.x - c.cv[d.j]) * 1000000000000.0)
+                       AS BIGINT)) AS BIGINT) AS d2
+  FROM dims d JOIN asgB ab ON ab.vec_id = d.vec_id
+  JOIN sc{t} c ON c.bid = ab.bid
+  GROUP BY d.vec_id, c.bid, c.scid
+),
+gasg{t} AS (
+  SELECT vec_id, bid, scid FROM (
+    SELECT vec_id, bid, scid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, scid ASC) AS rn
+    FROM gdd{t}
+  ) WHERE rn = 1
+),
+gst{t} AS (
+  SELECT a.bid, a.scid, d.j,
+         CAST(SUM(CAST(round(d.x, 12) AS DECIMAL(38,12))) AS DOUBLE) AS s,
+         COUNT(*) AS n
+  FROM dims d JOIN gasg{t} a USING (vec_id)
+  GROUP BY a.bid, a.scid, d.j
+),
+sc{t + 1} AS (
+  SELECT c.bid, c.scid,
+         list(COALESCE(round(st.s / st.n, 9), c.cv[g.j]) ORDER BY g.j) AS cv
+  FROM sc{t} c
+  CROSS JOIN generate_series(1, {dim}) g(j)
+  LEFT JOIN gst{t} st ON st.bid = c.bid AND st.scid = c.scid AND st.j = g.j
+  GROUP BY c.bid, c.scid
+)"""
+    return out
+
+
+def _semdedup_hier_oracle(
+    target: int = 10, iters: int = 2, dim: int = 64, threshold: float = 0.3
+) -> str:
+    """DuckDB replay of the TWO-LEVEL semdedup_auto path
+    (operators/similarity._semdedup_two_level) end-to-end: nlist =
+    ceil(N/target) and n1 = ceil(sqrt(nlist)) as scalar subqueries,
+    coarse init = first n1 vectors by id, the shared coarse Lloyd
+    chain (``_kmeans_iter_ctes``), one branch-assignment E-step
+    against the trained coarse centroids (ties to the lower bid),
+    per-branch sub-quantizer sizing (ceil(branch/target) by integer
+    arithmetic) with first-k-by-id init, the grouped Lloyd chain
+    (``_grouped_lloyd_ctes``), the final within-branch argmin, leaf
+    densification via row_number over (bid, scid), own-centroid
+    cosine (round 9), within-cluster pairs (round-before-threshold),
+    recursive-CTE transitive closure, keep = argmin(cent_sim_r, id)
+    per component."""
+    base = f"""
+WITH RECURSIVE v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+),
+dims AS (
+  SELECT vec_id, g.j, ev[g.j] AS x
+  FROM v CROSS JOIN generate_series(1, {dim}) g(j)
+),
+nl AS (
+  SELECT CAST(ceil(COUNT(*) / {target}.0) AS BIGINT) AS nlist FROM v
+),
+c0 AS (
+  SELECT CAST(rn - 1 AS INT) AS cid, ev AS cv FROM (
+    SELECT vec_id, ev, row_number() OVER (ORDER BY vec_id) AS rn FROM v
+  ) WHERE rn <= (SELECT CAST(ceil(sqrt(CAST(nlist AS DOUBLE))) AS BIGINT) FROM nl)
+)"""
+    base += _kmeans_iter_ctes(iters, dim)
+    base += f""",
+ddB AS (
+  SELECT d.vec_id, c.cid,
+         CAST(SUM(CAST(round((d.x - c.cv[d.j]) * (d.x - c.cv[d.j]) * 1000000000000.0)
+                       AS BIGINT)) AS BIGINT) AS d2
+  FROM dims d CROSS JOIN c{iters} c
+  GROUP BY d.vec_id, c.cid
+),
+asgB AS (
+  SELECT vec_id, cid AS bid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
+    FROM ddB
+  ) WHERE rn = 1
+),
+bc AS (
+  SELECT bid, COUNT(*) AS cnt FROM asgB GROUP BY bid
+),
+sc0 AS (
+  SELECT r.bid, CAST(r.rn - 1 AS INT) AS scid, v2.ev AS cv
+  FROM (
+    SELECT vec_id, bid,
+           row_number() OVER (PARTITION BY bid ORDER BY vec_id) AS rn
+    FROM asgB
+  ) r
+  JOIN bc ON bc.bid = r.bid
+  JOIN v v2 ON v2.vec_id = r.vec_id
+  WHERE r.rn <= (bc.cnt + {target - 1}) // {target}
+)"""
+    base += _grouped_lloyd_ctes(iters, dim)
+    base += f""",
+gddF AS (
+  SELECT d.vec_id, c.bid, c.scid,
+         CAST(SUM(CAST(round((d.x - c.cv[d.j]) * (d.x - c.cv[d.j]) * 1000000000000.0)
+                       AS BIGINT)) AS BIGINT) AS d2
+  FROM dims d JOIN asgB ab ON ab.vec_id = d.vec_id
+  JOIN sc{iters} c ON c.bid = ab.bid
+  GROUP BY d.vec_id, c.bid, c.scid
+),
+gasgF AS (
+  SELECT vec_id, bid, scid FROM (
+    SELECT vec_id, bid, scid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, scid ASC) AS rn
+    FROM gddF
+  ) WHERE rn = 1
+),
+cidx AS (
+  SELECT bid, scid, cv,
+         CAST(row_number() OVER (ORDER BY bid, scid) - 1 AS INT) AS centroid_id
+  FROM sc{iters}
+),
+withsim AS (
+  SELECT a.vec_id, v.ev, cx.centroid_id,
+    round(CASE WHEN sqrt(list_sum(list_transform(generate_series(1, {dim}), i -> v.ev[i] * v.ev[i]))) > 0
+            AND sqrt(list_sum(list_transform(generate_series(1, {dim}), i -> cx.cv[i] * cx.cv[i]))) > 0
+    THEN list_sum(list_transform(generate_series(1, {dim}), i -> v.ev[i] * cx.cv[i]))
+         / (sqrt(list_sum(list_transform(generate_series(1, {dim}), i -> v.ev[i] * v.ev[i])))
+            * sqrt(list_sum(list_transform(generate_series(1, {dim}), i -> cx.cv[i] * cx.cv[i]))))
+    ELSE 0.0 END, 9) AS cent_sim_r
+  FROM gasgF a JOIN v ON v.vec_id = a.vec_id
+  JOIN cidx cx ON cx.bid = a.bid AND cx.scid = a.scid
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM withsim a JOIN withsim b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+  WHERE round(CASE WHEN sqrt(list_sum(list_transform(generate_series(1, {dim}), i -> a.ev[i] * a.ev[i]))) > 0
+            AND sqrt(list_sum(list_transform(generate_series(1, {dim}), i -> b.ev[i] * b.ev[i]))) > 0
+    THEN list_sum(list_transform(generate_series(1, {dim}), i -> a.ev[i] * b.ev[i]))
+         / (sqrt(list_sum(list_transform(generate_series(1, {dim}), i -> a.ev[i] * a.ev[i])))
+            * sqrt(list_sum(list_transform(generate_series(1, {dim}), i -> b.ev[i] * b.ev[i]))))
+    ELSE 0.0 END, 9) >= {threshold}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT vec_id, vec_id FROM v
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+),
+comp AS (
+  SELECT id, min(r) AS component FROM reach GROUP BY id
+)
+SELECT w.vec_id, w.centroid_id, c.component, w.cent_sim_r,
+       (row_number() OVER (PARTITION BY c.component
+                           ORDER BY w.cent_sim_r ASC, w.vec_id ASC) = 1) AS keep
+FROM withsim w JOIN comp c ON c.id = w.vec_id
+"""
+    return base
+
+
+@query("ext_semdedup_hier", oracle=_materialize_ctes(_semdedup_hier_oracle()), memoize=False)
+def ext_semdedup_hier(spark, sf_dir):
+    """TWO-LEVEL (hierarchical) SemDeDup over the full embeddings
+    table (operators/similarity._semdedup_two_level via semdedup_auto
+    with max_flat_nlist=0, target_cluster_size=10, 2 Lloyd iterations
+    per level, threshold=0.3): the r10 close of the LAST named
+    super-linear envelope — flat quantizer assignment is O(N·nlist)
+    with nlist ∝ N (measured 6.0×/decade at sf10, BASELINE.md r9
+    footnote³); the two-level form trains ⌈√nlist⌉ coarse branches
+    (bounded driver sync), then every branch's ~√nlist-way
+    sub-quantizer SIMULTANEOUSLY with centroids as data
+    (kmeans_lloyd_grouped — no per-leaf driver state), making
+    assignment O(N·√nlist) at both levels. target=10 forces a real
+    hierarchy at sf0.01 (N=500 → nlist=50, n1=8) so the driver
+    verifies the hierarchical path itself, not a degenerate one. The
+    oracle replays EVERYTHING: both scalar-subquery sizes, the coarse
+    Lloyd chain, branch assignment, integer-arithmetic per-branch
+    sizing, the grouped Lloyd chain, leaf densification, and the
+    CC/keep collapse. memoize=False: training collects per
+    iteration."""
+    from .operators.similarity import semdedup_auto
+
+    emb = load(spark, sf_dir, "embeddings")
+    return _count_pin(
+        semdedup_auto(
+            emb, target_cluster_size=10, threshold=0.3, iters=2,
+            max_flat_nlist=0,
+        ),
         "keep", "component", "cent_sim_r",
     )
 

@@ -208,6 +208,68 @@ def train_ivf_centroids(
     return [[float(x) for x in c] for c in model.clusterCenters()]
 
 
+def train_ivf_centroids_two_level(
+    corpus: DataFrame,
+    nlist: int,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_train: int = 100_000,
+) -> list[list[float]]:
+    """Two-level IVF training — the ``semdedup_auto`` hierarchical
+    trick offered on ``ivf_topk``'s training path (VERDICT r9 task 1):
+    for quantizers big enough that even the SAMPLE-bounded flat
+    training is dominated by the O(sample·nlist·dim) assignment,
+    train ⌈√nlist⌉ coarse centroids (pyspark.ml Lloyd, JVM-side),
+    split the training slice into branches, and train each branch's
+    sub-quantizer on its own members — branch k budgets proportional
+    to branch mass, summing to ~nlist. Total assignment work per
+    Lloyd pass drops to O(sample·√nlist·dim) and each sub-problem is
+    branch-sized. Returns a FLAT centroid list (branch-major), drop-in
+    for ``ivf_topk(centroids=...)`` — the probe side still ranks all
+    nlist lists per query (queries are the bounded side; at very
+    large nlist the next rung is a hierarchical probe, the same
+    two-level asymmetry FAISS's IVF-on-IVF uses). Deterministic for
+    fixed seed + slice, like ``train_ivf_centroids``."""
+    import math as _math
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    if nlist < 1:
+        raise ValueError(f"nlist must be >= 1, got {nlist}")
+    n1 = max(1, _math.ceil(_math.sqrt(nlist)))
+    coarse = train_ivf_centroids(corpus, n1, vec_col, seed, max_train)
+    train = assign_nearest_centroid(
+        corpus.select(_as_double_array(F.col(vec_col)).alias("__tv")).limit(
+            max_train
+        ),
+        coarse,
+        vec_col="__tv",
+        out_col="__branch",
+    ).persist()
+    counts = {
+        r["__branch"]: r["n"]
+        for r in train.groupBy("__branch").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    total = sum(counts.values())
+    out: list[list[float]] = []
+    for b in sorted(counts):
+        k_b = max(1, round(nlist * counts[b] / total))
+        sub = train.filter(F.col("__branch") == b).select(
+            array_to_vector(F.col("__tv")).alias("features")
+        )
+        if counts[b] <= k_b:
+            out.extend(
+                [float(x) for x in r["__tv"]]
+                for r in train.filter(F.col("__branch") == b).collect()
+            )
+            continue
+        model = KMeans(k=k_b, seed=seed + b, maxIter=20).fit(sub)
+        out.extend([float(x) for x in c] for c in model.clusterCenters())
+    train.unpersist()
+    return out
+
+
 def _centroid_ranking(
     vec: Column, centroids: list[list[float]], round_dp: int | None = None
 ) -> Column:
@@ -880,10 +942,11 @@ def semdedup(
     cluster counts) so mean |c| stays constant; a frozen small
     quantizer re-quadratizes as the table grows (measured: 4.6 s →
     329 s across a 10× scale-up against 8 fixed centroids);
-    the pair self-join is merge-pinned (repetitive corpora compress so
-    well that broadcast-size accounting would build a corpus-sized
-    hashed relation — the r7 family-wide hazard); component collapse
-    reuses the size-gated CC (driver union-find for small edge lists,
+    pairing runs per-cluster in blocked numpy with the exact rounded
+    filter re-applied in the engine (``_within_cluster_pairs`` — r10;
+    it replaced the merge-pinned self-join whose interpreted HOF fold
+    dominated the collapse tail); component collapse reuses the
+    size-gated CC (driver union-find for small edge lists,
     large-star/small-star beyond). Every cosine is rounded BEFORE the
     threshold / argmin so the decision set is engine-reproducible.
     """
@@ -912,40 +975,22 @@ def semdedup(
 def _semdedup_collapse(
     assigned: DataFrame, threshold: float, id_col: str, round_dp: int
 ) -> DataFrame:
-    """Shared SemDeDup tail: within-cluster pairing (merge-pinned
-    self-join on centroid_id, cosine rounded BEFORE the threshold),
+    """Shared SemDeDup tail: within-cluster pairing (per-cluster
+    blocked-numpy candidate generation + the EXACT rounded-cosine
+    filter re-applied in the engine — see ``_within_cluster_pairs``),
     size-gated connected components, keep = the component member LEAST
     similar to its centroid (ties to the lower id). ``assigned``
     carries (id_col, centroid_id, cent_sim_r, __v, __n).
 
-    ``assigned`` is persisted here: it feeds FOUR plan branches (both
-    sides of the pairing self-join, the CC node list, and the final
-    keep join) and its lineage is the full quantizer assignment —
-    unpersisted, the arrow/expr argmin re-ran per branch (the r9 CC
-    profile; same class as the connected_components edge-cache fix)."""
+    ``assigned`` is persisted here: it feeds THREE plan branches (the
+    pairing groups, the CC node list, and the final keep join) and its
+    lineage is the full quantizer assignment — unpersisted, the
+    arrow/expr argmin re-ran per branch (the r9 CC profile; same class
+    as the connected_components edge-cache fix)."""
     from .dedup import connected_components
 
     assigned = assigned.persist()
-    a, b = assigned.alias("a").hint("merge"), assigned.alias("b")
-    score = F.round(
-        cosine_given_norms(
-            F.col("a.__v"), F.col("b.__v"), F.col("a.__n"), F.col("b.__n")
-        ),
-        round_dp,
-    )
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.centroid_id") == F.col("b.centroid_id"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            score.alias("sim"),
-        )
-        .filter(F.col("sim") >= F.lit(float(threshold)))
-    )
+    pairs = _within_cluster_pairs(assigned, threshold, id_col, round_dp)
     comp = connected_components(
         pairs, "id_a", "id_b", nodes=assigned.select(F.col(id_col).alias("id"))
     )
@@ -964,6 +1009,114 @@ def _semdedup_collapse(
     )
 
 
+def _within_cluster_pairs(
+    assigned: DataFrame, threshold: float, id_col: str, round_dp: int
+) -> DataFrame:
+    """Within-cluster near-dup pairs, decision-set-identical to the
+    merge self-join it replaces (r10 — the interpreted HOF fold over
+    every candidate pair was the collapse tail's dominant cost: ~25M
+    zip_with folds at sf10): one ``applyInPandas`` per centroid group
+    computes candidate dot products in blocked numpy and pre-filters
+    at ``threshold − 10^−round_dp``; the engine then re-applies the
+    EXACT filter ``round(dot/(na·nb), dp) ≥ threshold``.
+
+    Why this is bit-safe, term by term:
+    - the dot accumulates dim-SEQUENTIALLY over vectorized pair blocks
+      (``acc += A[:,d]·B[:,d]`` for d ascending) — the identical IEEE
+      operation order as the engine's left-to-right ``aggregate`` fold
+      and the oracle's ``list_sum(list_transform(...))``, so the
+      double is bit-equal, not approximately equal;
+    - norms are NOT recomputed: the engine-computed ``__n`` rides in;
+    - the margin is sound: round_dp-rounding moves a value by at most
+      5·10^−(dp+1) < 10^−dp, so every pair the engine would keep has
+      raw sim ≥ threshold − 10^−dp — the pre-filter is a superset —
+      and the final filter is evaluated by the ENGINE on the carried
+      (dot, na, nb), so the kept set matches the SQL oracle exactly;
+    - zero-norm rows score 0.0 on both sides (the ``cosine()``
+      convention).
+
+    100 TB shape: clusters are ~target-sized by the auto-sizing
+    contract, so each group is a bounded sub-problem and the exchange
+    is one hash partition of (id, centroid_id, vec, norm); only
+    margin-passing pairs materialize as rows (the join form
+    materialized every candidate pair into the filter)."""
+    import numpy as np
+    import pandas as pd
+
+    margin = float(threshold) - 10.0 ** (-round_dp)
+    chunk = 512
+    schema = "id_a long, id_b long, __dot double, __na double, __nb double"
+    empty = {
+        "id_a": pd.Series([], dtype="int64"),
+        "id_b": pd.Series([], dtype="int64"),
+        "__dot": pd.Series([], dtype="float64"),
+        "__na": pd.Series([], dtype="float64"),
+        "__nb": pd.Series([], dtype="float64"),
+    }
+
+    def fn(pdf):
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(empty)
+        pdf = pdf.sort_values(id_col)
+        ids = pdf[id_col].to_numpy()
+        X = np.asarray(list(pdf["__v"]), dtype=np.float64)
+        nrm = pdf["__n"].to_numpy(dtype=np.float64)
+        dim = X.shape[1]
+        outs = []
+        for i0 in range(0, n, chunk):
+            A, na = X[i0 : i0 + chunk], nrm[i0 : i0 + chunk]
+            ia = ids[i0 : i0 + chunk]
+            for j0 in range(i0, n, chunk):
+                B, nb = X[j0 : j0 + chunk], nrm[j0 : j0 + chunk]
+                jb = ids[j0 : j0 + chunk]
+                acc = np.zeros((len(A), len(B)), dtype=np.float64)
+                for d in range(dim):  # sequential over dims == fold order
+                    acc += A[:, d : d + 1] * B[:, d]
+                ok = (na[:, None] > 0) & (nb[None, :] > 0)
+                sim = np.where(
+                    ok,
+                    np.divide(
+                        acc, na[:, None] * nb[None, :],
+                        out=np.zeros_like(acc), where=ok,
+                    ),
+                    0.0,
+                )
+                mask = (sim >= margin) & (ia[:, None] < jb[None, :])
+                ii, jj = np.nonzero(mask)
+                if len(ii):
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "id_a": ia[ii],
+                                "id_b": jb[jj],
+                                "__dot": acc[ii, jj],
+                                "__na": na[ii],
+                                "__nb": nb[jj],
+                            }
+                        )
+                    )
+        if not outs:
+            return pd.DataFrame(empty)
+        return pd.concat(outs, ignore_index=True)
+
+    cand = (
+        assigned.select(id_col, "centroid_id", "__v", "__n")
+        .groupBy("centroid_id")
+        .applyInPandas(fn, schema)
+    )
+    sim = F.round(
+        F.when(
+            (F.col("__na") > 0) & (F.col("__nb") > 0),
+            F.col("__dot") / (F.col("__na") * F.col("__nb")),
+        ).otherwise(F.lit(0.0)),
+        round_dp,
+    )
+    return cand.select(
+        "id_a", "id_b", sim.alias("sim")
+    ).filter(F.col("sim") >= F.lit(float(threshold)))
+
+
 def semdedup_auto(
     df: DataFrame,
     target_cluster_size: int,
@@ -973,6 +1126,7 @@ def semdedup_auto(
     iters: int = 2,
     round_dp: int = 9,
     max_expr_k: int = 32,
+    max_flat_nlist: int = 64,
 ) -> DataFrame:
     """Scale-adaptive SemDeDup — the operator-level close of the r8
     finding that a FROZEN coarse quantizer re-quadratizes (measured:
@@ -1006,7 +1160,29 @@ def semdedup_auto(
     collect, k·dim doubles per training iteration. Output schema ==
     ``semdedup``: (id, centroid_id, component, cent_sim_r, keep).
     Cites SemDeDup (Abbas et al. 2023) §3: nlist must grow with N —
-    the paper trains k ∝ corpus size on embeddings exactly so."""
+    the paper trains k ∝ corpus size on embeddings exactly so.
+
+    TWO-LEVEL QUANTIZER (r10, the scale rung above the flat path):
+    with nlist ∝ N, FLAT assignment is O(N·nlist) — super-linear in
+    corpus size by construction (measured 6.0×/decade at sf10,
+    BASELINE.md r9 footnote³) — and the flat trainer's init collect
+    and per-iteration driver sync grow with N too. Past
+    ``max_flat_nlist`` leaf centroids the operator switches to the
+    hierarchical form (``_semdedup_two_level``): train
+    n1 = ⌈√nlist⌉ coarse centroids (``kmeans_lloyd`` — init collect
+    and driver sync now O(√nlist·dim)), assign every vector to its
+    branch, then train each branch's ~√nlist-way sub-quantizer
+    SIMULTANEOUSLY with centroids as data (``kmeans_lloyd_grouped``
+    — zero per-leaf driver state). Assignment work is
+    O(N·√nlist·dim) at both levels, the FAISS IVF-on-IVF /
+    SemDeDup-at-scale shape. The collapse tail and the keep rule are
+    shared verbatim; leaf ids densify to 0..nlist' via one
+    |leaf|-row window so the output contract is unchanged. The
+    default switch point (64) keeps every oracled small-SF run on
+    the flat path (bit-replayable by the flat SQL oracle) — the
+    two-level path has its own full SQL oracle
+    (``ext_semdedup_hier``) that replays coarse chain, branch
+    assignment, grouped Lloyd, and collapse."""
     import math as _math
 
     if target_cluster_size < 1:
@@ -1017,6 +1193,11 @@ def semdedup_auto(
     if n == 0:
         raise ValueError("semdedup_auto needs a non-empty corpus")
     nlist = max(1, _math.ceil(n / target_cluster_size))
+    if nlist > max(0, max_flat_nlist):
+        return _semdedup_two_level(
+            df, n, target_cluster_size, nlist, threshold, id_col, vec_col,
+            iters, round_dp, max_expr_k,
+        )
     init = [
         [float(x) for x in r["__cv"]]
         for r in df.select(
@@ -1052,6 +1233,130 @@ def semdedup_auto(
         .select(
             F.col(id_col),
             F.col("cid").alias("centroid_id"),
+            F.col("__v"),
+            F.col("__n"),
+            F.round(
+                cosine_given_norms(
+                    F.col("__v"), F.col("cv"), F.col("__n"), F.col("__cn")
+                ),
+                round_dp,
+            ).alias("cent_sim_r"),
+        )
+    )
+    return _semdedup_collapse(assigned, threshold, id_col, round_dp)
+
+
+def _semdedup_two_level(
+    df: DataFrame,
+    n: int,
+    target_cluster_size: int,
+    nlist: int,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    iters: int,
+    round_dp: int,
+    max_expr_k: int,
+) -> DataFrame:
+    """Hierarchical SemDeDup body (see ``semdedup_auto``): coarse
+    ⌈√nlist⌉-way quantizer over the full corpus, then per-branch
+    sub-quantizers trained simultaneously with centroids as data.
+    Every arithmetic step is the house engine-exact discipline
+    (scaled-int64 E-steps, 12dp-decimal/9dp-half-away M-steps,
+    round-before-threshold cosines), so the whole pipeline replays in
+    an unrolled SQL oracle.
+
+    Scale accounting (N rows, dim d, T = target_cluster_size,
+    nlist = ⌈N/T⌉, n1 = ⌈√nlist⌉):
+    - coarse train + branch assign: O(N·n1·d) work, driver sync
+      n1·d doubles/iter (√-bounded — the flat path's linear-in-N
+      sync was the r9 finding);
+    - sub-quantizer sizing + init: one window over the branch key,
+      no driver state;
+    - grouped train + final assign: O(N·√nlist·d) work per pass —
+      each vector scores only its branch's ~√nlist sub-centroids;
+    - branch size concentrates around N/n1 ≈ √(N·T) rows — the
+      per-cogroup-task bound. At true 100 TB the next rung is a
+      third level (or chunked within-branch refinement); named, not
+      hidden, same convention as the r9 footnote this closes.
+    Ties and determinism: branch argmin ties to the lower bid, leaf
+    argmin to the lower scid, init = first-k-by-id at both levels —
+    re-runs are layout-independent."""
+    import math as _math
+
+    n1 = max(1, _math.ceil(_math.sqrt(nlist)))
+    init = [
+        [float(x) for x in r["__cv"]]
+        for r in df.select(
+            F.col(id_col), _as_double_array(F.col(vec_col)).alias("__cv")
+        )
+        .orderBy(id_col)
+        .limit(n1)
+        .collect()
+    ]
+    # strategies are pinned bit-equal, so the choice is pure physics:
+    # expr only where BOTH the plan stays small (n1 ≤ max_expr_k) and
+    # the corpus is small enough that Python-worker startup outweighs
+    # the interpreted-expression cost (the sf10 profile: expr k=29 over
+    # the exploded corpus cost 67 s where arrow ran 28 s pre-carry_vec).
+    strategy = "arrow" if (n1 > max_expr_k or n > 20_000) else "expr"
+    coarse, _sizes = kmeans_lloyd(
+        df, init, id_col=id_col, vec_col=vec_col, iters=iters, assign=strategy
+    )
+    v = ensure_min_partitions(df).select(
+        F.col(id_col), _as_double_array(F.col(vec_col)).alias("__v")
+    )
+    # branch assignment: one more E-step with the final coarse
+    # centroids (bit-equal expr/arrow; arrow — n1 can exceed the expr
+    # comfort zone at scale). vecs feeds FOUR branches (sub-init
+    # window, grouped-train E-steps, final assign, keep join) —
+    # persist, the multi-branch lineage rule — and is hash-partitioned
+    # on the branch key so the sub-init window and every grouped
+    # cogroup read it exchange-free.
+    vecs = (
+        v.join(
+            kmeans_assign_arrow(v, coarse, id_col, vec_col="__v")
+            .withColumnRenamed("cid", "bid"),
+            id_col,
+        )
+        .repartition(F.col("bid"))
+        .persist()
+    )
+    wcnt = Window.partitionBy("bid")
+    worder = Window.partitionBy("bid").orderBy(F.col(id_col).asc())
+    t = int(target_cluster_size)
+    init_cents = (
+        vecs.withColumn("__cnt", F.count(F.lit(1)).over(wcnt))
+        .withColumn("__rn", F.row_number().over(worder))
+        .filter(F.col("__rn") <= F.expr(f"(__cnt + {t - 1}) div {t}"))
+        .select(
+            F.col("bid"),
+            (F.col("__rn") - 1).cast("int").alias("scid"),
+            F.col("__v").alias("cv"),
+        )
+    )
+    cents = kmeans_lloyd_grouped(
+        vecs, init_cents, id_col=id_col, vec_col="__v", group_col="bid",
+        iters=iters,
+    )
+    asg = kmeans_assign_grouped(vecs, cents, id_col, "__v", "bid")
+    # densify (bid, scid) -> contiguous centroid_id so the output
+    # contract matches the flat path; the window runs over |leaf| rows
+    # (quantizer-sized, never corpus-sized).
+    cw = Window.orderBy(F.col("bid").asc(), F.col("scid").asc())
+    cents_idx = cents.select(
+        "bid", "scid",
+        F.col("cv"),
+        l2_norm(F.col("cv")).alias("__cn"),
+        (F.row_number().over(cw) - 1).cast("int").alias("centroid_id"),
+    )
+    assigned = (
+        asg.join(vecs.select(id_col, "__v"), id_col)
+        .join(cents_idx, ["bid", "scid"])
+        .withColumn("__n", l2_norm(F.col("__v")))
+        .select(
+            F.col(id_col),
+            F.col("centroid_id"),
             F.col("__v"),
             F.col("__n"),
             F.round(
@@ -1160,9 +1465,14 @@ def kmeans_lloyd(
     FULL corpus instead of a bounded sample, at one linear pass per
     iteration.
 
-    Physical shape — a single EXPLODED (id, dim, x) frame, cached
-    hash-partitioned on the vector id, shared by every iteration
-    (coordinates never change; only centroid literals do). Per
+    Physical shape — strategy-dependent (r10). ``expr``: a single
+    EXPLODED (id, dim, x) frame, cached hash-partitioned on the vector
+    id, shared by every iteration (coordinates never change; only
+    centroid literals do); ``arrow``: the PACKED (id, vector) frame is
+    cached instead, the E-step carries the vector through
+    (``carry_vec``) and the M-step explodes its own output — no
+    exploded cache, no repartition, no per-iteration join (at sf10
+    that shuffle+join overhead exceeded the E-step itself). expr per
     iteration: (1) per-vector distances to all k centroids as ONE
     exchange-free aggregation on the cache — per-row squared-diff
     terms are codegen-small (the r8 lesson, twice: HOF folds run
@@ -1227,21 +1537,28 @@ def kmeans_lloyd(
     dim = len(init_centroids[0])
     if any(len(c) != dim for c in init_centroids):
         raise ValueError("init centroids must share one dimensionality")
-    dims = (
-        df.select(
-            F.col(id_col),
-            F.posexplode(_as_double_array(F.col(vec_col))).alias("pos", "x"),
-        )
-        .select(F.col(id_col), (F.col("pos") + 1).alias("j"), "x")
-        .repartition(F.col(id_col))
-        .persist()
-    )
+    # Strategy-specific working set (r10): the expr E-step runs on the
+    # pre-exploded (id, j, x) cache and its M-step joins the assignment
+    # back (co-partitioned on id). The arrow E-step CARRIES the vector
+    # through (carry_vec), so its M-step explodes (cid, vector)
+    # directly — no exploded cache, no repartition exchange, no
+    # per-iteration join: at sf10 those cost more than the E-step
+    # itself (the dim×-rows shuffle is the expensive half of training).
+    dims = None
     vecs = None
     if assign == "arrow":
-        vecs = (
+        vecs = ensure_min_partitions(
             df.select(
                 F.col(id_col), _as_double_array(F.col(vec_col)).alias("__v")
             )
+        ).persist()
+    else:
+        dims = (
+            df.select(
+                F.col(id_col),
+                F.posexplode(_as_double_array(F.col(vec_col))).alias("pos", "x"),
+            )
+            .select(F.col(id_col), (F.col("pos") + 1).alias("j"), "x")
             .repartition(F.col(id_col))
             .persist()
         )
@@ -1259,11 +1576,20 @@ def kmeans_lloyd(
     # under the int64 line) guarantees no per-vector distance sum can
     # wrap. Unit-scale embeddings pass with ~10⁴× margin; unnormalized
     # feature vectors with |coord| ≳ 10³ at dim 64 raise with guidance.
-    max_x = dims.agg(F.max(F.abs(F.col("x")))).collect()[0][0] or 0.0
+    if dims is not None:
+        max_x = dims.agg(F.max(F.abs(F.col("x")))).collect()[0][0] or 0.0
+    else:
+        max_x = (
+            vecs.agg(
+                F.max(F.array_max(F.transform(F.col("__v"), lambda x: F.abs(x))))
+            ).collect()[0][0]
+            or 0.0
+        )
     max_c0 = max((abs(float(x)) for c in cents for x in c), default=0.0)
     max_t = max_x + max(max_x, max_c0)
     if dim * (max_t * max_t) * 1e12 >= float(2**62):
-        dims.unpersist()
+        if dims is not None:
+            dims.unpersist()
         if vecs is not None:
             vecs.unpersist()
         raise ValueError(
@@ -1276,12 +1602,15 @@ def kmeans_lloyd(
     sizes: dict[int, int] = {}
     for _ in range(iters):
         if assign == "arrow":
-            asg = kmeans_assign_arrow(vecs, cents, id_col, vec_col="__v")
+            upd = kmeans_assign_arrow(
+                vecs, cents, id_col, vec_col="__v", carry_vec=True
+            ).select(
+                "cid", F.posexplode("__v").alias("pos", "x")
+            ).select("cid", (F.col("pos") + 1).alias("j"), "x")
         else:
-            asg = _kmeans_assign_expr(dims, cents, id_col)
+            upd = dims.join(_kmeans_assign_expr(dims, cents, id_col), id_col)
         rows = (
-            dims.join(asg, id_col)
-            .groupBy("cid", "j")
+            upd.groupBy("cid", "j")
             .agg(
                 F.sum(F.round(F.col("x"), 12).cast("decimal(38,12)"))
                 .cast("double")
@@ -1303,7 +1632,8 @@ def kmeans_lloyd(
             ]
             for ci in range(k)
         ]
-    dims.unpersist()
+    if dims is not None:
+        dims.unpersist()
     if vecs is not None:
         vecs.unpersist()
     return cents, sizes
@@ -1350,6 +1680,7 @@ def kmeans_assign_arrow(
     cents: list[list[float]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    carry_vec: bool = False,
 ) -> DataFrame:
     """Lloyd E-step, Arrow form: nearest centroid per vector by the
     SAME scaled-integer distance as ``_kmeans_assign_expr`` —
@@ -1364,12 +1695,23 @@ def kmeans_assign_arrow(
     k×dim float64 ndarray (8·k·dim bytes — 800×64 is 400 KB); the
     corpus streams through in Arrow batches, never shuffles; the
     b×kc×dim temporary is double-blocked (row chunks × centroid
-    chunks) to stay ~30 MB regardless of batch size or k."""
+    chunks) to stay ~30 MB regardless of batch size or k.
+
+    ``carry_vec=True`` additionally passes the (float64, bit-
+    preserved through Arrow) vector through to the output —
+    ``kmeans_lloyd``'s arrow M-step consumes (cid, vector) directly
+    and never needs the pre-exploded (id, j, x) cache the expr
+    strategy requires, which at corpus scale deletes a dim×-corpus-row
+    shuffle + persist per training run (r10: the sf10 profile put
+    the exploded-cache build + per-iteration join above the E-step
+    itself)."""
     import numpy as np
     import pandas as pd
 
     C = np.asarray(cents, dtype=np.float64)
     out_schema = f"{id_col} long, cid int"
+    if carry_vec:
+        out_schema += f", {vec_col} array<double>"
     row_chunk, cent_chunk = 1024, 64
 
     def fn(batches):
@@ -1403,9 +1745,174 @@ def kmeans_assign_arrow(
                         bi = np.where(upd, (ci + c0).astype(np.int32), bi)
                 best_d[r0 : r0 + len(xb)] = bd
                 best_i[r0 : r0 + len(xb)] = bi
-            yield pd.DataFrame({id_col: ids, "cid": best_i})
+            out = {id_col: ids, "cid": best_i}
+            if carry_vec:
+                out[vec_col] = pdf[vec_col].to_numpy()
+            yield pd.DataFrame(out)
 
     return df.select(
         F.col(id_col).cast("long").alias(id_col),
         _as_double_array(F.col(vec_col)).alias(vec_col),
     ).mapInPandas(fn, schema=out_schema)
+
+
+def kmeans_assign_grouped(
+    vecs: DataFrame,
+    cents: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "__v",
+    group_col: str = "bid",
+    carry_vec: bool = False,
+) -> DataFrame:
+    """Lloyd E-step, GROUPED form: every vector is assigned to the
+    nearest sub-centroid WITHIN ITS OWN GROUP — the within-branch half
+    of the two-level quantizer. ``vecs`` carries (id, group, vector);
+    ``cents`` carries (group, scid, cv) with centroids AS DATA, not
+    literals — the property that lets the total centroid count scale
+    with the corpus while no driver sync, broadcast, or plan literal
+    ever holds all of them.
+
+    Arithmetic is the house E-step exactly (``kmeans_assign_arrow``):
+    per-term floor(t²·10¹² + 0.5) summed as int64 — associative, so
+    numpy's order equals a SQL fold bit-for-bit — argmin ties to the
+    LOWER scid (centroids sorted by scid; argmin takes the first).
+
+    Physical shape: one cogroup on the group key — vectors exchange
+    once on ``group_col`` (exchange-free when the caller pre-
+    partitioned them on it), centroids (|leaf| rows total) exchange
+    beside them, and each group's assignment is blocked numpy over a
+    branch-sized sub-problem. Per-group memory is O(|branch|·dim +
+    chunk·|branch cents|·dim); the row-chunk bound keeps the distance
+    temporary ~tens of MB however large the branch. Returns
+    (id, group, scid int), plus the bit-preserved vector when
+    ``carry_vec`` (the grouped M-step consumes it directly — same
+    no-exploded-cache rationale as ``kmeans_assign_arrow``)."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = f"{id_col} long, {group_col} int, scid int"
+    if carry_vec:
+        out_schema += f", {vec_col} array<double>"
+    row_chunk = 1024
+
+    def fn(key, left, right):
+        if len(left) == 0 or len(right) == 0:
+            empty = {id_col: pd.Series([], dtype="int64"),
+                     group_col: pd.Series([], dtype="int32"),
+                     "scid": pd.Series([], dtype="int32")}
+            if carry_vec:
+                empty[vec_col] = pd.Series([], dtype="object")
+            return pd.DataFrame(empty)
+        right = right.sort_values("scid")
+        C = np.asarray(list(right["cv"]), dtype=np.float64)
+        scids = right["scid"].to_numpy(dtype=np.int32)
+        ids = left[id_col].to_numpy()
+        X = np.asarray(list(left[vec_col]), dtype=np.float64)
+        n = len(X)
+        best = np.empty(n, dtype=np.int32)
+        for r0 in range(0, n, row_chunk):
+            xb = X[r0 : r0 + row_chunk]
+            t = xb[:, None, :] - C[None, :, :]
+            d = np.floor(t * t * 1e12 + 0.5).astype(np.int64).sum(axis=2)
+            # first occurrence over the scid-sorted axis = lowest scid
+            best[r0 : r0 + len(xb)] = scids[d.argmin(axis=1)]
+        out = {id_col: ids, group_col: np.full(n, key[0], dtype=np.int32),
+               "scid": best}
+        if carry_vec:
+            out[vec_col] = left[vec_col].to_numpy()
+        return pd.DataFrame(out)
+
+    lv = vecs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(group_col).cast("int").alias(group_col),
+        _as_double_array(F.col(vec_col)).alias(vec_col),
+    )
+    rv = cents.select(
+        F.col(group_col).cast("int").alias(group_col),
+        F.col("scid").cast("int").alias("scid"),
+        _as_double_array(F.col("cv")).alias("cv"),
+    )
+    return (
+        lv.groupBy(group_col)
+        .cogroup(rv.groupBy(group_col))
+        .applyInPandas(fn, schema=out_schema)
+    )
+
+
+def kmeans_lloyd_grouped(
+    vecs: DataFrame,
+    init_cents: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "__v",
+    group_col: str = "bid",
+    iters: int = 2,
+) -> DataFrame:
+    """Distributed GROUPED Lloyd: train every branch's sub-quantizer
+    simultaneously, centroids living in a DataFrame keyed
+    (group, scid) — the within-branch half of the hierarchical
+    quantizer (``semdedup_auto``'s two-level path). Unlike
+    ``kmeans_lloyd`` there is NO per-iteration k·dim driver collect
+    and no centroid literal in any plan: the M-step's per-(group,
+    scid, dim) aggregate stays distributed, so the leaf count can be
+    ∝ corpus size while the driver only ever syncs bounded row counts
+    (the localCheckpoint per iteration materializes |leaf| rows
+    executor-side).
+
+    Per iteration: E-step = one ``kmeans_assign_grouped`` cogroup
+    with the vector CARRIED THROUGH (``carry_vec`` — no exploded
+    cache, no repartition, no per-iteration join, the r10
+    ``kmeans_lloyd`` arrow-path restructure); M-step = explode the
+    carried (group, scid, vector) output, per-(group, scid, j)
+    12dp-quantized DECIMAL sums + counts (exactly ``kmeans_lloyd``'s
+    update arithmetic, so a SQL oracle replays it verbatim), means
+    9dp-half-away-rounded IN THE ENGINE (``F.round`` == DuckDB
+    ``round`` — the cent_sim_r precedent); empty sub-clusters carry
+    their previous centroid via a LEFT join against the prior frame.
+    Returns the final (group, scid, cv) frame, localCheckpointed."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    cents = init_cents.localCheckpoint(eager=True)
+    for _ in range(iters):
+        st = (
+            kmeans_assign_grouped(
+                vecs, cents, id_col, vec_col, group_col, carry_vec=True
+            )
+            .select(
+                group_col, "scid",
+                F.posexplode(F.col(vec_col)).alias("pos", "x"),
+            )
+            .select(group_col, "scid", (F.col("pos") + 1).alias("j"), "x")
+            .groupBy(group_col, "scid", "j")
+            .agg(
+                F.sum(F.round(F.col("x"), 12).cast("decimal(38,12)"))
+                .cast("double")
+                .alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+        # every member vector has every dim, so carry-forward is whole-
+        # (group, scid): a sub-cluster with >=1 member updates all dims.
+        newcv = st.groupBy(group_col, "scid").agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("j"),
+                            F.round(F.col("s") / F.col("n"), 9).alias("m"),
+                        )
+                    )
+                ),
+                lambda e: e["m"],
+            ).alias("cv_new")
+        )
+        cents = (
+            cents.alias("p")
+            .join(newcv, [group_col, "scid"], "left")
+            .select(
+                F.col(group_col),
+                F.col("scid"),
+                F.coalesce(F.col("cv_new"), F.col("p.cv")).alias("cv"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cents

@@ -3622,6 +3622,150 @@ def test_semdedup_auto_sizes_quantizer_and_keeps_one_per_component(spark):
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
 
 
+def test_semdedup_auto_two_level_collapses_exact_dups_like_flat(spark):
+    """The hierarchical path (forced via max_flat_nlist=0) must agree
+    with the flat path on what can't depend on quantizer choice:
+    exact duplicates (cosine 1.0) always land in one leaf together,
+    so their components, the total row count, the one-keep-per-
+    component invariant, and determinism across reruns must all hold
+    identically (VERDICT r9 task 1)."""
+    from taxi_rides_ny_duckdb_spark.operators.similarity import semdedup_auto
+
+    rows = []
+    for i in range(90):
+        base = [0.0] * 8
+        base[i % 3] = 1.0
+        base[3 + (i % 5)] = 0.1 * ((i // 3) % 4)
+        rows.append((i, [float(x) for x in base]))
+    for k in range(5):  # exact dups of ids 0..4
+        rows.append((100 + k, rows[k][1]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    flat = semdedup_auto(
+        df, target_cluster_size=5, threshold=0.999, max_flat_nlist=10_000
+    ).collect()
+    hier = semdedup_auto(
+        df, target_cluster_size=5, threshold=0.999, max_flat_nlist=0
+    ).collect()
+    assert len(flat) == len(hier) == 95
+    for out in (flat, hier):
+        m = {r["vec_id"]: r["component"] for r in out}
+        for k in range(5):
+            assert m[k] == m[100 + k], "exact dup split across components"
+        by_comp: dict = {}
+        for r in out:
+            by_comp.setdefault(r["component"], []).append(r)
+        for comp_rows in by_comp.values():
+            assert sum(r["keep"] for r in comp_rows) == 1
+    # leaf ids are densified 0..n-1 ints in the hier path too
+    cents = sorted({r["centroid_id"] for r in hier})
+    assert cents[0] == 0 and cents == list(range(len(cents)))
+    again = semdedup_auto(
+        df, target_cluster_size=5, threshold=0.999, max_flat_nlist=0
+    ).collect()
+    assert sorted(map(tuple, hier)) == sorted(map(tuple, again))
+
+
+def test_kmeans_assign_grouped_matches_flat_per_branch(spark):
+    """The grouped cogroup E-step must reproduce kmeans_assign_arrow
+    branch-by-branch (same scaled-int64 distance, ties to the lower
+    sub-id) — the bit-equality that lets the two-level oracle replay
+    the whole pipeline."""
+    import random
+
+    from taxi_rides_ny_duckdb_spark.operators.similarity import (
+        kmeans_assign_arrow,
+        kmeans_assign_grouped,
+    )
+
+    random.seed(11)
+    vec_rows = [
+        (i, i % 3, [random.uniform(-1, 1) for _ in range(6)]) for i in range(60)
+    ]
+    cents_by_branch = {
+        b: [[random.uniform(-1, 1) for _ in range(6)] for _ in range(4)]
+        for b in range(3)
+    }
+    vecs = spark.createDataFrame(
+        vec_rows, "vec_id long, bid int, __v array<double>"
+    )
+    cents = spark.createDataFrame(
+        [
+            (b, s, cv)
+            for b, cvs in cents_by_branch.items()
+            for s, cv in enumerate(cvs)
+        ],
+        "bid int, scid int, cv array<double>",
+    )
+    got = {
+        r["vec_id"]: (r["bid"], r["scid"])
+        for r in kmeans_assign_grouped(vecs, cents).collect()
+    }
+    assert len(got) == 60
+    for b in range(3):
+        sub = vecs.filter(F.col("bid") == b).select("vec_id", "__v")
+        want = {
+            r["vec_id"]: r["cid"]
+            for r in kmeans_assign_arrow(
+                sub, cents_by_branch[b], "vec_id", "__v"
+            ).collect()
+        }
+        for vid, cid in want.items():
+            assert got[vid] == (b, cid), (vid, got[vid], (b, cid))
+
+
+def test_train_ivf_centroids_two_level_counts_and_plugs_in(spark):
+    """Two-level IVF training returns ~nlist branch-major centroids of
+    the right dimensionality, deterministically, and the flat list
+    plugs straight into ivf_topk(centroids=...)."""
+    import random
+
+    from taxi_rides_ny_duckdb_spark.operators.similarity import (
+        ivf_topk,
+        train_ivf_centroids_two_level,
+    )
+
+    random.seed(3)
+    rows = [
+        (i, [random.gauss(2.0 * (i % 4), 0.1) for _ in range(4)])
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = train_ivf_centroids_two_level(df, nlist=9)
+    assert all(len(c) == 4 for c in cents)
+    assert 5 <= len(cents) <= 13  # ~nlist, branch-proportional rounding
+    again = train_ivf_centroids_two_level(df, nlist=9)
+    assert cents == again
+    q = spark.createDataFrame(
+        [(0, rows[0][1])], "query_id long, query_vec array<double>"
+    )
+    top = ivf_topk(df, q, k=3, centroids=cents, nprobe=2).collect()
+    assert len(top) == 3 and top[0]["vec_id"] == 0  # finds itself first
+
+
+def test_kmeans_lloyd_grouped_carries_empty_subcluster(spark):
+    """A sub-centroid that attracts no member keeps its previous
+    coordinates (the flat trainer's empty-cluster rule, grouped form);
+    non-empty sub-clusters move to their members' 9dp-rounded mean."""
+    from taxi_rides_ny_duckdb_spark.operators.similarity import (
+        kmeans_lloyd_grouped,
+    )
+
+    vecs = spark.createDataFrame(
+        [(1, 0, [0.0, 0.2]), (2, 0, [0.2, 0.0]), (3, 0, [0.1, 0.1])],
+        "vec_id long, bid int, __v array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(0, 0, [0.0, 0.0]), (0, 1, [99.0, 99.0])],
+        "bid int, scid int, cv array<double>",
+    )
+    out = {
+        (r["bid"], r["scid"]): r["cv"]
+        for r in kmeans_lloyd_grouped(vecs, cents, iters=2).collect()
+    }
+    assert out[(0, 1)] == [99.0, 99.0], "empty sub-cluster must carry"
+    assert out[(0, 0)] == [0.1, 0.1]
+
+
 def test_semdedup_auto_validates(spark):
     import pytest as _pytest
 
