@@ -7733,19 +7733,30 @@ _J7_ORACLE_SQL = """
 @query("j7_bucketed_layout", oracle=_J7_ORACLE_SQL, memoize=False)
 def j7_bucketed_layout(spark, sf_dir):
     """Q21 over a BUCKETED lineitem layout — the repo's own cure
-    applied to its weakest measured ratio: with lineitem bucketed and
-    bucket-sorted on the order key, the winning semi/anti form of
-    ``j7_semi_anti_multicond`` runs with ZERO data-sized exchanges —
-    all three join legs read the same co-bucketed table, so the only
-    Exchange is the s_name final aggregate (plan-pinned: exactly ONE
-    hash Exchange; the residual in-partition sorts run over
-    bucket-sorted runs). Measured at sf10: 3.31 s vs 5.92 s for the
-    exchange-paying default and 9.41 s for the bucketed DECORRELATED
-    chain — the r9 lesson repeats even exchange-free: the ~55M-group
-    hash aggregation costs more than streaming merge passes, so
-    bucketing helps the semi/anti plan MORE than it helps the
-    aggregate rewrite. This is the 100 TB regime named in the j7
-    scorecard: a lakehouse fact is bucketed at ingest, the shuffle is
+    applied to its weakest measured ratio. Execution (r10) is the
+    FIFTH plan from the scorecard: ONE WINDOW over the bucket-sorted
+    runs — partitionBy(l_orderkey) needs no Exchange (bucketing
+    satisfies the distribution) and only an in-partition sort over
+    already-sorted runs; per order the two collect_set sizes give
+    n_supp / n_rsupp, EXISTS(other supplier) ⇔ n_supp > 1 and
+    NOT EXISTS(other R supplier) ⇔ n_rsupp = 1, so the fact is
+    scanned ONCE instead of the semi/anti form's three legs. The full
+    bucketed scorecard at sf10 (60M rows, clean sessions, best-of-2):
+
+    - window over bucket-sorted runs (THIS plan):      3.24 s
+    - bucketed semi/anti merge (r9 default, same day): 3.98 s
+      (recorded 3.20 s on the quieter r9 machine)
+    - bucketed decorrelated aggregates:                9.41 s
+    - unbucketed semi/anti default:                    5.92 s
+    - DuckDB's fully-pipelined hash plan:              0.85 s
+
+    The remaining gap to DuckDB is the named materialized-shuffle
+    floor: even exchange-free, WindowExec materializes each order's
+    run and the final agg exchanges once, where DuckDB streams the
+    whole tree in memory with zero materialization. With the fifth
+    plan tried and the window winning, the scorecard is complete and
+    the floor stands as named (VERDICT r9 task 2). This is the 100 TB
+    regime: a lakehouse fact is bucketed at ingest, the shuffle is
     paid once at write, never per query. Layout builds once per
     (dataset, process) — best-of-2 reports the amortized read path,
     the ``partitioned_id_layout`` precedent. The scratch table is
@@ -7753,8 +7764,12 @@ def j7_bucketed_layout(spark, sf_dir):
     parquet), not just the dataset basename, so a regenerated dataset
     at the same path — the documented scale-data regen workflow — or
     two dataset dirs sharing a basename rebuild instead of silently
-    reusing a stale layout (ADVICE r9). memoize=False: the layout
-    write is eager work in the builder."""
+    reusing a stale layout (ADVICE r9). No count-pin needed: the
+    filter CONSUMES both window outputs, so no consumer can eliminate
+    the Window stage. memoize=False: the layout write is eager work
+    in the builder."""
+    from pyspark.sql.window import Window as _W
+
     from .operators.scale import sink_scratch_dir, source_fingerprint, write_bucketed
 
     base = (
@@ -7775,21 +7790,22 @@ def j7_bucketed_layout(spark, sf_dir):
             path=sink_scratch_dir(sf_dir, t),
         )
     li = spark.table(t)
-    l1 = li.filter(F.col("l_returnflag") == "R")
-    l2 = li.select(
-        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    w = _W.partitionBy("l_orderkey")
+    stats = li.select(
+        "l_orderkey",
+        "l_suppkey",
+        "l_returnflag",
+        F.size(F.collect_set("l_suppkey").over(w)).alias("n_supp"),
+        F.size(
+            F.collect_set(
+                F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+            ).over(w)
+        ).alias("n_rsupp"),
     )
-    l3 = l1.select(
-        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
-    )
-    waiting = l1.join(
-        l2.hint("merge"),
-        (l1["l_orderkey"] == l2["k2"]) & (l1["l_suppkey"] != l2["s2"]),
-        "left_semi",
-    ).join(
-        l3.hint("merge"),
-        (l1["l_orderkey"] == l3["k3"]) & (l1["l_suppkey"] != l3["s3"]),
-        "left_anti",
+    waiting = stats.filter(
+        (F.col("l_returnflag") == "R")
+        & (F.col("n_supp") > 1)
+        & (F.col("n_rsupp") == 1)
     )
     s = F.broadcast(load(spark, sf_dir, "supplier"))
     n = F.broadcast(

@@ -1424,12 +1424,15 @@ def test_source_overlap_no_document_cross_join(spark, sf_dir):
 
 
 def test_j7_bucketed_layout_single_exchange(spark, sf_dir):
-    """j7 over the bucketed lineitem layout: both aggregations and the
-    order-grain join back must ride the bucket partitioning — the ONLY
-    hash Exchange in the plan is the final s_name aggregate (the
-    broadcast dim exchanges are k-row)."""
+    """j7 over the bucketed lineitem layout (r10: the window-over-
+    bucket-sorted-runs plan): the per-order Window must ride the
+    bucket partitioning — the ONLY hash Exchange in the plan is the
+    final s_name aggregate (the broadcast dim exchanges are k-row),
+    and the n_supp/n_rsupp window runs exchange-free over the
+    bucketed scan."""
     df = contract.BUILDERS["j7_bucketed_layout"](spark, sf_dir)
     plan = plan_of(df)
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Exchange rangepartitioning" not in plan
     assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan
+    assert "Window" in plan
