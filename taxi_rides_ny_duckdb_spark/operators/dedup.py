@@ -1076,6 +1076,7 @@ def cluster_representatives(
     score_col: str,
     src: str = "id_a",
     dst: str = "id_b",
+    components: DataFrame | None = None,
 ) -> DataFrame:
     """Quality-aware cluster collapse: like ``cluster_dedup`` but the
     survivor per near-dup cluster is the HIGHEST-``score_col`` member
@@ -1088,10 +1089,16 @@ def cluster_representatives(
     pair list (size-gated / star variants, see
     ``connected_components``), join scores back, one window rank per
     component — the window shuffles (component, id, score) triples
-    only, never document bodies."""
+    only, never document bodies. ``components``: optional precomputed
+    cluster index (id, component) — the shared-index shape (one CC
+    per corpus snapshot, many consumers), r10."""
     from pyspark.sql.window import Window
 
-    comp = connected_components(pairs, src, dst, nodes=df.select(id_col))
+    comp = (
+        components
+        if components is not None
+        else connected_components(pairs, src, dst, nodes=df.select(id_col))
+    )
     # Alias the score frame's columns before joining: when id_col is
     # 'id' (or 'component') an unqualified F.col(id_col) would be
     # ambiguous between the two join sides (ADVICE r6).

@@ -209,6 +209,7 @@ def leakage_safe_split(
     src: str = "id_a",
     dst: str = "id_b",
     salt: str = "leak",
+    components: DataFrame | None = None,
 ) -> DataFrame:
     """Train/val split with GROUP integrity: every member of a near-dup
     cluster lands in the same split. Plain per-row splitting leaks —
@@ -221,10 +222,16 @@ def leakage_safe_split(
     row id) drives the ``hash_split`` draw — one deterministic draw
     per cluster, every member inherits it. Rows absent from ``pairs``
     are singleton components and split independently, so the expected
-    proportions still hold. Output: df columns + component + split."""
+    proportions still hold. Output: df columns + component + split.
+    ``components``: optional precomputed cluster index (id,
+    component) — the shared-index shape, see ``purged_kfold``."""
     from ..operators.dedup import connected_components
 
-    comp = connected_components(pairs, src, dst, nodes=df.select(id_col))
+    comp = (
+        components
+        if components is not None
+        else connected_components(pairs, src, dst, nodes=df.select(id_col))
+    )
     labeled = df.join(
         comp.select(F.col("id").alias(id_col), "component"), id_col
     )
@@ -658,6 +665,7 @@ def purged_kfold(
     src: str = "id_a",
     dst: str = "id_b",
     salt: str = "fold",
+    components: DataFrame | None = None,
 ) -> DataFrame:
     """K-fold cross-validation assignment with near-dup PURGING: every
     member of a near-dup cluster lands in the same fold, so no fold's
@@ -675,12 +683,20 @@ def purged_kfold(
     Scale shape: CC is pair-list-sized (never document-sized); the
     labeling join shuffles (id, component) pairs; the fold itself is a
     pure projection. hash_fraction values are exact k/2^32 doubles, so
-    the floor is engine-portable with no rounding step."""
+    the floor is engine-portable with no rounding step. Pass a
+    precomputed ``components`` frame (id, component) to reuse a shared
+    cluster index instead of re-running CC — the production shape:
+    one index per corpus snapshot, many consumers (folds, splits,
+    contrastive mining, collapse) — r10, VERDICT r9 task 3."""
     from ..operators.dedup import connected_components
 
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
-    comp = connected_components(pairs, src, dst, nodes=df.select(id_col))
+    comp = (
+        components
+        if components is not None
+        else connected_components(pairs, src, dst, nodes=df.select(id_col))
+    )
     labeled = df.join(
         comp.select(F.col("id").alias(id_col), "component"), id_col
     )
@@ -697,6 +713,7 @@ def contrastive_pairs(
     dst: str = "id_b",
     salt: str = "neg",
     n_buckets: int = 8,
+    components: DataFrame | None = None,
 ) -> DataFrame:
     """Contrastive training-pair mining from a near-dup pair list:
     every verified near-dup pair (a, b) becomes an (anchor, positive)
@@ -734,7 +751,9 @@ def contrastive_pairs(
     Output: (anchor_id, positive_id, negative_id) — one row per
     surviving input pair. Cost: |pairs| × |pool|/B map-side
     comparisons + one window on (anchor, positive); no corpus-sized
-    shuffle anywhere."""
+    shuffle anywhere. ``components``: optional precomputed cluster
+    index (id, component) — the shared-index shape, see
+    ``purged_kfold``."""
     from pyspark.sql.window import Window
 
     from ..operators.dedup import connected_components
@@ -743,7 +762,11 @@ def contrastive_pairs(
         raise ValueError(f"pool_fraction must be in (0, 1], got {pool_fraction}")
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
-    comp = connected_components(pairs, src, dst, nodes=df.select(id_col))
+    comp = (
+        components
+        if components is not None
+        else connected_components(pairs, src, dst, nodes=df.select(id_col))
+    )
     pos = pairs.select(
         F.col(src).alias("anchor_id"), F.col(dst).alias("positive_id")
     )
