@@ -118,29 +118,35 @@ def main() -> None:
     if unknown:
         print(f"# unknown SPARK_GRAFT_QUERIES: {sorted(unknown)}", file=sys.stderr)
 
+    from taxi_rides_ny_duckdb_spark.cache import cache_scope
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in names:
         fn = contract.QUERIES[name]
         best, n = float("inf"), 0
         try:
-            for _ in range(2):
-                t0 = time.perf_counter()
-                n = fn(spark, sf_dir).count()
-                best = min(best, time.perf_counter() - t0)
+            # One cache scope per query, spanning BOTH best-of-2 runs:
+            # run 2 still measures the cache-warm path (the established
+            # protocol), and at scope exit exactly this query's
+            # registered persists are dropped — the r10 registry
+            # (taxi_rides_ny_duckdb_spark/cache.py) replacing the old
+            # global clearCache sledgehammer. Un-dropped, accumulated
+            # storage made later cache-reliant queries bimodal
+            # (measured: minhash 1.0 s isolated vs 2-4.9 s late in the
+            # suite). Local checkpoints and memoized logical plans are
+            # unaffected, as before.
+            with cache_scope():
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    n = fn(spark, sf_dir).count()
+                    best = min(best, time.perf_counter() - t0)
         except Exception as exc:  # noqa: BLE001 — isolate, report, continue
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
             continue
         timings[name] = round(best, 4)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
-        # Drop this query's persisted intermediates (shingle/fingerprint
-        # persists etc.) before the next query: operators persist for
-        # intra-query reuse but never unpersist, and the accumulated
-        # storage makes later cache-reliant queries bimodal (measured:
-        # minhash 1.0 s isolated vs 2-4.9 s late in the suite). Local
-        # checkpoints and the memoized logical plans are unaffected.
-        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
     # Streaming micro-batch harness cost itemized (judge r4 #8): these

@@ -19,6 +19,7 @@ import os
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .cache import scoped_persist
 from .contract import query
 from .functions.parity import dsum
 from .functions.text import (
@@ -7005,7 +7006,7 @@ def ext_filter_funnel(spark, sf_dir):
     s3 = (
         toks.filter(quality_score(F.col("text"), tokens=F.col("__toks")) >= 0.5)
         .drop("__toks")
-        .persist()
+        .transform(scoped_persist)
     )
     canon = s3.groupBy("__h").agg(F.min("doc_id").alias("doc_id"))
     s4 = s3.join(canon, ["__h", "doc_id"])
@@ -7022,7 +7023,7 @@ def ext_filter_funnel(spark, sf_dir):
     # without the pin each consumer re-runs the corpus shingle explode
     # (measured 33 s/run at sf10).
     contaminated = (
-        s4_sh.join(F.broadcast(ev_sh), "sh").select("doc_id").distinct().persist()
+        s4_sh.join(F.broadcast(ev_sh), "sh").select("doc_id").distinct().transform(scoped_persist)
     )
     s5 = s4.join(contaminated, "doc_id", "left_anti")
     from .operators.cleaning import funnel_report

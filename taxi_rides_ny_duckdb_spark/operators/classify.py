@@ -37,6 +37,8 @@ from pyspark.sql.window import Window
 
 from ..functions.text import tokenize
 
+from ..cache import scoped_persist
+
 # Per-addend log-prob rounding (12dp) and final score rounding (9dp):
 # the round-before-sum / round-before-rank parity discipline used by
 # bm25_topk and ngram_lm_score.
@@ -381,7 +383,7 @@ def lr_train_surrogate(
     )
     # label joined in ONCE, then cached partitioned by doc id: the
     # per-iteration z-agg and err-join run exchange-free on the cache.
-    feats = base.join(labels, id_col).repartition(F.col(id_col)).persist()
+    feats = base.join(labels, id_col).repartition(F.col(id_col)).transform(scoped_persist)
     n = docs.count()
     if n == 0:
         raise ValueError("empty training set")

@@ -24,6 +24,8 @@ from pyspark.sql import functions as F
 
 from ..functions.text import tokenize
 
+from ..cache import scoped_persist
+
 # Common PII surface patterns, in the regex subset Java (Spark) and
 # RE2 (DuckDB/Go) agree on: no backrefs, no lookaround.
 PII_PATTERNS: dict[str, str] = {
@@ -471,7 +473,7 @@ def pmi_collocations(
     vocab_ids = F.broadcast(
         vocab.select(
             "term", "c", F.row_number().over(vid_w).alias("__vid")
-        ).persist()
+        ).transform(scoped_persist)
     )
     # persist(): the vocab-filtered (doc, vid) stream feeds both sides
     # of the pair self-join; without the boundary the scan + explode +
@@ -484,7 +486,7 @@ def pmi_collocations(
     # interpreted lambdas over V-sized arrays per row.
     filt = toks.join(vocab_ids.select("term", "__vid"), "term").select(
         F.col(id_col), F.col("__vid")
-    ).persist()
+    ).transform(scoped_persist)
     fa = filt.select(F.col(id_col), F.col("__vid").alias("__va"))
     fb = filt.select(F.col(id_col), F.col("__vid").alias("__vb"))
     pairs = (
@@ -624,7 +626,7 @@ def ngram_lm_score(
         F.col(id_col),
         reference.alias("__ref"),
         F.explode(grams).alias("__g"),
-    ).persist()
+    ).transform(scoped_persist)
     model = (
         stream.filter(F.col("__ref"))
         .groupBy("__g")
@@ -865,7 +867,7 @@ def source_ngram_overlap(
             F.explode(word_shingles(tokenize(F.col(text_col)), n)).alias("__sh"),
         )
         .distinct()
-        .persist()
+        .transform(scoped_persist)
     )
     sizes = sh.groupBy("__g").agg(F.count(F.lit(1)).alias("__n"))
     inter = (

@@ -27,6 +27,8 @@ from pyspark.sql import functions as F
 from ..functions.text import jaccard, tokenize, word_shingles
 from ..session import barrier_filter, ensure_min_partitions
 
+from ..cache import scoped_persist
+
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exact dedup groups: content hash → (canonical id = min id,
@@ -233,7 +235,7 @@ def minhash_lsh_dedup_pairs(
     # the (expensive) signature expressions into every consumer.
     sigs = minhash_signatures(
         df, text_col, id_col, num_perm, shingle_n, portable=portable
-    ).persist()
+    ).transform(scoped_persist)
     cands = lsh_candidate_pairs(
         sigs, id_col, num_bands, num_perm,
         max_bucket_size=max_bucket_size, portable=portable,
@@ -305,7 +307,7 @@ def incremental_minhash_dedup(
     )
     bsigs = minhash_signatures(
         batch, text_col, id_col, num_perm, shingle_n, portable=portable
-    ).persist()
+    ).transform(scoped_persist)
     hb = history_sigs.select(
         F.col(id_col).alias("history_id"), bands.alias("band_idx", "band_hash")
     ).withColumn(
@@ -394,7 +396,7 @@ def ngram_jaccard_pairs(
             word_shingles(F.col("__toks"), shingle_n).alias("shingles"),
         ),
         F.size("shingles") > 0,
-    ).persist()
+    ).transform(scoped_persist)
 
     if threshold <= 0:  # degenerate: index prunes nothing — brute force
         # merge-hint: both sides are the corpus's shingle arrays
@@ -537,7 +539,7 @@ def simhash_candidate_pairs(
     # constraint gets pushed below the repartition and evaluates the
     # UDF a second time per side — 4 Python passes for 1 (measured).
     # Same persist-the-small-derivative pattern as minhash_lsh above.
-    hashed = hashed.persist()
+    hashed = hashed.transform(scoped_persist)
     n_chunks = max_hamming + 1
     chunk_bits = num_bits // n_chunks
     mask = (1 << chunk_bits) - 1
@@ -1236,14 +1238,16 @@ def winnow_passage_matches(
     reuse (the df pass and the pair join both read it) and — like
     every operator-level persist in this repo — NOT unpersisted here,
     because the returned frame is lazy and unpersisting before the
-    caller's action would recompute fingerprints twice. Callers that
-    run many queries in one session clear between queries
-    (bench.py's clearCache; tests do the same)."""
+    caller's action would recompute fingerprints twice. The persist
+    routes through the r10 session-scoped cache registry
+    (``cache.scoped_persist``): pipeline drivers open a
+    ``cache_scope()`` per query/node and the registered frames drop at
+    scope exit — no global clearCache convention anymore."""
     if min_shared < 1:
         raise ValueError(f"min_shared must be >= 1, got {min_shared}")
     if max_df < 2:
         raise ValueError(f"max_df must be >= 2, got {max_df}")
-    fp = winnow_fingerprints(df, text_col, id_col, k=k, w=w).persist()
+    fp = winnow_fingerprints(df, text_col, id_col, k=k, w=w).transform(scoped_persist)
     dfc = fp.groupBy("fingerprint").agg(F.count(F.lit(1)).alias("__df"))
     elig = dfc.filter((F.col("__df") >= 2) & (F.col("__df") <= max_df)).select(
         "fingerprint"

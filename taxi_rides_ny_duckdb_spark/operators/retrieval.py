@@ -31,6 +31,8 @@ from pyspark.sql.window import Window
 from ..functions.text import tokenize
 from ..session import ensure_min_partitions
 
+from ..cache import scoped_persist
+
 # Above this many distinct query terms the pivoted tf-column form stops
 # paying (one string-replace pass per term per row, and plan width
 # grows linearly); the explode path's shuffle is match-bounded anyway.
@@ -186,7 +188,7 @@ def _pivot_scores(
         .filter(
             sum((F.col(f"__tf_{i}") for i in range(len(all_terms))), F.lit(0)) > 0
         )
-        .persist()
+        .transform(scoped_persist)
     )
     dfreq = base.agg(
         *[

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..cache import scoped_persist
+
 # First 8 hex chars of md5 → 32-bit integer → uniform fraction. 2^32
 # buckets is plenty: split boundaries are exact to ~2.3e-10.
 _BUCKETS = float(1 << 32)
@@ -536,7 +538,7 @@ def dsir_scores(
             F.explode(tokenize(F.col(text_col))).alias("__term"),
         ).select(
             F.col(id_col), F.col("__t"), bucket(F.col("__term")).alias("__b")
-        ).persist()
+        ).transform(scoped_persist)
         t_counts = (
             bucketed.filter(F.col("__t"))
             .groupBy("__b")
@@ -1058,7 +1060,7 @@ def token_budget_select(
         ),
         F.lit(n_buckets - 1).cast("bigint"),
     )
-    b = base.withColumn("__bucket", bucket).persist()
+    b = base.withColumn("__bucket", bucket).transform(scoped_persist)
     totals = (
         b.groupBy("__bucket")
         .agg(F.sum("__tokens").alias("__btotal"))

@@ -25,6 +25,8 @@ from pyspark.sql.window import Window
 
 from ..session import ensure_min_partitions
 
+from ..cache import scoped_persist
+
 
 def dot(a: Column, b: Column) -> Column:
     """Sequential-fold dot product (deterministic order).
@@ -989,7 +991,7 @@ def _semdedup_collapse(
     as the connected_components edge-cache fix)."""
     from .dedup import connected_components
 
-    assigned = assigned.persist()
+    assigned = assigned.transform(scoped_persist)
     pairs = _within_cluster_pairs(assigned, threshold, id_col, round_dp)
     comp = connected_components(
         pairs, "id_a", "id_b", nodes=assigned.select(F.col(id_col).alias("id"))
@@ -1320,7 +1322,7 @@ def _semdedup_two_level(
             id_col,
         )
         .repartition(F.col("bid"))
-        .persist()
+        .transform(scoped_persist)
     )
     wcnt = Window.partitionBy("bid")
     worder = Window.partitionBy("bid").orderBy(F.col(id_col).asc())

@@ -188,6 +188,8 @@ class PipelineRunner:
         unresolved-ref error, matching dbt's relation-not-found when an
         excluded parent was never materialized — select ``+m`` to pull
         ancestors in."""
+        from ..cache import cache_scope
+
         names = self._topo_order()
         if select is not None:
             selectors = [select] if isinstance(select, str) else list(select)
@@ -195,8 +197,14 @@ class PipelineRunner:
             names = [n for n in names if n in chosen]
         for name in names:
             m = self.models[name]
-            df = m.build(*[self.ref(d) for d in m.deps])
-            self.built[name] = self._materialize(m, df)
+            # one cache scope per node (r10 registry): any operator
+            # persists the node's build registers are dropped once the
+            # node is materialized — table/incremental nodes have
+            # written their parquet by then, and view nodes re-read
+            # sources lazily, so nothing downstream needs them.
+            with cache_scope():
+                df = m.build(*[self.ref(d) for d in m.deps])
+                self.built[name] = self._materialize(m, df)
         return dict(self.built)
 
     def manifest(self) -> dict:
