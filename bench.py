@@ -170,12 +170,24 @@ def main() -> None:
     # keeps only the last ~2000 chars of stdout, and a 120-query map is
     # ~4 KB, so the full line's head ("metric", "value", ...) gets
     # clipped and the driver records "parsed": null (BENCH_r03/r04).
+    # Artifact hygiene (r10, VERDICT r9 task 7): subset runs default to
+    # BENCH_subset.json so an ad-hoc scaling run can't silently
+    # overwrite the git-tracked full artifact, and SPARK_GRAFT_SEAL=1
+    # additionally writes BENCH_seal.json — the round's sealed number
+    # survives the driver's own rerun overwriting BENCH.json, so the
+    # two artifacts can't flip meaning mid-round.
+    default_name = "BENCH_subset.json" if subset else "BENCH.json"
     out_path = os.environ.get(
-        "SPARK_GRAFT_BENCH_OUT", os.path.join(REPO_DIR, "BENCH.json")
+        "SPARK_GRAFT_BENCH_OUT", os.path.join(REPO_DIR, default_name)
     )
     with open(out_path, "w") as fh:
         fh.write(json.dumps(payload, separators=(",", ":")) + "\n")
     print(f"# full artifact written to {out_path}", file=sys.stderr)
+    if os.environ.get("SPARK_GRAFT_SEAL") and not subset:
+        seal_path = os.path.join(REPO_DIR, "BENCH_seal.json")
+        with open(seal_path, "w") as fh:
+            fh.write(json.dumps(payload, separators=(",", ":")) + "\n")
+        print(f"# seal artifact written to {seal_path}", file=sys.stderr)
 
     # Stdout gets a COMPACT line sized to survive the tail window
     # (≤1500 bytes): same headline metric/value/sf, errors, streaming

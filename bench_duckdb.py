@@ -82,8 +82,14 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     line = json.dumps(payload, separators=(",", ":"))
+    # subset runs default to a _subset file so ad-hoc scaling runs
+    # can't silently overwrite the git-tracked artifact (r10, the
+    # bench.py convention).
+    default_name = (
+        "BASELINE_DUCKDB_subset.json" if subset else "BASELINE_DUCKDB.json"
+    )
     out_path = os.environ.get(
-        "SPARK_GRAFT_BENCH_OUT", os.path.join(REPO_DIR, "BASELINE_DUCKDB.json")
+        "SPARK_GRAFT_BENCH_OUT", os.path.join(REPO_DIR, default_name)
     )
     with open(out_path, "w") as fh:
         fh.write(line + "\n")

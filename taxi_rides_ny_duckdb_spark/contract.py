@@ -84,66 +84,54 @@ def query(
 
 # The driver verifies only the FIRST 50 registered queries against the
 # DuckDB oracle (CORRECTNESS_r{N}.json); the window rotates per round so
-# that over rounds every query accumulates a driver-green row. Union of
-# r1-r7 green rows covers every query registered through the r7 seal;
-# everything outside the window is verified every suite run by the
-# local replica of the gate (tests/test_contract_parity.py,
-# collect-compare + driver-faithful pandas-hash).
+# that over rounds every query accumulates a driver-green row. The union
+# of r1-r9 green rows covers all 211 queries registered through the r9
+# seal (zero gaps — VERDICT r9); everything outside the window is
+# verified every suite run by the local replica of the gate
+# (tests/test_contract_parity.py, collect-compare + driver-faithful
+# pandas-hash).
 #
-# ROUND-9 drawing, never-windowed-first (the standing rule):
+# ROUND-10 drawing, never-windowed-first (the standing rule):
 # 1. The reference taxi DAG keeps the permanent 8-slot prefix (the
 #    parity claim the whole repo makes, re-verified every round).
-# 2. The 4 queries with NO driver evidence yet take slots:
-#    ext_semdedup_auto + ext_multimodal_container_meta +
-#    j7_decorrelated_form (new this round — r8 advice tasks 1/2/6;
-#    renamed from j7_semi_anti_plan_form when the r9 measurement made
-#    the semi/anti form the default and this one the alternative)
-#    and ext_streaming_incremental_dedup (un-windowed through r8 by
-#    documented choice; the r8 judge asked for a row of its own —
-#    VERDICT r8 task 4 — so it takes a slot now. memoize=False: the
-#    driver re-run drives the real availableNow micro-batch job).
-# 3. The 4 queries whose EXECUTION or ORACLE changed this round get
-#    re-verified even though r8-green: j7_semi_anti_multicond (default
-#    plan is now the MERGE-pinned semi/anti form — the r9 four-plan
-#    measurement reversed the r8 decorrelation hypothesis, see its
-#    docstring),
-#    ext_contrastive_pairs (bucketed negative draw — the draw function
-#    and its oracle both changed), ext_exact_k_sample and
-#    ext_purged_kfold (fixtures now read a pruned partitioned layout).
-#    A changed query's old green row certifies a plan that no longer
-#    exists, so re-verification outranks refresh. (The r9 _count_pin
-#    additions — 13 queries gained an always-true hash filter so the
-#    bench's count() consumer cannot eliminate their Window stage —
-#    are exempt from this rule: zero rows change, the driver's
-#    value-hash reads every column either way, and all 13 are
-#    re-proven by the local two-way parity gate each suite run.
-#    Five of them sit in this window regardless.)
-# 4. The remaining 34 slots refresh the oldest driver evidence
-#    (VERDICT r8 task 9): the 4 r3-era queries NOT exercised verbatim
-#    by the taxi prefix (w1_dedup_distinct, ext_text_token_count,
-#    ext_events_sessionize, ext_events_tumbling_window — each ceded
-#    its r8 slot to a then-new query and is now the oldest evidence in
-#    the registry), all 25 r4-era rows (the multimodal/profile/metric
-#    families the judge named), and the 3 oldest r5-era
-#    dedup/similarity singles. ext_similarity_lsh_topk,
-#    ext_embedding_near_dup_exact and ext_similarity_topk_bruteforce
-#    ceded their refresh slots to ext_token_budget_select +
-#    ext_source_overlap_matrix + j7_bucketed_layout (added after
-#    the drawing): a never-windowed NEW query outranks a refresh (the
-#    standing rule), and the ceded queries keep family coverage
-#    through windowed relatives (the IVF/SQ8 ANN chain r8-green,
-#    recall-certified against the brute-force ground truth; the
-#    near-dup component machinery inside this window's
-#    ext_dedup_exact/simhash rows) plus the local parity gate.
-#    The r3-era rows j1/j2/p2/s1/u1/
-#    w1_row_number/x2-x5 run VERBATIM inside the permanent prefix
-#    every round (taxi_fact_trips IS the broadcast dim join +
-#    dim-joined-twice + union-all-tagged; taxi_stg_* ARE scan/
-#    typed-projection/rn=1-dedup/case/md5/replace/date_trunc) -- the
-#    documented transitive-coverage class.
-#    Remaining r5-era singles plus the r6/r7/r8 cohorts stay
-#    outside this window on r5-r8 green rows; all are re-verified
-#    every suite run by the local two-way parity gate.
+# 2. The 1 query with NO driver evidence yet: ext_semdedup_hier (new
+#    this round — the two-level quantizer path with its own full
+#    unrolled oracle, VERDICT r9 task 1).
+# 3. The 9 queries whose EXECUTION or ORACLE changed this round get
+#    re-verified even though r9-green (a changed query's old green row
+#    certifies a plan that no longer exists):
+#    - ext_semdedup_auto (two-level switch + arrow carry_vec trainers +
+#      numpy within-cluster pairing + MATERIALIZED oracle CTEs),
+#    - ext_semdedup (shared collapse pairing changed),
+#    - ext_kmeans_train (overflow guard's extra agg + MATERIALIZED
+#      oracle CTEs),
+#    - j7_bucketed_layout (execution is now the window-over-bucket-
+#      sorted-runs plan — the fifth scorecard plan, r9 task 2),
+#    - ext_purged_kfold, ext_contrastive_pairs, ext_leakage_safe_split,
+#      ext_dedup_cluster_components, ext_dedup_cluster_keep_best (all
+#      five now read the shared process-memoized near-dup cluster
+#      index, r9 task 3).
+#    Exempt from this rule, per the r9 precedent: ext_window_lag_lead's
+#    extra _count_pin column (zero rows change; the driver's value-hash
+#    reads every column either way) and the 14 operator persist sites
+#    converted to scoped_persist (persist semantics identical; only
+#    scope registration added) — all re-proven by the local two-way
+#    parity gate each suite run.
+# 4. The remaining 32 slots refresh the oldest driver evidence,
+#    oldest-first (VERDICT r9 task 6): the union of CORRECTNESS_r0*
+#    green rows puts the 33-query r5 cohort oldest (the only r2-era
+#    row, prof_lineitem_approx, is the pre-rename ghost of
+#    prof_lineitem_approx_guarded, r6-green under its current name);
+#    the 32 alphabetically-first take the slots.
+#    q6_forecast_revenue cedes to the window size and takes priority
+#    in the r11 drawing; it stays re-proven by the local parity gate
+#    every suite run. The r3-era rows
+#    j1/j2/p2/s1/u1/w1_row_number/x2-x5 run VERBATIM inside the
+#    permanent prefix every round (taxi_fact_trips IS the broadcast
+#    dim join + dim-joined-twice + union-all-tagged; taxi_stg_* ARE
+#    scan/typed-projection/rn=1-dedup/case/md5/replace/date_trunc) --
+#    the documented transitive-coverage class. The r6-r9 cohorts stay
+#    outside this window on r6-r9 green rows.
 DRIVER_WINDOW: tuple[str, ...] = (
     # 1. Reference taxi DAG -- permanent prefix.
     "taxi_stg_green_tripdata",
@@ -155,53 +143,51 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "taxi_metric_average_distance_month",
     "taxi_metric_avg_distance_manhattan_quarter",
     # 2. Never driver-verified.
+    "ext_semdedup_hier",
+    # 3. Execution/oracle changed this round (r9-green rows stale).
     "ext_semdedup_auto",
-    "ext_multimodal_container_meta",
-    "j7_decorrelated_form",
-    "ext_streaming_incremental_dedup",
-    # 3. Execution/oracle changed this round (r8-green rows stale).
-    "j7_semi_anti_multicond",
-    "ext_contrastive_pairs",
-    "ext_exact_k_sample",
-    "ext_purged_kfold",
-    # 4a. Oldest-evidence refresh: r3-era, not taxi-prefix-covered.
-    "w1_dedup_distinct",
-    "ext_text_token_count",
-    "ext_events_sessionize",
-    "ext_events_tumbling_window",
-    # 4b. Oldest-evidence refresh: the full r4-era cohort.
-    "prof_lineitem_numeric",
-    "prof_documents_text",
-    "prof_lineitem_histogram",
-    "prof_orders_topk_values",
-    "prof_lineitem_percentiles",
-    "a5_metric_count_distinct_quarter",
-    "a5_metric_sum_week",
-    "a5_metric_min_year",
-    "a5_metric_max_year",
-    "a5_metric_derived_revenue_per_order",
-    "ext_snapshot_scd2_timestamp",
-    "j5_star_join_revenue",
-    "j8_full_outer_join",
-    "j9_cross_join_grid",
-    "j10_null_safe_join",
-    "a10_groupwise_median",
-    "q16_supplier_diversity",
-    "ext_text_bpe_ish_count",
-    "ext_text_fingerprint",
-    "ext_events_sliding_window",
-    "ext_multimodal_features",
-    "ext_salted_join",
-    "ext_pivot_event_counts",
-    "ext_rollup_revenue",
-    "ext_window_lag_lead",
-    # 4c. Oldest-evidence refresh: oldest r5-era dedup/similarity.
-    "ext_dedup_exact",
-    "ext_dedup_simhash",
-    # 5. New this round (added after the drawing; see rationale).
-    "ext_token_budget_select",
-    "ext_source_overlap_matrix",
+    "ext_semdedup",
+    "ext_kmeans_train",
     "j7_bucketed_layout",
+    "ext_purged_kfold",
+    "ext_contrastive_pairs",
+    "ext_leakage_safe_split",
+    "ext_dedup_cluster_components",
+    "ext_dedup_cluster_keep_best",
+    # 4. Oldest-evidence refresh: 32 alphabetically-first of the
+    #    33-query r5 cohort (q6_forecast_revenue cedes; r11 priority).
+    "ext_array_hof",
+    "ext_cube_revenue",
+    "ext_date_spine_densify",
+    "ext_decontaminate_ngram",
+    "ext_dedup_edit_distance",
+    "ext_embedding_centroid_assign",
+    "ext_embedding_group_medoid",
+    "ext_embedding_near_dup",
+    "ext_embedding_near_dup_exact",
+    "ext_events_map_explode",
+    "ext_global_sort",
+    "ext_grouping_sets",
+    "ext_hash_sample",
+    "ext_multimodal_frame_sample",
+    "ext_pack_sequences",
+    "ext_semi_join",
+    "ext_set_except",
+    "ext_set_intersect",
+    "ext_set_union_distinct",
+    "ext_similarity_lsh_topk",
+    "ext_similarity_topk_bruteforce",
+    "ext_stratified_sample",
+    "ext_streaming_stream_join",
+    "ext_streaming_tumbling",
+    "ext_text_explode_tokens",
+    "ext_text_repetition_ratio",
+    "ext_train_val_split",
+    "ext_unpivot_measures",
+    "ext_window_rank_family",
+    "ext_window_running_sum",
+    "q12_priority_classes",
+    "q19_bracketed_revenue",
 )
 
 
