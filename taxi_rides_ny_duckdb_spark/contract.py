@@ -142,8 +142,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "taxi_dm_monthly_zone_statistics",
     "taxi_metric_average_distance_month",
     "taxi_metric_avg_distance_manhattan_quarter",
-    # 2. Never driver-verified.
+    # 2. Never driver-verified (ext_pq_* are new this round: the
+    #    product-quantization ANN family — trained codebooks, ADC
+    #    top-k, recall certification — each with a full unrolled
+    #    oracle; they take the never-windowed-first slots).
     "ext_semdedup_hier",
+    "ext_pq_topk",
+    "ext_pq_recall",
     # 3. Execution/oracle changed this round (r9-green rows stale).
     "ext_semdedup_auto",
     "ext_semdedup",
@@ -154,8 +159,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ext_leakage_safe_split",
     "ext_dedup_cluster_components",
     "ext_dedup_cluster_keep_best",
-    # 4. Oldest-evidence refresh: 32 alphabetically-first of the
-    #    33-query r5 cohort (q6_forecast_revenue cedes; r11 priority).
+    # 4. Oldest-evidence refresh: 30 alphabetically-first of the
+    #    33-query r5 cohort (ext_pq_topk/ext_pq_recall entering under
+    #    rule 2 push out 2 more slots: q12_priority_classes and
+    #    q19_bracketed_revenue cede alongside q6_forecast_revenue;
+    #    all three take r11 priority and stay re-proven by the local
+    #    parity gate every suite run).
     "ext_array_hof",
     "ext_cube_revenue",
     "ext_date_spine_densify",
@@ -186,8 +195,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ext_unpivot_measures",
     "ext_window_rank_family",
     "ext_window_running_sum",
-    "q12_priority_classes",
-    "q19_bracketed_revenue",
 )
 
 

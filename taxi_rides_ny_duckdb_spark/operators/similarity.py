@@ -1918,3 +1918,277 @@ def kmeans_lloyd_grouped(
             .localCheckpoint(eager=True)
         )
     return cents
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ) — the FAISS IndexPQ scheme (Jégou et al. 2011,
+# "Product Quantization for Nearest Neighbor Search"): split each dim-D
+# vector into m_sub contiguous subvectors, train an independent ksub-way
+# k-means codebook per subspace, store each vector as m_sub small codes,
+# and answer queries by Asymmetric Distance Computation (ADC) — a per-query
+# lookup table of (subspace, code) → partial distance, summed per vector.
+#
+# 100 TB shape: the codes table IS the compressed corpus (m_sub ints per
+# vector instead of D floats — 32 bytes vs 256 at D=64/m=8); training is
+# one grouped-Lloyd job over (vector × subspace) pseudo-rows with the
+# codebooks living in a DataFrame (kmeans_lloyd_grouped — no per-leaf
+# driver state); assignment is ONE Arrow scan with the m_sub·ksub·dsub
+# codebook in closure (bounded, the k·dim kmeans-sync class); and the ADC
+# scan is a pure-expression pass over the codes column feeding
+# TakeOrderedAndProject — no shuffle anywhere in the query path.
+# --------------------------------------------------------------------------
+
+
+def pq_subvectors(
+    vecs: DataFrame,
+    dim: int,
+    m_sub: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Explode each vector into its m_sub contiguous subvectors:
+    (id, sub_id, sv array<double> of dim/m_sub). Pure expressions —
+    one slice per subspace, one explode."""
+    if dim % m_sub != 0:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    dsub = dim // m_sub
+    v = vecs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        _as_double_array(F.col(vec_col)).alias("__e"),
+    )
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(s).cast("int").alias("sub_id"),
+                F.slice(F.col("__e"), s * dsub + 1, dsub).alias("sv"),
+            )
+            for s in range(m_sub)
+        ]
+    )
+    return v.select(F.col(id_col), F.explode(subs).alias("t")).select(
+        id_col, F.col("t.sub_id").alias("sub_id"), F.col("t.sv").alias("sv")
+    )
+
+
+def pq_train(
+    vecs: DataFrame,
+    dim: int,
+    m_sub: int = 8,
+    ksub: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train the m_sub per-subspace codebooks SIMULTANEOUSLY as one
+    grouped Lloyd job: each (vector, subspace) pair becomes a pseudo-
+    vector (pvid = id·m_sub + sub_id) whose group is its subspace, so
+    ``kmeans_lloyd_grouped`` trains all m_sub independent ksub-way
+    k-means in the same cogroups — the identical reuse that makes the
+    two-level semdedup quantizer oracle-replayable replays this too
+    (the SQL side reuses ``_grouped_lloyd_ctes`` verbatim with
+    dims/asgB/sc0 built from subvectors). Init: first ksub vectors of
+    each subspace by id (scid = rank-1), the house deterministic-init
+    convention. Returns (sub_id, scid, cv) with cv rounded 9dp by the
+    trainer — the exact frame a SQL oracle derives.
+
+    Arithmetic bounds: the grouped E-step sums per-term
+    round(t²·10¹²) into int64 at dsub terms — dsub·(2·max|x|)²·10¹²
+    must stay under 2⁶² (unit-scale embeddings pass with ~10⁵×
+    margin; the kmeans_lloyd guard precedent documents the failure
+    mode)."""
+    sv = pq_subvectors(vecs, dim, m_sub, id_col, vec_col)
+    pseudo = scoped_persist(
+        sv.select(
+            (F.col(id_col) * m_sub + F.col("sub_id")).alias("pvid"),
+            F.col("sub_id").alias("bid"),
+            F.col("sv").alias("__v"),
+        )
+    )
+    w = Window.partitionBy("bid").orderBy("pvid")
+    init = (
+        pseudo.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= ksub)
+        .select(
+            "bid",
+            (F.col("rn") - 1).cast("int").alias("scid"),
+            F.col("__v").alias("cv"),
+        )
+    )
+    cents = kmeans_lloyd_grouped(
+        pseudo, init, id_col="pvid", vec_col="__v", group_col="bid", iters=iters
+    )
+    return cents.select(
+        F.col("bid").cast("int").alias("sub_id"),
+        F.col("scid").cast("int").alias("scid"),
+        F.col("cv"),
+    )
+
+
+def _collect_codebooks(codebooks: DataFrame):
+    """Bounded collect of the (sub_id, scid, cv) frame into
+    numpy-friendly per-subspace arrays — m_sub·ksub rows total, the
+    k·dim kmeans driver-sync class. Returns (sub_ids sorted,
+    {sub_id: (scids sorted asc, C array [n_scid, dsub])})."""
+    import numpy as np
+
+    rows = codebooks.select("sub_id", "scid", "cv").collect()
+    by_sub: dict[int, list] = {}
+    for r in rows:
+        by_sub.setdefault(int(r["sub_id"]), []).append(
+            (int(r["scid"]), [float(x) for x in r["cv"]])
+        )
+    out = {}
+    for s, lst in by_sub.items():
+        lst.sort(key=lambda t: t[0])
+        scids = np.asarray([t[0] for t in lst], dtype=np.int32)
+        C = np.asarray([t[1] for t in lst], dtype=np.float64)
+        out[s] = (scids, C)
+    return sorted(out), out
+
+
+def pq_assign(
+    vecs: DataFrame,
+    codebooks: DataFrame,
+    dim: int,
+    m_sub: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector as its m_sub nearest-sub-centroid codes in
+    ONE Arrow scan — no explode, no cogroup exchange: the full
+    codebook (m_sub·ksub·dsub doubles) rides in the closure and each
+    batch computes all m_sub argmins over numpy blocks. Arithmetic is
+    the house E-step exactly (per-term floor(t²·10¹²+0.5) summed as
+    int64, argmin ties to the LOWER scid) — bit-identical to routing
+    the exploded subvectors through ``kmeans_assign_grouped``
+    (property-tested), which is what the SQL oracle replays.
+
+    Returns (id, codes array<int>) ordered by subspace — the
+    compressed corpus."""
+    import numpy as np
+    import pandas as pd
+
+    if dim % m_sub != 0:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    dsub = dim // m_sub
+    sub_ids, cb = _collect_codebooks(codebooks)
+    if sub_ids != list(range(m_sub)):
+        raise ValueError(
+            f"codebooks cover subspaces {sub_ids}, expected 0..{m_sub - 1}"
+        )
+    row_chunk = 1024
+
+    src = ensure_min_partitions(vecs).select(
+        F.col(id_col).cast("long").alias(id_col),
+        _as_double_array(F.col(vec_col)).alias("__e"),
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            X = np.asarray(list(pdf["__e"]), dtype=np.float64)
+            n = len(X)
+            codes = np.empty((n, m_sub), dtype=np.int32)
+            for s in range(m_sub):
+                scids, C = cb[s]
+                xs = X[:, s * dsub : (s + 1) * dsub]
+                for r0 in range(0, n, row_chunk):
+                    xb = xs[r0 : r0 + row_chunk]
+                    t = xb[:, None, :] - C[None, :, :]
+                    d = np.floor(t * t * 1e12 + 0.5).astype(np.int64).sum(axis=2)
+                    codes[r0 : r0 + len(xb), s] = scids[d.argmin(axis=1)]
+            yield pd.DataFrame({id_col: ids, "codes": list(codes)})
+
+    return src.mapInPandas(fn, schema=f"{id_col} long, codes array<int>")
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    query_vec: list[float],
+    k: int,
+    m_sub: int,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric Distance Computation top-k: build the per-query
+    (subspace, code) → scaled-int64 partial-distance lookup table on
+    the driver (m_sub·ksub exact-integer entries from the SAME
+    floor(t²·10¹²+0.5) per-term arithmetic the codes were assigned
+    under), then one pure-expression pass over the codes column —
+    zip_with(codes, LUT rows, pick) folded by an integer sum — feeding
+    orderBy(adc_d2, id).limit(k), which Spark plans as
+    TakeOrderedAndProject: per-partition heaps, no global sort, no
+    shuffle of anything but k rows. Returns (id, adc_d2, rank)."""
+    import math as _math
+
+    sub_ids, cb = _collect_codebooks(codebooks)
+    if sub_ids != list(range(m_sub)):
+        raise ValueError(
+            f"codebooks cover subspaces {sub_ids}, expected 0..{m_sub - 1}"
+        )
+    q = [float(x) for x in query_vec]
+    dsub = len(q) // m_sub
+    lut_rows = []
+    for s in range(m_sub):
+        scids, C = cb[s]
+        if list(scids) != list(range(len(scids))):
+            raise ValueError(f"subspace {s} scids not dense: {list(scids)}")
+        qs = q[s * dsub : (s + 1) * dsub]
+        row = []
+        for c in C:
+            d2 = 0
+            for j in range(dsub):
+                t = qs[j] - c[j]
+                d2 += int(_math.floor(t * t * 1e12 + 0.5))
+            row.append(d2)
+        lut_rows.append(row)
+    # one array literal per subspace (the rh_signature py4j-batching
+    # precedent), assembled into an array<array<long>> column; the cast
+    # pins bigint even when a subspace's entries all fit in int32
+    lut = F.array(*[F.lit(row).cast("array<bigint>") for row in lut_rows])
+    adc = F.aggregate(
+        F.zip_with(F.col("codes"), lut, lambda c, row: F.get(row, c)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    top = (
+        codes.select(F.col(id_col), adc.alias("adc_d2"))
+        .orderBy(F.col("adc_d2").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("adc_d2").asc(), F.col(id_col).asc())
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+def exact_l2_topk_scaled(
+    vecs: DataFrame,
+    query_vec: list[float],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact L2 top-k under the SAME scaled-integer metric PQ
+    approximates (per-dim floor(t²·10¹²+0.5) summed as int64): the
+    ground truth an ADC recall certification compares against, exact
+    on both engines by construction. Pure expressions (zip_with the
+    query literal, integer fold) + TakeOrderedAndProject — the
+    brute_force_topk shape with L2-scaled scoring. Returns
+    (id, d2, rank)."""
+    q = F.lit([float(x) for x in query_vec])
+    d2 = F.aggregate(
+        F.zip_with(
+            _as_double_array(F.col(vec_col)),
+            q,
+            lambda x, qq: F.floor((x - qq) * (x - qq) * F.lit(1e12) + F.lit(0.5)),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    top = (
+        ensure_min_partitions(vecs)
+        .select(F.col(id_col), d2.alias("d2"))
+        .orderBy(F.col("d2").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("d2").asc(), F.col(id_col).asc())
+    return top.withColumn("rank", F.row_number().over(w))

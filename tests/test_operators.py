@@ -3889,3 +3889,112 @@ def test_source_ngram_overlap_toy(spark):
     assert abs(ab["containment_r"] - 1.0) < 1e-9
     ac = rows[("A", "C")]
     assert ac["n_common"] == 0 and ac["jaccard_r"] == 0.0
+
+
+def test_pq_assign_matches_grouped_cogroup_path(spark):
+    """pq_assign's single Arrow scan must reproduce the cogroup path
+    the SQL oracle replays (pq_subvectors → kmeans_assign_grouped):
+    same scaled-int64 distances, same ties-to-lower-scid argmin —
+    the bit-equality that makes ext_pq_topk oracle-able."""
+    import random
+
+    from taxi_rides_ny_duckdb_spark.operators.similarity import (
+        kmeans_assign_grouped,
+        pq_assign,
+        pq_subvectors,
+        pq_train,
+    )
+
+    random.seed(23)
+    dim, m = 12, 3
+    rows = [(i, [random.uniform(-1, 1) for _ in range(dim)]) for i in range(80)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb = pq_train(vecs, dim=dim, m_sub=m, ksub=4, iters=2)
+    got = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq_assign(vecs, cb, dim=dim, m_sub=m).collect()
+    }
+    sv = pq_subvectors(vecs, dim=dim, m_sub=m).select(
+        (F.col("vec_id") * m + F.col("sub_id")).alias("pvid"),
+        F.col("sub_id").alias("bid"),
+        F.col("sv").alias("__v"),
+    )
+    want: dict[int, list[int]] = {i: [None] * m for i, _ in rows}
+    for r in kmeans_assign_grouped(
+        sv, cb.select(F.col("sub_id").alias("bid"), "scid", "cv"), id_col="pvid"
+    ).collect():
+        want[r["pvid"] // m][r["bid"]] = r["scid"]
+    assert got == want
+
+
+def test_pq_adc_exact_on_separable_corpus(spark):
+    """When the corpus is k well-separated point masses the trained
+    codebook converges onto them, quantization error is zero, and the
+    ADC top-k must EQUAL the exact scaled-L2 top-k (recall 1.0) — the
+    end-to-end invariant tying pq_train, pq_assign, pq_adc_topk and
+    exact_l2_topk_scaled together."""
+    from taxi_rides_ny_duckdb_spark.operators.similarity import (
+        ann_recall_at_k,
+        exact_l2_topk_scaled,
+        pq_adc_topk,
+        pq_assign,
+        pq_train,
+    )
+
+    dim, m, kcent = 8, 2, 4
+    centers = [[float(10 * c + j % 2) for j in range(dim)] for c in range(kcent)]
+    # first kcent ids hit distinct centers (the first-k-by-id init then
+    # starts one sub-centroid per mass); copies follow
+    rows = [(i, centers[i % kcent]) for i in range(20)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb = pq_train(vecs, dim=dim, m_sub=m, ksub=kcent, iters=2)
+    codes = pq_assign(vecs, cb, dim=dim, m_sub=m)
+    q = centers[1]
+    ann = pq_adc_topk(codes, cb, q, k=8, m_sub=m)
+    exact = exact_l2_topk_scaled(vecs, q, k=8)
+    a = [(r["rank"], r["vec_id"], r["adc_d2"]) for r in ann.collect()]
+    e = [(r["rank"], r["vec_id"], r["d2"]) for r in exact.collect()]
+    assert a == e, (a, e)
+    rec = ann_recall_at_k(
+        ann.select(F.lit(0).alias("query_id"), "rank", "vec_id"),
+        exact.select(F.lit(0).alias("query_id"), "rank", "vec_id"),
+        k=8,
+    ).collect()[0]
+    assert rec["recall_at_k"] == 1.0
+
+
+def test_pq_adc_plan_is_take_ordered_no_wide_shuffle(spark):
+    """The ADC query path must plan as TakeOrderedAndProject over the
+    codes scan — per-partition heaps, no global sort; the only
+    Exchange allowed is the SinglePartition move of the ≤k surviving
+    rows into the rank window."""
+    import random
+
+    from taxi_rides_ny_duckdb_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_assign,
+        pq_train,
+    )
+
+    random.seed(5)
+    dim, m = 8, 2
+    rows = [(i, [random.uniform(-1, 1) for _ in range(dim)]) for i in range(50)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb = pq_train(vecs, dim=dim, m_sub=m, ksub=4, iters=1)
+    codes = pq_assign(vecs, cb, dim=dim, m_sub=m)
+    plan = (
+        pq_adc_topk(codes, cb, rows[0][1], k=5, m_sub=m)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "TakeOrdered" in plan.replace("\n", " ") or "Limit" in plan
+    # physical check: TakeOrderedAndProject under the window's input
+    phys = (
+        pq_adc_topk(codes, cb, rows[0][1], k=5, m_sub=m)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in phys
+    assert phys.count("Exchange") <= 1, phys
