@@ -117,14 +117,16 @@ def query(
 #    converted to scoped_persist (persist semantics identical; only
 #    scope registration added) — all re-proven by the local two-way
 #    parity gate each suite run.
-# 4. The remaining 32 slots refresh the oldest driver evidence,
-#    oldest-first (VERDICT r9 task 6): the union of CORRECTNESS_r0*
-#    green rows puts the 33-query r5 cohort oldest (the only r2-era
-#    row, prof_lineitem_approx, is the pre-rename ghost of
+# 4. The remaining 30 slots (50 − 8 prefix − 3 never-verified −
+#    9 changed) refresh the oldest driver evidence, oldest-first
+#    (VERDICT r9 task 6): the union of CORRECTNESS_r0* green rows
+#    puts the 33-query r5 cohort oldest (the only r2-era row,
+#    prof_lineitem_approx, is the pre-rename ghost of
 #    prof_lineitem_approx_guarded, r6-green under its current name);
-#    the 32 alphabetically-first take the slots.
-#    q6_forecast_revenue cedes to the window size and takes priority
-#    in the r11 drawing; it stays re-proven by the local parity gate
+#    the 30 alphabetically-first take the slots.
+#    q6_forecast_revenue, q12_priority_classes and
+#    q19_bracketed_revenue cede to the window size and take priority
+#    in the r11 drawing; they stay re-proven by the local parity gate
 #    every suite run. The r3-era rows
 #    j1/j2/p2/s1/u1/w1_row_number/x2-x5 run VERBATIM inside the
 #    permanent prefix every round (taxi_fact_trips IS the broadcast
