@@ -8054,3 +8054,280 @@ def ext_pq_recall(spark, sf_dir):
     return _count_pin(
         ann_recall_at_k(ann, exact, k=_PQ_K), "n_hit", "recall_at_k"
     )
+
+
+# Round 10, second wave: IVF-PQ — residual product quantization under a
+# coarse inverted-file quantizer (FAISS IndexIVFPQ, Jégou et al. 2011
+# §IV), composed entirely from certified pieces: the frozen IVF
+# centroids (ext_similarity_ivf_topk's quantizer), the grouped-Lloyd PQ
+# trainer (ext_pq_topk's codebooks — here trained on RESIDUALS), and
+# probed ADC. nprobe=2 of 8 lists means ~4× less ADC work than the flat
+# PQ scan — and the recall harness charges the probe misses honestly.
+
+_IVFPQ_NPROBE = 2
+
+
+def _ivfpq_ctes(
+    dim: int = _PQ_DIM, m: int = _PQ_M, ksub: int = _PQ_KSUB,
+    iters: int = _PQ_ITERS, nprobe: int = _IVFPQ_NPROBE,
+) -> str:
+    """Shared upstream chain for the IVF-PQ oracles: frozen-centroid
+    list assignment (the ext_similarity_ivf_topk 9dp float-fold
+    convention), residual vectors, residual subvector pseudo-rows,
+    the grouped Lloyd chain at dsub dims, final codes, scaled-int64
+    probe ranking for the min-vec_id query, and the per-probed-list
+    residual ADC lookup table. Ends WITHOUT a trailing comma."""
+    from .contract_ivf_centroids import IVF_CENTROIDS
+
+    dsub = dim // m
+    cent_rows = ", ".join(
+        f"({cid}, [" + ", ".join(repr(x) for x in cv) + "]::DOUBLE[])"
+        for cid, cv in enumerate(IVF_CENTROIDS)
+    )
+    base = f"""
+WITH cents AS (
+  SELECT * FROM (VALUES {cent_rows}) AS t(cid, cv)
+),
+v0 AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+),
+ad AS (
+  SELECT v0.vec_id, v0.ev, c.cid, c.cv,
+         round(list_sum(list_transform(generate_series(1, {dim}),
+               i -> (v0.ev[i] - c.cv[i]) * (v0.ev[i] - c.cv[i]))), 9) AS d2
+  FROM v0 CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, cid AS list_id,
+         list_transform(generate_series(1, {dim}), i -> ev[i] - cv[i]) AS rv
+  FROM (
+    SELECT vec_id, ev, cid, cv,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM ad
+  ) WHERE rn = 1
+),
+v AS (
+  SELECT vec_id, rv AS ev FROM assigned
+),
+subs AS (
+  SELECT CAST(range AS INT) AS sub_id FROM range({m})
+),
+sv AS (
+  SELECT v.vec_id * {m} + s.sub_id AS pvid, s.sub_id,
+         list_transform(generate_series(1, {dsub}),
+                        j -> v.ev[s.sub_id * {dsub} + j]) AS pv
+  FROM v CROSS JOIN subs s
+),
+dims AS (
+  SELECT sv.pvid AS vec_id, g.j, sv.pv[g.j] AS x
+  FROM sv CROSS JOIN generate_series(1, {dsub}) g(j)
+),
+asgB AS (
+  SELECT pvid AS vec_id, sub_id AS bid FROM sv
+),
+sc0 AS (
+  SELECT sub_id AS bid, CAST(rn - 1 AS INT) AS scid, pv AS cv FROM (
+    SELECT sub_id, pv,
+           row_number() OVER (PARTITION BY sub_id ORDER BY pvid) AS rn
+    FROM sv
+  ) WHERE rn <= {ksub}
+)"""
+    base += _grouped_lloyd_ctes(iters, dsub)
+    base += f""",
+gddF AS (
+  SELECT d.vec_id, c.bid, c.scid,
+         CAST(SUM(CAST(round((d.x - c.cv[d.j]) * (d.x - c.cv[d.j]) * 1000000000000.0)
+                       AS BIGINT)) AS BIGINT) AS d2
+  FROM dims d JOIN asgB ab ON ab.vec_id = d.vec_id
+  JOIN sc{iters} c ON c.bid = ab.bid
+  GROUP BY d.vec_id, c.bid, c.scid
+),
+gasgF AS (
+  SELECT vec_id, bid, scid FROM (
+    SELECT vec_id, bid, scid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, scid ASC) AS rn
+    FROM gddF
+  ) WHERE rn = 1
+),
+codes AS (
+  SELECT CAST(vec_id // {m} AS BIGINT) AS vec_id, bid AS sub_id, scid
+  FROM gasgF
+),
+qv AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+  WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+),
+qd AS (
+  SELECT c.cid,
+         CAST(SUM(CAST(round((qv.ev[g.j] - c.cv[g.j]) * (qv.ev[g.j] - c.cv[g.j])
+                             * 1000000000000.0) AS BIGINT)) AS BIGINT) AS d2
+  FROM qv CROSS JOIN cents c CROSS JOIN generate_series(1, {dim}) g(j)
+  GROUP BY c.cid
+),
+probes AS (
+  SELECT cid FROM (
+    SELECT cid, row_number() OVER (ORDER BY d2 ASC, cid ASC) AS rn FROM qd
+  ) WHERE rn <= {nprobe}
+),
+lut AS (
+  SELECT p.cid AS list_id, c.bid AS sub_id, c.scid,
+         CAST(SUM(CAST(round(
+           (qv.ev[c.bid * {dsub} + g.j] - pc.cv[c.bid * {dsub} + g.j] - c.cv[g.j])
+           * (qv.ev[c.bid * {dsub} + g.j] - pc.cv[c.bid * {dsub} + g.j] - c.cv[g.j])
+           * 1000000000000.0) AS BIGINT)) AS BIGINT) AS d2
+  FROM probes p JOIN cents pc ON pc.cid = p.cid
+  CROSS JOIN qv
+  CROSS JOIN sc{iters} c
+  CROSS JOIN generate_series(1, {dsub}) g(j)
+  GROUP BY p.cid, c.bid, c.scid
+),
+adc AS (
+  SELECT cd.vec_id, a.list_id, CAST(SUM(l.d2) AS BIGINT) AS adc_d2
+  FROM codes cd
+  JOIN assigned a ON a.vec_id = cd.vec_id
+  JOIN lut l ON l.list_id = a.list_id
+            AND l.sub_id = cd.sub_id AND l.scid = cd.scid
+  GROUP BY cd.vec_id, a.list_id
+)"""
+    return base
+
+
+def _ivfpq_topk_oracle(k: int = _PQ_K) -> str:
+    return _ivfpq_ctes() + f"""
+SELECT vec_id, list_id, adc_d2, rank FROM (
+  SELECT vec_id, list_id, adc_d2,
+         row_number() OVER (ORDER BY adc_d2 ASC, vec_id ASC) AS rank
+  FROM adc
+) WHERE rank <= {k}
+"""
+
+
+def _ivfpq_recall_oracle(dim: int = _PQ_DIM, k: int = _PQ_K) -> str:
+    return _ivfpq_ctes() + f""",
+qfull AS (
+  SELECT g.j, qv.ev[g.j] AS x FROM qv CROSS JOIN generate_series(1, {dim}) g(j)
+),
+exd AS (
+  SELECT v0.vec_id,
+         CAST(SUM(CAST(round((v0.ev[q.j] - q.x) * (v0.ev[q.j] - q.x) * 1000000000000.0)
+                       AS BIGINT)) AS BIGINT) AS d2
+  FROM v0 CROSS JOIN qfull q
+  GROUP BY v0.vec_id
+),
+ex_top AS (
+  SELECT vec_id FROM (
+    SELECT vec_id, row_number() OVER (ORDER BY d2 ASC, vec_id ASC) AS rank
+    FROM exd
+  ) WHERE rank <= {k}
+),
+ann_top AS (
+  SELECT vec_id FROM (
+    SELECT vec_id, row_number() OVER (ORDER BY adc_d2 ASC, vec_id ASC) AS rank
+    FROM adc
+  ) WHERE rank <= {k}
+),
+hit AS (
+  SELECT COUNT(*) AS n_hit
+  FROM ex_top e JOIN ann_top a ON a.vec_id = e.vec_id
+)
+SELECT (SELECT min(vec_id) FROM v0) AS query_id,
+       (SELECT COUNT(*) FROM ex_top) AS n_true,
+       CAST(h.n_hit AS BIGINT) AS n_hit,
+       round(CAST(h.n_hit AS DOUBLE) / (SELECT COUNT(*) FROM ex_top), 9)
+         AS recall_at_k
+FROM hit h
+"""
+
+
+_IVFPQ_INDEX: dict = {}
+
+
+def _ivfpq_chain(spark, sf_dir):
+    """(codebooks, codes-with-list) IVF-PQ index, built ONCE per
+    (session, dataset) and localCheckpointed — the ``_pq_chain``
+    amortization with the coarse quantizer in front: in production
+    the residual codebooks are trained and the corpus encoded once
+    per corpus snapshot; every query batch is a probed ADC scan."""
+    from .contract_ivf_centroids import IVF_CENTROIDS
+    from .operators.similarity import ivfpq_encode
+
+    key = (id(spark), sf_dir)
+    if key not in _IVFPQ_INDEX:
+        emb = load(spark, sf_dir, "embeddings")
+        cb, codes = ivfpq_encode(
+            emb, IVF_CENTROIDS, dim=_PQ_DIM, m_sub=_PQ_M, ksub=_PQ_KSUB,
+            iters=_PQ_ITERS,
+        )
+        codes = codes.localCheckpoint(eager=True)
+        _IVFPQ_INDEX[key] = (emb, cb, codes)
+    return _IVFPQ_INDEX[key]
+
+
+@query(
+    "ext_ivfpq_topk",
+    oracle=_materialize_ctes(_ivfpq_topk_oracle()),
+    memoize=False,
+)
+def ext_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ ANN top-10 (FAISS IndexIVFPQ / Jégou et al. 2011 §IV):
+    the frozen 8-list coarse quantizer of ext_similarity_ivf_topk in
+    front of the ext_pq_topk product quantizer, trained on RESIDUALS
+    (operators/similarity.ivfpq_encode) — residuals concentrate near
+    the origin, so the same m=16×16 codebook budget carries less
+    quantization error than raw-vector PQ, and probing nprobe=2 of 8
+    lists scores ~4× fewer codes than the flat ADC scan
+    (ivfpq_adc_topk: driver-side scaled-int64 probe ranking,
+    per-probed-list residual LUTs, CASE-chain ADC fold into
+    TakeOrderedAndProject — no corpus shuffle). Codebooks + codes ride
+    the process-memoized per-(session, dataset) index (_ivfpq_chain).
+    The oracle replays list assignment (9dp float-fold, the frozen-IVF
+    convention), residuals, the grouped Lloyd chain, probe choice, the
+    residual LUTs, and the probed ADC — every decision point
+    engine-stable. memoize=False: the index build localCheckpoints
+    eagerly."""
+    from .operators.similarity import ivfpq_adc_topk
+    from .contract_ivf_centroids import IVF_CENTROIDS
+
+    _, cb, codes = _ivfpq_chain(spark, sf_dir)
+    _, qv = _pq_query_vec(spark, sf_dir)
+    return _count_pin(
+        ivfpq_adc_topk(
+            codes, cb, IVF_CENTROIDS, qv, k=_PQ_K, m_sub=_PQ_M,
+            nprobe=_IVFPQ_NPROBE,
+        ),
+        "adc_d2", "rank", "list_id",
+    )
+
+
+@query(
+    "ext_ivfpq_recall",
+    oracle=_materialize_ctes(_ivfpq_recall_oracle()),
+    memoize=False,
+)
+def ext_ivfpq_recall(spark, sf_dir):
+    """Recall certification for the probed IVF-PQ index: exact top-10
+    under the SAME scaled-integer L2 metric (exact_l2_topk_scaled on
+    the RAW vectors) vs the probed-ADC top-10, scored by
+    ann_recall_at_k. Unlike ext_pq_recall this charges BOTH error
+    sources — PQ quantization AND probe misses (vectors whose list
+    wasn't probed are never scored) — the honest accounting FAISS's
+    own benchmarks use for IVF indexes."""
+    from .contract_ivf_centroids import IVF_CENTROIDS
+    from .operators.similarity import (
+        ann_recall_at_k,
+        exact_l2_topk_scaled,
+        ivfpq_adc_topk,
+    )
+
+    emb, cb, codes = _ivfpq_chain(spark, sf_dir)
+    qid, qv = _pq_query_vec(spark, sf_dir)
+    ann = ivfpq_adc_topk(
+        codes, cb, IVF_CENTROIDS, qv, k=_PQ_K, m_sub=_PQ_M,
+        nprobe=_IVFPQ_NPROBE,
+    ).select(F.lit(qid).cast("long").alias("query_id"), "rank", "vec_id")
+    exact = exact_l2_topk_scaled(emb, qv, k=_PQ_K).select(
+        F.lit(qid).cast("long").alias("query_id"), "rank", "vec_id"
+    )
+    return _count_pin(
+        ann_recall_at_k(ann, exact, k=_PQ_K), "n_hit", "recall_at_k"
+    )

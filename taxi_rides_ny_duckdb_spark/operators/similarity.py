@@ -2053,6 +2053,7 @@ def pq_assign(
     m_sub: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Encode every vector as its m_sub nearest-sub-centroid codes in
     ONE Arrow scan — no explode, no cogroup exchange: the full
@@ -2064,7 +2065,9 @@ def pq_assign(
     (property-tested), which is what the SQL oracle replays.
 
     Returns (id, codes array<int>) ordered by subspace — the
-    compressed corpus."""
+    compressed corpus. ``carry_cols`` pass through the scan untouched
+    (the IVF-PQ caller carries the inverted-list id so codes never
+    need a corpus-sized re-join to recover it)."""
     import numpy as np
     import pandas as pd
 
@@ -2081,6 +2084,14 @@ def pq_assign(
     src = ensure_min_partitions(vecs).select(
         F.col(id_col).cast("long").alias(id_col),
         _as_double_array(F.col(vec_col)).alias("__e"),
+        *[F.col(c) for c in carry_cols],
+    )
+    carry_schema = "".join(
+        f", {name} {dt.simpleString()}"
+        for name, dt in zip(
+            carry_cols,
+            [src.schema[c].dataType for c in carry_cols],
+        )
     )
 
     def fn(batches):
@@ -2097,9 +2108,14 @@ def pq_assign(
                     t = xb[:, None, :] - C[None, :, :]
                     d = np.floor(t * t * 1e12 + 0.5).astype(np.int64).sum(axis=2)
                     codes[r0 : r0 + len(xb), s] = scids[d.argmin(axis=1)]
-            yield pd.DataFrame({id_col: ids, "codes": list(codes)})
+            out = {id_col: ids, "codes": list(codes)}
+            for c in carry_cols:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
-    return src.mapInPandas(fn, schema=f"{id_col} long, codes array<int>")
+    return src.mapInPandas(
+        fn, schema=f"{id_col} long, codes array<int>{carry_schema}"
+    )
 
 
 def pq_adc_topk(
@@ -2191,4 +2207,167 @@ def exact_l2_topk_scaled(
         .limit(k)
     )
     w = Window.orderBy(F.col("d2").asc(), F.col(id_col).asc())
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+def _d2_scaled_int(a: list[float], b: list[float]) -> int:
+    """Exact scaled-integer squared L2 between two driver-side vectors
+    — the per-term floor(t²·10¹²+0.5) house metric. Order-free (every
+    term is an exact int64), so DuckDB's SUM over generate_series
+    replays it regardless of aggregation order; for t² ≥ 0 SQL
+    round() half-away equals this floor(+0.5)."""
+    return sum(
+        int(math.floor((x - y) * (x - y) * 1e12 + 0.5)) for x, y in zip(a, b)
+    )
+
+
+def ivfpq_encode(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    dim: int,
+    m_sub: int = 8,
+    ksub: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int | None = 9,
+) -> tuple[DataFrame, DataFrame]:
+    """Build an IVF-PQ index (the FAISS IndexIVFPQ scheme — Jégou et
+    al. 2011 §IV): assign every vector to its nearest coarse centroid
+    (inverted list), subtract that centroid to form the RESIDUAL, and
+    product-quantize the residuals — residuals concentrate around the
+    origin, so the same codebook budget represents them with far less
+    error than raw vectors, and the list id itself carries the coarse
+    geometry the codes no longer need to.
+
+    Composition of existing certified pieces, end-to-end
+    oracle-replayable:
+    - list assignment: ``assign_nearest_centroid`` with the house
+      ``round_dp`` float-fold convention (the frozen-IVF oracle
+      class);
+    - residual: one broadcast join against the nlist-row centroid
+      frame + ``zip_with`` subtraction (IEEE doubles — exact and
+      engine-identical);
+    - codebooks: ``pq_train`` on the residual frame — ONE grouped
+      Lloyd job for all m_sub subspaces (codebooks are GLOBAL across
+      lists, the classic IVF-PQ arrangement);
+    - codes: ``pq_assign`` with ``carry_cols=('list_id',)`` — one
+      Arrow scan, list id rides along, no corpus-sized re-join.
+
+    Scale path: assignment and residual are narrow maps (the nlist·dim
+    centroid table broadcasts); training is the bounded grouped-Lloyd
+    exchange; encoding is one scan. The residual frame is
+    scoped-persisted (read twice: train + encode) and unpinned at
+    cache-scope exit.
+
+    Returns (codebooks, codes) where codes = (id, codes, list_id)."""
+    spark = corpus.sparkSession
+    v = corpus.select(
+        F.col(id_col).cast("long").alias(id_col),
+        _as_double_array(F.col(vec_col)).alias("__v"),
+    )
+    asg = assign_nearest_centroid(
+        v, centroids, vec_col="__v", out_col="list_id", round_dp=round_dp
+    )
+    cents_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "list_id int, cv array<double>",
+    )
+    res = scoped_persist(
+        asg.join(F.broadcast(cents_df), "list_id").select(
+            F.col(id_col),
+            F.col("list_id"),
+            F.zip_with(F.col("__v"), F.col("cv"), lambda a, b: a - b).alias(
+                "__r"
+            ),
+        )
+    )
+    cb = pq_train(
+        res, dim, m_sub=m_sub, ksub=ksub, iters=iters,
+        id_col=id_col, vec_col="__r",
+    )
+    codes = pq_assign(
+        res, cb, dim, m_sub, id_col=id_col, vec_col="__r",
+        carry_cols=("list_id",),
+    )
+    return cb, codes
+
+
+def ivfpq_adc_topk(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int,
+    m_sub: int,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ query: rank the inverted lists by exact scaled-integer
+    query→centroid distance on the driver (nlist·dim ints — bounded,
+    ties to the lower list id), probe the ``nprobe`` nearest, build
+    ONE per-probed-list ADC lookup table from the query's RESIDUAL
+    against that list's centroid (nprobe·m_sub·ksub exact ints — the
+    asymmetric-distance trick at the residual level), then a single
+    pure-expression pass over the probed slice of the codes column:
+    ``list_id`` filter (partition-prunable when the codes table is
+    laid out by list), a CASE chain picking the probe's LUT, and the
+    zip_with/integer-fold ADC feeding orderBy().limit(k) —
+    TakeOrderedAndProject, per-partition heaps, nothing shuffled but
+    k rows.
+
+    Probed-ADC semantics exactly as FAISS: d²(q, v) ≈ Σ_sub
+    lut[list(v)][sub][code_sub(v)] where lut is built from
+    (q − c_list). Vectors outside the probed lists are never scored —
+    that is the nlist/nprobe speedup, and the recall harness
+    (``ext_ivfpq_recall``) charges the misses honestly.
+
+    Returns (id, list_id, adc_d2, rank)."""
+    q = [float(x) for x in query_vec]
+    ranked = sorted(
+        range(len(centroids)),
+        key=lambda i: (_d2_scaled_int(q, centroids[i]), i),
+    )
+    probes = ranked[: max(1, nprobe)]
+    sub_ids, cb = _collect_codebooks(codebooks)
+    if sub_ids != list(range(m_sub)):
+        raise ValueError(
+            f"codebooks cover subspaces {sub_ids}, expected 0..{m_sub - 1}"
+        )
+    dsub = len(q) // m_sub
+    luts: dict[int, list[list[int]]] = {}
+    for L in probes:
+        qr = [q[j] - centroids[L][j] for j in range(len(q))]
+        rows = []
+        for s in range(m_sub):
+            scids, C = cb[s]
+            if list(scids) != list(range(len(scids))):
+                raise ValueError(f"subspace {s} scids not dense: {list(scids)}")
+            qs = qr[s * dsub : (s + 1) * dsub]
+            rows.append([_d2_scaled_int(qs, list(c)) for c in C])
+        luts[L] = rows
+    lut_expr = None
+    for L in probes:
+        arr = F.array(
+            *[F.lit(row).cast("array<bigint>") for row in luts[L]]
+        )
+        lut_expr = (
+            arr
+            if lut_expr is None
+            else F.when(F.col("list_id") == F.lit(L), arr).otherwise(lut_expr)
+        )
+    # reversed chain: the last .when wins for its list, base = first probe
+    lut_col = lut_expr
+    adc = F.aggregate(
+        F.zip_with(F.col("codes"), lut_col, lambda c, row: F.get(row, c)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    top = (
+        codes.filter(F.col("list_id").isin([int(L) for L in probes]))
+        .select(F.col(id_col), F.col("list_id"), adc.alias("adc_d2"))
+        .orderBy(F.col("adc_d2").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("adc_d2").asc(), F.col(id_col).asc())
     return top.withColumn("rank", F.row_number().over(w))

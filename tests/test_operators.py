@@ -3998,3 +3998,87 @@ def test_pq_adc_plan_is_take_ordered_no_wide_shuffle(spark):
     )
     assert "TakeOrderedAndProject" in phys
     assert phys.count("Exchange") <= 1, phys
+
+
+def test_pq_assign_carry_cols_passthrough(spark):
+    """carry_cols must ride the Arrow scan untouched and change no
+    codes — the IVF-PQ list-id plumbing (no corpus re-join)."""
+    import random
+
+    from taxi_rides_ny_duckdb_spark.operators.similarity import (
+        pq_assign,
+        pq_train,
+    )
+
+    random.seed(31)
+    dim, m = 8, 2
+    rows = [
+        (i, [random.uniform(-1, 1) for _ in range(dim)], i % 3)
+        for i in range(40)
+    ]
+    vecs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, tag int"
+    )
+    cb = pq_train(vecs, dim=dim, m_sub=m, ksub=4, iters=1)
+    plain = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq_assign(vecs, cb, dim=dim, m_sub=m).collect()
+    }
+    carried = pq_assign(
+        vecs, cb, dim=dim, m_sub=m, carry_cols=("tag",)
+    ).collect()
+    assert {r["vec_id"]: list(r["codes"]) for r in carried} == plain
+    assert {r["vec_id"]: r["tag"] for r in carried} == {
+        i: t for i, _, t in rows
+    }
+
+
+def test_ivfpq_separable_masses_probe_and_recall(spark):
+    """On a corpus of well-separated point masses with the mass
+    centers as frozen coarse centroids, residuals are ZERO, the
+    residual codebook is exact, and nprobe=1 IVF-PQ must return
+    exactly the query's own mass — every returned row from the probed
+    list, adc_d2 = 0, ranks by id. The end-to-end invariant tying
+    ivfpq_encode (assignment → residual → grouped-Lloyd codebooks →
+    carry-col codes) to ivfpq_adc_topk (probe ranking → residual LUT
+    → CASE-chain ADC)."""
+    from taxi_rides_ny_duckdb_spark.operators.similarity import (
+        ivfpq_adc_topk,
+        ivfpq_encode,
+    )
+
+    dim, m, n_mass = 8, 2, 4
+    centers = [[float(100 * c + (j % 3)) for j in range(dim)] for c in range(n_mass)]
+    rows = [(i, centers[i % n_mass]) for i in range(24)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb, codes = ivfpq_encode(
+        vecs, centers, dim=dim, m_sub=m, ksub=2, iters=1
+    )
+    got = ivfpq_adc_topk(
+        codes, cb, centers, centers[2], k=6, m_sub=m, nprobe=1
+    ).collect()
+    assert [r["vec_id"] for r in got] == [2, 6, 10, 14, 18, 22]
+    assert all(r["list_id"] == 2 for r in got)
+    assert all(r["adc_d2"] == 0 for r in got)
+    assert [r["rank"] for r in got] == [1, 2, 3, 4, 5, 6]
+
+
+def test_ivfpq_probe_count_bounds_candidates(spark):
+    """nprobe=2 scores exactly the two nearest lists' members (ties to
+    the lower list id) and no one else — the probed-scan contract that
+    makes IVF-PQ ~nlist/nprobe cheaper than flat ADC."""
+    from taxi_rides_ny_duckdb_spark.operators.similarity import (
+        ivfpq_adc_topk,
+        ivfpq_encode,
+    )
+
+    dim, m = 4, 2
+    centers = [[float(10 * c)] * dim for c in range(4)]
+    rows = [(i, centers[i % 4]) for i in range(16)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb, codes = ivfpq_encode(vecs, centers, dim=dim, m_sub=m, ksub=2, iters=1)
+    # query between lists 1 and 2, nearer 1
+    q = [14.0] * dim
+    got = ivfpq_adc_topk(codes, cb, centers, q, k=16, m_sub=m, nprobe=2)
+    lists = {r["list_id"] for r in got.collect()}
+    assert lists == {1, 2}
