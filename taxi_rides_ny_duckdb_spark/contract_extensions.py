@@ -8331,3 +8331,87 @@ def ext_ivfpq_recall(spark, sf_dir):
     return _count_pin(
         ann_recall_at_k(ann, exact, k=_PQ_K), "n_hit", "recall_at_k"
     )
+
+
+def _ranking_quality_oracle(k: int = 5) -> str:
+    """DuckDB replay of operators/similarity.ranking_quality over the
+    frozen-IVF ANN ranking vs the brute-force cosine ground truth —
+    the discount table and IDCG prefix sums are the SAME driver-side
+    math.log2 literals the Spark plan inlines (libm log2 is not
+    correctly-rounded-guaranteed, so neither engine evaluates it)."""
+    import math as _math
+
+    disc = [1.0 / _math.log2(i + 1) for i in range(1, k + 1)]
+    idcg: list[float] = []
+    acc = 0.0
+    for i in range(1, k + 1):
+        acc += (k - i + 1) * disc[i - 1]
+        idcg.append(acc)
+    disc_lit = "[" + ", ".join(repr(x) for x in disc) + "]::DOUBLE[]"
+    idcg_lit = "[" + ", ".join(repr(x) for x in idcg) + "]::DOUBLE[]"
+    return f"""
+WITH ann AS ({_ivf_oracle()}),
+exact AS ({_TOPK_ORACLE}),
+t AS (
+  SELECT query_id, vec_id, CAST({k} - rank + 1 AS INT) AS rel
+  FROM exact WHERE rank <= {k}
+),
+a AS (SELECT query_id, rank, vec_id FROM ann WHERE rank <= {k}),
+j AS (
+  SELECT a.query_id, a.rank, t.rel
+  FROM a LEFT JOIN t ON t.query_id = a.query_id AND t.vec_id = a.vec_id
+),
+per AS (
+  SELECT query_id,
+         COUNT(rel) AS n_hit,
+         CAST(SUM(CASE WHEN rel IS NOT NULL THEN
+               CAST(round(rel * ({disc_lit})[rank], 12) AS DECIMAL(38,12))
+             END) AS DOUBLE) AS dcg,
+         MIN(CASE WHEN rel IS NOT NULL THEN rank END) AS first_hit
+  FROM j GROUP BY query_id
+),
+tn AS (SELECT query_id, COUNT(*) AS n_true FROM t GROUP BY query_id)
+SELECT tn.query_id,
+       tn.n_true,
+       CAST(COALESCE(per.n_hit, 0) AS BIGINT) AS n_hit,
+       round(COALESCE(per.n_hit, 0) / {float(k)!r}, 9) AS precision_at_k,
+       round(COALESCE(1.0 / per.first_hit, 0.0), 9) AS mrr_at_k,
+       round(COALESCE(per.dcg, 0.0) / ({idcg_lit})[tn.n_true], 9) AS ndcg_at_k
+FROM tn LEFT JOIN per ON per.query_id = tn.query_id
+"""
+
+
+@query("ext_retrieval_ranking_quality", oracle=_ranking_quality_oracle())
+def ext_retrieval_ranking_quality(spark, sf_dir):
+    """Graded ranking-quality certification of the frozen-IVF ANN
+    index (operators/similarity.ranking_quality): NDCG@5 / MRR@5 /
+    precision@5 of ext_similarity_ivf_topk's ranking against the
+    brute-force cosine top-5 ground truth, positional gains k−i+1.
+    Completes the evaluation ladder recall@k started
+    (ext_ann_recall_eval): recall charges misses, these charge
+    mis-ORDERING — the metric a retriever feeding a bounded context
+    window is actually selected on. Discount/IDCG tables are
+    driver-side math.log2 literals shared with the oracle (neither
+    engine's libm is trusted for bit-parity); DCG terms are
+    12dp-decimal summed order-free."""
+    from .contract_ivf_centroids import IVF_CENTROIDS
+    from .operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        ranking_quality,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    ann = ivf_topk(
+        emb, queries, k=5, nlist=8, nprobe=2, centroids=IVF_CENTROIDS,
+        round_dp=9, score_round_dp=9,
+    )
+    exact = brute_force_topk(emb, queries, k=5)
+    return _count_pin(
+        ranking_quality(ann, exact, k=5),
+        "ndcg_at_k", "mrr_at_k", "precision_at_k", "n_hit",
+    )

@@ -2371,3 +2371,88 @@ def ivfpq_adc_topk(
     )
     w = Window.orderBy(F.col("adc_d2").asc(), F.col(id_col).asc())
     return top.withColumn("rank", F.row_number().over(w))
+
+
+def ranking_quality(
+    ranked: DataFrame,
+    truth: DataFrame,
+    k: int,
+    round_dp: int = 9,
+) -> DataFrame:
+    """Graded ranking-quality metrics — the NDCG/MRR sibling of
+    ``ann_recall_at_k`` (recall says WHETHER the true neighbors were
+    found; these say WHERE in the ranking they landed, which is what a
+    retriever feeding a reranker or a RAG context window actually
+    cares about). Inputs are any two top-k frames shaped
+    (query_id, rank, vec_id); rows ranked > k are ignored.
+
+    Graded relevance is positional: the exact top-k at rank i carries
+    gain k−i+1 (the standard graded-judgment surrogate when ground
+    truth is itself a ranking). Per query:
+    - precision_at_k = n_hit / k;
+    - mrr_at_k = 1/rank of the FIRST hit in the ANN ranking (0 if
+      none);
+    - ndcg_at_k = DCG/IDCG with DCG = Σ gain·disc(rank_ann),
+      IDCG = Σ_{i≤n_true} (k−i+1)·disc(i).
+
+    Engine-stability: the discount table 1/log2(i+1) and the IDCG
+    prefix sums are computed ONCE driver-side with Python's math.log2
+    and inlined as literals into BOTH the Spark plan and the SQL
+    oracle — libm log2 is not required to be correctly rounded, so
+    evaluating it independently per engine could differ in the last
+    ulp; sharing the literal removes the hazard by construction. DCG
+    terms are 12dp-rounded into DECIMAL(38,12) before the sum
+    (order-free exact addition, the house float-agg discipline), then
+    presented as double and rounded ``round_dp``.
+
+    Scale: both inputs are top-k derivatives — every join/groupBy is
+    query-keyed over ≤k-row groups; cost lives in producing the
+    inputs. Output: (query_id, n_true, n_hit, precision_at_k,
+    mrr_at_k, ndcg_at_k)."""
+    disc = [1.0 / math.log2(i + 1) for i in range(1, k + 1)]
+    idcg: list[float] = []
+    acc = 0.0
+    for i in range(1, k + 1):
+        acc += (k - i + 1) * disc[i - 1]
+        idcg.append(acc)
+    t = truth.filter(F.col("rank") <= k).select(
+        "query_id",
+        "vec_id",
+        (F.lit(k) - F.col("rank") + 1).cast("int").alias("__rel"),
+    )
+    a = ranked.filter(F.col("rank") <= k).select("query_id", "rank", "vec_id")
+    j = a.join(t, ["query_id", "vec_id"], "left")
+    term = F.col("__rel") * F.get(F.lit(disc), F.col("rank") - 1)
+    per = j.groupBy("query_id").agg(
+        F.count("__rel").alias("__n_hit"),
+        F.sum(
+            F.when(
+                F.col("__rel").isNotNull(),
+                F.round(term, 12).cast("decimal(38,12)"),
+            )
+        ).alias("__dcg_dec"),
+        F.min(
+            F.when(F.col("__rel").isNotNull(), F.col("rank"))
+        ).alias("__first"),
+    )
+    tn = t.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_true"))
+    return (
+        tn.join(per, "query_id", "left")
+        .select(
+            "query_id",
+            "n_true",
+            F.coalesce("__n_hit", F.lit(0)).cast("bigint").alias("n_hit"),
+            F.round(
+                F.coalesce("__n_hit", F.lit(0)) / F.lit(float(k)), round_dp
+            ).alias("precision_at_k"),
+            F.round(
+                F.coalesce(F.lit(1.0) / F.col("__first"), F.lit(0.0)),
+                round_dp,
+            ).alias("mrr_at_k"),
+            F.round(
+                F.coalesce(F.col("__dcg_dec").cast("double"), F.lit(0.0))
+                / F.get(F.lit(idcg), F.col("n_true") - 1),
+                round_dp,
+            ).alias("ndcg_at_k"),
+        )
+    )

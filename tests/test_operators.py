@@ -4082,3 +4082,57 @@ def test_ivfpq_probe_count_bounds_candidates(spark):
     got = ivfpq_adc_topk(codes, cb, centers, q, k=16, m_sub=m, nprobe=2)
     lists = {r["list_id"] for r in got.collect()}
     assert lists == {1, 2}
+
+
+def test_ranking_quality_perfect_and_disjoint(spark):
+    """A ranking identical to the truth scores 1.0 on every metric; a
+    ranking sharing nothing scores 0 with n_hit=0 (and still emits the
+    query row — ground truth defines the query set)."""
+    from taxi_rides_ny_duckdb_spark.operators.similarity import ranking_quality
+
+    truth = spark.createDataFrame(
+        [(1, r, 100 + r) for r in range(1, 4)],
+        "query_id long, rank int, vec_id long",
+    )
+    perfect = ranking_quality(truth, truth, k=3).collect()[0]
+    assert perfect["n_true"] == 3 and perfect["n_hit"] == 3
+    assert perfect["precision_at_k"] == 1.0
+    assert perfect["mrr_at_k"] == 1.0
+    assert perfect["ndcg_at_k"] == 1.0
+    miss = spark.createDataFrame(
+        [(1, r, 900 + r) for r in range(1, 4)],
+        "query_id long, rank int, vec_id long",
+    )
+    none = ranking_quality(miss, truth, k=3).collect()[0]
+    assert none["n_hit"] == 0
+    assert none["precision_at_k"] == 0.0
+    assert none["mrr_at_k"] == 0.0
+    assert none["ndcg_at_k"] == 0.0
+
+
+def test_ranking_quality_hand_computed_partial(spark):
+    """One hit at ANN rank 2 carrying truth-rank-1 gain: MRR = 1/2,
+    DCG = k·disc(2), NDCG = that over the full IDCG — checked against
+    the same closed forms the operator inlines."""
+    import math
+
+    from taxi_rides_ny_duckdb_spark.operators.similarity import ranking_quality
+
+    k = 3
+    truth = spark.createDataFrame(
+        [(7, 1, 10), (7, 2, 11), (7, 3, 12)],
+        "query_id long, rank int, vec_id long",
+    )
+    ann = spark.createDataFrame(
+        [(7, 1, 99), (7, 2, 10), (7, 3, 98)],
+        "query_id long, rank int, vec_id long",
+    )
+    got = ranking_quality(ann, truth, k=k).collect()[0]
+    disc = [1.0 / math.log2(i + 1) for i in range(1, k + 1)]
+    idcg = sum((k - i) * disc[i - 1] for i in range(1, k + 1)) + sum(
+        disc[i - 1] for i in range(1, k + 1)
+    )  # == sum((k-i+1)*disc(i))
+    dcg = round(3 * disc[1], 12)
+    assert got["n_hit"] == 1
+    assert got["mrr_at_k"] == 0.5
+    assert got["ndcg_at_k"] == round(dcg / idcg, 9)
