@@ -117,13 +117,13 @@ def query(
 #    converted to scoped_persist (persist semantics identical; only
 #    scope registration added) — all re-proven by the local two-way
 #    parity gate each suite run.
-# 4. The remaining 30 slots (50 − 8 prefix − 3 never-verified −
+# 4. The remaining 27 slots (50 − 8 prefix − 6 never-verified −
 #    9 changed) refresh the oldest driver evidence, oldest-first
 #    (VERDICT r9 task 6): the union of CORRECTNESS_r0* green rows
 #    puts the 33-query r5 cohort oldest (the only r2-era row,
 #    prof_lineitem_approx, is the pre-rename ghost of
 #    prof_lineitem_approx_guarded, r6-green under its current name);
-#    the 30 alphabetically-first take the slots.
+#    the 27 alphabetically-first take the slots.
 #    q6_forecast_revenue, q12_priority_classes and
 #    q19_bracketed_revenue cede to the window size and take priority
 #    in the r11 drawing; they stay re-proven by the local parity gate
@@ -151,6 +151,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ext_semdedup_hier",
     "ext_pq_topk",
     "ext_pq_recall",
+    #    Wave-2 additions (same session, post-rotation): IVF-PQ and
+    #    the graded ranking-quality metrics are likewise never
+    #    driver-verified and enter under the same rule; they displace
+    #    the 3 alphabetically-last refresh slots (rule 4).
+    "ext_ivfpq_topk",
+    "ext_ivfpq_recall",
+    "ext_retrieval_ranking_quality",
     # 3. Execution/oracle changed this round (r9-green rows stale).
     "ext_semdedup_auto",
     "ext_semdedup",
@@ -161,12 +168,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ext_leakage_safe_split",
     "ext_dedup_cluster_components",
     "ext_dedup_cluster_keep_best",
-    # 4. Oldest-evidence refresh: 30 alphabetically-first of the
+    # 4. Oldest-evidence refresh: 27 alphabetically-first of the
     #    33-query r5 cohort (ext_pq_topk/ext_pq_recall entering under
     #    rule 2 push out 2 more slots: q12_priority_classes and
     #    q19_bracketed_revenue cede alongside q6_forecast_revenue;
-    #    all three take r11 priority and stay re-proven by the local
-    #    parity gate every suite run).
+    #    the 3 wave-2 entries push out 3 more:
+    #    ext_window_running_sum, ext_window_rank_family,
+    #    ext_unpivot_measures. All six take r11 priority and stay
+    #    re-proven by the local parity gate every suite run).
     "ext_array_hof",
     "ext_cube_revenue",
     "ext_date_spine_densify",
@@ -194,9 +203,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ext_text_explode_tokens",
     "ext_text_repetition_ratio",
     "ext_train_val_split",
-    "ext_unpivot_measures",
-    "ext_window_rank_family",
-    "ext_window_running_sum",
 )
 
 
