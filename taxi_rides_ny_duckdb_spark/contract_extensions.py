@@ -8415,3 +8415,176 @@ def ext_retrieval_ranking_quality(spark, sf_dir):
         ranking_quality(ann, exact, k=5),
         "ndcg_at_k", "mrr_at_k", "precision_at_k", "n_hit",
     )
+
+
+# ---------------------------------------------------------------------------
+# Binary (1-bit sign) quantization + Hamming cascade ANN.
+# ---------------------------------------------------------------------------
+
+
+def _bits_words_sql(dim: int, vec: str = "ev", bits_per_word: int = 32) -> str:
+    """DuckDB expression replaying operators/similarity.binary_sign_words
+    bit-for-bit: per word, 32 CASE-per-bit terms folded by + (the same
+    shape the Spark plan compiles), packed little-endian, values < 2³²
+    so BIGINT xor/bit_count is sign-free by construction."""
+    words = []
+    for w0 in range(0, dim, bits_per_word):
+        terms = [
+            f"(CASE WHEN {vec}[{w0 + j + 1}] > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(min(bits_per_word, dim - w0))
+        ]
+        words.append("(" + " + ".join(terms) + ")")
+    return "[" + ", ".join(words) + "]::BIGINT[]"
+
+
+def _hamming_sql(n_words: int, a: str = "c.bits", b: str = "q.qb") -> str:
+    return "CAST(" + " + ".join(
+        f"bit_count(xor({a}[{w + 1}], {b}[{w + 1}]))" for w in range(n_words)
+    ) + " AS BIGINT)"
+
+
+_BINARY_HAMMING_TOPK_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+), b AS (
+  SELECT vec_id, {_bits_words_sql(64)} AS bits FROM v
+), q AS (
+  SELECT vec_id AS query_id, bits AS qb FROM b WHERE vec_id < 8
+), scored AS (
+  SELECT q.query_id, c.vec_id, {_hamming_sql(2)} AS hamming_d
+  FROM b c CROSS JOIN q
+)
+SELECT query_id, rank, vec_id, hamming_d FROM (
+  SELECT query_id, vec_id, hamming_d,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY hamming_d ASC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+@query("ext_binary_hamming_topk", oracle=_BINARY_HAMMING_TOPK_ORACLE)
+def ext_binary_hamming_topk(spark, sf_dir):
+    """Top-5 per query by Hamming distance over packed 1-bit sign codes
+    (operators/similarity.binary_quantize + hamming_topk) — the
+    cheapest rung of the quantization ladder (float32 → SQ8 → PQ →
+    1-bit): the corpus-sized pass reads 2 BIGINT words per row (32×
+    smaller than the float32 embedding) and scores with pure integer
+    xor/popcount codegen. Sign convention (coord > 0) and little-endian
+    32-bit packing are replayed exactly by the oracle; ties break on
+    vec_id so ranks are engine-identical."""
+    from .operators.similarity import binary_quantize, hamming_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    cbits = binary_quantize(emb, dim=64)
+    qbits = binary_quantize(emb.filter(F.col("vec_id") < 8), dim=64).select(
+        F.col("vec_id").alias("query_id"), "bits"
+    )
+    return hamming_topk(cbits, qbits, k=5)
+
+
+def _binary_rerank_oracle(n_cand: int = 25, k: int = 5) -> str:
+    return f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+), b AS (
+  SELECT vec_id, {_bits_words_sql(64)} AS bits FROM v
+), q AS (
+  SELECT vec_id AS query_id, bits AS qb FROM b WHERE vec_id < 8
+), hscored AS (
+  SELECT q.query_id, c.vec_id, {_hamming_sql(2)} AS hamming_d
+  FROM b c CROSS JOIN q
+), cand AS (
+  SELECT query_id, vec_id, hamming_d FROM (
+    SELECT query_id, vec_id, hamming_d,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY hamming_d ASC, vec_id ASC) AS rank
+    FROM hscored
+  ) WHERE rank <= {n_cand}
+), qv AS (
+  SELECT vec_id AS query_id, ev AS qv FROM v WHERE vec_id < 8
+), rescored AS (
+  SELECT cand.query_id, cand.vec_id, cand.hamming_d,
+    round(CASE WHEN sqrt(list_sum(list_transform(generate_series(1, len(qv.qv)), i -> qv.qv[i] * qv.qv[i]))) > 0
+          AND sqrt(list_sum(list_transform(generate_series(1, len(c.ev)), i -> c.ev[i] * c.ev[i]))) > 0
+    THEN list_sum(list_transform(generate_series(1, len(qv.qv)), i -> qv.qv[i] * c.ev[i]))
+         / (sqrt(list_sum(list_transform(generate_series(1, len(qv.qv)), i -> qv.qv[i] * qv.qv[i])))
+            * sqrt(list_sum(list_transform(generate_series(1, len(c.ev)), i -> c.ev[i] * c.ev[i]))))
+    ELSE 0.0 END, 9) AS cosine_sim_r
+  FROM cand
+  JOIN v c ON c.vec_id = cand.vec_id
+  JOIN qv ON qv.query_id = cand.query_id
+)
+SELECT query_id, rank, vec_id, hamming_d, cosine_sim_r FROM (
+  SELECT query_id, vec_id, hamming_d, cosine_sim_r,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine_sim_r DESC, vec_id ASC) AS rank
+  FROM rescored
+) WHERE rank <= {k}
+"""
+
+
+@query("ext_binary_hamming_rerank", oracle=_binary_rerank_oracle())
+def ext_binary_hamming_rerank(spark, sf_dir):
+    """Two-stage cascade ANN (operators/similarity.hamming_rerank_topk):
+    Hamming top-25 over the packed 1-bit codes, then exact cosine
+    re-score of ONLY those 25 candidates per query (the candidate
+    frame is broadcast into the float-embedding join — floats touched
+    ∝ candidates, never the corpus), final top-5 on round(cos, 9) with
+    vec_id tie-break. The production binary-retriever shape: at 100 TB
+    the corpus-sized stage reads 16 bytes/row of integer words; the
+    64-float embeddings are read through a broadcast semi-join for
+    8·25 rows."""
+    from .operators.similarity import hamming_rerank_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = hamming_rerank_topk(
+        emb, queries, dim=64, k=5, n_candidates=25, score_round_dp=9
+    )
+    return _count_pin(
+        out.withColumnRenamed("cosine_sim", "cosine_sim_r"), "hamming_d"
+    )
+
+
+_BINARY_RECALL_ORACLE = f"""
+WITH exact AS ({_TOPK_ORACLE}), ann AS ({_binary_rerank_oracle()}),
+hit AS (
+  SELECT e.query_id, COUNT(*) AS n_hit
+  FROM exact e JOIN ann a ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+  GROUP BY e.query_id
+), truth AS (
+  SELECT query_id, COUNT(*) AS n_true FROM exact GROUP BY query_id
+)
+SELECT t.query_id, t.n_true,
+       CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+       round(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / t.n_true, 9) AS recall_at_k
+FROM truth t LEFT JOIN hit h USING (query_id)
+"""
+
+
+@query("ext_binary_hamming_recall", oracle=_BINARY_RECALL_ORACLE)
+def ext_binary_hamming_recall(spark, sf_dir):
+    """Recall@5 of the binary-Hamming cascade against the brute-force
+    cosine ground truth (the house ANN certification rule: no
+    approximate index ships without its recall row). Charges BOTH
+    cascade error sources — sign-quantization loss and candidate-list
+    misses; the re-score stage itself is exact, so recall measures
+    how often the true top-5 survive the Hamming top-25 gate."""
+    from .operators.similarity import (
+        ann_recall_at_k,
+        brute_force_topk,
+        hamming_rerank_topk,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    ann = hamming_rerank_topk(
+        emb, queries, dim=64, k=5, n_candidates=25, score_round_dp=9
+    )
+    exact = brute_force_topk(emb, queries, k=5)
+    return _count_pin(ann_recall_at_k(ann, exact, k=5), "n_hit", "recall_at_k")

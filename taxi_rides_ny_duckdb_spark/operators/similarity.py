@@ -2456,3 +2456,157 @@ def ranking_quality(
             ).alias("ndcg_at_k"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Binary (1-bit sign) quantization + Hamming cascade — the cheapest rung
+# of the quantization ladder (float32 → SQ8 → PQ → 1-bit). EXTENSION; no
+# reference citation (the reference has no vector surface). Pattern:
+# FAISS IndexBinaryFlat / the "binary passage retriever" two-stage shape.
+# ---------------------------------------------------------------------------
+
+
+def binary_sign_words(vec: Column, dim: int, bits_per_word: int = 32) -> Column:
+    """Pack the sign bits of a ``dim``-length vector into
+    ``ceil(dim/bits_per_word)`` little-endian words (array<bigint>):
+    word w carries bit j ⇔ vec[w·bpw + j] > 0 (strictly positive — an
+    exact 0.0 coordinate packs as 0, same convention both engines).
+
+    bits_per_word defaults to 32 so every word value stays < 2³² —
+    non-negative in BIGINT on both engines, which keeps xor/bit_count
+    trivially sign-free in the SQL replay. Pure CASE-per-bit integer
+    expressions folded by +: whole-stage codegen, no HOFs, no UDF.
+    At dim=64 the corpus-sized scan payload is 2 BIGINTs per row — a
+    32× read-amplification win over the float32 embedding at 100 TB."""
+    words = []
+    for w0 in range(0, dim, bits_per_word):
+        acc = F.lit(0).cast("long")
+        for j in range(min(bits_per_word, dim - w0)):
+            acc = acc + F.when(
+                F.get(vec, w0 + j) > 0, F.lit(1 << j).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        words.append(acc)
+    return F.array(*words)
+
+
+def binary_quantize(
+    vecs: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits_per_word: int = 32,
+) -> DataFrame:
+    """(id, bits array<bigint>) — the packed 1-bit corpus. One
+    projection, no shuffle; the codes column is what a production
+    pipeline would materialize next to (or instead of) the float
+    embeddings for the coarse-scan stage."""
+    return vecs.select(
+        F.col(id_col),
+        binary_sign_words(
+            _as_double_array(F.col(vec_col)), dim, bits_per_word
+        ).alias("bits"),
+    )
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    """Σ_w popcount(a[w] xor b[w]) over packed-word arrays — pure
+    integer ops (bit_count is a codegen'd builtin both engines)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def hamming_topk(
+    corpus_bits: DataFrame,
+    query_bits: DataFrame,
+    k: int,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+) -> DataFrame:
+    """Top-k per query by Hamming distance over packed sign-bit codes:
+    broadcast the (small) query codes, one integer xor/popcount fold
+    per (query, vector), window rank per query with (distance, id)
+    tie-break — deterministic, oracle-matchable. The corpus never
+    shuffles; the scan reads only the packed words.
+
+    Output: (query_id, rank, vec_id, hamming_d)."""
+    q = F.broadcast(
+        query_bits.select(F.col(query_id), F.col("bits").alias("__qb"))
+    )
+    c = ensure_min_partitions(corpus_bits).select(
+        F.col(corpus_id), F.col("bits").alias("__cb")
+    )
+    scored = c.crossJoin(q).select(
+        F.col(query_id),
+        F.col(corpus_id),
+        hamming_distance(F.col("__qb"), F.col("__cb")).alias("hamming_d"),
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("hamming_d").asc(), F.col(corpus_id).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, "rank", corpus_id, "hamming_d")
+    )
+
+
+def hamming_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int,
+    n_candidates: int,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    score_round_dp: int | None = None,
+) -> DataFrame:
+    """Two-stage cascade ANN: (1) Hamming top-``n_candidates`` over the
+    packed 1-bit codes — the corpus-sized pass touches ceil(dim/32)
+    BIGINTs per row in pure integer codegen; (2) exact cosine re-score
+    of ONLY the |Q|·n_candidates winners (the candidate frame is
+    broadcast into the join, so the float embeddings are read through
+    a broadcast hash semi-join — never shuffled), final top-k by
+    (cosine desc, id). This is the production shape for binary-code
+    retrievers: floats touched ∝ candidates, not corpus.
+
+    Output: (query_id, rank, vec_id, hamming_d, cosine_sim)."""
+    cbits = binary_quantize(corpus, dim, id_col=corpus_id, vec_col=corpus_vec)
+    qbits = binary_quantize(queries, dim, id_col=query_id, vec_col=query_vec)
+    cand = hamming_topk(
+        cbits, qbits, n_candidates, corpus_id=corpus_id, query_id=query_id
+    ).select(query_id, corpus_id, "hamming_d")
+    c = ensure_min_partitions(corpus).select(
+        F.col(corpus_id), _as_double_array(F.col(corpus_vec)).alias("__cv")
+    )
+    qv = F.broadcast(
+        queries.select(
+            F.col(query_id), _as_double_array(F.col(query_vec)).alias("__qv")
+        )
+    )
+    scored = (
+        c.join(F.broadcast(cand), corpus_id)
+        .join(qv, query_id)
+        .select(
+            F.col(query_id),
+            F.col(corpus_id),
+            F.col("hamming_d"),
+            cosine(F.col("__qv"), F.col("__cv")).alias("cosine_sim"),
+        )
+    )
+    if score_round_dp is not None:
+        scored = scored.withColumn(
+            "cosine_sim", F.round("cosine_sim", score_round_dp)
+        )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cosine_sim").desc(), F.col(corpus_id).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, "rank", corpus_id, "hamming_d", "cosine_sim")
+    )

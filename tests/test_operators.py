@@ -4136,3 +4136,87 @@ def test_ranking_quality_hand_computed_partial(spark):
     assert got["n_hit"] == 1
     assert got["mrr_at_k"] == 0.5
     assert got["ndcg_at_k"] == round(dcg / idcg, 9)
+
+
+def test_binary_sign_words_packs_expected(spark):
+    """binary_sign_words packs coord>0 sign bits little-endian, 32 per
+    word: hand-built vectors with known sign patterns must produce the
+    exact word values (incl. the strictly-positive convention: an
+    exact 0.0 packs as 0)."""
+    from taxi_rides_ny_duckdb_spark.operators.similarity import binary_quantize
+
+    # vec A: dims 0 and 33 positive -> words [1, 2]; vec B: all
+    # non-positive (incl. 0.0) -> [0, 0]; vec C: dims 31 and 63 -> sign
+    # bits of each word as values 2**31.
+    dim = 64
+    a = [1.0 if i in (0, 33) else -1.0 for i in range(dim)]
+    b = [0.0] * 32 + [-2.5] * 32
+    c = [1.0 if i in (31, 63) else -0.1 for i in range(dim)]
+    df = spark.createDataFrame(
+        [(0, a), (1, b), (2, c)], "vec_id long, embedding array<double>"
+    )
+    rows = {r["vec_id"]: list(r["bits"]) for r in binary_quantize(df, dim).collect()}
+    assert rows[0] == [1, 2]
+    assert rows[1] == [0, 0]
+    assert rows[2] == [2**31, 2**31]
+
+
+def test_hamming_topk_self_rank1_and_tie_break(spark):
+    """A query drawn from the corpus ranks itself first at distance 0;
+    equal-distance candidates break ties on vec_id ascending."""
+    from taxi_rides_ny_duckdb_spark.operators.similarity import (
+        binary_quantize,
+        hamming_topk,
+    )
+
+    dim = 64
+    base = [1.0] * dim
+    flip1 = [1.0] * 10 + [-1.0] + [1.0] * (dim - 11)
+    rows = [(0, base), (5, flip1), (9, flip1)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb = binary_quantize(df, dim)
+    qb = cb.filter("vec_id = 0").selectExpr("vec_id AS query_id", "bits")
+    got = hamming_topk(cb, qb, k=3).collect()
+    got = sorted(got, key=lambda r: r["rank"])
+    assert [(r["vec_id"], r["hamming_d"]) for r in got] == [(0, 0), (5, 1), (9, 1)]
+
+
+def test_hamming_rerank_recall_dominates_raw_hamming(spark, sf_dir):
+    """Exact re-scoring a Hamming candidate superset can only help:
+    recall@5 of the cascade is >= recall@5 of the raw Hamming ranking
+    for every query (any true-top-5 member admitted to the candidate
+    set ranks above all non-members under the exact re-score)."""
+    from taxi_rides_ny_duckdb_spark.operators.similarity import (
+        ann_recall_at_k,
+        binary_quantize,
+        brute_force_topk,
+        hamming_rerank_topk,
+        hamming_topk,
+    )
+    from taxi_rides_ny_duckdb_spark.sources.registry import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id < 8").selectExpr(
+        "vec_id AS query_id", "embedding AS query_vec"
+    )
+    exact = brute_force_topk(emb, queries, k=5)
+    raw = hamming_topk(
+        binary_quantize(emb, 64),
+        binary_quantize(
+            emb.filter("vec_id < 8"), 64
+        ).selectExpr("vec_id AS query_id", "bits"),
+        k=5,
+    )
+    cascade = hamming_rerank_topk(
+        emb, queries, dim=64, k=5, n_candidates=25, score_round_dp=9
+    )
+    r_raw = {
+        r["query_id"]: r["recall_at_k"]
+        for r in ann_recall_at_k(raw, exact, k=5).collect()
+    }
+    r_cas = {
+        r["query_id"]: r["recall_at_k"]
+        for r in ann_recall_at_k(cascade, exact, k=5).collect()
+    }
+    assert set(r_raw) == set(r_cas) and len(r_cas) == 8
+    assert all(r_cas[q] >= r_raw[q] for q in r_raw)
