@@ -8588,3 +8588,83 @@ def ext_binary_hamming_recall(spark, sf_dir):
     )
     exact = brute_force_topk(emb, queries, k=5)
     return _count_pin(ann_recall_at_k(ann, exact, k=5), "n_hit", "recall_at_k")
+
+
+_NB_CALIBRATION_ORACLE = "WITH " + _NB_SCORE_CTES + """,
+margins AS (
+  SELECT doc_id,
+         round(MAX(CASE WHEN label = 'en' THEN score_r END)
+               - MAX(CASE WHEN label <> 'en' THEN score_r END), 9) AS margin_r
+  FROM nb_scores GROUP BY doc_id
+),
+calsc AS (
+  SELECT m.doc_id,
+         round(0.5 + 0.5 * m.margin_r / (1.0 + abs(m.margin_r)), 9) AS score,
+         CASE WHEN h.lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM margins m JOIN (SELECT DISTINCT doc_id, lang FROM heldout) h USING (doc_id)
+),
+calbins AS (
+  SELECT least(CAST(floor(score * 10) AS INT), 9) AS bin_id,
+         COUNT(*) AS n,
+         CAST(SUM(y) AS BIGINT) AS n_pos,
+         CAST(SUM(CAST(round(score, 12) AS DECIMAL(38,12))) AS DOUBLE) AS s
+  FROM calsc GROUP BY 1
+),
+calg AS (
+  SELECT bin_id, n, n_pos,
+         round(s / n, 9) AS mean_score_r,
+         round(CAST(n_pos AS DOUBLE) / n, 9) AS frac_pos_r,
+         round(abs(s / n - CAST(n_pos AS DOUBLE) / n), 9) AS gap_r
+  FROM calbins
+),
+calg2 AS (
+  SELECT *,
+         CAST(round(CAST(n AS DOUBLE) / (SUM(n) OVER ()) * gap_r, 12)
+              AS DECIMAL(38,12)) AS term
+  FROM calg
+)
+SELECT bin_id, n, n_pos, mean_score_r, frac_pos_r, gap_r,
+       round(CAST(SUM(term) OVER () AS DOUBLE), 9) AS ece_r
+FROM calg2
+"""
+
+
+@query("ext_classifier_calibration_ece", oracle=_NB_CALIBRATION_ORACLE)
+def ext_classifier_calibration_ece(spark, sf_dir):
+    """Reliability-diagram bins + Expected Calibration Error of the NB
+    language filter on the held-out split
+    (operators/classify.calibration_bins): margins (the same
+    one-vs-rest decision scores ext_classifier_auc rank-certifies) are
+    mapped to (0,1) through the engine-exact surrogate sigmoid, then
+    10-equal-width-binned. AUC certifies RANKING; ECE certifies that
+    the probabilities a "keep if p>t" curation gate thresholds on mean
+    what they say — together they are the house classifier-evaluation
+    ladder. Per-bin means are 12dp-decimal order-free sums; ECE is the
+    n-weighted gap sum over the ≤10 bin rows (an unpartitioned window
+    over a CONSTANT-bounded frame, not a data-sized single partition).
+    The corpus-sized work is one B-ary groupBy with map-side combine —
+    evaluation cost is one aggregation pass at any corpus size."""
+    from .operators.classify import (
+        _surrogate_p,
+        calibration_bins,
+        nb_margin,
+        nb_score,
+        nb_train,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 5 != 0)
+    heldout = d.filter(F.col("doc_id") % 5 == 0)
+    token_logp, label_stats = nb_train(train, "text", "lang")
+    scores = nb_score(heldout, "text", "doc_id", token_logp, label_stats)
+    m = nb_margin(scores, "doc_id", "en")
+    labeled = m.select(
+        "doc_id", _surrogate_p(F.col("margin_r"), 9).alias("p_r")
+    ).join(
+        heldout.select("doc_id", (F.col("lang") == "en").alias("is_positive")),
+        "doc_id",
+    )
+    return _count_pin(
+        calibration_bins(labeled, "p_r", "is_positive", n_bins=10),
+        "ece_r", "gap_r", "mean_score_r", "frac_pos_r",
+    )

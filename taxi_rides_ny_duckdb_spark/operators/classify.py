@@ -452,3 +452,66 @@ def lr_score_surrogate(
     return z.select(
         F.col(id_col), _surrogate_p(F.col("z"), _SCORE_DP).alias("score_r")
     )
+
+
+def calibration_bins(
+    scored: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    round_dp: int = _SCORE_DP,
+) -> DataFrame:
+    """Reliability-diagram bins + Expected Calibration Error — the
+    calibration sibling of ``auc_exact`` (AUC certifies RANKING; ECE
+    certifies that the scores a selection pipeline thresholds on MEAN
+    what they say: a 0.9-bin should be ~90% positive before "keep if
+    p>0.9" is a defensible curation gate).
+
+    Equal-width binning on [0, 1]: bin_id = min(⌊score·B⌋, B−1) — pure
+    double product + floor, identical in both engines on identical
+    9dp-rounded score inputs. Per non-empty bin: n, n_pos, mean score
+    (12dp-decimal order-free sum, the house float-agg discipline,
+    presented /n as double), empirical positive rate, and the
+    |confidence − accuracy| gap. ECE = Σ_b (n_b/N)·gap_b over the ≤B
+    bin rows — summed as 12dp decimals of per-bin terms (order-free),
+    broadcast back onto every row via an unpartitioned window over ≤B
+    rows (bounded: B is a constant, not data-sized).
+
+    Scale shape: ONE groupBy on a B-ary key (map-side combine makes
+    the shuffle B rows per task), then window arithmetic over ≤B rows.
+    Corpus-size-independent beyond the single aggregation pass.
+
+    Output: (bin_id, n, n_pos, mean_score_r, frac_pos_r, gap_r, ece_r)
+    — ece_r repeated per row (single-frame contract convention)."""
+    s = F.col(score_col)
+    b = F.least(
+        F.floor(s * n_bins).cast("int"), F.lit(n_bins - 1)
+    ).alias("bin_id")
+    agg = scored.groupBy(b).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(label_col).cast("int")).cast("bigint").alias("n_pos"),
+        F.sum(F.round(s, 12).cast("decimal(38,12)")).alias("__s"),
+    )
+    mean_raw = F.col("__s").cast("double") / F.col("n")
+    frac_raw = F.col("n_pos").cast("double") / F.col("n")
+    g = agg.select(
+        "bin_id",
+        "n",
+        "n_pos",
+        F.round(mean_raw, round_dp).alias("mean_score_r"),
+        F.round(frac_raw, round_dp).alias("frac_pos_r"),
+        F.round(F.abs(mean_raw - frac_raw), round_dp).alias("gap_r"),
+    )
+    w = Window.partitionBy()
+    term = F.round(
+        F.col("n").cast("double") / F.sum("n").over(w) * F.col("gap_r"), 12
+    ).cast("decimal(38,12)")
+    return g.select(
+        "bin_id",
+        "n",
+        "n_pos",
+        "mean_score_r",
+        "frac_pos_r",
+        "gap_r",
+        F.round(F.sum(term).over(w).cast("double"), round_dp).alias("ece_r"),
+    )

@@ -4220,3 +4220,45 @@ def test_hamming_rerank_recall_dominates_raw_hamming(spark, sf_dir):
     }
     assert set(r_raw) == set(r_cas) and len(r_cas) == 8
     assert all(r_cas[q] >= r_raw[q] for q in r_raw)
+
+
+def test_calibration_bins_hand_computed(spark):
+    """Hand-built 2-bin case: bin 2 (scores .25,.25, labels 0,1) and
+    bin 9 (scores .95 x4, labels 1,1,1,0). Gaps |.25-.5|=.25 and
+    |.95-.75|=.2; ECE = (2/6)*.25 + (4/6)*.2 — and a perfectly
+    calibrated frame scores ECE 0."""
+    from taxi_rides_ny_duckdb_spark.operators.classify import calibration_bins
+
+    rows = [(1, 0.25, False), (2, 0.25, True),
+            (3, 0.95, True), (4, 0.95, True), (5, 0.95, True), (6, 0.95, False)]
+    df = spark.createDataFrame(rows, "id long, p double, y boolean")
+    got = {r["bin_id"]: r for r in calibration_bins(df, "p", "y").collect()}
+    assert set(got) == {2, 9}
+    assert got[2]["n"] == 2 and got[2]["n_pos"] == 1
+    assert got[2]["gap_r"] == 0.25
+    assert got[9]["gap_r"] == round(abs(0.95 - 0.75), 9)
+    ece = round(round(2 / 6 * 0.25, 12) + round(4 / 6 * 0.2, 12), 9)
+    assert got[2]["ece_r"] == got[9]["ece_r"] == ece
+
+    # perfectly calibrated: every bin's mean score equals its positive
+    # rate -> all gaps 0, ECE 0 (scores land mid-bin to avoid edges)
+    cal = [(i, 0.25, i % 4 == 0) for i in range(8)] + [
+        (100 + i, 0.75, i % 4 != 0) for i in range(8)
+    ]
+    cdf = spark.createDataFrame(cal, "id long, p double, y boolean")
+    out = calibration_bins(cdf, "p", "y").collect()
+    assert all(r["gap_r"] == 0.0 and r["ece_r"] == 0.0 for r in out)
+
+
+def test_calibration_bins_edge_scores(spark):
+    """Scores exactly 0.0 and 1.0 land in bins 0 and B-1 (the least()
+    clamp), never out of range."""
+    from taxi_rides_ny_duckdb_spark.operators.classify import calibration_bins
+
+    df = spark.createDataFrame(
+        [(1, 0.0, False), (2, 1.0, True)], "id long, p double, y boolean"
+    )
+    got = sorted(
+        (r["bin_id"], r["n"]) for r in calibration_bins(df, "p", "y").collect()
+    )
+    assert got == [(0, 1), (9, 1)]
