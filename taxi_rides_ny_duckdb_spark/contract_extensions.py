@@ -8710,3 +8710,42 @@ def ext_classifier_calibration_ece(spark, sf_dir):
         calibration_bins(labeled, "p_r", "is_positive", n_bins=10),
         "ece_r", "gap_r", "mean_score_r", "frac_pos_r",
     )
+
+
+_EMBEDDING_POOL_ORACLE = """
+WITH v AS (
+  SELECT vec_id % 50 AS group_id, CAST(embedding AS DOUBLE[]) AS ev
+  FROM embeddings
+), e AS (
+  SELECT group_id, CAST(t.i - 1 AS INT) AS pos, ev[t.i] AS x
+  FROM v, generate_series(1, 64) AS t(i)
+), agg AS (
+  SELECT group_id, pos,
+         COUNT(*) AS n_chunks,
+         CAST(SUM(CAST(round(x, 12) AS DECIMAL(38,12))) AS DOUBLE) AS s,
+         MAX(x) AS mx
+  FROM e GROUP BY 1, 2
+)
+SELECT group_id, pos, n_chunks,
+       round(s / n_chunks, 9) AS mean_r,
+       round(mx, 9) AS max_r
+FROM agg
+"""
+
+
+@query("ext_embedding_mean_pool", oracle=_EMBEDDING_POOL_ORACLE)
+def ext_embedding_mean_pool(spark, sf_dir):
+    """Chunk→document embedding pooling
+    (operators/similarity.embedding_pool): mean + max pooling of the
+    64-dim vectors under a deterministic 50-ary grouping (vec_id % 50
+    stands in for the chunk→doc key the chunker emits). Per-coordinate
+    sums are 12dp-decimal order-free; the posexplode fan-out combines
+    map-side so the one exchange carries |groups|·dim cells, not
+    |chunks|·dim — at 100 TB pooling is one aggregation pass whose
+    shuffle is quantizer-sized, not corpus-sized."""
+    from .operators.similarity import embedding_pool
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        (F.col("vec_id") % 50).alias("group_id"), "embedding"
+    )
+    return _count_pin(embedding_pool(emb, "group_id", dim=64), "mean_r", "max_r")

@@ -2610,3 +2610,48 @@ def hamming_rerank_topk(
         .filter(F.col("rank") <= k)
         .select(query_id, "rank", corpus_id, "hamming_d", "cosine_sim")
     )
+
+
+def embedding_pool(
+    chunks: DataFrame,
+    group_col: str,
+    dim: int,
+    vec_col: str = "embedding",
+    round_dp: int = 9,
+) -> DataFrame:
+    """Pool chunk embeddings into one vector per group — the
+    chunk→document aggregation every long-document embedding pipeline
+    runs (embed bounded windows, pool to a document vector for
+    retrieval/dedup). Mean and max pooling in one pass, emitted in
+    EXPLODED form (group, pos, n_chunks, mean_r, max_r): scalar
+    columns hash cross-engine exactly, and the array form is one
+    ``array_agg sort by pos`` away for callers that want it.
+
+    Engine-exact arithmetic: per-coordinate sums are 12dp-rounded
+    decimals (order-free exact addition — a plain double sum would
+    depend on partitioning), max is order-free by definition, and the
+    mean divides the exact decimal sum by the group count in double.
+
+    Scale shape: posexplode multiplies rows by dim, but partial
+    aggregation combines (group, pos) cells map-side, so the shuffle
+    carries |groups|·dim cells, not |chunks|·dim — the same
+    aggregation-bounded discipline as the k-means M-step. One
+    exchange; no window, no collect."""
+    e = chunks.select(
+        F.col(group_col),
+        F.posexplode(_as_double_array(F.col(vec_col))).alias("pos", "__x"),
+    )
+    agg = e.groupBy(group_col, "pos").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.round(F.col("__x"), 12).cast("decimal(38,12)")).alias("__s"),
+        F.max("__x").alias("__mx"),
+    )
+    return agg.select(
+        group_col,
+        "pos",
+        "n_chunks",
+        F.round(F.col("__s").cast("double") / F.col("n_chunks"), round_dp).alias(
+            "mean_r"
+        ),
+        F.round(F.col("__mx"), round_dp).alias("max_r"),
+    )

@@ -4262,3 +4262,26 @@ def test_calibration_bins_edge_scores(spark):
         (r["bin_id"], r["n"]) for r in calibration_bins(df, "p", "y").collect()
     )
     assert got == [(0, 1), (9, 1)]
+
+
+def test_embedding_pool_hand_computed(spark):
+    """Two 3-dim chunks in one group: mean and max per coordinate are
+    hand-checkable; a singleton group pools to itself."""
+    from taxi_rides_ny_duckdb_spark.operators.similarity import embedding_pool
+
+    rows = [
+        (1, [1.0, -2.0, 0.5]),
+        (1, [3.0, 4.0, 0.5]),
+        (2, [7.0, 8.0, 9.0]),
+    ]
+    df = spark.createDataFrame(rows, "g long, embedding array<double>")
+    got = {
+        (r["g"], r["pos"]): r
+        for r in embedding_pool(df, "g", dim=3).collect()
+    }
+    assert len(got) == 6
+    assert got[(1, 0)]["mean_r"] == 2.0 and got[(1, 0)]["max_r"] == 3.0
+    assert got[(1, 1)]["mean_r"] == 1.0 and got[(1, 1)]["max_r"] == 4.0
+    assert got[(1, 2)]["mean_r"] == 0.5 and got[(1, 2)]["max_r"] == 0.5
+    assert all(got[(2, p)]["n_chunks"] == 1 for p in range(3))
+    assert [got[(2, p)]["mean_r"] for p in range(3)] == [7.0, 8.0, 9.0]
