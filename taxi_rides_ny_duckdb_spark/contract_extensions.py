@@ -8749,3 +8749,116 @@ def ext_embedding_mean_pool(spark, sf_dir):
         (F.col("vec_id") % 50).alias("group_id"), "embedding"
     )
     return _count_pin(embedding_pool(emb, "group_id", dim=64), "mean_r", "max_r")
+
+
+def _cos_sql(a: str, b: str) -> str:
+    """The house DuckDB cosine expression (sequential list_sum fold,
+    zero-norm → 0.0) between two DOUBLE[] columns."""
+    return f"""CASE WHEN sqrt(list_sum(list_transform(generate_series(1, len({a})), i -> {a}[i] * {a}[i]))) > 0
+          AND sqrt(list_sum(list_transform(generate_series(1, len({b})), i -> {b}[i] * {b}[i]))) > 0
+    THEN list_sum(list_transform(generate_series(1, len({a})), i -> {a}[i] * {b}[i]))
+         / (sqrt(list_sum(list_transform(generate_series(1, len({a})), i -> {a}[i] * {a}[i])))
+            * sqrt(list_sum(list_transform(generate_series(1, len({b})), i -> {b}[i] * {b}[i]))))
+    ELSE 0.0 END"""
+
+
+def _mmr_oracle(c: int = 12, k: int = 5, lam: float = 0.7) -> str:
+    """Unrolled-CTE DuckDB replay of operators/similarity.mmr_topk
+    over brute-force cosine top-``c`` candidates: the greedy rounds
+    unroll exactly like the Spark plan (the BPE/GD-trainer precedent),
+    each round joining the remaining candidates to the selected set
+    through the C²-bounded pair frame, NOT EXISTS standing in for the
+    left-anti join. round(·, 9) before every argmax; ties to the
+    lower vec_id."""
+    sql = f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, ev AS qv FROM v WHERE vec_id < 8
+), allscored AS (
+  SELECT q.query_id, c.vec_id, round({_cos_sql('q.qv', 'c.ev')}, 9) AS rel_r
+  FROM v c CROSS JOIN q
+), cand AS (
+  SELECT query_id, vec_id, rel_r FROM (
+    SELECT query_id, vec_id, rel_r,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY rel_r DESC, vec_id ASC) AS rn
+    FROM allscored
+  ) WHERE rn <= {c}
+), cv AS (
+  SELECT cand.query_id, cand.vec_id, cand.rel_r, v.ev
+  FROM cand JOIN v USING (vec_id)
+), mpairs AS (
+  SELECT x.query_id AS pq, x.vec_id AS pa, y.vec_id AS pb,
+         round({_cos_sql('x.ev', 'y.ev')}, 9) AS sim
+  FROM cv x JOIN cv y ON x.query_id = y.query_id AND x.vec_id <> y.vec_id
+), sel1 AS (
+  SELECT query_id, vec_id, round(rel_r, 9) AS score, 1 AS sel_rank FROM (
+    SELECT query_id, vec_id, rel_r,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(rel_r, 9) DESC, vec_id ASC) AS rn
+    FROM cand
+  ) WHERE rn = 1
+), selu1 AS (SELECT query_id, vec_id FROM sel1),
+rem1 AS (
+  SELECT c.* FROM cand c
+  WHERE NOT EXISTS (SELECT 1 FROM sel1 s
+                    WHERE s.query_id = c.query_id AND s.vec_id = c.vec_id)
+)"""
+    for t in range(2, k + 1):
+        p = t - 1
+        sql += f""",
+ms{t} AS (
+  SELECT r.query_id, r.vec_id,
+         round({lam!r} * r.rel_r - {1.0 - lam!r} * MAX(p.sim), 9) AS score
+  FROM rem{p} r
+  JOIN mpairs p ON p.pq = r.query_id AND p.pa = r.vec_id
+  JOIN selu{p} s ON s.query_id = p.pq AND s.vec_id = p.pb
+  GROUP BY r.query_id, r.vec_id, r.rel_r
+),
+sel{t} AS (
+  SELECT query_id, vec_id, score, {t} AS sel_rank FROM (
+    SELECT query_id, vec_id, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, vec_id ASC) AS rn
+    FROM ms{t}
+  ) WHERE rn = 1
+),
+selu{t} AS (
+  SELECT * FROM selu{p} UNION ALL SELECT query_id, vec_id FROM sel{t}
+),
+rem{t} AS (
+  SELECT r.* FROM rem{p} r
+  WHERE NOT EXISTS (SELECT 1 FROM sel{t} s
+                    WHERE s.query_id = r.query_id AND s.vec_id = r.vec_id)
+)"""
+    union = "\nUNION ALL\n".join(
+        f"SELECT query_id, sel_rank, vec_id, score AS score_r FROM sel{t}"
+        for t in range(1, k + 1)
+    )
+    return sql + "\n" + union
+
+
+@query("ext_mmr_diverse_topk", oracle=_mmr_oracle(), memoize=False)
+def ext_mmr_diverse_topk(spark, sf_dir):
+    """MMR diversity re-ranking (operators/similarity.mmr_topk,
+    Carbonell & Goldstein 1998): greedy λ=0.7 selection of 5 from the
+    brute-force cosine top-12 per query — the diversity gate between
+    an ANN candidate list and a bounded RAG context window, and the
+    retrieval-side twin of SemDeDup's corpus-side collapse. The k
+    greedy rounds unroll into ONE declarative plan (the BPE/GD-trainer
+    unrolling precedent applied to selection); every join after
+    candidate generation is query-keyed over ≤C²-row groups, so the
+    corpus-sized cost lives entirely in the candidate producer.
+    round-before-argmax at 9dp with lower-id ties makes each round's
+    winner engine-identical."""
+    from .operators.similarity import brute_force_topk, mmr_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cand = brute_force_topk(emb, queries, k=12).select(
+        "query_id", "vec_id", F.round("cosine_sim", 9).alias("rel_r")
+    )
+    return mmr_topk(cand, emb, k=5, lam=0.7)

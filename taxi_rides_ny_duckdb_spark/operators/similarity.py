@@ -2655,3 +2655,136 @@ def embedding_pool(
         ),
         F.round(F.col("__mx"), round_dp).alias("max_r"),
     )
+
+
+def mmr_topk(
+    candidates: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    lam: float = 0.7,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    rel_col: str = "rel_r",
+    round_dp: int = 9,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): greedily select k of the C candidates per query maximizing
+    λ·relevance − (1−λ)·max-similarity-to-already-selected — the
+    diversity gate between an ANN candidate list and a bounded RAG
+    context window (near-duplicate passages otherwise crowd out
+    coverage; the retrieval-side twin of SemDeDup's corpus-side
+    collapse).
+
+    Greedy selection is inherently sequential, but k is a small
+    constant — so the k rounds UNROLL into one declarative plan (the
+    BPE/GD-trainer unrolling precedent applied to selection): round 1
+    takes argmax relevance; each later round joins the remaining
+    candidates to the selected set through the C²-bounded pairwise
+    cosine frame, takes max-sim per candidate, scores, and picks the
+    per-query argmax (ties to the lower id at every step —
+    layout-independent). All joins after candidate generation are
+    query-keyed over ≤C or ≤C² row groups: the corpus-sized cost
+    lives entirely in the candidate producer, and the corpus is
+    touched only by a broadcast semi-join to fetch the C candidate
+    vectors. Scores are rounded ``round_dp`` BEFORE each argmax so
+    both engines pick identical winners.
+
+    Output: (query_id, sel_rank, vec_id, score_r) — score_r is the
+    relevance for sel_rank 1 and the MMR objective thereafter."""
+    # cand feeds every greedy round plus both sides of the pair frame —
+    # persist (|Q|·C rows), or the candidate PRODUCER (the corpus-sized
+    # stage) re-executes once per lineage branch: measured 18.2 s → 1.3 s
+    # at sf0.1 for the contract query. vecs and pairs are likewise
+    # multi-branch and C/C²-bounded.
+    cand = scoped_persist(candidates.select(query_id, corpus_id, rel_col))
+    vecs = scoped_persist(
+        corpus.select(
+            F.col(corpus_id), _as_double_array(F.col(corpus_vec)).alias("__cv")
+        ).join(F.broadcast(cand.select(corpus_id).distinct()), corpus_id)
+    )
+    a = cand.join(vecs, corpus_id).select(
+        query_id,
+        F.col(corpus_id).alias("__a"),
+        F.col("__cv").alias("__av"),
+    )
+    b = cand.join(vecs, corpus_id).select(
+        query_id,
+        F.col(corpus_id).alias("__b"),
+        F.col("__cv").alias("__bv"),
+    )
+    pairs = scoped_persist(
+        a.join(b, query_id)
+        .filter(F.col("__a") != F.col("__b"))
+        .select(
+            F.col(query_id).alias("__pq"),
+            "__a",
+            "__b",
+            F.round(cosine(F.col("__av"), F.col("__bv")), round_dp).alias(
+                "__sim"
+            ),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("__score").desc(), F.col(corpus_id).asc()
+    )
+    sel = (
+        cand.withColumn("__score", F.round(F.col(rel_col), round_dp))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(query_id, corpus_id, "__score", F.lit(1).alias("sel_rank"))
+        .localCheckpoint(eager=True)
+    )
+    selected = sel
+    remaining = cand.join(
+        sel.select(query_id, corpus_id), [query_id, corpus_id], "left_anti"
+    )
+    for t in range(2, k + 1):
+        sel_ids = selected.select(
+            F.col(query_id).alias("__sq"), F.col(corpus_id).alias("__sb")
+        )
+        ms = (
+            remaining.join(
+                pairs,
+                (F.col(query_id) == F.col("__pq"))
+                & (F.col(corpus_id) == F.col("__a")),
+            )
+            .join(
+                sel_ids,
+                (F.col("__pq") == F.col("__sq"))
+                & (F.col("__b") == F.col("__sb")),
+            )
+            .groupBy(query_id, corpus_id, rel_col)
+            .agg(F.max("__sim").alias("__ms"))
+            .select(
+                query_id,
+                corpus_id,
+                F.round(
+                    F.lit(lam) * F.col(rel_col)
+                    - F.lit(1.0 - lam) * F.col("__ms"),
+                    round_dp,
+                ).alias("__score"),
+            )
+        )
+        # Each round references the previous round's remaining AND
+        # selected subtrees — left as lineage the logical plan doubles
+        # per round and Catalyst re-optimization dominates wall time
+        # (measured 12 s at sf0.1 for k=5). localCheckpoint the ≤|Q|-row
+        # pick to truncate it: k bounded driver actions per query, the
+        # BPE/GD one-action-per-round convention.
+        pick = (
+            ms.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(query_id, corpus_id, "__score", F.lit(t).alias("sel_rank"))
+            .localCheckpoint(eager=True)
+        )
+        selected = selected.unionByName(pick)
+        remaining = remaining.join(
+            pick.select(query_id, corpus_id), [query_id, corpus_id], "left_anti"
+        )
+    return selected.select(
+        query_id,
+        "sel_rank",
+        corpus_id,
+        F.col("__score").alias("score_r"),
+    )

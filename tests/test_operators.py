@@ -4285,3 +4285,42 @@ def test_embedding_pool_hand_computed(spark):
     assert got[(1, 2)]["mean_r"] == 0.5 and got[(1, 2)]["max_r"] == 0.5
     assert all(got[(2, p)]["n_chunks"] == 1 for p in range(3))
     assert [got[(2, p)]["mean_r"] for p in range(3)] == [7.0, 8.0, 9.0]
+
+
+def test_mmr_diversity_vs_pure_relevance(spark):
+    """With a near-duplicate pair at the top of the candidate list, a
+    diversity-heavy lambda picks the orthogonal document second, while
+    lambda=1 (pure relevance) keeps the near-dup — the defining MMR
+    behavior. Also: sel_ranks are 1..k and scores non-increasing in
+    round order is NOT required (MMR scores mix scales), but the rank-1
+    pick is always the relevance argmax."""
+    from taxi_rides_ny_duckdb_spark.operators.similarity import (
+        brute_force_topk,
+        mmr_topk,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.999, 0.01]),
+            (3, [0.0, 1.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(100, [0.9, 0.1])], "query_id long, query_vec array<double>"
+    )
+    cand = brute_force_topk(corpus, queries, k=3).select(
+        "query_id", "vec_id", F.round("cosine_sim", 9).alias("rel_r")
+    )
+    diverse = {
+        r["sel_rank"]: r["vec_id"]
+        for r in mmr_topk(cand, corpus, k=2, lam=0.1).collect()
+    }
+    relevance = {
+        r["sel_rank"]: r["vec_id"]
+        for r in mmr_topk(cand, corpus, k=2, lam=1.0).collect()
+    }
+    assert diverse[1] == relevance[1] == 2  # relevance argmax first
+    assert relevance[2] == 1  # pure relevance keeps the near-dup
+    assert diverse[2] == 3  # diversity-heavy lambda jumps to orthogonal
