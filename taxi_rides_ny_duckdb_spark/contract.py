@@ -158,6 +158,19 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ext_ivfpq_topk",
     "ext_ivfpq_recall",
     "ext_retrieval_ranking_quality",
+    #    Wave-3 additions (second session): binary-Hamming cascade ANN
+    #    (3), classifier calibration ECE, embedding pooling, MMR — all
+    #    never driver-verified; plus ext_ann_recall_eval under rule 3
+    #    (its execution now reads the shared cosine ground-truth
+    #    index). Together they displace the 7 alphabetically-last
+    #    remaining refresh slots.
+    "ext_binary_hamming_topk",
+    "ext_binary_hamming_rerank",
+    "ext_binary_hamming_recall",
+    "ext_classifier_calibration_ece",
+    "ext_embedding_mean_pool",
+    "ext_mmr_diverse_topk",
+    "ext_ann_recall_eval",
     # 3. Execution/oracle changed this round (r9-green rows stale).
     "ext_semdedup_auto",
     "ext_semdedup",
@@ -168,14 +181,20 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ext_leakage_safe_split",
     "ext_dedup_cluster_components",
     "ext_dedup_cluster_keep_best",
-    # 4. Oldest-evidence refresh: 27 alphabetically-first of the
+    # 4. Oldest-evidence refresh: 20 alphabetically-first of the
     #    33-query r5 cohort (ext_pq_topk/ext_pq_recall entering under
     #    rule 2 push out 2 more slots: q12_priority_classes and
     #    q19_bracketed_revenue cede alongside q6_forecast_revenue;
     #    the 3 wave-2 entries push out 3 more:
     #    ext_window_running_sum, ext_window_rank_family,
-    #    ext_unpivot_measures. All six take r11 priority and stay
-    #    re-proven by the local parity gate every suite run).
+    #    ext_unpivot_measures; the 7 wave-3 entries push out 7 more:
+    #    ext_semi_join, ext_set_except, ext_set_intersect,
+    #    ext_set_union_distinct, ext_text_explode_tokens,
+    #    ext_text_repetition_ratio, ext_train_val_split — the LSH/
+    #    brute-force similarity singles and streaming rows stay, their
+    #    executions being adjacent to this round's changes. All
+    #    thirteen ceded queries take r11 priority and stay re-proven
+    #    by the local parity gate every suite run).
     "ext_array_hof",
     "ext_cube_revenue",
     "ext_date_spine_densify",
@@ -191,18 +210,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ext_hash_sample",
     "ext_multimodal_frame_sample",
     "ext_pack_sequences",
-    "ext_semi_join",
-    "ext_set_except",
-    "ext_set_intersect",
-    "ext_set_union_distinct",
     "ext_similarity_lsh_topk",
     "ext_similarity_topk_bruteforce",
     "ext_stratified_sample",
     "ext_streaming_stream_join",
     "ext_streaming_tumbling",
-    "ext_text_explode_tokens",
-    "ext_text_repetition_ratio",
-    "ext_train_val_split",
 )
 
 
