@@ -117,8 +117,9 @@ def query(
 #    converted to scoped_persist (persist semantics identical; only
 #    scope registration added) — all re-proven by the local two-way
 #    parity gate each suite run.
-# 4. The remaining 27 slots (50 − 8 prefix − 6 never-verified −
-#    9 changed) refresh the oldest driver evidence, oldest-first
+# 4. The remaining slots (50 − 8 prefix − 6 never-verified − 9
+#    changed = 27 at rotation time; 19 after the wave-2/wave-3
+#    entries below) refresh the oldest driver evidence, oldest-first
 #    (VERDICT r9 task 6): the union of CORRECTNESS_r0* green rows
 #    puts the 33-query r5 cohort oldest (the only r2-era row,
 #    prof_lineitem_approx, is the pre-rename ghost of
@@ -170,6 +171,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ext_classifier_calibration_ece",
     "ext_embedding_mean_pool",
     "ext_mmr_diverse_topk",
+    "ext_cms_heavy_tokens",
     "ext_ann_recall_eval",
     # 3. Execution/oracle changed this round (r9-green rows stale).
     "ext_semdedup_auto",
@@ -181,19 +183,20 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ext_leakage_safe_split",
     "ext_dedup_cluster_components",
     "ext_dedup_cluster_keep_best",
-    # 4. Oldest-evidence refresh: 20 alphabetically-first of the
+    # 4. Oldest-evidence refresh: 19 alphabetically-first of the
     #    33-query r5 cohort (ext_pq_topk/ext_pq_recall entering under
     #    rule 2 push out 2 more slots: q12_priority_classes and
     #    q19_bracketed_revenue cede alongside q6_forecast_revenue;
     #    the 3 wave-2 entries push out 3 more:
     #    ext_window_running_sum, ext_window_rank_family,
-    #    ext_unpivot_measures; the 7 wave-3 entries push out 7 more:
+    #    ext_unpivot_measures; the 8 wave-3 entries push out 8 more:
     #    ext_semi_join, ext_set_except, ext_set_intersect,
-    #    ext_set_union_distinct, ext_text_explode_tokens,
-    #    ext_text_repetition_ratio, ext_train_val_split — the LSH/
+    #    ext_set_union_distinct, ext_stratified_sample,
+    #    ext_text_explode_tokens, ext_text_repetition_ratio,
+    #    ext_train_val_split — the LSH/
     #    brute-force similarity singles and streaming rows stay, their
     #    executions being adjacent to this round's changes. All
-    #    thirteen ceded queries take r11 priority and stay re-proven
+    #    fourteen ceded queries take r11 priority and stay re-proven
     #    by the local parity gate every suite run).
     "ext_array_hof",
     "ext_cube_revenue",
@@ -212,7 +215,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ext_pack_sequences",
     "ext_similarity_lsh_topk",
     "ext_similarity_topk_bruteforce",
-    "ext_stratified_sample",
     "ext_streaming_stream_join",
     "ext_streaming_tumbling",
 )

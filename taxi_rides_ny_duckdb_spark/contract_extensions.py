@@ -8862,3 +8862,77 @@ def ext_mmr_diverse_topk(spark, sf_dir):
         "query_id", "vec_id", F.round("cosine_sim", 9).alias("rel_r")
     )
     return mmr_topk(cand, emb, k=5, lam=0.7)
+
+
+def _cms_oracle(depth: int = 4, width: int = 64, top_n: int = 30) -> str:
+    """DuckDB replay of the count-min grid: same tokenization as the
+    NB/LR chain, same 'cms{r}:{token}' md5-60-bit bucket draw, same
+    one-groupBy grid, min-over-rows estimate, exact top-N join."""
+    bucket_exprs = ", ".join(
+        f"CAST(CAST(concat('0x', substring(md5(concat('cms{r}:', token)), 18, 15)) AS BIGINT) % {width} AS INT)"
+        for r in range(depth)
+    )
+    return f"""
+WITH tok AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'), w -> w != ''))
+           AS token
+  FROM documents
+), tb AS (
+  SELECT token, CAST(t.i - 1 AS INT) AS row_id,
+         ([{bucket_exprs}])[t.i] AS bucket
+  FROM tok, generate_series(1, {depth}) AS t(i)
+), grid AS (
+  SELECT row_id, bucket, COUNT(*) AS cnt FROM tb GROUP BY 1, 2
+), exact AS (
+  SELECT token, COUNT(*) AS exact_n FROM tok GROUP BY 1
+), top AS (
+  SELECT token, exact_n FROM (
+    SELECT token, exact_n,
+           row_number() OVER (ORDER BY exact_n DESC, token ASC) AS rn
+    FROM exact
+  ) WHERE rn <= {top_n}
+), qb AS (
+  SELECT token, CAST(t.i - 1 AS INT) AS row_id,
+         ([{bucket_exprs}])[t.i] AS bucket
+  FROM (SELECT token FROM top) q, generate_series(1, {depth}) AS t(i)
+), est AS (
+  SELECT q.token, CAST(MIN(COALESCE(g.cnt, 0)) AS BIGINT) AS est_n
+  FROM qb q LEFT JOIN grid g ON g.row_id = q.row_id AND g.bucket = q.bucket
+  GROUP BY q.token
+)
+SELECT t.token, t.exact_n, e.est_n,
+       e.est_n - t.exact_n AS over_n,
+       e.est_n >= t.exact_n AS est_ge_exact
+FROM top t JOIN est e USING (token)
+"""
+
+
+@query("ext_cms_heavy_tokens", oracle=_cms_oracle())
+def ext_cms_heavy_tokens(spark, sf_dir):
+    """Count-min sketch certification over the 30 heaviest tokens
+    (operators/sketch.cms_certified, Cormode & Muthukrishnan 2005):
+    the mergeable approximate-FREQUENCY sibling of the HLL rollup —
+    a 4×64 counter grid that answers per-token frequency over any
+    shard subset by cell-wise + of per-shard grids, never rescanning
+    text, and whose size is independent of vocabulary. The grid build
+    is one posexplode + one map-side-combined groupBy whose shuffle
+    carries ≤depth·width cells per task; estimates are depth lookups
+    against the broadcast grid. The deterministic CMS invariant
+    (est ≥ exact — counters only over-count) rides as a boolean the
+    value hash fails on; over_n exposes the actual collision error at
+    this width."""
+    from .operators.sketch import cms_certified
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("token")
+    )
+    return _count_pin(
+        cms_certified(toks, "token", depth=4, width=64, top_n=30),
+        "est_n", "over_n", "est_ge_exact",
+    )

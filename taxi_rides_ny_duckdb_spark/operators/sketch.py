@@ -523,3 +523,109 @@ def histogram_quantile_sql(
            {qcols}
     FROM cum GROUP BY rollup_key
     """
+
+
+def _cms_buckets(token: Column, depth: int, width: int) -> Column:
+    """array<int> of the token's ``depth`` counter buckets — row r's
+    bucket is the oracle-portable 60-bit md5 hash of 'cms{r}:{token}'
+    mod width (the seeded-draw convention; non-negative, so % and pmod
+    agree across engines)."""
+    from .dedup import portable_hash60
+
+    return F.array(
+        *[
+            F.pmod(
+                portable_hash60(F.concat(F.lit(f"cms{r}:"), token)),
+                F.lit(width),
+            ).cast("int")
+            for r in range(depth)
+        ]
+    )
+
+
+def cms_build(
+    tokens: DataFrame,
+    token_col: str = "token",
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """Count-min sketch of a token stream (Cormode & Muthukrishnan
+    2005): a depth×width grid of counters; every token increments one
+    counter per row (bucket = seeded hash mod width). The mergeable
+    approximate-FREQUENCY sibling of the HLL distinct sketch above:
+    two shards' grids merge by cell-wise +, so per-shard sketches
+    answer "how often does token X appear in this subset of shards"
+    without rescanning text — and the grid is depth·width cells
+    REGARDLESS of vocabulary size, where an exact count table grows
+    with the vocabulary.
+
+    One posexplode (×depth) and ONE groupBy(row, bucket) with map-side
+    combine: the shuffle carries ≤depth·width cells per task, not the
+    token stream. Returns (row_id, bucket, cnt)."""
+    cells = tokens.select(
+        F.posexplode(_cms_buckets(F.col(token_col), depth, width)).alias(
+            "row_id", "bucket"
+        )
+    )
+    return cells.groupBy("row_id", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    queries: DataFrame,
+    token_col: str = "token",
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """Point-frequency estimates: est(token) = min over rows of the
+    token's counter — ≥ the true count ALWAYS (counters only ever
+    over-count via collisions; the deterministic half of the CMS
+    guarantee, asserted by ``cms_certified``). The sketch is
+    depth·width rows — broadcast by construction; per-query work is
+    depth lookups."""
+    q = queries.select(
+        token_col,
+        F.posexplode(_cms_buckets(F.col(token_col), depth, width)).alias(
+            "row_id", "bucket"
+        ),
+    )
+    return (
+        q.join(F.broadcast(sketch), ["row_id", "bucket"], "left")
+        .groupBy(token_col)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("bigint").alias("est_n"))
+    )
+
+
+def cms_certified(
+    tokens: DataFrame,
+    token_col: str = "token",
+    depth: int = 4,
+    width: int = 64,
+    top_n: int = 30,
+) -> DataFrame:
+    """Exact-vs-sketch certification over the ``top_n`` most frequent
+    tokens (the heavy hitters, where collisions bite hardest): exact
+    counts from one groupBy, estimates from the grid, the
+    deterministic over-count invariant est ≥ exact as a boolean the
+    driver's value hash fails on if the sketch ever under-counts.
+    Output: (token, exact_n, est_n, over_n, est_ge_exact)."""
+    from pyspark.sql.window import Window
+
+    exact = tokens.groupBy(token_col).agg(F.count(F.lit(1)).alias("exact_n"))
+    w = Window.orderBy(F.col("exact_n").desc(), F.col(token_col).asc())
+    top = (
+        exact.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= top_n)
+        .select(token_col, "exact_n")
+    )
+    sketch = cms_build(tokens, token_col, depth, width)
+    est = cms_estimate(sketch, top.select(token_col), token_col, depth, width)
+    return top.join(est, token_col).select(
+        token_col,
+        "exact_n",
+        "est_n",
+        (F.col("est_n") - F.col("exact_n")).alias("over_n"),
+        (F.col("est_n") >= F.col("exact_n")).alias("est_ge_exact"),
+    )

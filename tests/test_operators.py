@@ -4324,3 +4324,23 @@ def test_mmr_diversity_vs_pure_relevance(spark):
     assert diverse[1] == relevance[1] == 2  # relevance argmax first
     assert relevance[2] == 1  # pure relevance keeps the near-dup
     assert diverse[2] == 3  # diversity-heavy lambda jumps to orthogonal
+
+
+def test_cms_overcounts_only_and_min_rows_tightens(spark):
+    """With width=2 collisions are forced: every estimate must still be
+    >= the exact count (counters only over-count), and a generous grid
+    (width=64, depth=4) recovers exact counts on a small stream."""
+    from taxi_rides_ny_duckdb_spark.operators.sketch import cms_certified
+
+    rows = [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 2 + [("d",)] * 1
+    toks = spark.createDataFrame(rows, "token string")
+    tight = {r["token"]: r for r in cms_certified(toks, width=2, depth=2, top_n=4).collect()}
+    assert set(tight) == {"a", "b", "c", "d"}
+    assert all(r["est_ge_exact"] for r in tight.values())
+    assert all(r["est_n"] >= r["exact_n"] for r in tight.values())
+    # width 2, 4 distinct tokens: at least one row of the grid has a
+    # collision, so SOME token over-counts unless hashes split 2/2 on
+    # both rows AND colliding pairs never share a bucket... the exact
+    # invariant we can assert without pinning hashes: totals preserved.
+    wide = {r["token"]: r for r in cms_certified(toks, width=64, depth=4, top_n=4).collect()}
+    assert all(r["over_n"] == 0 for r in wide.values())
