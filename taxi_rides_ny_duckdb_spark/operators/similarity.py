@@ -2508,44 +2508,125 @@ def binary_quantize(
     )
 
 
-def hamming_distance(a: Column, b: Column) -> Column:
-    """Σ_w popcount(a[w] xor b[w]) over packed-word arrays — pure
-    integer ops (bit_count is a codegen'd builtin both engines)."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("long")),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+def hamming_distance(a: Column, b: Column, n_words: int) -> Column:
+    """Σ_w popcount(a[w] xor b[w]) over packed-word arrays, UNROLLED
+    per word: GetArrayItem + xor + bit_count + add all stay inside
+    whole-stage codegen. The zip_with/aggregate HOF form is
+    semantically identical but runs interpreted (outside codegen) —
+    measured 5.5 s vs sub-second for the flat form on the 2M-row
+    sf10x Hamming scan; n_words is a plan-time constant (⌈dim/32⌉),
+    so unrolling costs nothing."""
+    acc: Column | None = None
+    for w in range(n_words):
+        term = F.bit_count(F.get(a, w).bitwiseXOR(F.get(b, w))).cast("long")
+        acc = term if acc is None else acc + term
+    assert acc is not None
+    return acc
+
+
+def _popcount64(x):
+    """Vectorized popcount of a non-negative int64 numpy array:
+    np.bitwise_count where available (numpy ≥ 2), else a byte-table
+    lookup over the uint8 view — both exact."""
+    import numpy as np
+
+    if hasattr(np, "bitwise_count"):
+        return np.bitwise_count(x.astype(np.uint64)).astype(np.int64)
+    global _POP8
+    try:
+        table = _POP8
+    except NameError:
+        table = _POP8 = np.array(
+            [bin(i).count("1") for i in range(256)], dtype=np.int64
+        )
+    b = np.ascontiguousarray(x.astype("<i8")).view(np.uint8)
+    return table[b].reshape(*x.shape, 8).sum(axis=-1)
 
 
 def hamming_topk(
     corpus_bits: DataFrame,
     query_bits: DataFrame,
     k: int,
+    n_words: int = 2,
     corpus_id: str = "vec_id",
     query_id: str = "query_id",
+    strategy: str = "arrow",
 ) -> DataFrame:
-    """Top-k per query by Hamming distance over packed sign-bit codes:
-    broadcast the (small) query codes, one integer xor/popcount fold
-    per (query, vector), window rank per query with (distance, id)
-    tie-break — deterministic, oracle-matchable. The corpus never
-    shuffles; the scan reads only the packed words.
+    """Top-k per query by Hamming distance over packed sign-bit codes,
+    (distance, id) tie-break — deterministic, oracle-matchable. The
+    corpus never shuffles; the scan reads only the packed words.
+
+    Two bit-identical strategies (the kmeans_assign expr/arrow
+    precedent — exact integer math, so the choice is pure physics):
+
+    - ``expr``: broadcast cross join + unrolled xor/popcount columns +
+      WindowGroupLimit (Spark plans the rank filter as partial
+      per-partition top-k, so the exchange carries ≤|Q|·k rows per
+      task). Correct plan, but the |Q|·n joined-row MATERIALIZATION
+      dominates: measured 5.2 s at sf10x (16M rows).
+    - ``arrow`` (default): one mapInPandas scan — each Arrow batch
+      computes all |Q| distance vectors in numpy (xor + popcount are
+      SIMD over the batch) and emits only its LOCAL top-k per query
+      (lexsort by (distance, id)); a final window ranks the
+      ≤partitions·|Q|·k survivors. Classic two-phase top-k: the
+      per-batch top-k provably contains every global top-k row.
+      Measured 0.8 s on the same scan — the |Q|× blowup never
+      materializes as rows.
 
     Output: (query_id, rank, vec_id, hamming_d)."""
-    q = F.broadcast(
-        query_bits.select(F.col(query_id), F.col("bits").alias("__qb"))
-    )
-    c = ensure_min_partitions(corpus_bits).select(
-        F.col(corpus_id), F.col("bits").alias("__cb")
-    )
-    scored = c.crossJoin(q).select(
-        F.col(query_id),
-        F.col(corpus_id),
-        hamming_distance(F.col("__qb"), F.col("__cb")).alias("hamming_d"),
-    )
     w = Window.partitionBy(query_id).orderBy(
         F.col("hamming_d").asc(), F.col(corpus_id).asc()
     )
+    if strategy == "expr":
+        q = F.broadcast(
+            query_bits.select(F.col(query_id), F.col("bits").alias("__qb"))
+        )
+        c = ensure_min_partitions(corpus_bits).select(
+            F.col(corpus_id), F.col("bits").alias("__cb")
+        )
+        scored = c.crossJoin(q).select(
+            F.col(query_id),
+            F.col(corpus_id),
+            hamming_distance(F.col("__qb"), F.col("__cb"), n_words).alias(
+                "hamming_d"
+            ),
+        )
+    else:
+        import numpy as np
+        import pandas as pd
+
+        qrows = query_bits.select(query_id, "bits").collect()  # |Q|-bounded
+        qids = [r[query_id] for r in qrows]
+        Qw = np.asarray([list(r["bits"]) for r in qrows], dtype=np.int64)
+
+        def fn(batches):
+            for pdf in batches:
+                ids = pdf[corpus_id].to_numpy()
+                # words arrive as n_words SCALAR int64 columns — numpy
+                # views straight off Arrow, no per-row list conversion
+                # (the list(pdf["bits"]) form cost ~2× the whole scan)
+                W = np.stack(
+                    [pdf[f"__w{i}"].to_numpy() for i in range(n_words)],
+                    axis=1,
+                )
+                out_q, out_id, out_d = [], [], []
+                for qi, qid in enumerate(qids):
+                    d = _popcount64(W ^ Qw[qi][None, :]).sum(axis=1)
+                    top = np.lexsort((ids, d))[:k]
+                    out_q.extend([qid] * len(top))
+                    out_id.extend(ids[top])
+                    out_d.extend(d[top])
+                yield pd.DataFrame(
+                    {query_id: out_q, corpus_id: out_id, "hamming_d": out_d}
+                )
+
+        src = ensure_min_partitions(corpus_bits).select(
+            F.col(corpus_id),
+            *[F.get(F.col("bits"), i).alias(f"__w{i}") for i in range(n_words)],
+        )
+        scored = src.mapInPandas(
+            fn, schema=f"{query_id} long, {corpus_id} long, hamming_d long"
+        )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -2578,7 +2659,8 @@ def hamming_rerank_topk(
     cbits = binary_quantize(corpus, dim, id_col=corpus_id, vec_col=corpus_vec)
     qbits = binary_quantize(queries, dim, id_col=query_id, vec_col=query_vec)
     cand = hamming_topk(
-        cbits, qbits, n_candidates, corpus_id=corpus_id, query_id=query_id
+        cbits, qbits, n_candidates, n_words=-(-dim // 32),
+        corpus_id=corpus_id, query_id=query_id,
     ).select(query_id, corpus_id, "hamming_d")
     c = ensure_min_partitions(corpus).select(
         F.col(corpus_id), _as_double_array(F.col(corpus_vec)).alias("__cv")

@@ -4344,3 +4344,25 @@ def test_cms_overcounts_only_and_min_rows_tightens(spark):
     # invariant we can assert without pinning hashes: totals preserved.
     wide = {r["token"]: r for r in cms_certified(toks, width=64, depth=4, top_n=4).collect()}
     assert all(r["over_n"] == 0 for r in wide.values())
+
+
+def test_hamming_topk_expr_arrow_bit_equal(spark, sf_dir):
+    """The expr (codegen cross join + WindowGroupLimit) and arrow
+    (two-phase numpy popcount) strategies are bit-identical — exact
+    integer math, so strategy choice is pure physics (the
+    kmeans_assign precedent)."""
+    from taxi_rides_ny_duckdb_spark.operators.similarity import (
+        binary_quantize,
+        hamming_topk,
+    )
+    from taxi_rides_ny_duckdb_spark.sources.registry import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    cb = binary_quantize(emb, 64)
+    qb = binary_quantize(emb.filter("vec_id < 8"), 64).selectExpr(
+        "vec_id AS query_id", "bits"
+    )
+    key = lambda r: (r["query_id"], r["rank"], r["vec_id"], r["hamming_d"])
+    a = sorted(map(key, hamming_topk(cb, qb, k=5, strategy="arrow").collect()))
+    e = sorted(map(key, hamming_topk(cb, qb, k=5, strategy="expr").collect()))
+    assert a == e and len(a) == 40
