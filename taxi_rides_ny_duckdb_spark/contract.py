@@ -160,11 +160,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ext_ivfpq_recall",
     "ext_retrieval_ranking_quality",
     #    Wave-3 additions (second session): binary-Hamming cascade ANN
-    #    (3), classifier calibration ECE, embedding pooling, MMR — all
-    #    never driver-verified; plus ext_ann_recall_eval under rule 3
-    #    (its execution now reads the shared cosine ground-truth
-    #    index). Together they displace the 7 alphabetically-last
-    #    remaining refresh slots.
+    #    (3), classifier calibration ECE, embedding pooling, MMR, the
+    #    count-min sketch — all never driver-verified; plus
+    #    ext_ann_recall_eval under rule 3 (its execution now reads the
+    #    shared cosine ground-truth index). Together the 8 displace the
+    #    8 alphabetically-last remaining refresh slots.
     "ext_binary_hamming_topk",
     "ext_binary_hamming_rerank",
     "ext_binary_hamming_recall",

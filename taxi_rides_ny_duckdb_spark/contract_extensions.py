@@ -8852,14 +8852,38 @@ def ext_mmr_diverse_topk(spark, sf_dir):
     corpus-sized cost lives entirely in the candidate producer.
     round-before-argmax at 9dp with lower-id ties makes each round's
     winner engine-identical."""
-    from .operators.similarity import brute_force_topk, mmr_topk
+    from pyspark.sql.window import Window
+
+    from .operators.similarity import _as_double_array, cosine, mmr_topk
 
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    cand = brute_force_topk(emb, queries, k=12).select(
-        "query_id", "vec_id", F.round("cosine_sim", 9).alias("rel_r")
+    # Candidate cutoff ranks on the 9dp-ROUNDED score — brute_force_topk
+    # ranks unrounded, so a pair of cosines equal at 9dp but distinct
+    # beyond it straddling rank 12 would make the two engines admit
+    # different candidate sets (round-before-argmax applies to the
+    # cutoff too, not just the greedy rounds).
+    q = F.broadcast(
+        queries.select("query_id", _as_double_array(F.col("query_vec")).alias("__qv"))
+    )
+    scored = (
+        emb.select("vec_id", _as_double_array(F.col("embedding")).alias("__cv"))
+        .crossJoin(q)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("__qv"), F.col("__cv")), 9).alias("rel_r"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rel_r").desc(), F.col("vec_id").asc()
+    )
+    cand = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 12)
+        .select("query_id", "vec_id", "rel_r")
     )
     return mmr_topk(cand, emb, k=5, lam=0.7)
 
@@ -8921,17 +8945,11 @@ def ext_cms_heavy_tokens(spark, sf_dir):
     (est ≥ exact — counters only over-count) rides as a boolean the
     value hash fails on; over_n exposes the actual collision error at
     this width."""
+    from .functions.text import tokenize
     from .operators.sketch import cms_certified
 
     d = load(spark, sf_dir, "documents")
-    toks = d.select(
-        F.explode(
-            F.filter(
-                F.split(F.lower(F.col("text")), r"\s+"),
-                lambda x: x != "",
-            )
-        ).alias("token")
-    )
+    toks = d.select(F.explode(tokenize(F.col("text"))).alias("token"))
     return _count_pin(
         cms_certified(toks, "token", depth=4, width=64, top_n=30),
         "est_n", "over_n", "est_ge_exact",

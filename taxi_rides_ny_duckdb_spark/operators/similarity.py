@@ -2707,7 +2707,9 @@ def embedding_pool(
     retrieval/dedup). Mean and max pooling in one pass, emitted in
     EXPLODED form (group, pos, n_chunks, mean_r, max_r): scalar
     columns hash cross-engine exactly, and the array form is one
-    ``array_agg sort by pos`` away for callers that want it.
+    ``array_agg sort by pos`` away for callers that want it. ``dim``
+    bounds the fan-out: only the first ``dim`` coordinates pool (the
+    slice also pins the blowup factor in the plan).
 
     Engine-exact arithmetic: per-coordinate sums are 12dp-rounded
     decimals (order-free exact addition — a plain double sum would
@@ -2721,7 +2723,9 @@ def embedding_pool(
     exchange; no window, no collect."""
     e = chunks.select(
         F.col(group_col),
-        F.posexplode(_as_double_array(F.col(vec_col))).alias("pos", "__x"),
+        F.posexplode(
+            F.slice(_as_double_array(F.col(vec_col)), 1, dim)
+        ).alias("pos", "__x"),
     )
     agg = e.groupBy(group_col, "pos").agg(
         F.count(F.lit(1)).alias("n_chunks"),

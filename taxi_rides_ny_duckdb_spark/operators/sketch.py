@@ -613,6 +613,12 @@ def cms_certified(
     Output: (token, exact_n, est_n, over_n, est_ge_exact)."""
     from pyspark.sql.window import Window
 
+    from ..cache import scoped_persist
+
+    # the token stream feeds BOTH the exact-count branch and the grid
+    # build — persist it or the corpus-sized tokenize lineage executes
+    # twice (the mmr_topk multi-branch precedent)
+    tokens = scoped_persist(tokens)
     exact = tokens.groupBy(token_col).agg(F.count(F.lit(1)).alias("exact_n"))
     w = Window.orderBy(F.col("exact_n").desc(), F.col(token_col).asc())
     top = (
