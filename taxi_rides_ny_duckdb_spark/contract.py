@@ -161,7 +161,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ext_retrieval_ranking_quality",
     #    Wave-3 additions (second session): binary-Hamming cascade ANN
     #    (3), classifier calibration ECE, embedding pooling, MMR, the
-    #    count-min sketch — all never driver-verified; plus
+    #    count-min sketch, the Brier decomposition — all never driver-verified; plus
     #    ext_ann_recall_eval under rule 3 (its execution now reads the
     #    shared cosine ground-truth index). Together the 8 displace the
     #    8 alphabetically-last remaining refresh slots.
@@ -172,6 +172,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ext_embedding_mean_pool",
     "ext_mmr_diverse_topk",
     "ext_cms_heavy_tokens",
+    "ext_brier_decomposition",
     "ext_ann_recall_eval",
     # 3. Execution/oracle changed this round (r9-green rows stale).
     "ext_semdedup_auto",
@@ -183,20 +184,20 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ext_leakage_safe_split",
     "ext_dedup_cluster_components",
     "ext_dedup_cluster_keep_best",
-    # 4. Oldest-evidence refresh: 19 alphabetically-first of the
+    # 4. Oldest-evidence refresh: 18 alphabetically-first of the
     #    33-query r5 cohort (ext_pq_topk/ext_pq_recall entering under
     #    rule 2 push out 2 more slots: q12_priority_classes and
     #    q19_bracketed_revenue cede alongside q6_forecast_revenue;
     #    the 3 wave-2 entries push out 3 more:
     #    ext_window_running_sum, ext_window_rank_family,
-    #    ext_unpivot_measures; the 8 wave-3 entries push out 8 more:
+    #    ext_unpivot_measures; the 9 wave-3 entries push out 9 more:
     #    ext_semi_join, ext_set_except, ext_set_intersect,
     #    ext_set_union_distinct, ext_stratified_sample,
-    #    ext_text_explode_tokens, ext_text_repetition_ratio,
-    #    ext_train_val_split — the LSH/
+    #    ext_streaming_tumbling, ext_text_explode_tokens,
+    #    ext_text_repetition_ratio, ext_train_val_split — the LSH/
     #    brute-force similarity singles and streaming rows stay, their
     #    executions being adjacent to this round's changes. All
-    #    fourteen ceded queries take r11 priority and stay re-proven
+    #    fifteen ceded queries take r11 priority and stay re-proven
     #    by the local parity gate every suite run).
     "ext_array_hof",
     "ext_cube_revenue",
@@ -216,7 +217,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ext_similarity_lsh_topk",
     "ext_similarity_topk_bruteforce",
     "ext_streaming_stream_join",
-    "ext_streaming_tumbling",
 )
 
 

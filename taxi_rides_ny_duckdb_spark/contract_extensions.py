@@ -8954,3 +8954,89 @@ def ext_cms_heavy_tokens(spark, sf_dir):
         cms_certified(toks, "token", depth=4, width=64, top_n=30),
         "est_n", "over_n", "est_ge_exact",
     )
+
+
+_BRIER_ORACLE = "WITH " + _NB_SCORE_CTES + """,
+margins AS (
+  SELECT doc_id,
+         round(MAX(CASE WHEN label = 'en' THEN score_r END)
+               - MAX(CASE WHEN label <> 'en' THEN score_r END), 9) AS margin_r
+  FROM nb_scores GROUP BY doc_id
+),
+calsc AS (
+  SELECT m.doc_id,
+         round(0.5 + 0.5 * m.margin_r / (1.0 + abs(m.margin_r)), 9) AS score,
+         CASE WHEN h.lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM margins m JOIN (SELECT DISTINCT doc_id, lang FROM heldout) h USING (doc_id)
+),
+perbin AS (
+  SELECT least(CAST(floor(score * 10) AS INT), 9) AS bin_id,
+         COUNT(*) AS n,
+         CAST(SUM(y) AS BIGINT) AS n_pos,
+         CAST(SUM(CAST(round(score, 12) AS DECIMAL(38,12))) AS DOUBLE) AS s,
+         SUM(CAST(round((score - y) * (score - y), 12) AS DECIMAL(38,12))) AS sq
+  FROM calsc GROUP BY 1
+),
+tot AS (
+  SELECT SUM(n) AS tn, SUM(n_pos) AS tnp,
+         CAST(SUM(sq) AS DOUBLE) AS sqt
+  FROM perbin
+),
+terms AS (
+  SELECT t.tn, t.tnp, t.sqt,
+         CAST(round(CAST(p.n AS DOUBLE) / t.tn
+               * (p.s / p.n - CAST(p.n_pos AS DOUBLE) / p.n)
+               * (p.s / p.n - CAST(p.n_pos AS DOUBLE) / p.n), 12)
+              AS DECIMAL(38,12)) AS rel_term,
+         CAST(round(CAST(p.n AS DOUBLE) / t.tn
+               * (CAST(p.n_pos AS DOUBLE) / p.n - CAST(t.tnp AS DOUBLE) / t.tn)
+               * (CAST(p.n_pos AS DOUBLE) / p.n - CAST(t.tnp AS DOUBLE) / t.tn), 12)
+              AS DECIMAL(38,12)) AS res_term
+  FROM perbin p CROSS JOIN tot t
+)
+SELECT CAST(tn AS BIGINT) AS n,
+       round(sqt / tn, 9) AS brier_r,
+       round(CAST(SUM(rel_term) AS DOUBLE), 9) AS reliability_r,
+       round(CAST(SUM(res_term) AS DOUBLE), 9) AS resolution_r,
+       round(CAST(tnp AS DOUBLE) / tn * (1.0 - CAST(tnp AS DOUBLE) / tn), 9)
+         AS uncertainty_r
+FROM terms GROUP BY tn, tnp, sqt
+"""
+
+
+@query("ext_brier_decomposition", oracle=_BRIER_ORACLE)
+def ext_brier_decomposition(spark, sf_dir):
+    """Brier score + Murphy decomposition of the NB language filter's
+    surrogate-sigmoid probabilities on the held-out split
+    (operators/classify.brier_decomposition) — the proper-scoring
+    completion of the evaluation ladder: AUC certifies RANKING, ECE
+    sizes the calibration gaps, reliability/resolution say how much
+    of the total squared-error loss those gaps cost vs how much
+    discrimination the filter actually has (against the ȳ(1−ȳ)
+    no-skill floor). One B-ary map-side-combined groupBy is the only
+    corpus-sized work; every term is an order-free 12dp-decimal sum
+    replayed exactly by the oracle."""
+    from .operators.classify import (
+        _surrogate_p,
+        brier_decomposition,
+        nb_margin,
+        nb_score,
+        nb_train,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 5 != 0)
+    heldout = d.filter(F.col("doc_id") % 5 == 0)
+    token_logp, label_stats = nb_train(train, "text", "lang")
+    scores = nb_score(heldout, "text", "doc_id", token_logp, label_stats)
+    m = nb_margin(scores, "doc_id", "en")
+    labeled = m.select(
+        "doc_id", _surrogate_p(F.col("margin_r"), 9).alias("p_r")
+    ).join(
+        heldout.select("doc_id", (F.col("lang") == "en").alias("is_positive")),
+        "doc_id",
+    )
+    return _count_pin(
+        brier_decomposition(labeled, "p_r", "is_positive", n_bins=10),
+        "brier_r", "reliability_r", "resolution_r", "uncertainty_r",
+    )

@@ -515,3 +515,72 @@ def calibration_bins(
         "gap_r",
         F.round(F.sum(term).over(w).cast("double"), round_dp).alias("ece_r"),
     )
+
+
+def brier_decomposition(
+    scored: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    round_dp: int = _SCORE_DP,
+) -> DataFrame:
+    """Brier score + Murphy (1973) decomposition — the proper-scoring
+    completion of the calibration ladder (`auc_exact` ranks,
+    `calibration_bins` sizes the gaps, this says how much of the total
+    squared-error loss those gaps actually cost): BS = mean((p−y)²),
+    reliability = Σ n_b/N·(p̄_b−ȳ_b)² (what recalibration could remove),
+    resolution = Σ n_b/N·(ȳ_b−ȳ)² (discrimination — higher is better),
+    uncertainty = ȳ(1−ȳ) (the no-skill floor). Each term is computed
+    independently (no reliance on the binned identity) with the house
+    exact-aggregation discipline: per-row/per-bin addends 12dp-rounded
+    into DECIMAL(38,12) (order-free sums), final divisions in double,
+    presented at ``round_dp``.
+
+    Scale shape: ONE pass — a B-ary groupBy with map-side combine
+    (the per-bin moments) plus a global 1-row aggregate for BS; the
+    decomposition arithmetic runs over ≤B bin rows. Output: one row
+    (n, brier_r, reliability_r, resolution_r, uncertainty_r)."""
+    s = F.col(score_col)
+    y = F.col(label_col).cast("int")
+    b = F.least(
+        F.floor(s * n_bins).cast("int"), F.lit(n_bins - 1)
+    ).alias("bin_id")
+    per_bin = scored.groupBy(b).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(y).cast("bigint").alias("n_pos"),
+        F.sum(F.round(s, 12).cast("decimal(38,12)")).alias("__s"),
+        F.sum(
+            F.round((s - y) * (s - y), 12).cast("decimal(38,12)")
+        ).alias("__sq"),
+    )
+    tot = per_bin.agg(
+        F.sum("n").alias("__N"),
+        F.sum("n_pos").alias("__NP"),
+        F.sum("__sq").alias("__sqt"),
+    )
+    j = per_bin.crossJoin(F.broadcast(tot))
+    ybar = F.col("__NP").cast("double") / F.col("__N")
+    pbar_b = F.col("__s").cast("double") / F.col("n")
+    ybar_b = F.col("n_pos").cast("double") / F.col("n")
+    wt = F.col("n").cast("double") / F.col("__N")
+    rel_term = F.round(wt * (pbar_b - ybar_b) * (pbar_b - ybar_b), 12).cast(
+        "decimal(38,12)"
+    )
+    res_term = F.round(wt * (ybar_b - ybar) * (ybar_b - ybar), 12).cast(
+        "decimal(38,12)"
+    )
+    return j.groupBy("__N", "__NP", "__sqt").agg(
+        F.sum(rel_term).alias("__rel"), F.sum(res_term).alias("__res")
+    ).select(
+        F.col("__N").cast("bigint").alias("n"),
+        F.round(F.col("__sqt").cast("double") / F.col("__N"), round_dp).alias(
+            "brier_r"
+        ),
+        F.round(F.col("__rel").cast("double"), round_dp).alias("reliability_r"),
+        F.round(F.col("__res").cast("double"), round_dp).alias("resolution_r"),
+        F.round(
+            (F.col("__NP").cast("double") / F.col("__N"))
+            * (F.lit(1.0) - F.col("__NP").cast("double") / F.col("__N")),
+            round_dp,
+        ).alias("uncertainty_r"),
+    )

@@ -4366,3 +4366,28 @@ def test_hamming_topk_expr_arrow_bit_equal(spark, sf_dir):
     a = sorted(map(key, hamming_topk(cb, qb, k=5, strategy="arrow").collect()))
     e = sorted(map(key, hamming_topk(cb, qb, k=5, strategy="expr").collect()))
     assert a == e and len(a) == 40
+
+
+def test_brier_decomposition_hand_computed(spark):
+    """Perfectly calibrated scores: reliability 0 and the binned
+    identity BS = REL - RES + UNC holds exactly (scores constant
+    within each bin). Hand-checkable 2-bin case."""
+    from taxi_rides_ny_duckdb_spark.operators.classify import brier_decomposition
+
+    # bin 2: p=0.25, 1 of 4 positive (calibrated); bin 7: p=0.75, 3 of
+    # 4 positive (calibrated). ybar = 0.5.
+    rows = [(i, 0.25, i == 0) for i in range(4)] + [
+        (10 + i, 0.75, i != 0) for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "id long, p double, y boolean")
+    got = brier_decomposition(df, "p", "y").collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["n"] == 8
+    assert r["reliability_r"] == 0.0
+    # resolution = mean (ybar_b - 0.5)^2 = 0.0625; uncertainty = 0.25
+    assert r["resolution_r"] == 0.0625
+    assert r["uncertainty_r"] == 0.25
+    # BS: each row (p-y)^2 = 0.0625 -> mean 0.1875 = REL - RES + UNC
+    assert r["brier_r"] == 0.1875
+    assert abs(r["brier_r"] - (r["reliability_r"] - r["resolution_r"] + r["uncertainty_r"])) < 1e-9
