@@ -1436,3 +1436,30 @@ def test_j7_bucketed_layout_single_exchange(spark, sf_dir):
     assert "Exchange rangepartitioning" not in plan
     assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan
     assert "Window" in plan
+
+
+def test_driver_window_invariants():
+    """The 50-query driver window is the round's correctness-evidence
+    budget — pin its structural invariants so a rotation edit can't
+    silently waste slots: exactly 50 entries, no duplicates, every
+    entry registered, every entry ORACLED (a rows-only query in the
+    window burns a slot on the weaker check), and the permanent
+    8-query taxi prefix intact in order."""
+    contract.load_all()
+    w = contract.DRIVER_WINDOW
+    assert len(w) == 50
+    assert len(set(w)) == 50
+    unknown = [n for n in w if n not in contract.QUERIES]
+    assert not unknown, unknown
+    unoracled = [n for n in w if n not in contract.ORACLES]
+    assert not unoracled, unoracled
+    assert list(w[:8]) == [
+        "taxi_stg_green_tripdata",
+        "taxi_stg_yellow_tripdata",
+        "taxi_dim_zones",
+        "taxi_fact_trips",
+        "taxi_dm_monthly_zone_revenue",
+        "taxi_dm_monthly_zone_statistics",
+        "taxi_metric_average_distance_month",
+        "taxi_metric_avg_distance_manhattan_quarter",
+    ]
