@@ -34,6 +34,17 @@ from .functions.text import (
 from .sources.registry import load
 
 
+def _session_key(spark) -> tuple:
+    """Stable per-session cache key for the process-memoized index
+    frames (_ND_INDEX/_PQ_INDEX/_GT_INDEX/_NB_MARGIN_INDEX/...):
+    (applicationId, startTime) — the contract_taxi._spark_models
+    convention. ``id(spark)`` can be GC-recycled, so a NEW session
+    could alias a stopped one's key and hand out localCheckpointed
+    frames whose blocks died with the old executors (ADVICE r10)."""
+    sc = spark.sparkContext
+    return (sc.applicationId, sc.startTime)
+
+
 def _count_pin(df, *cols):
     """Append an always-true filter referencing ``cols`` — benchmark
     hygiene for contract queries whose top is a LEFT join against a
@@ -1250,7 +1261,7 @@ _STREAM_SRC: dict[tuple, str] = {}
 
 
 def _events_stream_dir(spark, sf_dir: str) -> str:
-    key = (id(spark), sf_dir)
+    key = (*_session_key(spark), sf_dir)
     if key not in _STREAM_SRC:
         import tempfile
 
@@ -3674,7 +3685,7 @@ _DOCS_STREAM_SRC: dict = {}
 def _docs_stream_dir(spark, sf_dir: str) -> str:
     """Batch docs (doc_id ≥ 250) staged as TWO parquet files so
     maxFilesPerTrigger can exercise multiple micro-batches."""
-    key = (id(spark), sf_dir)
+    key = (*_session_key(spark), sf_dir)
     if key not in _DOCS_STREAM_SRC:
         import tempfile
 
@@ -3718,7 +3729,7 @@ def ext_streaming_incremental_dedup(spark, sf_dir):
     # point (the index outlives every ingest); re-measuring the
     # signing inside each run would time the wrong thing. The STREAM
     # side below is re-run in full every call (memoize=False).
-    key = (id(spark), sf_dir, "hist_idx")
+    key = (*_session_key(spark), sf_dir, "hist_idx")
     if key not in _DOCS_STREAM_SRC:
         minhash_signatures(
             d.filter(F.col("doc_id") < 250), "text", "doc_id", portable=True
@@ -6432,7 +6443,7 @@ def _embedding_near_dup_index(spark, sf_dir):
     has the ``connected_components`` output schema (id, component)."""
     from .operators.dedup import connected_components
 
-    key = (id(spark), sf_dir)
+    key = (*_session_key(spark), sf_dir)
     if key not in _ND_INDEX:
         pairs, nodes = _embedding_near_dup_inputs(spark, sf_dir)
         pairs = pairs.localCheckpoint(eager=True)
@@ -7992,7 +8003,7 @@ def _pq_chain(spark, sf_dir):
     later one reads the checkpointed frames."""
     from .operators.similarity import pq_assign, pq_train
 
-    key = (id(spark), sf_dir)
+    key = (*_session_key(spark), sf_dir)
     if key not in _PQ_INDEX:
         emb = load(spark, sf_dir, "embeddings")
         cb = pq_train(
@@ -8022,7 +8033,7 @@ def _cosine_ground_truth_topk(spark, sf_dir, k=5):
     does NOT read this index: it IS the timed brute-force baseline."""
     from .operators.similarity import brute_force_topk
 
-    key = (id(spark), sf_dir, "cos", k)
+    key = (*_session_key(spark), sf_dir, "cos", k)
     if key not in _GT_INDEX:
         emb = load(spark, sf_dir, "embeddings")
         queries = emb.filter(F.col("vec_id") < 8).select(
@@ -8043,7 +8054,7 @@ def _scaled_l2_ground_truth_topk(spark, sf_dir):
     twice before this index). Shaped (query_id, rank, vec_id)."""
     from .operators.similarity import exact_l2_topk_scaled
 
-    key = (id(spark), sf_dir, "l2", _PQ_K)
+    key = (*_session_key(spark), sf_dir, "l2", _PQ_K)
     if key not in _GT_INDEX:
         emb, _, _ = _pq_chain(spark, sf_dir)
         qid, qv = _pq_query_vec(spark, sf_dir)
@@ -8302,7 +8313,7 @@ def _ivfpq_chain(spark, sf_dir):
     from .contract_ivf_centroids import IVF_CENTROIDS
     from .operators.similarity import ivfpq_encode
 
-    key = (id(spark), sf_dir)
+    key = (*_session_key(spark), sf_dir)
     if key not in _IVFPQ_INDEX:
         emb = load(spark, sf_dir, "embeddings")
         cb, codes = ivfpq_encode(
@@ -8650,7 +8661,7 @@ def _nb_margin_probabilities(spark, sf_dir):
     move it here)."""
     from .operators.classify import _surrogate_p, nb_margin, nb_score, nb_train
 
-    key = (id(spark), sf_dir)
+    key = (*_session_key(spark), sf_dir)
     if key not in _NB_MARGIN_INDEX:
         d = load(spark, sf_dir, "documents")
         train = d.filter(F.col("doc_id") % 5 != 0)
@@ -8684,7 +8695,7 @@ calsc AS (
   FROM margins m JOIN (SELECT DISTINCT doc_id, lang FROM heldout) h USING (doc_id)
 ),
 calbins AS (
-  SELECT least(CAST(floor(score * 10) AS INT), 9) AS bin_id,
+  SELECT greatest(0, least(CAST(floor(score * 10) AS INT), 9)) AS bin_id,
          COUNT(*) AS n,
          CAST(SUM(y) AS BIGINT) AS n_pos,
          CAST(SUM(CAST(round(score, 12) AS DECIMAL(38,12))) AS DOUBLE) AS s
@@ -8863,7 +8874,17 @@ rem{t} AS (
     return sql + "\n" + union
 
 
-@query("ext_mmr_diverse_topk", oracle=_mmr_oracle(), memoize=False)
+@query(
+    "ext_mmr_diverse_topk",
+    # _materialize_ctes (ADVICE r10): mpairs/cand/rem{t} are
+    # multi-referenced across the k unrolled greedy rounds — without
+    # the hint DuckDB re-inlines them and re-runs the corpus-sized
+    # candidate producer per reference (the same artifact the r10
+    # semdedup fix removed; BASELINE recorded 157.9 s at sf10 for what
+    # is ≤C²-bounded work after the candidate scan).
+    oracle=_materialize_ctes(_mmr_oracle()),
+    memoize=False,
+)
 def ext_mmr_diverse_topk(spark, sf_dir):
     """MMR diversity re-ranking (operators/similarity.mmr_topk,
     Carbonell & Goldstein 1998): greedy λ=0.7 selection of 5 from the
@@ -8994,7 +9015,7 @@ calsc AS (
   FROM margins m JOIN (SELECT DISTINCT doc_id, lang FROM heldout) h USING (doc_id)
 ),
 perbin AS (
-  SELECT least(CAST(floor(score * 10) AS INT), 9) AS bin_id,
+  SELECT greatest(0, least(CAST(floor(score * 10) AS INT), 9)) AS bin_id,
          COUNT(*) AS n,
          CAST(SUM(y) AS BIGINT) AS n_pos,
          CAST(SUM(CAST(round(score, 12) AS DECIMAL(38,12))) AS DOUBLE) AS s,

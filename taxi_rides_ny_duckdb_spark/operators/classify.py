@@ -467,9 +467,11 @@ def calibration_bins(
     what they say: a 0.9-bin should be ~90% positive before "keep if
     p>0.9" is a defensible curation gate).
 
-    Equal-width binning on [0, 1]: bin_id = min(⌊score·B⌋, B−1) — pure
-    double product + floor, identical in both engines on identical
-    9dp-rounded score inputs. Per non-empty bin: n, n_pos, mean score
+    Equal-width binning on [0, 1]: bin_id = max(0, min(⌊score·B⌋,
+    B−1)) — pure double product + floor, identical in both engines on
+    identical 9dp-rounded score inputs; the clamp is two-sided (ADVICE
+    r10) so an out-of-[0,1] score column degrades to the edge bins
+    instead of emitting a negative bin_id. Per non-empty bin: n, n_pos, mean score
     (12dp-decimal order-free sum, the house float-agg discipline,
     presented /n as double), empirical positive rate, and the
     |confidence − accuracy| gap. ECE = Σ_b (n_b/N)·gap_b over the ≤B
@@ -484,8 +486,9 @@ def calibration_bins(
     Output: (bin_id, n, n_pos, mean_score_r, frac_pos_r, gap_r, ece_r)
     — ece_r repeated per row (single-frame contract convention)."""
     s = F.col(score_col)
-    b = F.least(
-        F.floor(s * n_bins).cast("int"), F.lit(n_bins - 1)
+    b = F.greatest(
+        F.lit(0),
+        F.least(F.floor(s * n_bins).cast("int"), F.lit(n_bins - 1)),
     ).alias("bin_id")
     agg = scored.groupBy(b).agg(
         F.count(F.lit(1)).alias("n"),
@@ -542,8 +545,9 @@ def brier_decomposition(
     (n, brier_r, reliability_r, resolution_r, uncertainty_r)."""
     s = F.col(score_col)
     y = F.col(label_col).cast("int")
-    b = F.least(
-        F.floor(s * n_bins).cast("int"), F.lit(n_bins - 1)
+    b = F.greatest(
+        F.lit(0),
+        F.least(F.floor(s * n_bins).cast("int"), F.lit(n_bins - 1)),
     ).alias("bin_id")
     per_bin = scored.groupBy(b).agg(
         F.count(F.lit(1)).alias("n"),

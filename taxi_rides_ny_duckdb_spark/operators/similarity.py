@@ -2574,6 +2574,10 @@ def hamming_topk(
       materializes as rows.
 
     Output: (query_id, rank, vec_id, hamming_d)."""
+    if strategy not in ("expr", "arrow"):
+        raise ValueError(
+            f"strategy must be 'expr' or 'arrow', got {strategy!r}"
+        )
     w = Window.partitionBy(query_id).orderBy(
         F.col("hamming_d").asc(), F.col(corpus_id).asc()
     )
