@@ -4138,6 +4138,53 @@ def test_ranking_quality_hand_computed_partial(spark):
     assert got["ndcg_at_k"] == round(dcg / idcg, 9)
 
 
+def test_brute_force_topk_int64_matches_metric_and_guards(spark, sf_dir):
+    """The scaled-int64 GT producer: (a) a query drawn from the corpus
+    ranks itself first at cosine 1.0 − O(ulp) (own dot == own squared
+    norm exactly in integer math; the final n/(√n·√n) leaves ≤1 ulp of
+    float residue — deterministic, part of the defined metric); (b)
+    the returned cosine agrees with the
+    float-fold cosine within the quantization envelope (~1e-6 at
+    scale=1e6); (c) the 2^53 overflow/precision guard raises on
+    coordinates too large for the scale."""
+    from taxi_rides_ny_duckdb_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_int64,
+    )
+    from taxi_rides_ny_duckdb_spark.sources.registry import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id < 4").selectExpr(
+        "vec_id AS query_id", "embedding AS query_vec"
+    )
+    got = brute_force_topk_int64(emb, queries, k=5).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2, 3}
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert rows[0]["vec_id"] == q
+        assert abs(rows[0]["cosine_sim"] - 1.0) < 1e-12
+    flt = {
+        (r["query_id"], r["vec_id"]): r["cosine_sim"]
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    for r in got:
+        key = (r["query_id"], r["vec_id"])
+        if key in flt:
+            assert abs(r["cosine_sim"] - flt[key]) < 5e-6
+
+    big = spark.createDataFrame(
+        [(0, [1e3] * 64), (1, [2e3] * 64)], "vec_id long, embedding array<double>"
+    )
+    bq = big.selectExpr("vec_id AS query_id", "embedding AS query_vec")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="2\\^53"):
+        brute_force_topk_int64(big, bq, k=1).collect()
+
+
 def test_binary_sign_words_packs_expected(spark):
     """binary_sign_words packs coord>0 sign bits little-endian, 32 per
     word: hand-built vectors with known sign patterns must produce the
@@ -4179,6 +4226,39 @@ def test_hamming_topk_self_rank1_and_tie_break(spark):
     got = hamming_topk(cb, qb, k=3).collect()
     got = sorted(got, key=lambda r: r["rank"])
     assert [(r["vec_id"], r["hamming_d"]) for r in got] == [(0, 0), (5, 1), (9, 1)]
+
+
+def test_hamming_topk_fused_bit_equals_two_pass(spark, sf_dir):
+    """The fused pack+scan (one Arrow pass over the floats) returns
+    EXACTLY the two-pass binary_quantize → hamming_topk result — same
+    ids, ranks, and distances (the packing comparison and xor/popcount
+    are exact integer math in both forms)."""
+    from taxi_rides_ny_duckdb_spark.operators.similarity import (
+        binary_quantize,
+        hamming_topk,
+        hamming_topk_fused,
+    )
+    from taxi_rides_ny_duckdb_spark.sources.registry import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id < 4").selectExpr(
+        "vec_id AS query_id", "embedding AS query_vec"
+    )
+    fused = sorted(
+        hamming_topk_fused(emb, queries, dim=64, k=5).collect(),
+        key=lambda r: (r["query_id"], r["rank"]),
+    )
+    two_pass = sorted(
+        hamming_topk(
+            binary_quantize(emb, 64),
+            binary_quantize(emb.filter("vec_id < 4"), 64).selectExpr(
+                "vec_id AS query_id", "bits"
+            ),
+            k=5,
+        ).collect(),
+        key=lambda r: (r["query_id"], r["rank"]),
+    )
+    assert [tuple(r) for r in fused] == [tuple(r) for r in two_pass]
 
 
 def test_hamming_rerank_recall_dominates_raw_hamming(spark, sf_dir):
