@@ -6080,18 +6080,16 @@ def ext_classifier_auc(spark, sf_dir):
     cardinality; for unbounded scores the corpus_shuffle range-bucket +
     driver prefix-sum pattern replaces the single window). All rank
     arithmetic is exact-integer (2·avg_rank) in DECIMAL — both engines
-    agree before the one presentation round."""
-    from .operators.classify import auc_exact, nb_margin, nb_score, nb_train
+    agree before the one presentation round. r11: reads the shared
+    NB-margin index (_nb_margin_probabilities — the index now carries
+    the raw margin_r beside p_r, so AUC/ECE/Brier all charge the NB
+    train+score chain once per corpus snapshot; AUC ranks margin_r,
+    not the rounded sigmoid, preserving the exact tie structure the
+    oracle replays)."""
+    from .operators.classify import auc_exact
 
-    d = load(spark, sf_dir, "documents")
-    train = d.filter(F.col("doc_id") % 5 != 0)
-    heldout = d.filter(F.col("doc_id") % 5 == 0)
-    token_logp, label_stats = nb_train(train, "text", "lang")
-    scores = nb_score(heldout, "text", "doc_id", token_logp, label_stats)
-    margins = nb_margin(scores, "doc_id", "en")
-    labeled = margins.join(
-        heldout.select("doc_id", (F.col("lang") == "en").cast("int").alias("is_pos")),
-        "doc_id",
+    labeled = _nb_margin_probabilities(spark, sf_dir).select(
+        "doc_id", "margin_r", F.col("is_positive").cast("int").alias("is_pos")
     )
     return _count_pin(auc_exact(labeled, "margin_r", "is_pos"), "n_pos", "auc_r")
 
@@ -8693,18 +8691,20 @@ _NB_MARGIN_INDEX: dict = {}
 
 
 def _nb_margin_probabilities(spark, sf_dir):
-    """(doc_id, p_r, is_positive) — the NB language filter's
-    surrogate-sigmoid probabilities on the held-out split, built ONCE
-    per (session, dataset) and localCheckpointed: the `_GT_INDEX`
-    amortization applied to classifier evaluation. The NB train+score
-    chain (two corpus tokenize scans) is the whole cost of every
-    calibration metric; ext_classifier_calibration_ece and
-    ext_brier_decomposition both read this frame (the scores are
-    scored once per corpus snapshot in production, then every metric
-    reads the score table). ext_classifier_auc keeps computing its
-    chain live this round (wiring it through the index changes its
-    execution and the r10 window is sealed — the r11 rotation should
-    move it here)."""
+    """(doc_id, margin_r, p_r, is_positive) — the NB language filter's
+    one-vs-rest margins AND surrogate-sigmoid probabilities on the
+    held-out split, built ONCE per (session, dataset) and
+    localCheckpointed: the `_GT_INDEX` amortization applied to
+    classifier evaluation. The NB train+score chain (two corpus
+    tokenize scans) is the whole cost of every evaluation metric; the
+    WHOLE ladder reads this frame — ext_classifier_auc ranks the raw
+    margin_r (AUC on the 9dp-rounded p_r would merge distinct margins
+    the monotone sigmoid + rounding collapses, changing the
+    tie-corrected ranks), ext_classifier_calibration_ece and
+    ext_brier_decomposition bin p_r (scores are computed once per
+    corpus snapshot in production; every metric reads the score
+    table). r11 close of the r10 builder note that AUC still ran its
+    chain live."""
     from .operators.classify import _surrogate_p, nb_margin, nb_score, nb_train
 
     key = (*_session_key(spark), sf_dir)
@@ -8716,7 +8716,9 @@ def _nb_margin_probabilities(spark, sf_dir):
         scores = nb_score(heldout, "text", "doc_id", token_logp, label_stats)
         m = nb_margin(scores, "doc_id", "en")
         labeled = m.select(
-            "doc_id", _surrogate_p(F.col("margin_r"), 9).alias("p_r")
+            "doc_id",
+            "margin_r",
+            _surrogate_p(F.col("margin_r"), 9).alias("p_r"),
         ).join(
             heldout.select(
                 "doc_id", (F.col("lang") == "en").alias("is_positive")

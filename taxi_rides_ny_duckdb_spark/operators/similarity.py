@@ -326,60 +326,78 @@ def train_ivf_centroids_two_level(
     vec_col: str = "embedding",
     seed: int = 42,
     max_train: int = 100_000,
+    iters: int = 4,
 ) -> list[list[float]]:
     """Two-level IVF training — the ``semdedup_auto`` hierarchical
     trick offered on ``ivf_topk``'s training path (VERDICT r9 task 1):
     for quantizers big enough that even the SAMPLE-bounded flat
     training is dominated by the O(sample·nlist·dim) assignment,
     train ⌈√nlist⌉ coarse centroids (pyspark.ml Lloyd, JVM-side),
-    split the training slice into branches, and train each branch's
-    sub-quantizer on its own members — branch k budgets proportional
-    to branch mass, summing to ~nlist. Total assignment work per
-    Lloyd pass drops to O(sample·√nlist·dim) and each sub-problem is
-    branch-sized. Returns a FLAT centroid list (branch-major), drop-in
-    for ``ivf_topk(centroids=...)`` — the probe side still ranks all
-    nlist lists per query (queries are the bounded side; at very
-    large nlist the next rung is a hierarchical probe, the same
+    split the training slice into branches, and train ALL branch
+    sub-quantizers SIMULTANEOUSLY in ONE ``kmeans_lloyd_grouped`` job
+    (r11, VERDICT r10 task 6 — this previously looped √nlist
+    driver-side KMeans fits; the cogrouped trainer is the
+    ``_semdedup_two_level`` shape: centroids as data, zero per-branch
+    driver state). Branch k budgets are proportional to branch mass
+    (summing to ~nlist); branch init = first k_b members by id (the
+    house deterministic init — a branch with ≤ k_b members keeps its
+    members as its centroids, the old passthrough, because Lloyd is
+    stationary there). Total assignment work per pass is
+    O(sample·√nlist·dim) and each cogroup sub-problem is branch-sized.
+    Returns a FLAT centroid list (branch-major (bid, scid) order),
+    drop-in for ``ivf_topk(centroids=...)`` — the probe side still
+    ranks all nlist lists per query (queries are the bounded side; at
+    very large nlist the next rung is a hierarchical probe, the same
     two-level asymmetry FAISS's IVF-on-IVF uses). Deterministic for
     fixed seed + slice, like ``train_ivf_centroids``."""
     import math as _math
-
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
 
     if nlist < 1:
         raise ValueError(f"nlist must be >= 1, got {nlist}")
     n1 = max(1, _math.ceil(_math.sqrt(nlist)))
     coarse = train_ivf_centroids(corpus, n1, vec_col, seed, max_train)
-    train = assign_nearest_centroid(
-        corpus.select(_as_double_array(F.col(vec_col)).alias("__tv")).limit(
-            max_train
-        ),
-        coarse,
-        vec_col="__tv",
-        out_col="__branch",
-    ).persist()
-    counts = {
-        r["__branch"]: r["n"]
-        for r in train.groupBy("__branch").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    total = sum(counts.values())
-    out: list[list[float]] = []
-    for b in sorted(counts):
-        k_b = max(1, round(nlist * counts[b] / total))
-        sub = train.filter(F.col("__branch") == b).select(
-            array_to_vector(F.col("__tv")).alias("features")
+    train = scoped_persist(
+        assign_nearest_centroid(
+            corpus.select(_as_double_array(F.col(vec_col)).alias("__tv"))
+            .limit(max_train)
+            .withColumn("__tid", F.monotonically_increasing_id()),
+            coarse,
+            vec_col="__tv",
+            out_col="bid",
         )
-        if counts[b] <= k_b:
-            out.extend(
-                [float(x) for x in r["__tv"]]
-                for r in train.filter(F.col("__branch") == b).collect()
-            )
-            continue
-        model = KMeans(k=k_b, seed=seed + b, maxIter=20).fit(sub)
-        out.extend([float(x) for x in c] for c in model.clusterCenters())
-    train.unpersist()
-    return out
+    )
+    counts = {
+        r["bid"]: r["n"]
+        for r in train.groupBy("bid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }  # n1-bounded driver sync
+    total = sum(counts.values())
+    budgets = {
+        b: max(1, round(nlist * counts[b] / total)) for b in sorted(counts)
+    }
+    kb = F.create_map(
+        *[F.lit(x) for pair in budgets.items() for x in pair]
+    )[F.col("bid")]
+    # init order = the vector VALUES (arrays are orderable), not the
+    # synthetic __tid: layout-independent first-k init (the __tid row
+    # number is plumbing for the grouped E-step and never affects the
+    # trained centroids — assignments key it, the M-step groups only
+    # by (bid, scid)).
+    worder = Window.partitionBy("bid").orderBy(F.col("__tv").asc())
+    init_cents = (
+        train.withColumn("__rn", F.row_number().over(worder))
+        .filter(F.col("__rn") <= kb)
+        .select(
+            F.col("bid"),
+            (F.col("__rn") - 1).cast("int").alias("scid"),
+            F.col("__tv").alias("cv"),
+        )
+    )
+    cents = kmeans_lloyd_grouped(
+        train, init_cents, id_col="__tid", vec_col="__tv", group_col="bid",
+        iters=iters,
+    )
+    rows = cents.orderBy("bid", "scid").collect()  # |leaf|-bounded
+    return [[float(x) for x in r["cv"]] for r in rows]
 
 
 def _centroid_ranking(
