@@ -91,6 +91,39 @@ def query(
 # (tests/test_contract_parity.py, collect-compare + driver-faithful
 # pandas-hash).
 #
+# ROUND-11 drawing, never-windowed-first (the standing rule):
+# 1. The reference taxi DAG keeps the permanent 8-slot prefix.
+# 2. 1 query with NO driver evidence: ext_semdedup_hier3 (new this
+#    round — the three-level quantizer recursion, VERDICT r10 task 1,
+#    with a full unrolled two-grouped-chain oracle).
+# 3. The 12 queries whose EXECUTION or ORACLE changed this round:
+#    - ext_semdedup_auto, ext_semdedup_hier (the two-level body was
+#      rewritten into the L-level loop _semdedup_multilevel — L=2
+#      output is bit-identical, but the executing code is new);
+#    - ext_ann_recall_eval, ext_retrieval_ranking_quality,
+#      ext_binary_hamming_recall (ground truth switched to the
+#      scaled-int64 Arrow producer; oracles now replay
+#      _INT_TOPK_ORACLE);
+#    - ext_binary_hamming_topk, ext_binary_hamming_rerank (fused
+#      pack+scan stage 1);
+#    - ext_embedding_mean_pool (mapInPandas blocked sum + floor-based
+#      int64 addend quantization in both engines);
+#    - ext_mmr_diverse_topk (oracle wrapped in AS MATERIALIZED —
+#      ADVICE r10);
+#    - ext_classifier_calibration_ece, ext_brier_decomposition
+#      (two-sided bin clamp both engines; index frame gained
+#      margin_r), ext_classifier_auc (now reads the shared NB-margin
+#      index).
+# 4. The remaining 29 slots refresh the oldest driver evidence,
+#    oldest-first (computed from the union of CORRECTNESS_r0* green
+#    rows): the 15 r5-era rows that ceded slots across r9/r10
+#    (ext_semi_join ... q6_forecast_revenue — the whole remaining r5
+#    cohort, which this drawing finally clears), then the 14
+#    alphabetically-first r6-era rows. The r3-era taxi singles
+#    (j1/j2/p2/s1/u1/w1/x2-x5) run VERBATIM inside the permanent
+#    prefix every round — the documented transitive-coverage class.
+#
+# Previous drawing kept below for the r10 audit trail.
 # ROUND-10 drawing, never-windowed-first (the standing rule):
 # 1. The reference taxi DAG keeps the permanent 8-slot prefix (the
 #    parity claim the whole repo makes, re-verified every round).
@@ -137,6 +170,65 @@ def query(
 #    outside this window on r6-r9 green rows.
 DRIVER_WINDOW: tuple[str, ...] = (
     # 1. Reference taxi DAG -- permanent prefix.
+    "taxi_stg_green_tripdata",
+    "taxi_stg_yellow_tripdata",
+    "taxi_dim_zones",
+    "taxi_fact_trips",
+    "taxi_dm_monthly_zone_revenue",
+    "taxi_dm_monthly_zone_statistics",
+    "taxi_metric_average_distance_month",
+    "taxi_metric_avg_distance_manhattan_quarter",
+    # 2. Never driver-verified (r11).
+    "ext_semdedup_hier3",
+    # 3. Execution/oracle changed this round (r10-green rows stale).
+    "ext_semdedup_auto",
+    "ext_semdedup_hier",
+    "ext_ann_recall_eval",
+    "ext_retrieval_ranking_quality",
+    "ext_binary_hamming_recall",
+    "ext_binary_hamming_topk",
+    "ext_binary_hamming_rerank",
+    "ext_embedding_mean_pool",
+    "ext_mmr_diverse_topk",
+    "ext_classifier_calibration_ece",
+    "ext_brier_decomposition",
+    "ext_classifier_auc",
+    # 4. Oldest-evidence refresh: the 15 remaining r5-era rows (the
+    #    cohort is now fully cleared), then the 14 alphabetically-
+    #    first r6-era rows.
+    "ext_semi_join",
+    "ext_set_except",
+    "ext_set_intersect",
+    "ext_set_union_distinct",
+    "ext_stratified_sample",
+    "ext_streaming_tumbling",
+    "ext_text_explode_tokens",
+    "ext_text_repetition_ratio",
+    "ext_train_val_split",
+    "ext_unpivot_measures",
+    "ext_window_rank_family",
+    "ext_window_running_sum",
+    "q12_priority_classes",
+    "q19_bracketed_revenue",
+    "q6_forecast_revenue",
+    "a1_pricing_summary",
+    "a9_conditional_agg_promo",
+    "ext_bucketed_join_colocated",
+    "ext_decontaminate_bloom",
+    "ext_dedup_minhash_lsh",
+    "ext_dedup_ngram_jaccard",
+    "ext_epoch_upsample",
+    "ext_hard_negative_topk",
+    "ext_mixture_sample",
+    "ext_mixture_sample_tokens",
+    "ext_partitioned_sink_prune",
+    "ext_quality_robust_normalize",
+    "ext_quantile_binning",
+    "ext_similarity_ivf_topk",
+)
+
+# ROUND-10 drawing (superseded -- kept for the audit trail):
+_DRIVER_WINDOW_R10: tuple[str, ...] = (
     "taxi_stg_green_tripdata",
     "taxi_stg_yellow_tripdata",
     "taxi_dim_zones",

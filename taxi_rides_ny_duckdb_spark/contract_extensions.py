@@ -7324,49 +7324,59 @@ def ext_semdedup_auto(spark, sf_dir):
     )
 
 
-def _grouped_lloyd_ctes(iters: int, dim: int) -> str:
-    """The per-iteration GROUPED Lloyd CTE chain for the two-level
-    quantizer oracle: requires CTEs ``dims`` (vec_id, j, x), ``asgB``
-    (vec_id, bid — the coarse branch assignment) and ``sc0`` (bid,
-    scid, cv — per-branch init sub-centroids) upstream. For t in
-    0..iters-1 emits gdd{t} (scaled-integer LONG distance sums of each
-    vector against ITS OWN BRANCH's sub-centroids — the join on bid is
-    the hierarchy), gasg{t} (ties-to-lower-scid argmin), gst{t}
-    (per-(bid, scid, dim) 12dp DECIMAL coordinate sums + counts) and
-    sc{t+1} (9dp half-away means, empty sub-clusters carrying the
-    previous centroid) — exactly operators/similarity.
-    kmeans_lloyd_grouped's arithmetic."""
+def _grouped_lloyd_ctes(
+    iters: int,
+    dim: int,
+    dd: str = "gdd",
+    asg: str = "gasg",
+    st: str = "gst",
+    sc: str = "sc",
+    asg_in: str = "asgB",
+) -> str:
+    """The per-iteration GROUPED Lloyd CTE chain for the hierarchical
+    quantizer oracles: requires CTEs ``dims`` (vec_id, j, x),
+    ``asg_in`` (vec_id, bid — the node assignment of the level above)
+    and ``{sc}0`` (bid, scid, cv — per-node init sub-centroids)
+    upstream. For t in 0..iters-1 emits {dd}{t} (scaled-integer LONG
+    distance sums of each vector against ITS OWN NODE's sub-centroids
+    — the join on bid is the hierarchy), {asg}{t} (ties-to-lower-scid
+    argmin), {st}{t} (per-(bid, scid, dim) 12dp DECIMAL coordinate
+    sums + counts) and {sc}{t+1} (9dp half-away means, empty
+    sub-clusters carrying the previous centroid) — exactly
+    operators/similarity.kmeans_lloyd_grouped's arithmetic. The name
+    parameters (r11) let one oracle instantiate the chain once per
+    hierarchy level (``ext_semdedup_hier3`` runs it twice)."""
     out = ""
     for t in range(iters):
         out += f""",
-gdd{t} AS (
+{dd}{t} AS (
   SELECT d.vec_id, c.bid, c.scid,
          CAST(SUM(CAST(round((d.x - c.cv[d.j]) * (d.x - c.cv[d.j]) * 1000000000000.0)
                        AS BIGINT)) AS BIGINT) AS d2
-  FROM dims d JOIN asgB ab ON ab.vec_id = d.vec_id
-  JOIN sc{t} c ON c.bid = ab.bid
+  FROM dims d JOIN {asg_in} ab ON ab.vec_id = d.vec_id
+  JOIN {sc}{t} c ON c.bid = ab.bid
   GROUP BY d.vec_id, c.bid, c.scid
 ),
-gasg{t} AS (
+{asg}{t} AS (
   SELECT vec_id, bid, scid FROM (
     SELECT vec_id, bid, scid,
            row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, scid ASC) AS rn
-    FROM gdd{t}
+    FROM {dd}{t}
   ) WHERE rn = 1
 ),
-gst{t} AS (
+{st}{t} AS (
   SELECT a.bid, a.scid, d.j,
          CAST(SUM(CAST(round(d.x, 12) AS DECIMAL(38,12))) AS DOUBLE) AS s,
          COUNT(*) AS n
-  FROM dims d JOIN gasg{t} a USING (vec_id)
+  FROM dims d JOIN {asg}{t} a USING (vec_id)
   GROUP BY a.bid, a.scid, d.j
 ),
-sc{t + 1} AS (
+{sc}{t + 1} AS (
   SELECT c.bid, c.scid,
          list(COALESCE(round(st.s / st.n, 9), c.cv[g.j]) ORDER BY g.j) AS cv
-  FROM sc{t} c
+  FROM {sc}{t} c
   CROSS JOIN generate_series(1, {dim}) g(j)
-  LEFT JOIN gst{t} st ON st.bid = c.bid AND st.scid = c.scid AND st.j = g.j
+  LEFT JOIN {st}{t} st ON st.bid = c.bid AND st.scid = c.scid AND st.j = g.j
   GROUP BY c.bid, c.scid
 )"""
     return out
@@ -7526,6 +7536,231 @@ def ext_semdedup_hier(spark, sf_dir):
         semdedup_auto(
             emb, target_cluster_size=10, threshold=0.3, iters=2,
             max_flat_nlist=0,
+        ),
+        "keep", "component", "cent_sim_r",
+    )
+
+
+def _semdedup_hier3_oracle(
+    target: int = 4, iters: int = 2, dim: int = 64, threshold: float = 0.3
+) -> str:
+    """DuckDB replay of the THREE-LEVEL semdedup_auto path
+    (operators/similarity._semdedup_multilevel with levels=3)
+    end-to-end — the r11 rung above ``ext_semdedup_hier``'s two-level
+    oracle: nlist = ceil(N/target) as a scalar subquery; b₁ = the
+    smallest integer with b³ ≥ nlist via an EXACT integer range probe
+    (no float cube root at the decision point); coarse init = first b₁
+    vectors by id; the shared coarse Lloyd chain; branch assignment;
+    the level-2 split sized c = min{c : c² ≥ ⌈cnt/T⌉} through the
+    same two-down/two-up integer CASE correction chain the Spark
+    ``_iceil_root_col`` runs (both engines pin the exact integer root
+    regardless of their pow/sqrt ulp); the FIRST grouped Lloyd chain;
+    node densification via a row_number window over the level-2
+    centroid table; the level-3 split (⌈cnt/T⌉ leaves, the final-level
+    rule); the SECOND grouped Lloyd chain (name-prefixed h*); the
+    final within-node argmin; leaf densification; own-centroid cosine
+    (round 9); within-cluster pairs (round-before-threshold);
+    recursive-CTE transitive closure; keep = argmin(cent_sim_r, id)
+    per component."""
+    t = target
+    base = f"""
+WITH RECURSIVE v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+),
+dims AS (
+  SELECT vec_id, g.j, ev[g.j] AS x
+  FROM v CROSS JOIN generate_series(1, {dim}) g(j)
+),
+nl AS (
+  SELECT CAST(ceil(COUNT(*) / {target}.0) AS BIGINT) AS nlist FROM v
+),
+c0 AS (
+  SELECT CAST(rn - 1 AS INT) AS cid, ev AS cv FROM (
+    SELECT vec_id, ev, row_number() OVER (ORDER BY vec_id) AS rn FROM v
+  ) WHERE rn <= (SELECT min(t.b) FROM range(1, 100001) t(b)
+                 WHERE t.b * t.b * t.b >= (SELECT nlist FROM nl))
+)"""
+    base += _kmeans_iter_ctes(iters, dim)
+    base += f""",
+ddB AS (
+  SELECT d.vec_id, c.cid,
+         CAST(SUM(CAST(round((d.x - c.cv[d.j]) * (d.x - c.cv[d.j]) * 1000000000000.0)
+                       AS BIGINT)) AS BIGINT) AS d2
+  FROM dims d CROSS JOIN c{iters} c
+  GROUP BY d.vec_id, c.cid
+),
+asgB AS (
+  SELECT vec_id, cid AS bid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
+    FROM ddB
+  ) WHERE rn = 1
+),
+bc AS (
+  SELECT bid, COUNT(*) AS cnt FROM asgB GROUP BY bid
+),
+bm AS (
+  SELECT bid, (cnt + {t - 1}) // {t} AS m FROM bc
+),
+bs0 AS (
+  SELECT bid, m, CAST(floor(pow(CAST(m AS DOUBLE), 0.5)) AS BIGINT) AS e0 FROM bm
+),
+bs1 AS (SELECT *, CASE WHEN e0 * e0 > m THEN e0 - 1 ELSE e0 END AS e1 FROM bs0),
+bs2 AS (SELECT *, CASE WHEN e1 * e1 > m THEN e1 - 1 ELSE e1 END AS e2 FROM bs1),
+bs3 AS (SELECT *, CASE WHEN (e2 + 1) * (e2 + 1) <= m THEN e2 + 1 ELSE e2 END AS e3 FROM bs2),
+bs4 AS (SELECT *, CASE WHEN (e3 + 1) * (e3 + 1) <= m THEN e3 + 1 ELSE e3 END AS e4 FROM bs3),
+bk AS (
+  SELECT bid, greatest(1, CASE WHEN e4 * e4 >= m THEN e4 ELSE e4 + 1 END) AS c
+  FROM bs4
+),
+sc0 AS (
+  SELECT r.bid, CAST(r.rn - 1 AS INT) AS scid, v2.ev AS cv
+  FROM (
+    SELECT vec_id, bid,
+           row_number() OVER (PARTITION BY bid ORDER BY vec_id) AS rn
+    FROM asgB
+  ) r
+  JOIN bk ON bk.bid = r.bid
+  JOIN v v2 ON v2.vec_id = r.vec_id
+  WHERE r.rn <= bk.c
+)"""
+    base += _grouped_lloyd_ctes(iters, dim)
+    base += f""",
+gddF AS (
+  SELECT d.vec_id, c.bid, c.scid,
+         CAST(SUM(CAST(round((d.x - c.cv[d.j]) * (d.x - c.cv[d.j]) * 1000000000000.0)
+                       AS BIGINT)) AS BIGINT) AS d2
+  FROM dims d JOIN asgB ab ON ab.vec_id = d.vec_id
+  JOIN sc{iters} c ON c.bid = ab.bid
+  GROUP BY d.vec_id, c.bid, c.scid
+),
+gasgF AS (
+  SELECT vec_id, bid, scid FROM (
+    SELECT vec_id, bid, scid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, scid ASC) AS rn
+    FROM gddF
+  ) WHERE rn = 1
+),
+nidx AS (
+  SELECT bid, scid,
+         CAST(row_number() OVER (ORDER BY bid, scid) - 1 AS INT) AS nb
+  FROM sc{iters}
+),
+asgC AS (
+  SELECT g.vec_id, n.nb AS bid
+  FROM gasgF g JOIN nidx n ON n.bid = g.bid AND n.scid = g.scid
+),
+hcc AS (
+  SELECT bid, COUNT(*) AS cnt FROM asgC GROUP BY bid
+),
+hc0 AS (
+  SELECT r.bid, CAST(r.rn - 1 AS INT) AS scid, v2.ev AS cv
+  FROM (
+    SELECT vec_id, bid,
+           row_number() OVER (PARTITION BY bid ORDER BY vec_id) AS rn
+    FROM asgC
+  ) r
+  JOIN hcc ON hcc.bid = r.bid
+  JOIN v v2 ON v2.vec_id = r.vec_id
+  WHERE r.rn <= (hcc.cnt + {t - 1}) // {t}
+)"""
+    base += _grouped_lloyd_ctes(
+        iters, dim, dd="hdd", asg="hasg", st="hst", sc="hc", asg_in="asgC"
+    )
+    base += f""",
+hddF AS (
+  SELECT d.vec_id, c.bid, c.scid,
+         CAST(SUM(CAST(round((d.x - c.cv[d.j]) * (d.x - c.cv[d.j]) * 1000000000000.0)
+                       AS BIGINT)) AS BIGINT) AS d2
+  FROM dims d JOIN asgC ab ON ab.vec_id = d.vec_id
+  JOIN hc{iters} c ON c.bid = ab.bid
+  GROUP BY d.vec_id, c.bid, c.scid
+),
+hasgF AS (
+  SELECT vec_id, bid, scid FROM (
+    SELECT vec_id, bid, scid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, scid ASC) AS rn
+    FROM hddF
+  ) WHERE rn = 1
+),
+cidx AS (
+  SELECT bid, scid, cv,
+         CAST(row_number() OVER (ORDER BY bid, scid) - 1 AS INT) AS centroid_id
+  FROM hc{iters}
+),
+withsim AS (
+  SELECT a.vec_id, v.ev, cx.centroid_id,
+    round(CASE WHEN sqrt(list_sum(list_transform(generate_series(1, {dim}), i -> v.ev[i] * v.ev[i]))) > 0
+            AND sqrt(list_sum(list_transform(generate_series(1, {dim}), i -> cx.cv[i] * cx.cv[i]))) > 0
+    THEN list_sum(list_transform(generate_series(1, {dim}), i -> v.ev[i] * cx.cv[i]))
+         / (sqrt(list_sum(list_transform(generate_series(1, {dim}), i -> v.ev[i] * v.ev[i])))
+            * sqrt(list_sum(list_transform(generate_series(1, {dim}), i -> cx.cv[i] * cx.cv[i]))))
+    ELSE 0.0 END, 9) AS cent_sim_r
+  FROM hasgF a JOIN v ON v.vec_id = a.vec_id
+  JOIN cidx cx ON cx.bid = a.bid AND cx.scid = a.scid
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM withsim a JOIN withsim b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+  WHERE round(CASE WHEN sqrt(list_sum(list_transform(generate_series(1, {dim}), i -> a.ev[i] * a.ev[i]))) > 0
+            AND sqrt(list_sum(list_transform(generate_series(1, {dim}), i -> b.ev[i] * b.ev[i]))) > 0
+    THEN list_sum(list_transform(generate_series(1, {dim}), i -> a.ev[i] * b.ev[i]))
+         / (sqrt(list_sum(list_transform(generate_series(1, {dim}), i -> a.ev[i] * a.ev[i])))
+            * sqrt(list_sum(list_transform(generate_series(1, {dim}), i -> b.ev[i] * b.ev[i]))))
+    ELSE 0.0 END, 9) >= {threshold}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT vec_id, vec_id FROM v
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+),
+comp AS (
+  SELECT id, min(r) AS component FROM reach GROUP BY id
+)
+SELECT w.vec_id, w.centroid_id, c.component, w.cent_sim_r,
+       (row_number() OVER (PARTITION BY c.component
+                           ORDER BY w.cent_sim_r ASC, w.vec_id ASC) = 1) AS keep
+FROM withsim w JOIN comp c ON c.id = w.vec_id
+"""
+    return base
+
+
+@query(
+    "ext_semdedup_hier3",
+    oracle=_materialize_ctes(_semdedup_hier3_oracle()),
+    memoize=False,
+)
+def ext_semdedup_hier3(spark, sf_dir):
+    """THREE-LEVEL SemDeDup over the full embeddings table
+    (operators/similarity._semdedup_multilevel via semdedup_auto with
+    levels=3 forced, target_cluster_size=4, 2 Lloyd iterations per
+    level, threshold=0.3) — the r11 close of the r10-named residual
+    O(N^1.5) envelope: with nlist ∝ N the two-level form's
+    O(N·√nlist) assignment is still super-linear; the L-level
+    recursion makes it O(N·nlist^(1/L)·L), and semdedup_auto now
+    picks L so the per-level branch factor stays ≤ max_branch=16
+    (nlist^(1/L) ≤ 16). target=4 forces a real three-deep hierarchy
+    at sf0.01 (N=500 → nlist=125, b₁=5, level-2 ≈ ceil-√25=5-way,
+    level-3 ≈ ⌈cnt/4⌉-way) so the driver verifies the recursion
+    itself, not a degenerate tower. All sizing decisions are
+    integer-exact in both engines (range-probe cube root, the
+    two-down/two-up CASE-corrected square root); the oracle replays
+    both grouped Lloyd chains via the name-parametrized CTE
+    generator, plus densification, assignment, and the CC/keep
+    collapse. memoize=False: training collects per iteration."""
+    from .operators.similarity import semdedup_auto
+
+    emb = load(spark, sf_dir, "embeddings")
+    return _count_pin(
+        semdedup_auto(
+            emb, target_cluster_size=4, threshold=0.3, iters=2,
+            max_flat_nlist=0, levels=3,
         ),
         "keep", "component", "cent_sim_r",
     )

@@ -3665,6 +3665,55 @@ def test_semdedup_auto_two_level_collapses_exact_dups_like_flat(spark):
     assert sorted(map(tuple, hier)) == sorted(map(tuple, again))
 
 
+def test_semdedup_auto_three_level_collapses_exact_dups_like_flat(spark):
+    """The r11 L-level recursion at levels=3: same quantizer-choice-
+    independent invariants as the two-level test (exact dups share a
+    leaf hence a component; one keep per component; densified leaf
+    ids; determinism), plus the auto depth rule — a branch factor
+    above max_branch must force levels up."""
+    from taxi_rides_ny_duckdb_spark.operators.similarity import (
+        _int_ceil_root,
+        semdedup_auto,
+    )
+
+    rows = []
+    for i in range(90):
+        base = [0.0] * 8
+        base[i % 3] = 1.0
+        base[3 + (i % 5)] = 0.1 * ((i // 3) % 4)
+        rows.append((i, [float(x) for x in base]))
+    for k in range(5):  # exact dups of ids 0..4
+        rows.append((100 + k, rows[k][1]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semdedup_auto(
+        df, target_cluster_size=5, threshold=0.999, max_flat_nlist=0,
+        levels=3,
+    ).collect()
+    assert len(out) == 95
+    m = {r["vec_id"]: r["component"] for r in out}
+    for k in range(5):
+        assert m[k] == m[100 + k], "exact dup split across components"
+    by_comp: dict = {}
+    for r in out:
+        by_comp.setdefault(r["component"], []).append(r)
+    for comp_rows in by_comp.values():
+        assert sum(r["keep"] for r in comp_rows) == 1
+    cents = sorted({r["centroid_id"] for r in out})
+    assert cents[0] == 0 and cents == list(range(len(cents)))
+    again = semdedup_auto(
+        df, target_cluster_size=5, threshold=0.999, max_flat_nlist=0,
+        levels=3,
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # depth rule: smallest L with ceil-root(nlist, L) <= max_branch
+    assert _int_ceil_root(50, 2) == 8       # L=2 suffices at branch cap 16
+    assert _int_ceil_root(2000, 2) == 45    # cap 16 exceeded...
+    assert _int_ceil_root(2000, 3) == 13    # ...L=3 chosen
+    assert _int_ceil_root(20000, 3) == 28   # cap exceeded again...
+    assert _int_ceil_root(20000, 4) == 12   # ...L=4 chosen
+    assert _int_ceil_root(125, 3) == 5 and _int_ceil_root(1, 5) == 1
+
+
 def test_kmeans_assign_grouped_matches_flat_per_branch(spark):
     """The grouped cogroup E-step must reproduce kmeans_assign_arrow
     branch-by-branch (same scaled-int64 distance, ties to the lower
