@@ -113,7 +113,16 @@ def query(
 #    - ext_classifier_calibration_ece, ext_brier_decomposition
 #      (two-sided bin clamp both engines; index frame gained
 #      margin_r), ext_classifier_auc (now reads the shared NB-margin
-#      index).
+#      index);
+#    - ext_kmeans_train, ext_pq_topk, ext_pq_recall, ext_ivfpq_topk,
+#      ext_ivfpq_recall (the Lloyd M-step addend convention moved
+#      from DECIMAL(38,12) sums to round(x*1e12) LONG sums in BOTH
+#      engines — trained centroids, hence codes and recalls, take
+#      new values; these displace the 5 alphabetically-last refresh
+#      slots: ext_mixture_sample_tokens, ext_partitioned_sink_prune,
+#      ext_quality_robust_normalize, ext_quantile_binning,
+#      ext_similarity_ivf_topk — all r6-green and next in line for
+#      the r12 drawing).
 # 4. The remaining 29 slots refresh the oldest driver evidence,
 #    oldest-first (computed from the union of CORRECTNESS_r0* green
 #    rows): the 15 r5-era rows that ceded slots across r9/r10
@@ -193,8 +202,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ext_classifier_calibration_ece",
     "ext_brier_decomposition",
     "ext_classifier_auc",
+    "ext_kmeans_train",
+    "ext_pq_topk",
+    "ext_pq_recall",
+    "ext_ivfpq_topk",
+    "ext_ivfpq_recall",
     # 4. Oldest-evidence refresh: the 15 remaining r5-era rows (the
-    #    cohort is now fully cleared), then the 14 alphabetically-
+    #    cohort is now fully cleared), then the 9 alphabetically-
     #    first r6-era rows.
     "ext_semi_join",
     "ext_set_except",
@@ -220,11 +234,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ext_epoch_upsample",
     "ext_hard_negative_topk",
     "ext_mixture_sample",
-    "ext_mixture_sample_tokens",
-    "ext_partitioned_sink_prune",
-    "ext_quality_robust_normalize",
-    "ext_quantile_binning",
-    "ext_similarity_ivf_topk",
 )
 
 # ROUND-10 drawing (superseded -- kept for the audit trail):

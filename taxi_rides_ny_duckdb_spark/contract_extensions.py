@@ -7120,14 +7120,16 @@ asg{t} AS (
 ),
 st{t} AS (
   SELECT a.cid, d.j,
-         CAST(SUM(CAST(round(d.x, 12) AS DECIMAL(38,12))) AS DOUBLE) AS s,
+         CAST(CAST(SUM(CAST(round(d.x * 1000000000000.0) AS BIGINT)) AS BIGINT)
+              AS DOUBLE) AS s,
          COUNT(*) AS n
   FROM dims d JOIN asg{t} a USING (vec_id)
   GROUP BY a.cid, d.j
 ),
 c{t + 1} AS (
   SELECT c.cid,
-         list(COALESCE(round(st.s / st.n, 9), c.cv[g.j]) ORDER BY g.j) AS cv
+         list(COALESCE(round(st.s / 1000000000000.0 / st.n, 9), c.cv[g.j])
+              ORDER BY g.j) AS cv
   FROM c{t} c
   CROSS JOIN generate_series(1, {dim}) g(j)
   LEFT JOIN st{t} st ON st.cid = c.cid AND st.j = g.j
@@ -7366,14 +7368,16 @@ def _grouped_lloyd_ctes(
 ),
 {st}{t} AS (
   SELECT a.bid, a.scid, d.j,
-         CAST(SUM(CAST(round(d.x, 12) AS DECIMAL(38,12))) AS DOUBLE) AS s,
+         CAST(CAST(SUM(CAST(round(d.x * 1000000000000.0) AS BIGINT)) AS BIGINT)
+              AS DOUBLE) AS s,
          COUNT(*) AS n
   FROM dims d JOIN {asg}{t} a USING (vec_id)
   GROUP BY a.bid, a.scid, d.j
 ),
 {sc}{t + 1} AS (
   SELECT c.bid, c.scid,
-         list(COALESCE(round(st.s / st.n, 9), c.cv[g.j]) ORDER BY g.j) AS cv
+         list(COALESCE(round(st.s / 1000000000000.0 / st.n, 9), c.cv[g.j])
+              ORDER BY g.j) AS cv
   FROM {sc}{t} c
   CROSS JOIN generate_series(1, {dim}) g(j)
   LEFT JOIN {st}{t} st ON st.bid = c.bid AND st.scid = c.scid AND st.j = g.j

@@ -1450,8 +1450,8 @@ def _semdedup_multilevel(
     b₁ = min{b : b^L ≥ nlist}, then L−1 GROUPED splits, each training
     every node's sub-quantizer simultaneously with centroids as data
     (``kmeans_lloyd_grouped``). Every arithmetic step is the house
-    engine-exact discipline (scaled-int64 E-steps, 12dp-decimal/
-    9dp-half-away M-steps, round-before-threshold cosines), so the
+    engine-exact discipline (scaled-int64 E-steps AND M-step addends
+    — round(x·10¹²) LONG, r11 — with 9dp-half-away means, round-before-threshold cosines), so the
     whole pipeline replays in an unrolled SQL oracle — levels=2 is
     bit-identical to the r10 two-level path (``ext_semdedup_hier``'s
     oracle), levels=3 has its own full oracle (``ext_semdedup_hier3``).
@@ -1707,9 +1707,10 @@ def kmeans_lloyd(
     mis-assigning (unnormalized feature vectors with |coord| ~1e3+
     need pre-scaling; embeddings here are unit-scale); (2) the update joins the k-value assignment
     back to the cache (co-partitioned, exchange-free) and takes
-    per-(cid, dim) 12dp-quantized DECIMAL coordinate sums + counts —
-    ONE map-side-combined k·dim-bounded exchange; (3) the driver
-    applies round(sum/n, 9) and ships k·dim doubles back as next-round
+    per-(cid, dim) round(x·10¹²) LONG coordinate sums + counts (r11 —
+    exact order-free int64, replacing the interpreted DECIMAL(38,12)
+    adds) — ONE map-side-combined k·dim-bounded exchange; (3) the
+    driver applies round(sum/10¹²/n, 9) and ships k·dim doubles back as next-round
     literals. Empty clusters keep their previous centroid
     (deterministic, no re-seeding randomness). ONE action per
     iteration.
@@ -1826,12 +1827,22 @@ def kmeans_lloyd(
             ).select("cid", (F.col("pos") + 1).alias("j"), "x")
         else:
             upd = dims.join(_kmeans_assign_expr(dims, cents, id_col), id_col)
+        # M-step addends quantize through the E-step's OWN convention
+        # (r11): round(x·10¹²) cast LONG — each term exact, the sum an
+        # order-free int64 (the DECIMAL(38,12) form was semantically
+        # identical but ran interpreted BigDecimal adds over every
+        # exploded cell; LONG sums stay in codegen). The same
+        # expression replays in DuckDB (round = half-away both
+        # engines) and, when a numpy path needs it,
+        # floor(|x·10¹²|+0.5)·sign is the identical half-away map.
+        # Envelope (the embedding_pool class): a single cluster above
+        # ~7·10⁶ members at |x| ≈ 1.25 would overflow the int64 sum.
         rows = (
             upd.groupBy("cid", "j")
             .agg(
-                F.sum(F.round(F.col("x"), 12).cast("decimal(38,12)"))
-                .cast("double")
-                .alias("s"),
+                F.sum(F.round(F.col("x") * F.lit(1e12)).cast("long")).alias(
+                    "s"
+                ),
                 F.count(F.lit(1)).alias("n"),
             )
             .collect()
@@ -1842,7 +1853,9 @@ def kmeans_lloyd(
             sizes[cid] = n
         cents = [
             [
-                _round9_half_up(means[(ci, j)][0] / means[(ci, j)][1])
+                _round9_half_up(
+                    float(means[(ci, j)][0]) / 1e12 / means[(ci, j)][1]
+                )
                 if (ci, j) in means
                 else cents[ci][j - 1]
                 for j in range(1, dim + 1)
@@ -2080,7 +2093,7 @@ def kmeans_lloyd_grouped(
     cache, no repartition, no per-iteration join, the r10
     ``kmeans_lloyd`` arrow-path restructure); M-step = explode the
     carried (group, scid, vector) output, per-(group, scid, j)
-    12dp-quantized DECIMAL sums + counts (exactly ``kmeans_lloyd``'s
+    round(x·10¹²) LONG sums + counts (exactly ``kmeans_lloyd``'s r11
     update arithmetic, so a SQL oracle replays it verbatim), means
     9dp-half-away-rounded IN THE ENGINE (``F.round`` == DuckDB
     ``round`` — the cent_sim_r precedent); empty sub-clusters carry
@@ -2101,9 +2114,12 @@ def kmeans_lloyd_grouped(
             .select(group_col, "scid", (F.col("pos") + 1).alias("j"), "x")
             .groupBy(group_col, "scid", "j")
             .agg(
-                F.sum(F.round(F.col("x"), 12).cast("decimal(38,12)"))
-                .cast("double")
-                .alias("s"),
+                # round(x·10¹²) LONG addends — the flat trainer's r11
+                # M-step convention (exact order-free int64; the
+                # decimal form ran interpreted BigDecimal adds).
+                F.sum(F.round(F.col("x") * F.lit(1e12)).cast("long")).alias(
+                    "s"
+                ),
                 F.count(F.lit(1)).alias("n"),
             )
         )
@@ -2115,7 +2131,9 @@ def kmeans_lloyd_grouped(
                     F.collect_list(
                         F.struct(
                             F.col("j"),
-                            F.round(F.col("s") / F.col("n"), 9).alias("m"),
+                            F.round(
+                                F.col("s") / F.lit(1e12) / F.col("n"), 9
+                            ).alias("m"),
                         )
                     )
                 ),
