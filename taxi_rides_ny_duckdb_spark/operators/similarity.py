@@ -505,7 +505,7 @@ def ivf_topk(
     )
     c = c.withColumn(
         "__list", _centroid_ranking(F.col("__cv"), centroids, round_dp)[0]["i"]
-    )
+    ).withColumn("__n", l2_norm(F.col("__cv")))
     q = F.broadcast(
         queries.select(
             F.col(query_id),
@@ -519,9 +519,15 @@ def ivf_topk(
                     nprobe,
                 )["i"]
             ).alias("__list"),
-        )
+        ).withColumn("__qn", l2_norm(F.col("__qv")))
     )
-    score = cosine(F.col("__qv"), F.col("__cv"))
+    # norms precomputed per ROW (cosine_given_norms): the probed-pair
+    # loop then runs ONE interpreted fold per pair instead of three —
+    # bit-identical values (r11; the ext_embedding_near_dup_exact
+    # precedent, measured ~2.6x there).
+    score = cosine_given_norms(
+        F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__n")
+    )
     if score_round_dp is not None:
         score = F.round(score, score_round_dp)
     scored = c.join(q, "__list").select(
@@ -1494,8 +1500,11 @@ def _semdedup_multilevel(
     # expr only where BOTH the plan stays small (b1 ≤ max_expr_k) and
     # the corpus is small enough that Python-worker startup outweighs
     # the interpreted-expression cost (the sf10 profile: expr k=29 over
-    # the exploded corpus cost 67 s where arrow ran 28 s pre-carry_vec).
-    strategy = "arrow" if (b1 > max_expr_k or n > 20_000) else "expr"
+    # the exploded corpus cost 67 s where arrow ran 28 s pre-carry_vec;
+    # r11 tightened the corpus bound 20 000 → 2 000 after the sf1x
+    # boundary case — exactly 20 000 rows — fell into the interpreted
+    # regime when a deeper tower shrank b1 under max_expr_k).
+    strategy = "arrow" if (b1 > max_expr_k or n > 2_000) else "expr"
     coarse, _sizes = kmeans_lloyd(
         df, init, id_col=id_col, vec_col=vec_col, iters=iters, assign=strategy
     )
