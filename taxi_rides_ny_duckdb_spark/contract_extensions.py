@@ -7539,7 +7539,7 @@ def ext_semdedup_hier(spark, sf_dir):
     return _count_pin(
         semdedup_auto(
             emb, target_cluster_size=10, threshold=0.3, iters=2,
-            max_flat_nlist=0, levels=2,
+            max_flat_nlist=0,
         ),
         "keep", "component", "cent_sim_r",
     )
