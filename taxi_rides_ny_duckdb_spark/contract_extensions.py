@@ -7748,7 +7748,7 @@ def ext_semdedup_hier3(spark, sf_dir):
     O(N^1.5) envelope: with nlist ∝ N the two-level form's
     O(N·√nlist) assignment is still super-linear; the L-level
     recursion makes it O(N·nlist^(1/L)·L), and semdedup_auto now
-    picks L so the per-level branch factor stays ≤ max_branch=16
+    picks L so the per-level branch factor stays ≤ max_branch=64
     (nlist^(1/L) ≤ 16). target=4 forces a real three-deep hierarchy
     at sf0.01 (N=500 → nlist=125, b₁=5, level-2 ≈ ceil-√25=5-way,
     level-3 ≈ ⌈cnt/4⌉-way) so the driver verifies the recursion

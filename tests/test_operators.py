@@ -3706,11 +3706,12 @@ def test_semdedup_auto_three_level_collapses_exact_dups_like_flat(spark):
     ).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
     # depth rule: smallest L with ceil-root(nlist, L) <= max_branch
-    assert _int_ceil_root(50, 2) == 8       # L=2 suffices at branch cap 16
-    assert _int_ceil_root(2000, 2) == 45    # cap 16 exceeded...
-    assert _int_ceil_root(2000, 3) == 13    # ...L=3 chosen
-    assert _int_ceil_root(20000, 3) == 28   # cap exceeded again...
-    assert _int_ceil_root(20000, 4) == 12   # ...L=4 chosen
+    # (default 64 — the measured per-level-machinery crossover)
+    assert _int_ceil_root(2000, 2) == 45     # <= 64: L=2 at sf1x
+    assert _int_ceil_root(20000, 2) == 142   # cap exceeded at sf10x...
+    assert _int_ceil_root(20000, 3) == 28    # ...L=3 chosen
+    assert _int_ceil_root(2_000_000, 3) == 126  # next decade-ish...
+    assert _int_ceil_root(2_000_000, 4) == 38   # ...L=4 takes over
     assert _int_ceil_root(125, 3) == 5 and _int_ceil_root(1, 5) == 1
 
 
