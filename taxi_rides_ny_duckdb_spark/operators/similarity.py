@@ -151,8 +151,13 @@ def brute_force_topk_int64(
         F.col(query_id), _as_double_array(F.col(query_vec)).alias("__qv")
     ).collect()  # |Q|-bounded
     qids = [r[query_id] for r in qrows]
+    if not qids:
+        return corpus.sparkSession.createDataFrame(
+            [],
+            f"{query_id} long, rank int, {corpus_id} long, cosine_sim double",
+        )
     Q = np.asarray([list(r["__qv"]) for r in qrows], dtype=np.float64)
-    dim = Q.shape[1] if len(qids) else 0
+    dim = Q.shape[1]
     limit = 2**53
 
     def _scaled(X):
@@ -3017,6 +3022,10 @@ def hamming_topk_fused(
         F.col(query_id), _as_double_array(F.col(query_vec)).alias("__qv")
     ).collect()  # |Q|-bounded
     qids = [r[query_id] for r in qrows]
+    if not qids:
+        return corpus.sparkSession.createDataFrame(
+            [], f"{query_id} long, rank int, {corpus_id} long, hamming_d long"
+        )
     Qw = _pack_sign_bits_np(
         np.asarray([list(r["__qv"]) for r in qrows], dtype=np.float64),
         dim,
