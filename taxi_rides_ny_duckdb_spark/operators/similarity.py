@@ -2994,6 +2994,7 @@ def hamming_topk_fused(
     query_id: str = "query_id",
     query_vec: str = "query_vec",
     bits_per_word: int = 32,
+    carry_vec: bool = False,
 ) -> DataFrame:
     """``binary_quantize`` + ``hamming_topk(strategy='arrow')`` fused
     into ONE mapInPandas scan over the float embeddings (VERDICT r10
@@ -3013,7 +3014,13 @@ def hamming_topk_fused(
     are NOT materialized: one read of the floats, no intermediate.
 
     Output: (query_id, rank, vec_id, hamming_d) — identical to
-    ``hamming_topk`` on the same inputs."""
+    ``hamming_topk`` on the same inputs. ``carry_vec=True``
+    additionally passes each winner's float64 vector through
+    (bit-preserved via Arrow, the kmeans carry_vec precedent) as
+    ``__cv`` — ``hamming_rerank_topk`` rescopes the cascade to ONE
+    corpus read with it: the survivors (≤partitions·|Q|·k rows) carry
+    their own vectors, so the exact-cosine stage never touches the
+    corpus again."""
     import numpy as np
     import pandas as pd
 
@@ -3023,9 +3030,12 @@ def hamming_topk_fused(
     ).collect()  # |Q|-bounded
     qids = [r[query_id] for r in qrows]
     if not qids:
-        return corpus.sparkSession.createDataFrame(
-            [], f"{query_id} long, rank int, {corpus_id} long, hamming_d long"
+        empty_schema = (
+            f"{query_id} long, rank int, {corpus_id} long, hamming_d long"
         )
+        if carry_vec:
+            empty_schema += ", __cv array<double>"
+        return corpus.sparkSession.createDataFrame([], empty_schema)
     Qw = _pack_sign_bits_np(
         np.asarray([list(r["__qv"]) for r in qrows], dtype=np.float64),
         dim,
@@ -3039,32 +3049,39 @@ def hamming_topk_fused(
                 [pdf[f"__x{i}"].to_numpy() for i in range(dim)], axis=1
             )
             W = _pack_sign_bits_np(X, dim, bits_per_word)
-            out_q, out_id, out_d = [], [], []
+            out_q, out_id, out_d, out_v = [], [], [], []
             for qi, qid in enumerate(qids):
                 d = _popcount64(W ^ Qw[qi][None, :]).sum(axis=1)
                 top = np.lexsort((ids, d))[:k]
                 out_q.extend([qid] * len(top))
                 out_id.extend(ids[top])
                 out_d.extend(d[top])
-            yield pd.DataFrame(
-                {query_id: out_q, corpus_id: out_id, "hamming_d": out_d}
-            )
+                if carry_vec:
+                    out_v.extend(list(X[top]))
+            out = {query_id: out_q, corpus_id: out_id, "hamming_d": out_d}
+            if carry_vec:
+                out["__cv"] = out_v
+            yield pd.DataFrame(out)
 
     v = _as_double_array(F.col(corpus_vec))
     src = ensure_min_partitions(corpus).select(
         F.col(corpus_id),
         *[F.get(v, i).alias(f"__x{i}") for i in range(dim)],
     )
-    scored = src.mapInPandas(
-        fn, schema=f"{query_id} long, {corpus_id} long, hamming_d long"
-    )
+    schema = f"{query_id} long, {corpus_id} long, hamming_d long"
+    if carry_vec:
+        schema += ", __cv array<double>"
+    scored = src.mapInPandas(fn, schema=schema)
     w = Window.partitionBy(query_id).orderBy(
         F.col("hamming_d").asc(), F.col(corpus_id).asc()
     )
+    cols = [query_id, "rank", corpus_id, "hamming_d"]
+    if carry_vec:
+        cols.append("__cv")
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select(query_id, "rank", corpus_id, "hamming_d")
+        .select(*cols)
     )
 
 
@@ -3092,29 +3109,27 @@ def hamming_rerank_topk(
     Output: (query_id, rank, vec_id, hamming_d, cosine_sim)."""
     # Stage 1 is the FUSED pack+scan (r11): packing + distances in one
     # Arrow pass over the floats — bit-identical candidates to the
-    # binary_quantize → hamming_topk two-pass on the same inputs.
+    # binary_quantize → hamming_topk two-pass on the same inputs —
+    # and the winners CARRY their float vectors out (bit-preserved
+    # through Arrow), so stage 2's exact re-score never reads the
+    # corpus again: the whole cascade is ONE corpus pass, and the
+    # floats the cosine fold sees are the same doubles the original
+    # column holds (same oracle).
     cand = hamming_topk_fused(
         corpus, queries, dim, n_candidates,
         corpus_id=corpus_id, corpus_vec=corpus_vec,
-        query_id=query_id, query_vec=query_vec,
-    ).select(query_id, corpus_id, "hamming_d")
-    c = ensure_min_partitions(corpus).select(
-        F.col(corpus_id), _as_double_array(F.col(corpus_vec)).alias("__cv")
-    )
+        query_id=query_id, query_vec=query_vec, carry_vec=True,
+    ).select(query_id, corpus_id, "hamming_d", "__cv")
     qv = F.broadcast(
         queries.select(
             F.col(query_id), _as_double_array(F.col(query_vec)).alias("__qv")
         )
     )
-    scored = (
-        c.join(F.broadcast(cand), corpus_id)
-        .join(qv, query_id)
-        .select(
-            F.col(query_id),
-            F.col(corpus_id),
-            F.col("hamming_d"),
-            cosine(F.col("__qv"), F.col("__cv")).alias("cosine_sim"),
-        )
+    scored = cand.join(qv, query_id).select(
+        F.col(query_id),
+        F.col(corpus_id),
+        F.col("hamming_d"),
+        cosine(F.col("__qv"), F.col("__cv")).alias("cosine_sim"),
     )
     if score_round_dp is not None:
         scored = scored.withColumn(
