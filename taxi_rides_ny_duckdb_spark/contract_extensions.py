@@ -7193,7 +7193,8 @@ def ext_kmeans_train(spark, sf_dir):
         .collect()
     ]
     cents, sizes = kmeans_lloyd(
-        emb, init, id_col="vec_id", vec_col="embedding", iters=3
+        emb, init, id_col="vec_id", vec_col="embedding", iters=3,
+        assign="auto",
     )
     rows = []
     for cid, cv in enumerate(cents):

@@ -1771,8 +1771,23 @@ def kmeans_lloyd(
         raise ValueError(f"iters must be >= 1, got {iters}")
     if not init_centroids:
         raise ValueError("init_centroids must be non-empty")
-    if assign not in ("expr", "arrow"):
-        raise ValueError(f"assign must be 'expr' or 'arrow', got {assign!r}")
+    if assign not in ("expr", "arrow", "auto"):
+        raise ValueError(
+            f"assign must be 'expr', 'arrow' or 'auto', got {assign!r}"
+        )
+    if assign == "auto":
+        # strategies are bit-equal, so the choice is pure physics: expr
+        # only where BOTH the plan stays small AND the corpus is tiny
+        # enough that Python-worker startup outweighs the exploded-
+        # cache build + per-iteration join (the semdedup coarse-trainer
+        # rule, one count to decide — at sf10x the expr path's 12.8M-row
+        # exploded cache made ext_kmeans_train 7.9 s where arrow's
+        # fused-M-step passes run the same training in ~3 s).
+        assign = (
+            "expr"
+            if (len(init_centroids) <= 32 and df.count() <= 2_000)
+            else "arrow"
+        )
     dim = len(init_centroids[0])
     if any(len(c) != dim for c in init_centroids):
         raise ValueError("init centroids must share one dimensionality")
