@@ -96,7 +96,10 @@ def query(
 # 2. 1 query with NO driver evidence: ext_semdedup_hier3 (new this
 #    round — the three-level quantizer recursion, VERDICT r10 task 1,
 #    with a full unrolled two-grouped-chain oracle).
-# 3. The 12 queries whose EXECUTION or ORACLE changed this round:
+# 3. The 17 queries whose EXECUTION or ORACLE changed this round
+#    (12 at rotation time; the Lloyd M-step convention change later
+#    in the session added the 5 trainer-valued rows — see the inline
+#    note in the tuple):
 #    - ext_semdedup_auto, ext_semdedup_hier (the two-level body was
 #      rewritten into the L-level loop _semdedup_multilevel — L=2
 #      output is bit-identical, but the executing code is new);
@@ -123,11 +126,11 @@ def query(
 #      ext_quality_robust_normalize, ext_quantile_binning,
 #      ext_similarity_ivf_topk — all r6-green and next in line for
 #      the r12 drawing).
-# 4. The remaining 29 slots refresh the oldest driver evidence,
+# 4. The remaining 24 slots refresh the oldest driver evidence,
 #    oldest-first (computed from the union of CORRECTNESS_r0* green
 #    rows): the 15 r5-era rows that ceded slots across r9/r10
 #    (ext_semi_join ... q6_forecast_revenue — the whole remaining r5
-#    cohort, which this drawing finally clears), then the 14
+#    cohort, which this drawing finally clears), then the 9
 #    alphabetically-first r6-era rows. The r3-era taxi singles
 #    (j1/j2/p2/s1/u1/w1/x2-x5) run VERBATIM inside the permanent
 #    prefix every round — the documented transitive-coverage class.
