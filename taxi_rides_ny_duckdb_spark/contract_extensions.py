@@ -7533,14 +7533,20 @@ def ext_semdedup_hier(spark, sf_dir):
     Lloyd chain, branch assignment, integer-arithmetic per-branch
     sizing, the grouped Lloyd chain, leaf densification, and the
     CC/keep collapse. memoize=False: training collects per
-    iteration."""
+    iteration. ``levels=2`` is PINNED (ADVICE r11): the oracle
+    hard-codes the L=2 chain, and without the pin the auto depth rule
+    (max_branch=64) would pick L=3 once nlist^(1/2) > 64 (sf10,
+    nlist=20 000) — parity would then hold only at the correctness SF.
+    The auto rule itself is exercised by ext_semdedup_hier3 (forced
+    L=3 with a matching L=3 oracle) and the depth-selection unit
+    tests."""
     from .operators.similarity import semdedup_auto
 
     emb = load(spark, sf_dir, "embeddings")
     return _count_pin(
         semdedup_auto(
             emb, target_cluster_size=10, threshold=0.3, iters=2,
-            max_flat_nlist=0,
+            max_flat_nlist=0, levels=2,
         ),
         "keep", "component", "cent_sim_r",
     )

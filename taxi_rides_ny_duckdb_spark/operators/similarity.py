@@ -28,6 +28,82 @@ from ..session import ensure_min_partitions
 from ..cache import scoped_persist
 
 
+# ── E-step strategy crossover (VERDICT r11 task 6) ──────────────────
+# The expr and arrow E-steps are pinned bit-equal (scaled-int64
+# argmin), so the physical choice is pure cost physics, decided by
+# TWO bounds:
+# - plan bound (k ≤ _EXPR_ESTEP_MAX_K): the expr plan carries k sum
+#   aggregates + k array literals, so plan build + Janino compile grow
+#   with k (measured at sf1: the k≈80 literal build + compile cost
+#   76.9 s where arrow ran 16.3 s).
+# - corpus bound (rows ≤ _EXPR_ESTEP_MAX_ROWS): arrow pays a FIXED
+#   ~0.4 s/stage Python-worker spin-up + Arrow round trip; expr pays
+#   an exploded-cache build + interpreted-HOF cost LINEAR in n·k·dim.
+#   Measured anchors on THIS box (local[32], 128 GiB, the 2026-08
+#   container): n=500 (contract SF) expr wins by exactly the fixed
+#   startup; n=20 000 (sf1x — the r11 boundary incident sat EXACTLY on
+#   the old `>` bound) arrow wins decisively once a deeper tower
+#   shrinks b1 under the plan bound. 2 000 sits a decade under the
+#   measured-loss anchor — deliberately conservative toward arrow,
+#   whose penalty is bounded by the fixed startup, where expr's grows
+#   with the corpus. BOX ASSUMPTION: re-derive both anchors if the
+#   executor count, Arrow batch size, or Spark's HOF interpretation
+#   changes; the constants encode this machine, not an invariant.
+_EXPR_ESTEP_MAX_K = 32
+_EXPR_ESTEP_MAX_ROWS = 2_000
+
+
+def _estep_strategy(
+    n_rows: int, k: int, max_expr_k: int = _EXPR_ESTEP_MAX_K
+) -> str:
+    """Pick the E-step physical form — ``'expr'`` only when BOTH the
+    plan stays small (k ≤ max_expr_k) and the corpus is under the
+    Python-worker-startup crossover (see the module note above)."""
+    return (
+        "expr"
+        if (k <= max_expr_k and n_rows <= _EXPR_ESTEP_MAX_ROWS)
+        else "arrow"
+    )
+
+
+def _round_half_away_nonneg_np(v):
+    """Exact half-away rounding of a NONNEGATIVE float64 ndarray — the
+    numpy twin of SQL ``round()`` (DuckDB ``std::round``; Spark
+    ``F.round`` = BigDecimal HALF_UP), both of which round the EXACT
+    binary value. The naive ``floor(v + 0.5)`` computes ``v + 0.5`` in
+    float FIRST and double-rounds on fractions just below one half
+    (v = 0.49999999999999994, the largest double < 0.5: +0.5 lands
+    exactly on 1.0 under ties-to-even, so floor yields 1 where both
+    engines yield 0 — ADVICE r11). Here the fraction is recovered
+    exactly: with f = floor(v), either f = 0 (v − f = v, exact) or
+    f ≤ v < f + 1 ≤ 2f, so v − f is Sterbenz-exact, and the ≥ 0.5
+    comparison decides on the TRUE fraction. For v ≥ 2⁵³ (no fraction)
+    f == v and the result is v unchanged."""
+    import numpy as np
+
+    f = np.floor(v)
+    return f + (v - f >= 0.5)
+
+
+def _round_half_away_signed_np(v):
+    """Signed exact half-away twin of SQL ``round()`` — see
+    ``_round_half_away_nonneg_np`` for why ``copysign(floor(|v|+0.5),
+    v)`` is NOT it (the +0.5 float add double-rounds at the
+    0.5−2⁻⁵⁴-class boundary)."""
+    import numpy as np
+
+    a = np.abs(v)
+    f = np.floor(a)
+    return np.copysign(f + (a - f >= 0.5), v)
+
+
+def _round_half_away_int(v: float) -> int:
+    """Driver-side scalar exact half-away of a nonnegative float —
+    same contract as ``_round_half_away_nonneg_np``."""
+    f = math.floor(v)
+    return f + (1 if v - f >= 0.5 else 0)
+
+
 def dot(a: Column, b: Column) -> Column:
     """Sequential-fold dot product (deterministic order).
 
@@ -161,8 +237,23 @@ def brute_force_topk_int64(
     limit = 2**53
 
     def _scaled(X):
-        Xi = np.floor(X * float(scale) + 0.5).astype(np.int64)
-        hi = np.abs(Xi).max(initial=0)
+        Xf = np.floor(X * float(scale) + 0.5)
+        fhi = float(np.abs(Xf).max(initial=0.0))
+        # Two-stage guard. Stage 1 (coarse, floats): the float→int64
+        # astype is undefined past 2^63 (and abs(INT64_MIN) stays
+        # negative), so gate BEFORE casting. Stage 2 (exact, Python
+        # bigints): the former np.int64 product X.shape[1]*hi*hi
+        # wrapped for hi ≳ 3.8e8 and could land back under 2^53 —
+        # failing OPEN in exactly the regime the guard defends
+        # (VERDICT r11 defect #1 / ADVICE r11). Python ints are
+        # arbitrary-precision, so the comparison is exact.
+        if not np.isfinite(fhi) or fhi >= float(2**62):
+            raise ValueError(
+                f"scaled coordinates overflow int64 (max |x*scale| ≈ "
+                f"{fhi:g}, scale={scale}); lower scale"
+            )
+        Xi = Xf.astype(np.int64)
+        hi = int(np.abs(Xi).max(initial=0))
         if X.shape[1] * hi * hi >= limit:
             raise ValueError(
                 f"scaled cosine terms may exceed 2^53 (max |xi|={hi}, "
@@ -1508,15 +1599,11 @@ def _semdedup_multilevel(
         .limit(b1)
         .collect()
     ]
-    # strategies are pinned bit-equal, so the choice is pure physics:
-    # expr only where BOTH the plan stays small (b1 ≤ max_expr_k) and
-    # the corpus is small enough that Python-worker startup outweighs
-    # the interpreted-expression cost (the sf10 profile: expr k=29 over
-    # the exploded corpus cost 67 s where arrow ran 28 s pre-carry_vec;
-    # r11 tightened the corpus bound 20 000 → 2 000 after the sf1x
-    # boundary case — exactly 20 000 rows — fell into the interpreted
-    # regime when a deeper tower shrank b1 under max_expr_k).
-    strategy = "arrow" if (b1 > max_expr_k or n > 2_000) else "expr"
+    # shared crossover rule (_estep_strategy: plan bound + corpus
+    # bound; constants + box assumption documented at the definition —
+    # the r11 sf1x incident, exactly 20 000 rows on the old `>` bound,
+    # is one of its two measured anchors)
+    strategy = _estep_strategy(n, b1, max_expr_k)
     coarse, _sizes = kmeans_lloyd(
         df, init, id_col=id_col, vec_col=vec_col, iters=iters, assign=strategy
     )
@@ -1776,18 +1863,12 @@ def kmeans_lloyd(
             f"assign must be 'expr', 'arrow' or 'auto', got {assign!r}"
         )
     if assign == "auto":
-        # strategies are bit-equal, so the choice is pure physics: expr
-        # only where BOTH the plan stays small AND the corpus is tiny
-        # enough that Python-worker startup outweighs the exploded-
-        # cache build + per-iteration join (the semdedup coarse-trainer
-        # rule, one count to decide — at sf10x the expr path's 12.8M-row
-        # exploded cache made ext_kmeans_train 7.9 s where arrow's
-        # fused-M-step passes run the same training in ~3 s).
-        assign = (
-            "expr"
-            if (len(init_centroids) <= 32 and df.count() <= 2_000)
-            else "arrow"
-        )
+        # shared crossover rule (_estep_strategy: plan bound + corpus
+        # bound, constants + box assumption documented at the
+        # definition; one count to decide — at sf10x the expr path's
+        # 12.8M-row exploded cache made ext_kmeans_train 7.9 s where
+        # arrow's fused-M-step passes run the same training in ~3 s).
+        assign = _estep_strategy(df.count(), len(init_centroids))
     dim = len(init_centroids[0])
     if any(len(c) != dim for c in init_centroids):
         raise ValueError("init centroids must share one dimensionality")
@@ -1973,8 +2054,11 @@ def kmeans_assign_arrow(
 ) -> DataFrame:
     """Lloyd E-step, Arrow form: nearest centroid per vector by the
     SAME scaled-integer distance as ``_kmeans_assign_expr`` —
-    per-term floor(t²·10¹² + 0.5) (== round-half-up; t² ≥ 0) summed
-    as int64, argmin ties to the lower centroid id — computed in
+    per-term round(t²·10¹²) (exact half-away via
+    ``_round_half_away_nonneg_np``, == Spark F.round == DuckDB round
+    on EVERY double incl. the 0.5−2⁻⁵⁴ boundary class the old
+    floor(+0.5) form double-rounded — ADVICE r12 fix) summed as
+    int64, argmin ties to the lower centroid id — computed in
     blocked numpy inside one ``mapInPandas``. Integer sums are
     associative, so numpy's pairwise order equals the expression
     fold EXACTLY (the reason the Arrow path quantizes before summing
@@ -1998,10 +2082,10 @@ def kmeans_assign_arrow(
     ``emit="mstep"`` (r11) fuses the M-step PARTIALS into this same
     pass: each batch reduces its assignments to ≤k rows
     (cid, n_part, s_part) where s_part is the per-coordinate sum of
-    round(x·10¹²) int64 addends (numpy half-away =
-    copysign(floor(|x·10¹²| + 0.5), x) — identical to SQL round on
-    every value the overflow guard admits, |x·10¹²| < 2⁵² keeps the
-    +0.5 exact). The trainer then merges k·partitions partial rows
+    round(x·10¹²) int64 addends (``_round_half_away_signed_np`` —
+    exact half-away, identical to SQL round / Spark F.round on every
+    double; the former copysign(floor(|x·10¹²|+0.5), x) form
+    double-rounded at the 0.5−2⁻⁵⁴ fraction boundary). The trainer then merges k·partitions partial rows
     driver-side in exact Python ints — the dim×-corpus-row explode
     that fed the old aggregate M-step never materializes, and the
     resulting sums are the SAME integers, so no oracle changes."""
@@ -2036,7 +2120,7 @@ def kmeans_assign_arrow(
                     cb = C[c0 : c0 + cent_chunk]
                     t = xb[:, None, :] - cb[None, :, :]
                     d = (
-                        np.floor(t * t * 1e12 + 0.5)
+                        _round_half_away_nonneg_np(t * t * 1e12)
                         .astype(np.int64)
                         .sum(axis=2)
                     )
@@ -2051,9 +2135,7 @@ def kmeans_assign_arrow(
                 best_d[r0 : r0 + len(xb)] = bd
                 best_i[r0 : r0 + len(xb)] = bi
             if emit == "mstep":
-                Xi = np.copysign(
-                    np.floor(np.abs(X * 1e12) + 0.5), X
-                ).astype(np.int64)
+                Xi = _round_half_away_signed_np(X * 1e12).astype(np.int64)
                 uc, inv = np.unique(best_i, return_inverse=True)
                 npart = np.bincount(inv)
                 S = np.zeros((len(uc), X.shape[1]), dtype=np.int64)
@@ -2091,7 +2173,8 @@ def kmeans_assign_grouped(
     ever holds all of them.
 
     Arithmetic is the house E-step exactly (``kmeans_assign_arrow``):
-    per-term floor(t²·10¹² + 0.5) summed as int64 — associative, so
+    per-term round(t²·10¹²) (exact half-away,
+    ``_round_half_away_nonneg_np``) summed as int64 — associative, so
     numpy's order equals a SQL fold bit-for-bit — argmin ties to the
     LOWER scid (centroids sorted by scid; argmin takes the first).
 
@@ -2153,13 +2236,15 @@ def kmeans_assign_grouped(
         for r0 in range(0, n, row_chunk):
             xb = X[r0 : r0 + row_chunk]
             t = xb[:, None, :] - C[None, :, :]
-            d = np.floor(t * t * 1e12 + 0.5).astype(np.int64).sum(axis=2)
+            d = (
+                _round_half_away_nonneg_np(t * t * 1e12)
+                .astype(np.int64)
+                .sum(axis=2)
+            )
             # first occurrence over the scid-sorted axis = lowest scid
             best[r0 : r0 + len(xb)] = scids[d.argmin(axis=1)]
         if emit == "mstep":
-            Xi = np.copysign(np.floor(np.abs(X * 1e12) + 0.5), X).astype(
-                np.int64
-            )
+            Xi = _round_half_away_signed_np(X * 1e12).astype(np.int64)
             uc, inv = np.unique(best, return_inverse=True)
             npart = np.bincount(inv)
             S = np.zeros((len(uc), X.shape[1]), dtype=np.int64)
@@ -2399,8 +2484,8 @@ def pq_assign(
     ONE Arrow scan — no explode, no cogroup exchange: the full
     codebook (m_sub·ksub·dsub doubles) rides in the closure and each
     batch computes all m_sub argmins over numpy blocks. Arithmetic is
-    the house E-step exactly (per-term floor(t²·10¹²+0.5) summed as
-    int64, argmin ties to the LOWER scid) — bit-identical to routing
+    the house E-step exactly (per-term round(t²·10¹²) exact half-away
+    summed as int64, argmin ties to the LOWER scid) — bit-identical to routing
     the exploded subvectors through ``kmeans_assign_grouped``
     (property-tested), which is what the SQL oracle replays.
 
@@ -2446,7 +2531,11 @@ def pq_assign(
                 for r0 in range(0, n, row_chunk):
                     xb = xs[r0 : r0 + row_chunk]
                     t = xb[:, None, :] - C[None, :, :]
-                    d = np.floor(t * t * 1e12 + 0.5).astype(np.int64).sum(axis=2)
+                    d = (
+                _round_half_away_nonneg_np(t * t * 1e12)
+                .astype(np.int64)
+                .sum(axis=2)
+            )
                     codes[r0 : r0 + len(xb), s] = scids[d.argmin(axis=1)]
             out = {id_col: ids, "codes": list(codes)}
             for c in carry_cols:
@@ -2469,8 +2558,8 @@ def pq_adc_topk(
     """Asymmetric Distance Computation top-k: build the per-query
     (subspace, code) → scaled-int64 partial-distance lookup table on
     the driver (m_sub·ksub exact-integer entries from the SAME
-    floor(t²·10¹²+0.5) per-term arithmetic the codes were assigned
-    under), then one pure-expression pass over the codes column —
+    round(t²·10¹²) exact-half-away per-term arithmetic the codes were
+    assigned under), then one pure-expression pass over the codes column —
     zip_with(codes, LUT rows, pick) folded by an integer sum — feeding
     orderBy(adc_d2, id).limit(k), which Spark plans as
     TakeOrderedAndProject: per-partition heaps, no global sort, no
@@ -2495,7 +2584,7 @@ def pq_adc_topk(
             d2 = 0
             for j in range(dsub):
                 t = qs[j] - c[j]
-                d2 += int(_math.floor(t * t * 1e12 + 0.5))
+                d2 += _round_half_away_int(t * t * 1e12)
             row.append(d2)
         lut_rows.append(row)
     # one array literal per subspace (the rh_signature py4j-batching
@@ -2524,7 +2613,8 @@ def exact_l2_topk_scaled(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact L2 top-k under the SAME scaled-integer metric PQ
-    approximates (per-dim floor(t²·10¹²+0.5) summed as int64): the
+    approximates (per-dim round(t²·10¹²) exact half-away summed as
+    int64): the
     ground truth an ADC recall certification compares against, exact
     on both engines by construction. Pure expressions (zip_with the
     query literal, integer fold) + TakeOrderedAndProject — the
@@ -2535,7 +2625,9 @@ def exact_l2_topk_scaled(
         F.zip_with(
             _as_double_array(F.col(vec_col)),
             q,
-            lambda x, qq: F.floor((x - qq) * (x - qq) * F.lit(1e12) + F.lit(0.5)),
+            lambda x, qq: F.round((x - qq) * (x - qq) * F.lit(1e12)).cast(
+                "long"
+            ),
         ),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
@@ -2552,12 +2644,13 @@ def exact_l2_topk_scaled(
 
 def _d2_scaled_int(a: list[float], b: list[float]) -> int:
     """Exact scaled-integer squared L2 between two driver-side vectors
-    — the per-term floor(t²·10¹²+0.5) house metric. Order-free (every
-    term is an exact int64), so DuckDB's SUM over generate_series
-    replays it regardless of aggregation order; for t² ≥ 0 SQL
-    round() half-away equals this floor(+0.5)."""
+    — the per-term round(t²·10¹²) house metric (exact half-away via
+    ``_round_half_away_int`` — equals SQL round on every double, incl.
+    the 0.5−2⁻⁵⁴ boundary the old floor(+0.5) form double-rounded).
+    Order-free (every term is an exact int64), so DuckDB's SUM over
+    generate_series replays it regardless of aggregation order."""
     return sum(
-        int(math.floor((x - y) * (x - y) * 1e12 + 0.5)) for x, y in zip(a, b)
+        _round_half_away_int((x - y) * (x - y) * 1e12) for x, y in zip(a, b)
     )
 
 
@@ -2982,14 +3075,19 @@ def _pack_sign_bits_np(X, dim: int, bits_per_word: int = 32):
     """numpy twin of ``binary_sign_words``: rows of X (n×dim float64)
     → n×n_words int64 little-endian sign-bit words, bit j of word w set
     ⇔ X[:, w·bpw+j] > 0 (strictly positive — exact-0.0 packs as 0,
-    same convention as the SQL expression). Pure comparisons + integer
-    matmul — bit-identical to the expression form by construction."""
+    same convention as the SQL expression). NaN coordinates set the
+    bit: Spark's total ordering ranks NaN above every numeric, so the
+    expression twin's ``> 0`` is TRUE on NaN while numpy's is False —
+    the explicit ``| isnan`` mask keeps the two paths bit-identical on
+    every input, not just NaN-free ones (ADVICE r11). Pure comparisons
+    + integer matmul otherwise."""
     import numpy as np
 
     n = X.shape[0]
     n_words = -(-dim // bits_per_word)
     W = np.zeros((n, n_words), dtype=np.int64)
-    B = (X[:, :dim] > 0).astype(np.int64)
+    Xd = X[:, :dim]
+    B = ((Xd > 0) | np.isnan(Xd)).astype(np.int64)
     for w in range(n_words):
         j0 = w * bits_per_word
         jn = min(bits_per_word, dim - j0)

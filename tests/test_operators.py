@@ -4188,6 +4188,7 @@ def test_ranking_quality_hand_computed_partial(spark):
     assert got["ndcg_at_k"] == round(dcg / idcg, 9)
 
 
+@pytest.mark.filterwarnings("error::RuntimeWarning")
 def test_brute_force_topk_int64_matches_metric_and_guards(spark, sf_dir):
     """The scaled-int64 GT producer: (a) a query drawn from the corpus
     ranks itself first at cosine 1.0 − O(ulp) (own dot == own squared
@@ -4196,7 +4197,13 @@ def test_brute_force_topk_int64_matches_metric_and_guards(spark, sf_dir):
     the returned cosine agrees with the
     float-fold cosine within the quantization envelope (~1e-6 at
     scale=1e6); (c) the 2^53 overflow/precision guard raises on
-    coordinates too large for the scale."""
+    coordinates too large for the scale — asserted for BOTH magnitude
+    regimes independently and for a corpus-side-only oversized batch
+    (VERDICT r11 defect #1: the former np.int64 guard product wrapped
+    for |xi| ≳ 3.8e8 and could fail open; the 2e3 row sailed through
+    while the 1e3 row raised by wrap luck). RuntimeWarnings from the
+    wrapping arithmetic escalate to errors via the filterwarnings
+    marker."""
     from taxi_rides_ny_duckdb_spark.operators.similarity import (
         brute_force_topk,
         brute_force_topk_int64,
@@ -4225,14 +4232,34 @@ def test_brute_force_topk_int64_matches_metric_and_guards(spark, sf_dir):
         if key in flt:
             assert abs(r["cosine_sim"] - flt[key]) < 5e-6
 
-    big = spark.createDataFrame(
-        [(0, [1e3] * 64), (1, [2e3] * 64)], "vec_id long, embedding array<double>"
+    # Each magnitude alone must raise (scaled |xi| = 1e9 and 2e9 — both
+    # past the hi ≳ 3.8e8 regime where the old int64 product wrapped):
+    for mag in (1e3, 2e3):
+        big = spark.createDataFrame(
+            [(0, [mag] * 64)], "vec_id long, embedding array<double>"
+        )
+        bq = big.selectExpr("vec_id AS query_id", "embedding AS query_vec")
+        with pytest.raises(Exception, match="2\\^53"):
+            brute_force_topk_int64(big, bq, k=1).collect()
+    # Corpus-side only: unit-scale queries pass the driver-side check,
+    # so the raise must come from the executor-side batch scaling.
+    small_q = spark.createDataFrame(
+        [(0, [0.5] * 64)], "query_id long, query_vec array<double>"
     )
-    bq = big.selectExpr("vec_id AS query_id", "embedding AS query_vec")
-    import pytest as _pytest
-
-    with _pytest.raises(Exception, match="2\\^53"):
-        brute_force_topk_int64(big, bq, k=1).collect()
+    big_corpus = spark.createDataFrame(
+        [(0, [0.5] * 64), (1, [2e3] * 64)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="2\\^53"):
+        brute_force_topk_int64(big_corpus, small_q, k=1).collect()
+    # Stage-1 gate: coordinates whose scaled floats don't even fit
+    # int64 (the astype itself would wrap) raise the coarse message.
+    huge = spark.createDataFrame(
+        [(0, [1e60] * 4)], "vec_id long, embedding array<double>"
+    )
+    hq = huge.selectExpr("vec_id AS query_id", "embedding AS query_vec")
+    with pytest.raises(Exception, match="overflow int64"):
+        brute_force_topk_int64(huge, hq, k=1).collect()
 
 
 def test_binary_sign_words_packs_expected(spark):
@@ -4256,6 +4283,112 @@ def test_binary_sign_words_packs_expected(spark):
     assert rows[0] == [1, 2]
     assert rows[1] == [0, 0]
     assert rows[2] == [2**31, 2**31]
+
+
+def test_estep_strategy_boundaries():
+    """The shared expr/arrow crossover rule (VERDICT r11 task 6):
+    expr ONLY when both the plan bound (k ≤ max_expr_k) and the corpus
+    bound (rows ≤ 2 000) hold — boundary-exact on both axes (the r11
+    sf1x incident sat exactly on the old `>` corpus bound)."""
+    from taxi_rides_ny_duckdb_spark.operators.similarity import (
+        _EXPR_ESTEP_MAX_K,
+        _EXPR_ESTEP_MAX_ROWS,
+        _estep_strategy,
+    )
+
+    assert _estep_strategy(_EXPR_ESTEP_MAX_ROWS, _EXPR_ESTEP_MAX_K) == "expr"
+    assert _estep_strategy(_EXPR_ESTEP_MAX_ROWS + 1, 2) == "arrow"
+    assert _estep_strategy(500, _EXPR_ESTEP_MAX_K + 1) == "arrow"
+    assert _estep_strategy(20_000, 28) == "arrow"  # the sf1x incident
+    assert _estep_strategy(500, 8) == "expr"  # the contract regime
+    # caller-widened plan bound still honors the corpus bound
+    assert _estep_strategy(500, 64, max_expr_k=64) == "expr"
+    assert _estep_strategy(2_001, 64, max_expr_k=64) == "arrow"
+
+
+def test_round_half_away_kernels_match_both_engines(spark):
+    """The exact half-away kernels (ADVICE r12 fix) agree with DuckDB
+    round() AND Spark F.round on boundary doubles where the old
+    floor(v+0.5) formulation double-rounds — plus a random-grid sweep.
+    v = 0.49999999999999994 (largest double < 0.5) is the canonical
+    witness: +0.5 lands exactly on 1.0 under ties-to-even, so
+    floor(v+0.5) = 1 while both engines round the exact value to 0."""
+    import duckdb
+    import numpy as np
+
+    from taxi_rides_ny_duckdb_spark.operators.similarity import (
+        _round_half_away_int,
+        _round_half_away_nonneg_np,
+        _round_half_away_signed_np,
+    )
+
+    b = 0.49999999999999994
+    # the old form really is wrong here (regression witness)...
+    assert np.floor(np.float64(b) + 0.5) == 1.0
+    # ...and the kernels are right:
+    assert _round_half_away_nonneg_np(np.asarray([b]))[0] == 0.0
+    assert _round_half_away_int(b) == 0
+    assert list(_round_half_away_signed_np(np.asarray([b, -b, 0.5, -0.5]))) == [
+        0.0,
+        -0.0,
+        1.0,
+        -1.0,
+    ]
+    # grid sweep vs DuckDB round() — crafted boundaries + random draws
+    rng = np.random.default_rng(12)
+    vals = np.concatenate(
+        [
+            np.asarray([b, 0.5, 1.5, 2.5, np.nextafter(2.5, 0), 1e12 + 0.5]),
+            rng.uniform(0, 4e12, 200),
+            np.floor(rng.uniform(0, 1e6, 50)) + 0.5,  # exact .5 ties
+        ]
+    )
+    duck = duckdb.sql(
+        "SELECT CAST(round(x) AS BIGINT) FROM (SELECT unnest(?::DOUBLE[]) AS x)",
+        params=[list(map(float, vals))],
+    ).fetchall()
+    got = _round_half_away_nonneg_np(vals).astype(np.int64)
+    assert [int(g) for g in got] == [r[0] for r in duck]
+    # Spark F.round agrees on the canonical witness (positive + signed)
+    row = spark.sql(
+        f"SELECT CAST(round({b!r} * 1.0) AS BIGINT) AS p, "
+        f"CAST(round(-{b!r} * 1.0) AS BIGINT) AS n"
+    ).collect()[0]
+    assert row["p"] == 0 and row["n"] == 0
+
+
+def test_pack_sign_bits_nan_parity_with_expression(spark):
+    """NaN coordinates pack identically in both forms (ADVICE r11):
+    Spark's total ordering ranks NaN above every numeric, so the
+    expression's ``> 0`` sets the bit on NaN; the numpy twin masks
+    ``| isnan`` to match. A vector mixing NaN / 0.0 / ±x must produce
+    the same words from binary_quantize and _pack_sign_bits_np."""
+    import math
+
+    import numpy as np
+
+    from taxi_rides_ny_duckdb_spark.operators.similarity import (
+        _pack_sign_bits_np,
+        binary_quantize,
+    )
+
+    dim = 64
+    nan = float("nan")
+    v = [-1.0] * dim
+    for i, x in [(0, nan), (3, 0.0), (7, 2.5), (31, nan), (40, nan), (63, 1.0)]:
+        v[i] = x
+    df = spark.createDataFrame([(0, v)], "vec_id long, embedding array<double>")
+    expr_words = list(binary_quantize(df, dim).collect()[0]["bits"])
+    np_words = _pack_sign_bits_np(np.asarray([v], dtype=np.float64), dim)[
+        0
+    ].tolist()
+    assert expr_words == np_words
+    # and the bit pattern is the expected one: set ⇔ NaN or > 0
+    expect = [0, 0]
+    for i, x in enumerate(v):
+        if math.isnan(x) or x > 0:
+            expect[i // 32] |= 1 << (i % 32)
+    assert expr_words == expect
 
 
 def test_hamming_topk_self_rank1_and_tie_break(spark):
