@@ -2532,10 +2532,10 @@ def pq_assign(
                     xb = xs[r0 : r0 + row_chunk]
                     t = xb[:, None, :] - C[None, :, :]
                     d = (
-                _round_half_away_nonneg_np(t * t * 1e12)
-                .astype(np.int64)
-                .sum(axis=2)
-            )
+                        _round_half_away_nonneg_np(t * t * 1e12)
+                        .astype(np.int64)
+                        .sum(axis=2)
+                    )
                     codes[r0 : r0 + len(xb), s] = scids[d.argmin(axis=1)]
             out = {id_col: ids, "codes": list(codes)}
             for c in carry_cols:
