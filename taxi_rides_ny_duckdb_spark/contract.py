@@ -91,95 +91,42 @@ def query(
 # (tests/test_contract_parity.py, collect-compare + driver-faithful
 # pandas-hash).
 #
-# ROUND-11 drawing, never-windowed-first (the standing rule):
+# ROUND-12 drawing, never-windowed-first (the standing rule):
 # 1. The reference taxi DAG keeps the permanent 8-slot prefix.
-# 2. 1 query with NO driver evidence: ext_semdedup_hier3 (new this
-#    round — the three-level quantizer recursion, VERDICT r10 task 1,
-#    with a full unrolled two-grouped-chain oracle).
-# 3. The 17 queries whose EXECUTION or ORACLE changed this round
-#    (12 at rotation time; the Lloyd M-step convention change later
-#    in the session added the 5 trainer-valued rows — see the inline
-#    note in the tuple):
-#    - ext_semdedup_auto, ext_semdedup_hier (the two-level body was
-#      rewritten into the L-level loop _semdedup_multilevel — L=2
-#      output is bit-identical, but the executing code is new);
-#    - ext_ann_recall_eval, ext_retrieval_ranking_quality,
-#      ext_binary_hamming_recall (ground truth switched to the
-#      scaled-int64 Arrow producer; oracles now replay
-#      _INT_TOPK_ORACLE);
-#    - ext_binary_hamming_topk, ext_binary_hamming_rerank (fused
-#      pack+scan stage 1);
-#    - ext_embedding_mean_pool (mapInPandas blocked sum + floor-based
-#      int64 addend quantization in both engines);
-#    - ext_mmr_diverse_topk (oracle wrapped in AS MATERIALIZED —
-#      ADVICE r10);
-#    - ext_classifier_calibration_ece, ext_brier_decomposition
-#      (two-sided bin clamp both engines; index frame gained
-#      margin_r), ext_classifier_auc (now reads the shared NB-margin
-#      index);
-#    - ext_kmeans_train, ext_pq_topk, ext_pq_recall, ext_ivfpq_topk,
-#      ext_ivfpq_recall (the Lloyd M-step addend convention moved
-#      from DECIMAL(38,12) sums to round(x*1e12) LONG sums in BOTH
-#      engines — trained centroids, hence codes and recalls, take
-#      new values; these displace the 5 alphabetically-last refresh
-#      slots: ext_mixture_sample_tokens, ext_partitioned_sink_prune,
-#      ext_quality_robust_normalize, ext_quantile_binning,
-#      ext_similarity_ivf_topk — all r6-green and next in line for
-#      the r12 drawing).
-# 4. The remaining 24 slots refresh the oldest driver evidence,
-#    oldest-first (computed from the union of CORRECTNESS_r0* green
-#    rows): the 15 r5-era rows that ceded slots across r9/r10
-#    (ext_semi_join ... q6_forecast_revenue — the whole remaining r5
-#    cohort, which this drawing finally clears), then the 9
-#    alphabetically-first r6-era rows. The r3-era taxi singles
-#    (j1/j2/p2/s1/u1/w1/x2-x5) run VERBATIM inside the permanent
-#    prefix every round — the documented transitive-coverage class.
-#
-# Previous drawing kept below for the r10 audit trail.
-# ROUND-10 drawing, never-windowed-first (the standing rule):
-# 1. The reference taxi DAG keeps the permanent 8-slot prefix (the
-#    parity claim the whole repo makes, re-verified every round).
-# 2. The 1 query with NO driver evidence yet: ext_semdedup_hier (new
-#    this round — the two-level quantizer path with its own full
-#    unrolled oracle, VERDICT r9 task 1).
-# 3. The 9 queries whose EXECUTION or ORACLE changed this round get
-#    re-verified even though r9-green (a changed query's old green row
-#    certifies a plan that no longer exists):
-#    - ext_semdedup_auto (two-level switch + arrow carry_vec trainers +
-#      numpy within-cluster pairing + MATERIALIZED oracle CTEs),
-#    - ext_semdedup (shared collapse pairing changed),
-#    - ext_kmeans_train (overflow guard's extra agg + MATERIALIZED
-#      oracle CTEs),
-#    - j7_bucketed_layout (execution is now the window-over-bucket-
-#      sorted-runs plan — the fifth scorecard plan, r9 task 2),
-#    - ext_purged_kfold, ext_contrastive_pairs, ext_leakage_safe_split,
-#      ext_dedup_cluster_components, ext_dedup_cluster_keep_best (all
-#      five now read the shared process-memoized near-dup cluster
-#      index, r9 task 3).
-#    Exempt from this rule, per the r9 precedent: ext_window_lag_lead's
-#    extra _count_pin column (zero rows change; the driver's value-hash
-#    reads every column either way) and the 14 operator persist sites
-#    converted to scoped_persist (persist semantics identical; only
-#    scope registration added) — all re-proven by the local two-way
-#    parity gate each suite run.
-# 4. The remaining slots (50 − 8 prefix − 6 never-verified − 9
-#    changed = 27 at rotation time; 19 after the wave-2/wave-3
-#    entries below) refresh the oldest driver evidence, oldest-first
-#    (VERDICT r9 task 6): the union of CORRECTNESS_r0* green rows
-#    puts the 33-query r5 cohort oldest (the only r2-era row,
-#    prof_lineitem_approx, is the pre-rename ghost of
-#    prof_lineitem_approx_guarded, r6-green under its current name);
-#    the 27 alphabetically-first take the slots.
-#    q6_forecast_revenue, q12_priority_classes and
-#    q19_bracketed_revenue cede to the window size and take priority
-#    in the r11 drawing; they stay re-proven by the local parity gate
-#    every suite run. The r3-era rows
-#    j1/j2/p2/s1/u1/w1_row_number/x2-x5 run VERBATIM inside the
-#    permanent prefix every round (taxi_fact_trips IS the broadcast
-#    dim join + dim-joined-twice + union-all-tagged; taxi_stg_* ARE
-#    scan/typed-projection/rn=1-dedup/case/md5/replace/date_trunc) --
-#    the documented transitive-coverage class. The r6-r9 cohorts stay
-#    outside this window on r6-r9 green rows.
+# 2. Queries with NO driver evidence: none — r11 closed the last gap
+#    (226/226 cumulative, VERDICT r11).
+# 3. The 14 queries whose EXECUTION changed this round (r11-green
+#    rows stale; set computed by a cross-file transitive call-closure
+#    over the edited operators — the tooling note in the r12 session
+#    log):
+#    - the exact half-away rounding kernels replaced floor(v+0.5) in
+#      every round()-convention numpy/driver twin (kmeans E+M steps,
+#      grouped assign, pq_assign, the ADC LUT, exact_l2_topk_scaled,
+#      _d2_scaled_int — ADVICE r11 boundary-class fix), changing the
+#      executing code of every trained-quantizer query:
+#      ext_kmeans_train, ext_semdedup_auto, ext_semdedup_hier (also
+#      levels=2 now pinned to match its L=2 oracle — ADVICE r11),
+#      ext_semdedup_hier3, ext_pq_topk, ext_pq_recall, ext_ivfpq_topk,
+#      ext_ivfpq_recall;
+#    - the GT producer's fail-open 2^53 guard fix + array-direct/f32
+#      Arrow shipping (corpus scans ship the vector column, float32
+#      un-widened, instead of 64 F.get scalar projections):
+#      ext_ann_recall_eval, ext_retrieval_ranking_quality,
+#      ext_binary_hamming_topk, ext_binary_hamming_rerank,
+#      ext_binary_hamming_recall (also the NaN-pack mask),
+#      ext_embedding_mean_pool.
+#    NOT stale, verified by the closure: ext_semdedup (flat path,
+#    expr-only at every SF), ext_mmr_diverse_topk and the classifier
+#    ladder (no changed operator in their call graphs).
+# 4. The remaining 28 slots refresh the oldest driver evidence,
+#    oldest-first (union of CORRECTNESS_r0* green rows): the ENTIRE
+#    remaining 25-query r6 cohort (ext_mixture_sample_tokens ...
+#    s6_correlated_subquery — cleared with this drawing), then the 3
+#    alphabetically-first r7 rows (a5_metric_avg_month,
+#    a5_metric_rolling_avg_7d, a6_unique_violations). The r3-era taxi
+#    singles (j1/j2/p2/s1/u1/w1/x2-x5) run VERBATIM inside the
+#    permanent prefix every round — the documented transitive-
+#    coverage class.
 DRIVER_WINDOW: tuple[str, ...] = (
     # 1. Reference taxi DAG -- permanent prefix.
     "taxi_stg_green_tripdata",
@@ -190,9 +137,69 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "taxi_dm_monthly_zone_statistics",
     "taxi_metric_average_distance_month",
     "taxi_metric_avg_distance_manhattan_quarter",
-    # 2. Never driver-verified (r11).
+    # 2. Never driver-verified: none (226/226 cumulative after r11).
+    # 3. Execution changed this round (r11-green rows stale): the
+    #    trained-quantizer family (exact half-away kernels), then the
+    #    Arrow-scan family (guard fix + array-direct/f32 shipping +
+    #    NaN pack mask).
+    "ext_kmeans_train",
+    "ext_semdedup_auto",
+    "ext_semdedup_hier",
     "ext_semdedup_hier3",
-    # 3. Execution/oracle changed this round (r10-green rows stale).
+    "ext_pq_topk",
+    "ext_pq_recall",
+    "ext_ivfpq_topk",
+    "ext_ivfpq_recall",
+    "ext_ann_recall_eval",
+    "ext_retrieval_ranking_quality",
+    "ext_binary_hamming_topk",
+    "ext_binary_hamming_rerank",
+    "ext_binary_hamming_recall",
+    "ext_embedding_mean_pool",
+    # 4. Oldest-evidence refresh: the ENTIRE remaining 25-query r6
+    #    cohort (cleared with this drawing), then the 3
+    #    alphabetically-first r7 rows.
+    "ext_mixture_sample_tokens",
+    "ext_partitioned_sink_prune",
+    "ext_quality_robust_normalize",
+    "ext_quantile_binning",
+    "ext_similarity_ivf_topk",
+    "ext_streaming_dedup",
+    "ext_streaming_stateful_totals",
+    "ext_text_chunk_windows",
+    "ext_text_regex_redact",
+    "ext_vocab_coverage",
+    "j6_outer_join_count_dist",
+    "prof_lineitem_approx_guarded",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q15_top_supplier",
+    "q18_large_volume_customers",
+    "q20_part_promo_suppliers",
+    "q22_dormant_customers",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "s6_correlated_subquery",
+    "a5_metric_avg_month",
+    "a5_metric_rolling_avg_7d",
+    "a6_unique_violations",
+)
+
+# ROUND-11 drawing (superseded -- kept for the audit trail):
+_DRIVER_WINDOW_R11: tuple[str, ...] = (
+    "taxi_stg_green_tripdata",
+    "taxi_stg_yellow_tripdata",
+    "taxi_dim_zones",
+    "taxi_fact_trips",
+    "taxi_dm_monthly_zone_revenue",
+    "taxi_dm_monthly_zone_statistics",
+    "taxi_metric_average_distance_month",
+    "taxi_metric_avg_distance_manhattan_quarter",
+    "ext_semdedup_hier3",
     "ext_semdedup_auto",
     "ext_semdedup_hier",
     "ext_ann_recall_eval",
@@ -210,9 +217,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ext_pq_recall",
     "ext_ivfpq_topk",
     "ext_ivfpq_recall",
-    # 4. Oldest-evidence refresh: the 15 remaining r5-era rows (the
-    #    cohort is now fully cleared), then the 9 alphabetically-
-    #    first r6-era rows.
     "ext_semi_join",
     "ext_set_except",
     "ext_set_intersect",
@@ -237,90 +241,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ext_epoch_upsample",
     "ext_hard_negative_topk",
     "ext_mixture_sample",
-)
-
-# ROUND-10 drawing (superseded -- kept for the audit trail):
-_DRIVER_WINDOW_R10: tuple[str, ...] = (
-    "taxi_stg_green_tripdata",
-    "taxi_stg_yellow_tripdata",
-    "taxi_dim_zones",
-    "taxi_fact_trips",
-    "taxi_dm_monthly_zone_revenue",
-    "taxi_dm_monthly_zone_statistics",
-    "taxi_metric_average_distance_month",
-    "taxi_metric_avg_distance_manhattan_quarter",
-    # 2. Never driver-verified (ext_pq_* are new this round: the
-    #    product-quantization ANN family — trained codebooks, ADC
-    #    top-k, recall certification — each with a full unrolled
-    #    oracle; they take the never-windowed-first slots).
-    "ext_semdedup_hier",
-    "ext_pq_topk",
-    "ext_pq_recall",
-    #    Wave-2 additions (same session, post-rotation): IVF-PQ and
-    #    the graded ranking-quality metrics are likewise never
-    #    driver-verified and enter under the same rule; they displace
-    #    the 3 alphabetically-last refresh slots (rule 4).
-    "ext_ivfpq_topk",
-    "ext_ivfpq_recall",
-    "ext_retrieval_ranking_quality",
-    #    Wave-3 additions (second session): binary-Hamming cascade ANN
-    #    (3), classifier calibration ECE, embedding pooling, MMR, the
-    #    count-min sketch, the Brier decomposition — all never driver-verified; plus
-    #    ext_ann_recall_eval under rule 3 (its execution now reads the
-    #    shared cosine ground-truth index). Together the 8 displace the
-    #    8 alphabetically-last remaining refresh slots.
-    "ext_binary_hamming_topk",
-    "ext_binary_hamming_rerank",
-    "ext_binary_hamming_recall",
-    "ext_classifier_calibration_ece",
-    "ext_embedding_mean_pool",
-    "ext_mmr_diverse_topk",
-    "ext_cms_heavy_tokens",
-    "ext_brier_decomposition",
-    "ext_ann_recall_eval",
-    # 3. Execution/oracle changed this round (r9-green rows stale).
-    "ext_semdedup_auto",
-    "ext_semdedup",
-    "ext_kmeans_train",
-    "j7_bucketed_layout",
-    "ext_purged_kfold",
-    "ext_contrastive_pairs",
-    "ext_leakage_safe_split",
-    "ext_dedup_cluster_components",
-    "ext_dedup_cluster_keep_best",
-    # 4. Oldest-evidence refresh: 18 alphabetically-first of the
-    #    33-query r5 cohort (ext_pq_topk/ext_pq_recall entering under
-    #    rule 2 push out 2 more slots: q12_priority_classes and
-    #    q19_bracketed_revenue cede alongside q6_forecast_revenue;
-    #    the 3 wave-2 entries push out 3 more:
-    #    ext_window_running_sum, ext_window_rank_family,
-    #    ext_unpivot_measures; the 9 wave-3 entries push out 9 more:
-    #    ext_semi_join, ext_set_except, ext_set_intersect,
-    #    ext_set_union_distinct, ext_stratified_sample,
-    #    ext_streaming_tumbling, ext_text_explode_tokens,
-    #    ext_text_repetition_ratio, ext_train_val_split — the LSH/
-    #    brute-force similarity singles and streaming rows stay, their
-    #    executions being adjacent to this round's changes. All
-    #    fifteen ceded queries take r11 priority and stay re-proven
-    #    by the local parity gate every suite run).
-    "ext_array_hof",
-    "ext_cube_revenue",
-    "ext_date_spine_densify",
-    "ext_decontaminate_ngram",
-    "ext_dedup_edit_distance",
-    "ext_embedding_centroid_assign",
-    "ext_embedding_group_medoid",
-    "ext_embedding_near_dup",
-    "ext_embedding_near_dup_exact",
-    "ext_events_map_explode",
-    "ext_global_sort",
-    "ext_grouping_sets",
-    "ext_hash_sample",
-    "ext_multimodal_frame_sample",
-    "ext_pack_sequences",
-    "ext_similarity_lsh_topk",
-    "ext_similarity_topk_bruteforce",
-    "ext_streaming_stream_join",
 )
 
 
