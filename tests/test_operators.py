@@ -4349,6 +4349,15 @@ def test_round_half_away_kernels_match_both_engines(spark):
     ).fetchall()
     got = _round_half_away_nonneg_np(vals).astype(np.int64)
     assert [int(g) for g in got] == [r[0] for r in duck]
+    # the hot-loop i64 form (floor(2v) − floor(v) via trunc-cast)
+    # produces the SAME values on the whole grid
+    from taxi_rides_ny_duckdb_spark.operators.similarity import (
+        _round_half_away_nonneg_i64,
+    )
+
+    got64 = _round_half_away_nonneg_i64(vals)
+    assert [int(g) for g in got64] == [r[0] for r in duck]
+    assert _round_half_away_nonneg_i64(np.asarray([b]))[0] == 0
     # Spark F.round agrees on the canonical witness (positive + signed)
     row = spark.sql(
         f"SELECT CAST(round({b!r} * 1.0) AS BIGINT) AS p, "
