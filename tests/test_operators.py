@@ -4366,6 +4366,70 @@ def test_round_half_away_kernels_match_both_engines(spark):
     assert row["p"] == 0 and row["n"] == 0
 
 
+def test_arrow_scan_input_shape_and_vec_matrix_contract(spark):
+    """The r12 Arrow-scan input shape: (a) float32 sources ship
+    un-widened (no Cast to array<double> in the scan projection — the
+    plan-level pin of the f32 lever) while double sources keep the
+    cast; (b) _vec_matrix slices to the first dim coordinates
+    (preserving the old per-column projection's contract) and
+    upcasts float32 exactly."""
+    import numpy as np
+
+    from taxi_rides_ny_duckdb_spark.operators.similarity import (
+        _arrow_vec_col,
+        _vec_matrix,
+        embedding_pool,
+    )
+    from pyspark.sql import functions as F
+
+    f32 = spark.createDataFrame(
+        [(0, [1.5, -2.5])], "vec_id long, embedding array<double>"
+    ).select("vec_id", F.col("embedding").cast("array<float>").alias("embedding"))
+    f64 = spark.createDataFrame(
+        [(0, [1.5, -2.5])], "vec_id long, embedding array<double>"
+    )
+    plan32 = str(
+        f32.select(_arrow_vec_col(f32, "embedding"))
+        ._jdf.queryExecution()
+        .optimizedPlan()
+    ).lower()
+    fint = f64.select(
+        "vec_id", F.col("embedding").cast("array<int>").alias("embedding")
+    )
+    planint = str(
+        fint.select(_arrow_vec_col(fint, "embedding"))
+        ._jdf.queryExecution()
+        .optimizedPlan()
+    ).lower()
+    assert "as array<double>" not in plan32  # ships f32 un-widened
+    assert "as array<double>" in planint  # non-f32/f64 keeps the cast
+    # a double source is already the target type (cast elided or
+    # no-op either way): the selected column must BE array<double>
+    assert (
+        f64.select(_arrow_vec_col(f64, "embedding").alias("v"))
+        .schema["v"]
+        .dataType.simpleString()
+        == "array<double>"
+    )
+    # _vec_matrix: slice + exact f32 upcast + empty shape
+    import pandas as pd
+
+    col = pd.Series([np.asarray([0.1, 0.2, 0.3], dtype=np.float32)])
+    m = _vec_matrix(col, 2)
+    assert m.shape == (1, 2) and m.dtype == np.float64
+    assert m[0, 0] == np.float64(np.float32(0.1))  # exact upcast
+    assert _vec_matrix(pd.Series([], dtype=object), 4).shape == (0, 4)
+    # end-to-end: pooling a float32 source equals pooling the same
+    # values pre-cast to double (bit-identical through both paths)
+    a = embedding_pool(f32, "vec_id", dim=2).toPandas().sort_values("pos")
+    b = embedding_pool(
+        f32.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")),
+        "vec_id",
+        dim=2,
+    ).toPandas().sort_values("pos")
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
 def test_pack_sign_bits_nan_parity_with_expression(spark):
     """NaN coordinates pack identically in both forms (ADVICE r11):
     Spark's total ordering ranks NaN above every numeric, so the
