@@ -744,3 +744,114 @@ def test_bpe_learn_and_segment_match_reference(spark, docs, n_merges):
     }
     for i, t in enumerate(docs):
         assert seg[i] == _ref_segment(t, pairs), (i, t)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    vals=st.lists(
+        st.floats(
+            min_value=0.0,
+            max_value=float(2**52),
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=64,
+    )
+)
+def test_round_half_away_kernels_match_exact_rational(vals):
+    """All three nonneg half-away kernels (r12) equal the EXACT
+    rational half-away of the double's true binary value — checked
+    against fractions.Fraction, which is engine-free and exact. This
+    is the property the floor(v+0.5) form violated (it rounds the
+    float sum v+0.5, not the true fraction)."""
+    import math
+    from fractions import Fraction
+
+    import numpy as np
+
+    from taxi_rides_ny_duckdb_spark.operators.similarity import (
+        _round_half_away_int,
+        _round_half_away_nonneg_i64,
+        _round_half_away_nonneg_np,
+    )
+
+    def exact(v: float) -> int:
+        f = Fraction(v)  # exact binary value
+        fl = math.floor(f)
+        return fl + (1 if f - fl >= Fraction(1, 2) else 0)
+
+    want = [exact(v) for v in vals]
+    a = np.asarray(vals, dtype=np.float64)
+    assert [int(x) for x in _round_half_away_nonneg_np(a)] == want
+    assert [int(x) for x in _round_half_away_nonneg_i64(a)] == want
+    assert [_round_half_away_int(v) for v in vals] == want
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    vals=st.lists(
+        st.floats(
+            min_value=-float(2**52),
+            max_value=float(2**52),
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=64,
+    )
+)
+def test_round_half_away_signed_matches_exact_rational(vals):
+    """The signed kernel equals exact rational half-away-FROM-ZERO on
+    the double's true binary value (negatives mirror positives)."""
+    import math
+    from fractions import Fraction
+
+    import numpy as np
+
+    from taxi_rides_ny_duckdb_spark.operators.similarity import (
+        _round_half_away_signed_np,
+    )
+
+    def exact(v: float) -> int:
+        f = Fraction(abs(v))
+        fl = math.floor(f)
+        m = fl + (1 if f - fl >= Fraction(1, 2) else 0)
+        return -m if v < 0 else m
+
+    a = np.asarray(vals, dtype=np.float64)
+    got = [int(x) for x in _round_half_away_signed_np(a)]
+    assert got == [exact(v) for v in vals]
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    coords=st.lists(
+        st.one_of(
+            st.floats(allow_nan=True, allow_infinity=True, width=64),
+            st.sampled_from([0.0, -0.0, float("nan")]),
+        ),
+        min_size=1,
+        max_size=70,
+    )
+)
+def test_pack_sign_bits_matches_per_bit_reference(coords):
+    """_pack_sign_bits_np equals the per-bit reference (bit set ⇔
+    coordinate > 0 OR NaN — Spark's total-order semantics) for any
+    mix of NaN/±0/±x/±inf and any dim incl. non-multiples of 32."""
+    import math
+
+    import numpy as np
+
+    from taxi_rides_ny_duckdb_spark.operators.similarity import (
+        _pack_sign_bits_np,
+    )
+
+    dim = len(coords)
+    n_words = -(-dim // 32)
+    want = [0] * n_words
+    for i, x in enumerate(coords):
+        if math.isnan(x) or x > 0:
+            want[i // 32] |= 1 << (i % 32)
+    got = _pack_sign_bits_np(np.asarray([coords], dtype=np.float64), dim)[0]
+    assert [int(w) for w in got] == want
