@@ -54,14 +54,49 @@ def _offset(tbl: pa.Table, col: str, delta: int) -> pa.Table:
     return tbl.set_column(i, col, pc.add(tbl.column(col), delta))
 
 
-def replicate(src_dir: str, out_dir: str, copies: int) -> None:
+ALL_TABLES = (
+    "region nation customer supplier part orders lineitem "
+    "events documents embeddings"
+).split()
+
+
+def replicate(
+    src_dir: str,
+    out_dir: str,
+    copies: int,
+    only: list[str] | None = None,
+    link_rest_from: str | None = None,
+) -> None:
+    """Replicate ``only`` (default: every table) ``copies``× into
+    ``out_dir``. ``link_rest_from`` hardlinks the NON-replicated
+    tables from an existing scale dir so the output stays loadable
+    for any table name — the r12 fourth-decade recipe:
+
+        python tools/make_scale_data.py /root/testdata/sf0.1 \
+            /tmp/sf100x 1000 --only embeddings --link-rest /tmp/sf10x
+
+    (replicating lineitem 1000× would be 600M rows / ~30 GB; the ANN
+    family reads only ``embeddings``, so the fourth decade replicates
+    just that — same pad-offset + per-copy seeded noise as always)."""
     os.makedirs(out_dir, exist_ok=True)
+    repl = list(only) if only else list(ALL_TABLES)
+    unknown = [t for t in repl if t not in ALL_TABLES]
+    if unknown:
+        raise SystemExit(f"unknown tables: {unknown}")
+    if link_rest_from:
+        for name in ALL_TABLES:
+            if name in repl:
+                continue
+            dst = os.path.join(out_dir, f"{name}.parquet")
+            if not os.path.exists(dst):
+                os.link(
+                    os.path.join(link_rest_from, f"{name}.parquet"), dst
+                )
     tables = {
         name: pq.read_table(os.path.join(src_dir, f"{name}.parquet"))
-        for name in (
-            "region nation customer supplier part orders lineitem "
-            "events documents embeddings".split()
-        )
+        for name in ALL_TABLES
+        # key sources (orders/customer/... maxima) are always needed
+        # for pads even when the table itself is not replicated
     }
     pads = {
         "order": _pad(pc.max(tables["orders"]["o_orderkey"]).as_py()),
@@ -76,7 +111,10 @@ def replicate(src_dir: str, out_dir: str, copies: int) -> None:
 
     # Fixed-size dims: copied through once, unchanged.
     for name in ("region", "nation"):
-        pq.write_table(tables[name], os.path.join(out_dir, f"{name}.parquet"))
+        if name in repl:
+            pq.write_table(
+                tables[name], os.path.join(out_dir, f"{name}.parquet")
+            )
 
     def copy_of(name: str, i: int) -> pa.Table:
         t = tables[name]
@@ -138,6 +176,8 @@ def replicate(src_dir: str, out_dir: str, copies: int) -> None:
     for name in (
         "customer supplier part orders lineitem events documents embeddings"
     ).split():
+        if name not in repl:
+            continue
         # Stream copies through one writer instead of concatenating all
         # K tables in memory first — at K=100 the concat form held ~60M
         # lineitem rows resident and got OOM-killed when run alongside
@@ -160,7 +200,19 @@ def replicate(src_dir: str, out_dir: str, copies: int) -> None:
 
 
 if __name__ == "__main__":
-    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1x"
-    k = int(sys.argv[3]) if len(sys.argv) > 3 else 10
-    replicate(src, out, k)
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    only = None
+    link_rest = None
+    it = iter(enumerate(sys.argv[1:]))
+    argv = sys.argv[1:]
+    for i, a in enumerate(argv):
+        if a == "--only":
+            only = argv[i + 1].split(",")
+            args = [x for x in args if x != argv[i + 1]]
+        if a == "--link-rest":
+            link_rest = argv[i + 1]
+            args = [x for x in args if x != argv[i + 1]]
+    src = args[0] if len(args) > 0 else "/root/testdata/sf0.1"
+    out = args[1] if len(args) > 1 else "/tmp/sf1x"
+    k = int(args[2]) if len(args) > 2 else 10
+    replicate(src, out, k, only=only, link_rest_from=link_rest)
