@@ -200,18 +200,21 @@ def replicate(
 
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     only = None
     link_rest = None
-    it = iter(enumerate(sys.argv[1:]))
+    args = []
     argv = sys.argv[1:]
-    for i, a in enumerate(argv):
-        if a == "--only":
+    i = 0
+    while i < len(argv):
+        if argv[i] == "--only":
             only = argv[i + 1].split(",")
-            args = [x for x in args if x != argv[i + 1]]
-        if a == "--link-rest":
+            i += 2
+        elif argv[i] == "--link-rest":
             link_rest = argv[i + 1]
-            args = [x for x in args if x != argv[i + 1]]
+            i += 2
+        else:
+            args.append(argv[i])
+            i += 1
     src = args[0] if len(args) > 0 else "/root/testdata/sf0.1"
     out = args[1] if len(args) > 1 else "/tmp/sf1x"
     k = int(args[2]) if len(args) > 2 else 10
