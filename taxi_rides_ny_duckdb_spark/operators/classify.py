@@ -276,11 +276,30 @@ def auc_exact(
 
 
 def _round9_half_up(x: float) -> float:
-    """SQL ROUND semantics (half away from zero) at 9dp — Python's
-    built-in round() is banker's and would diverge from both engines."""
+    """SQL ROUND semantics at 9dp, matching BOTH engines exactly —
+    Python's built-in round() is banker's and would diverge.
+
+    ``Decimal(repr(x))``, NOT ``Decimal(x)`` (r13): at fractional
+    scales both engines round the SHORTEST decimal representation of
+    the double, not its exact binary expansion — Spark's Round is
+    ``BigDecimal.valueOf(x)`` (= ``Double.toString``, shortest
+    round-trip repr), and DuckDB measurably agrees (probed on
+    half-boundary witnesses). Witness: x = 0.1234567895 has exact
+    binary 0.12345678949999…, so exact-binary HALF_UP gives
+    0.123456789 where BOTH engines give 0.123456790; Python ``repr``
+    produces the same shortest round-trip digits as Java, so
+    ``Decimal(repr(x))`` reproduces them bit-for-bit. (The scale-0
+    integer kernels — round(t²·10¹²) etc. — are immune: k + 0.5 is
+    exactly representable below 2⁵², so the binary and shortest-repr
+    half-lines coincide there.) The exact-binary form survived 12
+    rounds of driver gates only because witnesses are ~10⁻⁴-rare; the
+    r13 one-pass grouped trainer surfaced one at sf0.1
+    (ext_semdedup_hier, cent_sim_r 0.448349374 vs …375)."""
     from decimal import ROUND_HALF_UP, Decimal
 
-    return float(Decimal(x).quantize(Decimal("1e-9"), rounding=ROUND_HALF_UP))
+    return float(
+        Decimal(repr(x)).quantize(Decimal("1e-9"), rounding=ROUND_HALF_UP)
+    )
 
 
 def lr_hashed_features(

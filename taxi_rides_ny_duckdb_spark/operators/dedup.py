@@ -705,6 +705,7 @@ def connected_components(
     max_iter: int = 50,
     driver_threshold_edges: int = 1_000_000,
     algorithm: str = "auto",
+    emit: str = "full",
 ) -> DataFrame:
     """Transitive closure over a near-dup pair list: (id, component)
     where component = min node id reachable through the pairs.
@@ -741,33 +742,71 @@ def connected_components(
     ``nodes``: optional single-column DataFrame of ALL ids; members
     absent from ``edges`` come back as singleton components (a corpus
     dedup must keep non-duplicated documents).
+
+    ``emit="mapping"`` (r13): return rows ONLY for edge-touched ids —
+    every id absent from the result is its own singleton component by
+    definition, so the caller applies the closure as
+    ``corpus LEFT JOIN mapping`` + ``coalesce(component, id)`` instead
+    of joining a corpus-sized (id, component) frame. On the
+    driver/union-find path the mapping is a LITERAL frame (collected
+    pairs → createDataFrame): zero upstream lineage, broadcast-sized,
+    so the closure costs the consumer one broadcast hash join — no
+    corpus exchange, no nodes distinct, no singleton anti-join. The
+    semdedup collapse tail runs on this. ``nodes`` is ignored under
+    ``emit="mapping"``.
     """
     if algorithm not in ("auto", "star", "label", "driver"):
         raise ValueError(
             f"algorithm must be one of 'auto', 'star', 'label', 'driver'; "
             f"got {algorithm!r}"
         )
+    if emit not in ("full", "mapping"):
+        raise ValueError(f"emit must be 'full' or 'mapping', got {emit!r}")
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     ids = sym.select(F.col("src").alias("id")).distinct()
-    if nodes is not None:
+    if nodes is not None and emit == "full":
         first = nodes.columns[0]
         ids = ids.union(nodes.select(F.col(first).alias("id"))).distinct()
 
     e = e.persist()
-    if algorithm == "driver" or (
-        algorithm == "auto" and e.count() <= driver_threshold_edges
-    ):
-        edge_list = [(r["src"], r["dst"]) for r in e.collect()]
-        node_ids = [r["id"] for r in ids.collect()]
+    # Driver-path gate probe (r13): ONE limit-collect replaces the old
+    # count-then-collect pair — collecting threshold+1 rows both
+    # answers the gate AND delivers the full edge list when it passes,
+    # with the identical driver-memory bound (≤ threshold+1 id pairs).
+    out_type = dict(ids.dtypes)["id"]
+    if algorithm == "driver":
+        probe = e.collect()
+    else:
+        probe = e.limit(driver_threshold_edges + 1).collect()
+    if algorithm == "driver" or len(probe) <= driver_threshold_edges:
+        edge_list = [(r["src"], r["dst"]) for r in probe]
         e.unpersist()
-        comp = _union_find(edge_list, node_ids)
+        # Union-find over EDGE-TOUCHED ids only (r13): the old path
+        # collected every node id to the driver and rebuilt the full
+        # (id, component) frame there — bounded edges but UNBOUNDED
+        # nodes (a 100 TB corpus with a handful of near-dup pairs
+        # would ship every id through the driver). Touched ids are
+        # ≤ 2·|edges| (bounded by the same gate); untouched nodes are
+        # singletons by definition and map to themselves DISTRIBUTED,
+        # via one left join against the small mapping frame (AQE
+        # broadcasts it) — no corpus-sized driver sync anywhere.
+        touched = sorted({x for ab in edge_list for x in ab})
+        comp = _union_find(edge_list, touched)
         spark = edges.sparkSession
-        out_type = dict(ids.dtypes)["id"]
-        return spark.createDataFrame(
-            [(n, comp[n]) for n in node_ids],
+        mapping = spark.createDataFrame(
+            [(n, comp[n]) for n in touched],
             schema=f"id {out_type}, component {out_type}",
         )
+        if emit == "mapping" or nodes is None:
+            return mapping
+        singles = (
+            nodes.select(F.col(first).alias("id"))
+            .distinct()
+            .join(mapping.select("id"), "id", "left_anti")
+            .select(F.col("id"), F.col("id").alias("component"))
+        )
+        return mapping.union(singles)
     # Distributed path: checkpoint sym AND ids off the still-cached
     # edge frame BEFORE dropping it. The previous order (unpersist,
     # then let the star/label path checkpoint sym and read ids from

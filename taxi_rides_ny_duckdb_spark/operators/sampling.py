@@ -875,8 +875,12 @@ def temperature_mixture(
         raise ValueError("no strata found")
 
     def _round9(x: float) -> float:
-        # SQL ROUND (half away from zero), not Python's banker's round
-        return float(Decimal(x).quantize(Decimal("1e-9"), rounding=ROUND_HALF_UP))
+        # SQL ROUND, engine-faithful: both engines round the SHORTEST
+        # repr of the double, not its exact binary expansion — see
+        # classify._round9_half_up (r13) for the witness
+        return float(
+            Decimal(repr(x)).quantize(Decimal("1e-9"), rounding=ROUND_HALF_UP)
+        )
 
     pw = (
         (lambda n: math.sqrt(n))

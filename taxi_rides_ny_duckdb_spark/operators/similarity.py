@@ -28,42 +28,45 @@ from ..session import ensure_min_partitions
 from ..cache import scoped_persist
 
 
-# ── E-step strategy crossover (VERDICT r11 task 6) ──────────────────
+# ── E-step strategy (r11 crossover, RE-MEASURED r13: arrow always) ──
 # The expr and arrow E-steps are pinned bit-equal (scaled-int64
-# argmin), so the physical choice is pure cost physics, decided by
-# TWO bounds:
-# - plan bound (k ≤ _EXPR_ESTEP_MAX_K): the expr plan carries k sum
-#   aggregates + k array literals, so plan build + Janino compile grow
-#   with k (measured at sf1: the k≈80 literal build + compile cost
-#   76.9 s where arrow ran 16.3 s).
-# - corpus bound (rows ≤ _EXPR_ESTEP_MAX_ROWS): arrow pays a FIXED
-#   ~0.4 s/stage Python-worker spin-up + Arrow round trip; expr pays
-#   an exploded-cache build + interpreted-HOF cost LINEAR in n·k·dim.
-#   Measured anchors on THIS box (local[32], 128 GiB, the 2026-08
-#   container): n=500 (contract SF) expr wins by exactly the fixed
-#   startup; n=20 000 (sf1x — the r11 boundary incident sat EXACTLY on
-#   the old `>` bound) arrow wins decisively once a deeper tower
-#   shrinks b1 under the plan bound. 2 000 sits a decade under the
-#   measured-loss anchor — deliberately conservative toward arrow,
-#   whose penalty is bounded by the fixed startup, where expr's grows
-#   with the corpus. BOX ASSUMPTION: re-derive both anchors if the
-#   executor count, Arrow batch size, or Spark's HOF interpretation
-#   changes; the constants encode this machine, not an invariant.
-_EXPR_ESTEP_MAX_K = 32
-_EXPR_ESTEP_MAX_ROWS = 2_000
+# argmin), so the physical choice is pure cost physics. The r11/r12
+# rule ran expr when k ≤ 32 AND rows ≤ 2 000, on the theory that the
+# arrow path pays a fixed Python-worker spin-up the tiny-corpus regime
+# can't amortize. r13 re-measured both paths WARM (worker reuse on, as
+# in any real session — bench warms one pandas_udf stage up front, and
+# every tower query's collapse runs applyInPandas anyway, so the
+# spin-up is paid regardless of this choice), same session, job-group
+# scoped, n×k grid spanning the old boundary:
+#   n=500  k=2  expr 1.74 s/10 jobs   arrow 1.21 s/6 jobs
+#   n=500  k=8  expr 1.52 s/10 jobs   arrow 0.92 s/6 jobs
+#   n=2000 k=8  expr 2.09 s/10 jobs   arrow 1.04 s/6 jobs
+#   n=2000 k=23 expr 3.55 s/10 jobs   arrow 1.11 s/6 jobs
+# Arrow wins EVERYWHERE, including the smallest contract regime the
+# expr bound existed to protect: the expr path's exploded (id, j, x)
+# cache + two shuffled aggregations per iteration cost ~10 AQE stage
+# jobs (~0.2-0.4 s fixed overhead each) against arrow's shuffle-free
+# mapInPandas-collect (~6 jobs), and above k≈16 its generated code
+# blows the 64 KB Janino method limit and falls back to interpreted.
+# The old rule's anchors were cold-session measurements — the regime
+# never occurs inside a warmed suite. 'auto' therefore always picks
+# arrow; the expr form remains explicitly selectable (assign="expr")
+# as the SQL-oracle-shaped twin the bit-equality tests pin against.
+# BOX ASSUMPTION: re-measure the grid if worker reuse is disabled or
+# the Arrow batch path changes.
+_EXPR_ESTEP_MAX_K = 32  # plan bound for EXPLICIT assign="expr" callers
 
 
 def _estep_strategy(
     n_rows: int, k: int, max_expr_k: int = _EXPR_ESTEP_MAX_K
 ) -> str:
-    """Pick the E-step physical form — ``'expr'`` only when BOTH the
-    plan stays small (k ≤ max_expr_k) and the corpus is under the
-    Python-worker-startup crossover (see the module note above)."""
-    return (
-        "expr"
-        if (k <= max_expr_k and n_rows <= _EXPR_ESTEP_MAX_ROWS)
-        else "arrow"
-    )
+    """Pick the E-step physical form for ``assign='auto'`` — always
+    ``'arrow'`` since the r13 warm-regime re-measurement (module note
+    above: arrow won every cell of the n×k grid, including the tiny
+    contract sizes the old expr bound existed for). The signature
+    keeps the cost-model inputs so a future re-measurement can
+    reintroduce a data-dependent rule without touching callers."""
+    return "arrow"
 
 
 def _arrow_vec_col(df: DataFrame, vec_col: str) -> Column:
@@ -1275,11 +1278,21 @@ def _semdedup_collapse(
 
     assigned = assigned.transform(scoped_persist)
     pairs = _within_cluster_pairs(assigned, threshold, id_col, round_dp)
-    comp = connected_components(
-        pairs, "id_a", "id_b", nodes=assigned.select(F.col(id_col).alias("id"))
-    )
-    joined = assigned.select(id_col, "centroid_id", "cent_sim_r").join(
-        comp.select(F.col("id").alias(id_col), "component"), id_col
+    # emit="mapping" (r13): the closure comes back ONLY for edge-
+    # touched ids — on the driver/union-find path that is a LITERAL
+    # broadcast-sized frame — and applies as one left join +
+    # coalesce(component, id). The old form built a corpus-sized
+    # (id, component) frame (mapping ∪ anti-joined singletons) and
+    # sort-merge-joined it back on id: three exchanges deleted.
+    comp = connected_components(pairs, "id_a", "id_b", emit="mapping")
+    joined = (
+        assigned.select(id_col, "centroid_id", "cent_sim_r")
+        .join(
+            comp.select(F.col("id").alias(id_col), "component"),
+            id_col,
+            "left",
+        )
+        .withColumn("component", F.coalesce("component", F.col(id_col)))
     )
     w = Window.partitionBy("component").orderBy(
         F.col("cent_sim_r").asc(), F.col(id_col).asc()
@@ -1510,7 +1523,7 @@ def semdedup_auto(
         .limit(nlist)
         .collect()
     ]
-    strategy = "expr" if nlist <= max_expr_k else "arrow"
+    strategy = _estep_strategy(n, nlist, max_expr_k)
     cents, _sizes = kmeans_lloyd(
         df, init, id_col=id_col, vec_col=vec_col, iters=iters, assign=strategy
     )
@@ -1700,7 +1713,15 @@ def _semdedup_multilevel(
             vecs, init_cents, id_col=id_col, vec_col="__v", group_col="bid",
             iters=iters,
         )
-        asg = kmeans_assign_grouped(vecs, cents, id_col, "__v", "bid")
+        # carry_vec (r13): the assignment cogroup already holds every
+        # member vector — carrying it through the Arrow batch costs one
+        # extra out-bound column and DELETES the corpus-sized join back
+        # to ``vecs`` on id that both consumers below used to pay (a
+        # full exchange+sort per level at scale). The (bid, scid) side
+        # joins are quantizer-sized — AQE broadcasts them.
+        asg = kmeans_assign_grouped(
+            vecs, cents, id_col, "__v", "bid", carry_vec=True
+        )
         if ell < levels:
             # densify (bid, scid) -> next level's single int node key;
             # the window runs over |nodes| rows (quantizer-sized).
@@ -1712,7 +1733,6 @@ def _semdedup_multilevel(
             )
             vecs = (
                 asg.join(dense, ["bid", "scid"])
-                .join(vecs.select(id_col, "__v"), id_col)
                 .select(id_col, "__v", F.col("__nb").alias("bid"))
                 .repartition(F.col("bid"))
                 .transform(scoped_persist)
@@ -1728,8 +1748,7 @@ def _semdedup_multilevel(
         (F.row_number().over(cw) - 1).cast("int").alias("centroid_id"),
     )
     assigned = (
-        asg.join(vecs.select(id_col, "__v"), id_col)
-        .join(cents_idx, ["bid", "scid"])
+        asg.join(cents_idx, ["bid", "scid"])
         .withColumn("__n", l2_norm(F.col("__v")))
         .select(
             F.col(id_col),
@@ -2337,58 +2356,104 @@ def kmeans_lloyd_grouped(
     (group, scid) — the within-branch half of the hierarchical
     quantizer (``semdedup_auto``'s two-level path). Unlike
     ``kmeans_lloyd`` there is NO per-iteration k·dim driver collect
-    and no centroid literal in any plan: the M-step's per-(group,
-    scid, dim) aggregate stays distributed, so the leaf count can be
-    ∝ corpus size while the driver only ever syncs bounded row counts
-    (the localCheckpoint per iteration materializes |leaf| rows
-    executor-side).
+    and no centroid literal in any plan: the leaf count can be
+    ∝ corpus size while the driver only ever syncs bounded row counts.
 
-    Per iteration: E-step = one ``kmeans_assign_grouped`` cogroup
-    with the vector CARRIED THROUGH (``carry_vec`` — no exploded
-    cache, no repartition, no per-iteration join, the r10
-    ``kmeans_lloyd`` arrow-path restructure); M-step = explode the
-    carried (group, scid, vector) output, per-(group, scid, j)
-    round(x·10¹²) LONG sums + counts (exactly ``kmeans_lloyd``'s r11
-    update arithmetic, so a SQL oracle replays it verbatim), means
-    9dp-half-away-rounded IN THE ENGINE (``F.round`` == DuckDB
-    ``round`` — the cent_sim_r precedent); empty sub-clusters carry
-    their previous centroid via a LEFT join against the prior frame.
-    Returns the final (group, scid, cv) frame, localCheckpointed."""
+    ONE-PASS TRAIN (r13 — the tower job-count floor, VERDICT r12
+    task 1): a cogroup task holds its ENTIRE group — every member
+    vector and every sub-centroid — so ALL Lloyd iterations run
+    INSIDE the task: E-step (per-term round(t²·10¹²) exact half-away
+    int64 sums, argmin ties to the lower scid), M-step (per-(scid, j)
+    round(x·10¹²) LONG sums + counts; means = exact 9dp HALF_UP on
+    the identical double ``float(s)/1e12/n`` the engine's
+    ``F.round(s/1e12/n, 9)`` rounds — ``_round9_half_up``, the same
+    driver twin ``kmeans_lloyd``'s arrow path already oracles), empty
+    sub-clusters carrying their previous centroid whole. The old form
+    ran E and M as one cogroup PER ITERATION stitched by
+    quantizer-sized joins and per-round localCheckpoints — at sf0.1
+    that was ~14 scheduled AQE stage-jobs and iters× corpus Arrow
+    round trips per train; the fused form is ONE cogroup (vectors
+    ship once) plus one |leaf|-row eager checkpoint. Every integer
+    and every mean is bit-identical — the per-round ``gst{t}``/
+    ``sc{t+1}`` oracle CTEs replay unchanged.
+
+    Returns the final (group, scid, cv) frame, localCheckpointed
+    (eager — downstream consumers branch on it)."""
+    import numpy as np
+    import pandas as pd
+
+    from .classify import _round9_half_up
+
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
-    cents = init_cents.localCheckpoint(eager=True)
-    for _ in range(iters):
-        # r11 fused E+M step: the cogroup holds each group whole, so it
-        # returns COMPLETE per-(group, scid) statistics — n and the
-        # per-coordinate round(x·10¹²) int64 sums — in the same pass
-        # that scored the assignments. No explode, no aggregate, no
-        # extra exchange; the means are one interpreted transform over
-        # |leaf| rows (quantizer-sized). Same integers as the old
-        # aggregate form ⇒ the gst{t} oracle CTEs replay unchanged.
-        st = kmeans_assign_grouped(
-            vecs, cents, id_col, vec_col, group_col, emit="mstep"
-        )
-        # every member vector has every dim, so carry-forward is whole-
-        # (group, scid): a sub-cluster with >=1 member updates all dims.
-        newcv = st.select(
-            group_col,
-            "scid",
-            F.transform(
-                F.col("s"),
-                lambda e: F.round(e / F.lit(1e12) / F.col("n"), 9),
-            ).alias("cv_new"),
-        )
-        cents = (
-            cents.alias("p")
-            .join(newcv, [group_col, "scid"], "left")
-            .select(
-                F.col(group_col),
-                F.col("scid"),
-                F.coalesce(F.col("cv_new"), F.col("p.cv")).alias("cv"),
+    row_chunk = 1024
+    out_schema = f"{group_col} int, scid int, cv array<double>"
+
+    def fn(key, left, right):
+        if len(right) == 0:
+            return pd.DataFrame(
+                {group_col: pd.Series([], dtype="int32"),
+                 "scid": pd.Series([], dtype="int32"),
+                 "cv": pd.Series([], dtype="object")}
             )
-            .localCheckpoint(eager=True)
+        right = right.sort_values("scid")
+        scids = right["scid"].to_numpy(dtype=np.int32)
+        C = np.asarray(list(right["cv"]), dtype=np.float64)
+        if len(left) == 0:
+            # a group with centroids but no members keeps its init
+            # (the old left-join coalesce semantics)
+            return pd.DataFrame(
+                {group_col: np.full(len(scids), key[0], dtype=np.int32),
+                 "scid": scids,
+                 "cv": list(C)}
+            )
+        X = np.asarray(list(left[vec_col]), dtype=np.float64)
+        n = len(X)
+        # addends quantized ONCE (iteration-invariant): round(x·10¹²)
+        # signed exact half-away int64 — the r11 M-step convention
+        Xi = _round_half_away_signed_np(X * 1e12).astype(np.int64)
+        scid_pos = {int(s): i for i, s in enumerate(scids)}
+        best = np.empty(n, dtype=np.int32)
+        for _ in range(iters):
+            for r0 in range(0, n, row_chunk):
+                xb = X[r0 : r0 + row_chunk]
+                t = xb[:, None, :] - C[None, :, :]
+                d = _round_half_away_nonneg_i64(t * t * 1e12).sum(axis=2)
+                # first occurrence over the scid-sorted axis = lowest scid
+                best[r0 : r0 + len(xb)] = scids[d.argmin(axis=1)]
+            uc, inv = np.unique(best, return_inverse=True)
+            npart = np.bincount(inv)
+            S = np.zeros((len(uc), X.shape[1]), dtype=np.int64)
+            np.add.at(S, inv, Xi)
+            for row, (sc, cnt) in enumerate(zip(uc, npart)):
+                ci = scid_pos[int(sc)]
+                cnt_f = float(cnt)
+                C[ci] = [
+                    _round9_half_up(float(S[row, j]) / 1e12 / cnt_f)
+                    for j in range(X.shape[1])
+                ]
+        return pd.DataFrame(
+            {group_col: np.full(len(scids), key[0], dtype=np.int32),
+             "scid": scids,
+             "cv": list(C)}
         )
-    return cents
+
+    lv = vecs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(group_col).cast("int").alias(group_col),
+        _as_double_array(F.col(vec_col)).alias(vec_col),
+    )
+    rv = init_cents.select(
+        F.col(group_col).cast("int").alias(group_col),
+        F.col("scid").cast("int").alias("scid"),
+        _as_double_array(F.col("cv")).alias("cv"),
+    )
+    return (
+        lv.groupBy(group_col)
+        .cogroup(rv.groupBy(group_col))
+        .applyInPandas(fn, schema=out_schema)
+        .localCheckpoint(eager=True)
+    )
 
 
 # --------------------------------------------------------------------------

@@ -4285,25 +4285,23 @@ def test_binary_sign_words_packs_expected(spark):
     assert rows[2] == [2**31, 2**31]
 
 
-def test_estep_strategy_boundaries():
-    """The shared expr/arrow crossover rule (VERDICT r11 task 6):
-    expr ONLY when both the plan bound (k ≤ max_expr_k) and the corpus
-    bound (rows ≤ 2 000) hold — boundary-exact on both axes (the r11
-    sf1x incident sat exactly on the old `>` corpus bound)."""
+def test_estep_strategy_always_arrow():
+    """r13 warm-regime re-measurement: arrow won every cell of the
+    n×k grid (incl. the tiny contract sizes the old expr bound existed
+    for — the worker spin-up the bound guarded against is paid by the
+    collapse's applyInPandas regardless), so 'auto' always resolves to
+    arrow. The expr form stays explicitly selectable (assign='expr');
+    the bit-equality pins elsewhere in this file keep both forms
+    value-identical."""
     from taxi_rides_ny_duckdb_spark.operators.similarity import (
         _EXPR_ESTEP_MAX_K,
-        _EXPR_ESTEP_MAX_ROWS,
         _estep_strategy,
     )
 
-    assert _estep_strategy(_EXPR_ESTEP_MAX_ROWS, _EXPR_ESTEP_MAX_K) == "expr"
-    assert _estep_strategy(_EXPR_ESTEP_MAX_ROWS + 1, 2) == "arrow"
-    assert _estep_strategy(500, _EXPR_ESTEP_MAX_K + 1) == "arrow"
-    assert _estep_strategy(20_000, 28) == "arrow"  # the sf1x incident
-    assert _estep_strategy(500, 8) == "expr"  # the contract regime
-    # caller-widened plan bound still honors the corpus bound
-    assert _estep_strategy(500, 64, max_expr_k=64) == "expr"
-    assert _estep_strategy(2_001, 64, max_expr_k=64) == "arrow"
+    for n, k in [(500, 2), (500, 8), (2_000, _EXPR_ESTEP_MAX_K),
+                 (2_001, 2), (20_000, 28), (500, 64)]:
+        assert _estep_strategy(n, k) == "arrow"
+    assert _estep_strategy(500, 64, max_expr_k=64) == "arrow"
 
 
 def test_round_half_away_kernels_match_both_engines(spark):
