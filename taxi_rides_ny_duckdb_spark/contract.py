@@ -91,42 +91,40 @@ def query(
 # (tests/test_contract_parity.py, collect-compare + driver-faithful
 # pandas-hash).
 #
-# ROUND-12 drawing, never-windowed-first (the standing rule):
+# ROUND-13 drawing, never-windowed-first (the standing rule):
 # 1. The reference taxi DAG keeps the permanent 8-slot prefix.
-# 2. Queries with NO driver evidence: none — r11 closed the last gap
-#    (226/226 cumulative, VERDICT r11).
-# 3. The 14 queries whose EXECUTION changed this round (r11-green
-#    rows stale; set computed by a cross-file transitive call-closure
-#    over the edited operators — the tooling note in the r12 session
-#    log):
-#    - the exact half-away rounding kernels replaced floor(v+0.5) in
-#      every round()-convention numpy/driver twin (kmeans E+M steps,
-#      grouped assign, pq_assign, the ADC LUT, exact_l2_topk_scaled,
-#      _d2_scaled_int — ADVICE r11 boundary-class fix), changing the
-#      executing code of every trained-quantizer query:
-#      ext_kmeans_train, ext_semdedup_auto, ext_semdedup_hier (also
-#      levels=2 now pinned to match its L=2 oracle — ADVICE r11),
-#      ext_semdedup_hier3, ext_pq_topk, ext_pq_recall, ext_ivfpq_topk,
-#      ext_ivfpq_recall;
-#    - the GT producer's fail-open 2^53 guard fix + array-direct/f32
-#      Arrow shipping (corpus scans ship the vector column, float32
-#      un-widened, instead of 64 F.get scalar projections):
-#      ext_ann_recall_eval, ext_retrieval_ranking_quality,
-#      ext_binary_hamming_topk, ext_binary_hamming_rerank,
-#      ext_binary_hamming_recall (also the NaN-pack mask),
-#      ext_embedding_mean_pool.
-#    NOT stale, verified by the closure: ext_semdedup (flat path,
-#    expr-only at every SF), ext_mmr_diverse_topk and the classifier
-#    ladder (no changed operator in their call graphs).
-# 4. The remaining 28 slots refresh the oldest driver evidence,
-#    oldest-first (union of CORRECTNESS_r0* green rows): the ENTIRE
-#    remaining 25-query r6 cohort (ext_mixture_sample_tokens ...
-#    s6_correlated_subquery — cleared with this drawing), then the 3
-#    alphabetically-first r7 rows (a5_metric_avg_month,
-#    a5_metric_rolling_avg_7d, a6_unique_violations). The r3-era taxi
-#    singles (j1/j2/p2/s1/u1/w1/x2-x5) run VERBATIM inside the
-#    permanent prefix every round — the documented transitive-
-#    coverage class.
+# 2. Queries with NO driver evidence: none (226/226 cumulative since
+#    r11, re-affirmed by the r12 judge).
+# 3. The 20 queries whose EXECUTION changed this round (r12-green
+#    rows stale; set computed by tools/changed_queries.py — the r12
+#    ad-hoc AST call-closure, promoted to a tracked tool — seeded
+#    with the edited functions kmeans_lloyd, kmeans_lloyd_grouped,
+#    _estep_strategy, _round9_half_up, connected_components,
+#    _semdedup_collapse, _semdedup_multilevel, semdedup_auto,
+#    temperature_mixture, lr_train_surrogate):
+#    - the ONE-PASS grouped Lloyd trainer (all iterations inside one
+#      cogroup; means by the Python repr-based round9 twin) + the
+#      arrow-always E-step strategy + the repr-based _round9_half_up
+#      fix (both engines round the SHORTEST repr, not the exact
+#      binary value): every trained-quantizer query — ext_kmeans_train,
+#      ext_semdedup{,_auto,_hier,_hier3}, ext_pq_topk, ext_pq_recall,
+#      ext_ivfpq_topk, ext_ivfpq_recall — plus the lr surrogate pair
+#      (ext_lr_train, ext_lr_score) whose weights round through the
+#      same twin, and ext_temperature_mixture (its _round9 twin);
+#    - connected_components (limit-probe gate, edge-touched-only
+#      union-find, emit="mapping"): every CC consumer —
+#      ext_contrastive_pairs, ext_dedup_cluster_components,
+#      ext_dedup_cluster_keep_best, ext_hard_negative_topk{,_ann},
+#      ext_leakage_safe_split, ext_passage_clusters, ext_purged_kfold.
+#    NOT stale, verified by the closure: the Arrow-scan/hamming family
+#    (_vec_matrix changed only its ERROR path — identical execution on
+#    well-formed data), streaming, BPE, sketches.
+# 4. The remaining 22 slots refresh the oldest driver evidence,
+#    oldest-first (union of CORRECTNESS_r0* green rows): the r7
+#    cohort from a8_accepted_values through ext_profile_key_skew
+#    (alphabetical within the round). The r3-era taxi singles
+#    (j1/j2/p2/s1/u1/w1/x2-x5) run VERBATIM inside the permanent
+#    prefix every round — the documented transitive-coverage class.
 DRIVER_WINDOW: tuple[str, ...] = (
     # 1. Reference taxi DAG -- permanent prefix.
     "taxi_stg_green_tripdata",
@@ -137,11 +135,65 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "taxi_dm_monthly_zone_statistics",
     "taxi_metric_average_distance_month",
     "taxi_metric_avg_distance_manhattan_quarter",
-    # 2. Never driver-verified: none (226/226 cumulative after r11).
-    # 3. Execution changed this round (r11-green rows stale): the
-    #    trained-quantizer family (exact half-away kernels), then the
-    #    Arrow-scan family (guard fix + array-direct/f32 shipping +
-    #    NaN pack mask).
+    # 2. Never driver-verified: none (226/226 cumulative).
+    # 3. Execution changed this round (r12-green rows stale):
+    #    trained-quantizer + round9-twin family, then the
+    #    connected-components consumers.
+    "ext_kmeans_train",
+    "ext_semdedup",
+    "ext_semdedup_auto",
+    "ext_semdedup_hier",
+    "ext_semdedup_hier3",
+    "ext_pq_topk",
+    "ext_pq_recall",
+    "ext_ivfpq_topk",
+    "ext_ivfpq_recall",
+    "ext_lr_train",
+    "ext_lr_score",
+    "ext_temperature_mixture",
+    "ext_contrastive_pairs",
+    "ext_dedup_cluster_components",
+    "ext_dedup_cluster_keep_best",
+    "ext_hard_negative_topk",
+    "ext_hard_negative_topk_ann",
+    "ext_leakage_safe_split",
+    "ext_passage_clusters",
+    "ext_purged_kfold",
+    # 4. Oldest-evidence refresh: the r7 cohort, alphabetical.
+    "a8_accepted_values",
+    "ext_asof_join",
+    "ext_bm25_topk",
+    "ext_bpe_learn_merges",
+    "ext_bpe_pair_counts",
+    "ext_bpe_segment",
+    "ext_cap_per_group",
+    "ext_cdc_apply",
+    "ext_compact_small_files",
+    "ext_corpus_curation",
+    "ext_corpus_datacard",
+    "ext_corpus_shuffle",
+    "ext_dsir_importance",
+    "ext_events_json_extract",
+    "ext_events_session_window",
+    "ext_file_stats_skipping",
+    "ext_gopher_quality",
+    "ext_incremental_dedup",
+    "ext_metric_anomaly",
+    "ext_profile_correlation",
+    "ext_profile_drift_psi",
+    "ext_profile_key_skew",
+)
+
+# ROUND-12 drawing (superseded -- kept for the audit trail):
+_DRIVER_WINDOW_R12: tuple[str, ...] = (
+    "taxi_stg_green_tripdata",
+    "taxi_stg_yellow_tripdata",
+    "taxi_dim_zones",
+    "taxi_fact_trips",
+    "taxi_dm_monthly_zone_revenue",
+    "taxi_dm_monthly_zone_statistics",
+    "taxi_metric_average_distance_month",
+    "taxi_metric_avg_distance_manhattan_quarter",
     "ext_kmeans_train",
     "ext_semdedup_auto",
     "ext_semdedup_hier",
@@ -156,9 +208,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ext_binary_hamming_rerank",
     "ext_binary_hamming_recall",
     "ext_embedding_mean_pool",
-    # 4. Oldest-evidence refresh: the ENTIRE remaining 25-query r6
-    #    cohort (cleared with this drawing), then the 3
-    #    alphabetically-first r7 rows.
     "ext_mixture_sample_tokens",
     "ext_partitioned_sink_prune",
     "ext_quality_robust_normalize",
@@ -187,60 +236,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "a5_metric_avg_month",
     "a5_metric_rolling_avg_7d",
     "a6_unique_violations",
-)
-
-# ROUND-11 drawing (superseded -- kept for the audit trail):
-_DRIVER_WINDOW_R11: tuple[str, ...] = (
-    "taxi_stg_green_tripdata",
-    "taxi_stg_yellow_tripdata",
-    "taxi_dim_zones",
-    "taxi_fact_trips",
-    "taxi_dm_monthly_zone_revenue",
-    "taxi_dm_monthly_zone_statistics",
-    "taxi_metric_average_distance_month",
-    "taxi_metric_avg_distance_manhattan_quarter",
-    "ext_semdedup_hier3",
-    "ext_semdedup_auto",
-    "ext_semdedup_hier",
-    "ext_ann_recall_eval",
-    "ext_retrieval_ranking_quality",
-    "ext_binary_hamming_recall",
-    "ext_binary_hamming_topk",
-    "ext_binary_hamming_rerank",
-    "ext_embedding_mean_pool",
-    "ext_mmr_diverse_topk",
-    "ext_classifier_calibration_ece",
-    "ext_brier_decomposition",
-    "ext_classifier_auc",
-    "ext_kmeans_train",
-    "ext_pq_topk",
-    "ext_pq_recall",
-    "ext_ivfpq_topk",
-    "ext_ivfpq_recall",
-    "ext_semi_join",
-    "ext_set_except",
-    "ext_set_intersect",
-    "ext_set_union_distinct",
-    "ext_stratified_sample",
-    "ext_streaming_tumbling",
-    "ext_text_explode_tokens",
-    "ext_text_repetition_ratio",
-    "ext_train_val_split",
-    "ext_unpivot_measures",
-    "ext_window_rank_family",
-    "ext_window_running_sum",
-    "q12_priority_classes",
-    "q19_bracketed_revenue",
-    "q6_forecast_revenue",
-    "a1_pricing_summary",
-    "a9_conditional_agg_promo",
-    "ext_bucketed_join_colocated",
-    "ext_decontaminate_bloom",
-    "ext_dedup_minhash_lsh",
-    "ext_dedup_ngram_jaccard",
-    "ext_epoch_upsample",
-    "ext_hard_negative_topk",
-    "ext_mixture_sample",
 )
 
 

@@ -7533,13 +7533,27 @@ def ext_semdedup_hier(spark, sf_dir):
     Lloyd chain, branch assignment, integer-arithmetic per-branch
     sizing, the grouped Lloyd chain, leaf densification, and the
     CC/keep collapse. memoize=False: training collects per
-    iteration. ``levels=2`` is PINNED (ADVICE r11): the oracle
-    hard-codes the L=2 chain, and without the pin the auto depth rule
-    (max_branch=64) would pick L=3 once nlist^(1/2) > 64 (sf10,
-    nlist=20 000) — parity would then hold only at the correctness SF.
-    The auto rule itself is exercised by ext_semdedup_hier3 (forced
-    L=3 with a matching L=3 oracle) and the depth-selection unit
-    tests."""
+    iteration.
+
+    ``levels=2`` is part of this query's DEFINITION (r13 — VERDICT
+    r12 task 4 decided): this is the fixed-TWO-LEVEL quantizer row,
+    exactly symmetric with ext_semdedup_hier3's fixed levels=3 (which
+    nobody reads as a pin); the depth-SELECTION rule is graded on
+    ext_semdedup_auto, which picks L=3 at sf10. The alternative — a
+    variable-depth oracle emitting the CTE chain for whatever L the
+    sizing rule picks — was considered and REJECTED: the rule picks
+    L=2 at every SF where the unrolled oracle can execute at all
+    (L=3 needs nlist > 64², i.e. N > ~41 k at target=10, where the
+    L2-unrolled replay already costs ~10⁲ s and DNFs by sf10), the
+    L=3 chain is fully verified by hier3's own oracle at every SF,
+    and the depth-decision integers are already replayed engine-side
+    by the hier3 oracle's bk CASE chain (``_iceil_root_col``) plus
+    unit tests — so a dual-unrolled conditional oracle would add
+    ~200 SQL lines that never execute differently. Cost of the
+    fixed depth at scale is known and accepted: at sf10 this row
+    executes the 142-branch L2 envelope (~68 s, r12) where auto's
+    L3 runs ~22 s — the row measures the L2 SHAPE, auto measures
+    the rule."""
     from .operators.similarity import semdedup_auto
 
     emb = load(spark, sf_dir, "embeddings")

@@ -770,17 +770,18 @@ def connected_components(
         ids = ids.union(nodes.select(F.col(first).alias("id"))).distinct()
 
     e = e.persist()
-    # Driver-path gate probe (r13): ONE limit-collect replaces the old
-    # count-then-collect pair — collecting threshold+1 rows both
-    # answers the gate AND delivers the full edge list when it passes,
-    # with the identical driver-memory bound (≤ threshold+1 id pairs).
+    # Gate = one map-side COUNT over the cached edges, then collect
+    # only when it passes. (r13 note: a limit(threshold+1)-collect
+    # probe that fused gate+fetch into one action was tried and
+    # REVERTED — when the graph is big it ships threshold+1 rows to
+    # the driver for nothing before the distributed path runs;
+    # measured ~5-10 s of pure py4j deserialization on the 2.4M-edge
+    # sf10 semdedup graph, against ~0.2 s saved at the correctness SF.)
     out_type = dict(ids.dtypes)["id"]
-    if algorithm == "driver":
-        probe = e.collect()
-    else:
-        probe = e.limit(driver_threshold_edges + 1).collect()
-    if algorithm == "driver" or len(probe) <= driver_threshold_edges:
-        edge_list = [(r["src"], r["dst"]) for r in probe]
+    if algorithm == "driver" or (
+        algorithm == "auto" and e.count() <= driver_threshold_edges
+    ):
+        edge_list = [(r["src"], r["dst"]) for r in e.collect()]
         e.unpersist()
         # Union-find over EDGE-TOUCHED ids only (r13): the old path
         # collected every node id to the driver and rebuilt the full

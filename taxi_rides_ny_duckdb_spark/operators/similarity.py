@@ -99,10 +99,28 @@ def _vec_matrix(col, dim: int):
 
     if len(col) == 0:
         return np.zeros((0, dim), dtype=np.float64)
-    # the [:, :dim] slice preserves the old per-column projection's
-    # contract (pool/scan only the first dim coordinates) — a view,
-    # free when the arrays are exactly dim long
-    return np.asarray(list(col), dtype=np.float64)[:, :dim]
+    try:
+        # the [:, :dim] slice preserves the old per-column projection's
+        # contract (pool/scan only the first dim coordinates) — a view,
+        # free when the arrays are exactly dim long
+        return np.asarray(list(col), dtype=np.float64)[:, :dim]
+    except (ValueError, TypeError, IndexError):
+        # Fail FAST on malformed vectors, but name the offender
+        # (ADVICE r12): the old per-coordinate F.get projection
+        # silently degraded null/short rows to NaN — corpus
+        # corruption should stop the scan, not skew the result.
+        for pos, v in enumerate(col):
+            if v is None:
+                raise ValueError(
+                    f"_vec_matrix: NULL vector at batch row {pos} "
+                    f"(expected array of {dim} doubles)"
+                ) from None
+            if len(v) < dim:
+                raise ValueError(
+                    f"_vec_matrix: vector of length {len(v)} at batch "
+                    f"row {pos} (expected >= {dim})"
+                ) from None
+        raise
 
 
 def _round_half_away_nonneg_np(v):
@@ -161,6 +179,41 @@ def _round_half_away_int(v: float) -> int:
     same contract as ``_round_half_away_nonneg_np``."""
     f = math.floor(v)
     return f + (1 if v - f >= 0.5 else 0)
+
+
+def _round9_half_up_np(v):
+    """Vectorized twin of ``classify._round9_half_up`` (engine ROUND
+    at 9dp = HALF_UP on the SHORTEST repr of the double): the fast
+    path scales by 10⁹ and splits on the fractional part; values whose
+    fraction lands inside an ambiguity band around 0.5 (wider than the
+    worst float error of the ×10⁹ scaling, |frac−0.5| < 10⁻³) fall
+    back to the exact scalar Decimal(repr(x)) form — ~0.1% of uniform
+    inputs, so the Decimal cost disappears from the hot loop (the
+    grouped trainer's means are |leaf|·dim·iters values — 12.8M at
+    sf10). Sign is handled by symmetry (both engines round half AWAY
+    from zero; repr is sign-symmetric). Exactness is property-tested
+    against the scalar form and both engines
+    (test_round9_vectorized_matches_scalar)."""
+    import numpy as np
+
+    from .classify import _round9_half_up
+
+    a = np.abs(v)
+    scaled = a * 1e9
+    f = np.floor(scaled)
+    frac = scaled - f
+    ambiguous = np.abs(frac - 0.5) < 1e-3
+    # values too large for a meaningful 9dp fraction (≥ 2⁵³/1e9) are
+    # returned unchanged by the scalar form too — route them slow
+    ambiguous |= ~np.isfinite(scaled) | (a >= 2**53 / 1e9)
+    k = f + (frac >= 0.5)
+    out = np.copysign(k / 1e9, v)
+    if ambiguous.any():
+        idx = np.nonzero(ambiguous)[0]
+        vals = np.asarray(v, dtype=np.float64)
+        for i in idx:
+            out[i] = _round9_half_up(float(vals[i]))
+    return out
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -2382,8 +2435,6 @@ def kmeans_lloyd_grouped(
     import numpy as np
     import pandas as pd
 
-    from .classify import _round9_half_up
-
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
     row_chunk = 1024
@@ -2427,11 +2478,12 @@ def kmeans_lloyd_grouped(
             np.add.at(S, inv, Xi)
             for row, (sc, cnt) in enumerate(zip(uc, npart)):
                 ci = scid_pos[int(sc)]
-                cnt_f = float(cnt)
-                C[ci] = [
-                    _round9_half_up(float(S[row, j]) / 1e12 / cnt_f)
-                    for j in range(X.shape[1])
-                ]
+                # int64→double exact under the 2⁵³ envelope; /1e12
+                # then /n are the engine's own double divisions; the
+                # vectorized repr-based round9 twin finishes the mean
+                C[ci] = _round9_half_up_np(
+                    S[row].astype(np.float64) / 1e12 / float(cnt)
+                )
         return pd.DataFrame(
             {group_col: np.full(len(scids), key[0], dtype=np.int32),
              "scid": scids,

@@ -4304,6 +4304,51 @@ def test_estep_strategy_always_arrow():
     assert _estep_strategy(500, 64, max_expr_k=64) == "arrow"
 
 
+def test_round9_vectorized_matches_scalar(spark):
+    """The vectorized round9 twin (_round9_half_up_np) equals the
+    scalar Decimal(repr(x)) form — which is the engine-faithful one
+    (both engines round the SHORTEST repr at fractional scales, r13)
+    — on half-boundary witnesses, the ambiguity band, signs, and a
+    random grid; plus a Spark F.round spot-check on the witnesses."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from taxi_rides_ny_duckdb_spark.operators.classify import _round9_half_up
+    from taxi_rides_ny_duckdb_spark.operators.similarity import (
+        _round9_half_up_np,
+    )
+
+    witnesses = [
+        0.1234567895,        # repr says ...895, exact binary ...89499...
+        0.4483493745,        # the r13 sf0.1 incident's class
+        0.9999999985,
+        0.0000000005,
+        0.5000000005,
+        0.4483493744999999,
+        0.44834937450000004,
+        1.0, 0.0, -0.0, 2.5e-10, -2.5e-10, 123.4567890125,
+        -0.1234567895, -0.9999999985,
+    ]
+    rng = np.random.default_rng(7)
+    grid = np.concatenate([
+        np.asarray(witnesses, dtype=np.float64),
+        rng.uniform(-2.0, 2.0, 4000),
+        rng.uniform(-1e-8, 1e-8, 1000),
+        # dense sampling right at the half-boundary lattice
+        (np.arange(-500, 500) + 0.5) / 1e9,
+    ])
+    got = _round9_half_up_np(grid)
+    want = np.asarray([_round9_half_up(float(x)) for x in grid])
+    mism = np.nonzero(got != want)[0]
+    assert len(mism) == 0, [(float(grid[i]), float(got[i]), float(want[i])) for i in mism[:5]]
+    # engine spot-check on the witnesses (F.round is the house target)
+    df = spark.createDataFrame([(float(w),) for w in witnesses], "v double")
+    eng = [r["r"] for r in df.select(F.round(F.col("v"), 9).alias("r")).collect()]
+    vec = _round9_half_up_np(np.asarray(witnesses, dtype=np.float64))
+    assert [float(x) for x in vec] == eng
+
+
 def test_round_half_away_kernels_match_both_engines(spark):
     """The exact half-away kernels (ADVICE r12 fix) agree with DuckDB
     round() AND Spark F.round on boundary doubles where the old
@@ -4426,6 +4471,45 @@ def test_arrow_scan_input_shape_and_vec_matrix_contract(spark):
         dim=2,
     ).toPandas().sort_values("pos")
     assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
+def test_vec_matrix_names_malformed_rows():
+    """Malformed corpora fail FAST with the offending row named
+    (ADVICE r12): a NULL or short vector raises ValueError carrying
+    the batch position and expected width, instead of numpy's opaque
+    inhomogeneous-shape error (and instead of the old F.get path's
+    silent null→NaN degradation — corruption should stop the scan)."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from taxi_rides_ny_duckdb_spark.operators.similarity import _vec_matrix
+
+    good = np.asarray([0.1, 0.2], dtype=np.float64)
+    with pytest.raises(ValueError, match=r"NULL vector at batch row 1"):
+        _vec_matrix(pd.Series([good, None, good]), 2)
+    with pytest.raises(ValueError, match=r"length 1 at batch row 2"):
+        _vec_matrix(
+            pd.Series([good, good, np.asarray([0.5], dtype=np.float64)]), 2
+        )
+
+
+def test_make_scale_data_argv_guards():
+    """Trailing --only/--link-rest without a value exits with usage
+    instead of IndexError, and --only + --link-rest prints the
+    key-space-alignment warning (ADVICE r12)."""
+    import subprocess
+    import sys
+
+    tool = "/root/repo/tools/make_scale_data.py"
+    r = subprocess.run(
+        [sys.executable, tool, "--only"], capture_output=True, text=True
+    )
+    assert r.returncode != 0 and "usage:" in (r.stderr + r.stdout)
+    r = subprocess.run(
+        [sys.executable, tool, "--help"], capture_output=True, text=True
+    )
+    assert "key spaces" in (r.stderr + r.stdout)
 
 
 def test_pack_sign_bits_nan_parity_with_expression(spark):

@@ -89,9 +89,14 @@ def replicate(
                 continue
             dst = os.path.join(out_dir, f"{name}.parquet")
             if not os.path.exists(dst):
-                os.link(
-                    os.path.join(link_rest_from, f"{name}.parquet"), dst
-                )
+                src_f = os.path.join(link_rest_from, f"{name}.parquet")
+                try:
+                    os.link(src_f, dst)
+                except OSError:
+                    # cross-filesystem (EXDEV) or FS without hardlinks
+                    import shutil
+
+                    shutil.copy(src_f, dst)
     tables = {
         name: pq.read_table(os.path.join(src_dir, f"{name}.parquet"))
         for name in ALL_TABLES
@@ -199,6 +204,18 @@ def replicate(
         print(f"{name}: {n_rows} rows", file=sys.stderr)
 
 
+_USAGE = (
+    "usage: make_scale_data.py [SRC_DIR] [OUT_DIR] [COPIES] "
+    "[--only t1,t2] [--link-rest DIR]\n"
+    "NOTE: --only + --link-rest mixes key spaces — replicated tables "
+    "get pad offsets derived from SRC_DIR maxima while linked tables "
+    "keep another scale's keys, so cross-table joins between a "
+    "replicated and a linked table will NOT align. Safe only when the "
+    "measured queries read the replicated tables alone (the "
+    "embeddings-only ANN-decade recipe)."
+)
+
+
 if __name__ == "__main__":
     only = None
     link_rest = None
@@ -206,15 +223,26 @@ if __name__ == "__main__":
     argv = sys.argv[1:]
     i = 0
     while i < len(argv):
-        if argv[i] == "--only":
-            only = argv[i + 1].split(",")
+        if argv[i] in ("--only", "--link-rest"):
+            if i + 1 >= len(argv):
+                raise SystemExit(f"{argv[i]} needs a value\n{_USAGE}")
+            if argv[i] == "--only":
+                only = argv[i + 1].split(",")
+            else:
+                link_rest = argv[i + 1]
             i += 2
-        elif argv[i] == "--link-rest":
-            link_rest = argv[i + 1]
-            i += 2
+        elif argv[i] in ("-h", "--help"):
+            raise SystemExit(_USAGE)
         else:
             args.append(argv[i])
             i += 1
+    if only and link_rest:
+        print(
+            "WARNING: --only + --link-rest breaks cross-table key "
+            "alignment between replicated and linked tables (see "
+            "--help); fine for single-table workloads only",
+            file=sys.stderr,
+        )
     src = args[0] if len(args) > 0 else "/root/testdata/sf0.1"
     out = args[1] if len(args) > 1 else "/tmp/sf1x"
     k = int(args[2]) if len(args) > 2 else 10
