@@ -6348,8 +6348,18 @@ def ext_streaming_topk_rollup(spark, sf_dir):
         .write.mode("overwrite")
         .parquet(src)
     )
+    # max_files_per_trigger=4 (r13 optimization round, guide §2.2's
+    # fewer-larger-units rule applied to micro-batches): the source's
+    # 8 day-atomic files arrive as TWO multi-file micro-batches
+    # instead of eight single-file ones, quartering the per-trigger
+    # scheduling + checkpoint + append overhead. The artifact rows are
+    # IDENTICAL: summaries are keyed by day (not batch), no day spans
+    # a file, so batching files can never split a day — the
+    # batch/stream symmetry argument is unchanged and the oracle is
+    # the same batch SQL verbatim.
     jobs.stream_topk_shard_summaries(
-        spark, src, sink, ckpt, key_col="user_id", k=10
+        spark, src, sink, ckpt, key_col="user_id", k=10,
+        max_files_per_trigger=4,
     )
     summaries = spark.read.parquet(sink)
     top = topk_rollup(summaries, lambda c: F.date_trunc("week", c), n_top=5)

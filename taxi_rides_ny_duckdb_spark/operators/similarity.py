@@ -1588,17 +1588,23 @@ def semdedup_auto(
         dims = v.select(
             F.col(id_col), F.posexplode("__v").alias("pos", "x")
         ).select(F.col(id_col), (F.col("pos") + 1).alias("j"), "x")
-        asg = _kmeans_assign_expr(dims, cents, id_col)
+        base = v.join(_kmeans_assign_expr(dims, cents, id_col), id_col)
     else:
-        asg = kmeans_assign_arrow(v, cents, id_col, vec_col="__v")
+        # carry_vec (r13 optimization round): the Arrow E-step already
+        # holds every vector — carrying it through the batch deletes
+        # the corpus-sized join back to ``v`` on id (a full
+        # exchange+sort of both sides at scale). __n recomputed after:
+        # same deterministic l2_norm expression on the same doubles.
+        base = kmeans_assign_arrow(
+            v, cents, id_col, vec_col="__v", carry_vec=True
+        ).withColumn("__n", l2_norm(F.col("__v")))
     spark = df.sparkSession
     cents_df = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
         "cid int, cv array<double>",
     ).withColumn("__cn", l2_norm(F.col("cv")))
     assigned = (
-        v.join(asg, id_col)
-        .join(F.broadcast(cents_df), "cid")
+        base.join(F.broadcast(cents_df), "cid")
         .select(
             F.col(id_col),
             F.col("cid").alias("centroid_id"),
@@ -1696,8 +1702,9 @@ def _semdedup_multilevel(
       nlist ∝ N);
     - driver sync: b₁·d doubles/iter for the coarse level, ZERO
       per-node state at every grouped level (centroids live in a
-      DataFrame; node child-counts come from a window over the node
-      key, sized by ``_iceil_root_col``'s exact integer CASE chain);
+      DataFrame; node child-counts are sized IN-TASK by
+      ``_int_ceil_root``'s exact integer arithmetic — the same
+      integers the oracle's CASE chain replays);
     - intermediate node keys densify through a |nodes|-row window
       (quantizer-sized) so the grouped trainer always sees one int
       key column;
@@ -1729,55 +1736,41 @@ def _semdedup_multilevel(
         F.col(id_col), _as_double_array(F.col(vec_col)).alias("__v")
     )
     # branch assignment: one more E-step with the final coarse
-    # centroids (bit-equal expr/arrow; arrow — b1 can exceed the expr
-    # comfort zone at scale). Each level's vecs feeds FOUR branches
-    # (sub-init window, grouped-train E-steps, assign, keep join) —
-    # persist, the multi-branch lineage rule — and is hash-partitioned
-    # on the node key so the sub-init window and every grouped
-    # cogroup read it exchange-free.
-    vecs = (
-        v.join(
-            kmeans_assign_arrow(v, coarse, id_col, vec_col="__v")
-            .withColumnRenamed("cid", "bid"),
-            id_col,
-        )
-        .repartition(F.col("bid"))
-        .transform(scoped_persist)
-    )
+    # centroids, with the vector CARRIED through the Arrow batch
+    # (r13 optimization round) — the corpus-sized join back to ``v``
+    # on id is gone, and since each level is now ONE fused pass with
+    # a single consumer, the per-level repartition+persist pair is
+    # gone too (the fused groupBy does the one bid exchange itself).
+    vecs = kmeans_assign_arrow(
+        v, coarse, id_col, vec_col="__v", carry_vec=True
+    ).withColumnRenamed("cid", "bid")
     t = int(target_cluster_size)
-    wcnt = Window.partitionBy("bid")
-    worder = Window.partitionBy("bid").orderBy(F.col(id_col).asc())
     cents = None
-    asg = None
+    members = None
     for ell in range(2, levels + 1):
         s = levels - ell + 1  # remaining splits including this one
-        m = F.expr(f"(__cnt + {t - 1}) div {t}")
-        init_cents = (
-            vecs.withColumn("__cnt", F.count(F.lit(1)).over(wcnt))
-            .withColumn("__rn", F.row_number().over(worder))
-            .filter(F.col("__rn") <= _iceil_root_col(m, s))
-            .select(
-                F.col("bid"),
-                (F.col("__rn") - 1).cast("int").alias("scid"),
-                F.col("__v").alias("cv"),
-            )
-        )
-        cents = kmeans_lloyd_grouped(
-            vecs, init_cents, id_col=id_col, vec_col="__v", group_col="bid",
+        # ONE fused init+train+assign pass per level (r13 optimization
+        # round — see kmeans_train_assign_grouped): the window-built
+        # init frame (whose _iceil_root_col CASE chain cost 1.5-2.6 s
+        # of per-run interpreted fallback at sf0.1), the train cogroup,
+        # its eager checkpoint and the second corpus-wide assignment
+        # cogroup collapse into a single Arrow pass. Persisted: the
+        # centroid-row and member-row branches both read it.
+        fused = kmeans_train_assign_grouped(
+            vecs, t, s, id_col=id_col, vec_col="__v", group_col="bid",
             iters=iters,
+        ).transform(scoped_persist)
+        cents = fused.filter(F.col(id_col).isNull()).select(
+            "bid", "scid", "cv"
         )
-        # carry_vec (r13): the assignment cogroup already holds every
-        # member vector — carrying it through the Arrow batch costs one
-        # extra out-bound column and DELETES the corpus-sized join back
-        # to ``vecs`` on id that both consumers below used to pay (a
-        # full exchange+sort per level at scale). The (bid, scid) side
-        # joins are quantizer-sized — AQE broadcasts them.
-        asg = kmeans_assign_grouped(
-            vecs, cents, id_col, "__v", "bid", carry_vec=True
+        members = fused.filter(F.col(id_col).isNotNull()).select(
+            id_col, "bid", "scid", "__v"
         )
         if ell < levels:
             # densify (bid, scid) -> next level's single int node key;
             # the window runs over |nodes| rows (quantizer-sized).
+            # The centroid rows include empty sub-clusters, so the
+            # numbering matches the cents-frame form exactly.
             dw = Window.orderBy(F.col("bid").asc(), F.col("scid").asc())
             dense = cents.select(
                 "bid",
@@ -1785,10 +1778,8 @@ def _semdedup_multilevel(
                 (F.row_number().over(dw) - 1).cast("int").alias("__nb"),
             )
             vecs = (
-                asg.join(dense, ["bid", "scid"])
+                members.join(dense, ["bid", "scid"])
                 .select(id_col, "__v", F.col("__nb").alias("bid"))
-                .repartition(F.col("bid"))
-                .transform(scoped_persist)
             )
     # densify (bid, scid) -> contiguous centroid_id so the output
     # contract matches the flat path; the window runs over |leaf| rows
@@ -1801,7 +1792,7 @@ def _semdedup_multilevel(
         (F.row_number().over(cw) - 1).cast("int").alias("centroid_id"),
     )
     assigned = (
-        asg.join(cents_idx, ["bid", "scid"])
+        members.join(cents_idx, ["bid", "scid"])
         .withColumn("__n", l2_norm(F.col("__v")))
         .select(
             F.col(id_col),
@@ -2506,6 +2497,125 @@ def kmeans_lloyd_grouped(
         .applyInPandas(fn, schema=out_schema)
         .localCheckpoint(eager=True)
     )
+
+
+def kmeans_train_assign_grouped(
+    vecs: DataFrame,
+    t_target: int,
+    splits_remaining: int,
+    id_col: str = "vec_id",
+    vec_col: str = "__v",
+    group_col: str = "bid",
+    iters: int = 2,
+) -> DataFrame:
+    """Fused init+train+assign for ONE split level of the multilevel
+    tower (r13 optimization round, guide §2.4/§4.2): a single
+    groupBy-applyInPandas pass replaces the window-built init frame,
+    the grouped-train cogroup, its eager checkpoint AND the second
+    corpus-wide assignment cogroup — the vectors cross the Python
+    boundary once per level instead of twice, and the init frame's
+    exact-integer-root CASE chain (``_iceil_root_col`` — a cascaded
+    expression Janino refuses to compile, measured 1.5–2.6 s of
+    per-run interpreted fallback + replanning at sf0.1) never enters
+    a plan at all.
+
+    A task holds its whole group, so everything runs in-task with the
+    house engine-exact kernels, bit-identical to the frames it fuses:
+    k = ``_int_ceil_root(⌈cnt/T⌉, s)`` in exact Python bigints (the
+    integer twin the oracle's CASE chain replays — same function the
+    driver already uses for the coarse sizing); init = first k members
+    by id (== the window form's orderBy(id) rn ≤ k); all Lloyd
+    iterations verbatim ``kmeans_lloyd_grouped`` arithmetic
+    (scaled-int64 E-step with argmin ties to the lower scid,
+    round(x·10¹²) LONG M-step addends, ``_round9_half_up_np`` means,
+    empty sub-clusters carrying their previous centroid); then ONE
+    final E-step with the trained centroids (== what
+    ``kmeans_assign_grouped`` recomputed from the checkpoint).
+
+    Output: one row per member (group, scid, id, vector, cv NULL)
+    UNION one row per centroid (group, scid, id NULL, vector NULL,
+    cv) — the centroid rows are the COMPLETE k-per-group set
+    (including sub-clusters that end up empty), which is what keeps
+    the downstream dense numbering identical to the cents-frame form
+    the oracle replays. Caller filters on ``id IS NULL`` to split the
+    two (persist first — both branches read the same pass)."""
+    import numpy as np
+    import pandas as pd
+
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    T = int(t_target)
+    s = int(splits_remaining)
+    row_chunk = 1024
+    out_schema = (
+        f"{group_col} int, scid int, {id_col} long, "
+        f"{vec_col} array<double>, cv array<double>"
+    )
+
+    def fn(key, pdf):
+        n = len(pdf)
+        if n == 0:  # groups come from member rows; defensive only
+            return pd.DataFrame(
+                {group_col: pd.Series([], dtype="int32"),
+                 "scid": pd.Series([], dtype="int32"),
+                 id_col: pd.Series([], dtype="int64"),
+                 vec_col: pd.Series([], dtype="object"),
+                 "cv": pd.Series([], dtype="object")}
+            )
+        g = int(key[0])
+        order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
+        ids = pdf[id_col].to_numpy()[order]
+        X = np.asarray(list(pdf[vec_col]), dtype=np.float64)[order]
+        m = (n + T - 1) // T
+        k = _int_ceil_root(m, s)  # k ≤ m ≤ n — init rows always exist
+        C = X[:k].copy()
+        # addends quantized ONCE (iteration-invariant) — the r11
+        # M-step convention, verbatim kmeans_lloyd_grouped
+        Xi = _round_half_away_signed_np(X * 1e12).astype(np.int64)
+        best = np.empty(n, dtype=np.int32)
+
+        def estep():
+            for r0 in range(0, n, row_chunk):
+                xb = X[r0 : r0 + row_chunk]
+                t = xb[:, None, :] - C[None, :, :]
+                d = _round_half_away_nonneg_i64(t * t * 1e12).sum(axis=2)
+                # scids are the identity 0..k-1 ⇒ argmin's first
+                # occurrence = lowest scid, the house tie rule
+                best[r0 : r0 + len(xb)] = d.argmin(axis=1)
+
+        for _ in range(iters):
+            estep()
+            uc, inv = np.unique(best, return_inverse=True)
+            npart = np.bincount(inv)
+            S = np.zeros((len(uc), X.shape[1]), dtype=np.int64)
+            np.add.at(S, inv, Xi)
+            for row, (sc, cnt) in enumerate(zip(uc, npart)):
+                C[int(sc)] = _round9_half_up_np(
+                    S[row].astype(np.float64) / 1e12 / float(cnt)
+                )
+        estep()  # final assignment with the trained centroids
+        mrows = pd.DataFrame(
+            {group_col: np.full(n, g, dtype=np.int32),
+             "scid": best.astype(np.int32),
+             id_col: ids,
+             vec_col: list(X),
+             "cv": [None] * n}
+        )
+        crows = pd.DataFrame(
+            {group_col: np.full(k, g, dtype=np.int32),
+             "scid": np.arange(k, dtype=np.int32),
+             id_col: pd.array([None] * k, dtype="Int64"),
+             vec_col: [None] * k,
+             "cv": list(C)}
+        )
+        return pd.concat([mrows, crows], ignore_index=True)
+
+    lv = vecs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(group_col).cast("int").alias(group_col),
+        _as_double_array(F.col(vec_col)).alias(vec_col),
+    )
+    return lv.groupBy(group_col).applyInPandas(fn, schema=out_schema)
 
 
 # --------------------------------------------------------------------------

@@ -3816,6 +3816,70 @@ def test_kmeans_lloyd_grouped_carries_empty_subcluster(spark):
     assert out[(0, 0)] == [0.1, 0.1]
 
 
+def test_kmeans_train_assign_grouped_matches_unfused_pipeline(spark):
+    """The r13 fused per-level pass (in-task init + train + assign)
+    must reproduce the unfused chain bit-for-bit: init = first-k-by-id
+    with k = _int_ceil_root(ceil(cnt/T), s), trained centroids ==
+    kmeans_lloyd_grouped on that init, assignments ==
+    kmeans_assign_grouped on the trained centroids — and the centroid
+    rows must be the COMPLETE k-per-group set (including sub-clusters
+    that end up empty), because the downstream dense numbering the
+    oracle replays counts empty leaves."""
+    from pyspark.sql import functions as F
+
+    from taxi_rides_ny_duckdb_spark.operators.similarity import (
+        _int_ceil_root,
+        kmeans_assign_grouped,
+        kmeans_lloyd_grouped,
+        kmeans_train_assign_grouped,
+    )
+
+    # group 0: 5 members (T=2, s=2 ⇒ m=3, k=2); group 1: 1 member
+    # (k=1). Group 0's members are IDENTICAL, so both init centroids
+    # coincide and every member ties to the LOWER scid — scid 1 is a
+    # truly EMPTY trained sub-cluster (carries its init).
+    rows = [
+        (10, 0, [0.0, 0.0]), (11, 0, [0.0, 0.0]), (12, 0, [0.0, 0.0]),
+        (13, 0, [0.0, 0.0]), (14, 0, [0.0, 0.0]),
+        (20, 1, [5.0, 5.0]),
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, bid int, __v array<double>")
+    T, s, iters = 2, 2, 2
+    fused = kmeans_train_assign_grouped(vecs, T, s, iters=iters).collect()
+    f_cents = {
+        (r["bid"], r["scid"]): r["cv"] for r in fused if r["vec_id"] is None
+    }
+    f_asg = {
+        r["vec_id"]: (r["bid"], r["scid"], r["__v"])
+        for r in fused if r["vec_id"] is not None
+    }
+    assert len(f_asg) == len(rows)
+
+    # unfused replica
+    init_rows = []
+    by_bid: dict = {}
+    for vid, bid, v in rows:
+        by_bid.setdefault(bid, []).append((vid, v))
+    for bid, members in by_bid.items():
+        members.sort()
+        k = _int_ceil_root((len(members) + T - 1) // T, s)
+        for scid, (_vid, v) in enumerate(members[:k]):
+            init_rows.append((bid, scid, v))
+    init = spark.createDataFrame(init_rows, "bid int, scid int, cv array<double>")
+    cents = kmeans_lloyd_grouped(vecs, init, iters=iters)
+    u_cents = {(r["bid"], r["scid"]): r["cv"] for r in cents.collect()}
+    u_asg = {
+        r["vec_id"]: (r["bid"], r["scid"], r["__v"])
+        for r in kmeans_assign_grouped(vecs, cents, carry_vec=True).collect()
+    }
+    assert f_cents == u_cents, "trained centroids must match unfused form"
+    assert f_asg == u_asg, "assignments must match unfused form"
+    # the empty sub-cluster is present in the centroid rows
+    assert (0, 1) in f_cents
+    assigned_scids = {(b, sc) for b, sc, _ in f_asg.values()}
+    assert (0, 1) not in assigned_scids, "test needs a truly empty leaf"
+
+
 def test_semdedup_auto_validates(spark):
     import pytest as _pytest
 
