@@ -202,7 +202,16 @@ def bpe_learn_merges(
         merges.append((r + 1, a, b, pc))
         syms = syms.select(
             "c", _apply_merge(F.col("syms"), a, b).alias("syms")
-        ).localCheckpoint()
+        )
+        # checkpoint every OTHER round, never the last (r13
+        # optimization round — the VERDICT r12 fewer-passes rule):
+        # plan depth stays bounded at a few merge folds while the
+        # eager materialization jobs halve; an unchecked round's pair
+        # count re-runs one vocab-sized map fold instead, which is
+        # cheaper than a full checkpoint job. The final round's syms
+        # frame is never consumed, so checkpointing it was pure waste.
+        if r % 2 == 1 and r < n_merges - 1:
+            syms = syms.localCheckpoint()
     return merges
 
 
