@@ -3651,19 +3651,23 @@ def mmr_topk(
     coverage; the retrieval-side twin of SemDeDup's corpus-side
     collapse).
 
-    Greedy selection is inherently sequential, but k is a small
-    constant — so the k rounds UNROLL into one declarative plan (the
-    BPE/GD-trainer unrolling precedent applied to selection): round 1
-    takes argmax relevance; each later round joins the remaining
-    candidates to the selected set through the C²-bounded pairwise
-    cosine frame, takes max-sim per candidate, scores, and picks the
-    per-query argmax (ties to the lower id at every step —
-    layout-independent). All joins after candidate generation are
-    query-keyed over ≤C or ≤C² row groups: the corpus-sized cost
-    lives entirely in the candidate producer, and the corpus is
-    touched only by a broadcast semi-join to fetch the C candidate
-    vectors. Scores are rounded ``round_dp`` BEFORE each argmax so
-    both engines pick identical winners.
+    Greedy selection is inherently sequential, but it is sequential
+    PER QUERY over C-bounded state — so at the proven 9dp rounding all
+    k rounds run inside ONE cogroup task per query (r13 optimization
+    round: candidates cogrouped with the C²-bounded pairwise cosine
+    frame; scores via the exact repr-HALF_UP numpy twin of F.round,
+    max-sim over the engine-computed __sim doubles, argmax ties to the
+    lower id — bit-identical winners, one Arrow pass instead of k
+    eager checkpointed rounds). For any other ``round_dp`` the k
+    rounds UNROLL into one declarative plan (the BPE/GD-trainer
+    unrolling precedent applied to selection): round 1 takes argmax
+    relevance; each later round joins the remaining candidates to the
+    selected set through the pair frame, takes max-sim per candidate,
+    scores, and picks the per-query argmax. Either way the corpus-
+    sized cost lives entirely in the candidate producer, and the
+    corpus is touched only by a broadcast semi-join to fetch the C
+    candidate vectors. Scores are rounded ``round_dp`` BEFORE each
+    argmax so both engines pick identical winners.
 
     Output: (query_id, sel_rank, vec_id, score_r) — score_r is the
     relevance for sel_rank 1 and the MMR objective thereafter."""
@@ -3700,6 +3704,92 @@ def mmr_topk(
             ),
         )
     )
+    if round_dp == 9:
+        # Fused greedy (r13 optimization round, guide §1.2/§4.2 — the
+        # grouped-Lloyd fusion pattern applied to selection): the
+        # greedy loop is PER QUERY over C-bounded candidates and the
+        # C²-bounded pair frame, so one cogroup task holds everything
+        # a query's k rounds need. The k eager localCheckpoint picks,
+        # the per-round anti-join/union lineage and k rounds of
+        # Catalyst re-optimization collapse into ONE Arrow pass.
+        # Bit-exactness, term by term: round-1 score = F.round(rel,9)
+        # == _round9_half_up_np (the proven repr-HALF_UP twin); later
+        # scores = round9(lam·rel − (1−lam)·ms) where the inner
+        # expression is the same two IEEE double ops the engine's
+        # literals produce (incl. 1.0−0.7 = 0.30000000000000004) and
+        # ms = max over selected of the SAME __sim doubles the pair
+        # frame carries; argmax ties to the lower id, all comparisons
+        # exact double compares. Only available at 9dp — the dp the
+        # exact vectorized kernel covers (and the only dp any caller
+        # uses); other dp values keep the unrolled plan below.
+        import numpy as np
+        import pandas as pd
+
+        lam_f, kk = float(lam), int(k)
+        out_schema = (
+            f"{query_id} long, sel_rank int, {corpus_id} long, "
+            f"score_r double"
+        )
+        empty = {
+            query_id: pd.Series([], dtype="int64"),
+            "sel_rank": pd.Series([], dtype="int32"),
+            corpus_id: pd.Series([], dtype="int64"),
+            "score_r": pd.Series([], dtype="float64"),
+        }
+
+        def fn(key, cpdf, ppdf):
+            n = len(cpdf)
+            if n == 0:
+                return pd.DataFrame(empty)
+            qid = int(key[0])
+            ids = cpdf[corpus_id].to_numpy(dtype=np.int64)
+            rel = cpdf[rel_col].to_numpy(dtype=np.float64)
+            pos = {int(v): i for i, v in enumerate(ids)}
+            S = np.zeros((n, n), dtype=np.float64)
+            if len(ppdf):
+                ai = np.fromiter(
+                    (pos[int(v)] for v in ppdf["__a"]), dtype=np.int64
+                )
+                bi = np.fromiter(
+                    (pos[int(v)] for v in ppdf["__b"]), dtype=np.int64
+                )
+                S[ai, bi] = ppdf["__sim"].to_numpy(dtype=np.float64)
+            remaining = np.ones(n, dtype=bool)
+            ms = np.zeros(n, dtype=np.float64)
+            ranks, sids, scores = [], [], []
+            for t in range(1, kk + 1):
+                if not remaining.any():
+                    break
+                if t == 1:
+                    sc = _round9_half_up_np(rel)
+                else:
+                    sc = _round9_half_up_np(
+                        lam_f * rel - (1.0 - lam_f) * ms
+                    )
+                sc_m = np.where(remaining, sc, -np.inf)
+                top = np.nonzero(remaining & (sc_m == sc_m.max()))[0]
+                wsel = top[np.argmin(ids[top])]
+                ranks.append(t)
+                sids.append(int(ids[wsel]))
+                scores.append(float(sc[wsel]))
+                remaining[wsel] = False
+                # ms_i = max over selected b of sim(i as __a, b as __b)
+                ms = np.maximum(ms, S[:, wsel]) if t > 1 else S[:, wsel].copy()
+            return pd.DataFrame(
+                {query_id: np.full(len(ranks), qid, dtype=np.int64),
+                 "sel_rank": np.asarray(ranks, dtype=np.int32),
+                 corpus_id: np.asarray(sids, dtype=np.int64),
+                 "score_r": np.asarray(scores, dtype=np.float64)}
+            )
+
+        return (
+            cand.groupBy(query_id)
+            .cogroup(
+                pairs.withColumnRenamed("__pq", query_id).groupBy(query_id)
+            )
+            .applyInPandas(fn, schema=out_schema)
+        )
+
     w = Window.partitionBy(query_id).orderBy(
         F.col("__score").desc(), F.col(corpus_id).asc()
     )

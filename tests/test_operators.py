@@ -4769,6 +4769,48 @@ def test_embedding_pool_hand_computed(spark):
     assert [got[(2, p)]["mean_r"] for p in range(3)] == [7.0, 8.0, 9.0]
 
 
+def test_mmr_fused_greedy_matches_unrolled_plan(spark):
+    """The r13 fused per-query greedy (one cogroup pass at 9dp) must
+    select the same (rank, id, score) rows as the unrolled declarative
+    plan — exercised via a NON-9 round_dp, which still takes the
+    unrolled path — on a case with a score tie (ties to the lower id)
+    and more rounds than candidates (k > C stops early)."""
+    from pyspark.sql import functions as F
+
+    from taxi_rides_ny_duckdb_spark.operators.similarity import mmr_topk
+
+    # two queries; query 200 has ONE candidate (k > C early stop);
+    # query 100 has a rank-1 relevance tie between ids 1 and 2.
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.6, 0.8]),
+         (4, [0.5, 0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    cand = spark.createDataFrame(
+        [(100, 1, 0.75), (100, 2, 0.75), (100, 3, 0.5),
+         (200, 4, 0.9)],
+        "query_id long, vec_id long, rel_r double",
+    )
+    # round_dp=9 → fused; round_dp=8 → unrolled. These candidates'
+    # scores are exactly representable at both precisions, so the two
+    # paths MUST pick identical rows with identical scores.
+    fused = sorted(
+        (r["query_id"], r["sel_rank"], r["vec_id"], r["score_r"])
+        for r in mmr_topk(cand, corpus, k=3, lam=0.7).collect()
+    )
+    unrolled = sorted(
+        (r["query_id"], r["sel_rank"], r["vec_id"], r["score_r"])
+        for r in mmr_topk(cand, corpus, k=3, lam=0.7, round_dp=8).collect()
+    )
+    assert fused == unrolled
+    by_q = {}
+    for q, rk, vid, _s in fused:
+        by_q.setdefault(q, []).append((rk, vid))
+    assert by_q[200] == [(1, 4)], "k > C must stop after the only candidate"
+    assert by_q[100][0] == (1, 1), "rank-1 tie must break to the lower id"
+    assert len(by_q[100]) == 3
+
+
 def test_mmr_diversity_vs_pure_relevance(spark):
     """With a near-duplicate pair at the top of the candidate list, a
     diversity-heavy lambda picks the orthogonal document second, while
