@@ -4769,6 +4769,29 @@ def test_embedding_pool_hand_computed(spark):
     assert [got[(2, p)]["mean_r"] for p in range(3)] == [7.0, 8.0, 9.0]
 
 
+def test_embedding_pool_fails_fast_on_malformed_vectors(spark):
+    """The r13 pure-JVM aggregate keeps the Arrow form's fail-fast
+    contract (ADVICE r12): a NULL or short vector stops the scan with
+    a named error instead of silently skipping rows in the sums (a
+    null element_at would otherwise drop the row from every sum while
+    n_chunks still counted it)."""
+    import pytest as _pytest
+    from pyspark.errors import SparkRuntimeException
+
+    from taxi_rides_ny_duckdb_spark.operators.similarity import embedding_pool
+
+    short = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0]), (1, [1.0])], "g long, embedding array<double>"
+    )
+    with _pytest.raises(SparkRuntimeException, match="NULL or short vector"):
+        embedding_pool(short, "g", dim=3).collect()
+    withnull = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0]), (1, None)], "g long, embedding array<double>"
+    )
+    with _pytest.raises(SparkRuntimeException, match="NULL or short vector"):
+        embedding_pool(withnull, "g", dim=3).collect()
+
+
 def test_mmr_fused_greedy_matches_unrolled_plan(spark):
     """The r13 fused per-query greedy (one cogroup pass at 9dp) must
     select the same (rank, id, score) rows as the unrolled declarative
