@@ -159,7 +159,21 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ext_leakage_safe_split",
     "ext_passage_clusters",
     "ext_purged_kfold",
-    # 4. Oldest-evidence refresh: the r7 cohort, alphabetical.
+    # 3b. Execution changed in the r13 OPTIMIZATION session (fused
+    #     MMR greedy, pure-JVM embedding_pool, batched rollup
+    #     triggers; ext_bpe_learn_merges also changed — it already
+    #     sits in the refresh cohort below). Recomputed by
+    #     tools/changed_queries.py with the optimization-session
+    #     seeds added (kmeans_train_assign_grouped, mmr_topk,
+    #     embedding_pool, bpe_learn_merges,
+    #     stream_topk_shard_summaries, kmeans_assign_arrow).
+    "ext_embedding_mean_pool",
+    "ext_mmr_diverse_topk",
+    "ext_streaming_topk_rollup",
+    # 4. Oldest-evidence refresh: the r7 cohort, alphabetical (the
+    #    last three r7 rows — profile_correlation/drift_psi/key_skew —
+    #    wait for r14: the three changed-execution rows above take
+    #    their slots).
     "a8_accepted_values",
     "ext_asof_join",
     "ext_bm25_topk",
@@ -179,9 +193,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ext_gopher_quality",
     "ext_incremental_dedup",
     "ext_metric_anomaly",
-    "ext_profile_correlation",
-    "ext_profile_drift_psi",
-    "ext_profile_key_skew",
 )
 
 # ROUND-12 drawing (superseded -- kept for the audit trail):
