@@ -3168,7 +3168,15 @@ def ext_hard_negative_topk(spark, sf_dir):
     too-easy random negatives and same-cluster positives. Reuses the
     embedding near-dup components (same graph as the dedup / leakage
     stages); queries broadcast over the corpus scan, component
-    exclusion is a map-side filter, 9dp round-before-rank."""
+    exclusion is a map-side filter, 9dp round-before-rank.
+
+    CC runs the driver/union-find path explicitly (the vec_id<100
+    predicate bounds the graph at ≤4 950 edges BY CONSTRUCTION at any
+    SF, so the auto gate's count action would re-prove a bound the
+    query text already states) and emits the edge-touched MAPPING —
+    the consumer attaches labels via left join + coalesce, so the
+    nodes-distinct/anti-join/union singleton machinery never runs
+    (r13, half this query's scheduled jobs at sf0.1)."""
     from .operators.dedup import connected_components
     from .operators.similarity import (
         cosine_given_norms,
@@ -3194,12 +3202,19 @@ def ext_hard_negative_topk(spark, sf_dir):
         )
         .filter(F.col("sim") >= 0.3)
     )
-    comp = connected_components(pairs, "id_a", "id_b", nodes=v.select("vec_id"))
+    comp = F.broadcast(
+        connected_components(
+            pairs, "id_a", "id_b", algorithm="driver", emit="mapping"
+        )
+    )
     queries = v.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("ev").alias("query_vec")
     )
     corpus = v.select("vec_id", F.col("ev").alias("embedding"))
-    return hard_negative_topk(corpus, queries, comp, k=5)
+    # min_partitions=1: the corpus is 100 rows by query text — the
+    # default width-spread would schedule 2×32 near-empty tasks to
+    # parallelize 500 cosines.
+    return hard_negative_topk(corpus, queries, comp, k=5, min_partitions=1)
 
 
 def _hard_neg_ann_oracle() -> str:
@@ -3323,7 +3338,11 @@ def ext_hard_negative_topk_ann(spark, sf_dir):
         )
         .filter(F.col("sim") >= 0.3)
     )
-    comp = connected_components(pairs, "id_a", "id_b", nodes=v.select("vec_id"))
+    comp = F.broadcast(
+        connected_components(
+            pairs, "id_a", "id_b", algorithm="driver", emit="mapping"
+        )
+    )
     queries = v.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("ev").alias("query_vec")
     )
@@ -3331,6 +3350,7 @@ def ext_hard_negative_topk_ann(spark, sf_dir):
     return hard_negative_topk_ann(
         corpus, queries, comp, k=5,
         centroids=IVF_CENTROIDS, nprobe=2, round_dp=9, score_round_dp=9,
+        min_partitions=1,  # 100-row corpus by query text (see exact twin)
     )
 
 

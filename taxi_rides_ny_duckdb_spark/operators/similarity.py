@@ -937,6 +937,7 @@ def hard_negative_topk(
     corpus_vec: str = "embedding",
     query_id: str = "query_id",
     query_vec: str = "query_vec",
+    min_partitions: int | None = None,
 ) -> DataFrame:
     """EXACT hard-negative mining — the GROUND-TRUTH path: per query,
     the ``k`` MOST similar corpus vectors that are NOT near-duplicates
@@ -956,13 +957,28 @@ def hard_negative_topk(
 
     ``components`` is (id, component) from ``connected_components``
     over the near-dup pair graph — the same clusters the dedup /
-    leakage-safe-split stages already computed, reused here.
+    leakage-safe-split stages already computed, reused here. It may be
+    the FULL (every id present) frame or an ``emit="mapping"``
+    edge-touched mapping: both sides attach labels with a LEFT join +
+    ``coalesce(component, id)``, so an id absent from ``components``
+    is its own singleton component — exactly the full frame's
+    semantics, without the nodes-distinct/anti-join/union jobs the
+    full frame costs to build (r13, §2.4: at the correctness SF those
+    were half the query's scheduled jobs).
 
     Plan: scoring broadcasts the (small) query set over the corpus
     scan; component labels join corpus-side on id (aggregation-bounded
     per id — AQE picks broadcast vs shuffle by size) and query-side by
     broadcast; exclusion is a map-side filter; 9dp round-before-rank
-    top-k per query. Output: (query_id, rank, vec_id, cosine_sim_r)."""
+    top-k per query. Output: (query_id, rank, vec_id, cosine_sim_r).
+
+    ``min_partitions``: width target for the corpus-side spread
+    (default: session parallelism). Scoring work is |corpus|×|queries|
+    cosines, so a caller whose corpus is BOUNDED by construction (a
+    fixed id-range certification subset) should pass 1 — the
+    repartition would cost two scheduled stages of near-empty tasks
+    to parallelize sub-millisecond work (r13 measurement: ~0.3 s of
+    the contract query's 1.8 s)."""
     comp_q = F.broadcast(
         components.select(
             F.col("id").alias(query_id), F.col("component").alias("__qc")
@@ -971,15 +987,23 @@ def hard_negative_topk(
     q = F.broadcast(
         queries.select(
             F.col(query_id), _as_double_array(F.col(query_vec)).alias("__qv")
-        ).join(comp_q, query_id)
+        )
+        .join(comp_q, query_id, "left")
+        .withColumn("__qc", F.coalesce(F.col("__qc"), F.col(query_id)))
     )
-    c = ensure_min_partitions(corpus).select(
-        F.col(corpus_id), _as_double_array(F.col(corpus_vec)).alias("__cv")
-    ).join(
-        components.select(
-            F.col("id").alias(corpus_id), F.col("component").alias("__cc")
-        ),
-        corpus_id,
+    c = (
+        ensure_min_partitions(corpus, min_partitions)
+        .select(
+            F.col(corpus_id), _as_double_array(F.col(corpus_vec)).alias("__cv")
+        )
+        .join(
+            components.select(
+                F.col("id").alias(corpus_id), F.col("component").alias("__cc")
+            ),
+            corpus_id,
+            "left",
+        )
+        .withColumn("__cc", F.coalesce(F.col("__cc"), F.col(corpus_id)))
     )
     scored = (
         c.crossJoin(q)
@@ -1015,6 +1039,7 @@ def hard_negative_topk_ann(
     query_vec: str = "query_vec",
     round_dp: int | None = None,
     score_round_dp: int = 9,
+    min_partitions: int | None = None,
 ) -> DataFrame:
     """ANN-backed hard-negative mining — the SCALE path (VERDICT r6
     #1): IVF candidate generation + exact cosine re-score + near-dup
@@ -1042,10 +1067,15 @@ def hard_negative_topk_ann(
 
     ``round_dp`` / ``score_round_dp``: the same engine-stability
     rounding as ``ivf_topk`` (round-before-argmin on the quantizer,
-    round-before-rank on the score). Output: (query_id, rank, vec_id,
-    cosine_sim_r)."""
+    round-before-rank on the score). ``components`` may be a full
+    frame or an ``emit="mapping"`` edge-touched mapping — absent ids
+    are singletons via left join + coalesce, as in
+    ``hard_negative_topk``. Output: (query_id, rank, vec_id,
+    cosine_sim_r). ``min_partitions``: corpus-spread width target, as
+    in ``hard_negative_topk`` — pass 1 for a bounded certification
+    corpus."""
     c = (
-        ensure_min_partitions(corpus)
+        ensure_min_partitions(corpus, min_partitions)
         .select(
             F.col(corpus_id), _as_double_array(F.col(corpus_vec)).alias("__cv")
         )
@@ -1054,7 +1084,9 @@ def hard_negative_topk_ann(
                 F.col("id").alias(corpus_id), F.col("component").alias("__cc")
             ),
             corpus_id,
+            "left",
         )
+        .withColumn("__cc", F.coalesce(F.col("__cc"), F.col(corpus_id)))
         .withColumn(
             "__list", _centroid_ranking(F.col("__cv"), centroids, round_dp)[0]["i"]
         )
@@ -1077,7 +1109,9 @@ def hard_negative_topk_ann(
                     nprobe,
                 )["i"]
             ).alias("__list"),
-        ).join(comp_q, query_id)
+        )
+        .join(comp_q, query_id, "left")
+        .withColumn("__qc", F.coalesce(F.col("__qc"), F.col(query_id)))
     )
     scored = (
         c.join(q, "__list")

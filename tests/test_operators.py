@@ -1300,6 +1300,53 @@ def test_hard_negative_topk_excludes_own_cluster(spark):
     assert got[0]["cosine_sim_r"] < 1.0
 
 
+def test_hard_negative_topk_mapping_components_match_full(spark):
+    """An ``emit="mapping"`` component frame (edge-touched ids only)
+    yields row-identical output to the full frame: absent ids resolve
+    to their own singleton component via the left join + coalesce
+    (r13). Covers BOTH consumers (exact and ANN) and includes corpus
+    ids and a query id absent from the mapping."""
+    from taxi_rides_ny_duckdb_spark.contract_ivf_centroids import IVF_CENTROIDS
+    from taxi_rides_ny_duckdb_spark.operators.similarity import (
+        hard_negative_topk,
+        hard_negative_topk_ann,
+    )
+
+    dim = len(IVF_CENTROIDS[0])
+    vecs = [
+        (0, [1.0, 0.0] + [0.0] * (dim - 2)),
+        (1, [0.99, 0.14] + [0.0] * (dim - 2)),   # near-dup of 0
+        (2, [0.9, 0.43] + [0.0] * (dim - 2)),
+        (3, [0.0, 1.0] + [0.0] * (dim - 2)),
+        (4, [0.1, 0.99] + [0.0] * (dim - 2)),    # query absent from mapping
+    ]
+    corpus = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    queries = spark.createDataFrame(
+        [(0, vecs[0][1]), (4, vecs[4][1])], ["query_id", "query_vec"]
+    )
+    full = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 2), (3, 3), (4, 4)], ["id", "component"]
+    )
+    mapping = spark.createDataFrame([(0, 0), (1, 0)], ["id", "component"])
+
+    for op in (
+        lambda c, q, cp: hard_negative_topk(c, q, cp, k=3),
+        lambda c, q, cp: hard_negative_topk_ann(
+            c, q, cp, k=3, centroids=IVF_CENTROIDS, nprobe=2
+        ),
+    ):
+        got_full = sorted(
+            op(corpus, queries, full).collect(),
+            key=lambda r: (r["query_id"], r["rank"]),
+        )
+        got_map = sorted(
+            op(corpus, queries, mapping).collect(),
+            key=lambda r: (r["query_id"], r["rank"]),
+        )
+        assert got_full == got_map
+        assert got_full  # non-empty
+
+
 def test_hard_negative_ann_recall_and_exclusion(spark, sf_dir):
     """Certification of the ANN-backed hard-negative path (VERDICT r6
     #1) against the exact ground-truth path via ann_recall_at_k:
