@@ -56,6 +56,31 @@ from ..cache import scoped_persist
 # the Arrow batch path changes.
 _EXPR_ESTEP_MAX_K = 32  # plan bound for EXPLICIT assign="expr" callers
 
+# ── fused single-task Lloyd gate (r13 optimization round) ──
+# Below these bounds the whole training loop runs INSIDE one cogroup
+# task (``_kmeans_lloyd_fused`` / the whole-corpus
+# ``kmeans_train_assign_grouped`` coarse pass) instead of the
+# per-iteration driver-sync'd distributed loop: every iteration of the
+# distributed form costs one scheduled job (E-step scan + M-step
+# aggregate + k·dim collect) plus AQE stage jobs, ~0.2-0.4 s of fixed
+# overhead each at the correctness SFs, while the same arithmetic in
+# one numpy task is milliseconds. The gate is WORK-sized, not
+# core-sized: rows bounds the task's resident matrix (n·dim doubles),
+# cells = rows·k bounds the E-step distance work (cells·dim·(iters+1)
+# multiplies). Measured on the r13 box (64-dim, iters=2-3, warm
+# session): n=2 000/k=8 fused 0.08 s vs 1.0 s distributed-arrow;
+# n=20 000/k=23 fused 0.42 s vs 1.3 s; n=50 000/k=16 fused 0.9 s —
+# about the per-job floor the distributed loop pays BEFORE compute; at
+# n=200 000 (sf10 towers) the fused task would serialize ~1.5 GB of
+# corpus through one worker, so the distributed path keeps the win and
+# the gate stays off. BOX ASSUMPTION: single-core numpy throughput
+# ~1 GFLOP/s on the blocked E-step; re-measure if the kernel or the
+# worker-reuse regime changes. The arithmetic is the verbatim
+# ``kmeans_lloyd_grouped`` kernel — bit-equal to BOTH distributed
+# E-step forms (pinned by tests), so the gate changes cost only.
+_FUSED_LLOYD_MAX_ROWS = 50_000
+_FUSED_LLOYD_MAX_CELLS = 2_000_000
+
 
 def _estep_strategy(
     n_rows: int, k: int, max_expr_k: int = _EXPR_ESTEP_MAX_K
@@ -1601,6 +1626,53 @@ def semdedup_auto(
             df, n, target_cluster_size, nlist, threshold, id_col, vec_col,
             iters, round_dp, max_expr_k, levels,
         )
+    if n <= _FUSED_LLOYD_MAX_ROWS and n * nlist <= _FUSED_LLOYD_MAX_CELLS:
+        # fused flat path (r13 optimization round, guide §2.4/§1.2):
+        # ONE whole-corpus group through the fused init+train+assign
+        # pass — in-task k = ⌈n/T⌉ ≡ nlist (splits_remaining=1), init =
+        # first-nlist-by-id ≡ the collected init, kernels bit-equal to
+        # kmeans_lloyd (pinned), trailing E-step ≡ the carry_vec arrow
+        # assignment. Deletes the init collect, the overflow-guard agg,
+        # iters driver-sync'd iteration jobs and the separate
+        # assignment pass; the keep-rule cosine stays the ENGINE
+        # expression on the same doubles (centroid rows come back from
+        # the pass instead of driver literals). Gate constants
+        # documented at their definition.
+        v0 = df.select(
+            F.col(id_col),
+            _as_double_array(F.col(vec_col)).alias("__v"),
+            F.lit(0).alias("__b"),
+        )
+        fused = kmeans_train_assign_grouped(
+            v0, int(target_cluster_size), 1,
+            id_col=id_col, vec_col="__v", group_col="__b", iters=iters,
+        ).transform(scoped_persist)
+        cents_fused = (
+            fused.filter(F.col(id_col).isNull())
+            .select(F.col("scid").alias("cid"), "cv")
+            .withColumn("__cn", l2_norm(F.col("cv")))
+        )
+        base_fused = (
+            fused.filter(F.col(id_col).isNotNull())
+            .select(F.col(id_col), F.col("scid").alias("cid"), "__v")
+            .withColumn("__n", l2_norm(F.col("__v")))
+        )
+        assigned = (
+            base_fused.join(F.broadcast(cents_fused), "cid")
+            .select(
+                F.col(id_col),
+                F.col("cid").alias("centroid_id"),
+                F.col("__v"),
+                F.col("__n"),
+                F.round(
+                    cosine_given_norms(
+                        F.col("__v"), F.col("cv"), F.col("__n"), F.col("__cn")
+                    ),
+                    round_dp,
+                ).alias("cent_sim_r"),
+            )
+        )
+        return _semdedup_collapse(assigned, threshold, id_col, round_dp)
     init = [
         [float(x) for x in r["__cv"]]
         for r in df.select(
@@ -1749,36 +1821,62 @@ def _semdedup_multilevel(
     level, init = first-k-by-id within each node — re-runs are
     layout-independent."""
     b1 = _int_ceil_root(nlist, levels)
-    init = [
-        [float(x) for x in r["__cv"]]
-        for r in df.select(
-            F.col(id_col), _as_double_array(F.col(vec_col)).alias("__cv")
-        )
-        .orderBy(id_col)
-        .limit(b1)
-        .collect()
-    ]
-    # shared crossover rule (_estep_strategy: plan bound + corpus
-    # bound; constants + box assumption documented at the definition —
-    # the r11 sf1x incident, exactly 20 000 rows on the old `>` bound,
-    # is one of its two measured anchors)
-    strategy = _estep_strategy(n, b1, max_expr_k)
-    coarse, _sizes = kmeans_lloyd(
-        df, init, id_col=id_col, vec_col=vec_col, iters=iters, assign=strategy
-    )
-    v = ensure_min_partitions(df).select(
-        F.col(id_col), _as_double_array(F.col(vec_col)).alias("__v")
-    )
-    # branch assignment: one more E-step with the final coarse
-    # centroids, with the vector CARRIED through the Arrow batch
-    # (r13 optimization round) — the corpus-sized join back to ``v``
-    # on id is gone, and since each level is now ONE fused pass with
-    # a single consumer, the per-level repartition+persist pair is
-    # gone too (the fused groupBy does the one bid exchange itself).
-    vecs = kmeans_assign_arrow(
-        v, coarse, id_col, vec_col="__v", carry_vec=True
-    ).withColumnRenamed("cid", "bid")
     t = int(target_cluster_size)
+    if n <= _FUSED_LLOYD_MAX_ROWS and n * b1 <= _FUSED_LLOYD_MAX_CELLS:
+        # fused coarse level (r13 optimization round, guide §2.4/§1.2):
+        # the whole corpus runs as ONE group through the SAME fused
+        # init+train+assign pass the split levels use — in-task
+        # k = _int_ceil_root(⌈n/T⌉, levels) ≡ b1, init = first-b1-by-id
+        # ≡ the collected init, kernels bit-equal to kmeans_lloyd's
+        # E/M steps (pinned), trailing E-step ≡ kmeans_assign_arrow
+        # with the final centroids. Deletes, per tower build: the init
+        # collect job, the overflow-guard agg job, iters driver-sync'd
+        # iteration jobs and the separate corpus-wide assignment pass.
+        # Gate constants documented at their definition; above them the
+        # distributed loop below keeps the win (sf10 towers).
+        v0 = df.select(
+            F.col(id_col),
+            _as_double_array(F.col(vec_col)).alias("__v"),
+            F.lit(0).alias("bid"),
+        )
+        vecs = (
+            kmeans_train_assign_grouped(
+                v0, t, levels, id_col=id_col, vec_col="__v", iters=iters
+            )
+            .filter(F.col(id_col).isNotNull())
+            .select(id_col, "__v", F.col("scid").alias("bid"))
+        )
+    else:
+        init = [
+            [float(x) for x in r["__cv"]]
+            for r in df.select(
+                F.col(id_col), _as_double_array(F.col(vec_col)).alias("__cv")
+            )
+            .orderBy(id_col)
+            .limit(b1)
+            .collect()
+        ]
+        # shared crossover rule (_estep_strategy: plan bound + corpus
+        # bound; constants + box assumption documented at the definition —
+        # the r11 sf1x incident, exactly 20 000 rows on the old `>` bound,
+        # is one of its two measured anchors)
+        strategy = _estep_strategy(n, b1, max_expr_k)
+        coarse, _sizes = kmeans_lloyd(
+            df, init, id_col=id_col, vec_col=vec_col, iters=iters,
+            assign=strategy,
+        )
+        v = ensure_min_partitions(df).select(
+            F.col(id_col), _as_double_array(F.col(vec_col)).alias("__v")
+        )
+        # branch assignment: one more E-step with the final coarse
+        # centroids, with the vector CARRIED through the Arrow batch
+        # (r13 optimization round) — the corpus-sized join back to ``v``
+        # on id is gone, and since each level is now ONE fused pass with
+        # a single consumer, the per-level repartition+persist pair is
+        # gone too (the fused groupBy does the one bid exchange itself).
+        vecs = kmeans_assign_arrow(
+            v, coarse, id_col, vec_col="__v", carry_vec=True
+        ).withColumnRenamed("cid", "bid")
     cents = None
     members = None
     for ell in range(2, levels + 1):
@@ -1924,6 +2022,100 @@ def semantic_decontaminate(
     )
 
 
+def _kmeans_lloyd_fused(
+    df: DataFrame,
+    init_centroids: list[list[float]],
+    id_col: str,
+    vec_col: str,
+    iters: int,
+) -> tuple[list[list[float]], dict[int, int]]:
+    """Single-task Lloyd trainer — the fused-gate body of
+    ``kmeans_lloyd(assign='auto')`` below ``_FUSED_LLOYD_MAX_ROWS`` /
+    ``_FUSED_LLOYD_MAX_CELLS`` (constants documented at definition):
+    ONE applyInPandas job runs every iteration in-task with the
+    verbatim ``kmeans_lloyd_grouped`` kernels (scaled-int64 E-step,
+    argmin ties to the lower cid, round(x·10¹²) LONG M-step addends,
+    ``_round9_half_up_np`` means, empty clusters carrying their
+    previous centroid) and emits (cid, cv, n_assigned) — bit-identical
+    centroids AND sizes to the distributed loop (sizes = the LAST
+    iteration's M-step assignment counts, the ``kmeans_lloyd``
+    contract). The 2⁶²-headroom overflow guard runs in-task on the
+    resident matrix (free) and raises the same pre-scaling message —
+    surfaced through the task failure instead of a driver ValueError,
+    the documented fail-fast either way."""
+    import numpy as np
+    import pandas as pd
+
+    init = [[float(x) for x in c] for c in init_centroids]
+    k = len(init)
+    dim = len(init[0])
+    row_chunk = 1024
+    out_schema = "cid int, cv array<double>, n_assigned long"
+
+    def fn(pdf):
+        n = len(pdf)
+        if n == 0:
+            return pd.DataFrame(
+                {"cid": pd.Series([], dtype="int32"),
+                 "cv": pd.Series([], dtype="object"),
+                 "n_assigned": pd.Series([], dtype="int64")}
+            )
+        X = np.asarray(list(pdf["__fv"]), dtype=np.float64)
+        C = np.asarray(init, dtype=np.float64)
+        max_x = float(np.max(np.abs(X))) if X.size else 0.0
+        max_c0 = float(np.max(np.abs(C))) if C.size else 0.0
+        max_t = max_x + max(max_x, max_c0)
+        if dim * (max_t * max_t) * 1e12 >= float(2**62):
+            raise ValueError(
+                f"kmeans_lloyd: coordinate range too large for the exact "
+                f"scaled-integer distance (max |coord| {max(max_x, max_c0):g} "
+                f"at dim {dim}: dim·(max|t|)²·1e12 ≥ 2⁶², the int64 sum "
+                f"would wrap silently) — pre-scale the vectors (e.g. divide "
+                f"by their max norm) before training"
+            )
+        Xi = _round_half_away_signed_np(X * 1e12).astype(np.int64)
+        best = np.empty(n, dtype=np.int32)
+        counts_last: dict[int, int] = {}
+        for _ in range(iters):
+            for r0 in range(0, n, row_chunk):
+                xb = X[r0 : r0 + row_chunk]
+                t = xb[:, None, :] - C[None, :, :]
+                d = _round_half_away_nonneg_i64(t * t * 1e12).sum(axis=2)
+                best[r0 : r0 + len(xb)] = d.argmin(axis=1)
+            uc, inv = np.unique(best, return_inverse=True)
+            npart = np.bincount(inv)
+            counts_last = {int(c): int(m) for c, m in zip(uc, npart)}
+            S = np.zeros((len(uc), dim), dtype=np.int64)
+            np.add.at(S, inv, Xi)
+            for row, (cid, cnt) in enumerate(zip(uc, npart)):
+                C[int(cid)] = _round9_half_up_np(
+                    S[row].astype(np.float64) / 1e12 / float(cnt)
+                )
+        return pd.DataFrame(
+            {"cid": np.arange(k, dtype=np.int32),
+             "cv": list(C),
+             "n_assigned": [counts_last.get(i, 0) for i in range(k)]}
+        )
+
+    rows = (
+        df.select(
+            _as_double_array(F.col(vec_col)).alias("__fv"),
+            F.lit(0).alias("__g"),
+        )
+        .groupBy("__g")
+        .applyInPandas(lambda key, pdf: fn(pdf), out_schema)
+        .collect()
+    )
+    by_cid = {r["cid"]: r for r in rows}
+    cents = [[float(x) for x in by_cid[i]["cv"]] for i in range(k)]
+    sizes = {
+        i: int(by_cid[i]["n_assigned"])
+        for i in range(k)
+        if by_cid[i]["n_assigned"] > 0
+    }
+    return cents, sizes
+
+
 def kmeans_lloyd(
     df: DataFrame,
     init_centroids: list[list[float]],
@@ -2017,7 +2209,23 @@ def kmeans_lloyd(
         # definition; one count to decide — at sf10x the expr path's
         # 12.8M-row exploded cache made ext_kmeans_train 7.9 s where
         # arrow's fused-M-step passes run the same training in ~3 s).
-        assign = _estep_strategy(df.count(), len(init_centroids))
+        n = df.count()
+        k0 = len(init_centroids)
+        if (
+            n <= _FUSED_LLOYD_MAX_ROWS
+            and n * k0 <= _FUSED_LLOYD_MAX_CELLS
+            and not any(len(c) != len(init_centroids[0]) for c in init_centroids)
+        ):
+            # fused single-task gate (r13 optimization round): every
+            # iteration's job + driver sync collapses into ONE
+            # applyInPandas job — bit-identical output (see
+            # _kmeans_lloyd_fused; gate constants documented at their
+            # definition). A dim-mismatched init falls through to the
+            # shared validation below.
+            return _kmeans_lloyd_fused(
+                df, init_centroids, id_col, vec_col, iters
+            )
+        assign = _estep_strategy(n, k0)
     dim = len(init_centroids[0])
     if any(len(c) != dim for c in init_centroids):
         raise ValueError("init centroids must share one dimensionality")

@@ -3927,6 +3927,58 @@ def test_kmeans_train_assign_grouped_matches_unfused_pipeline(spark):
     assert (0, 1) not in assigned_scids, "test needs a truly empty leaf"
 
 
+def test_kmeans_lloyd_fused_gate_matches_arrow(spark):
+    """The r13 fused single-task gate (assign='auto' below
+    _FUSED_LLOYD_MAX_ROWS/_CELLS) must return bit-identical centroids
+    AND sizes to the distributed arrow loop — including the
+    kmeans_lloyd sizes contract (LAST iteration's M-step counts, empty
+    clusters absent from the dict, carried centroids present)."""
+    from pyspark.sql import functions as F
+
+    from taxi_rides_ny_duckdb_spark.operators.similarity import kmeans_lloyd
+
+    rows = [
+        (i, [float(i % 7) * 0.25 + 0.01 * i, float(i % 3) - 1.0, 0.125 * i])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    init = [rows[0][1], rows[1][1], [99.0, 99.0, 99.0]]  # third stays empty
+    cf, sf = kmeans_lloyd(df, init, iters=3, assign="auto")  # gate fires
+    ca, sa = kmeans_lloyd(df, init, iters=3, assign="arrow")
+    assert cf == ca
+    assert sf == sa
+    assert 2 not in sf and cf[2] == init[2], "empty cluster carries init"
+
+
+def test_semdedup_auto_fused_gates_match_unfused(spark, monkeypatch):
+    """The r13 fused whole-corpus gates (flat and multilevel-coarse)
+    must reproduce the unfused init-collect + kmeans_lloyd +
+    assignment-pass pipeline row-for-row — keep flags, components,
+    cent_sim_r and centroid numbering included."""
+    from taxi_rides_ny_duckdb_spark.operators import similarity as S
+
+    rows = [
+        (i, [float((i * 7) % 13) / 13.0, float((i * 5) % 11) / 11.0,
+             float(i % 4) / 4.0, 1.0])
+        for i in range(60)
+    ] + [(100, [0.5, 0.5, 0.5, 1.0]), (101, [0.5, 0.5, 0.5, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def rowset(frame):
+        return sorted(tuple(r) for r in frame.collect())
+
+    for kwargs in (
+        dict(target_cluster_size=8, threshold=0.9),                 # flat
+        dict(target_cluster_size=4, threshold=0.9,
+             max_flat_nlist=0, levels=2),                           # L2 tower
+    ):
+        fused = rowset(S.semdedup_auto(df, iters=2, **kwargs))
+        monkeypatch.setattr(S, "_FUSED_LLOYD_MAX_ROWS", 0)
+        unfused = rowset(S.semdedup_auto(df, iters=2, **kwargs))
+        monkeypatch.undo()
+        assert fused == unfused, kwargs
+
+
 def test_semdedup_auto_validates(spark):
     import pytest as _pytest
 
