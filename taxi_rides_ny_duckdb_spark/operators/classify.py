@@ -303,33 +303,54 @@ def _round9_half_up(x: float) -> float:
 
 
 def lr_hashed_features(
-    docs: DataFrame, text_col: str, id_col: str, dim: int = 32
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    dim: int = 32,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Hashed bag-of-words term-frequency features: token →
     ``portable_hash60 % dim`` bucket (the fastText hashing trick —
     fixed model width regardless of vocabulary), x = bucket count /
-    doc token count. Output (id, idx, x), ≤ ``dim`` rows per doc.
+    doc token count. Output (id, *carry_cols, idx, x), ≤ ``dim`` rows
+    per doc.
 
     Scale shape: the token stream collapses to ≤ dim buckets per doc
     map-side BEFORE the exchange (groupBy(id, idx) partial combine),
     so the shuffled feature frame is ≤ dim × corpus-docs rows of three
-    scalars — never tokens, never text. The md5-based bucket hash
-    keeps features engine-replayable (oracle parity); swap xxhash64
-    for production ingest."""
+    scalars — never tokens, never text. The per-doc token total comes
+    from a window over the collapsed frame (r13 optimization round,
+    guide §2.4: the former groupBy(id) + self-join on id cost a second
+    aggregate plus a two-sided exchange+sort for the same integers —
+    the window is one exchange). The md5-based bucket hash keeps
+    features engine-replayable (oracle parity); swap xxhash64 for
+    production ingest.
+
+    ``carry_cols``: doc-level columns (functionally dependent on the
+    id) carried through the collapse — lets a caller keep its label on
+    the feature rows instead of joining a corpus-sized label frame
+    back on id (r13, the trainer's use)."""
     from .dedup import portable_hash60
 
     if dim < 2:
         raise ValueError(f"dim must be >= 2, got {dim}")
+    carry = [F.col(c) for c in carry_cols]
     tok = docs.select(
-        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("token")
+        F.col(id_col), *carry, F.explode(tokenize(F.col(text_col))).alias("token")
     )
     fidx = tok.select(
-        F.col(id_col), (portable_hash60(F.col("token")) % dim).alias("idx")
+        F.col(id_col), *carry,
+        (portable_hash60(F.col("token")) % dim).alias("idx"),
     )
-    fcnt = fidx.groupBy(id_col, "idx").agg(F.count(F.lit(1)).alias("cnt"))
-    ntok = fcnt.groupBy(id_col).agg(F.sum("cnt").alias("n_tok"))
-    return fcnt.join(ntok, id_col).select(
+    # carry_cols are doc-constant, so adding them to the grouping key
+    # leaves the groups (and counts) unchanged
+    fcnt = fidx.groupBy(id_col, *carry_cols, "idx").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy(id_col)
+    return fcnt.withColumn("n_tok", F.sum("cnt").over(w)).select(
         F.col(id_col),
+        *[F.col(c) for c in carry_cols],
         F.col("idx"),
         (F.col("cnt").cast("double") / F.col("n_tok").cast("double")).alias("x"),
     )
@@ -390,37 +411,57 @@ def lr_train_surrogate(
     by construction, like NB's V×C table but smaller."""
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
-    base = lr_hashed_features(docs, text_col, id_col, dim).unionByName(
+    # label CARRIED through the feature collapse (r13 optimization
+    # round, guide §2.3/§2.4 — it is doc-constant, so the groups are
+    # unchanged) instead of joined back on id: the label-join's
+    # two-sided exchange+sort is gone, and the cache is populated by
+    # iteration 1's own action rather than a separate count job.
+    base = lr_hashed_features(
+        docs, text_col, id_col, dim, carry_cols=(label_col,)
+    ).unionByName(
         docs.select(
             F.col(id_col),
+            F.col(label_col),
             F.lit(dim).cast("long").alias("idx"),
             F.lit(1.0).alias("x"),
         )
     )
-    labels = docs.select(
-        F.col(id_col), F.col(label_col).cast("double").alias("y")
-    )
-    # label joined in ONCE, then cached partitioned by doc id: the
-    # per-iteration z-agg and err-join run exchange-free on the cache.
-    feats = base.join(labels, id_col).repartition(F.col(id_col)).transform(scoped_persist)
-    n = docs.count()
-    if n == 0:
-        raise ValueError("empty training set")
-    w = [0.0] * (dim + 1)  # w[dim] is the intercept
-    for _ in range(iters):
-        warr = F.array(*[F.lit(v) for v in w])
-        wt = F.element_at(warr, (F.col("idx") + 1).cast("int"))
-        prod = F.round(F.col("x") * wt, _LOGP_DP)
-        z = feats.groupBy(id_col).agg(
-            F.sum(prod.cast("decimal(38,12)")).cast("double").alias("z"),
-            F.first("y").alias("y"),
-        )
-        err = z.select(
+    feats = (
+        base.select(
             F.col(id_col),
-            (_surrogate_p(F.col("z"), _LOGP_DP) - F.col("y")).alias("err"),
+            F.col("idx"),
+            F.col("x"),
+            F.col(label_col).cast("double").alias("y"),
         )
+        .repartition(F.col(id_col))
+        .transform(scoped_persist)
+    )
+    w = [0.0] * (dim + 1)  # w[dim] is the intercept
+    n = 0
+    win = Window.partitionBy(id_col)
+    for it in range(iters):
+        if it == 0:
+            # w₀ = 0 ⇒ every per-doc z is EXACTLY 0 (x ≥ 0 here, so
+            # round(x·0, 12) = 0.0 and the decimal sum is 0) and
+            # σ̃(0) = round(0.5, 12) = 0.5 exactly — the whole z
+            # window pass is a constant. err = 0.5 − y, bit-identical
+            # to evaluating the surrogate (r13 optimization round);
+            # the oracle's unrolled it-1 CTEs compute the same 0.5.
+            err = F.lit(0.5) - F.col("y")
+        else:
+            # per-doc z as a WINDOW over the id-partitioned cache
+            # (exchange-free — same partitioning; r13: replaces the
+            # groupBy(id) + join-back-on-id pair, one cache scan per
+            # iteration instead of two): the decimal sum is
+            # order-independent, so the window total is the identical
+            # double the old aggregate produced.
+            warr = F.array(*[F.lit(v) for v in w])
+            wt = F.element_at(warr, (F.col("idx") + 1).cast("int"))
+            prod = F.round(F.col("x") * wt, _LOGP_DP)
+            z = F.sum(prod.cast("decimal(38,12)")).over(win).cast("double")
+            err = _surrogate_p(z, _LOGP_DP) - F.col("y")
         grads = (
-            feats.join(err, id_col)
+            feats.withColumn("err", err)
             .groupBy("idx")
             .agg(
                 F.sum(
@@ -429,10 +470,18 @@ def lr_train_surrogate(
                     )
                 )
                 .cast("double")
-                .alias("g")
+                .alias("g"),
+                F.count(F.lit(1)).alias("c"),
             )
             .collect()
         )
+        if it == 0:
+            # every doc carries exactly one bias row (idx = dim), so
+            # its group count IS the corpus size — the separate
+            # docs.count() job is gone (r13)
+            n = next((r["c"] for r in grads if r["idx"] == dim), 0)
+            if n == 0:
+                raise ValueError("empty training set")
         gmap = {r["idx"]: r["g"] for r in grads}
         w = [w[i] - lr * (gmap.get(i, 0.0) / n) for i in range(dim + 1)]
     feats.unpersist()
