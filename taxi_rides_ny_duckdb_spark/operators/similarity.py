@@ -1341,16 +1341,15 @@ def semdedup(
     cluster counts) so mean |c| stays constant; a frozen small
     quantizer re-quadratizes as the table grows (measured: 4.6 s →
     329 s across a 10× scale-up against 8 fixed centroids);
-    pairing runs per-cluster in blocked numpy with the exact rounded
-    filter re-applied in the engine (``_within_cluster_pairs`` — r10;
-    it replaced the merge-pinned self-join whose interpreted HOF fold
-    dominated the collapse tail); component collapse reuses the
-    size-gated CC (driver union-find for small edge lists,
-    large-star/small-star beyond). Every cosine is rounded BEFORE the
-    threshold / argmin so the decision set is engine-reproducible.
+    pairing, transitive closure and the keep rule all run inside ONE
+    fused per-cluster Arrow pass (``_semdedup_collapse`` — r13; the
+    r10 blocked-numpy pairing kernel is unchanged, the exact rounded
+    filter now applies in-task via the property-tested ``F.round``
+    twin, and the union-find replays ``connected_components``'
+    min-member-id contract cluster-locally). Every cosine is rounded
+    BEFORE the threshold / argmin so the decision set is
+    engine-reproducible.
     """
-    from .dedup import connected_components
-
     assigned = assign_nearest_centroid(
         ensure_min_partitions(df), centroids, vec_col=vec_col,
         out_col="centroid_id", round_dp=round_dp,
@@ -1374,156 +1373,156 @@ def semdedup(
 def _semdedup_collapse(
     assigned: DataFrame, threshold: float, id_col: str, round_dp: int
 ) -> DataFrame:
-    """Shared SemDeDup tail: within-cluster pairing (per-cluster
-    blocked-numpy candidate generation + the EXACT rounded-cosine
-    filter re-applied in the engine — see ``_within_cluster_pairs``),
-    size-gated connected components, keep = the component member LEAST
-    similar to its centroid (ties to the lower id). ``assigned``
-    carries (id_col, centroid_id, cent_sim_r, __v, __n).
+    """Shared SemDeDup tail, ONE fused Arrow pass per cluster (r13
+    optimization round, guide §1.2/§2.4/§4.2): every decision after
+    assignment is CLUSTER-LOCAL — candidate pairs are generated within
+    clusters only, so components never span clusters and the keep
+    window's component partitions nest inside cluster partitions —
+    which means pairing, transitive closure and the keep rule all run
+    inside the SAME per-centroid task that already holds the cluster's
+    vectors. One groupBy(centroid_id) exchange replaces the unfused
+    chain's persist + edge-count job + edge-collect job + mapping
+    broadcast join + keep-window exchange, and the driver never sees
+    an edge list at ANY scale (the old driver union-find shipped the
+    collected pairs up and the mapping back down).
 
-    ``assigned`` is persisted here: it feeds THREE plan branches (the
-    pairing groups, the CC node list, and the final keep join) and its
-    lineage is the full quantizer assignment — unpersisted, the
-    arrow/expr argmin re-ran per branch (the r9 CC profile; same class
-    as the connected_components edge-cache fix)."""
-    from .dedup import connected_components
-
-    assigned = assigned.transform(scoped_persist)
-    pairs = _within_cluster_pairs(assigned, threshold, id_col, round_dp)
-    # emit="mapping" (r13): the closure comes back ONLY for edge-
-    # touched ids — on the driver/union-find path that is a LITERAL
-    # broadcast-sized frame — and applies as one left join +
-    # coalesce(component, id). The old form built a corpus-sized
-    # (id, component) frame (mapping ∪ anti-joined singletons) and
-    # sort-merge-joined it back on id: three exchanges deleted.
-    comp = connected_components(pairs, "id_a", "id_b", emit="mapping")
-    joined = (
-        assigned.select(id_col, "centroid_id", "cent_sim_r")
-        .join(
-            comp.select(F.col("id").alias(id_col), "component"),
-            id_col,
-            "left",
-        )
-        .withColumn("component", F.coalesce("component", F.col(id_col)))
-    )
-    w = Window.partitionBy("component").orderBy(
-        F.col("cent_sim_r").asc(), F.col(id_col).asc()
-    )
-    return joined.select(
-        id_col,
-        "centroid_id",
-        "component",
-        "cent_sim_r",
-        (F.row_number().over(w) == 1).alias("keep"),
-    )
-
-
-def _within_cluster_pairs(
-    assigned: DataFrame, threshold: float, id_col: str, round_dp: int
-) -> DataFrame:
-    """Within-cluster near-dup pairs, decision-set-identical to the
-    merge self-join it replaces (r10 — the interpreted HOF fold over
-    every candidate pair was the collapse tail's dominant cost: ~25M
-    zip_with folds at sf10): one ``applyInPandas`` per centroid group
-    computes candidate dot products in blocked numpy and pre-filters
-    at ``threshold − 10^−round_dp``; the engine then re-applies the
-    EXACT filter ``round(dot/(na·nb), dp) ≥ threshold``.
-
-    Why this is bit-safe, term by term:
-    - the dot accumulates dim-SEQUENTIALLY over vectorized pair blocks
-      (``acc += A[:,d]·B[:,d]`` for d ascending) — the identical IEEE
-      operation order as the engine's left-to-right ``aggregate`` fold
-      and the oracle's ``list_sum(list_transform(...))``, so the
-      double is bit-equal, not approximately equal;
-    - norms are NOT recomputed: the engine-computed ``__n`` rides in;
-    - the margin is sound: round_dp-rounding moves a value by at most
-      5·10^−(dp+1) < 10^−dp, so every pair the engine would keep has
-      raw sim ≥ threshold − 10^−dp — the pre-filter is a superset —
-      and the final filter is evaluated by the ENGINE on the carried
-      (dot, na, nb), so the kept set matches the SQL oracle exactly;
-    - zero-norm rows score 0.0 on both sides (the ``cosine()``
-      convention).
+    Bit-parity with the unfused chain, term by term (pinned by
+    test_semdedup_collapse_matches_scalar_replica against an
+    independent scalar reimplementation):
+    - the candidate dot accumulates dim-SEQUENTIALLY over vectorized
+      pair blocks (``acc += A[:,d]·B[:,d]`` for d ascending) — the
+      identical IEEE operation order as the engine's left-to-right
+      ``aggregate`` fold and the oracle's ``list_sum(list_transform)``,
+      so the double is bit-equal; norms are NOT recomputed — the
+      ENGINE-computed ``__n`` rides in; zero-norm rows score 0.0 (the
+      ``cosine()`` convention);
+    - the margin prefilter at ``threshold − 10^−round_dp`` is a sound
+      superset (dp-rounding moves a value < 10^−dp) and the EXACT
+      filter ``round(dot/(na·nb), dp) ≥ threshold`` is applied via the
+      property-tested ``_round9_half_up_np`` twin of ``F.round``
+      (scalar ``Decimal(repr(x))`` quantize for dp ≠ 9);
+    - components: union-find attaching the larger root under the
+      smaller, so the representative is the min member id —
+      ``connected_components``' documented contract; edge-untouched
+      rows stay their own singletons (the old left-join + coalesce);
+    - keep: first row per component under (cent_sim_r asc, id asc) via
+      a stable lexsort — ``row_number() == 1`` under the same
+      ordering; NaN sorts last on both sides (Spark ASC places NaN
+      greatest; numpy sorts NaN to the end).
 
     100 TB shape: clusters are ~target-sized by the auto-sizing
-    contract, so each group is a bounded sub-problem and the exchange
-    is one hash partition of (id, centroid_id, vec, norm); only
-    margin-passing pairs materialize as rows (the join form
-    materialized every candidate pair into the filter)."""
+    contract, so each group is a bounded sub-problem — the in-task
+    union-find is O(E·α) over the same pair set the task already
+    materialized, and the per-task memory bound is unchanged
+    (applyInPandas already holds the whole group). ``assigned``
+    carries (id_col, centroid_id, cent_sim_r, __v, __n)."""
     import numpy as np
     import pandas as pd
 
-    margin = float(threshold) - 10.0 ** (-round_dp)
+    dtypes = dict(assigned.dtypes)
+    schema = (
+        f"{id_col} {dtypes[id_col]}, centroid_id {dtypes['centroid_id']}, "
+        f"component {dtypes[id_col]}, cent_sim_r double, keep boolean"
+    )
+    thr = float(threshold)
+    dp = int(round_dp)
+    margin = thr - 10.0 ** (-dp)
     chunk = 512
-    schema = "id_a long, id_b long, __dot double, __na double, __nb double"
-    empty = {
-        "id_a": pd.Series([], dtype="int64"),
-        "id_b": pd.Series([], dtype="int64"),
-        "__dot": pd.Series([], dtype="float64"),
-        "__na": pd.Series([], dtype="float64"),
-        "__nb": pd.Series([], dtype="float64"),
-    }
+
+    def round_dp_np(vals):
+        if dp == 9:
+            return _round9_half_up_np(vals)
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q = Decimal(1).scaleb(-dp)
+        return np.array(
+            [
+                float(
+                    Decimal(repr(float(x))).quantize(q, rounding=ROUND_HALF_UP)
+                )
+                for x in vals
+            ],
+            dtype=np.float64,
+        )
 
     def fn(pdf):
         n = len(pdf)
-        if n < 2:
-            return pd.DataFrame(empty)
         pdf = pdf.sort_values(id_col)
         ids = pdf[id_col].to_numpy()
-        X = np.asarray(list(pdf["__v"]), dtype=np.float64)
-        nrm = pdf["__n"].to_numpy(dtype=np.float64)
-        dim = X.shape[1]
-        outs = []
-        for i0 in range(0, n, chunk):
-            A, na = X[i0 : i0 + chunk], nrm[i0 : i0 + chunk]
-            ia = ids[i0 : i0 + chunk]
-            for j0 in range(i0, n, chunk):
-                B, nb = X[j0 : j0 + chunk], nrm[j0 : j0 + chunk]
-                jb = ids[j0 : j0 + chunk]
-                acc = np.zeros((len(A), len(B)), dtype=np.float64)
-                for d in range(dim):  # sequential over dims == fold order
-                    acc += A[:, d : d + 1] * B[:, d]
-                ok = (na[:, None] > 0) & (nb[None, :] > 0)
-                sim = np.where(
-                    ok,
-                    np.divide(
-                        acc, na[:, None] * nb[None, :],
-                        out=np.zeros_like(acc), where=ok,
-                    ),
-                    0.0,
-                )
-                mask = (sim >= margin) & (ia[:, None] < jb[None, :])
-                ii, jj = np.nonzero(mask)
-                if len(ii):
-                    outs.append(
-                        pd.DataFrame(
-                            {
-                                "id_a": ia[ii],
-                                "id_b": jb[jj],
-                                "__dot": acc[ii, jj],
-                                "__na": na[ii],
-                                "__nb": nb[jj],
-                            }
-                        )
-                    )
-        if not outs:
-            return pd.DataFrame(empty)
-        return pd.concat(outs, ignore_index=True)
+        sims = pdf["cent_sim_r"].to_numpy(dtype=np.float64)
+        parent = list(range(n))
 
-    cand = (
-        assigned.select(id_col, "centroid_id", "__v", "__n")
+        def find(i: int) -> int:
+            r = i
+            while parent[r] != r:
+                r = parent[r]
+            while parent[i] != r:
+                parent[i], i = r, parent[i]
+            return r
+
+        if n >= 2:
+            X = np.asarray(list(pdf["__v"]), dtype=np.float64)
+            nrm = pdf["__n"].to_numpy(dtype=np.float64)
+            dim = X.shape[1]
+            for i0 in range(0, n, chunk):
+                A, na = X[i0 : i0 + chunk], nrm[i0 : i0 + chunk]
+                iu = np.arange(i0, i0 + len(A))
+                for j0 in range(i0, n, chunk):
+                    B, nb = X[j0 : j0 + chunk], nrm[j0 : j0 + chunk]
+                    ju = np.arange(j0, j0 + len(B))
+                    acc = np.zeros((len(A), len(B)), dtype=np.float64)
+                    for d in range(dim):  # sequential over dims == fold order
+                        acc += A[:, d : d + 1] * B[:, d]
+                    ok = (na[:, None] > 0) & (nb[None, :] > 0)
+                    sim = np.where(
+                        ok,
+                        np.divide(
+                            acc, na[:, None] * nb[None, :],
+                            out=np.zeros_like(acc), where=ok,
+                        ),
+                        0.0,
+                    )
+                    # ids are sorted ascending, so index order == id
+                    # order: iu < ju is the old ``id_a < id_b`` mask
+                    mask = (sim >= margin) & (iu[:, None] < ju[None, :])
+                    ii, jj = np.nonzero(mask)
+                    if not len(ii):
+                        continue
+                    hit = round_dp_np(sim[ii, jj]) >= thr
+                    for a, b in zip(iu[ii[hit]], ju[jj[hit]]):
+                        ra, rb = find(int(a)), find(int(b))
+                        if ra == rb:
+                            continue
+                        if ra < rb:
+                            parent[rb] = ra
+                        else:
+                            parent[ra] = rb
+        root = np.fromiter(
+            (find(i) for i in range(n)), dtype=np.int64, count=n
+        )
+        order = np.lexsort((ids, sims))
+        keep = np.zeros(n, dtype=bool)
+        seen: set[int] = set()
+        for i in order:
+            r = int(root[i])
+            if r not in seen:
+                seen.add(r)
+                keep[i] = True
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "centroid_id": pdf["centroid_id"].to_numpy(),
+                "component": ids[root],
+                "cent_sim_r": sims,
+                "keep": keep,
+            }
+        )
+
+    return (
+        assigned.select(id_col, "centroid_id", "cent_sim_r", "__v", "__n")
         .groupBy("centroid_id")
         .applyInPandas(fn, schema)
     )
-    sim = F.round(
-        F.when(
-            (F.col("__na") > 0) & (F.col("__nb") > 0),
-            F.col("__dot") / (F.col("__na") * F.col("__nb")),
-        ).otherwise(F.lit(0.0)),
-        round_dp,
-    )
-    return cand.select(
-        "id_a", "id_b", sim.alias("sim")
-    ).filter(F.col("sim") >= F.lit(float(threshold)))
 
 
 def semdedup_auto(
@@ -1564,8 +1563,8 @@ def semdedup_auto(
     contract regime) expr avoids Python entirely and stays faster. The keep-rule score (own-centroid cosine,
     ``round_dp``-rounded) comes from ONE broadcast join against the
     k-row centroid frame — no k-branch CASE chain. The collapse tail
-    (merge-pinned within-cluster pairing, round-before-threshold,
-    size-gated CC, keep-the-most-atypical) is shared with ``semdedup``.
+    (fused per-cluster pairing + closure + keep-the-most-atypical,
+    round-before-threshold — r13) is shared with ``semdedup``.
 
     Driver syncs are all bounded: one count, one nlist·dim init
     collect, k·dim doubles per training iteration. Output schema ==

@@ -5037,3 +5037,111 @@ def test_brier_decomposition_hand_computed(spark):
     # BS: each row (p-y)^2 = 0.0625 -> mean 0.1875 = REL - RES + UNC
     assert r["brier_r"] == 0.1875
     assert abs(r["brier_r"] - (r["reliability_r"] - r["resolution_r"] + r["uncertainty_r"])) < 1e-9
+
+
+def test_semdedup_collapse_matches_scalar_replica(spark):
+    """The r13 fused per-cluster collapse (pairing + union-find + keep
+    inside ONE Arrow task) must reproduce, value-for-value, an
+    INDEPENDENT scalar replica of the unfused chain: sequential-fold
+    cosine on the carried engine norms, repr-HALF_UP rounding before
+    the threshold, min-member-id components, keep = first row under
+    (cent_sim_r asc, id asc). Fixture: a transitive chain (a~b, b~c,
+    a!~c), an exact-dup pair with a cent_sim_r TIE, a zero-norm
+    vector, singletons, plus a seeded random cluster; run at dp=9
+    (the vectorized twin) AND dp=3 (the scalar Decimal fallback)."""
+    import math
+    import random
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from taxi_rides_ny_duckdb_spark.operators.similarity import (
+        _semdedup_collapse,
+    )
+
+    def rnd(x, dp):
+        return float(
+            Decimal(repr(x)).quantize(Decimal(1).scaleb(-dp), ROUND_HALF_UP)
+        )
+
+    def replica(rows, threshold, dp):
+        by_c = {}
+        for r in rows:
+            by_c.setdefault(r[1], []).append(r)
+        out = {}
+        for mem in by_c.values():
+            mem = sorted(mem, key=lambda r: r[0])
+            parent = {r[0]: r[0] for r in mem}
+
+            def find(x):
+                while parent[x] != x:
+                    x = parent[x]
+                return x
+
+            for i in range(len(mem)):
+                for j in range(i + 1, len(mem)):
+                    ida, _, va, na, _ = mem[i]
+                    idb, _, vb, nb, _ = mem[j]
+                    if na > 0 and nb > 0:
+                        dot = 0.0
+                        for d in range(len(va)):
+                            dot += va[d] * vb[d]
+                        sim = dot / (na * nb)
+                    else:
+                        sim = 0.0
+                    if rnd(sim, dp) >= threshold:
+                        ra, rb = find(ida), find(idb)
+                        if ra != rb:
+                            parent[max(ra, rb)] = min(ra, rb)
+            comp = {r[0]: find(r[0]) for r in mem}
+            seen = set()
+            for r in sorted(mem, key=lambda r: (r[4], r[0])):
+                c = comp[r[0]]
+                out[r[0]] = (r[1], c, r[4], c not in seen)
+                seen.add(c)
+        return out
+
+    theta = math.radians(20.0)  # cos 20 ~ 0.94, cos 40 ~ 0.77
+    rows = [
+        # cluster 0: transitive chain at threshold 0.9 — (1,2) and
+        # (2,3) pair, (1,3) does not; 4 is a zero-norm singleton;
+        # cent_sim TIE between 1 and 2 (same component) -> lower id
+        (1, 0, [1.0, 0.0, 0.0], 1.0, 0.5),
+        (2, 0, [math.cos(theta), math.sin(theta), 0.0], 1.0, 0.5),
+        (3, 0, [math.cos(2 * theta), math.sin(2 * theta), 0.0], 1.0, 0.7),
+        (4, 0, [0.0, 0.0, 0.0], 0.0, 0.2),
+        # cluster 1: one pair + one far singleton
+        (10, 1, [0.0, 1.0, 0.0], 1.0, 0.9),
+        (11, 1, [0.0, 1.0, 0.0], 1.0, 0.4),
+        (12, 1, [1.0, 0.0, 0.0], 1.0, 0.3),
+    ]
+    rng = random.Random(13)
+    for i in range(60):  # cluster 2: seeded random mix of edges
+        v = [rng.uniform(-1, 1) for _ in range(3)]
+        n = math.sqrt(v[0] * v[0] + v[1] * v[1] + v[2] * v[2])
+        rows.append((100 + i, 2, v, n, rnd(rng.uniform(0, 1), 9)))
+    df = spark.createDataFrame(
+        [(i, c, v, n, cs) for i, c, v, n, cs in rows],
+        "vec_id long, centroid_id int, __v array<double>, "
+        "__n double, cent_sim_r double",
+    )
+    for threshold, dp in ((0.9, 9), (0.9, 3), (0.35, 9)):
+        got = {
+            r["vec_id"]: (
+                r["centroid_id"], r["component"], r["cent_sim_r"], r["keep"]
+            )
+            for r in _semdedup_collapse(df, threshold, "vec_id", dp).collect()
+        }
+        assert got == replica(rows, threshold, dp), (threshold, dp)
+    # pin the fixture's named behaviors at (0.9, 9): the chain closes
+    # 1-2-3 into one min-id component, the tie keeps the lower id,
+    # zero-norm 4 is a singleton
+    got = {
+        r["vec_id"]: r
+        for r in _semdedup_collapse(df, 0.9, "vec_id", 9).collect()
+    }
+    assert got[1]["component"] == got[2]["component"] == got[3]["component"] == 1
+    assert (got[1]["keep"], got[2]["keep"], got[3]["keep"]) == (
+        True, False, False,
+    )
+    assert got[4]["component"] == 4 and got[4]["keep"]
+    assert got[10]["component"] == got[11]["component"] == 10
+    assert (got[10]["keep"], got[11]["keep"]) == (False, True)
