@@ -6990,14 +6990,19 @@ def ext_lr_score(spark, sf_dir):
     train = d.filter(F.col("doc_id") % 5 != 0).withColumn(
         "y", (F.col("lang") == "en").cast("int")
     )
-    heldout = d.filter(F.col("doc_id") % 5 == 0)
+    # is_positive CARRIED through the feature collapse and the z agg
+    # (r13 optimization round — doc-constant, so the groups are
+    # unchanged) instead of joined back on doc_id: the corpus-sized
+    # label join's exchange+sort pair is gone.
+    heldout = d.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "is_positive", F.col("lang") == "en"
+    )
     w, b = lr_train_surrogate(train, "text", "doc_id", "y", dim=32, iters=3, lr=0.5)
-    scores = lr_score_surrogate(heldout, "text", "doc_id", w, b)
+    scores = lr_score_surrogate(
+        heldout, "text", "doc_id", w, b, carry_cols=("is_positive",)
+    )
     return _count_pin(
-        scores.join(
-            heldout.select("doc_id", (F.col("lang") == "en").alias("is_positive")),
-            "doc_id",
-        ).select("doc_id", "score_r", "is_positive"),
+        scores.select("doc_id", "score_r", "is_positive"),
         "score_r",
         "is_positive",
     )

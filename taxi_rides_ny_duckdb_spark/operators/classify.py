@@ -302,6 +302,138 @@ def _round9_half_up(x: float) -> float:
     )
 
 
+def _round12_half_up(x: float) -> float:
+    """SQL ROUND semantics at 12dp — the addend-scale (``_LOGP_DP``)
+    sibling of ``_round9_half_up``; see that docstring for why the
+    SHORTEST repr, not the exact binary expansion, is the
+    engine-faithful half-line."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(x)).quantize(Decimal("1e-12"), rounding=ROUND_HALF_UP)
+    )
+
+
+def _round12_half_up_np(v):
+    """Vectorized twin of ``_round12_half_up`` (the fused LR descent's
+    hot rounding: every per-row product, σ̃ value and gradient addend)
+    — same construction as ``similarity._round9_half_up_np``: the fast
+    path scales by 10¹² and splits on the fractional part; values
+    whose fraction lands inside an ambiguity band around 0.5 fall back
+    to the exact scalar form. Band soundness: the trainer's rounded
+    values are all |v| ≤ 1-ish by construction (x ∈ [0,1], σ̃ ∈ [0,1],
+    |err·x| ≤ 1), and anything |v| ≥ 2 routes slow, so both the ×10¹²
+    scaling error (≤ 2·10¹²·2⁻⁵² ≈ 4.4·10⁻⁴) and the repr-vs-binary
+    gap (≤ 10¹²·ulp(2)/2 ≈ 2.2·10⁻⁴) sit well inside the 10⁻³ band —
+    outside it the floor/half decisions are stable. Exactness is
+    grid-tested against the scalar form and Spark ``F.round``
+    (test_round12_vectorized_matches_scalar)."""
+    import numpy as np
+
+    a = np.abs(v)
+    scaled = a * 1e12
+    f = np.floor(scaled)
+    frac = scaled - f
+    ambiguous = np.abs(frac - 0.5) < 1e-3
+    ambiguous |= ~np.isfinite(scaled) | (a >= 2.0)
+    k = f + (frac >= 0.5)
+    out = np.copysign(k / 1e12, v)
+    if ambiguous.any():
+        idx = np.nonzero(ambiguous)[0]
+        vals = np.asarray(v, dtype=np.float64)
+        for i in idx:
+            out[i] = _round12_half_up(float(vals[i]))
+    return out
+
+
+# Below this many cached feature rows, GD iterations 2..iters run
+# INSIDE one applyInPandas task (``_lr_descent_fused``) instead of the
+# per-iteration driver-sync'd window+collect loop: each distributed
+# iteration costs one scheduled job (~0.2-0.4 s fixed overhead at the
+# correctness SFs) plus a full cache scan for milliseconds of actual
+# arithmetic. The gate is WORK-sized — rows bound the single task's
+# Arrow payload (rows × 4 scalars; 2M rows ≈ 64 MB) — and the row
+# count comes FREE from iteration 1's gradient collect (the sum of
+# per-idx counts), so the gate costs zero extra jobs; above it the
+# distributed loop is unchanged. BOX ASSUMPTION: same single-core
+# numpy throughput note as similarity._FUSED_LLOYD_MAX_ROWS.
+_FUSED_LR_MAX_ROWS = 2_000_000
+
+
+def _lr_descent_fused(
+    feats: DataFrame,
+    id_col: str,
+    w: list[float],
+    n: int,
+    lr: float,
+    dim: int,
+    rounds: int,
+) -> list[float]:
+    """Run GD iterations 2..iters inside ONE task over the cached
+    feature frame — bit-equal to the distributed window+collect loop
+    (pinned by test_lr_train_fused_gate_matches_distributed):
+
+    - per-row product ``round(x·w[idx], 12)`` via the repr-HALF_UP
+      twin ``_round12_half_up_np`` of ``F.round``;
+    - per-doc z = the DECIMAL(38,12)-sum twin: addends recovered as
+      exact scaled int64 (k = rint(v·10¹²) — |v| < 2 keeps the
+      scaling error < 0.5, so recovery is exact), summed in int64,
+      and the sum divided k/10¹² (correctly-rounded IEEE division of
+      a < 2⁵³ integer ≡ the engine's exact-decimal→double cast);
+    - σ̃ and err: the identical IEEE double ops, then the round12 twin;
+    - per-idx gradient: the same int64-scaled decimal sum, converted
+      through Python ``int / 10**12`` (correctly rounded even past
+      2⁵³ — CPython int/int true division);
+    - the update w − lr·(g/n): the identical pinned double ops the
+      driver loop applies, in plain Python floats.
+
+    Emits (idx, wt) rows for idx 0..dim; the caller collects dim+1
+    doubles — one job replaces ``rounds`` window-scan collect jobs."""
+    import numpy as np
+    import pandas as pd
+
+    w0 = [float(x) for x in w]
+    nf, lrf, d1 = float(n), float(lr), dim + 1
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        idx = pdf["idx"].to_numpy(np.int64)
+        x = pdf["x"].to_numpy(np.float64)
+        y = pdf["y"].to_numpy(np.float64)
+        codes = pd.factorize(pdf[id_col])[0]
+        n_docs = int(codes.max()) + 1 if len(codes) else 0
+        wl = list(w0)
+        for _ in range(rounds):
+            warr = np.asarray(wl, dtype=np.float64)
+            prod = _round12_half_up_np(x * warr[idx])
+            zk = np.zeros(n_docs, dtype=np.int64)
+            np.add.at(zk, codes, np.rint(prod * 1e12).astype(np.int64))
+            z = zk[codes] / 1e12
+            p = _round12_half_up_np(0.5 + (0.5 * z) / (1.0 + np.abs(z)))
+            err = p - y
+            gk = np.zeros(d1, dtype=np.int64)
+            np.add.at(
+                gk,
+                idx,
+                np.rint(_round12_half_up_np(err * x) * 1e12).astype(np.int64),
+            )
+            g = [int(m) / 10**12 for m in gk]
+            wl = [wl[i] - lrf * (g[i] / nf) for i in range(d1)]
+        return pd.DataFrame(
+            {"idx": np.arange(d1, dtype=np.int64), "wt": wl}
+        )
+
+    rows = (
+        feats.withColumn("__g", F.lit(0))
+        .groupBy("__g")
+        .applyInPandas(fn, "idx long, wt double")
+        .collect()
+    )
+    out = [0.0] * d1
+    for r in rows:
+        out[r["idx"]] = r["wt"]
+    return out
+
+
 def lr_hashed_features(
     docs: DataFrame,
     text_col: str,
@@ -484,6 +616,19 @@ def lr_train_surrogate(
                 raise ValueError("empty training set")
         gmap = {r["idx"]: r["g"] for r in grads}
         w = [w[i] - lr * (gmap.get(i, 0.0) / n) for i in range(dim + 1)]
+        if it == 0 and iters > 1:
+            # iteration 1's gradient collect already counted every
+            # cached feature row (sum of per-idx counts) — a FREE gate
+            # signal: below _FUSED_LR_MAX_ROWS the remaining
+            # iterations run inside one task (r13 optimization round,
+            # guide §1.2/§2.4), bit-equal by the pinned twins; above
+            # it the distributed loop below is unchanged.
+            n_rows = sum(r["c"] for r in grads)
+            if n_rows <= _FUSED_LR_MAX_ROWS:
+                w = _lr_descent_fused(
+                    feats, id_col, w, n, lr, dim, iters - 1
+                )
+                break
     feats.unpersist()
     return w[:dim], w[dim]
 
@@ -495,18 +640,30 @@ def lr_score_surrogate(
     weights: list[float],
     bias: float,
     dim: int | None = None,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Score documents with a trained surrogate-LR model: σ̃ of the
     hashed-feature dot product, 9dp-rounded. The model rides into the
     plan as dim+1 literals (broadcast by construction); the corpus
     side is the same ≤-dim-rows-per-doc feature frame as training —
-    one groupBy(doc) shuffle, never text. Output (id, score_r)."""
+    one groupBy(doc) shuffle, never text. Output
+    (id, score_r, *carry_cols).
+
+    ``carry_cols``: doc-level columns (functionally dependent on the
+    id) carried through the feature collapse and the z aggregation —
+    the trainer's label-carry applied to scoring (r13 optimization
+    round, guide §2.4): a caller that needs labels next to scores
+    keeps them on the rows instead of joining a corpus-sized label
+    frame back on id."""
     d = dim if dim is not None else len(weights)
     if d != len(weights):
         raise ValueError(f"dim {d} != len(weights) {len(weights)}")
-    feats = lr_hashed_features(docs, text_col, id_col, d).unionByName(
+    feats = lr_hashed_features(
+        docs, text_col, id_col, d, carry_cols=carry_cols
+    ).unionByName(
         docs.select(
             F.col(id_col),
+            *[F.col(c) for c in carry_cols],
             F.lit(d).cast("long").alias("idx"),
             F.lit(1.0).alias("x"),
         )
@@ -514,11 +671,14 @@ def lr_score_surrogate(
     warr = F.array(*[F.lit(v) for v in [*weights, bias]])
     wt = F.element_at(warr, (F.col("idx") + 1).cast("int"))
     prod = F.round(F.col("x") * wt, _LOGP_DP)
-    z = feats.groupBy(id_col).agg(
+    # carry_cols are doc-constant, so the z groups are unchanged
+    z = feats.groupBy(id_col, *carry_cols).agg(
         F.sum(prod.cast("decimal(38,12)")).cast("double").alias("z")
     )
     return z.select(
-        F.col(id_col), _surrogate_p(F.col("z"), _SCORE_DP).alias("score_r")
+        F.col(id_col),
+        _surrogate_p(F.col("z"), _SCORE_DP).alias("score_r"),
+        *[F.col(c) for c in carry_cols],
     )
 
 

@@ -5145,3 +5145,74 @@ def test_semdedup_collapse_matches_scalar_replica(spark):
     assert got[4]["component"] == 4 and got[4]["keep"]
     assert got[10]["component"] == got[11]["component"] == 10
     assert (got[10]["keep"], got[11]["keep"]) == (False, True)
+
+
+def test_round12_vectorized_matches_scalar(spark):
+    """The vectorized round12 twin (_round12_half_up_np) equals the
+    scalar Decimal(repr(x)) form on half-boundary witnesses, the
+    ambiguity band, signs, the >= 2 slow route and a random grid;
+    plus a Spark F.round spot-check (the engine target of the fused
+    LR descent's addend rounding)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from taxi_rides_ny_duckdb_spark.operators.classify import (
+        _round12_half_up,
+        _round12_half_up_np,
+    )
+
+    witnesses = [
+        0.1234567890125,      # repr half-line at 12dp
+        0.4999999999995,
+        0.0000000000005,
+        0.9999999999985,
+        0.1234567890124999,
+        0.12345678901250001,
+        1.0, 0.0, -0.0, 2.5e-13, -2.5e-13,
+        3.1234567890125,      # >= 2: the scalar slow route
+        -0.1234567890125, -0.9999999999985,
+    ]
+    rng = np.random.default_rng(12)
+    grid = np.concatenate([
+        np.asarray(witnesses, dtype=np.float64),
+        rng.uniform(-2.0, 2.0, 4000),
+        rng.uniform(-1e-11, 1e-11, 1000),
+        (np.arange(-500, 500) + 0.5) / 1e12,
+    ])
+    got = _round12_half_up_np(grid)
+    want = np.asarray([_round12_half_up(float(x)) for x in grid])
+    mism = np.nonzero(got != want)[0]
+    assert len(mism) == 0, [
+        (float(grid[i]), float(got[i]), float(want[i])) for i in mism[:5]
+    ]
+    df = spark.createDataFrame([(float(w),) for w in witnesses], "v double")
+    eng = [r["r"] for r in df.select(F.round(F.col("v"), 12).alias("r")).collect()]
+    vec = _round12_half_up_np(np.asarray(witnesses, dtype=np.float64))
+    assert [float(x) for x in vec] == eng
+
+
+def test_lr_train_fused_gate_matches_distributed(spark, monkeypatch):
+    """The size-gated fused GD descent (iterations 2..iters inside one
+    task) must return the IDENTICAL model - every weight and the bias
+    bit-for-bit - as the distributed window+collect loop it replaces,
+    including zero-token docs (bias-only rows) and an idx with no
+    rows. iters=4 exercises three fused rounds."""
+    from taxi_rides_ny_duckdb_spark.operators import classify as C
+
+    rows = []
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    for i in range(40):
+        text = " ".join(words[(i + j) % len(words)] for j in range(1 + i % 7))
+        if i % 11 == 0:
+            text = "   "  # zero-token doc: trains on the bias only
+        rows.append((i, text, 1 if i % 3 == 0 else 0))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, y int")
+
+    w_fused, b_fused = C.lr_train_surrogate(
+        docs, "text", "doc_id", "y", dim=8, iters=4, lr=0.5
+    )
+    monkeypatch.setattr(C, "_FUSED_LR_MAX_ROWS", 0)
+    w_dist, b_dist = C.lr_train_surrogate(
+        docs, "text", "doc_id", "y", dim=8, iters=4, lr=0.5
+    )
+    assert w_fused == w_dist and b_fused == b_dist
