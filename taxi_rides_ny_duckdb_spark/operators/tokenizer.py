@@ -160,6 +160,91 @@ def _adjacent_pair_counts(syms_df: DataFrame) -> DataFrame:
     )
 
 
+# Below this many distinct-word vocabulary rows the WHOLE training
+# loop (all n_merges rounds of recount → argmax → merge apply) runs
+# inside one applyInPandas task instead of one distributed pair
+# aggregation + 1-row collect per round: each distributed round costs
+# a scheduled job (~0.2-0.4 s fixed overhead at the correctness SFs)
+# for integer dict arithmetic that takes milliseconds in-task. The
+# vocabulary row count comes from one cheap count over the
+# already-checkpointed symbol frame (cached-block scan), so the gate
+# costs a fast job and removes n_merges-1 or more. EXACTNESS IS
+# TRIVIAL here — counts are exact integers, the argmax tie-break is
+# lexicographic (UTF-8 byte order == code-point order == Python str
+# order), the greedy merge scan is pure string ops — pinned by
+# test_bpe_learn_merges_fused_gate_matches_distributed. The gate is
+# WORK-sized: rows bound the task's Arrow payload (Heaps' law keeps
+# the vocab ~sqrt(corpus tokens), but a 100 TB corpus still exceeds
+# any single task — above the gate the distributed loop is unchanged).
+_FUSED_BPE_MAX_VOCAB = 500_000
+
+
+def _bpe_rounds_fused(
+    syms: DataFrame, n_merges: int
+) -> list[tuple[int, str, str, int]]:
+    """All BPE training rounds inside ONE task over the (c, syms)
+    vocabulary frame — the in-task twin of the distributed loop:
+    - pair recount: exact integer dict sums over adjacent symbols;
+    - argmax: max pair_count, ties to (sym_a, sym_b) ascending —
+      Python str order == Spark's binary UTF-8 string order;
+    - merge apply: the same left-to-right non-overlapping greedy scan
+      as ``_apply_merge``'s Catalyst fold ('aaa' under (a,a) →
+      ['aa', 'a']);
+    - early stop when no adjacent pair remains."""
+    import pandas as pd
+
+    def fn(pdf):
+        cnts = pdf["c"].tolist()
+        seqs = [list(s) for s in pdf["syms"]]
+        merges: list[tuple[int, str, str, int]] = []
+        for r in range(n_merges):
+            pc: dict[tuple[str, str], int] = {}
+            for cnt, ss in zip(cnts, seqs):
+                for i in range(len(ss) - 1):
+                    p = (ss[i], ss[i + 1])
+                    pc[p] = pc.get(p, 0) + cnt
+            if not pc:
+                break
+            (a, b), n = min(
+                pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            merges.append((r + 1, a, b, int(n)))
+            merged = a + b
+            for k, ss in enumerate(seqs):
+                if len(ss) < 2:
+                    continue
+                out, i = [], 0
+                while i < len(ss):
+                    if i + 1 < len(ss) and ss[i] == a and ss[i + 1] == b:
+                        out.append(merged)
+                        i += 2
+                    else:
+                        out.append(ss[i])
+                        i += 1
+                seqs[k] = out
+        return pd.DataFrame(
+            {
+                "rank": [m[0] for m in merges],
+                "sym_a": [m[1] for m in merges],
+                "sym_b": [m[2] for m in merges],
+                "pair_count": [m[3] for m in merges],
+            }
+        )
+
+    rows = (
+        syms.withColumn("__g", F.lit(0))
+        .groupBy("__g")
+        .applyInPandas(
+            fn, "rank long, sym_a string, sym_b string, pair_count long"
+        )
+        .collect()
+    )
+    return sorted(
+        (int(r["rank"]), r["sym_a"], r["sym_b"], int(r["pair_count"]))
+        for r in rows
+    )
+
+
 def bpe_learn_merges(
     docs: DataFrame,
     text_col: str,
@@ -188,6 +273,11 @@ def bpe_learn_merges(
         .select("c", _initial_symbols(F.col("wd")).alias("syms"))
         .localCheckpoint()
     )
+    # one cached-block count gates the fused path (r13 optimization
+    # round, guide §1.2/§2.4): below _FUSED_BPE_MAX_VOCAB all rounds
+    # run in one task — n_merges jobs collapse to one.
+    if syms.count() <= _FUSED_BPE_MAX_VOCAB:
+        return _bpe_rounds_fused(syms, n_merges)
     merges: list[tuple[int, str, str, int]] = []
     for r in range(n_merges):
         best = (

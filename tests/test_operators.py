@@ -5216,3 +5216,34 @@ def test_lr_train_fused_gate_matches_distributed(spark, monkeypatch):
         docs, "text", "doc_id", "y", dim=8, iters=4, lr=0.5
     )
     assert w_fused == w_dist and b_fused == b_dist
+
+
+def test_bpe_learn_merges_fused_gate_matches_distributed(spark, monkeypatch):
+    """The size-gated fused BPE trainer (all rounds inside one task)
+    must return the IDENTICAL merge table as the distributed
+    round-per-job loop - same pairs, same order, same counts -
+    including a count tie broken lexicographically and the early-stop
+    case where every word collapses to one symbol."""
+    from taxi_rides_ny_duckdb_spark.operators import tokenizer as T
+
+    docs = spark.createDataFrame(
+        [
+            (1, "low low low lower lowest"),
+            (2, "new newer newest low"),
+            (3, "ab ab ba ba"),   # (a,b) vs (b,a) count ties
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    fused = T.bpe_learn_merges(docs, "text", n_merges=6)
+    monkeypatch.setattr(T, "_FUSED_BPE_MAX_VOCAB", 0)
+    dist = T.bpe_learn_merges(docs, "text", n_merges=6)
+    assert fused == dist
+
+    # early stop: two one-char words exhaust after one merge each
+    tiny = spark.createDataFrame([(1, "x y x")], "doc_id long, text string")
+    monkeypatch.setattr(T, "_FUSED_BPE_MAX_VOCAB", 500_000)
+    fused_t = T.bpe_learn_merges(tiny, "text", n_merges=8)
+    monkeypatch.setattr(T, "_FUSED_BPE_MAX_VOCAB", 0)
+    dist_t = T.bpe_learn_merges(tiny, "text", n_merges=8)
+    assert fused_t == dist_t and len(fused_t) < 8
