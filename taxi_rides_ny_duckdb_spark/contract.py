@@ -170,10 +170,24 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ext_embedding_mean_pool",
     "ext_mmr_diverse_topk",
     "ext_streaming_topk_rollup",
+    # 3c. Execution changed later in the r13 OPTIMIZATION session
+    #     (nb_train stats collected+inlined as literals — the NB
+    #     family and the margin-index consumers; recomputed by
+    #     tools/changed_queries.py with seeds _semdedup_collapse,
+    #     lr_train_surrogate, lr_hashed_features, lr_score_surrogate,
+    #     _lr_descent_fused, bpe_learn_merges, _bpe_rounds_fused,
+    #     ext_streaming_topk_rollup, nb_train — every other closure
+    #     member already sits in §3/§3b or the refresh cohort).
+    "ext_nb_train",
+    "ext_nb_classify",
+    "ext_classifier_auc",
+    "ext_classifier_calibration_ece",
+    "ext_brier_decomposition",
     # 4. Oldest-evidence refresh: the r7 cohort, alphabetical (the
     #    last three r7 rows — profile_correlation/drift_psi/key_skew —
-    #    wait for r14: the three changed-execution rows above take
-    #    their slots).
+    #    waited for r14 already; the five NB-family changed-execution
+    #    rows above take the next five slots from the cohort's tail —
+    #    events_session_window through metric_anomaly move to r14).
     "a8_accepted_values",
     "ext_asof_join",
     "ext_bm25_topk",
@@ -188,11 +202,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ext_corpus_shuffle",
     "ext_dsir_importance",
     "ext_events_json_extract",
-    "ext_events_session_window",
-    "ext_file_stats_skipping",
-    "ext_gopher_quality",
-    "ext_incremental_dedup",
-    "ext_metric_anomaly",
 )
 
 # ROUND-12 drawing (superseded -- kept for the audit trail):

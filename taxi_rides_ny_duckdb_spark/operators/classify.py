@@ -81,51 +81,94 @@ def nb_train(
         F.col(label_col).alias("label"),
         F.explode(tokenize(F.col(text_col))).alias("token"),
     )
-    counts = toks.groupBy("label", "token").agg(F.count(F.lit(1)).alias("n"))
-    # Global vocabulary size V and per-label token totals: two scalar/
-    # C-row aggregates over the (label, token) count frame — NOT over
-    # the corpus again (exchange reuse: `counts` is the only
-    # corpus-sized pass).
-    vocab_n = counts.select(F.countDistinct("token").alias("v"))
-    label_tot = counts.groupBy("label").agg(F.sum("n").alias("tot"))
-    n_docs = docs.groupBy(F.col(label_col).alias("label")).agg(
-        F.count(F.lit(1)).alias("n_docs")
+    # persisted (r13 optimization round, guide §2.4/§5): this V×C-
+    # bounded frame feeds the stats collects below AND — through
+    # token_logp — the scorer's vocabulary semi-join and model
+    # broadcast; unpersisted, each AQE broadcast build re-ran the
+    # corpus tokenize+explode+groupBy lineage per consumer.
+    counts = scoped_persist(
+        toks.groupBy("label", "token").agg(F.count(F.lit(1)).alias("n"))
     )
-    total_docs = docs.select(F.count(F.lit(1)).alias("all_docs"))
+    # Global vocabulary size V, per-label token totals and per-label
+    # doc counts are C-row/scalar facts: COLLECT them once and inline
+    # as literals (r13 optimization round, guide §2.4/§3.1). The old
+    # form kept them as frames and joined them in — every consumer
+    # action then re-built a TREE of nested BroadcastExchanges
+    # (label_tot, vocab_n, total_docs, and again inside every outer
+    # broadcast of token_logp): ext_nb_classify scheduled 30
+    # broadcast-build jobs per run. Two cached-block collects + one
+    # pruned doc scan replace them; the log/round arithmetic stays in
+    # the ENGINE on the identical doubles (an integer < 2⁵³ is exact
+    # as a literal), so every oracle replays unchanged.
+    stats = counts.groupBy("label").agg(F.sum("n").alias("tot")).collect()
+    tots = {r["label"]: int(r["tot"]) for r in stats}
+    v = int(counts.select(F.countDistinct("token").alias("v")).head()["v"])
+    ndocs = {
+        r["label"]: int(r["n_docs"])
+        for r in docs.groupBy(F.col(label_col).alias("label"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .collect()
+    }
+    all_docs = sum(ndocs.values())
 
     a = F.lit(float(alpha))
-    token_logp = (
-        counts.join(F.broadcast(label_tot), "label")
-        .crossJoin(F.broadcast(vocab_n))
-        .select(
+    av = float(alpha) * float(v)
+    if tots and len(tots) <= 64:
+        tot_col = F.lit(None).cast("double")
+        for lbl, t in tots.items():
+            tot_col = F.when(F.col("label") == F.lit(lbl), F.lit(float(t))).otherwise(tot_col)
+    else:
+        # degenerate/huge label spaces: keep a (local-relation) join
+        spark = docs.sparkSession
+        tot_col = None
+        ltype = dict(counts.dtypes)["label"]
+        tot_df = spark.createDataFrame(
+            [(k, float(t)) for k, t in tots.items()],
+            f"label {ltype}, tot double",
+        )
+    if tot_col is not None:
+        token_logp = counts.select(
+            "label",
+            "token",
+            "n",
+            F.round(
+                F.log((F.col("n").cast("double") + a) / (tot_col + F.lit(av))),
+                _LOGP_DP,
+            ).alias("logp_r"),
+        )
+    else:
+        token_logp = counts.join(F.broadcast(tot_df), "label").select(
             "label",
             "token",
             "n",
             F.round(
                 F.log(
-                    (F.col("n").cast("double") + a)
-                    / (F.col("tot").cast("double") + a * F.col("v").cast("double"))
+                    (F.col("n").cast("double") + a) / (F.col("tot") + F.lit(av))
                 ),
                 _LOGP_DP,
             ).alias("logp_r"),
         )
-    )
-    label_stats = (
-        n_docs.join(F.broadcast(label_tot), "label")
-        .crossJoin(F.broadcast(vocab_n))
-        .crossJoin(F.broadcast(total_docs))
-        .select(
-            "label",
-            "n_docs",
-            F.round(
-                F.log(F.col("n_docs").cast("double") / F.col("all_docs").cast("double")),
-                _LOGP_DP,
-            ).alias("log_prior_r"),
-            F.round(
-                F.log(a / (F.col("tot").cast("double") + a * F.col("v").cast("double"))),
-                _LOGP_DP,
-            ).alias("log_floor_r"),
-        )
+    # labels present in BOTH doc counts and token totals — the old
+    # inner join's contract (a label whose every doc is token-less
+    # carried no model rows and no stats row)
+    spark = docs.sparkSession
+    label_stats = spark.createDataFrame(
+        [
+            (lbl, ndocs[lbl], float(tots[lbl]))
+            for lbl in sorted(ndocs)
+            if lbl in tots
+        ],
+        f"label {dict(counts.dtypes)['label']}, n_docs long, tot double",
+    ).select(
+        "label",
+        "n_docs",
+        F.round(
+            F.log(F.col("n_docs").cast("double") / F.lit(float(all_docs))),
+            _LOGP_DP,
+        ).alias("log_prior_r"),
+        F.round(F.log(a / (F.col("tot") + F.lit(av))), _LOGP_DP).alias(
+            "log_floor_r"
+        ),
     )
     return token_logp, label_stats
 
