@@ -183,6 +183,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ext_classifier_auc",
     "ext_classifier_calibration_ece",
     "ext_brier_decomposition",
+    # (bm25 stats-collect closure: ext_bm25_topk already sits in the
+    #  refresh cohort below; ext_passage_clusters already sits in §3;
+    #  ext_hybrid_rrf_topk takes one more tail slot)
+    "ext_hybrid_rrf_topk",
     # 4. Oldest-evidence refresh: the r7 cohort, alphabetical (the
     #    last three r7 rows — profile_correlation/drift_psi/key_skew —
     #    waited for r14 already; the five NB-family changed-execution
@@ -201,7 +205,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ext_corpus_datacard",
     "ext_corpus_shuffle",
     "ext_dsir_importance",
-    "ext_events_json_extract",
 )
 
 # ROUND-12 drawing (superseded -- kept for the audit trail):

@@ -7874,17 +7874,30 @@ def ext_passage_clusters(spark, sf_dir):
     exactly as connected components completed the near-dup ladder.
     Pairs are passage-match-sized (never documents); CC is the
     size-gated union-find / star machinery; singleton docs come back
-    as their own family. memoize=False: CC iterates eagerly."""
+    as their own family (emit="mapping" + left-coalesce — the r13
+    CC-consumer convention: the closure comes back only for
+    edge-touched ids as a broadcast-sized frame, and the
+    nodes-distinct + anti-join + union singleton build is gone).
+    memoize=False: CC iterates eagerly."""
     from .operators.dedup import connected_components, winnow_passage_matches
 
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     pairs = winnow_passage_matches(
         d, "text", "doc_id", k=5, w=4, min_shared=2, max_df=10
     )
-    comp = connected_components(
-        pairs, "id_a", "id_b", nodes=d.select("doc_id")
+    comp = connected_components(pairs, "id_a", "id_b", emit="mapping")
+    return (
+        d.select("doc_id")
+        .join(
+            comp.select(F.col("id").alias("doc_id"), "component"),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("passage_family"),
+        )
     )
-    return comp.select(F.col("id").alias("doc_id"), F.col("component").alias("passage_family"))
 
 
 _PPL_MIX_ORACLE = (
