@@ -185,8 +185,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ext_brier_decomposition",
     # (bm25 stats-collect closure: ext_bm25_topk already sits in the
     #  refresh cohort below; ext_passage_clusters already sits in §3;
-    #  ext_hybrid_rrf_topk takes one more tail slot)
+    #  ext_hybrid_rrf_topk takes one more tail slot; the
+    #  quality_bucket_mix cuts-collect adds ext_perplexity_bucket_mix)
     "ext_hybrid_rrf_topk",
+    "ext_perplexity_bucket_mix",
     # 4. Oldest-evidence refresh: the r7 cohort, alphabetical (the
     #    last three r7 rows — profile_correlation/drift_psi/key_skew —
     #    waited for r14 already; the five NB-family changed-execution
@@ -204,7 +206,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ext_corpus_curation",
     "ext_corpus_datacard",
     "ext_corpus_shuffle",
-    "ext_dsir_importance",
 )
 
 # ROUND-12 drawing (superseded -- kept for the audit trail):

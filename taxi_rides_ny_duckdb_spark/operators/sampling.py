@@ -944,26 +944,35 @@ def quality_bucket_mix(
     swap percentile_approx at 100 TB and drop the exactness claim),
     bucket is a pure ``score > cut`` sum against those cuts, and the
     per-bucket draw is the engine-portable hash fraction. Plan: one
-    aggregation-bounded cuts pass (1 row, broadcast back) + a pure
-    scan-CASE-filter projection. Output: df columns + ``bucket``,
-    surviving rows only."""
+    aggregation-bounded cuts pass, COLLECTED and inlined as literals
+    (r13 optimization round, guide §2.4 — the nb_train/bm25 stats
+    rule: kept as a 1-row broadcast frame, every consumer action
+    re-built the BroadcastExchange and re-ran the score lineage —
+    here often an LM scorer — inside the build; same doubles either
+    way), + a pure scan-CASE-filter projection; ``df`` is persisted
+    because the cuts pass and the projection both read it. Output:
+    df columns + ``bucket``, surviving rows only."""
+    from ..cache import scoped_persist
+
     n = len(keep_fractions)
     if n < 2:
         raise ValueError("need at least 2 buckets")
     if any(not (0.0 <= f <= 1.0) for f in keep_fractions):
         raise ValueError("keep_fractions must be in [0, 1]")
-    cuts = df.agg(
+    df = df.transform(scoped_persist)
+    crow = df.agg(
         *[
             F.percentile(score_col, F.lit(i / n)).alias(f"__c{i}")
             for i in range(1, n)
         ]
-    )
-    joined = df.crossJoin(F.broadcast(cuts))
+    ).head()
     bucket = None
     for i in range(1, n):
-        term = (F.col(score_col) > F.col(f"__c{i}")).cast("int")
+        c = crow[f"__c{i}"]
+        cut = F.lit(float(c)) if c is not None else F.lit(None).cast("double")
+        term = (F.col(score_col) > cut).cast("int")
         bucket = term if bucket is None else bucket + term
-    labeled = joined.select(*df.columns, bucket.alias("bucket"))
+    labeled = df.select(*df.columns, bucket.alias("bucket"))
     thresh = F.lit(keep_fractions[-1])
     for i in range(n - 2, -1, -1):
         thresh = F.when(F.col("bucket") == i, F.lit(keep_fractions[i])).otherwise(

@@ -1370,6 +1370,77 @@ def semdedup(
     return _semdedup_collapse(assigned, threshold, id_col, round_dp)
 
 
+def _collapse_cluster_np(
+    ids, X, nrm, sims, thr: float, margin: float, round_dp_np, chunk: int = 512
+):
+    """One cluster's pairing + transitive closure + keep rule — the
+    in-task kernel shared by ``_semdedup_collapse`` and
+    ``_semdedup_tower_fused`` (r13; extracted verbatim so the two
+    fused paths cannot drift). ``ids`` MUST be sorted ascending (index
+    order == id order, so the index mask replays ``id_a < id_b``);
+    ``X`` may be None for singleton clusters. Returns ``(root, keep)``
+    — root[i] is the component representative's LOCAL INDEX (min index
+    == min id), keep is the first row per component under
+    (cent_sim_r asc, id asc). See ``_semdedup_collapse`` for the full
+    bit-parity argument."""
+    import numpy as np
+
+    n = len(ids)
+    parent = list(range(n))
+
+    def find(i: int) -> int:
+        r = i
+        while parent[r] != r:
+            r = parent[r]
+        while parent[i] != r:
+            parent[i], i = r, parent[i]
+        return r
+
+    if n >= 2 and X is not None:
+        dim = X.shape[1]
+        for i0 in range(0, n, chunk):
+            A, na = X[i0 : i0 + chunk], nrm[i0 : i0 + chunk]
+            iu = np.arange(i0, i0 + len(A))
+            for j0 in range(i0, n, chunk):
+                B, nb = X[j0 : j0 + chunk], nrm[j0 : j0 + chunk]
+                ju = np.arange(j0, j0 + len(B))
+                acc = np.zeros((len(A), len(B)), dtype=np.float64)
+                for d in range(dim):  # sequential over dims == fold order
+                    acc += A[:, d : d + 1] * B[:, d]
+                ok = (na[:, None] > 0) & (nb[None, :] > 0)
+                sim = np.where(
+                    ok,
+                    np.divide(
+                        acc, na[:, None] * nb[None, :],
+                        out=np.zeros_like(acc), where=ok,
+                    ),
+                    0.0,
+                )
+                mask = (sim >= margin) & (iu[:, None] < ju[None, :])
+                ii, jj = np.nonzero(mask)
+                if not len(ii):
+                    continue
+                hit = round_dp_np(sim[ii, jj]) >= thr
+                for a, b in zip(iu[ii[hit]], ju[jj[hit]]):
+                    ra, rb = find(int(a)), find(int(b))
+                    if ra == rb:
+                        continue
+                    if ra < rb:
+                        parent[rb] = ra
+                    else:
+                        parent[ra] = rb
+    root = np.fromiter((find(i) for i in range(n)), dtype=np.int64, count=n)
+    order = np.lexsort((ids, sims))
+    keep = np.zeros(n, dtype=bool)
+    seen: set[int] = set()
+    for i in order:
+        r = int(root[i])
+        if r not in seen:
+            seen.add(r)
+            keep[i] = True
+    return root, keep
+
+
 def _semdedup_collapse(
     assigned: DataFrame, threshold: float, id_col: str, round_dp: int
 ) -> DataFrame:
@@ -1446,68 +1517,18 @@ def _semdedup_collapse(
         )
 
     def fn(pdf):
-        n = len(pdf)
         pdf = pdf.sort_values(id_col)
         ids = pdf[id_col].to_numpy()
         sims = pdf["cent_sim_r"].to_numpy(dtype=np.float64)
-        parent = list(range(n))
-
-        def find(i: int) -> int:
-            r = i
-            while parent[r] != r:
-                r = parent[r]
-            while parent[i] != r:
-                parent[i], i = r, parent[i]
-            return r
-
-        if n >= 2:
-            X = np.asarray(list(pdf["__v"]), dtype=np.float64)
-            nrm = pdf["__n"].to_numpy(dtype=np.float64)
-            dim = X.shape[1]
-            for i0 in range(0, n, chunk):
-                A, na = X[i0 : i0 + chunk], nrm[i0 : i0 + chunk]
-                iu = np.arange(i0, i0 + len(A))
-                for j0 in range(i0, n, chunk):
-                    B, nb = X[j0 : j0 + chunk], nrm[j0 : j0 + chunk]
-                    ju = np.arange(j0, j0 + len(B))
-                    acc = np.zeros((len(A), len(B)), dtype=np.float64)
-                    for d in range(dim):  # sequential over dims == fold order
-                        acc += A[:, d : d + 1] * B[:, d]
-                    ok = (na[:, None] > 0) & (nb[None, :] > 0)
-                    sim = np.where(
-                        ok,
-                        np.divide(
-                            acc, na[:, None] * nb[None, :],
-                            out=np.zeros_like(acc), where=ok,
-                        ),
-                        0.0,
-                    )
-                    # ids are sorted ascending, so index order == id
-                    # order: iu < ju is the old ``id_a < id_b`` mask
-                    mask = (sim >= margin) & (iu[:, None] < ju[None, :])
-                    ii, jj = np.nonzero(mask)
-                    if not len(ii):
-                        continue
-                    hit = round_dp_np(sim[ii, jj]) >= thr
-                    for a, b in zip(iu[ii[hit]], ju[jj[hit]]):
-                        ra, rb = find(int(a)), find(int(b))
-                        if ra == rb:
-                            continue
-                        if ra < rb:
-                            parent[rb] = ra
-                        else:
-                            parent[ra] = rb
-        root = np.fromiter(
-            (find(i) for i in range(n)), dtype=np.int64, count=n
+        X = (
+            np.asarray(list(pdf["__v"]), dtype=np.float64)
+            if len(pdf) >= 2
+            else None
         )
-        order = np.lexsort((ids, sims))
-        keep = np.zeros(n, dtype=bool)
-        seen: set[int] = set()
-        for i in order:
-            r = int(root[i])
-            if r not in seen:
-                seen.add(r)
-                keep[i] = True
+        nrm = pdf["__n"].to_numpy(dtype=np.float64)
+        root, keep = _collapse_cluster_np(
+            ids, X, nrm, sims, thr, margin, round_dp_np, chunk
+        )
         return pd.DataFrame(
             {
                 id_col: ids,
@@ -1627,51 +1648,16 @@ def semdedup_auto(
         )
     if n <= _FUSED_LLOYD_MAX_ROWS and n * nlist <= _FUSED_LLOYD_MAX_CELLS:
         # fused flat path (r13 optimization round, guide §2.4/§1.2):
-        # ONE whole-corpus group through the fused init+train+assign
-        # pass — in-task k = ⌈n/T⌉ ≡ nlist (splits_remaining=1), init =
-        # first-nlist-by-id ≡ the collected init, kernels bit-equal to
-        # kmeans_lloyd (pinned), trailing E-step ≡ the carry_vec arrow
-        # assignment. Deletes the init collect, the overflow-guard agg,
-        # iters driver-sync'd iteration jobs and the separate
-        # assignment pass; the keep-rule cosine stays the ENGINE
-        # expression on the same doubles (centroid rows come back from
-        # the pass instead of driver literals). Gate constants
+        # the WHOLE operator — init+train+assign (in-task k = ⌈n/T⌉ ≡
+        # nlist, init = first-nlist-by-id, the _lloyd_rounds_np kernel
+        # bit-equal to kmeans_lloyd), the own-centroid scoring AND the
+        # pair/closure/keep collapse — as one task
+        # (_semdedup_tower_fused with levels=1). Gate constants
         # documented at their definition.
-        v0 = df.select(
-            F.col(id_col),
-            _as_double_array(F.col(vec_col)).alias("__v"),
-            F.lit(0).alias("__b"),
+        return _semdedup_tower_fused(
+            df, int(target_cluster_size), 1, threshold,
+            id_col, vec_col, iters, round_dp,
         )
-        fused = kmeans_train_assign_grouped(
-            v0, int(target_cluster_size), 1,
-            id_col=id_col, vec_col="__v", group_col="__b", iters=iters,
-        ).transform(scoped_persist)
-        cents_fused = (
-            fused.filter(F.col(id_col).isNull())
-            .select(F.col("scid").alias("cid"), "cv")
-            .withColumn("__cn", l2_norm(F.col("cv")))
-        )
-        base_fused = (
-            fused.filter(F.col(id_col).isNotNull())
-            .select(F.col(id_col), F.col("scid").alias("cid"), "__v")
-            .withColumn("__n", l2_norm(F.col("__v")))
-        )
-        assigned = (
-            base_fused.join(F.broadcast(cents_fused), "cid")
-            .select(
-                F.col(id_col),
-                F.col("cid").alias("centroid_id"),
-                F.col("__v"),
-                F.col("__n"),
-                F.round(
-                    cosine_given_norms(
-                        F.col("__v"), F.col("cv"), F.col("__n"), F.col("__cn")
-                    ),
-                    round_dp,
-                ).alias("cent_sim_r"),
-            )
-        )
-        return _semdedup_collapse(assigned, threshold, id_col, round_dp)
     init = [
         [float(x) for x in r["__cv"]]
         for r in df.select(
@@ -1768,6 +1754,164 @@ def _iceil_root_col(m: Column, r: int) -> Column:
     )
 
 
+def _semdedup_tower_fused(
+    df: DataFrame,
+    t_target: int,
+    levels: int,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    iters: int,
+    round_dp: int,
+) -> DataFrame:
+    """The ENTIRE scale-adaptive SemDeDup — coarse training, every
+    split level, densification, own-centroid scoring AND the
+    pair/closure/keep collapse — as ONE task (r13 optimization round,
+    guide §1.2/§2.4/§4.2; the below-gate sibling of
+    ``_semdedup_multilevel``): below ``_FUSED_LLOYD_*`` the per-level
+    fused passes were still one scheduled exchange + Arrow pass +
+    persist + densify window EACH, ~0.2-0.4 s of fixed overhead per
+    level for milliseconds of numpy; here the whole tower is one
+    groupBy(lit) exchange + one applyInPandas + the action.
+    ``levels=1`` is the flat path (k = ⌈n/T⌉ ≡ nlist).
+
+    Every step is the verbatim in-task twin of the frame chain it
+    fuses (pinned by test_semdedup_auto_fused_gates_match_unfused,
+    which compares full row sets against the gate-off distributed
+    pipeline):
+    - sizing: ``k = _int_ceil_root(⌈cnt/T⌉, s)`` per node in exact
+      Python bigints — the same function the driver used;
+    - init/train/assign per node: ``_lloyd_rounds_np`` — the SAME
+      kernel object ``kmeans_train_assign_grouped`` runs;
+    - densify between levels and the final leaf numbering: the
+      lexicographic rank of (node, scid) over the COMPLETE per-node
+      scid range of member-bearing nodes — exactly the
+      ``row_number() over (ORDER BY bid, scid)`` window on the cents
+      frame (empty sub-clusters consume a number, carry no members,
+      and contribute nothing to the next level);
+    - cent_sim_r: sequential-fold dot and norms (== the engine's
+      ``l2_norm``/``cosine_given_norms`` fold order), zero-norm → 0.0,
+      rounded through the ``F.round`` twin;
+    - collapse per leaf: ``_collapse_cluster_np`` — the SAME kernel
+      ``_semdedup_collapse`` runs.
+
+    Above the gate callers keep the distributed per-level passes —
+    this path serializes the split levels' numpy through one worker,
+    which is exactly what the WORK-sized gate bounds."""
+    import numpy as np
+    import pandas as pd
+
+    T = int(t_target)
+    L = int(levels)
+    thr = float(threshold)
+    dp = int(round_dp)
+    margin = thr - 10.0 ** (-dp)
+
+    def round_dp_np(vals):
+        if dp == 9:
+            return _round9_half_up_np(vals)
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q = Decimal(1).scaleb(-dp)
+        return np.array(
+            [
+                float(
+                    Decimal(repr(float(x))).quantize(q, rounding=ROUND_HALF_UP)
+                )
+                for x in vals
+            ],
+            dtype=np.float64,
+        )
+
+    def fn(pdf):
+        n = len(pdf)
+        pdf = pdf.sort_values(id_col)
+        ids = pdf[id_col].to_numpy()
+        X = np.asarray(list(pdf["__v"]), dtype=np.float64)
+        Xi = _round_half_away_signed_np(X * 1e12).astype(np.int64)
+        node = np.zeros(n, dtype=np.int64)  # current node key per member
+        leaf_cv: list = []
+        for ell in range(1, L + 1):
+            s = L - ell + 1  # remaining splits including this one
+            assign = np.empty(n, dtype=np.int64)
+            node_list: list[tuple[int, int]] = []
+            cents: dict[tuple[int, int], np.ndarray] = {}
+            for g in sorted(set(int(x) for x in node)):
+                idx = np.nonzero(node == g)[0]  # id-ascending within node
+                cnt = len(idx)
+                k = _int_ceil_root((cnt + T - 1) // T, s)
+                best, C = _lloyd_rounds_np(X[idx], Xi[idx], k, iters)
+                assign[idx] = best
+                for sc in range(k):
+                    node_list.append((g, sc))
+                    cents[(g, sc)] = C[sc]
+            rank = {pair: i for i, pair in enumerate(sorted(node_list))}
+            if ell < L:
+                node = np.fromiter(
+                    (rank[(int(node[i]), int(assign[i]))] for i in range(n)),
+                    dtype=np.int64,
+                    count=n,
+                )
+            else:
+                leaf = np.fromiter(
+                    (rank[(int(node[i]), int(assign[i]))] for i in range(n)),
+                    dtype=np.int64,
+                    count=n,
+                )
+                leaf_cv = [cents[p] for p in sorted(node_list)]
+        # own-centroid cosine: sequential-fold dot/norms == the engine
+        # l2_norm / cosine_given_norms fold order, zero-norm -> 0.0
+        dim = X.shape[1]
+        CV = np.asarray(leaf_cv, dtype=np.float64)[leaf]
+        nv = np.zeros(n)
+        ncv = np.zeros(n)
+        dot_vc = np.zeros(n)
+        for d in range(dim):
+            nv += X[:, d] * X[:, d]
+            ncv += CV[:, d] * CV[:, d]
+            dot_vc += X[:, d] * CV[:, d]
+        nv, ncv = np.sqrt(nv), np.sqrt(ncv)
+        ok = (nv > 0) & (ncv > 0)
+        sims = round_dp_np(
+            np.where(
+                ok,
+                np.divide(dot_vc, nv * ncv, out=np.zeros(n), where=ok),
+                0.0,
+            )
+        )
+        # collapse per leaf cluster — the _semdedup_collapse kernel
+        component = np.empty(n, dtype=np.int64)
+        keep = np.zeros(n, dtype=bool)
+        for lf in np.unique(leaf):
+            idx = np.nonzero(leaf == lf)[0]
+            root, kp = _collapse_cluster_np(
+                ids[idx], X[idx] if len(idx) >= 2 else None,
+                nv[idx], sims[idx], thr, margin, round_dp_np,
+            )
+            component[idx] = ids[idx][root]
+            keep[idx] = kp
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "centroid_id": leaf.astype(np.int32),
+                "component": component,
+                "cent_sim_r": sims,
+                "keep": keep,
+            }
+        )
+
+    schema = (
+        f"{id_col} long, centroid_id int, component long, "
+        f"cent_sim_r double, keep boolean"
+    )
+    v0 = df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        _as_double_array(F.col(vec_col)).alias("__v"),
+        F.lit(0).alias("__g"),
+    )
+    return v0.groupBy("__g").applyInPandas(fn, schema)
+
+
 def _semdedup_multilevel(
     df: DataFrame,
     n: int,
@@ -1822,28 +1966,16 @@ def _semdedup_multilevel(
     b1 = _int_ceil_root(nlist, levels)
     t = int(target_cluster_size)
     if n <= _FUSED_LLOYD_MAX_ROWS and n * b1 <= _FUSED_LLOYD_MAX_CELLS:
-        # fused coarse level (r13 optimization round, guide §2.4/§1.2):
-        # the whole corpus runs as ONE group through the SAME fused
-        # init+train+assign pass the split levels use — in-task
-        # k = _int_ceil_root(⌈n/T⌉, levels) ≡ b1, init = first-b1-by-id
-        # ≡ the collected init, kernels bit-equal to kmeans_lloyd's
-        # E/M steps (pinned), trailing E-step ≡ kmeans_assign_arrow
-        # with the final centroids. Deletes, per tower build: the init
-        # collect job, the overflow-guard agg job, iters driver-sync'd
-        # iteration jobs and the separate corpus-wide assignment pass.
-        # Gate constants documented at their definition; above them the
-        # distributed loop below keeps the win (sf10 towers).
-        v0 = df.select(
-            F.col(id_col),
-            _as_double_array(F.col(vec_col)).alias("__v"),
-            F.lit(0).alias("bid"),
-        )
-        vecs = (
-            kmeans_train_assign_grouped(
-                v0, t, levels, id_col=id_col, vec_col="__v", iters=iters
-            )
-            .filter(F.col(id_col).isNotNull())
-            .select(id_col, "__v", F.col("scid").alias("bid"))
+        # fused tower (r13 optimization round, guide §2.4/§1.2): below
+        # the gate the WHOLE tower — coarse training, every split
+        # level, densification, own-centroid scoring and the collapse
+        # — runs as one task (_semdedup_tower_fused; the per-level
+        # fused passes each still cost a scheduled exchange + Arrow
+        # pass + persist + densify window). Gate constants documented
+        # at their definition; above them the distributed per-level
+        # loop below keeps the win (sf10 towers).
+        return _semdedup_tower_fused(
+            df, t, levels, threshold, id_col, vec_col, iters, round_dp
         )
     else:
         init = [
@@ -2740,6 +2872,44 @@ def kmeans_lloyd_grouped(
     )
 
 
+def _lloyd_rounds_np(X, Xi, k: int, iters: int, row_chunk: int = 1024):
+    """The in-task Lloyd kernel shared by ``kmeans_train_assign_grouped``
+    and ``_semdedup_tower_fused`` (r13 — extracted verbatim so the two
+    fused paths cannot drift): init = the first ``k`` rows (callers
+    pass id-sorted arrays, so this is first-k-by-id), ``iters`` rounds
+    of scaled-int64 E-step (per-term round(t²·10¹²) exact half-away,
+    argmin first-occurrence = lowest scid) + M-step (pre-quantized
+    round(x·10¹²) LONG addends ``Xi``, means through the vectorized
+    repr-based 9dp HALF_UP twin, empty sub-clusters carrying their
+    previous centroid), then ONE final E-step with the trained
+    centroids. Returns ``(best int32[n], C float64[k, dim])``."""
+    import numpy as np
+
+    n = len(X)
+    C = X[:k].copy()
+    best = np.empty(n, dtype=np.int32)
+
+    def estep():
+        for r0 in range(0, n, row_chunk):
+            xb = X[r0 : r0 + row_chunk]
+            t = xb[:, None, :] - C[None, :, :]
+            d = _round_half_away_nonneg_i64(t * t * 1e12).sum(axis=2)
+            best[r0 : r0 + len(xb)] = d.argmin(axis=1)
+
+    for _ in range(iters):
+        estep()
+        uc, inv = np.unique(best, return_inverse=True)
+        npart = np.bincount(inv)
+        S = np.zeros((len(uc), X.shape[1]), dtype=np.int64)
+        np.add.at(S, inv, Xi)
+        for row, (sc, cnt) in enumerate(zip(uc, npart)):
+            C[int(sc)] = _round9_half_up_np(
+                S[row].astype(np.float64) / 1e12 / float(cnt)
+            )
+    estep()  # final assignment with the trained centroids
+    return best, C
+
+
 def kmeans_train_assign_grouped(
     vecs: DataFrame,
     t_target: int,
@@ -2809,32 +2979,10 @@ def kmeans_train_assign_grouped(
         X = np.asarray(list(pdf[vec_col]), dtype=np.float64)[order]
         m = (n + T - 1) // T
         k = _int_ceil_root(m, s)  # k ≤ m ≤ n — init rows always exist
-        C = X[:k].copy()
         # addends quantized ONCE (iteration-invariant) — the r11
         # M-step convention, verbatim kmeans_lloyd_grouped
         Xi = _round_half_away_signed_np(X * 1e12).astype(np.int64)
-        best = np.empty(n, dtype=np.int32)
-
-        def estep():
-            for r0 in range(0, n, row_chunk):
-                xb = X[r0 : r0 + row_chunk]
-                t = xb[:, None, :] - C[None, :, :]
-                d = _round_half_away_nonneg_i64(t * t * 1e12).sum(axis=2)
-                # scids are the identity 0..k-1 ⇒ argmin's first
-                # occurrence = lowest scid, the house tie rule
-                best[r0 : r0 + len(xb)] = d.argmin(axis=1)
-
-        for _ in range(iters):
-            estep()
-            uc, inv = np.unique(best, return_inverse=True)
-            npart = np.bincount(inv)
-            S = np.zeros((len(uc), X.shape[1]), dtype=np.int64)
-            np.add.at(S, inv, Xi)
-            for row, (sc, cnt) in enumerate(zip(uc, npart)):
-                C[int(sc)] = _round9_half_up_np(
-                    S[row].astype(np.float64) / 1e12 / float(cnt)
-                )
-        estep()  # final assignment with the trained centroids
+        best, C = _lloyd_rounds_np(X, Xi, k, iters, row_chunk)
         mrows = pd.DataFrame(
             {group_col: np.full(n, g, dtype=np.int32),
              "scid": best.astype(np.int32),
