@@ -1349,7 +1349,22 @@ def semdedup(
     min-member-id contract cluster-locally). Every cosine is rounded
     BEFORE the threshold / argmin so the decision set is
     engine-reproducible.
+    Below the shared ``_FUSED_LLOYD_*`` work-size gate the WHOLE
+    pipeline — assignment, own-centroid scoring AND the per-cluster
+    collapse — runs inside ONE applyInPandas task
+    (``_semdedup_frozen_fused``, r13 optimization round): the
+    k × dim-literal assignment/score expressions are interpreted HOF
+    folds (they cannot whole-stage-codegen, and the ~k·dim-node
+    literal trees re-plan on every run), so at the bounded corpus the
+    gate admits, the numpy twins are both faster AND variance-free.
+    Above the gate the distributed per-cluster path below is
+    unchanged — one gate count is the only added job.
     """
+    n = df.count()
+    if n <= _FUSED_LLOYD_MAX_ROWS and n * len(centroids) <= _FUSED_LLOYD_MAX_CELLS:
+        return _semdedup_frozen_fused(
+            df, centroids, threshold, id_col, vec_col, round_dp
+        )
     assigned = assign_nearest_centroid(
         ensure_min_partitions(df), centroids, vec_col=vec_col,
         out_col="centroid_id", round_dp=round_dp,
@@ -1368,6 +1383,144 @@ def semdedup(
     assigned = assigned.withColumn("cent_sim_r", cent_sim)
 
     return _semdedup_collapse(assigned, threshold, id_col, round_dp)
+
+
+def _semdedup_frozen_fused(
+    df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    round_dp: int,
+) -> DataFrame:
+    """``semdedup`` against FROZEN centroids as ONE task (r13
+    optimization round, guide §1.2/§2.4/§4.2; the frozen-path sibling
+    of ``_semdedup_tower_fused``): below the ``_FUSED_LLOYD_*`` gate
+    the distributed chain cost one round-robin exchange + an
+    interpreted k·dim HOF-fold projection pass + the groupBy(centroid)
+    exchange + the collapse Arrow pass — ~0.8 s noop at sf0.1 for
+    milliseconds of numpy, and the interpreted folds made the row the
+    suite's most noise-sensitive (measured 1.6–12 s under CPU steal).
+
+    Bit-parity with the unfused chain, term by term (pinned by
+    test_semdedup_frozen_fused_matches_unfused):
+    - assignment: per centroid i the squared-L2 accumulates
+      dim-SEQUENTIALLY (``D[:, i] += (x_d − c_d)²`` for d ascending) —
+      the identical IEEE order as ``assign_nearest_centroid``'s
+      ``aggregate(zip_with(...))`` left fold; each distance is rounded
+      through the ``F.round`` twin BEFORE the argmin, NaN distances
+      rank greatest (``array_min``'s double ordering) via a +inf
+      substitution, and ``np.argmin``'s first-minimum tie rule is
+      exactly the struct ordering's ties-to-lower-cid;
+    - cent_sim_r: sequential-fold dot and data-side norm (== the
+      engine ``l2_norm``/``_pick_centroid_cosine`` fold order), the
+      centroid norm from the SAME ``math.sqrt(sum(...))`` Python fold
+      ``_pick_centroid_cosine`` embeds as a literal, zero-norm → 0.0,
+      rounded through the ``F.round`` twin;
+    - collapse per cluster: ``_collapse_cluster_np`` — the SAME kernel
+      ``_semdedup_collapse`` runs.
+    Vectors must be exactly dim-long (``_vec_matrix`` fails fast on
+    NULL/ragged rows — the ADVICE r12 fail-fast contract — where the
+    HOF folds would have degraded them to NULL/NaN scores).
+
+    Above the gate callers keep the distributed per-cluster passes —
+    this path serializes the whole corpus through one worker, which is
+    exactly what the WORK-sized gate bounds."""
+    import numpy as np
+    import pandas as pd
+
+    thr = float(threshold)
+    dp = int(round_dp)
+    margin = thr - 10.0 ** (-dp)
+    C = np.asarray([[float(x) for x in c] for c in centroids], dtype=np.float64)
+    # the exact literal _pick_centroid_cosine bakes in: a Python
+    # left-fold sum of squares, then math.sqrt
+    cn = np.asarray(
+        [math.sqrt(sum(float(x) * float(x) for x in c)) for c in centroids],
+        dtype=np.float64,
+    )
+    k, dim = C.shape
+
+    def round_dp_np(vals):
+        if dp == 9:
+            return _round9_half_up_np(vals)
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q = Decimal(1).scaleb(-dp)
+        return np.array(
+            [
+                float(
+                    Decimal(repr(float(x))).quantize(q, rounding=ROUND_HALF_UP)
+                )
+                for x in vals
+            ],
+            dtype=np.float64,
+        )
+
+    dtypes = dict(df.dtypes)
+    idt = dtypes[id_col]
+    schema = (
+        f"{id_col} {idt}, centroid_id int, component {idt}, "
+        f"cent_sim_r double, keep boolean"
+    )
+
+    def fn(pdf):
+        pdf = pdf.sort_values(id_col)
+        ids = pdf[id_col].to_numpy()
+        n = len(pdf)
+        X = _vec_matrix(pdf["__v"], dim)
+        D = np.zeros((n, k), dtype=np.float64)
+        for d in range(dim):  # sequential over dims == fold order
+            t = X[:, d : d + 1] - C[:, d][None, :]
+            D += t * t
+        for i in range(k):  # round_dp_np kernels are 1-D
+            D[:, i] = round_dp_np(D[:, i])
+        a = np.where(np.isnan(D), np.inf, D).argmin(axis=1)
+        CA = C[a]
+        nv = np.zeros(n)
+        dot_vc = np.zeros(n)
+        for d in range(dim):
+            nv += X[:, d] * X[:, d]
+            dot_vc += X[:, d] * CA[:, d]
+        nv = np.sqrt(nv)
+        cna = cn[a]
+        ok = (nv > 0) & (cna > 0)
+        sims = round_dp_np(
+            np.where(
+                ok, np.divide(dot_vc, nv * cna, out=np.zeros(n), where=ok), 0.0
+            )
+        )
+        component = np.empty(n, dtype=ids.dtype)
+        keep = np.zeros(n, dtype=bool)
+        for ci in np.unique(a):
+            idx = np.nonzero(a == ci)[0]  # id-ascending within cluster
+            root, kp = _collapse_cluster_np(
+                ids[idx],
+                X[idx] if len(idx) >= 2 else None,
+                nv[idx],
+                sims[idx],
+                thr,
+                margin,
+                round_dp_np,
+            )
+            component[idx] = ids[idx][root]
+            keep[idx] = kp
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "centroid_id": a.astype(np.int32),
+                "component": component,
+                "cent_sim_r": sims,
+                "keep": keep,
+            }
+        )
+
+    v0 = df.select(
+        F.col(id_col),
+        _as_double_array(F.col(vec_col)).alias("__v"),
+        F.lit(0).alias("__g"),
+    )
+    return v0.groupBy("__g").applyInPandas(fn, schema)
 
 
 def _collapse_cluster_np(

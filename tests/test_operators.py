@@ -3979,6 +3979,43 @@ def test_semdedup_auto_fused_gates_match_unfused(spark, monkeypatch):
         assert fused == unfused, kwargs
 
 
+def test_semdedup_frozen_fused_matches_unfused(spark, monkeypatch):
+    """The r13 fused frozen-centroid gate (semdedup below
+    _FUSED_LLOYD_MAX_ROWS/_CELLS) must reproduce the distributed
+    assign-projection + per-cluster-collapse pipeline row-for-row —
+    assignment (incl. rounded-distance ties to the lower cid),
+    components, cent_sim_r and keep flags — at dp=9 AND at a dp that
+    exercises the scalar Decimal rounding fallback."""
+    from taxi_rides_ny_duckdb_spark.operators import similarity as S
+
+    cents = [[1.0, 0.0], [0.0, 1.0], [0.6, 0.8]]
+    rows = [
+        (1, [1.0, 0.01]),    # cluster 0
+        (2, [1.0, 0.02]),    # near-dup of 1
+        (3, [0.9, 0.2]),     # cluster 0, not a dup at high τ
+        (4, [0.72, 0.69]),   # near the 0.6/0.8 centroid
+        (5, [0.69, 0.72]),
+        (6, [0.01, 1.0]),    # cluster 1
+        (7, [0.01, 1.0]),    # exact dup of 6 (cent_sim tie → lower id)
+        (8, [0.0, 0.0]),     # zero-norm singleton
+        (9, [0.5, 0.5]),     # equidistant-ish: rounded-distance ties
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def rowset(frame):
+        return sorted(tuple(r) for r in frame.collect())
+
+    for kwargs in (
+        dict(threshold=0.999),            # dp=9 vectorized rounding twin
+        dict(threshold=0.9, round_dp=3),  # scalar Decimal fallback path
+    ):
+        fused = rowset(S.semdedup(df, cents, **kwargs))
+        monkeypatch.setattr(S, "_FUSED_LLOYD_MAX_ROWS", 0)
+        unfused = rowset(S.semdedup(df, cents, **kwargs))
+        monkeypatch.undo()
+        assert fused == unfused, kwargs
+
+
 def test_semdedup_auto_validates(spark):
     import pytest as _pytest
 
