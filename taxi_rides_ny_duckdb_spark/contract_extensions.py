@@ -3170,51 +3170,26 @@ def ext_hard_negative_topk(spark, sf_dir):
     stages); queries broadcast over the corpus scan, component
     exclusion is a map-side filter, 9dp round-before-rank.
 
-    CC runs the driver/union-find path explicitly (the vec_id<100
-    predicate bounds the graph at ≤4 950 edges BY CONSTRUCTION at any
-    SF, so the auto gate's count action would re-prove a bound the
-    query text already states) and emits the edge-touched MAPPING —
-    the consumer attaches labels via left join + coalesce, so the
-    nodes-distinct/anti-join/union singleton machinery never runs
-    (r13, half this query's scheduled jobs at sf0.1)."""
-    from .operators.dedup import connected_components
-    from .operators.similarity import (
-        cosine_given_norms,
-        hard_negative_topk,
-        l2_norm,
-    )
+    The whole pipeline — pair graph, union-find, exact scoring,
+    exclusion, rank — runs as ONE applyInPandas task
+    (hard_negative_mine_fused, r13 optimization round): the vec_id<100
+    predicate bounds the corpus BY CONSTRUCTION at any SF (the same
+    justification as the r13 min_partitions=1 and explicit-driver-CC
+    decisions it supersedes), and the unfused composition paid 9
+    scheduled jobs + ~0.6 s of per-run driver planning for 500
+    cosines. The distributed operators (hard_negative_topk + the pair
+    self-join + connected_components) remain the scale path; the fused
+    twin is pinned row-identical to them by
+    test_hard_negative_mine_fused_matches_unfused."""
+    from .operators.similarity import hard_negative_mine_fused
 
     v = (
         load(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < 100)
         .select("vec_id", F.col("embedding").cast("array<double>").alias("ev"))
-        .withColumn("nrm", l2_norm(F.col("ev")))
+        .withColumn("is_query", F.col("vec_id") < 5)
     )
-    a = v.select(F.col("vec_id").alias("id_a"), F.col("ev").alias("av"), F.col("nrm").alias("na"))
-    b = v.select(F.col("vec_id").alias("id_b"), F.col("ev").alias("bv"), F.col("nrm").alias("nb"))
-    pairs = (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a", "id_b",
-            F.round(
-                cosine_given_norms(F.col("av"), F.col("bv"), F.col("na"), F.col("nb")), 9
-            ).alias("sim"),
-        )
-        .filter(F.col("sim") >= 0.3)
-    )
-    comp = F.broadcast(
-        connected_components(
-            pairs, "id_a", "id_b", algorithm="driver", emit="mapping"
-        )
-    )
-    queries = v.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("ev").alias("query_vec")
-    )
-    corpus = v.select("vec_id", F.col("ev").alias("embedding"))
-    # min_partitions=1: the corpus is 100 rows by query text — the
-    # default width-spread would schedule 2×32 near-empty tasks to
-    # parallelize 500 cosines.
-    return hard_negative_topk(corpus, queries, comp, k=5, min_partitions=1)
+    return hard_negative_mine_fused(v, pair_threshold=0.3, k=5)
 
 
 def _hard_neg_ann_oracle() -> str:
@@ -3311,46 +3286,29 @@ def ext_hard_negative_topk_ann(spark, sf_dir):
     approximate. Recall vs the exact path is certified by
     ann_recall_at_k in tests/test_operators.py; the exact
     hard_negative_topk remains as ground truth. Same near-dup graph as
-    the dedup / leakage / exact-hard-negative stages (pipeline reuse)."""
+    the dedup / leakage / exact-hard-negative stages (pipeline reuse).
+
+    Runs as ONE applyInPandas task (hard_negative_mine_fused, r13
+    optimization round — see the exact twin's note): the unfused
+    composition additionally paid ~1.9 s of per-run DRIVER PLANNING
+    for the two nlist × dim frozen-centroid literal trees of
+    _centroid_ranking (measured job-timeline gap with zero running
+    jobs); fused, the literals ride in the task closure. The
+    distributed hard_negative_topk_ann remains the scale path, pinned
+    row-identical by test_hard_negative_mine_fused_matches_unfused."""
     from .contract_ivf_centroids import IVF_CENTROIDS
-    from .operators.dedup import connected_components
-    from .operators.similarity import (
-        cosine_given_norms,
-        hard_negative_topk_ann,
-        l2_norm,
-    )
+    from .operators.similarity import hard_negative_mine_fused
 
     v = (
         load(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < 100)
         .select("vec_id", F.col("embedding").cast("array<double>").alias("ev"))
-        .withColumn("nrm", l2_norm(F.col("ev")))
+        .withColumn("is_query", F.col("vec_id") < 5)
     )
-    a = v.select(F.col("vec_id").alias("id_a"), F.col("ev").alias("av"), F.col("nrm").alias("na"))
-    b = v.select(F.col("vec_id").alias("id_b"), F.col("ev").alias("bv"), F.col("nrm").alias("nb"))
-    pairs = (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a", "id_b",
-            F.round(
-                cosine_given_norms(F.col("av"), F.col("bv"), F.col("na"), F.col("nb")), 9
-            ).alias("sim"),
-        )
-        .filter(F.col("sim") >= 0.3)
-    )
-    comp = F.broadcast(
-        connected_components(
-            pairs, "id_a", "id_b", algorithm="driver", emit="mapping"
-        )
-    )
-    queries = v.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("ev").alias("query_vec")
-    )
-    corpus = v.select("vec_id", F.col("ev").alias("embedding"))
-    return hard_negative_topk_ann(
-        corpus, queries, comp, k=5,
-        centroids=IVF_CENTROIDS, nprobe=2, round_dp=9, score_round_dp=9,
-        min_partitions=1,  # 100-row corpus by query text (see exact twin)
+    return hard_negative_mine_fused(
+        v, pair_threshold=0.3, k=5,
+        centroids=IVF_CENTROIDS, nprobe=2,
+        round_dp=9, score_round_dp=9,
     )
 
 

@@ -3979,6 +3979,80 @@ def test_semdedup_auto_fused_gates_match_unfused(spark, monkeypatch):
         assert fused == unfused, kwargs
 
 
+def test_hard_negative_mine_fused_matches_unfused(spark):
+    """The r13 single-task hard-negative miner must reproduce the
+    distributed pair-graph + connected_components + hard_negative_topk
+    (and the _ann twin) composition row-for-row — components (incl.
+    transitive chains and self-singletons), candidate sets, rounded
+    scores, rank ties to the lower id — for the exact AND the
+    IVF-probed variant."""
+    from pyspark.sql import functions as F
+
+    from taxi_rides_ny_duckdb_spark.operators.dedup import (
+        connected_components,
+    )
+    from taxi_rides_ny_duckdb_spark.operators.similarity import (
+        cosine_given_norms,
+        hard_negative_mine_fused,
+        hard_negative_topk,
+        hard_negative_topk_ann,
+        l2_norm,
+    )
+
+    rows = [
+        (i, [float((i * 7) % 13) / 13.0, float((i * 5) % 11) / 11.0,
+             float(i % 4) / 4.0 + 0.1])
+        for i in range(24)
+    ] + [
+        (30, [0.5, 0.5, 0.5]), (31, [0.5, 0.5, 0.5]),  # exact dups
+        (32, [0.0, 0.0, 0.0]),                          # zero-norm
+    ]
+    cents = [[1.0, 0.0, 0.2], [0.0, 1.0, 0.2], [0.5, 0.5, 0.5]]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    v = df.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("ev")
+    ).withColumn("nrm", l2_norm(F.col("ev")))
+    a = v.select(F.col("vec_id").alias("id_a"), F.col("ev").alias("av"),
+                 F.col("nrm").alias("na"))
+    b = v.select(F.col("vec_id").alias("id_b"), F.col("ev").alias("bv"),
+                 F.col("nrm").alias("nb"))
+    pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.round(cosine_given_norms(F.col("av"), F.col("bv"),
+                                       F.col("na"), F.col("nb")), 9).alias("sim"),
+        )
+        .filter(F.col("sim") >= 0.9)
+    )
+    comp = F.broadcast(connected_components(
+        pairs, "id_a", "id_b", algorithm="driver", emit="mapping"))
+    queries = v.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("ev").alias("query_vec"))
+    corpus = v.select("vec_id", F.col("ev").alias("embedding"))
+    vq = v.select("vec_id", "ev").withColumn(
+        "is_query", F.col("vec_id") < 4)
+
+    def rowset(frame):
+        return sorted(tuple(r) for r in frame.collect())
+
+    exact_unfused = rowset(
+        hard_negative_topk(corpus, queries, comp, k=3, min_partitions=1))
+    exact_fused = rowset(
+        hard_negative_mine_fused(vq, pair_threshold=0.9, k=3))
+    assert exact_fused == exact_unfused
+    assert len(exact_fused) > 0
+
+    ann_unfused = rowset(hard_negative_topk_ann(
+        corpus, queries, comp, k=3, centroids=cents, nprobe=2,
+        round_dp=9, score_round_dp=9, min_partitions=1))
+    ann_fused = rowset(hard_negative_mine_fused(
+        vq, pair_threshold=0.9, k=3, centroids=cents, nprobe=2,
+        round_dp=9, score_round_dp=9))
+    assert ann_fused == ann_unfused
+    assert len(ann_fused) > 0
+
+
 def test_semdedup_frozen_fused_matches_unfused(spark, monkeypatch):
     """The r13 fused frozen-centroid gate (semdedup below
     _FUSED_LLOYD_MAX_ROWS/_CELLS) must reproduce the distributed
