@@ -431,12 +431,18 @@ def _lr_descent_fused(
       driver loop applies, in plain Python floats.
 
     Emits (idx, wt) rows for idx 0..dim; the caller collects dim+1
-    doubles — one job replaces ``rounds`` window-scan collect jobs."""
+    doubles — one job replaces ``rounds`` window-scan collect jobs.
+
+    ``n=None`` (r13 continuation): derive n IN-TASK as the bias-row
+    count (idx == dim) — the distributed iteration 1's exact
+    definition — for callers that fuse ALL iterations and so never ran
+    the gradient collect that used to supply it."""
     import numpy as np
     import pandas as pd
 
     w0 = [float(x) for x in w]
-    nf, lrf, d1 = float(n), float(lr), dim + 1
+    lrf, d1 = float(lr), dim + 1
+    nf0 = float(n) if n is not None else None
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         idx = pdf["idx"].to_numpy(np.int64)
@@ -444,6 +450,9 @@ def _lr_descent_fused(
         y = pdf["y"].to_numpy(np.float64)
         codes = pd.factorize(pdf[id_col])[0]
         n_docs = int(codes.max()) + 1 if len(codes) else 0
+        # n = the bias-row group count, the distributed it-1's exact
+        # definition (every doc carries one idx==dim row)
+        nf = nf0 if nf0 is not None else float(int((idx == dim).sum()))
         wl = list(w0)
         for _ in range(rounds):
             warr = np.asarray(wl, dtype=np.float64)
@@ -614,6 +623,23 @@ def lr_train_surrogate(
     w = [0.0] * (dim + 1)  # w[dim] is the intercept
     n = 0
     win = Window.partitionBy(id_col)
+    # Gate BEFORE iteration 1 (r13 optimization round, continuation
+    # session): one bare count() materializes the cache AND supplies
+    # the gate signal — strictly cheaper than the iteration-1 gradient
+    # collect that used to double as it (no aggregation exchange).
+    # Below the gate ALL iterations run inside the one fused task:
+    # iteration 1's w=0 shortcut is the kernel's own arithmetic
+    # (round12(x·0) = 0 ⇒ z = 0 ⇒ σ̃ = 0.5 exactly — the identical
+    # pinned values), so the whole distributed iteration-1 pass
+    # (groupBy(idx) exchange + collect) disappears. Above the gate the
+    # count costs one cache-scan job and the loop is unchanged.
+    n_rows = feats.count()
+    if n_rows == 0:
+        raise ValueError("empty training set")
+    if n_rows <= _FUSED_LR_MAX_ROWS:
+        w = _lr_descent_fused(feats, id_col, w, None, lr, dim, iters)
+        feats.unpersist()
+        return w[:dim], w[dim]
     for it in range(iters):
         if it == 0:
             # w₀ = 0 ⇒ every per-doc z is EXACTLY 0 (x ≥ 0 here, so
@@ -659,19 +685,6 @@ def lr_train_surrogate(
                 raise ValueError("empty training set")
         gmap = {r["idx"]: r["g"] for r in grads}
         w = [w[i] - lr * (gmap.get(i, 0.0) / n) for i in range(dim + 1)]
-        if it == 0 and iters > 1:
-            # iteration 1's gradient collect already counted every
-            # cached feature row (sum of per-idx counts) — a FREE gate
-            # signal: below _FUSED_LR_MAX_ROWS the remaining
-            # iterations run inside one task (r13 optimization round,
-            # guide §1.2/§2.4), bit-equal by the pinned twins; above
-            # it the distributed loop below is unchanged.
-            n_rows = sum(r["c"] for r in grads)
-            if n_rows <= _FUSED_LR_MAX_ROWS:
-                w = _lr_descent_fused(
-                    feats, id_col, w, n, lr, dim, iters - 1
-                )
-                break
     feats.unpersist()
     return w[:dim], w[dim]
 
