@@ -548,6 +548,7 @@ def cms_build(
     token_col: str = "token",
     depth: int = 4,
     width: int = 64,
+    count_col: str | None = None,
 ) -> DataFrame:
     """Count-min sketch of a token stream (Cormode & Muthukrishnan
     2005): a depth×width grid of counters; every token increments one
@@ -561,14 +562,24 @@ def cms_build(
 
     One posexplode (×depth) and ONE groupBy(row, bucket) with map-side
     combine: the shuffle carries ≤depth·width cells per task, not the
-    token stream. Returns (row_id, bucket, cnt)."""
+    token stream. Returns (row_id, bucket, cnt).
+
+    ``count_col`` (r13 optimization round, guide §2.3/§4): build the
+    SAME grid from a pre-aggregated (token, count) frame — each cell
+    sums the counts of the tokens hashing into it, which equals the
+    per-occurrence increment count exactly (integer sums). A caller
+    that already holds per-token counts (``cms_certified``'s exact
+    branch) then pays depth md5s per DISTINCT token instead of per
+    occurrence — the hashing was the grid build's entire CPU cost."""
+    cnt = F.lit(1) if count_col is None else F.col(count_col)
     cells = tokens.select(
         F.posexplode(_cms_buckets(F.col(token_col), depth, width)).alias(
             "row_id", "bucket"
-        )
+        ),
+        cnt.alias("__c"),
     )
     return cells.groupBy("row_id", "bucket").agg(
-        F.count(F.lit(1)).alias("cnt")
+        F.sum("__c").cast("bigint").alias("cnt")
     )
 
 
@@ -615,18 +626,22 @@ def cms_certified(
 
     from ..cache import scoped_persist
 
-    # the token stream feeds BOTH the exact-count branch and the grid
-    # build — persist it or the corpus-sized tokenize lineage executes
-    # twice (the mmr_topk multi-branch precedent)
-    tokens = scoped_persist(tokens)
-    exact = tokens.groupBy(token_col).agg(F.count(F.lit(1)).alias("exact_n"))
+    # the VOCABULARY-sized exact-count frame feeds BOTH the top-n
+    # window and the grid build (r13 optimization round: the grid sums
+    # per-token counts instead of re-hashing every occurrence —
+    # identical integer cells, depth md5s per distinct token instead
+    # of per token instance, and the persisted frame shrinks from the
+    # token stream to the vocabulary)
+    exact = scoped_persist(
+        tokens.groupBy(token_col).agg(F.count(F.lit(1)).alias("exact_n"))
+    )
     w = Window.orderBy(F.col("exact_n").desc(), F.col(token_col).asc())
     top = (
         exact.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= top_n)
         .select(token_col, "exact_n")
     )
-    sketch = cms_build(tokens, token_col, depth, width)
+    sketch = cms_build(exact, token_col, depth, width, count_col="exact_n")
     est = cms_estimate(sketch, top.select(token_col), token_col, depth, width)
     return top.join(est, token_col).select(
         token_col,

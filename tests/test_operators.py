@@ -5103,6 +5103,31 @@ def test_cms_overcounts_only_and_min_rows_tightens(spark):
     assert all(r["over_n"] == 0 for r in wide.values())
 
 
+def test_cms_build_weighted_matches_per_occurrence(spark):
+    """The pre-aggregated grid build (count_col — r13: depth md5s per
+    DISTINCT token instead of per occurrence) must produce the
+    IDENTICAL counter grid as the per-occurrence build, collisions
+    included."""
+    from pyspark.sql import functions as F
+
+    from taxi_rides_ny_duckdb_spark.operators.sketch import cms_build
+
+    rows = [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 2 + [("d",)] * 7
+    toks = spark.createDataFrame(rows, "token string")
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    for depth, width in ((2, 2), (4, 64)):
+        per_occ = sorted(
+            tuple(r) for r in cms_build(toks, depth=depth, width=width).collect()
+        )
+        weighted = sorted(
+            tuple(r)
+            for r in cms_build(
+                counts, depth=depth, width=width, count_col="n"
+            ).collect()
+        )
+        assert per_occ == weighted, (depth, width)
+
+
 def test_hamming_topk_expr_arrow_bit_equal(spark, sf_dir):
     """The expr (codegen cross join + WindowGroupLimit) and arrow
     (two-phase numpy popcount) strategies are bit-identical — exact
