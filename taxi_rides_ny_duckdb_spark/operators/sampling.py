@@ -418,12 +418,19 @@ def corpus_shuffle(
 
     Scale shape — exact global rank WITHOUT a global sort or
     single-reducer window: rows are range-bucketed by the hash
-    fraction (``floor(u·B)``, order-preserving across buckets), an
-    aggregation-bounded counts pass (B rows) is prefix-summed on the
-    driver, and the final position is bucket_offset + within-bucket
-    rank — one window per bucket, B-way parallel. This is the
-    standard distributed ranking decomposition; B controls reducer
-    granularity (≈ corpus/B rows per window partition).
+    fraction (``floor(u·B)``, order-preserving across buckets), the
+    aggregation-bounded counts pass (B rows) prefix-sums through one
+    bounded window (B = n_buckets is a CONSTANT, not data-sized) into
+    a (bucket, offset) frame that broadcast-joins back, and the final
+    position is bucket_offset + within-bucket rank — one window per
+    bucket, B-way parallel. This is the standard distributed ranking
+    decomposition; B controls reducer granularity (≈ corpus/B rows
+    per window partition). (r13 optimization round: the offsets used
+    to collect to the driver and re-enter the plan as a
+    2B-literal ``create_map`` — at B = 1024 a ~2 000-child expression
+    tree that cost ~1.6 s of per-run driver analysis, measured as a
+    zero-jobs gap in ext_sorted_run_export's timeline; the broadcast
+    join carries the identical integers with no driver round trip.)
     """
     from pyspark.sql.window import Window
 
@@ -435,28 +442,27 @@ def corpus_shuffle(
     u = hash_fraction(key, salt)
     bucket = F.floor(u * n_buckets).cast("int")
     with_u = df.withColumn("__u", u).withColumn("__b", bucket)
-    counts = {
-        r["__b"]: r["n"]
-        for r in with_u.groupBy("__b").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    offsets, acc = {}, 0
-    for b in sorted(counts):
-        offsets[b] = acc
-        acc += counts[b]
-    if not offsets:  # empty corpus: nothing to rank (typed empty map
-        # would be needed for the lookup — short-circuit instead)
-        return df.withColumn(out_col, F.lit(None).cast("long"))
-    off = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    counts = with_u.groupBy("__b").agg(F.count(F.lit(1)).alias("__n"))
+    woff = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    off = counts.select(
+        "__b",
+        F.coalesce(F.sum("__n").over(woff), F.lit(0))
+        .cast("long")
+        .alias("__offset"),
+    )
     order_cols = [F.col("__u").asc(), F.col(id_col).asc()]
     if epoch_col is not None:
         order_cols.append(F.col(epoch_col).asc())
     w = Window.partitionBy("__b").orderBy(*order_cols)
     return (
-        with_u.withColumn(
+        with_u.join(F.broadcast(off), "__b")
+        .withColumn(
             out_col,
-            (off[F.col("__b")] + F.row_number().over(w) - F.lit(1)).cast("long"),
+            (F.col("__offset") + F.row_number().over(w) - F.lit(1)).cast(
+                "long"
+            ),
         )
-        .drop("__u", "__b")
+        .drop("__u", "__b", "__offset")
     )
 
 
