@@ -189,11 +189,26 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #  quality_bucket_mix cuts-collect adds ext_perplexity_bucket_mix)
     "ext_hybrid_rrf_topk",
     "ext_perplexity_bucket_mix",
+    # 3d. Execution changed in the r13 OPTIMIZATION continuation
+    #     session (fused frozen-path semdedup, single-task
+    #     hard-negative mining, pre-iteration LR gate, weighted CMS
+    #     grid, in-plan corpus_shuffle offsets). Closure recomputed by
+    #     tools/changed_queries.py with seeds semdedup,
+    #     _semdedup_frozen_fused, hard_negative_mine_fused,
+    #     lr_train_surrogate, _lr_descent_fused, cms_build,
+    #     cms_certified, corpus_shuffle → 8 queries; 6 already hold
+    #     slots above (ext_semdedup §3, the hard-negative pair §3,
+    #     the lr pair §3, ext_corpus_shuffle §4); the two below take
+    #     the refresh cohort's tail slots.
+    "ext_cms_heavy_tokens",
+    "ext_sorted_run_export",
     # 4. Oldest-evidence refresh: the r7 cohort, alphabetical (the
     #    last three r7 rows — profile_correlation/drift_psi/key_skew —
     #    waited for r14 already; the five NB-family changed-execution
     #    rows above take the next five slots from the cohort's tail —
-    #    events_session_window through metric_anomaly move to r14).
+    #    events_session_window through metric_anomaly move to r14, and
+    #    the §3d pair displaces ext_corpus_curation/_datacard there
+    #    too).
     "a8_accepted_values",
     "ext_asof_join",
     "ext_bm25_topk",
@@ -203,8 +218,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ext_cap_per_group",
     "ext_cdc_apply",
     "ext_compact_small_files",
-    "ext_corpus_curation",
-    "ext_corpus_datacard",
     "ext_corpus_shuffle",
 )
 
