@@ -3551,9 +3551,9 @@ def pq_adc_topk(
     (subspace, code) → scaled-int64 partial-distance lookup table on
     the driver (m_sub·ksub exact-integer entries from the SAME
     round(t²·10¹²) exact-half-away per-term arithmetic the codes were
-    assigned under), then one pure-expression pass over the codes column —
-    zip_with(codes, LUT rows, pick) folded by an integer sum — feeding
-    orderBy(adc_d2, id).limit(k), which Spark plans as
+    assigned under), then one Arrow gather pass over the codes column
+    (LUT in the task closure — bit-equal int64 sums; see the inline
+    note) feeding orderBy(adc_d2, id).limit(k), which Spark plans as
     TakeOrderedAndProject: per-partition heaps, no global sort, no
     shuffle of anything but k rows. Returns (id, adc_d2, rank)."""
     import math as _math
@@ -3579,20 +3579,47 @@ def pq_adc_topk(
                 d2 += _round_half_away_int(t * t * 1e12)
             row.append(d2)
         lut_rows.append(row)
-    # one array literal per subspace (the rh_signature py4j-batching
-    # precedent), assembled into an array<array<long>> column; the cast
-    # pins bigint even when a subspace's entries all fit in int32
-    lut = F.array(*[F.lit(row).cast("array<bigint>") for row in lut_rows])
-    adc = F.aggregate(
-        F.zip_with(F.col("codes"), lut, lambda c, row: F.get(row, c)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    # ADC scoring as ONE Arrow gather (r13 optimization round,
+    # continuation session; guide §4.2): the LUT rides in the task
+    # closure as a (m_sub, ksub) int64 ndarray instead of an
+    # m_sub·ksub-literal array-of-arrays expression — that literal
+    # tree re-analyzed on EVERY run (memoize=False; ~0.55 s zero-jobs
+    # driver gap in ext_pq_topk's job timeline) and the per-row
+    # zip_with/aggregate fold ran interpreted. int64 gather + sum is
+    # bit-equal to the integer fold (integer addition is associative);
+    # malformed codes (wrong arity, out of [0, ksub)) fail FAST where
+    # F.get silently degraded them to NULL scores — the _vec_matrix
+    # fail-fast convention.
+    import numpy as np
+    import pandas as pd
+
+    lut_np = np.asarray(lut_rows, dtype=np.int64)
+    ksub = lut_np.shape[1]
+    id_dt = dict(codes.dtypes)[id_col]
+
+    def fn(it):
+        cols = np.arange(m_sub)
+        for pdf in it:
+            n = len(pdf)
+            cm = (
+                np.asarray(list(pdf["codes"]), dtype=np.int64)
+                if n
+                else np.zeros((0, m_sub), dtype=np.int64)
+            )
+            if cm.ndim != 2 or cm.shape[1] != m_sub or (
+                n and (cm.min() < 0 or cm.max() >= ksub)
+            ):
+                raise ValueError(
+                    f"pq_adc_topk: malformed codes batch (expected "
+                    f"{m_sub} codes per row in [0, {ksub}))"
+                )
+            d2 = lut_np[cols[None, :], cm].sum(axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col], "adc_d2": d2})
+
+    scored = codes.select(F.col(id_col), F.col("codes")).mapInPandas(
+        fn, f"{id_col} {id_dt}, adc_d2 bigint"
     )
-    top = (
-        codes.select(F.col(id_col), adc.alias("adc_d2"))
-        .orderBy(F.col("adc_d2").asc(), F.col(id_col).asc())
-        .limit(k)
-    )
+    top = scored.orderBy(F.col("adc_d2").asc(), F.col(id_col).asc()).limit(k)
     w = Window.orderBy(F.col("adc_d2").asc(), F.col(id_col).asc())
     return top.withColumn("rank", F.row_number().over(w))
 
@@ -3771,29 +3798,58 @@ def ivfpq_adc_topk(
             qs = qr[s * dsub : (s + 1) * dsub]
             rows.append([_d2_scaled_int(qs, list(c)) for c in C])
         luts[L] = rows
-    lut_expr = None
-    for L in probes:
-        arr = F.array(
-            *[F.lit(row).cast("array<bigint>") for row in luts[L]]
-        )
-        lut_expr = (
-            arr
-            if lut_expr is None
-            else F.when(F.col("list_id") == F.lit(L), arr).otherwise(lut_expr)
-        )
-    # reversed chain: the last .when wins for its list, base = first probe
-    lut_col = lut_expr
-    adc = F.aggregate(
-        F.zip_with(F.col("codes"), lut_col, lambda c, row: F.get(row, c)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    # probed-ADC scoring as ONE Arrow gather (r13 optimization round,
+    # continuation session; guide §4.2): the per-probe LUTs ride in
+    # the task closure as (m_sub, ksub) int64 ndarrays selected by
+    # list_id, replacing the nprobe-deep CASE chain of
+    # m_sub·ksub-literal arrays whose re-analysis cost ~2.2 s of
+    # zero-jobs driver time per run (ext_ivfpq_topk job timeline) and
+    # whose per-row fold ran interpreted. int64 gather + sum is
+    # bit-equal to the integer fold; the probed-list filter stays in
+    # the PLAN (partition-prunable on a list-laid-out codes table);
+    # malformed codes fail fast (the _vec_matrix convention) where
+    # F.get degraded them to NULL scores.
+    import numpy as np
+    import pandas as pd
+
+    luts_np = {
+        int(L): np.asarray(rows, dtype=np.int64) for L, rows in luts.items()
+    }
+    ksub = next(iter(luts_np.values())).shape[1]
+    dtypes = dict(codes.dtypes)
+
+    def fn(it):
+        cols = np.arange(m_sub)
+        for pdf in it:
+            n = len(pdf)
+            cm = (
+                np.asarray(list(pdf["codes"]), dtype=np.int64)
+                if n
+                else np.zeros((0, m_sub), dtype=np.int64)
+            )
+            if cm.ndim != 2 or cm.shape[1] != m_sub or (
+                n and (cm.min() < 0 or cm.max() >= ksub)
+            ):
+                raise ValueError(
+                    f"ivfpq_adc_topk: malformed codes batch (expected "
+                    f"{m_sub} codes per row in [0, {ksub}))"
+                )
+            lids = pdf["list_id"].to_numpy()
+            d2 = np.zeros(n, dtype=np.int64)
+            for lid in np.unique(lids):
+                m = lids == lid
+                d2[m] = luts_np[int(lid)][cols[None, :], cm[m]].sum(axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "list_id": lids, "adc_d2": d2}
+            )
+
+    probed = codes.filter(
+        F.col("list_id").isin([int(L) for L in probes])
+    ).select(F.col(id_col), F.col("list_id"), F.col("codes"))
+    scored = probed.mapInPandas(
+        fn, f"{id_col} {dtypes[id_col]}, list_id {dtypes['list_id']}, adc_d2 bigint"
     )
-    top = (
-        codes.filter(F.col("list_id").isin([int(L) for L in probes]))
-        .select(F.col(id_col), F.col("list_id"), adc.alias("adc_d2"))
-        .orderBy(F.col("adc_d2").asc(), F.col(id_col).asc())
-        .limit(k)
-    )
+    top = scored.orderBy(F.col("adc_d2").asc(), F.col(id_col).asc()).limit(k)
     w = Window.orderBy(F.col("adc_d2").asc(), F.col(id_col).asc())
     return top.withColumn("rank", F.row_number().over(w))
 
