@@ -789,36 +789,109 @@ def embedding_near_dup_pairs(
 
     ``score_round_dp`` rounds the cosine BEFORE the threshold
     comparison, so threshold-boundary pairs are engine-reproducible
-    (round-before-threshold, same rationale as lsh_topk)."""
-    sig = ensure_min_partitions(df).select(
+    (round-before-threshold, same rationale as lsh_topk).
+
+    Pairing runs as ONE blocked-numpy Arrow task per bucket (r13
+    optimization round, continuation session; guide §2.4/§4.2 — the
+    ``_collapse_cluster_np`` shape): the former signature-keyed
+    self-join shuffled BOTH corpus-sized vector frames and then paid
+    one interpreted ``cosine_given_norms`` fold per candidate pair
+    (~3M pairs × 64 dims at sf0.1 — the query's dominant job); now
+    the corpus shuffles ONCE on the signature and each bucket's
+    pairing is a vectorized dim-SEQUENTIAL blocked dot (== the engine
+    fold order, bit-equal — the _semdedup_collapse parity argument),
+    in-task norms (== ``l2_norm``'s fold + sqrt), zero-norm → 0.0,
+    the ``F.round`` twin applied before the threshold. Per-task
+    memory is one bucket's vectors — bounded by the LSH design
+    (pinned row-identical to the join form by
+    test_embedding_near_dup_pairs_matches_join_form)."""
+    import numpy as np
+    import pandas as pd
+
+    sig = df.select(
         F.col(id_col),
         _as_double_array(F.col(vec_col)).alias("__v"),
         rh_signature(F.col(vec_col), dim, bits).alias("__sig"),
     )
-    sig = sig.withColumn("__n", l2_norm(F.col("__v")))
-    # merge-hint: both sides carry the corpus's full embedding vectors
-    # — data-sized; a broadcast would build a corpus-sized hashed
-    # relation (the compression-accounting hazard documented at
-    # operators/dedup.minhash_lsh_dedup_pairs, r7).
-    a, b = sig.alias("a").hint("merge"), sig.alias("b")
-    score = cosine_given_norms(
-        F.col("a.__v"), F.col("b.__v"), F.col("a.__n"), F.col("b.__n")
-    )
-    if score_round_dp is not None:
-        score = F.round(score, score_round_dp)
-    return (
-        a.join(
-            b,
-            (F.col("a.__sig") == F.col("b.__sig"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    thr = float(threshold)
+    dp = None if score_round_dp is None else int(score_round_dp)
+    idt = dict(df.dtypes)[id_col]
+    schema = f"id_a {idt}, id_b {idt}, cosine_sim double"
+
+    def round_np(vals):
+        if dp == 9:
+            return _round9_half_up_np(vals)
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q = Decimal(1).scaleb(-dp)
+        return np.array(
+            [
+                float(
+                    Decimal(repr(float(x))).quantize(q, rounding=ROUND_HALF_UP)
+                )
+                for x in vals
+            ],
+            dtype=np.float64,
         )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            score.alias("cosine_sim"),
+
+    chunk = 512
+
+    def fn(pdf):
+        pdf = pdf.sort_values(id_col)
+        ids = pdf[id_col].to_numpy()
+        n = len(pdf)
+        empty = pd.DataFrame(
+            {
+                "id_a": np.zeros(0, dtype=ids.dtype),
+                "id_b": np.zeros(0, dtype=ids.dtype),
+                "cosine_sim": np.zeros(0, dtype=np.float64),
+            }
         )
-        .filter(F.col("cosine_sim") >= threshold)
-    )
+        if n < 2:
+            return empty
+        X = _vec_matrix(pdf["__v"], dim)
+        nrm = np.zeros(n)
+        for d in range(dim):  # sequential over dims == fold order
+            nrm += X[:, d] * X[:, d]
+        nrm = np.sqrt(nrm)
+        out_a, out_b, out_s = [], [], []
+        for i0 in range(0, n, chunk):
+            A, na = X[i0 : i0 + chunk], nrm[i0 : i0 + chunk]
+            iu = np.arange(i0, i0 + len(A))
+            for j0 in range(i0, n, chunk):
+                B, nb = X[j0 : j0 + chunk], nrm[j0 : j0 + chunk]
+                ju = np.arange(j0, j0 + len(B))
+                acc = np.zeros((len(A), len(B)), dtype=np.float64)
+                for d in range(dim):
+                    acc += A[:, d : d + 1] * B[:, d]
+                ok = (na[:, None] > 0) & (nb[None, :] > 0)
+                sim = np.where(
+                    ok,
+                    np.divide(
+                        acc, na[:, None] * nb[None, :],
+                        out=np.zeros_like(acc), where=ok,
+                    ),
+                    0.0,
+                )
+                ii, jj = np.nonzero(iu[:, None] < ju[None, :])
+                s = sim[ii, jj]
+                if dp is not None:
+                    s = round_np(s)
+                keep = s >= thr
+                out_a.extend(ids[iu[ii[keep]]])
+                out_b.extend(ids[ju[jj[keep]]])
+                out_s.extend(s[keep])
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {
+                "id_a": np.asarray(out_a, dtype=ids.dtype),
+                "id_b": np.asarray(out_b, dtype=ids.dtype),
+                "cosine_sim": np.asarray(out_s, dtype=np.float64),
+            }
+        )
+
+    return sig.groupBy("__sig").applyInPandas(fn, schema)
 
 
 def group_medoid(

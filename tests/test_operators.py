@@ -3979,6 +3979,68 @@ def test_semdedup_auto_fused_gates_match_unfused(spark, monkeypatch):
         assert fused == unfused, kwargs
 
 
+def test_embedding_near_dup_pairs_matches_join_form(spark):
+    """The r13 per-bucket Arrow pairing must reproduce the
+    signature-keyed self-join + cosine_given_norms form row-for-row —
+    bucket membership, rounded scores, the threshold boundary and
+    zero-norm rows included — at dp=9, a non-9 dp, and dp=None."""
+    from pyspark.sql import functions as F
+
+    from taxi_rides_ny_duckdb_spark.operators.similarity import (
+        _as_double_array,
+        cosine_given_norms,
+        embedding_near_dup_pairs,
+        l2_norm,
+        rh_signature,
+    )
+
+    rows = [
+        (i, [float((i * 7) % 13) / 13.0, float((i * 5) % 11) / 11.0,
+             float(i % 4) / 4.0, 1.0])
+        for i in range(80)
+    ] + [
+        (100, [0.5, 0.5, 0.5, 1.0]), (101, [0.5, 0.5, 0.5, 1.0]),
+        (102, [0.0, 0.0, 0.0, 0.0]), (103, [0.0, 0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def join_form(threshold, dp):
+        sig = df.select(
+            "vec_id",
+            _as_double_array(F.col("embedding")).alias("__v"),
+            rh_signature(F.col("embedding"), 4, 3).alias("__sig"),
+        ).withColumn("__n", l2_norm(F.col("__v")))
+        a, b = sig.alias("a").hint("merge"), sig.alias("b")
+        score = cosine_given_norms(
+            F.col("a.__v"), F.col("b.__v"), F.col("a.__n"), F.col("b.__n")
+        )
+        if dp is not None:
+            score = F.round(score, dp)
+        return (
+            a.join(
+                b,
+                (F.col("a.__sig") == F.col("b.__sig"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .select(
+                F.col("a.vec_id").alias("id_a"),
+                F.col("b.vec_id").alias("id_b"),
+                score.alias("cosine_sim"),
+            )
+            .filter(F.col("cosine_sim") >= threshold)
+        )
+
+    def rowset(frame):
+        return sorted(tuple(r) for r in frame.collect())
+
+    for threshold, dp in ((0.3, 9), (0.9, 3), (0.5, None)):
+        fused = rowset(embedding_near_dup_pairs(
+            df, threshold=threshold, dim=4, bits=3, score_round_dp=dp))
+        joined = rowset(join_form(threshold, dp))
+        assert fused == joined, (threshold, dp)
+        assert len(fused) > 0, (threshold, dp)
+
+
 def test_hard_negative_mine_fused_matches_unfused(spark):
     """The r13 single-task hard-negative miner must reproduce the
     distributed pair-graph + connected_components + hard_negative_topk
