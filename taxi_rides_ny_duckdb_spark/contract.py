@@ -199,16 +199,21 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #     cms_certified, corpus_shuffle → 8 queries; 6 already hold
     #     slots above (ext_semdedup §3, the hard-negative pair §3,
     #     the lr pair §3, ext_corpus_shuffle §4); the two below take
-    #     the refresh cohort's tail slots.
+    #     the refresh cohort's tail slots. Later in the session the
+    #     Arrow ADC gather (pq_adc_topk/ivfpq_adc_topk — all four PQ
+    #     rows already sit in §3) and the per-bucket near-dup pairing
+    #     (embedding_near_dup_pairs) changed execution too:
+    #     ext_embedding_near_dup takes one more tail slot.
     "ext_cms_heavy_tokens",
     "ext_sorted_run_export",
+    "ext_embedding_near_dup",
     # 4. Oldest-evidence refresh: the r7 cohort, alphabetical (the
     #    last three r7 rows — profile_correlation/drift_psi/key_skew —
     #    waited for r14 already; the five NB-family changed-execution
     #    rows above take the next five slots from the cohort's tail —
     #    events_session_window through metric_anomaly move to r14, and
-    #    the §3d pair displaces ext_corpus_curation/_datacard there
-    #    too).
+    #    the §3d entries displace ext_corpus_curation/_datacard and
+    #    ext_compact_small_files there too).
     "a8_accepted_values",
     "ext_asof_join",
     "ext_bm25_topk",
@@ -217,7 +222,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ext_bpe_segment",
     "ext_cap_per_group",
     "ext_cdc_apply",
-    "ext_compact_small_files",
     "ext_corpus_shuffle",
 )
 
