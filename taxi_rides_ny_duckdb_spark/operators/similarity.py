@@ -2560,10 +2560,11 @@ def semantic_decontaminate(
 
 def _kmeans_lloyd_fused(
     df: DataFrame,
-    init_centroids: list[list[float]],
+    init_centroids: list[list[float]] | str,
     id_col: str,
     vec_col: str,
     iters: int,
+    first_k_k: int | None = None,
 ) -> tuple[list[list[float]], dict[int, int]]:
     """Single-task Lloyd trainer — the fused-gate body of
     ``kmeans_lloyd(assign='auto')`` below ``_FUSED_LLOYD_MAX_ROWS`` /
@@ -2582,9 +2583,11 @@ def _kmeans_lloyd_fused(
     import numpy as np
     import pandas as pd
 
-    init = [[float(x) for x in c] for c in init_centroids]
-    k = len(init)
-    dim = len(init[0])
+    explicit = not isinstance(init_centroids, str)
+    init = (
+        [[float(x) for x in c] for c in init_centroids] if explicit else None
+    )
+    k = len(init) if explicit else int(first_k_k)
     row_chunk = 1024
     out_schema = "cid int, cv array<double>, n_assigned long"
 
@@ -2596,8 +2599,17 @@ def _kmeans_lloyd_fused(
                  "cv": pd.Series([], dtype="object"),
                  "n_assigned": pd.Series([], dtype="int64")}
             )
-        X = np.asarray(list(pdf["__fv"]), dtype=np.float64)
-        C = np.asarray(init, dtype=np.float64)
+        if explicit:
+            X = np.asarray(list(pdf["__fv"]), dtype=np.float64)
+            C = np.asarray(init, dtype=np.float64)
+        else:
+            # init="first_k": first min(k, n) vectors by id, selected
+            # in-task (== the TakeOrdered collect the above-gate path
+            # runs — same rows, same order)
+            pdf = pdf.sort_values("__fid")
+            X = np.asarray(list(pdf["__fv"]), dtype=np.float64)
+            C = X[: min(k, n)].copy()
+        dim = C.shape[1]
         max_x = float(np.max(np.abs(X))) if X.size else 0.0
         max_c0 = float(np.max(np.abs(C))) if C.size else 0.0
         max_t = max_x + max(max_x, max_c0)
@@ -2627,26 +2639,33 @@ def _kmeans_lloyd_fused(
                 C[int(cid)] = _round9_half_up_np(
                     S[row].astype(np.float64) / 1e12 / float(cnt)
                 )
+        k_eff = len(C)
         return pd.DataFrame(
-            {"cid": np.arange(k, dtype=np.int32),
+            {"cid": np.arange(k_eff, dtype=np.int32),
              "cv": list(C),
-             "n_assigned": [counts_last.get(i, 0) for i in range(k)]}
+             "n_assigned": [counts_last.get(i, 0) for i in range(k_eff)]}
         )
 
+    cols = [
+        _as_double_array(F.col(vec_col)).alias("__fv"),
+        F.lit(0).alias("__g"),
+    ]
+    if not explicit:
+        cols.insert(0, F.col(id_col).alias("__fid"))
     rows = (
-        df.select(
-            _as_double_array(F.col(vec_col)).alias("__fv"),
-            F.lit(0).alias("__g"),
-        )
+        df.select(*cols)
         .groupBy("__g")
         .applyInPandas(lambda key, pdf: fn(pdf), out_schema)
         .collect()
     )
+    if not rows:
+        raise ValueError("init_centroids must be non-empty")
     by_cid = {r["cid"]: r for r in rows}
-    cents = [[float(x) for x in by_cid[i]["cv"]] for i in range(k)]
+    k_out = len(rows)
+    cents = [[float(x) for x in by_cid[i]["cv"]] for i in range(k_out)]
     sizes = {
         i: int(by_cid[i]["n_assigned"])
-        for i in range(k)
+        for i in range(k_out)
         if by_cid[i]["n_assigned"] > 0
     }
     return cents, sizes
@@ -2654,11 +2673,12 @@ def _kmeans_lloyd_fused(
 
 def kmeans_lloyd(
     df: DataFrame,
-    init_centroids: list[list[float]],
+    init_centroids: list[list[float]] | str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     iters: int = 3,
     assign: str = "expr",
+    k: int | None = None,
 ) -> tuple[list[list[float]], dict[int, int]]:
     """Distributed k-means (Lloyd) trainer — the quantizer-sizing
     answer to the SemDeDup finding (cluster counts must SCALE with the
@@ -2733,7 +2753,25 @@ def kmeans_lloyd(
 
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
-    if not init_centroids:
+    first_k = isinstance(init_centroids, str)
+    if first_k:
+        # init="first_k" (r13 optimization round, continuation
+        # session — the VERDICT r12 "init collect" residual): the
+        # deterministic first-min(k, n)-by-id init is selected by the
+        # OPERATOR — in-task below the fused gate (zero extra jobs;
+        # the caller's 3-AQE-job init collect is gone), one bounded
+        # TakeOrdered collect above it. Identical centroids to an
+        # explicit first-k init by construction (dense-id corpora:
+        # also identical to the id<k filter form the contract oracle
+        # spells).
+        if init_centroids != "first_k":
+            raise ValueError(
+                f"init_centroids must be a list or 'first_k', "
+                f"got {init_centroids!r}"
+            )
+        if k is None or k < 1:
+            raise ValueError(f"init='first_k' needs k >= 1, got {k}")
+    elif not init_centroids:
         raise ValueError("init_centroids must be non-empty")
     if assign not in ("expr", "arrow", "auto"):
         raise ValueError(
@@ -2746,11 +2784,16 @@ def kmeans_lloyd(
         # 12.8M-row exploded cache made ext_kmeans_train 7.9 s where
         # arrow's fused-M-step passes run the same training in ~3 s).
         n = df.count()
-        k0 = len(init_centroids)
+        k0 = k if first_k else len(init_centroids)
         if (
             n <= _FUSED_LLOYD_MAX_ROWS
             and n * k0 <= _FUSED_LLOYD_MAX_CELLS
-            and not any(len(c) != len(init_centroids[0]) for c in init_centroids)
+            and (
+                first_k
+                or not any(
+                    len(c) != len(init_centroids[0]) for c in init_centroids
+                )
+            )
         ):
             # fused single-task gate (r13 optimization round): every
             # iteration's job + driver sync collapses into ONE
@@ -2759,9 +2802,26 @@ def kmeans_lloyd(
             # definition). A dim-mismatched init falls through to the
             # shared validation below.
             return _kmeans_lloyd_fused(
-                df, init_centroids, id_col, vec_col, iters
+                df,
+                "first_k" if first_k else init_centroids,
+                id_col,
+                vec_col,
+                iters,
+                first_k_k=k if first_k else None,
             )
         assign = _estep_strategy(n, k0)
+    if first_k:
+        init_centroids = [
+            [float(x) for x in r["__v"]]
+            for r in df.select(
+                F.col(id_col), _as_double_array(F.col(vec_col)).alias("__v")
+            )
+            .orderBy(id_col)
+            .limit(k)
+            .collect()
+        ]
+        if not init_centroids:
+            raise ValueError("init_centroids must be non-empty")
     dim = len(init_centroids[0])
     if any(len(c) != dim for c in init_centroids):
         raise ValueError("init centroids must share one dimensionality")

@@ -3950,6 +3950,40 @@ def test_kmeans_lloyd_fused_gate_matches_arrow(spark):
     assert 2 not in sf and cf[2] == init[2], "empty cluster carries init"
 
 
+def test_kmeans_lloyd_first_k_init_matches_explicit(spark, monkeypatch):
+    """init='first_k' (r13: init selection folded into the operator)
+    must return the identical (centroids, sizes) as an explicit
+    first-k-by-id init — below the fused gate (in-task selection) AND
+    above it (TakeOrdered collect + distributed loop), including
+    k > n (init = all n rows)."""
+    from taxi_rides_ny_duckdb_spark.operators import similarity as S
+
+    rows = [
+        (i, [float(i % 7) * 0.25 + 0.01 * i, float(i % 3) - 1.0, 0.125 * i])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    init3 = [rows[0][1], rows[1][1], rows[2][1]]
+
+    exp = S.kmeans_lloyd(df, init3, iters=3, assign="auto")
+    got = S.kmeans_lloyd(df, "first_k", k=3, iters=3, assign="auto")
+    assert got == exp
+    monkeypatch.setattr(S, "_FUSED_LLOYD_MAX_ROWS", 0)
+    got_dist = S.kmeans_lloyd(df, "first_k", k=3, iters=3, assign="auto")
+    monkeypatch.undo()
+    assert got_dist == exp
+    # k > n: init = every row
+    small = df.filter("vec_id < 2")
+    exp2 = S.kmeans_lloyd(small, [rows[0][1], rows[1][1]], iters=2,
+                          assign="auto")
+    got2 = S.kmeans_lloyd(small, "first_k", k=5, iters=2, assign="auto")
+    assert got2 == exp2
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="first_k"):
+        S.kmeans_lloyd(df, "first_k", iters=1, assign="auto")  # no k
+
+
 def test_semdedup_auto_fused_gates_match_unfused(spark, monkeypatch):
     """The r13 fused whole-corpus gates (flat and multilevel-coarse)
     must reproduce the unfused init-collect + kmeans_lloyd +
